@@ -1,13 +1,26 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the operator
+  * inventory each entry maps to.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q1Agg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    GeoOps.queries ++ TrackOps.queries ++ Crossovers.queries ++
+      Relational.queries ++ DateOps.queries ++ TextOps.queries ++
+      Dedup.queries ++ Similarity.queries
+
+  /** DuckDB-equivalent SQL per query key (driver correctness gate). */
+  def oracleSql: Map[String, String] =
+    GeoOps.oracles ++ TrackOps.oracles ++ Crossovers.oracles ++
+      Relational.oracles ++ DateOps.oracles ++ TextOps.oracles ++
+      Dedup.oracles ++ Similarity.oracles
 }

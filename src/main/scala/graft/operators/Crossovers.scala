@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Track crossovers — the reference's flagship analysis
+  * (xover_search.py:23-133, cross_ATL06_tile.py:21-41).
+  *
+  * The reference walks each track pair serially, zooming into the
+  * crossing with `x_point` (exact parametric 2-segment intersection,
+  * xover_search.py:23-40).  The Spark-native form is one declarative
+  * plan with the same math and no iteration:
+  *
+  *  1. consecutive points → segments (lag/lead window per track);
+  *  2. each segment → the coarse grid cells its bounding box covers
+  *     (the distributed analog of `dilate_bins`, xover_search.py:12-21);
+  *  3. self-join segments on cell with `track_a < track_b` — a plain
+  *     shuffle/broadcast hash join on the cell key, which is how the
+  *     O(n²) pair scan becomes scalable;
+  *  4. exact parametric intersection as pure column math (codegen'd),
+  *     keeping hits with s ∈ [0,1) on both segments (half-open so a
+  *     crossing on a shared vertex is counted once);
+  *  5. interpolate z and t of both tracks at the crossing with the
+  *     parametric weights (the reference's `L`), as
+  *     cross_ATL06_tile.py does before writing W = [1-L, L].
+  */
+object Crossovers {
+
+  private val CELL = 200.0
+
+  /** Segments with coarse-cell assignment, exploded over the ≤2×2
+    * cells the segment's bounding box covers.
+    */
+  private def segments(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("track").orderBy("seq")
+    val seg = Tables.eventsTracks(s, dir)
+      .select(
+        col("track"), col("seq"),
+        col("x").as("x1"), col("y").as("y1"), col("z").as("z1"), col("t").as("t1"),
+        lead("x", 1).over(w).as("x2"), lead("y", 1).over(w).as("y2"),
+        lead("z", 1).over(w).as("z2"), lead("t", 1).over(w).as("t2"))
+      .filter(col("x2").isNotNull)
+    val cx0 = floor(least(col("x1"), col("x2")) / CELL).cast("long")
+    val cx1 = floor(greatest(col("x1"), col("x2")) / CELL).cast("long")
+    val cy0 = floor(least(col("y1"), col("y2")) / CELL).cast("long")
+    val cy1 = floor(greatest(col("y1"), col("y2")) / CELL).cast("long")
+    seg
+      .withColumn("cx0", cx0).withColumn("cx1", cx1)
+      .withColumn("cy0", cy0).withColumn("cy1", cy1)
+      .crossJoin(broadcast(s.range(0, 2).select(col("id").as("ox"))))
+      .crossJoin(broadcast(s.range(0, 2).select(col("id").as("oy"))))
+      .filter(col("cx0") + col("ox") <= col("cx1") && col("cy0") + col("oy") <= col("cy1"))
+      .withColumn("cell_x", col("cx0") + col("ox"))
+      .withColumn("cell_y", col("cy0") + col("oy"))
+      .drop("cx0", "cx1", "cy0", "cy1", "ox", "oy")
+  }
+
+  // --- 17/18. crossover search + value interpolation ---
+  def crossovers(s: SparkSession, dir: String): DataFrame = {
+    val seg = segments(s, dir)
+    val a = seg.columns.foldLeft(seg)((d, c) => d.withColumnRenamed(c, c + "_a"))
+    val b = seg.columns.foldLeft(seg)((d, c) => d.withColumnRenamed(c, c + "_b"))
+    val joined = a.join(b,
+      col("cell_x_a") === col("cell_x_b") && col("cell_y_a") === col("cell_y_b") &&
+      col("track_a") < col("track_b"))
+    val dxa = col("x2_a") - col("x1_a"); val dya = col("y2_a") - col("y1_a")
+    val dxb = col("x2_b") - col("x1_b"); val dyb = col("y2_b") - col("y1_b")
+    val det = dxa * dyb - dya * dxb
+    val ex  = col("x1_b") - col("x1_a"); val ey = col("y1_b") - col("y1_a")
+    val sa  = (ex * dyb - ey * dxb) / det
+    val sb  = (ex * dya - ey * dxa) / det
+    joined
+      .filter(det =!= 0.0)
+      .withColumn("sa", sa).withColumn("sb", sb)
+      .filter(col("sa") >= 0.0 && col("sa") < 1.0 && col("sb") >= 0.0 && col("sb") < 1.0)
+      .select(
+        col("track_a"), col("track_b"), col("seq_a"), col("seq_b"),
+        round(col("x1_a") + col("sa") * dxa, 6).as("xc"),
+        round(col("y1_a") + col("sa") * dya, 6).as("yc"),
+        round(col("z1_a") + col("sa") * (col("z2_a") - col("z1_a")), 6).as("z_a"),
+        round(col("z1_b") + col("sb") * (col("z2_b") - col("z1_b")), 6).as("z_b"),
+        round(col("z1_a") + col("sa") * (col("z2_a") - col("z1_a"))
+              - (col("z1_b") + col("sb") * (col("z2_b") - col("z1_b"))), 6).as("dh"),
+        round(col("t1_a") + col("sa") * (col("t2_a") - col("t1_a")), 3).as("t_a"),
+        round(col("t1_b") + col("sb") * (col("t2_b") - col("t1_b")), 3).as("t_b"))
+      .distinct() // a crossing found in >1 shared cell is one crossing
+      .orderBy("track_a", "track_b", "seq_a", "seq_b")
+  }
+
+  val crossoversSql: String = {
+    val T = Tables.eventsTracksSql
+    s"""WITH trk AS ($T),
+       |seg0 AS (
+       |  SELECT track, seq, x AS x1, y AS y1, z AS z1, t AS t1,
+       |    lead(x,1) OVER w AS x2, lead(y,1) OVER w AS y2,
+       |    lead(z,1) OVER w AS z2, lead(t,1) OVER w AS t2
+       |  FROM trk WINDOW w AS (PARTITION BY track ORDER BY seq)),
+       |seg1 AS (SELECT * FROM seg0 WHERE x2 IS NOT NULL),
+       |seg AS (
+       |  SELECT seg1.*,
+       |    CAST(floor(least(x1,x2)/200.0) AS BIGINT) + ox.v AS cell_x,
+       |    CAST(floor(least(y1,y2)/200.0) AS BIGINT) + oy.v AS cell_y
+       |  FROM seg1, (VALUES (0),(1)) ox(v), (VALUES (0),(1)) oy(v)
+       |  WHERE CAST(floor(least(x1,x2)/200.0) AS BIGINT) + ox.v
+       |          <= CAST(floor(greatest(x1,x2)/200.0) AS BIGINT)
+       |    AND CAST(floor(least(y1,y2)/200.0) AS BIGINT) + oy.v
+       |          <= CAST(floor(greatest(y1,y2)/200.0) AS BIGINT)),
+       |cand AS (
+       |  SELECT a.track AS track_a, a.seq AS seq_a, b.track AS track_b, b.seq AS seq_b,
+       |    a.x1 AS x1a, a.y1 AS y1a, a.x2 AS x2a, a.y2 AS y2a,
+       |    a.z1 AS z1a, a.z2 AS z2a, a.t1 AS t1a, a.t2 AS t2a,
+       |    b.x1 AS x1b, b.y1 AS y1b, b.x2 AS x2b, b.y2 AS y2b,
+       |    b.z1 AS z1b, b.z2 AS z2b, b.t1 AS t1b, b.t2 AS t2b,
+       |    (a.x2-a.x1) AS dxa, (a.y2-a.y1) AS dya,
+       |    (b.x2-b.x1) AS dxb, (b.y2-b.y1) AS dyb
+       |  FROM seg a JOIN seg b
+       |    ON a.cell_x = b.cell_x AND a.cell_y = b.cell_y AND a.track < b.track),
+       |x AS (
+       |  SELECT *, (dxa*dyb - dya*dxb) AS det,
+       |    ((x1b-x1a)*dyb - (y1b-y1a)*dxb) / (dxa*dyb - dya*dxb) AS sa,
+       |    ((x1b-x1a)*dya - (y1b-y1a)*dxa) / (dxa*dyb - dya*dxb) AS sb
+       |  FROM cand WHERE (dxa*dyb - dya*dxb) <> 0.0)
+       |SELECT DISTINCT track_a, track_b, seq_a, seq_b,
+       |  round(x1a + sa*dxa, 6) AS xc, round(y1a + sa*dya, 6) AS yc,
+       |  round(z1a + sa*(z2a-z1a), 6) AS z_a, round(z1b + sb*(z2b-z1b), 6) AS z_b,
+       |  round(z1a + sa*(z2a-z1a) - (z1b + sb*(z2b-z1b)), 6) AS dh,
+       |  round(t1a + sa*(t2a-t1a), 3) AS t_a, round(t1b + sb*(t2b-t1b), 3) AS t_b
+       |FROM x
+       |WHERE sa >= 0.0 AND sa < 1.0 AND sb >= 0.0 AND sb < 1.0
+       |ORDER BY track_a, track_b, seq_a, seq_b""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_crossovers" -> (crossovers _))
+
+  val oracles: Map[String, String] = Map(
+    "q_crossovers" -> crossoversSql)
+}

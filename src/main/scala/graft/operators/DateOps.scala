@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Date/time and coordinate-projection helpers
+  * (WV_date.py, matlabToYear.py, ATL06_data.py:353/384,
+  * point_data.py:135-160).
+  */
+object DateOps {
+
+  // --- 21. matlab datenum / decimal-year conversions ---
+  /** matlab_time = 737061 + delta_time/86400 (ATL06_data.py:354),
+    * delta_t_to_Matlab = 730486 + delta_t/86400 (ATL06_data.py:384-385),
+    * matlabToYear = (t-730486)/365.25 + 2000 (matlabToYear.py:9-13).
+    * delta_time here is the events timestamp in seconds.
+    */
+  def dates(s: SparkSession, dir: String): DataFrame = {
+    val dt = col("t") / 1000.0 // delta_time seconds
+    Tables.eventsPoints(s, dir)
+      .select(
+        col("id"),
+        round(lit(737061.0) + dt / 86400.0, 6).as("matlab_time"),
+        round(lit(730486.0) + dt / 86400.0, 6).as("matlab_epoch"),
+        round((lit(730486.0) + dt / 86400.0 - 730486.0) / 365.25 + 2000.0, 9).as("dec_year"))
+      .orderBy("id")
+  }
+
+  val datesSql: String =
+    s"""WITH pts AS (${Tables.eventsPointsSql})
+       |SELECT id,
+       |  round(737061.0 + (t/1000.0)/86400.0, 6) AS matlab_time,
+       |  round(730486.0 + (t/1000.0)/86400.0, 6) AS matlab_epoch,
+       |  round((730486.0 + (t/1000.0)/86400.0 - 730486.0)/365.25 + 2000.0, 9) AS dec_year
+       |FROM pts ORDER BY id""".stripMargin
+
+  // --- 22. WV filename → date → decimal year (WV_date.py:10-29) ---
+  /** Reference parses `..._YYYYMMDD_...` out of WorldView DEM
+    * filenames.  We synthesize a deterministic filename per document,
+    * then extract with a regex, as the reference does.
+    */
+  def wvDate(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.t(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(lit("WV01_"),
+          (lit(2018) + col("doc_id") % 5).cast("string"),
+          lpad((lit(1) + col("doc_id") % 12).cast("string"), 2, "0"),
+          lpad((lit(1) + col("doc_id") % 28).cast("string"), 2, "0"),
+          lit("_seg1.tif")).as("fname"))
+    d.select(
+        col("doc_id"), col("fname"),
+        regexp_extract(col("fname"), "_(2\\d\\d\\d)(\\d\\d)(\\d\\d)_", 1).cast("int").as("yy"),
+        regexp_extract(col("fname"), "_(2\\d\\d\\d)(\\d\\d)(\\d\\d)_", 2).cast("int").as("mm"),
+        regexp_extract(col("fname"), "_(2\\d\\d\\d)(\\d\\d)(\\d\\d)_", 3).cast("int").as("dd"))
+      .withColumn("wv_year",
+        round(lit(2000.0) +
+          datediff(make_date(col("yy"), col("mm"), col("dd")), lit("2000-01-01").cast("date"))
+            / lit(365.25), 6))
+      .select("doc_id", "fname", "yy", "mm", "dd", "wv_year")
+      .orderBy("doc_id")
+  }
+
+  val wvDateSql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    'WV01_' || CAST(2018 + doc_id % 5 AS VARCHAR)
+      |      || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0')
+      |      || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+      |      || '_seg1.tif' AS fname
+      |  FROM documents),
+      |e AS (
+      |  SELECT doc_id, fname,
+      |    CAST(regexp_extract(fname, '_(2\d\d\d)(\d\d)(\d\d)_', 1) AS INTEGER) AS yy,
+      |    CAST(regexp_extract(fname, '_(2\d\d\d)(\d\d)(\d\d)_', 2) AS INTEGER) AS mm,
+      |    CAST(regexp_extract(fname, '_(2\d\d\d)(\d\d)(\d\d)_', 3) AS INTEGER) AS dd
+      |  FROM f)
+      |SELECT doc_id, fname, yy, mm, dd,
+      |  round(2000.0 + date_diff('day', DATE '2000-01-01', make_date(yy, mm, dd))/365.25, 6) AS wv_year
+      |FROM e ORDER BY doc_id""".stripMargin
+
+  // --- 24. get_xy: lat/lon → polar stereographic (point_data.py:135-160) ---
+  /** The reference delegates to PROJ (proj4 strings,
+    * ATL06_tiles.py:221-223).  We implement the south polar
+    * stereographic *spherical* form as pure column math: colat
+    * ρ = 2·R·k0·tan((90+lat)/2 °), x = ρ·sin(lon), y = ρ·cos(lon).
+    * Trig differs from libm by ≤1 ulp across engines; rounding to
+    * 4 decimals (0.1 mm) absorbs it.
+    */
+  def projectXy(s: SparkSession, dir: String): DataFrame = {
+    val R  = 6378137.0; val k0 = 0.97276901289
+    val lat = lit(-60.0) - (col("id") % 300) / lit(10.0)
+    val lon = (col("id") % 3600) / lit(10.0) - 180.0
+    val rho = lit(2.0 * R * k0) * tan(radians((lit(90.0) + lat) / 2.0))
+    Tables.eventsPoints(s, dir)
+      .select(col("id"),
+        round(lat, 6).as("lat"), round(lon, 6).as("lon"),
+        round(rho * sin(radians(lon)), 4).as("px"),
+        round(rho * cos(radians(lon)), 4).as("py"))
+      .orderBy("id")
+  }
+
+  val projectXySql: String =
+    s"""WITH pts AS (${Tables.eventsPointsSql}),
+       |ll AS (SELECT id, -60.0 - (id % 300)/10.0 AS lat,
+       |              (id % 3600)/10.0 - 180.0 AS lon FROM pts)
+       |SELECT id, round(lat, 6) AS lat, round(lon, 6) AS lon,
+       |  round((2.0::DOUBLE)*6378137.0*0.97276901289*tan(radians((90.0+lat)/2.0))*sin(radians(lon)), 4) AS px,
+       |  round((2.0::DOUBLE)*6378137.0*0.97276901289*tan(radians((90.0+lat)/2.0))*cos(radians(lon)), 4) AS py
+       |FROM ll ORDER BY id""".stripMargin
+
+  // --- 23. grid bilinear interpolation at points (mapData.py interp) ---
+  /** A DEM-style grid is built by block-averaging events z onto a
+    * δ=100 lattice; lineitem-derived probe points then sample it
+    * bilinearly.  The grid is small → broadcast joined ×4 (the four
+    * surrounding nodes); probes whose 2×2 neighborhood is incomplete
+    * are dropped (inner join), as reference interp returns NaN
+    * outside coverage.
+    */
+  def gridInterp(s: SparkSession, dir: String): DataFrame = {
+    val d = 100.0
+    val grid = Tables.eventsPoints(s, dir)
+      .groupBy((floor(col("x") / d) * d.toLong).cast("long").as("gx"),
+               (floor(col("y") / d) * d.toLong).cast("long").as("gy"))
+      .agg((sum(round(col("z") * 100).cast("long")) / 100.0 / count("*")).as("gz"))
+    val probes = Tables.t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("pid"),
+        ((col("l_orderkey") * 31 % 3600) / lit(2.0) - 880.0).as("px"),
+        ((col("l_orderkey") * 57 % 3600) / lit(2.0) - 880.0).as("py"))
+      .distinct()
+    val g = broadcast(grid)
+    def node(sfx: String, ox: Int, oy: Int) =
+      g.select(col("gx").as(s"gx$sfx"), col("gy").as(s"gy$sfx"), col("gz").as(s"gz$sfx"))
+    val p = probes
+      .withColumn("x0", (floor(col("px") / d) * d.toLong).cast("long"))
+      .withColumn("y0", (floor(col("py") / d) * d.toLong).cast("long"))
+    val joined = p
+      .join(node("00", 0, 0), col("gx00") === col("x0") && col("gy00") === col("y0"))
+      .join(node("10", 1, 0), col("gx10") === col("x0") + 100 && col("gy10") === col("y0"))
+      .join(node("01", 0, 1), col("gx01") === col("x0") && col("gy01") === col("y0") + 100)
+      .join(node("11", 1, 1), col("gx11") === col("x0") + 100 && col("gy11") === col("y0") + 100)
+    val u = (col("px") - col("x0")) / d
+    val v = (col("py") - col("y0")) / d
+    joined.select(col("pid"), col("px"), col("py"),
+        round((lit(1.0) - u) * (lit(1.0) - v) * col("gz00")
+          + u * (lit(1.0) - v) * col("gz10")
+          + (lit(1.0) - u) * v * col("gz01")
+          + u * v * col("gz11"), 6).as("z_interp"))
+      .orderBy("pid")
+  }
+
+  val gridInterpSql: String =
+    s"""WITH pts AS (${Tables.eventsPointsSql}),
+       |grid AS (
+       |  SELECT CAST(floor(x/100.0)*100 AS BIGINT) AS gx,
+       |         CAST(floor(y/100.0)*100 AS BIGINT) AS gy,
+       |         sum(CAST(round(z*100) AS BIGINT))/100.0/count(*) AS gz
+       |  FROM pts GROUP BY 1,2),
+       |probes AS (
+       |  SELECT DISTINCT l_orderkey AS pid,
+       |    (l_orderkey*31 % 3600)/2.0 - 880.0 AS px,
+       |    (l_orderkey*57 % 3600)/2.0 - 880.0 AS py
+       |  FROM lineitem),
+       |p AS (SELECT *, CAST(floor(px/100.0)*100 AS BIGINT) AS x0,
+       |             CAST(floor(py/100.0)*100 AS BIGINT) AS y0 FROM probes),
+       |j AS (
+       |  SELECT p.*, g00.gz AS gz00, g10.gz AS gz10, g01.gz AS gz01, g11.gz AS gz11,
+       |    (px - x0)/100.0 AS u, (py - y0)/100.0 AS v
+       |  FROM p
+       |  JOIN grid g00 ON g00.gx = p.x0       AND g00.gy = p.y0
+       |  JOIN grid g10 ON g10.gx = p.x0 + 100 AND g10.gy = p.y0
+       |  JOIN grid g01 ON g01.gx = p.x0       AND g01.gy = p.y0 + 100
+       |  JOIN grid g11 ON g11.gx = p.x0 + 100 AND g11.gy = p.y0 + 100)
+       |SELECT pid, px, py,
+       |  round((1.0-u)*(1.0-v)*gz00 + u*(1.0-v)*gz10 + (1.0-u)*v*gz01 + u*v*gz11, 6) AS z_interp
+       |FROM j ORDER BY pid""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dates"       -> (dates _),
+    "q_wv_date"     -> (wvDate _),
+    "q_project_xy"  -> (projectXy _),
+    "q_grid_interp" -> (gridInterp _))
+
+  val oracles: Map[String, String] = Map(
+    "q_dates"       -> datesSql,
+    "q_wv_date"     -> wvDateSql,
+    "q_project_xy"  -> projectXySql,
+    "q_grid_interp" -> gridInterpSql)
+}

@@ -1,0 +1,317 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Spark-native re-expression of the reference's spatial index
+  * (geo_index.py) and block aggregation (pt_blockmedian.py,
+  * blockmax.py).
+  *
+  * The reference materializes, per δ-spaced bin, the list of
+  * (file, offset_start, offset_end) runs so that a query touches only
+  * matching byte ranges of HDF5 files.  On Spark+Parquet the same role
+  * is played by bin columns computed in the scan projection: a
+  * "geo index" is just the bin-level rollup DataFrame, and a query is
+  * a filter/semi-join on bin keys that Catalyst pushes toward the
+  * scan.  At 100 TB the bin columns are written with the data
+  * (partition/bucket layout), so these rollups read only footer
+  * statistics and queries prune row groups for free.
+  */
+object GeoOps {
+
+  /** round(v/delta)*delta — bin center, as the reference's
+    * geo_index.from_xy (geo_index.py:76).  Both Spark and DuckDB round
+    * ties away from zero, so the mirror SQL is bit-identical.
+    */
+  def binOf(c: Column, delta: Double): Column =
+    (round(c / delta) * delta).cast("long")
+
+  /** floor((v-v0)/delta) — cell index as pt_blockmedian.py:21-22. */
+  def cellOf(c: Column, delta: Double): Column =
+    floor(c / delta).cast("long")
+
+  private def pts(s: SparkSession, dir: String) = Tables.eventsPoints(s, dir)
+  private val P = Tables.eventsPointsSql
+
+  // --- 1. geo_index build: per-bin inventory (geo_index.py:71-100) ---
+  def geoindexBuild(s: SparkSession, dir: String): DataFrame =
+    pts(s, dir)
+      .select(binOf(col("x"), 100).as("bin_x"), binOf(col("y"), 100).as("bin_y"), col("id"))
+      .groupBy("bin_x", "bin_y")
+      .agg(count("*").as("n_points"), min("id").as("id_min"), max("id").as("id_max"))
+      .orderBy("bin_x", "bin_y")
+
+  val geoindexBuildSql: String =
+    s"""WITH pts AS ($P)
+       |SELECT CAST(round(x/100.0)*100 AS BIGINT) AS bin_x,
+       |       CAST(round(y/100.0)*100 AS BIGINT) AS bin_y,
+       |       count(*) AS n_points, min(id) AS id_min, max(id) AS id_max
+       |FROM pts GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+
+  // --- 2. query_xy_box: bin-granular box query (geo_index.py:344-349) ---
+  def geoQueryBox(s: SparkSession, dir: String): DataFrame =
+    pts(s, dir)
+      .withColumn("bin_x", binOf(col("x"), 100))
+      .withColumn("bin_y", binOf(col("y"), 100))
+      .filter(col("bin_x").between(-200, 400) && col("bin_y").between(-300, 300))
+      .select("id", "x", "y", "z", "t")
+      .orderBy("id")
+
+  val geoQueryBoxSql: String =
+    s"""WITH pts AS ($P)
+       |SELECT id, x, y, z, t FROM pts
+       |WHERE CAST(round(x/100.0)*100 AS BIGINT) BETWEEN -200 AND 400
+       |  AND CAST(round(y/100.0)*100 AS BIGINT) BETWEEN -300 AND 300
+       |ORDER BY id""".stripMargin
+
+  // --- 3. query_xy with pad: dilate query bins by ±1 (geo_index.py:363-..., pad_bins 591-603) ---
+  def geoQueryPad(s: SparkSession, dir: String): DataFrame = {
+    val p = pts(s, dir)
+      .withColumn("bin_x", binOf(col("x"), 100))
+      .withColumn("bin_y", binOf(col("y"), 100))
+    val queryBins = p
+      .filter(col("event_type") === "purchase" && col("z") > 300)
+      .select("bin_x", "bin_y").distinct()
+    val off = s.range(-1, 2).select(col("id").as("o"))
+    val dilated = queryBins
+      .crossJoin(broadcast(off.select((col("o") * 100).as("ox"))))
+      .crossJoin(broadcast(off.select((col("o") * 100).as("oy"))))
+      .select((col("bin_x") + col("ox")).as("bin_x"), (col("bin_y") + col("oy")).as("bin_y"))
+      .distinct()
+    p.join(broadcast(dilated), Seq("bin_x", "bin_y"), "leftsemi")
+      .select("id", "x", "y", "z")
+      .orderBy("id")
+  }
+
+  val geoQueryPadSql: String =
+    s"""WITH pts AS ($P),
+       |b AS (SELECT *, CAST(round(x/100.0)*100 AS BIGINT) AS bin_x,
+       |             CAST(round(y/100.0)*100 AS BIGINT) AS bin_y FROM pts),
+       |qb AS (SELECT DISTINCT bin_x, bin_y FROM b
+       |       WHERE event_type = 'purchase' AND z > 300),
+       |dil AS (SELECT DISTINCT qb.bin_x + ox.v AS bin_x, qb.bin_y + oy.v AS bin_y
+       |        FROM qb, (VALUES (-100),(0),(100)) ox(v), (VALUES (-100),(0),(100)) oy(v))
+       |SELECT id, x, y, z FROM b
+       |WHERE EXISTS (SELECT 1 FROM dil
+       |              WHERE dil.bin_x = b.bin_x AND dil.bin_y = b.bin_y)
+       |ORDER BY id""".stripMargin
+
+  // --- 4. intersect of two indexes (geo_index.py:351-361) ---
+  def geoIntersect(s: SparkSession, dir: String): DataFrame = {
+    val p = pts(s, dir)
+      .withColumn("bin_x", binOf(col("x"), 100))
+      .withColumn("bin_y", binOf(col("y"), 100))
+    val a = p.filter(col("user_id") % 2 === 0).select("bin_x", "bin_y").distinct()
+    val b = p.filter(col("user_id") % 2 === 1).select("bin_x", "bin_y").distinct()
+    a.join(b, Seq("bin_x", "bin_y")).orderBy("bin_x", "bin_y")
+  }
+
+  val geoIntersectSql: String =
+    s"""WITH pts AS ($P),
+       |b AS (SELECT *, CAST(round(x/100.0)*100 AS BIGINT) AS bin_x,
+       |             CAST(round(y/100.0)*100 AS BIGINT) AS bin_y FROM pts),
+       |a1 AS (SELECT DISTINCT bin_x, bin_y FROM b WHERE user_id % 2 = 0),
+       |a2 AS (SELECT DISTINCT bin_x, bin_y FROM b WHERE user_id % 2 = 1)
+       |SELECT a1.bin_x, a1.bin_y FROM a1 JOIN a2 USING (bin_x, bin_y)
+       |ORDER BY 1,2""".stripMargin
+
+  // --- 5. unique_points (geo_index.py:585-589) ---
+  def uniquePoints(s: SparkSession, dir: String): DataFrame =
+    pts(s, dir)
+      .filter(col("z") < 100)
+      .select(binOf(col("x"), 10).as("ux"), binOf(col("y"), 10).as("uy"))
+      .distinct()
+      .orderBy("ux", "uy")
+
+  val uniquePointsSql: String =
+    s"""WITH pts AS ($P)
+       |SELECT DISTINCT CAST(round(x/10.0)*10 AS BIGINT) AS ux,
+       |       CAST(round(y/10.0)*10 AS BIGINT) AS uy
+       |FROM pts WHERE z < 100 ORDER BY 1,2""".stripMargin
+
+  // --- 6. offset-run coalescing (geo_index.py:410-429) ---
+  /** The reference merges adjacent [offset_start, offset_end] runs per
+    * bin; the Spark form is gaps-and-islands over the sorted ids.
+    */
+  def offsetCoalesce(s: SparkSession, dir: String): DataFrame = {
+    val p = pts(s, dir).filter(col("z") > 150)
+      .select(binOf(col("x"), 200).as("bin_x"), binOf(col("y"), 200).as("bin_y"), col("id"))
+    val w = Window.partitionBy("bin_x", "bin_y").orderBy("id")
+    p.withColumn("island", col("id") - row_number().over(w))
+      .groupBy("bin_x", "bin_y", "island")
+      .agg(min("id").as("run_start"), max("id").as("run_end"), count("*").as("run_len"))
+      .drop("island")
+      .orderBy("bin_x", "bin_y", "run_start")
+  }
+
+  val offsetCoalesceSql: String =
+    s"""WITH pts AS ($P),
+       |f AS (SELECT CAST(round(x/200.0)*200 AS BIGINT) AS bin_x,
+       |             CAST(round(y/200.0)*200 AS BIGINT) AS bin_y, id
+       |      FROM pts WHERE z > 150),
+       |i AS (SELECT *, id - row_number() OVER (PARTITION BY bin_x, bin_y ORDER BY id) AS island
+       |      FROM f)
+       |SELECT bin_x, bin_y, min(id) AS run_start, max(id) AS run_end,
+       |       count(*) AS run_len
+       |FROM i GROUP BY bin_x, bin_y, island ORDER BY bin_x, bin_y, run_start""".stripMargin
+
+  // --- 7. pt_blockmedian: exact middle-point selection (pt_blockmedian.py:9-64) ---
+  /** Per δ-cell, sort by z and *select* the middle point: even n →
+    * mean of the two middle points (ranks n/2, n/2+1); odd n → the
+    * point with 1-based rank max((n-1)/2, 1), reproducing the
+    * reference's index arithmetic (pt_blockmedian.py:39-57) exactly.
+    * A selection, not an approximate percentile — survives any scale
+    * because it is one rank-window + one groupBy on the cell key.
+    */
+  def blockmedian(s: SparkSession, dir: String): DataFrame = {
+    val d = 50.0
+    val c = pts(s, dir)
+      .withColumn("cx", cellOf(col("x"), d))
+      .withColumn("cy", cellOf(col("y"), d))
+    val w = Window.partitionBy("cx", "cy")
+    val r = c
+      .withColumn("rnk", row_number().over(w.orderBy("z", "x", "y", "id")))
+      .withColumn("n", count("*").over(w))
+    r.filter(
+        (col("n") % 2 === 0 && (col("rnk") === col("n") / 2 || col("rnk") === col("n") / 2 + 1)) ||
+        (col("n") % 2 === 1 && col("rnk") === greatest((col("n") - 1) / 2, lit(1.0))))
+      .groupBy("cx", "cy")
+      .agg(round(avg("x"), 6).as("xm"), round(avg("y"), 6).as("ym"),
+           round(avg("z"), 6).as("zm"))
+      .orderBy("cx", "cy")
+  }
+
+  val blockmedianSql: String =
+    s"""WITH pts AS ($P),
+       |c AS (SELECT *, CAST(floor(x/50.0) AS BIGINT) AS cx,
+       |             CAST(floor(y/50.0) AS BIGINT) AS cy FROM pts),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY cx, cy ORDER BY z, x, y, id) AS rnk,
+       |             count(*) OVER (PARTITION BY cx, cy) AS n FROM c)
+       |SELECT cx, cy, round(avg(x),6) AS xm, round(avg(y),6) AS ym,
+       |       round(avg(z),6) AS zm
+       |FROM r
+       |WHERE (n % 2 = 0 AND (rnk = n/2 OR rnk = n/2 + 1))
+       |   OR (n % 2 = 1 AND rnk = greatest((n-1)/2, 1.0))
+       |GROUP BY cx, cy ORDER BY cx, cy""".stripMargin
+
+  // --- 8. blockmax point selection (blockmax.py:10-31) ---
+  def blockmax(s: SparkSession, dir: String): DataFrame = {
+    val d = 50.0
+    val c = pts(s, dir)
+      .withColumn("cx", cellOf(col("x"), d))
+      .withColumn("cy", cellOf(col("y"), d))
+    val w = Window.partitionBy("cx", "cy").orderBy(col("z").desc, col("x"), col("y"), col("id"))
+    c.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select("cx", "cy", "x", "y", "z")
+      .orderBy("cx", "cy")
+  }
+
+  val blockmaxSql: String =
+    s"""WITH pts AS ($P),
+       |c AS (SELECT *, CAST(floor(x/50.0) AS BIGINT) AS cx,
+       |             CAST(floor(y/50.0) AS BIGINT) AS cy FROM pts),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY cx, cy
+       |             ORDER BY z DESC, x, y, id) AS rnk FROM c)
+       |SELECT cx, cy, x, y, z FROM r WHERE rnk = 1 ORDER BY cx, cy""".stripMargin
+
+  // --- 9. block stats (count/min/max/mean per cell) ---
+  /** Exact mean via integer cents (value has 2 decimals) so the oracle
+    * hash-matches regardless of float summation order.
+    */
+  def blockStats(s: SparkSession, dir: String): DataFrame = {
+    val d = 100.0
+    pts(s, dir)
+      .withColumn("cx", cellOf(col("x"), d))
+      .withColumn("cy", cellOf(col("y"), d))
+      .groupBy("cx", "cy")
+      .agg(count("*").as("n"),
+           min("z").as("z_min"),
+           max("z").as("z_max"),
+           sum(round(col("z") * 100).cast("long")).as("z_sum_cents"))
+      .withColumn("z_mean", round(col("z_sum_cents") / 100.0 / col("n"), 6))
+      .orderBy("cx", "cy")
+  }
+
+  val blockStatsSql: String =
+    s"""WITH pts AS ($P),
+       |c AS (SELECT *, CAST(floor(x/100.0) AS BIGINT) AS cx,
+       |             CAST(floor(y/100.0) AS BIGINT) AS cy FROM pts),
+       |g AS (SELECT cx, cy, count(*) AS n, min(z) AS z_min, max(z) AS z_max,
+       |             CAST(sum(CAST(round(z*100) AS BIGINT)) AS BIGINT) AS z_sum_cents
+       |      FROM c GROUP BY cx, cy)
+       |SELECT cx, cy, n, z_min, z_max, z_sum_cents,
+       |       round(z_sum_cents/100.0/n, 6) AS z_mean
+       |FROM g ORDER BY cx, cy""".stripMargin
+
+  // --- 19. make_tile: tile + bin key assignment (ATL06_tiles.py:30-107) ---
+  def tileAssign(s: SparkSession, dir: String): DataFrame =
+    pts(s, dir)
+      .withColumn("tile_e", (floor(col("x") / 500) * 500).cast("long"))
+      .withColumn("tile_n", (floor(col("y") / 500) * 500).cast("long"))
+      .withColumn("bin_x", binOf(col("x"), 100))
+      .withColumn("bin_y", binOf(col("y"), 100))
+      .groupBy("tile_e", "tile_n", "bin_x", "bin_y")
+      .agg(count("*").as("n"), min("id").as("id_min"))
+      .orderBy("tile_e", "tile_n", "bin_x", "bin_y")
+
+  val tileAssignSql: String =
+    s"""WITH pts AS ($P)
+       |SELECT CAST(floor(x/500.0)*500 AS BIGINT) AS tile_e,
+       |       CAST(floor(y/500.0)*500 AS BIGINT) AS tile_n,
+       |       CAST(round(x/100.0)*100 AS BIGINT) AS bin_x,
+       |       CAST(round(y/100.0)*100 AS BIGINT) AS bin_y,
+       |       count(*) AS n, min(id) AS id_min
+       |FROM pts GROUP BY 1,2,3,4 ORDER BY 1,2,3,4""".stripMargin
+
+  // --- 20. index_tiles: per-tile inventory (ATL06_tiles.py:212-229) ---
+  def tileIndex(s: SparkSession, dir: String): DataFrame =
+    pts(s, dir)
+      .withColumn("tile_e", (floor(col("x") / 500) * 500).cast("long"))
+      .withColumn("tile_n", (floor(col("y") / 500) * 500).cast("long"))
+      .withColumn("bin_x", binOf(col("x"), 100))
+      .withColumn("bin_y", binOf(col("y"), 100))
+      .groupBy("tile_e", "tile_n")
+      .agg(countDistinct(col("bin_x"), col("bin_y")).as("n_bins"),
+           count("*").as("n_points"),
+           min("id").as("id_min"), max("id").as("id_max"))
+      .orderBy("tile_e", "tile_n")
+
+  val tileIndexSql: String =
+    s"""WITH pts AS ($P),
+       |b AS (SELECT *, CAST(floor(x/500.0)*500 AS BIGINT) AS tile_e,
+       |             CAST(floor(y/500.0)*500 AS BIGINT) AS tile_n,
+       |             CAST(round(x/100.0)*100 AS BIGINT) AS bin_x,
+       |             CAST(round(y/100.0)*100 AS BIGINT) AS bin_y FROM pts)
+       |SELECT tile_e, tile_n, count(DISTINCT (bin_x, bin_y)) AS n_bins,
+       |       count(*) AS n_points, min(id) AS id_min, max(id) AS id_max
+       |FROM b GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_geoindex_build"  -> (geoindexBuild _),
+    "q_geo_query_box"   -> (geoQueryBox _),
+    "q_geo_query_pad"   -> (geoQueryPad _),
+    "q_geo_intersect"   -> (geoIntersect _),
+    "q_unique_points"   -> (uniquePoints _),
+    "q_offset_coalesce" -> (offsetCoalesce _),
+    "q_blockmedian"     -> (blockmedian _),
+    "q_blockmax"        -> (blockmax _),
+    "q_block_stats"     -> (blockStats _),
+    "q_tile_assign"     -> (tileAssign _),
+    "q_tile_index"      -> (tileIndex _))
+
+  val oracles: Map[String, String] = Map(
+    "q_geoindex_build"  -> geoindexBuildSql,
+    "q_geo_query_box"   -> geoQueryBoxSql,
+    "q_geo_query_pad"   -> geoQueryPadSql,
+    "q_geo_intersect"   -> geoIntersectSql,
+    "q_unique_points"   -> uniquePointsSql,
+    "q_offset_coalesce" -> offsetCoalesceSql,
+    "q_blockmedian"     -> blockmedianSql,
+    "q_blockmax"        -> blockmaxSql,
+    "q_block_stats"     -> blockStatsSql,
+    "q_tile_assign"     -> tileAssignSql,
+    "q_tile_index"      -> tileIndexSql)
+}

@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables.t
+
+/** Core relational substrate: the groupBy/join/window/sort machinery
+  * every reference operation compiles down to, exercised TPC-H-style
+  * on the test corpus.  Money aggregates go through exact integer
+  * cents (`round(price*100)::long`) so Spark and the DuckDB oracle
+  * hash-match bit-for-bit regardless of float summation order.
+  */
+object Relational {
+
+  private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+
+  // --- 37. pricing summary (Q1 shape) ---
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_cents"),
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))).as("sum_charge_cents"),
+        count("*").as("count_order"))
+      .withColumn("avg_qty", round(col("sum_qty") / col("count_order"), 6))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity) AS sum_qty,
+      |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+      |  CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+      |  CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*(1.0+l_tax)*100) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+      |  count(*) AS count_order,
+      |  round(sum(l_quantity)/count(*), 6) AS avg_qty
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // --- 38. shipping-priority join (Q3 shape) ---
+  def q3Join(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord  = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li   = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey")
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3JoinSql: String =
+    """SELECT l_orderkey,
+      |  CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01'
+      |GROUP BY l_orderkey
+      |ORDER BY revenue_cents DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  // --- 39. local-supplier volume (Q5 shape, broadcast dims) ---
+  def q5Join(s: SparkSession, dir: String): DataFrame = {
+    val nat = t(s, dir, "nation"); val reg = t(s, dir, "region")
+    li5(s, dir)
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("n_name"))
+  }
+
+  private def li5(s: SparkSession, dir: String): DataFrame = {
+    val sup = t(s, dir, "supplier")
+    val ord = t(s, dir, "orders").filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                                         col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    t(s, dir, "lineitem")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+  }
+
+  val q5JoinSql: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue_cents DESC, n_name""".stripMargin
+
+  // --- 40. window top-k per group ---
+  def windowTopk(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey") % 10)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("bucket", (col("o_custkey") % 10).cast("long"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("bucket", "rnk", "o_orderkey", "o_totalprice")
+      .orderBy("bucket", "rnk")
+  }
+
+  val windowTopkSql: String =
+    """SELECT * FROM (
+      |  SELECT CAST(o_custkey % 10 AS BIGINT) AS bucket,
+      |    row_number() OVER (PARTITION BY o_custkey % 10
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+      |    o_orderkey, o_totalprice
+      |  FROM orders)
+      |WHERE rnk <= 3 ORDER BY bucket, rnk""".stripMargin
+
+  // --- 41. gap-based sessionization over the events stream table ---
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val e  = graft.core.Tables.eventsPoints(s, dir) // has exact t (ms) + user_id
+    val w  = Window.partitionBy("user_id").orderBy("t", "id")
+    val gap = (col("t") - lag("t", 1).over(w) > 1800000L) // 30 min
+    e.withColumn("new_sess", when(lag("t", 1).over(w).isNull || gap, 1L).otherwise(0L))
+      .withColumn("session_id", sum("new_sess").over(
+        Window.partitionBy("user_id").orderBy("t", "id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count("*").as("n_events"), min("t").as("t_start"), max("t").as("t_end"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val sessionizeSql: String =
+    s"""WITH pts AS (${graft.core.Tables.eventsPointsSql}),
+       |m AS (SELECT user_id, id, t,
+       |  CASE WHEN lag(t,1) OVER w IS NULL OR t - lag(t,1) OVER w > 1800000
+       |       THEN 1 ELSE 0 END AS new_sess
+       |  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY t, id)),
+       |s AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY t, id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+       |      FROM m)
+       |SELECT user_id, session_id, count(*) AS n_events,
+       |       min(t) AS t_start, max(t) AS t_end
+       |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg"        -> (q1Agg _),
+    "q3_join"       -> (q3Join _),
+    "q5_join"       -> (q5Join _),
+    "q_window_topk" -> (windowTopk _),
+    "q_sessionize"  -> (sessionize _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg"        -> q1AggSql,
+    "q3_join"       -> q3JoinSql,
+    "q5_join"       -> q5JoinSql,
+    "q_window_topk" -> windowTopkSql,
+    "q_sessionize"  -> sessionizeSql)
+}

@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Text-analysis operators for the large-scale training-data pipeline
+  * (brief §extensions): token statistics, quality scoring, language
+  * ID, and document fingerprinting.  All pure `Column` expressions —
+  * whole-stage codegen, no UDFs.
+  */
+object TextOps {
+
+  /** 60-bit integer from the md5 of a string — the shared
+    * deterministic hash of the engine (DuckDB mirror:
+    * CAST('0x'||substr(md5(x),1,15) AS BIGINT)).
+    */
+  def md5long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  val md5longSqlFmt = "CAST('0x' || substr(md5(%s), 1, 15) AS BIGINT)"
+
+  private def docs(s: SparkSession, dir: String) = Tables.t(s, dir, "documents")
+
+  // --- 27. token counting (whitespace + alpha-run "BPE-ish" regex) ---
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+', 0)")).cast("long").as("n_alpha_runs"))
+      .withColumn("avg_tok_len",
+        round((col("n_chars") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"), 6))
+      .orderBy("doc_id")
+
+  val tokenCountSql: String =
+    """SELECT doc_id, length(text) AS n_chars,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha_runs,
+      |  round(CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+      |        / len(string_split(text,' ')), 6) AS avg_tok_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --- 28. quality score (length / letter-ratio / stopword-ratio) ---
+  private val stopset = "('the','a','of','and','to','in','is','on','for','with')"
+
+  def qualityScore(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+        col("doc_id"),
+        (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+          length(col("text"))).as("letter_ratio"),
+        (expr(s"size(filter(split(text, ' '), t -> t IN $stopset))").cast("double") /
+          size(split(col("text"), " "))).as("stop_ratio"),
+        least(length(col("text")).cast("double") / 500.0, lit(1.0)).as("len_score"))
+      .withColumn("quality",
+        round(col("letter_ratio") * 0.4 + col("stop_ratio") * 0.3 + col("len_score") * 0.3, 6))
+      .select(col("doc_id"), round(col("letter_ratio"), 6).as("letter_ratio"),
+        round(col("stop_ratio"), 6).as("stop_ratio"),
+        round(col("len_score"), 6).as("len_score"), col("quality"))
+      .orderBy("doc_id")
+
+  val qualityScoreSql: String =
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+       |      / length(text) AS letter_ratio,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |           t -> t IN $stopset)) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS stop_ratio,
+       |    least(CAST(length(text) AS DOUBLE)/500.0, 1.0) AS len_score
+       |  FROM documents)
+       |SELECT doc_id, round(letter_ratio, 6) AS letter_ratio,
+       |  round(stop_ratio, 6) AS stop_ratio, round(len_score, 6) AS len_score,
+       |  round(letter_ratio*0.4 + stop_ratio*0.3 + len_score*0.3, 6) AS quality
+       |FROM q ORDER BY doc_id""".stripMargin
+
+  // --- 29. language ID (stopword-hit n-gram heuristic) ---
+  private val enSet = "('the','and','of','is','was','that','with')"
+  private val deSet = "('der','die','das','und','ist','mit','ein')"
+  private val esSet = "('el','la','los','las','es','con','una')"
+
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    def hits(set: String) =
+      expr(s"size(filter(split(text, ' '), t -> t IN $set))").cast("long")
+    docs(s, dir).select(col("doc_id"), col("lang").as("lang_label"),
+        hits(enSet).as("en_hits"), hits(deSet).as("de_hits"), hits(esSet).as("es_hits"))
+      .withColumn("lang_pred",
+        when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("es_hits"), "en")
+          .when(col("de_hits") >= col("es_hits"), "de")
+          .otherwise("es"))
+      .orderBy("doc_id")
+  }
+
+  val langIdSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, lang AS lang_label,
+       |    CAST(len(list_filter(string_split(text,' '), t -> t IN $enSet)) AS BIGINT) AS en_hits,
+       |    CAST(len(list_filter(string_split(text,' '), t -> t IN $deSet)) AS BIGINT) AS de_hits,
+       |    CAST(len(list_filter(string_split(text,' '), t -> t IN $esSet)) AS BIGINT) AS es_hits
+       |  FROM documents)
+       |SELECT doc_id, lang_label, en_hits, de_hits, es_hits,
+       |  CASE WHEN en_hits >= de_hits AND en_hits >= es_hits THEN 'en'
+       |       WHEN de_hits >= es_hits THEN 'de' ELSE 'es' END AS lang_pred
+       |FROM h ORDER BY doc_id""".stripMargin
+
+  // --- 30. document fingerprinting (content + min-shingle hash) ---
+  /** Winnowing-style: the fingerprint is the minimum hash over word
+    * 3-gram shingles, plus a whole-content hash.
+    */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+        col("doc_id"),
+        md5long(col("text")).as("content_fp"),
+        expr(
+          """array_min(transform(
+            |  sequence(1, greatest(size(split(text,' ')) - 2, 1)),
+            |  i -> cast(conv(substring(md5(concat_ws(' ', slice(split(text,' '), i, 3))), 1, 15), 16, 10) as long)
+            |))""".stripMargin).as("min_shingle_fp"),
+        greatest(size(split(col("text"), " ")) - 2, lit(1)).cast("long").as("n_shingles"))
+      .orderBy("doc_id")
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |  CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS content_fp,
+      |  list_aggregate(list_transform(
+      |    generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+      |    i -> CAST('0x' || substr(md5(array_to_string((string_split(text,' '))[i:i+2], ' ')), 1, 15) AS BIGINT)
+      |  ), 'min') AS min_shingle_fp,
+      |  CAST(greatest(len(string_split(text,' ')) - 2, 1) AS BIGINT) AS n_shingles
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --- 36. multimodal metadata surface (binary-column plumbing) ---
+  /** Image/audio/video are opaque binary columns with typed metadata;
+    * the decode stub lives in graft.multimodal.  The queryable surface
+    * (sizes, chunking, content hash) is plain expressions.
+    */
+  def multimodalMeta(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+        col("doc_id"),
+        octet_length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        (octet_length(col("text").cast("binary")) % 640).cast("long").as("fake_w"),
+        (octet_length(col("text").cast("binary")) % 480).cast("long").as("fake_h"),
+        ceil(octet_length(col("text").cast("binary")) / lit(1024.0)).cast("long").as("n_chunks"),
+        md5(col("text")).as("content_hash"))
+      .orderBy("doc_id")
+
+  val multimodalMetaSql: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_w,
+      |  CAST(octet_length(encode(text)) % 480 AS BIGINT) AS fake_h,
+      |  CAST(ceil(octet_length(encode(text))/1024.0) AS BIGINT) AS n_chunks,
+      |  md5(text) AS content_hash
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_count"     -> (tokenCount _),
+    "q_quality_score"   -> (qualityScore _),
+    "q_lang_id"         -> (langId _),
+    "q_fingerprint"     -> (fingerprint _),
+    "q_multimodal_meta" -> (multimodalMeta _))
+
+  val oracles: Map[String, String] = Map(
+    "q_token_count"     -> tokenCountSql,
+    "q_quality_score"   -> qualityScoreSql,
+    "q_lang_id"         -> langIdSql,
+    "q_fingerprint"     -> fingerprintSql,
+    "q_multimodal_meta" -> multimodalMetaSql)
+}
