@@ -69,10 +69,11 @@ object Crossovers {
     val dxb = col("x2_b") - col("x1_b"); val dyb = col("y2_b") - col("y1_b")
     val det = dxa * dyb - dya * dxb
     val ex  = col("x1_b") - col("x1_a"); val ey = col("y1_b") - col("y1_a")
-    val sa  = (ex * dyb - ey * dxb) / det
-    val sb  = (ex * dya - ey * dxa) / det
+    // guard the division inside when(): ANSI mode throws on x/0 and
+    // Catalyst may reorder a det≠0 conjunct after the division
+    val sa  = when(det =!= 0.0, (ex * dyb - ey * dxb) / det)
+    val sb  = when(det =!= 0.0, (ex * dya - ey * dxa) / det)
     joined
-      .filter(det =!= 0.0)
       .withColumn("sa", sa).withColumn("sb", sb)
       .filter(col("sa") >= 0.0 && col("sa") < 1.0 && col("sb") >= 0.0 && col("sb") < 1.0)
       .select(

