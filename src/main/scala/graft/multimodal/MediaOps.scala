@@ -1,0 +1,77 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Decoded-media record produced by the (stubbed) decoder. */
+case class DecodedMedia(
+    doc_id: Long,
+    media_type: String,
+    n_bytes: Int,
+    width: Int,
+    height: Int,
+    n_frames: Int,
+    features: Array[Float])
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata.
+  *
+  * The decode step is a clearly-marked STUB (this container has no
+  * image/audio codecs): `fakeDecode` derives deterministic
+  * dimensions/features from the bytes.  Everything around it — the
+  * binary schema, partition-wise batched `mapPartitions` (one decoder
+  * instantiation per partition, the shape a JNI/codec binding needs),
+  * and the downstream feature-column contract — is real and tested.
+  */
+object MediaOps {
+
+  /** Build a media table from documents: text bytes stand in for an
+    * encoded payload; media_type cycles image/audio/video.
+    */
+  def mediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      element_at(lit(Array("image", "audio", "video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+      col("text").cast("binary").as("media"))
+
+  /** STUB decoder body — deterministic fake of a codec call. */
+  private def fakeDecode(docId: Long, mediaType: String, bytes: Array[Byte]): DecodedMedia = {
+    // ??? real decode would go here (e.g. libjpeg/ffmpeg binding);
+    // the fake derives stable values from the payload alone.
+    val n = bytes.length
+    val w = 16 + (n % 640)
+    val h = 16 + (n % 480)
+    val frames = if (mediaType == "video") 1 + (n % 24) else 1
+    val feat = Array.tabulate(8)(i => ((n * (i + 1)) % 251).toFloat / 251f)
+    DecodedMedia(docId, mediaType, n, w, h, frames, feat)
+  }
+
+  /** Partition-batched decode: the decoder context is created once
+    * per partition (the expensive part with a real codec), then
+    * streamed over rows — no per-row setup, no driver collect.
+    */
+  def decode(media: DataFrame): Dataset[DecodedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "media_type", "media")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition decoder init would happen here
+        rows.map { case (id, mt, bytes) => fakeDecode(id, mt, bytes) }
+      }
+  }
+
+  /** Feature extraction surface over decoded media: mean feature +
+    * aspect ratio, grouped by media type.
+    */
+  def mediaStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.core.Tables.t(spark, dir, "documents")
+    decode(mediaTable(docs)).toDF()
+      .groupBy("media_type")
+      .agg(count("*").as("n"),
+           sum("n_bytes").as("total_bytes"),
+           round(avg(col("width").cast("double") / col("height")), 6).as("avg_aspect"))
+      .orderBy("media_type")
+  }
+}

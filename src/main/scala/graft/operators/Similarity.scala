@@ -24,8 +24,12 @@ object Similarity {
   private val embSql =
     "SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings"
 
+  /** Native codegen'd dot product (graft.functions.DotProduct) —
+    * identical left-fold summation to the HOF form, compiled to a
+    * primitive loop inside whole-stage codegen.
+    */
   private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")
+    graft.functions.VectorExprs.dotp(col(a), col(b))
 
   /** DuckDB mirror of the left-fold dot product (list_sum's summation
     * order is unspecified, so fold explicitly via list_reduce).

@@ -1,0 +1,61 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.GeoOps
+
+/** The parquet-native materialization of the reference's geo_index
+  * (geo_index.py to_file/from_file, ATL06_tiles.py make_tile).
+  *
+  * The reference persists, per spatial bin, file/offset runs into an
+  * HDF5 sidecar so a reader can seek straight to matching byte
+  * ranges.  On Spark the directory layout IS the index: points are
+  * written `partitionBy(bin_x, bin_y)` so a box/bin query prunes
+  * whole directories at planning time (PartitionFilters), and row
+  * groups inside a partition are further pruned by parquet min/max
+  * stats on x/y.  At 100 TB this is exactly the tile layout
+  * make_tile produces — one shuffle to cluster, then embarrassingly
+  * parallel writes, and readers touch only the bins they ask for.
+  */
+object GeoParquet {
+
+  /** Write a point DataFrame (must have x, y columns) as a
+    * bin-partitioned layout with δ-spaced bins.
+    */
+  def write(df: DataFrame, path: String, delta: Double): Unit =
+    df.withColumn("bin_x", GeoOps.binOf(col("x"), delta))
+      .withColumn("bin_y", GeoOps.binOf(col("y"), delta))
+      .repartition(col("bin_x"), col("bin_y"))
+      .sortWithinPartitions("bin_x", "bin_y", "x", "y")
+      .write.mode("overwrite")
+      .partitionBy("bin_x", "bin_y")
+      .parquet(path)
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Bin-granular box query — the reader-side of query_xy_box.  The
+    * bin predicates are partition filters: Spark prunes non-matching
+    * bin directories without opening a single data file.
+    */
+  def queryBox(spark: SparkSession, path: String,
+               xr: (Long, Long), yr: (Long, Long)): DataFrame =
+    read(spark, path)
+      .filter(col("bin_x").between(xr._1, xr._2) &&
+              col("bin_y").between(yr._1, yr._2))
+
+  /** Query a list of bins with a ±pad dilation (query_xy + pad_bins). */
+  def queryBins(spark: SparkSession, path: String,
+                bins: Seq[(Long, Long)], pad: Int, delta: Double): DataFrame = {
+    val d = delta.toLong
+    val dilated = for {
+      (bx, by) <- bins
+      ox <- -pad to pad
+      oy <- -pad to pad
+    } yield (bx + ox * d, by + oy * d)
+    val keys = dilated.distinct
+    read(spark, path).filter(
+      keys.map { case (a, b) => col("bin_x") === a && col("bin_y") === b }
+        .reduce(_ || _))
+  }
+}

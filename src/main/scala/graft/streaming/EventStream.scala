@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming operators over the events schema — the
+  * streaming face of the engine (brief: readStream → transforms →
+  * writeStream with watermarks).
+  *
+  * Each takes an unbounded DataFrame with an event-time `ts`
+  * timestamp column; callers attach sources (`readStream.parquet`,
+  * kafka, memory) and sinks.  State is bounded by the watermark, so
+  * the plans run identically on a 1000-executor cluster.
+  */
+object EventStream {
+
+  /** Tumbling-window per-type counts with a late-data watermark —
+    * the streaming analog of the geo-bin rollup.
+    */
+  def windowedCounts(events: DataFrame,
+                     watermark: String = "10 minutes",
+                     window_ : String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count("*").as("n_events"),
+           sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+              col("event_type"), col("n_events"), col("value_cents"))
+
+  /** Per-user streaming point rollup: bins the deterministic x/y view
+    * (SURVEY §4) on the fly — a streaming geo-index builder.
+    */
+  def streamingGeoIndex(events: DataFrame,
+                        delta: Double = 100.0,
+                        watermark: String = "10 minutes"): DataFrame = {
+    val x = (col("event_id") * 7919 % 4000) / lit(2.0) - 1000.0
+    val y = (col("event_id") * col("event_id") % 4001) * 104729 % 4000 / lit(2.0) - lit(1000.0)
+    events
+      .withWatermark("ts", watermark)
+      .withColumn("bin_x", (round(x / delta) * delta).cast("long"))
+      .withColumn("bin_y", (round(y / delta) * delta).cast("long"))
+      .groupBy(window(col("ts"), "10 minutes"), col("bin_x"), col("bin_y"))
+      .agg(count("*").as("n_points"), min("event_id").as("id_min"),
+           max("event_id").as("id_max"))
+  }
+}

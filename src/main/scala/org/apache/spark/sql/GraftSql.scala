@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into the `private[sql]` Column↔Expression converters — the
+  * standard extension-library pattern for registering custom Catalyst
+  * expressions (cf. public Spark extension projects that place a
+  * factory in `org.apache.spark.sql` for the same reason).
+  */
+object GraftSql {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

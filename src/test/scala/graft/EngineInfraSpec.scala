@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.functions.VectorExprs
+import graft.multimodal.MediaOps
+import graft.sources.GeoParquet
+import graft.streaming.EventStream
+
+class EngineInfraSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("DotProduct expression matches the HOF fold bit-for-bit and codegens") {
+    val df = graft.core.Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val both = df.select(
+      VectorExprs.dotp(col("v"), col("v")).as("native"),
+      expr("aggregate(zip_with(v, v, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)").as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    // the native expression stays inside whole-stage codegen — the HOF
+    // form is a CodegenFallback and kicks its whole Project out of it
+    // "*(n) " prefixes mark WholeStageCodegen stages in the plan tree
+    val nativeOnly = df.select(VectorExprs.dotp(col("v"), col("v")).as("d"))
+    val nativeLine = nativeOnly.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("dot_product")).get
+    assert(nativeLine.trim.startsWith("*("))
+    val hofOnly = df.select(
+      expr("aggregate(zip_with(v, v, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)").as("d"))
+    val hofLine = hofOnly.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("aggregate(zip_with")).get
+    assert(!hofLine.trim.startsWith("*("))
+  }
+
+  test("GeoParquet: partitioned layout prunes bins at planning time") {
+    val dir = Files.createTempDirectory("geoparquet").toString
+    val pts = graft.core.Tables.eventsPoints(spark, sf)
+    GeoParquet.write(pts, dir, 100.0)
+    // directory layout is the index
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.exists(_.startsWith("bin_x=")))
+    // box query correctness vs direct filter on the raw view
+    val boxed = GeoParquet.queryBox(spark, dir, (-200L, 0L), (-200L, 0L))
+    val expected = pts
+      .withColumn("bx", graft.operators.GeoOps.binOf(col("x"), 100))
+      .withColumn("by", graft.operators.GeoOps.binOf(col("y"), 100))
+      .filter(col("bx").between(-200, 0) && col("by").between(-200, 0))
+    assert(boxed.count() == expected.count() && boxed.count() > 0)
+    // pruning proof: bin predicates became PartitionFilters in the scan
+    val explained = boxed.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(explained.contains("PartitionFilters"))
+    val pf = explained.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(pf.contains("bin_x") && pf.contains(">="))
+    // bin list query with pad
+    val binned = GeoParquet.queryBins(spark, dir, Seq((0L, 0L)), pad = 1, delta = 100.0)
+    val expected2 = pts
+      .withColumn("bx", graft.operators.GeoOps.binOf(col("x"), 100))
+      .withColumn("by", graft.operators.GeoOps.binOf(col("y"), 100))
+      .filter(col("bx").between(-100, 100) && col("by").between(-100, 100))
+    assert(binned.count() == expected2.count())
+  }
+
+  test("streaming windowed counts with watermark over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double, Long)]
+    val events = mem.toDF().toDF("ts", "event_type", "value", "event_id")
+    val q = EventStream.windowedCounts(events, "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("update").start()
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    mem.addData((ts(0), "click", 1.5, 1L), (ts(1), "click", 2.5, 2L), (ts(6), "view", 3.0, 3L))
+    q.processAllAvailable()
+    val out = spark.table("win_counts").collect()
+    q.stop()
+    assert(out.nonEmpty)
+    val click = out.find(_.getAs[String]("event_type") == "click").get
+    assert(click.getAs[Long]("n_events") == 2 && click.getAs[Long]("value_cents") == 400)
+  }
+
+  test("streaming geo-index builder bins events on the fly") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val events = mem.toDF().toDF("ts", "event_id")
+    val q = EventStream.streamingGeoIndex(events.withColumn("event_type", lit("x")))
+      .writeStream.format("memory").queryName("geo_stream")
+      .outputMode("update").start()
+    mem.addData((java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 42L))
+    q.processAllAvailable()
+    val rows = spark.table("geo_stream").collect()
+    q.stop()
+    assert(rows.length == 1 && rows.head.getAs[Long]("n_points") == 1)
+  }
+
+  test("multimodal decode: deterministic stub over real partition plumbing") {
+    val docs = graft.core.Tables.t(spark, sf, "documents")
+    val decoded = MediaOps.decode(MediaOps.mediaTable(docs))
+    assert(decoded.count() == docs.count())
+    val r = decoded.filter(col("doc_id") === 0).head()
+    assert(r.n_bytes > 0 && r.width >= 16 && r.features.length == 8)
+    // determinism: same input → same features
+    val r2 = MediaOps.decode(MediaOps.mediaTable(docs)).filter(col("doc_id") === 0).head()
+    assert(r.features.toSeq == r2.features.toSeq)
+    val stats = MediaOps.mediaStats(spark, sf)
+    assert(stats.count() == 3) // image/audio/video
+  }
+}
