@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.GeoOps
+
+/** User-facing facade mirroring the reference's point_data /
+  * geo_index API (point_data.py, geo_index.py) over a DataFrame with
+  * at least (x, y) columns — so a reference user can port call-for-
+  * call while everything executes as Catalyst plans:
+  *
+  * {{{
+  * val pf = PointFrame(df)
+  * pf.queryBox((-200, 400), (-300, 300))      // geo_index.query_xy_box
+  *   .blockmedian(50.0)                       // point_data.blockmedian
+  * pf.geoIndex(100.0)                         // geo_index.from_xy
+  * pf.toGeoParquet("path", 100.0)             // geo_index.to_file
+  * }}}
+  */
+final case class PointFrame(df: DataFrame, delta: Double = 100.0) {
+
+  private def binX: Column = GeoOps.binOf(col("x"), delta)
+  private def binY: Column = GeoOps.binOf(col("y"), delta)
+
+  /** point_data.subset / index — predicate subset. */
+  def where(cond: Column): PointFrame = copy(df = df.filter(cond))
+
+  /** geo_index.from_xy: the per-bin inventory (the index itself). */
+  def geoIndex(d: Double = delta): PointFrame = copy(
+    df = df.groupBy(GeoOps.binOf(col("x"), d).as("bin_x"),
+                    GeoOps.binOf(col("y"), d).as("bin_y"))
+      .agg(count("*").as("n_points")), delta = d)
+
+  /** geo_index.query_xy_box: bin-granular box query. */
+  def queryBox(xr: (Long, Long), yr: (Long, Long)): PointFrame =
+    copy(df = df.filter(binX.between(xr._1, xr._2) && binY.between(yr._1, yr._2)))
+
+  /** geo_index.query_xy with pad: points in the given bins ±pad. */
+  def queryBins(bins: Seq[(Long, Long)], pad: Int = 0): PointFrame = {
+    val d = delta.toLong
+    val keys = (for {
+      (bx, by) <- bins; ox <- -pad to pad; oy <- -pad to pad
+    } yield (bx + ox * d, by + oy * d)).distinct
+    copy(df = df.filter(
+      keys.map { case (a, b) => binX === a && binY === b }.reduce(_ || _)))
+  }
+
+  /** geo_index.intersect: bins common to this and another frame. */
+  def intersectBins(other: PointFrame): DataFrame = {
+    val a = df.select(binX.as("bin_x"), binY.as("bin_y")).distinct()
+    val b = other.df.select(
+      GeoOps.binOf(col("x"), delta).as("bin_x"),
+      GeoOps.binOf(col("y"), delta).as("bin_y")).distinct()
+    a.join(b, Seq("bin_x", "bin_y"))
+  }
+
+  /** pt_blockmedian: the reference's exact median-point selection. */
+  def blockmedian(scale: Double): DataFrame = {
+    val c = df
+      .withColumn("cx", GeoOps.cellOf(col("x"), scale))
+      .withColumn("cy", GeoOps.cellOf(col("y"), scale))
+    val w = Window.partitionBy("cx", "cy")
+    val ordered = if (df.columns.contains("id"))
+      w.orderBy("z", "x", "y", "id") else w.orderBy("z", "x", "y")
+    c.withColumn("rnk", row_number().over(ordered))
+      .withColumn("n", count("*").over(w))
+      .filter(
+        (col("n") % 2 === 0 && (col("rnk") === col("n") / 2 || col("rnk") === col("n") / 2 + 1)) ||
+        (col("n") % 2 === 1 && col("rnk") === greatest((col("n") - 1) / 2, lit(1.0))))
+      .groupBy("cx", "cy")
+      .agg(avg("x").as("x"), avg("y").as("y"), avg("z").as("z"))
+  }
+
+  /** blockmax: the max-z point of each cell. */
+  def blockmax(scale: Double): DataFrame = {
+    val c = df
+      .withColumn("cx", GeoOps.cellOf(col("x"), scale))
+      .withColumn("cy", GeoOps.cellOf(col("y"), scale))
+    val w = Window.partitionBy("cx", "cy")
+      .orderBy(col("z").desc, col("x"), col("y"))
+    c.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+      .drop("rnk")
+  }
+
+  /** point_data.get_xy: spherical south-polar stereographic from
+    * lat/lon columns (the reference delegates to PROJ).
+    */
+  def withXY(R: Double = 6378137.0, k0: Double = 0.97276901289): PointFrame = {
+    val rho = lit(2.0 * R * k0) * tan(radians((lit(90.0) + col("latitude")) / 2.0))
+    copy(df = df
+      .withColumn("x", rho * sin(radians(col("longitude"))))
+      .withColumn("y", rho * cos(radians(col("longitude")))))
+  }
+
+  /** geo_index.to_file: persist as the bin-partitioned layout. */
+  def toGeoParquet(path: String, d: Double = delta): Unit =
+    graft.sources.GeoParquet.write(df, path, d)
+
+  /** point_data.size */
+  def size: Long = df.count()
+}
+
+object PointFrame {
+  /** geo_index.from_file: open a bin-partitioned layout. */
+  def fromGeoParquet(spark: SparkSession, path: String, delta: Double = 100.0): PointFrame =
+    PointFrame(graft.sources.GeoParquet.read(spark, path), delta)
+}

@@ -133,9 +133,95 @@ object Crossovers {
        |ORDER BY track_a, track_b, seq_a, seq_b""".stripMargin
   }
 
+  // --- 17b. local surface slope at each crossover (cross_ATL06_tile.py:101-127) ---
+  /** The reference fits h = sx·x + sy·y + c_track to the 4 points of
+    * the two crossing segments (4×4 least squares with per-track
+    * intercepts).  Per-track intercepts absorb the means, so the
+    * system reduces to an exact 2×2 solve on endpoint differences:
+    *   (h1−h2) = sx·(x1−x2) + sy·(y1−y2)      [track a]
+    *   (h3−h4) = sx·(x3−x4) + sy·(y3−y4)      [track b]
+    * — pure column math, same closed form in the oracle.
+    */
+  def xoverSlope(s: SparkSession, dir: String): DataFrame = {
+    val seg = segments(s, dir)
+    val a = seg.columns.foldLeft(seg)((d, c) => d.withColumnRenamed(c, c + "_a"))
+    val b = seg.columns.foldLeft(seg)((d, c) => d.withColumnRenamed(c, c + "_b"))
+    val joined = a.join(b,
+      col("cell_x_a") === col("cell_x_b") && col("cell_y_a") === col("cell_y_b") &&
+      col("track_a") < col("track_b"))
+    val dxa = col("x2_a") - col("x1_a"); val dya = col("y2_a") - col("y1_a")
+    val dxb = col("x2_b") - col("x1_b"); val dyb = col("y2_b") - col("y1_b")
+    val det = dxa * dyb - dya * dxb
+    val ex  = col("x1_b") - col("x1_a"); val ey = col("y1_b") - col("y1_a")
+    val sa  = when(det =!= 0.0, (ex * dyb - ey * dxb) / det)
+    val sb  = when(det =!= 0.0, (ex * dya - ey * dxa) / det)
+    val dha = col("z1_a") - col("z2_a"); val dhb = col("z1_b") - col("z2_b")
+    val sdet = (col("x1_a") - col("x2_a")) * (col("y1_b") - col("y2_b")) -
+               (col("y1_a") - col("y2_a")) * (col("x1_b") - col("x2_b"))
+    val slopeX = when(sdet =!= 0.0,
+      (dha * (col("y1_b") - col("y2_b")) - (col("y1_a") - col("y2_a")) * dhb) / sdet)
+    val slopeY = when(sdet =!= 0.0,
+      ((col("x1_a") - col("x2_a")) * dhb - dha * (col("x1_b") - col("x2_b"))) / sdet)
+    joined
+      .withColumn("sa", sa).withColumn("sb", sb)
+      .filter(col("sa") >= 0.0 && col("sa") < 1.0 && col("sb") >= 0.0 && col("sb") < 1.0)
+      .select(
+        col("track_a"), col("track_b"), col("seq_a"), col("seq_b"),
+        round(col("x1_a") + col("sa") * dxa, 6).as("xc"),
+        round(col("y1_a") + col("sa") * dya, 6).as("yc"),
+        round(slopeX, 9).as("slope_x"),
+        round(slopeY, 9).as("slope_y"))
+      .distinct()
+      .orderBy("track_a", "track_b", "seq_a", "seq_b")
+  }
+
+  val xoverSlopeSql: String = {
+    val T = Tables.eventsTracksSql
+    s"""WITH trk AS ($T),
+       |seg0 AS (
+       |  SELECT track, seq, x AS x1, y AS y1, z AS z1,
+       |    lead(x,1) OVER w AS x2, lead(y,1) OVER w AS y2, lead(z,1) OVER w AS z2
+       |  FROM trk WINDOW w AS (PARTITION BY track ORDER BY seq)),
+       |seg1 AS (SELECT * FROM seg0 WHERE x2 IS NOT NULL),
+       |seg AS (
+       |  SELECT seg1.*,
+       |    CAST(floor(least(x1,x2)/200.0) AS BIGINT) + ox.v AS cell_x,
+       |    CAST(floor(least(y1,y2)/200.0) AS BIGINT) + oy.v AS cell_y
+       |  FROM seg1, (VALUES (0),(1)) ox(v), (VALUES (0),(1)) oy(v)
+       |  WHERE CAST(floor(least(x1,x2)/200.0) AS BIGINT) + ox.v
+       |          <= CAST(floor(greatest(x1,x2)/200.0) AS BIGINT)
+       |    AND CAST(floor(least(y1,y2)/200.0) AS BIGINT) + oy.v
+       |          <= CAST(floor(greatest(y1,y2)/200.0) AS BIGINT)),
+       |cand AS (
+       |  SELECT a.track AS track_a, a.seq AS seq_a, b.track AS track_b, b.seq AS seq_b,
+       |    a.x1 AS x1a, a.y1 AS y1a, a.x2 AS x2a, a.y2 AS y2a, a.z1 AS z1a, a.z2 AS z2a,
+       |    b.x1 AS x1b, b.y1 AS y1b, b.x2 AS x2b, b.y2 AS y2b, b.z1 AS z1b, b.z2 AS z2b,
+       |    (a.x2-a.x1) AS dxa, (a.y2-a.y1) AS dya,
+       |    (b.x2-b.x1) AS dxb, (b.y2-b.y1) AS dyb
+       |  FROM seg a JOIN seg b
+       |    ON a.cell_x = b.cell_x AND a.cell_y = b.cell_y AND a.track < b.track),
+       |x AS (
+       |  SELECT *,
+       |    ((x1b-x1a)*dyb - (y1b-y1a)*dxb) / (dxa*dyb - dya*dxb) AS sa,
+       |    ((x1b-x1a)*dya - (y1b-y1a)*dxa) / (dxa*dyb - dya*dxb) AS sb,
+       |    ((x1a-x2a)*(y1b-y2b) - (y1a-y2a)*(x1b-x2b)) AS sdet
+       |  FROM cand WHERE (dxa*dyb - dya*dxb) <> 0.0)
+       |SELECT DISTINCT track_a, track_b, seq_a, seq_b,
+       |  round(x1a + sa*dxa, 6) AS xc, round(y1a + sa*dya, 6) AS yc,
+       |  round(CASE WHEN sdet <> 0.0 THEN
+       |    ((z1a-z2a)*(y1b-y2b) - (y1a-y2a)*(z1b-z2b)) / sdet END, 9) AS slope_x,
+       |  round(CASE WHEN sdet <> 0.0 THEN
+       |    ((x1a-x2a)*(z1b-z2b) - (z1a-z2a)*(x1b-x2b)) / sdet END, 9) AS slope_y
+       |FROM x
+       |WHERE sa >= 0.0 AND sa < 1.0 AND sb >= 0.0 AND sb < 1.0
+       |ORDER BY track_a, track_b, seq_a, seq_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_crossovers" -> (crossovers _))
+    "q_crossovers"  -> (crossovers _),
+    "q_xover_slope" -> (xoverSlope _))
 
   val oracles: Map[String, String] = Map(
-    "q_crossovers" -> crossoversSql)
+    "q_crossovers"  -> crossoversSql,
+    "q_xover_slope" -> xoverSlopeSql)
 }

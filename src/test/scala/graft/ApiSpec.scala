@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.PointSources
+
+class ApiSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("PointFrame mirrors the reference point_data/geo_index call surface") {
+    val pf = PointFrame(graft.core.Tables.eventsPoints(spark, sf))
+    assert(pf.queryBox((-200L, 400L), (-300L, 300L)).size > 0)
+    assert(pf.geoIndex(100.0).df.columns.toSet == Set("bin_x", "bin_y", "n_points"))
+    val bm = pf.blockmedian(50.0)
+    assert(bm.columns.toSet == Set("cx", "cy", "x", "y", "z"))
+    assert(pf.blockmax(50.0).count() == bm.count())
+    val inter = pf.where($"user_id" % 2 === 0)
+      .intersectBins(pf.where($"user_id" % 2 === 1))
+    assert(inter.count() > 0)
+    assert(pf.queryBins(Seq((0L, 0L)), pad = 1).size >= pf.queryBins(Seq((0L, 0L))).size)
+  }
+
+  test("PointFrame round-trips through the geo-parquet layout") {
+    val dir = Files.createTempDirectory("pframe").toString
+    val pf = PointFrame(graft.core.Tables.eventsPoints(spark, sf))
+    pf.toGeoParquet(dir)
+    val back = PointFrame.fromGeoParquet(spark, dir)
+    assert(back.size == pf.size)
+    assert(back.queryBox((0L, 200L), (0L, 200L)).size ==
+           pf.queryBox((0L, 200L), (0L, 200L)).size)
+  }
+
+  test("withXY projects lat/lon like the projection query") {
+    val d = graft.core.Tables.eventsPoints(spark, sf)
+      .select($"id", (lit(-70.0)).as("latitude"), (($"id" % 360) - 180.0).as("longitude"))
+    val p = PointFrame(d).withXY()
+    assert(p.df.filter($"x".isNull || $"y".isNull).count() == 0)
+  }
+
+  test("point sources: csv and json land in the canonical schema") {
+    val dir = Files.createTempDirectory("psrc").toString
+    val pts = graft.core.Tables.eventsPoints(spark, sf).select("id", "x", "y", "z", "t")
+    pts.write.option("header", "true").mode("overwrite").csv(s"$dir/csv")
+    pts.write.mode("overwrite").json(s"$dir/json")
+    val fromCsv = PointSources.readCsv(spark, s"$dir/csv")
+    val fromJson = PointSources.readJson(spark, s"$dir/json")
+    assert(fromCsv.count() == pts.count() && fromJson.count() == pts.count())
+    assert(fromCsv.schema == PointSources.pointSchema)
+    // rasterize produces a grid with full coverage accounting
+    val grid = PointSources.rasterize(fromJson, 100.0)
+    assert(grid.agg(sum("n")).as[Long].head() == pts.count())
+  }
+
+  test("dot_product is callable from SQL after extension registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql("SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .as[Double].head()
+    assert(r == 11.0)
+  }
+}
