@@ -45,19 +45,25 @@ object Dedup {
   private val toksSql =
     "SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents"
 
-  /** Distinct word 5-gram shingles per document. */
+  /** Distinct word 5-gram shingles per document, identified by their
+    * md5-derived 60-bit hash — long join/shuffle keys instead of
+    * strings, and the identical hash on the oracle side keeps results
+    * bit-equal even in the (≈2⁻⁴⁰) collision case.
+    */
   private def shingles(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), explode(expr(
         """transform(sequence(1, greatest(size(split(text,' ')) - 4, 1)),
           |          i -> concat_ws(' ', slice(split(text,' '), i, 5)))""".stripMargin))
         .as("g"))
+      .select(col("doc_id"), md5long(col("g")).as("gh"))
       .distinct()
 
   private val shinglesSql =
-    """SELECT DISTINCT doc_id, array_to_string((string_split(text,' '))[i:i+4], ' ') AS g
-      |FROM documents,
-      |  LATERAL (SELECT unnest(generate_series(1, greatest(len(string_split(text,' ')) - 4, 1))) AS i) t""".stripMargin
+    s"""SELECT DISTINCT doc_id,
+       |  ${TextOps.md5longSqlFmt.format("array_to_string((string_split(text,' '))[i:i+4], ' ')")} AS gh
+       |FROM documents,
+       |  LATERAL (SELECT unnest(generate_series(1, greatest(len(string_split(text,' ')) - 4, 1))) AS i) t""".stripMargin
 
   // --- 31. shingle-set Jaccard near-dup pairs ---
   /** Candidates = pairs sharing ≥1 shingle; similarity = exact Jaccard
@@ -68,7 +74,7 @@ object Dedup {
     val sizes = sh.groupBy("doc_id").agg(count("*").as("sz"))
     sh.as("t1")
       .join(sh.as("t2"),
-        col("t1.g") === col("t2.g") && col("t1.doc_id") < col("t2.doc_id"))
+        col("t1.gh") === col("t2.gh") && col("t1.doc_id") < col("t2.doc_id"))
       .groupBy(col("t1.doc_id").as("d1"), col("t2.doc_id").as("d2"))
       .agg(count("*").as("inter"))
       .join(sizes.select(col("doc_id").as("d1"), col("sz").as("s1")), "d1")
@@ -84,7 +90,7 @@ object Dedup {
        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
        |inter AS (
        |  SELECT t1.doc_id AS d1, t2.doc_id AS d2, count(*) AS inter
-       |  FROM sh t1 JOIN sh t2 ON t1.g = t2.g AND t1.doc_id < t2.doc_id
+       |  FROM sh t1 JOIN sh t2 ON t1.gh = t2.gh AND t1.doc_id < t2.doc_id
        |  GROUP BY 1, 2)
        |SELECT d1, d2, inter,
        |  round(CAST(inter AS DOUBLE)/(s1.sz + s2.sz - inter), 6) AS jaccard
@@ -102,7 +108,7 @@ object Dedup {
     // single-pass wide aggregation: 32 min() columns in one shuffle on
     // doc_id — no 32× row explosion (the naive seed cross-join costs
     // 32·|shingles| shuffled rows; this costs |shingles|)
-    val th = shingles(s, dir).withColumn("th", pmod(md5long(col("g")), lit(P)))
+    val th = shingles(s, dir).withColumn("th", pmod(col("gh"), lit(P)))
     val sigAggs = (0 until 32).map { j =>
       min(pmod(col("th") * (2 * j + 1) + (j.toLong * j + 7919), lit(P))).as(s"h$j")
     }
@@ -132,11 +138,10 @@ object Dedup {
   }
 
   val minhashLshSql: String = {
-    val H = TextOps.md5longSqlFmt.format("g")
     s"""WITH sh AS ($shinglesSql),
        |seeds AS (SELECT j, 2*j + 1 AS a, j*j + 7919 AS b
        |          FROM (SELECT unnest(generate_series(0, 31)) AS j)),
-       |th AS (SELECT doc_id, $H % 2147483647 AS th FROM sh),
+       |th AS (SELECT doc_id, gh % 2147483647 AS th FROM sh),
        |minh AS (
        |  SELECT doc_id, j, CAST(min((a*th + b) % 2147483647) AS BIGINT) AS minh
        |  FROM th, seeds GROUP BY 1, 2),
