@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-quality diagnostics: prints the load-bearing lines
+  * (joins/exchanges/pushdown) of each headline query's physical plan.
+  * Run: sbt "runMain graft.Plans [sfDir]"
+  */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.shuffle.partitions", "4")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def show(tag: String, df: DataFrame, pats: Seq[String]): Unit = {
+      val s = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      println(s"==== $tag")
+      s.linesIterator
+        .filter(l => pats.exists(l.contains))
+        .take(16)
+        .foreach(println)
+    }
+
+    val joiny = Seq("Join", "Exchange", "PushedFilters", "PartitionFilters")
+    show("q5_join", operators.Relational.q5Join(spark, sf), joiny)
+    show("geo_query_box", operators.GeoOps.geoQueryBox(spark, sf),
+      Seq("PushedFilters", "ReadSchema", "Filter (", "Scan"))
+    show("crossovers", operators.Crossovers.crossovers(spark, sf),
+      Seq("Join", "Exchange", "Window"))
+    show("cosine_topk", operators.Similarity.cosineTopk(spark, sf), joiny)
+    show("jaccard", operators.Dedup.jaccard(spark, sf), Seq("Join", "Exchange"))
+    show("q1_agg", operators.Relational.q1Agg(spark, sf),
+      Seq("HashAggregate", "Exchange", "PushedFilters"))
+    spark.stop()
+  }
+}

@@ -31,7 +31,11 @@ object Crossovers {
   private val CELL = 200.0
 
   /** Segments with coarse-cell assignment, exploded over the ≤2×2
-    * cells the segment's bounding box covers.
+    * cells the segment's bounding box covers.  Persisted: the
+    * self-join would otherwise re-run the window stack on both sides
+    * (exchange reuse does not fire across the aliased branches) — at
+    * cluster scale this is the materialized segment table a crossover
+    * pipeline would keep anyway.
     */
   private def segments(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("track").orderBy("seq")
@@ -55,6 +59,7 @@ object Crossovers {
       .withColumn("cell_x", col("cx0") + col("ox"))
       .withColumn("cell_y", col("cy0") + col("oy"))
       .drop("cx0", "cx1", "cy0", "cy1", "ox", "oy")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   // --- 17/18. crossover search + value interpolation ---

@@ -58,6 +58,8 @@ object Dedup {
         .as("g"))
       .select(col("doc_id"), md5long(col("g")).as("gh"))
       .distinct()
+      // reused on both sides of the candidate self-join and for sizes
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   private val shinglesSql =
     s"""SELECT DISTINCT doc_id,

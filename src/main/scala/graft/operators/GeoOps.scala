@@ -55,6 +55,12 @@ object GeoOps {
     pts(s, dir)
       .withColumn("bin_x", binOf(col("x"), 100))
       .withColumn("bin_y", binOf(col("y"), 100))
+      // the raw-range predicate is implied by the bin predicate
+      // (bin = round(v/δ)·δ ⇒ v ∈ [bin−δ/2, bin+δ/2)); stating it
+      // explicitly gives parquet min/max row-group pruning a sargable
+      // filter, which the computed bin column can never be
+      .filter(col("x") >= -250.0 && col("x") < 450.0 &&
+              col("y") >= -350.0 && col("y") < 350.0)
       .filter(col("bin_x").between(-200, 400) && col("bin_y").between(-300, 300))
       .select("id", "x", "y", "z", "t")
       .orderBy("id")
