@@ -58,8 +58,6 @@ object Dedup {
         .as("g"))
       .select(col("doc_id"), md5long(col("g")).as("gh"))
       .distinct()
-      // reused on both sides of the candidate self-join and for sizes
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   private val shinglesSql =
     s"""SELECT DISTINCT doc_id,
@@ -72,7 +70,8 @@ object Dedup {
     * over the full shingle sets of each candidate pair.
     */
   def jaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh    = shingles(s, dir)
+    // persisted: used on both sides of the candidate self-join + sizes
+    val sh    = shingles(s, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count("*").as("sz"))
     sh.as("t1")
       .join(sh.as("t2"),
@@ -114,7 +113,9 @@ object Dedup {
     val sigAggs = (0 until 32).map { j =>
       min(pmod(col("th") * (2 * j + 1) + (j.toLong * j + 7919), lit(P))).as(s"h$j")
     }
+    // persisted: feeds the band keys and both sides of the match join
     val sig = th.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def bandKey(b: Int) =
       md5(concat_ws(",", (8 * b until 8 * b + 8).map(j => col(s"h$j").cast("string")): _*))
     val bandsWide = sig.select(col("doc_id") +: (0 until 4).map(b => bandKey(b).as(s"bk$b")): _*)

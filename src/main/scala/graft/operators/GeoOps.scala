@@ -252,6 +252,34 @@ object GeoOps {
        |       round(z_sum_cents/100.0/n, 6) AS z_mean
        |FROM g ORDER BY cx, cy""".stripMargin
 
+  // --- 6b. hierarchical index: index-of-indexes rollup (geo_index.py:114-172,
+  //     ATL06_tiles.py:231-245 index_cycle_indices) ---
+  /** The reference builds coarse indexes over fine indexes
+    * (from_list over per-cycle GeoIndex files).  Here: roll the
+    * δ=100 bin inventory up to δ=500 super-bins — a re-aggregation
+    * of the index frame itself, no touch of the point data.
+    */
+  def hierIndex(s: SparkSession, dir: String): DataFrame =
+    geoindexBuild(s, dir)
+      .groupBy((round(col("bin_x") / 500.0) * 500).cast("long").as("super_x"),
+               (round(col("bin_y") / 500.0) * 500).cast("long").as("super_y"))
+      .agg(count("*").as("n_bins"), sum("n_points").as("n_points"),
+           min("id_min").as("id_min"), max("id_max").as("id_max"))
+      .orderBy("super_x", "super_y")
+
+  val hierIndexSql: String =
+    s"""WITH pts AS ($P),
+       |fine AS (
+       |  SELECT CAST(round(x/100.0)*100 AS BIGINT) AS bin_x,
+       |         CAST(round(y/100.0)*100 AS BIGINT) AS bin_y,
+       |         count(*) AS n_points, min(id) AS id_min, max(id) AS id_max
+       |  FROM pts GROUP BY 1,2)
+       |SELECT CAST(round(bin_x/500.0)*500 AS BIGINT) AS super_x,
+       |       CAST(round(bin_y/500.0)*500 AS BIGINT) AS super_y,
+       |       count(*) AS n_bins, CAST(sum(n_points) AS BIGINT) AS n_points,
+       |       min(id_min) AS id_min, max(id_max) AS id_max
+       |FROM fine GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+
   // --- 19. make_tile: tile + bin key assignment (ATL06_tiles.py:30-107) ---
   def tileAssign(s: SparkSession, dir: String): DataFrame =
     pts(s, dir)
@@ -302,6 +330,7 @@ object GeoOps {
     "q_geo_intersect"   -> (geoIntersect _),
     "q_unique_points"   -> (uniquePoints _),
     "q_offset_coalesce" -> (offsetCoalesce _),
+    "q_hier_index"      -> (hierIndex _),
     "q_blockmedian"     -> (blockmedian _),
     "q_blockmax"        -> (blockmax _),
     "q_block_stats"     -> (blockStats _),
@@ -315,6 +344,7 @@ object GeoOps {
     "q_geo_intersect"   -> geoIntersectSql,
     "q_unique_points"   -> uniquePointsSql,
     "q_offset_coalesce" -> offsetCoalesceSql,
+    "q_hier_index"      -> hierIndexSql,
     "q_blockmedian"     -> blockmedianSql,
     "q_blockmax"        -> blockmaxSql,
     "q_block_stats"     -> blockStatsSql,

@@ -1,7 +1,14 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Accumulating per-user session state for [[EventStream.sessionize]]. */
+case class SessionState(nEvents: Long, tStart: Long, tEnd: Long)
+
+/** A closed session emitted by [[EventStream.sessionize]]. */
+case class ClosedSession(user_id: Long, n_events: Long, t_start: Long, t_end: Long)
 
 /** Structured Streaming operators over the events schema — the
   * streaming face of the engine (brief: readStream → transforms →
@@ -43,5 +50,41 @@ object EventStream {
       .groupBy(window(col("ts"), "10 minutes"), col("bin_x"), col("bin_y"))
       .agg(count("*").as("n_points"), min("event_id").as("id_min"),
            max("event_id").as("id_max"))
+  }
+
+  /** Gap-based streaming sessionization with custom state
+    * (flatMapGroupsWithState): a session closes — and is emitted
+    * exactly once — when a later event of the same user arrives more
+    * than `gapMs` after it.  State per user is one [[SessionState]] —
+    * bounded custom state, the `KeyValueGroupedDataset` pattern of
+    * the brief.  (No processing-time timeout: it would re-trigger
+    * empty micro-batches forever; a production pipeline would close
+    * idle tails with an event-time timeout + watermark.)
+    */
+  def sessionize(events: DataFrame, gapMs: Long = 1800000L): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), unix_millis(col("ts")).as("t"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[SessionState]) => {
+            val ts = rows.map(_._2).toSeq.sorted
+            val (closed, finalState) =
+              ts.foldLeft((List.empty[ClosedSession], state.getOption)) {
+                case ((acc, Some(s)), t) if t - s.tEnd > gapMs =>
+                  (ClosedSession(user, s.nEvents, s.tStart, s.tEnd) :: acc,
+                    Some(SessionState(1, t, t)))
+                case ((acc, Some(s)), t) =>
+                  (acc, Some(SessionState(s.nEvents + 1, s.tStart, t)))
+                case ((acc, None), t) =>
+                  (acc, Some(SessionState(1, t, t)))
+              }
+            finalState.foreach(state.update)
+            closed.reverse.iterator
+          }
+      }
   }
 }

@@ -92,6 +92,26 @@ class EngineInfraSpec extends SparkSpec {
     assert(rows.length == 1 && rows.head.getAs[Long]("n_points") == 1)
   }
 
+  test("stateful streaming sessionization closes sessions on gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val events = mem.toDF().toDF("ts", "user_id")
+    val q = EventStream.sessionize(events, gapMs = 60000L)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 7: two events 10s apart, then a 10-minute gap → first
+    // session closes when the post-gap event arrives
+    mem.addData((ts("2024-01-01 10:00:00"), 7L), (ts("2024-01-01 10:00:10"), 7L))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 10:10:00"), 7L))
+    q.processAllAvailable()
+    val out = spark.table("sessions").as[graft.streaming.ClosedSession].collect()
+    q.stop()
+    assert(out.length == 1)
+    assert(out.head.user_id == 7L && out.head.n_events == 2)
+  }
+
   test("multimodal decode: deterministic stub over real partition plumbing") {
     val docs = graft.core.Tables.t(spark, sf, "documents")
     val decoded = MediaOps.decode(MediaOps.mediaTable(docs))
