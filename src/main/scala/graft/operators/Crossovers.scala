@@ -222,6 +222,29 @@ object Crossovers {
        |ORDER BY track_a, track_b, seq_a, seq_b""".stripMargin
   }
 
+  /** write_xovers analog (cross_ATL06_tile.py:45-74): persist
+    * crossover results partitioned by the E/N tile of the crossing —
+    * the same `E%d_N%d` layout the reference writes per tile file.
+    */
+  def writeXovers(xovers: DataFrame, path: String, tileSize: Double = 500.0): Unit =
+    xovers
+      .withColumn("tile_e", (floor(col("xc") / tileSize) * tileSize.toLong).cast("long"))
+      .withColumn("tile_n", (floor(col("yc") / tileSize) * tileSize.toLong).cast("long"))
+      .write.mode("overwrite")
+      .partitionBy("tile_e", "tile_n")
+      .parquet(path)
+
+  /** read_xovers analog (read_xovers.py): load all tiles, or one tile
+    * via partition-pruned predicates.
+    */
+  def readXovers(s: SparkSession, path: String,
+                 tile: Option[(Long, Long)] = None): DataFrame = {
+    val df = s.read.parquet(path)
+    tile.fold(df) { case (e, n) =>
+      df.filter(col("tile_e") === e && col("tile_n") === n)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_crossovers"  -> (crossovers _),
     "q_xover_slope" -> (xoverSlope _))

@@ -1,0 +1,47 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.{Crossovers, Skew}
+
+class SkewAndSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted count equals plain count on a skewed key") {
+    val e = graft.core.Tables.t(spark, sf, "events")
+      .withColumn("hot", when($"user_id" < 5, 0L).otherwise($"user_id")) // skew to key 0
+    val plain = e.groupBy("hot").count().withColumnRenamed("hot", "k")
+    val salted = Skew.saltedCount(e, $"hot", $"event_id", 8)
+    assert(salted.join(plain, "k").filter($"n" =!= $"count").count() == 0)
+    assert(salted.count() == plain.count())
+  }
+
+  test("salted join equals plain join") {
+    val big = graft.core.Tables.t(spark, sf, "events")
+      .select(($"user_id" % 3).as("k"), $"event_id")
+    val small = Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v")
+    val plain = big.join(small, "k")
+    val salted = Skew.saltedJoin(big, small, "k", $"event_id", 4)
+    assert(salted.count() == plain.count())
+    assert(salted.select(sum($"event_id")).as[Long].head() ==
+           plain.select(sum($"event_id")).as[Long].head())
+  }
+
+  test("crossover tile sink round-trips with partition pruning") {
+    val dir = Files.createTempDirectory("xovers").toString
+    val xo = Crossovers.crossovers(spark, sf)
+    Crossovers.writeXovers(xo, dir)
+    val all = Crossovers.readXovers(spark, dir)
+    assert(all.count() == xo.count() && xo.count() == 9)
+    // single-tile read prunes partitions
+    val oneTile = all.select("tile_e", "tile_n").distinct().head()
+    // partition-dir values read back with integer inference
+    val tiled = Crossovers.readXovers(spark, dir,
+      Some((oneTile.getAs[Number](0).longValue, oneTile.getAs[Number](1).longValue)))
+    assert(tiled.count() > 0 && tiled.count() <= all.count())
+    val explained = tiled.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(explained.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("tile_e")))
+  }
+}
