@@ -97,6 +97,16 @@ final case class PointFrame(df: DataFrame, delta: Double = 100.0) {
   def toGeoParquet(path: String, d: Double = delta): Unit =
     graft.sources.GeoParquet.write(df, path, d)
 
+  /** point_data.from_list / append — union of point frames. */
+  def union(other: PointFrame): PointFrame =
+    copy(df = df.unionByName(other.df, allowMissingColumns = true))
+
+  /** geo_index.query_latlon: project lat/lon to x/y, then bin query. */
+  def queryLatLon(latR: (Double, Double), lonR: (Double, Double)): PointFrame =
+    copy(df = withXY().df
+      .filter(col("latitude").between(latR._1, latR._2) &&
+              col("longitude").between(lonR._1, lonR._2)))
+
   /** point_data.size */
   def size: Long = df.count()
 }

@@ -100,6 +100,25 @@ object Relational {
       |GROUP BY n_name
       |ORDER BY revenue_cents DESC, n_name""".stripMargin
 
+  // --- 39b. pure filter-aggregate (Q6 shape) — the pushdown showcase:
+  //     every predicate reaches the parquet scan as PushedFilters ---
+  def q6Filter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+              col("l_discount").between(0.05, 0.07) &&
+              col("l_quantity") < 24)
+      .agg(sum(cents(col("l_extendedprice") * col("l_discount"))).as("revenue_cents"),
+           count("*").as("n"))
+
+  val q6FilterSql: String =
+    """SELECT
+      |  CAST(sum(CAST(round(l_extendedprice*l_discount*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+      |  count(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
   // --- 40. window top-k per group ---
   def windowTopk(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey") % 10)
@@ -152,6 +171,7 @@ object Relational {
     "q1_agg"        -> (q1Agg _),
     "q3_join"       -> (q3Join _),
     "q5_join"       -> (q5Join _),
+    "q6_filter"     -> (q6Filter _),
     "q_window_topk" -> (windowTopk _),
     "q_sessionize"  -> (sessionize _))
 
@@ -159,6 +179,7 @@ object Relational {
     "q1_agg"        -> q1AggSql,
     "q3_join"       -> q3JoinSql,
     "q5_join"       -> q5JoinSql,
+    "q6_filter"     -> q6FilterSql,
     "q_window_topk" -> windowTopkSql,
     "q_sessionize"  -> sessionizeSql)
 }

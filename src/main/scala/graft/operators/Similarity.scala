@@ -125,11 +125,118 @@ object Similarity {
        |SELECT qid, rnk, vid, bucket, cos FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
   }
 
+  // --- 35b. IVF-style ANN: coarse quantize, probe the 2 nearest lists ---
+  /** Inverted-file search with deterministic formula centroids
+    * c_j[k] = (((j·31 + k·17) mod 13) − 6)/6: every vector is
+    * assigned to its nearest centroid (one pass, 8 native dot
+    * products); a query probes only the 2 centroid lists nearest to
+    * it.  At 100 TB the assignment is the partition key — each probe
+    * touches 2/8 of the corpus, and centroid lists are the unit of
+    * locality (the classic IVF trade of recall for fan-in).
+    */
+  private val NCENT = 8
+
+  private def centroidExpr(j: Int): String =
+    s"transform(sequence(1, 64), k -> cast(((($j*31 + k*17) % 13) - 6) as double)/6.0)"
+
+  private def centroidSqlExpr(j: Int): String =
+    s"list_transform(generate_series(1, 64), k -> ((($j*31 + k*17) % 13) - 6)/6.0)"
+
+  /** squared distance |v−c_j|² = |v|² − 2·v·c_j + |c_j|², as a column. */
+  private def distExpr(j: Int): Column = {
+    val vc = graft.functions.VectorExprs.dotp(col("v"), expr(centroidExpr(j)))
+    val cc = graft.functions.VectorExprs.dotp(expr(centroidExpr(j)), expr(centroidExpr(j)))
+    col("vv") - lit(2.0) * vc + cc
+  }
+
+  private def distSql(j: Int): String = {
+    val c = centroidSqlExpr(j)
+    s"(vv - 2.0*${dotSqlOn("v", c)} + ${dotSqlOn(c, c)})"
+  }
+
+  private def dotSqlOn(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, 64), i -> ($a)[i]*($b)[i]), (acc, x) -> acc + x)"
+
+  /** argmin over the 8 distances, ties to the lower centroid id. */
+  private def argminExpr(dists: Seq[Column]): Column =
+    dists.zipWithIndex.drop(1).foldLeft((lit(0L), dists.head)) {
+      case ((bestJ, bestD), (d, j)) =>
+        (when(d < bestD, lit(j.toLong)).otherwise(bestJ),
+         when(d < bestD, d).otherwise(bestD))
+    }._1
+
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir)
+      .withColumn("vv", dot("v", "v"))
+      .withColumn("norm", sqrt(col("vv")))
+      .filter(col("norm") > 0.0)
+    val dists = (0 until NCENT).map(distExpr)
+    val assigned = base.withColumn("cent", argminExpr(dists))
+    // second-nearest for query probing
+    val withSecond = assigned.withColumn("cent2",
+      dists.zipWithIndex.drop(1).foldLeft(
+        (lit(0L), dists.head, lit(-1L), lit(Double.MaxValue))) {
+        case ((bj, bd, sj, sd), (d, j)) =>
+          val better = d < bd
+          val secondBetter = !better && (d < sd)
+          (when(better, lit(j.toLong)).otherwise(bj),
+           when(better, d).otherwise(bd),
+           when(better, bj).otherwise(when(secondBetter, lit(j.toLong)).otherwise(sj)),
+           when(better, bd).otherwise(when(secondBetter, d).otherwise(sd)))
+      }._3)
+    val q = withSecond.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"),
+              col("cent").as("p1"), col("cent2").as("p2"))
+    val c = assigned.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("vid"), col("v"), col("norm"), col("cent"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
+    c.join(broadcast(q), col("cent") === col("p1") || col("cent") === col("p2"))
+      .withColumn("cos", round(dot("qv", "v") / (col("qn") * col("norm")), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select("qid", "rnk", "vid", "cent", "cos")
+      .orderBy("qid", "rnk")
+  }
+
+  val annIvfSql: String = {
+    val d  = dotSql("qv", "v"); val dq = dotSql("v", "v")
+    val distCases = (0 until NCENT).map(j => s"${distSql(j)} AS d$j").mkString(",\n|    ")
+    val argmin = (1 until NCENT).foldLeft("0") { (acc, j) =>
+      s"CASE WHEN d$j < ${(0 until j).map(i => s"d$i").mkString("least(", ", ", ")")} THEN $j ELSE $acc END"
+    }
+    // second-nearest: the argmin over distances excluding the nearest
+    val second = (0 until NCENT).map { j =>
+      val others = (0 until NCENT).filter(_ != j)
+      val inner = others.tail.foldLeft(others.head.toString) { (acc, k) =>
+        s"CASE WHEN d$k < ${others.takeWhile(_ != k).map(i => s"d$i").mkString("least(", ", ", ")")} THEN $k ELSE $acc END"
+      }
+      s"WHEN cent = $j THEN ($inner)"
+    }.mkString("CASE ", " ", " END")
+    s"""WITH e AS ($embSql),
+       |n0 AS (SELECT vec_id, v, $dq AS vv FROM e),
+       |n AS (SELECT *, sqrt(vv) AS norm FROM n0 WHERE sqrt(vv) > 0.0),
+       |dd AS (SELECT *,
+       |    $distCases
+       |  FROM n),
+       |a AS (SELECT *, CAST($argmin AS BIGINT) AS cent FROM dd),
+       |a2 AS (SELECT *, CAST($second AS BIGINT) AS cent2 FROM a),
+       |q AS (SELECT vec_id AS qid, v AS qv, norm AS qn, cent AS p1, cent2 AS p2
+       |      FROM a2 WHERE vec_id < 5),
+       |c AS (SELECT vec_id AS vid, v, norm, cent FROM a WHERE vec_id >= 5),
+       |s AS (SELECT qid, vid, c.cent, round(($d)/(qn*norm), 6) AS cos
+       |      FROM c JOIN q ON c.cent = q.p1 OR c.cent = q.p2),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rnk
+       |      FROM s)
+       |SELECT qid, rnk, vid, cent, cos FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk" -> (cosineTopk _),
-    "q_ann_lsh"     -> (annLsh _))
+    "q_ann_lsh"     -> (annLsh _),
+    "q_ann_ivf"     -> (annIvf _))
 
   val oracles: Map[String, String] = Map(
     "q_cosine_topk" -> cosineTopkSql,
-    "q_ann_lsh"     -> annLshSql)
+    "q_ann_lsh"     -> annLshSql,
+    "q_ann_ivf"     -> annIvfSql)
 }

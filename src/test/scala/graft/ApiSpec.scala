@@ -35,6 +35,17 @@ class ApiSpec extends SparkSpec {
       .select($"id", (lit(-70.0)).as("latitude"), (($"id" % 360) - 180.0).as("longitude"))
     val p = PointFrame(d).withXY()
     assert(p.df.filter($"x".isNull || $"y".isNull).count() == 0)
+    // queryLatLon subsets by the lat/lon window after projection
+    val sub = PointFrame(d.withColumn("latitude", lit(-70.0) - ($"id" % 10)))
+      .queryLatLon((-75.0, -70.0), (-90.0, 90.0))
+    assert(sub.size > 0 && sub.size < d.count())
+  }
+
+  test("union concatenates point frames (point_data.from_list)") {
+    val pf = PointFrame(graft.core.Tables.eventsPoints(spark, sf))
+    val a = pf.where($"user_id" % 2 === 0)
+    val b = pf.where($"user_id" % 2 === 1)
+    assert(a.union(b).size == pf.size)
   }
 
   test("point sources: csv and json land in the canonical schema") {
