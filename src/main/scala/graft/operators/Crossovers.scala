@@ -83,14 +83,14 @@ object Crossovers {
       .filter(col("sa") >= 0.0 && col("sa") < 1.0 && col("sb") >= 0.0 && col("sb") < 1.0)
       .select(
         col("track_a"), col("track_b"), col("seq_a"), col("seq_b"),
-        round(col("x1_a") + col("sa") * dxa, 6).as("xc"),
-        round(col("y1_a") + col("sa") * dya, 6).as("yc"),
-        round(col("z1_a") + col("sa") * (col("z2_a") - col("z1_a")), 6).as("z_a"),
-        round(col("z1_b") + col("sb") * (col("z2_b") - col("z1_b")), 6).as("z_b"),
-        round(col("z1_a") + col("sa") * (col("z2_a") - col("z1_a"))
-              - (col("z1_b") + col("sb") * (col("z2_b") - col("z1_b"))), 6).as("dh"),
-        round(col("t1_a") + col("sa") * (col("t2_a") - col("t1_a")), 3).as("t_a"),
-        round(col("t1_b") + col("sb") * (col("t2_b") - col("t1_b")), 3).as("t_b"))
+        (col("x1_a") + col("sa") * dxa).as("xc"),
+        (col("y1_a") + col("sa") * dya).as("yc"),
+        (col("z1_a") + col("sa") * (col("z2_a") - col("z1_a"))).as("z_a"),
+        (col("z1_b") + col("sb") * (col("z2_b") - col("z1_b"))).as("z_b"),
+        (col("z1_a") + col("sa") * (col("z2_a") - col("z1_a"))
+          - (col("z1_b") + col("sb") * (col("z2_b") - col("z1_b")))).as("dh"),
+        (col("t1_a") + col("sa") * (col("t2_a") - col("t1_a"))).as("t_a"),
+        (col("t1_b") + col("sb") * (col("t2_b") - col("t1_b"))).as("t_b"))
       .distinct() // a crossing found in >1 shared cell is one crossing
       .orderBy("track_a", "track_b", "seq_a", "seq_b")
   }
@@ -129,10 +129,10 @@ object Crossovers {
        |    ((x1b-x1a)*dya - (y1b-y1a)*dxa) / (dxa*dyb - dya*dxb) AS sb
        |  FROM cand WHERE (dxa*dyb - dya*dxb) <> 0.0)
        |SELECT DISTINCT track_a, track_b, seq_a, seq_b,
-       |  round(x1a + sa*dxa, 6) AS xc, round(y1a + sa*dya, 6) AS yc,
-       |  round(z1a + sa*(z2a-z1a), 6) AS z_a, round(z1b + sb*(z2b-z1b), 6) AS z_b,
-       |  round(z1a + sa*(z2a-z1a) - (z1b + sb*(z2b-z1b)), 6) AS dh,
-       |  round(t1a + sa*(t2a-t1a), 3) AS t_a, round(t1b + sb*(t2b-t1b), 3) AS t_b
+       |  x1a + sa*dxa AS xc, y1a + sa*dya AS yc,
+       |  z1a + sa*(z2a-z1a) AS z_a, z1b + sb*(z2b-z1b) AS z_b,
+       |  z1a + sa*(z2a-z1a) - (z1b + sb*(z2b-z1b)) AS dh,
+       |  t1a + sa*(t2a-t1a) AS t_a, t1b + sb*(t2b-t1b) AS t_b
        |FROM x
        |WHERE sa >= 0.0 AND sa < 1.0 AND sb >= 0.0 AND sb < 1.0
        |ORDER BY track_a, track_b, seq_a, seq_b""".stripMargin
@@ -172,10 +172,10 @@ object Crossovers {
       .filter(col("sa") >= 0.0 && col("sa") < 1.0 && col("sb") >= 0.0 && col("sb") < 1.0)
       .select(
         col("track_a"), col("track_b"), col("seq_a"), col("seq_b"),
-        round(col("x1_a") + col("sa") * dxa, 6).as("xc"),
-        round(col("y1_a") + col("sa") * dya, 6).as("yc"),
-        round(slopeX, 9).as("slope_x"),
-        round(slopeY, 9).as("slope_y"))
+        (col("x1_a") + col("sa") * dxa).as("xc"),
+        (col("y1_a") + col("sa") * dya).as("yc"),
+        slopeX.as("slope_x"),
+        slopeY.as("slope_y"))
       .distinct()
       .orderBy("track_a", "track_b", "seq_a", "seq_b")
   }
@@ -212,11 +212,11 @@ object Crossovers {
        |    ((x1a-x2a)*(y1b-y2b) - (y1a-y2a)*(x1b-x2b)) AS sdet
        |  FROM cand WHERE (dxa*dyb - dya*dxb) <> 0.0)
        |SELECT DISTINCT track_a, track_b, seq_a, seq_b,
-       |  round(x1a + sa*dxa, 6) AS xc, round(y1a + sa*dya, 6) AS yc,
-       |  round(CASE WHEN sdet <> 0.0 THEN
-       |    ((z1a-z2a)*(y1b-y2b) - (y1a-y2a)*(z1b-z2b)) / sdet END, 9) AS slope_x,
-       |  round(CASE WHEN sdet <> 0.0 THEN
-       |    ((x1a-x2a)*(z1b-z2b) - (z1a-z2a)*(x1b-x2b)) / sdet END, 9) AS slope_y
+       |  x1a + sa*dxa AS xc, y1a + sa*dya AS yc,
+       |  CASE WHEN sdet <> 0.0 THEN
+       |    ((z1a-z2a)*(y1b-y2b) - (y1a-y2a)*(z1b-z2b)) / sdet END AS slope_x,
+       |  CASE WHEN sdet <> 0.0 THEN
+       |    ((x1a-x2a)*(z1b-z2b) - (z1a-z2a)*(x1b-x2b)) / sdet END AS slope_y
        |FROM x
        |WHERE sa >= 0.0 AND sa < 1.0 AND sb >= 0.0 AND sb < 1.0
        |ORDER BY track_a, track_b, seq_a, seq_b""".stripMargin

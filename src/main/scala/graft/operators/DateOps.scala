@@ -21,18 +21,18 @@ object DateOps {
     Tables.eventsPoints(s, dir)
       .select(
         col("id"),
-        round(lit(737061.0) + dt / 86400.0, 6).as("matlab_time"),
-        round(lit(730486.0) + dt / 86400.0, 6).as("matlab_epoch"),
-        round((lit(730486.0) + dt / 86400.0 - 730486.0) / 365.25 + 2000.0, 9).as("dec_year"))
+        (lit(737061.0) + dt / 86400.0).as("matlab_time"),
+        (lit(730486.0) + dt / 86400.0).as("matlab_epoch"),
+        ((lit(730486.0) + dt / 86400.0 - 730486.0) / 365.25 + 2000.0).as("dec_year"))
       .orderBy("id")
   }
 
   val datesSql: String =
     s"""WITH pts AS (${Tables.eventsPointsSql})
        |SELECT id,
-       |  round(737061.0 + (t/1000.0)/86400.0, 6) AS matlab_time,
-       |  round(730486.0 + (t/1000.0)/86400.0, 6) AS matlab_epoch,
-       |  round((730486.0 + (t/1000.0)/86400.0 - 730486.0)/365.25 + 2000.0, 9) AS dec_year
+       |  737061.0 + (t/1000.0)/86400.0 AS matlab_time,
+       |  730486.0 + (t/1000.0)/86400.0 AS matlab_epoch,
+       |  (730486.0 + (t/1000.0)/86400.0 - 730486.0)/365.25 + 2000.0 AS dec_year
        |FROM pts ORDER BY id""".stripMargin
 
   // --- 22. WV filename → date → decimal year (WV_date.py:10-29) ---
@@ -54,9 +54,9 @@ object DateOps {
         regexp_extract(col("fname"), "_(2\\d\\d\\d)(\\d\\d)(\\d\\d)_", 2).cast("int").as("mm"),
         regexp_extract(col("fname"), "_(2\\d\\d\\d)(\\d\\d)(\\d\\d)_", 3).cast("int").as("dd"))
       .withColumn("wv_year",
-        round(lit(2000.0) +
+        lit(2000.0) +
           datediff(make_date(col("yy"), col("mm"), col("dd")), lit("2000-01-01").cast("date"))
-            / lit(365.25), 6))
+            / lit(365.25))
       .select("doc_id", "fname", "yy", "mm", "dd", "wv_year")
       .orderBy("doc_id")
   }
@@ -76,7 +76,7 @@ object DateOps {
       |    CAST(regexp_extract(fname, '_(2\d\d\d)(\d\d)(\d\d)_', 3) AS INTEGER) AS dd
       |  FROM f)
       |SELECT doc_id, fname, yy, mm, dd,
-      |  round(2000.0 + date_diff('day', DATE '2000-01-01', make_date(yy, mm, dd))/365.25, 6) AS wv_year
+      |  2000.0 + date_diff('day', DATE '2000-01-01', make_date(yy, mm, dd))/365.25 AS wv_year
       |FROM e ORDER BY doc_id""".stripMargin
 
   // --- 24. get_xy: lat/lon → polar stereographic (point_data.py:135-160) ---
@@ -142,10 +142,10 @@ object DateOps {
     val u = (col("px") - col("x0")) / d
     val v = (col("py") - col("y0")) / d
     joined.select(col("pid"), col("px"), col("py"),
-        round((lit(1.0) - u) * (lit(1.0) - v) * col("gz00")
+        ((lit(1.0) - u) * (lit(1.0) - v) * col("gz00")
           + u * (lit(1.0) - v) * col("gz10")
           + (lit(1.0) - u) * v * col("gz01")
-          + u * v * col("gz11"), 6).as("z_interp"))
+          + u * v * col("gz11")).as("z_interp"))
       .orderBy("pid")
   }
 
@@ -172,7 +172,7 @@ object DateOps {
        |  JOIN grid g01 ON g01.gx = p.x0       AND g01.gy = p.y0 + 100
        |  JOIN grid g11 ON g11.gx = p.x0 + 100 AND g11.gy = p.y0 + 100)
        |SELECT pid, px, py,
-       |  round((1.0-u)*(1.0-v)*gz00 + u*(1.0-v)*gz10 + (1.0-u)*v*gz01 + u*v*gz11, 6) AS z_interp
+       |  (1.0-u)*(1.0-v)*gz00 + u*(1.0-v)*gz10 + (1.0-u)*v*gz01 + u*v*gz11 AS z_interp
        |FROM j ORDER BY pid""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -81,7 +81,7 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("d1"), col("sz").as("s1")), "d1")
       .join(sizes.select(col("doc_id").as("d2"), col("sz").as("s2")), "d2")
       .select(col("d1"), col("d2"), col("inter"),
-        round(col("inter").cast("double") / (col("s1") + col("s2") - col("inter")), 6)
+        (col("inter").cast("double") / (col("s1") + col("s2") - col("inter")))
           .as("jaccard"))
       .orderBy("d1", "d2")
   }
@@ -94,7 +94,7 @@ object Dedup {
        |  FROM sh t1 JOIN sh t2 ON t1.gh = t2.gh AND t1.doc_id < t2.doc_id
        |  GROUP BY 1, 2)
        |SELECT d1, d2, inter,
-       |  round(CAST(inter AS DOUBLE)/(s1.sz + s2.sz - inter), 6) AS jaccard
+       |  CAST(inter AS DOUBLE)/(s1.sz + s2.sz - inter) AS jaccard
        |FROM inter JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2
        |ORDER BY d1, d2""".stripMargin
 
@@ -136,7 +136,7 @@ object Dedup {
       .join(sig.select(s1: _*), "d1")
       .join(sig.select(s2: _*), "d2")
       .select(col("d1"), col("d2"), matches.as("matches"))
-      .withColumn("est_sim", round(col("matches") / lit(32.0), 6))
+      .withColumn("est_sim", col("matches") / lit(32.0))
       .orderBy("d1", "d2")
   }
 
@@ -158,7 +158,7 @@ object Dedup {
        |    ON b1.band = b2.band AND b1.bk = b2.bk AND b1.doc_id < b2.doc_id)
        |SELECT d1, d2,
        |  CAST(sum(CASE WHEN m1.minh = m2.minh THEN 1 ELSE 0 END) AS BIGINT) AS matches,
-       |  round(sum(CASE WHEN m1.minh = m2.minh THEN 1 ELSE 0 END)/32.0, 6) AS est_sim
+       |  sum(CASE WHEN m1.minh = m2.minh THEN 1 ELSE 0 END)/32.0 AS est_sim
        |FROM cand
        |JOIN minh m1 ON m1.doc_id = cand.d1
        |JOIN minh m2 ON m2.doc_id = cand.d2 AND m2.j = m1.j

@@ -184,8 +184,7 @@ object GeoOps {
         (col("n") % 2 === 0 && (col("rnk") === col("n") / 2 || col("rnk") === col("n") / 2 + 1)) ||
         (col("n") % 2 === 1 && col("rnk") === greatest((col("n") - 1) / 2, lit(1.0))))
       .groupBy("cx", "cy")
-      .agg(round(avg("x"), 6).as("xm"), round(avg("y"), 6).as("ym"),
-           round(avg("z"), 6).as("zm"))
+      .agg(avg("x").as("xm"), avg("y").as("ym"), avg("z").as("zm"))
       .orderBy("cx", "cy")
   }
 
@@ -195,8 +194,7 @@ object GeoOps {
        |             CAST(floor(y/50.0) AS BIGINT) AS cy FROM pts),
        |r AS (SELECT *, row_number() OVER (PARTITION BY cx, cy ORDER BY z, x, y, id) AS rnk,
        |             count(*) OVER (PARTITION BY cx, cy) AS n FROM c)
-       |SELECT cx, cy, round(avg(x),6) AS xm, round(avg(y),6) AS ym,
-       |       round(avg(z),6) AS zm
+       |SELECT cx, cy, avg(x) AS xm, avg(y) AS ym, avg(z) AS zm
        |FROM r
        |WHERE (n % 2 = 0 AND (rnk = n/2 OR rnk = n/2 + 1))
        |   OR (n % 2 = 1 AND rnk = greatest((n-1)/2, 1.0))
@@ -237,7 +235,7 @@ object GeoOps {
            min("z").as("z_min"),
            max("z").as("z_max"),
            sum(round(col("z") * 100).cast("long")).as("z_sum_cents"))
-      .withColumn("z_mean", round(col("z_sum_cents") / 100.0 / col("n"), 6))
+      .withColumn("z_mean", col("z_sum_cents") / 100.0 / col("n"))
       .orderBy("cx", "cy")
   }
 
@@ -249,7 +247,7 @@ object GeoOps {
        |             CAST(sum(CAST(round(z*100) AS BIGINT)) AS BIGINT) AS z_sum_cents
        |      FROM c GROUP BY cx, cy)
        |SELECT cx, cy, n, z_min, z_max, z_sum_cents,
-       |       round(z_sum_cents/100.0/n, 6) AS z_mean
+       |       z_sum_cents/100.0/n AS z_mean
        |FROM g ORDER BY cx, cy""".stripMargin
 
   // --- 6b. hierarchical index: index-of-indexes rollup (geo_index.py:114-172,

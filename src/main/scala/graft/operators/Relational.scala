@@ -26,7 +26,7 @@ object Relational {
         sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_cents"),
         sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))).as("sum_charge_cents"),
         count("*").as("count_order"))
-      .withColumn("avg_qty", round(col("sum_qty") / col("count_order"), 6))
+      .withColumn("avg_qty", col("sum_qty") / col("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
   val q1AggSql: String =
@@ -36,7 +36,7 @@ object Relational {
       |  CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
       |  CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*(1.0+l_tax)*100) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
       |  count(*) AS count_order,
-      |  round(sum(l_quantity)/count(*), 6) AS avg_qty
+      |  sum(l_quantity)/count(*) AS avg_qty
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
       |GROUP BY l_returnflag, l_linestatus

@@ -48,7 +48,7 @@ object Similarity {
       .select(col("vec_id").as("vid"), col("v"), col("norm"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
     c.crossJoin(broadcast(q))
-      .withColumn("cos", round(dot("qv", "v") / (col("qn") * col("norm")), 6))
+      .withColumn("cos", dot("qv", "v") / (col("qn") * col("norm")))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 10)
       .select("qid", "rnk", "vid", "cos")
@@ -62,7 +62,7 @@ object Similarity {
        |nn AS (SELECT * FROM n WHERE norm > 0.0),
        |q AS (SELECT vec_id AS qid, v AS qv, norm AS qn FROM nn WHERE vec_id < 5),
        |c AS (SELECT vec_id AS vid, v, norm FROM nn WHERE vec_id >= 5),
-       |s AS (SELECT qid, vid, round(($d)/(qn*norm), 6) AS cos FROM c, q),
+       |s AS (SELECT qid, vid, ($d)/(qn*norm) AS cos FROM c, q),
        |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rnk
        |      FROM s)
        |SELECT qid, rnk, vid, cos FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
@@ -79,7 +79,7 @@ object Similarity {
       val dotj =
         s"""aggregate(zip_with(v, transform(sequence(0, 63), k -> cast((($j*97 + k*31) % 7) - 3 as double)),
            |  (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)""".stripMargin
-      s"(CASE WHEN round($dotj, 6) > 0.0 THEN ${1L << j}L ELSE 0L END)"
+      s"(CASE WHEN $dotj > 0.0 THEN ${1L << j}L ELSE 0L END)"
     }
     expr(bits.mkString(" + "))
   }
@@ -88,7 +88,7 @@ object Similarity {
     val bits = (0 until 8).map { j =>
       val dotj =
         s"list_reduce(list_transform(generate_series(1, 64), k -> v[k] * ((($j*97 + (k-1)*31) % 7) - 3)), (acc, x) -> acc + x)"
-      s"(CASE WHEN round($dotj, 6) > 0.0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      s"(CASE WHEN $dotj > 0.0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }
     bits.mkString(" + ")
   }
@@ -104,7 +104,7 @@ object Similarity {
       .select(col("vec_id").as("vid"), col("v"), col("norm"), col("bucket"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
     c.join(broadcast(q), "bucket")
-      .withColumn("cos", round(dot("qv", "v") / (col("qn") * col("norm")), 6))
+      .withColumn("cos", dot("qv", "v") / (col("qn") * col("norm")))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 5)
       .select("qid", "rnk", "vid", "bucket", "cos")
@@ -118,7 +118,7 @@ object Similarity {
        |nb AS (SELECT *, $bucketSqlExpr AS bucket FROM n WHERE norm > 0.0),
        |q AS (SELECT vec_id AS qid, v AS qv, norm AS qn, bucket FROM nb WHERE vec_id < 5),
        |c AS (SELECT vec_id AS vid, v, norm, bucket FROM nb WHERE vec_id >= 5),
-       |s AS (SELECT qid, vid, c.bucket, round(($d)/(qn*norm), 6) AS cos
+       |s AS (SELECT qid, vid, c.bucket, ($d)/(qn*norm) AS cos
        |      FROM c JOIN q ON c.bucket = q.bucket),
        |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rnk
        |      FROM s)
@@ -191,7 +191,7 @@ object Similarity {
       .select(col("vec_id").as("vid"), col("v"), col("norm"), col("cent"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
     c.join(broadcast(q), col("cent") === col("p1") || col("cent") === col("p2"))
-      .withColumn("cos", round(dot("qv", "v") / (col("qn") * col("norm")), 6))
+      .withColumn("cos", dot("qv", "v") / (col("qn") * col("norm")))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 5)
       .select("qid", "rnk", "vid", "cent", "cos")
@@ -223,7 +223,7 @@ object Similarity {
        |q AS (SELECT vec_id AS qid, v AS qv, norm AS qn, cent AS p1, cent2 AS p2
        |      FROM a2 WHERE vec_id < 5),
        |c AS (SELECT vec_id AS vid, v, norm, cent FROM a WHERE vec_id >= 5),
-       |s AS (SELECT qid, vid, c.cent, round(($d)/(qn*norm), 6) AS cos
+       |s AS (SELECT qid, vid, c.cent, ($d)/(qn*norm) AS cos
        |      FROM c JOIN q ON c.cent = q.p1 OR c.cent = q.p2),
        |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rnk
        |      FROM s)

@@ -30,15 +30,15 @@ object TextOps {
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         size(expr("regexp_extract_all(text, '[a-z]+', 0)")).cast("long").as("n_alpha_runs"))
       .withColumn("avg_tok_len",
-        round((col("n_chars") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"), 6))
+        (col("n_chars") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
       .orderBy("doc_id")
 
   val tokenCountSql: String =
     """SELECT doc_id, length(text) AS n_chars,
       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
       |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha_runs,
-      |  round(CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
-      |        / len(string_split(text,' ')), 6) AS avg_tok_len
+      |  CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+      |        / len(string_split(text,' ')) AS avg_tok_len
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // --- 28. quality score (length / letter-ratio / stopword-ratio) ---
@@ -53,10 +53,9 @@ object TextOps {
           size(split(col("text"), " "))).as("stop_ratio"),
         least(length(col("text")).cast("double") / 500.0, lit(1.0)).as("len_score"))
       .withColumn("quality",
-        round(col("letter_ratio") * 0.4 + col("stop_ratio") * 0.3 + col("len_score") * 0.3, 6))
-      .select(col("doc_id"), round(col("letter_ratio"), 6).as("letter_ratio"),
-        round(col("stop_ratio"), 6).as("stop_ratio"),
-        round(col("len_score"), 6).as("len_score"), col("quality"))
+        col("letter_ratio") * 0.4 + col("stop_ratio") * 0.3 + col("len_score") * 0.3)
+      .select(col("doc_id"), col("letter_ratio"), col("stop_ratio"),
+        col("len_score"), col("quality"))
       .orderBy("doc_id")
 
   val qualityScoreSql: String =
@@ -69,9 +68,8 @@ object TextOps {
        |      / len(string_split(text, ' ')) AS stop_ratio,
        |    least(CAST(length(text) AS DOUBLE)/500.0, 1.0) AS len_score
        |  FROM documents)
-       |SELECT doc_id, round(letter_ratio, 6) AS letter_ratio,
-       |  round(stop_ratio, 6) AS stop_ratio, round(len_score, 6) AS len_score,
-       |  round(letter_ratio*0.4 + stop_ratio*0.3 + len_score*0.3, 6) AS quality
+       |SELECT doc_id, letter_ratio, stop_ratio, len_score,
+       |  letter_ratio*0.4 + stop_ratio*0.3 + len_score*0.3 AS quality
        |FROM q ORDER BY doc_id""".stripMargin
 
   // --- 29. language ID (stopword-hit n-gram heuristic) ---

@@ -44,7 +44,7 @@ object TrackOps {
     val t2 = abs(lag("z", 1).over(w) - (col("z") - lit(20.0) * m))
     trk(s, dir)
       .withColumn("segdiff", greatest(coalesce(t1, lit(0.0)), coalesce(t2, lit(0.0))))
-      .select(col("track"), col("seq"), round(col("segdiff"), 6).as("segdiff"),
+      .select(col("track"), col("seq"), col("segdiff"),
               (col("segdiff") < 100.0).as("pass"))
       .orderBy("track", "seq")
   }
@@ -56,7 +56,7 @@ object TrackOps {
        |    coalesce(abs(z + 20.0*($dhFitDxSql) - lead(z,1) OVER w), 0.0),
        |    coalesce(abs(lag(z,1) OVER w - (z - 20.0*($dhFitDxSql))), 0.0)) AS segdiff
        |  FROM trk WINDOW w AS (PARTITION BY track ORDER BY seq))
-       |SELECT track, seq, round(segdiff, 6) AS segdiff, segdiff < 100.0 AS pass
+       |SELECT track, seq, segdiff, segdiff < 100.0 AS pass
        |FROM d ORDER BY track, seq""".stripMargin
 
   // --- 12. rss_along_track_dh (ATL06_data.py:356-367) ---
@@ -71,7 +71,7 @@ object TrackOps {
     val tp = col("z") - m * (col("x_atc") - lag("x_atc", 1).over(w)) - lag("z", 1).over(w)
     trk(s, dir)
       .withColumn("rss", sqrt(coalesce(tn * tn, lit(0.0)) + coalesce(tp * tp, lit(0.0))))
-      .select(col("track"), col("seq"), round(col("rss"), 6).as("rss_dh"))
+      .select(col("track"), col("seq"), col("rss").as("rss_dh"))
       .orderBy("track", "seq")
   }
 
@@ -81,7 +81,7 @@ object TrackOps {
        |  z - ($dhFitDxSql)*(x_atc - lead(x_atc,1) OVER w) - lead(z,1) OVER w AS tn,
        |  z - ($dhFitDxSql)*(x_atc - lag(x_atc,1) OVER w) - lag(z,1) OVER w AS tp
        |  FROM trk WINDOW w AS (PARTITION BY track ORDER BY seq))
-       |SELECT track, seq, round(sqrt(coalesce(tn*tn,0.0)+coalesce(tp*tp,0.0)), 6) AS rss_dh
+       |SELECT track, seq, sqrt(coalesce(tn*tn,0.0)+coalesce(tp*tp,0.0)) AS rss_dh
        |FROM d ORDER BY track, seq""".stripMargin
 
   // --- 13. min_along_track_dh (ATL06_data.py:369-382) ---
@@ -93,7 +93,7 @@ object TrackOps {
     trk(s, dir)
       .withColumn("min_dh", least(coalesce(an, ap), coalesce(ap, an)))
       .filter(col("min_dh").isNotNull) // single-point tracks → NaN in the reference
-      .select(col("track"), col("seq"), round(col("min_dh"), 6).as("min_dh"))
+      .select(col("track"), col("seq"), col("min_dh"))
       .orderBy("track", "seq")
   }
 
@@ -103,7 +103,7 @@ object TrackOps {
        |  abs(z - ($dhFitDxSql)*(x_atc - lead(x_atc,1) OVER w) - lead(z,1) OVER w) AS an,
        |  abs(z - ($dhFitDxSql)*(x_atc - lag(x_atc,1) OVER w) - lag(z,1) OVER w) AS ap
        |  FROM trk WINDOW w AS (PARTITION BY track ORDER BY seq))
-       |SELECT track, seq, round(least(coalesce(an,ap), coalesce(ap,an)), 6) AS min_dh
+       |SELECT track, seq, least(coalesce(an,ap), coalesce(ap,an)) AS min_dh
        |FROM d WHERE coalesce(an, ap) IS NOT NULL ORDER BY track, seq""".stripMargin
 
   // --- 14. qualitySummary (ATL06_filters.py:53-70) ---
@@ -111,12 +111,12 @@ object TrackOps {
     li(s, dir)
       .filter(col("h_robust_sprd") < 1.0 && col("h_li_sigma") < 1.0 &&
               col("snr_significance") < 0.02)
-      .select(col("l_orderkey"), col("l_linenumber"), round(col("h_li"), 6).as("h_li"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("h_li"))
       .orderBy("l_orderkey", "l_linenumber")
 
   val qualitySql: String =
     s"""WITH li AS ($L)
-       |SELECT l_orderkey, l_linenumber, round(h_li, 6) AS h_li FROM li
+       |SELECT l_orderkey, l_linenumber, h_li FROM li
        |WHERE h_robust_sprd < 1.0 AND h_li_sigma < 1.0 AND snr_significance < 0.02
        |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
@@ -130,14 +130,14 @@ object TrackOps {
     li(s, dir)
       .withColumn("density", density)
       .filter(col("density") > minD)
-      .select(col("l_orderkey"), col("l_linenumber"), round(col("density"), 6).as("density"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("density"))
       .orderBy("l_orderkey", "l_linenumber")
   }
 
   val phDensitySql: String =
     s"""WITH li AS ($L)
        |SELECT l_orderkey, l_linenumber,
-       |       round(n_fit_photons / w_surface_window_final, 6) AS density
+       |       n_fit_photons / w_surface_window_final AS density
        |FROM li
        |WHERE n_fit_photons / w_surface_window_final >
        |      (CASE WHEN beam_strong = 1 THEN 4.0 ELSE 1.0 END)
@@ -159,7 +159,7 @@ object TrackOps {
            max("y").as("y1"), min("y").as("y0"))
       .filter(col("nb") === 2 && col("y1") =!= col("y0"))
       .select(col("pair_id"), col("xm"), col("ym"), col("tm"),
-              round(sqrt(col("ss")) / (col("y1") - col("y0")), 6).as("dh_dy_sigma"))
+              (sqrt(col("ss")) / (col("y1") - col("y0"))).as("dh_dy_sigma"))
       .orderBy("pair_id")
 
   val pairAggSql: String =
@@ -168,7 +168,7 @@ object TrackOps {
        |             avg(t) AS tm, sum((z/100.0)*(z/100.0)) AS ss,
        |             max(y) AS y1, min(y) AS y0
        |      FROM pts GROUP BY 1)
-       |SELECT pair_id, xm, ym, tm, round(sqrt(ss)/(y1 - y0), 6) AS dh_dy_sigma
+       |SELECT pair_id, xm, ym, tm, sqrt(ss)/(y1 - y0) AS dh_dy_sigma
        |FROM g WHERE nb = 2 AND y1 <> y0 ORDER BY pair_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
