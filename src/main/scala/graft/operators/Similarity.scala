@@ -136,18 +136,25 @@ object Similarity {
     */
   private val NCENT = 8
 
-  private def centroidExpr(j: Int): String =
-    s"transform(sequence(1, 64), k -> cast(((($j*31 + k*17) % 13) - 6) as double)/6.0)"
+  /** Centroid j as plain values — becomes an array *literal* in the
+    * plan (the expr-built transform(sequence(...)) form was rebuilt
+    * per row and, combined with nested argmin folds, blew the
+    * expression tree up to a 49 s/query plan at sf0.1).
+    */
+  private def centroidArr(j: Int): Array[Double] =
+    Array.tabulate(64)(k0 => (((j * 31 + (k0 + 1) * 17) % 13) - 6).toDouble / 6.0)
+
+  /** |c_j|² via the same left fold both engines use. */
+  private def centroidSelfDot(j: Int): Double =
+    centroidArr(j).foldLeft(0.0)((acc, x) => acc + x * x)
 
   private def centroidSqlExpr(j: Int): String =
     s"list_transform(generate_series(1, 64), k -> ((($j*31 + k*17) % 13) - 6)/6.0)"
 
-  /** squared distance |v−c_j|² = |v|² − 2·v·c_j + |c_j|², as a column. */
-  private def distExpr(j: Int): Column = {
-    val vc = graft.functions.VectorExprs.dotp(col("v"), expr(centroidExpr(j)))
-    val cc = graft.functions.VectorExprs.dotp(expr(centroidExpr(j)), expr(centroidExpr(j)))
-    col("vv") - lit(2.0) * vc + cc
-  }
+  /** squared distance |v−c_j|² = |v|² − 2·v·c_j + |c_j|². */
+  private def distExpr(j: Int): Column =
+    col("vv") - lit(2.0) * graft.functions.VectorExprs.dotp(col("v"), typedlit(centroidArr(j))) +
+      lit(centroidSelfDot(j))
 
   private def distSql(j: Int): String = {
     val c = centroidSqlExpr(j)
@@ -157,33 +164,41 @@ object Similarity {
   private def dotSqlOn(a: String, b: String): String =
     s"list_reduce(list_transform(generate_series(1, 64), i -> ($a)[i]*($b)[i]), (acc, x) -> acc + x)"
 
-  /** argmin over the 8 distances, ties to the lower centroid id. */
-  private def argminExpr(dists: Seq[Column]): Column =
-    dists.zipWithIndex.drop(1).foldLeft((lit(0L), dists.head)) {
-      case ((bestJ, bestD), (d, j)) =>
-        (when(d < bestD, lit(j.toLong)).otherwise(bestJ),
-         when(d < bestD, d).otherwise(bestD))
-    }._1
+  /** argmin over materialized d0..d7 columns, ties to the lower id —
+    * the strict-less-than-all-previous chain, structurally identical
+    * to the oracle SQL and linear in plan size.
+    */
+  private def leastOf(cs: Seq[Column]): Column =
+    if (cs.length == 1) cs.head else least(cs: _*)
+
+  private def argminCol(prefix: String): Column =
+    (1 until NCENT).foldLeft(lit(0L): Column) { (acc, j) =>
+      when(col(s"$prefix$j") < leastOf((0 until j).map(i => col(s"$prefix$i"))), lit(j.toLong))
+        .otherwise(acc)
+    }
+
+  /** second-nearest given `cent`: the argmin over the other seven. */
+  private def secondCol(prefix: String): Column =
+    (0 until NCENT).map { j =>
+      val others = (0 until NCENT).filter(_ != j)
+      val inner = others.tail.foldLeft(lit(others.head.toLong): Column) { (acc, k) =>
+        when(col(s"$prefix$k") <
+               leastOf(others.takeWhile(_ != k).map(i => col(s"$prefix$i"))),
+             lit(k.toLong)).otherwise(acc)
+      }
+      (j, inner)
+    }.foldLeft(lit(-1L): Column) { case (acc, (j, inner)) =>
+      when(col("cent") === j, inner).otherwise(acc)
+    }
 
   def annIvf(s: SparkSession, dir: String): DataFrame = {
-    val base = emb(s, dir)
+    val base0 = emb(s, dir)
       .withColumn("vv", dot("v", "v"))
       .withColumn("norm", sqrt(col("vv")))
       .filter(col("norm") > 0.0)
-    val dists = (0 until NCENT).map(distExpr)
-    val assigned = base.withColumn("cent", argminExpr(dists))
-    // second-nearest for query probing
-    val withSecond = assigned.withColumn("cent2",
-      dists.zipWithIndex.drop(1).foldLeft(
-        (lit(0L), dists.head, lit(-1L), lit(Double.MaxValue))) {
-        case ((bj, bd, sj, sd), (d, j)) =>
-          val better = d < bd
-          val secondBetter = !better && (d < sd)
-          (when(better, lit(j.toLong)).otherwise(bj),
-           when(better, d).otherwise(bd),
-           when(better, bj).otherwise(when(secondBetter, lit(j.toLong)).otherwise(sj)),
-           when(better, bd).otherwise(when(secondBetter, d).otherwise(sd)))
-      }._3)
+    val base = (0 until NCENT).foldLeft(base0)((df, j) => df.withColumn(s"d$j", distExpr(j)))
+    val assigned = base.withColumn("cent", argminCol("d"))
+    val withSecond = assigned.withColumn("cent2", secondCol("d"))
     val q = withSecond.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"),
               col("cent").as("p1"), col("cent2").as("p2"))
