@@ -51,7 +51,11 @@ object Dedup {
     * bit-equal even in the (≈2⁻⁴⁰) collision case.
     */
   private def shingles(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+    shinglesOf(docs(s, dir))
+
+  /** Shingle extraction over any (doc_id, text) frame. */
+  def shinglesOf(documents: DataFrame): DataFrame =
+    documents
       .select(col("doc_id"), explode(expr(
         """transform(sequence(1, greatest(size(split(text,' ')) - 4, 1)),
           |          i -> concat_ws(' ', slice(split(text,' '), i, 5)))""".stripMargin))
@@ -69,9 +73,13 @@ object Dedup {
   /** Candidates = pairs sharing ≥1 shingle; similarity = exact Jaccard
     * over the full shingle sets of each candidate pair.
     */
-  def jaccard(s: SparkSession, dir: String): DataFrame = {
+  def jaccard(s: SparkSession, dir: String): DataFrame =
+    jaccardOf(shinglesOf(docs(s, dir)))
+
+  /** Shingle-set Jaccard over any (doc_id, gh) shingle frame. */
+  def jaccardOf(shingleFrame: DataFrame): DataFrame = {
     // persisted: used on both sides of the candidate self-join + sizes
-    val sh    = shingles(s, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh    = shingleFrame.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count("*").as("sz"))
     sh.as("t1")
       .join(sh.as("t2"),

@@ -27,6 +27,25 @@ class SkewAndSinkSpec extends SparkSpec {
            plain.select(sum($"event_id")).as[Long].head())
   }
 
+  test("bucketed co-located join plans with zero exchanges") {
+    import graft.sources.Bucketing
+    Bucketing.writeBucketed(
+      graft.core.Tables.t(spark, sf, "lineitem"), "li_b", "l_orderkey", 4)
+    Bucketing.writeBucketed(
+      graft.core.Tables.t(spark, sf, "orders")
+        .withColumnRenamed("o_orderkey", "l_orderkey"), "ord_b", "l_orderkey", 4)
+    // force the fact-fact (sort-merge) path: at 100 TB neither side
+    // broadcasts, which is exactly when bucketing pays
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketing.colocatedJoin(spark, "li_b", "ord_b", "l_orderkey")
+      assert(joined.count() == graft.core.Tables.t(spark, sf, "lineitem").count())
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"), s"expected shuffle-free bucketed join:\n$plan")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("crossover tile sink round-trips with partition pruning") {
     val dir = Files.createTempDirectory("xovers").toString
     val xo = Crossovers.crossovers(spark, sf)
