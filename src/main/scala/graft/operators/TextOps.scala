@@ -101,6 +101,36 @@ object TextOps {
        |       WHEN de_hits >= es_hits THEN 'de' ELSE 'es' END AS lang_pred
        |FROM h ORDER BY doc_id""".stripMargin
 
+  // --- 29b. char-trigram profile (the n-gram half of language ID) ---
+  /** Per document: its most frequent character trigram (ties to the
+    * lexicographically smallest) and that trigram's count — the
+    * building block of n-gram language profiles.
+    */
+  def charNgrams(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs(s, dir)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"))
+          .as("g"))
+      .groupBy("doc_id", "g").agg(count("*").as("n"))
+    val w = Window.partitionBy("doc_id").orderBy(col("n").desc, col("g"))
+    grams.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("doc_id"), col("g").as("top_trigram"), col("n").as("n_occurrences"))
+      .orderBy("doc_id")
+  }
+
+  val charNgramsSql: String =
+    """WITH grams AS (
+      |  SELECT doc_id, substr(text, i, 3) AS g, count(*) AS n
+      |  FROM documents,
+      |    LATERAL (SELECT unnest(generate_series(1, greatest(length(text) - 2, 1))) AS i) t
+      |  GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, g) AS rnk
+      |      FROM grams)
+      |SELECT doc_id, g AS top_trigram, n AS n_occurrences
+      |FROM r WHERE rnk = 1 ORDER BY doc_id""".stripMargin
+
   // --- 30. document fingerprinting (content + min-shingle hash) ---
   /** Winnowing-style: the fingerprint is the minimum hash over word
     * 3-gram shingles, plus a whole-content hash.
@@ -155,6 +185,7 @@ object TextOps {
     "q_token_count"     -> (tokenCount _),
     "q_quality_score"   -> (qualityScore _),
     "q_lang_id"         -> (langId _),
+    "q_char_ngrams"     -> (charNgrams _),
     "q_fingerprint"     -> (fingerprint _),
     "q_multimodal_meta" -> (multimodalMeta _))
 
@@ -162,6 +193,7 @@ object TextOps {
     "q_token_count"     -> tokenCountSql,
     "q_quality_score"   -> qualityScoreSql,
     "q_lang_id"         -> langIdSql,
+    "q_char_ngrams"     -> charNgramsSql,
     "q_fingerprint"     -> fingerprintSql,
     "q_multimodal_meta" -> multimodalMetaSql)
 }

@@ -112,6 +112,28 @@ class EngineInfraSpec extends SparkSpec {
     assert(out.head.user_id == 7L && out.head.n_events == 2)
   }
 
+  test("streaming from the real events parquet source (readStream)") {
+    val static = graft.core.Tables.t(spark, sf, "events")
+    // the file source wants a directory: stream the sf dir, filtered
+    // to the events table file
+    val stream = spark.readStream.schema(static.schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sf)
+    // ts arrives as long nanos under the legacy flag → event-time col
+    val events = stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = EventStream.windowedCounts(events, "1 hour", "15 minutes")
+      .writeStream.format("memory").queryName("file_stream_counts")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val total = spark.table("file_stream_counts")
+      .agg(sum("n_events")).as[Long].collect().headOption.getOrElse(0L)
+    // append mode emits only watermark-closed windows; all but the
+    // final hour of events must have been emitted
+    assert(total > 0 && total <= static.count())
+  }
+
   test("multimodal decode: deterministic stub over real partition plumbing") {
     val docs = graft.core.Tables.t(spark, sf, "documents")
     val decoded = MediaOps.decode(MediaOps.mediaTable(docs))
