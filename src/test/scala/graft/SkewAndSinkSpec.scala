@@ -27,6 +27,15 @@ class SkewAndSinkSpec extends SparkSpec {
            plain.select(sum($"event_id")).as[Long].head())
   }
 
+  test("q6 predicates reach the parquet scan as PushedFilters") {
+    val plan = graft.operators.Relational.q6Filter(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pushed = plan.linesIterator.find(_.contains("PushedFilters")).get
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount") &&
+           pushed.contains("LessThan(l_quantity,24")) // all four predicates sargable
+  }
+
   test("bucketed co-located join plans with zero exchanges") {
     import graft.sources.Bucketing
     Bucketing.writeBucketed(
