@@ -171,7 +171,54 @@ object TrackOps {
        |SELECT pair_id, xm, ym, tm, sqrt(ss)/(y1 - y0) AS dh_dy_sigma
        |FROM g WHERE nb = 2 AND y1 <> y0 ORDER BY pair_id""".stripMargin
 
+  // --- 10b. resample_path (referenced by xover_search.py:139-146) ---
+  /** Resample each track at a fixed 25-unit along-track spacing,
+    * linearly interpolating z and t between the bracketing points
+    * (x_atc is a uniform 10-unit grid, so the bracket index is
+    * floor(p/10)).  The explode/join shape is the scalable form: one
+    * shuffle on (track, seq), no per-track iteration.
+    */
+  def resample(s: SparkSession, dir: String): DataFrame = {
+    val w   = Window.partitionBy("track").orderBy("seq")
+    val seg = trk(s, dir)
+      .withColumn("z2", lead("z", 1).over(w))
+      .withColumn("t2", lead("t", 1).over(w))
+      .filter(col("z2").isNotNull)
+    val lens = trk(s, dir).groupBy("track").agg(max("seq").as("n"))
+    val samples = lens
+      .select(col("track"),
+        explode(expr("sequence(1, greatest(cast(floor((n*10 - 10)/25) as int), 1))")).as("k"))
+      .withColumn("p", col("k") * lit(25.0))
+      .withColumn("i", expr("cast(floor(p/10) as bigint)"))
+      .withColumn("frac", (col("p") - col("i") * 10.0) / 10.0)
+    samples.join(seg, samples("track") === seg("track") && col("i") === col("seq"))
+      .select(samples("track"), col("k").cast("long").as("k"), col("p"),
+        (col("z") + col("frac") * (col("z2") - col("z"))).as("z_p"),
+        (col("t") + col("frac") * (col("t2") - col("t"))).as("t_p"))
+      .orderBy("track", "k")
+  }
+
+  val resampleSql: String =
+    s"""WITH trk AS ($T),
+       |seg AS (
+       |  SELECT track, seq, z, t, lead(z,1) OVER w AS z2, lead(t,1) OVER w AS t2
+       |  FROM trk WINDOW w AS (PARTITION BY track ORDER BY seq)),
+       |lens AS (SELECT track, max(seq) AS n FROM trk GROUP BY 1),
+       |samples AS (
+       |  SELECT track, k, k*(25.0::DOUBLE) AS p,
+       |    CAST(floor(k*25.0/10) AS BIGINT) AS i,
+       |    (k*25.0 - CAST(floor(k*25.0/10) AS BIGINT)*10.0)/10.0 AS frac
+       |  FROM lens,
+       |    LATERAL (SELECT unnest(generate_series(1, greatest(CAST(floor((n*10 - 10)/25) AS INTEGER), 1))) AS k) t)
+       |SELECT s.track, CAST(s.k AS BIGINT) AS k, s.p,
+       |  g.z + s.frac*(g.z2 - g.z) AS z_p,
+       |  g.t + s.frac*(g.t2 - g.t) AS t_p
+       |FROM samples s JOIN seg g ON g.track = s.track AND g.seq = s.i
+       |WHERE g.z2 IS NOT NULL
+       |ORDER BY s.track, s.k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_resample"  -> (resample _),
     "q_tracks"    -> (tracks _),
     "q_segdiff"   -> (segdiff _),
     "q_rss_dh"    -> (rssDh _),
@@ -181,6 +228,7 @@ object TrackOps {
     "q_pair_agg"  -> (pairAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q_resample"  -> resampleSql,
     "q_tracks"    -> tracksSql,
     "q_segdiff"   -> segdiffSql,
     "q_rss_dh"    -> rssDhSql,
