@@ -36,6 +36,27 @@ object Dedup {
       |  count(*) AS n_copies
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- 26b. dedup apply: materialize the keep-first corpus ---
+  /** The second half of exact dedup: keep only each content group's
+    * lowest doc_id (a self-contained groupBy + semi-join — no window
+    * over the full corpus needed).
+    */
+  def dedupApply(s: SparkSession, dir: String): DataFrame = {
+    val keepers = docs(s, dir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    docs(s, dir)
+      .join(keepers, Seq("doc_id"), "leftsemi")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val dedupApplySql: String =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+      |ORDER BY doc_id""".stripMargin
+
   /** Distinct (doc_id, tok) pairs — for per-document signatures. */
   private def toks(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
@@ -205,12 +226,14 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (dedupExact _),
+    "q_dedup_apply" -> (dedupApply _),
     "q_jaccard"     -> (jaccard _),
     "q_minhash_lsh" -> (minhashLsh _),
     "q_simhash"     -> (simhash _))
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> dedupExactSql,
+    "q_dedup_apply" -> dedupApplySql,
     "q_jaccard"     -> jaccardSql,
     "q_minhash_lsh" -> minhashLshSql,
     "q_simhash"     -> simhashSql)

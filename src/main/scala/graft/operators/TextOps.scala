@@ -157,6 +157,31 @@ object TextOps {
       |  CAST(greatest(len(string_split(text,' ')) - 2, 1) AS BIGINT) AS n_shingles
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --- 28b. text cleaning + redaction (pipeline normalization step) ---
+  /** Normalize (lowercase, collapse whitespace, strip non-alnum) and
+    * redact digit runs — the standard pre-tokenization cleanup of a
+    * training-data pipeline, as pure codegen'd expressions.
+    */
+  def textClean(s: SparkSession, dir: String): DataFrame = {
+    val lowered  = lower(col("text"))
+    val stripped = regexp_replace(lowered, "[^a-z0-9 ]", " ")
+    val collapsed = trim(regexp_replace(stripped, " +", " "))
+    val redacted  = regexp_replace(collapsed, "[0-9]+", "<num>")
+    docs(s, dir).select(
+        col("doc_id"),
+        length(collapsed).cast("long").as("clean_len"),
+        md5(redacted).as("clean_md5"),
+        size(expr("regexp_extract_all(text, '[0-9]+', 0)")).cast("long").as("n_digit_runs"))
+      .orderBy("doc_id")
+  }
+
+  val textCleanSql: String =
+    """SELECT doc_id,
+      |  length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS clean_len,
+      |  md5(regexp_replace(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), '[0-9]+', '<num>', 'g')) AS clean_md5,
+      |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_digit_runs
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // --- 36. multimodal metadata surface (binary-column plumbing) ---
   /** Image/audio/video are opaque binary columns with typed metadata;
     * the decode stub lives in graft.multimodal.  The queryable surface
@@ -184,6 +209,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_token_count"     -> (tokenCount _),
     "q_quality_score"   -> (qualityScore _),
+    "q_text_clean"      -> (textClean _),
     "q_lang_id"         -> (langId _),
     "q_char_ngrams"     -> (charNgrams _),
     "q_fingerprint"     -> (fingerprint _),
@@ -192,6 +218,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "q_token_count"     -> tokenCountSql,
     "q_quality_score"   -> qualityScoreSql,
+    "q_text_clean"      -> textCleanSql,
     "q_lang_id"         -> langIdSql,
     "q_char_ngrams"     -> charNgramsSql,
     "q_fingerprint"     -> fingerprintSql,
