@@ -55,8 +55,33 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native codegen'd Hamming distance between two 64-bit signatures —
+  * popcount of the xor, one instruction pair in generated code.
+  */
+case class HammingDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hamming"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Long.bitCount(a.asInstanceOf[Long] ^ b.asInstanceOf[Long]).toLong
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = (long) java.lang.Long.bitCount($a ^ $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
   /** Column API for [[DotProduct]]. */
   def dotp(a: Column, b: Column): Column =
     GraftSql.column(DotProduct(GraftSql.expression(a), GraftSql.expression(b)))
+
+  /** Column API for [[HammingDistance]]. */
+  def hamming(a: Column, b: Column): Column =
+    GraftSql.column(HammingDistance(GraftSql.expression(a), GraftSql.expression(b)))
 }

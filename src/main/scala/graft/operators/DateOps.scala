@@ -175,13 +175,76 @@ object DateOps {
        |  (1.0-u)*(1.0-v)*gz00 + u*(1.0-v)*gz10 + (1.0-u)*v*gz01 + u*v*gz11 AS z_interp
        |FROM j ORDER BY pid""".stripMargin
 
+  // --- 23b. demBounds: raster extent report (demBounds.py:13-48) ---
+  /** Extent of each "DEM" — the corpus split into 4 rasters by id%4,
+    * each reporting its native bounding box and node count, as
+    * demBounds does per GeoTIFF.
+    */
+  def demBounds(s: SparkSession, dir: String): DataFrame =
+    Tables.eventsPoints(s, dir)
+      .withColumn("dem_id", (col("id") % 4).cast("long"))
+      .withColumn("gx", (floor(col("x") / 100) * 100).cast("long"))
+      .withColumn("gy", (floor(col("y") / 100) * 100).cast("long"))
+      .groupBy("dem_id")
+      .agg(min("gx").as("x_min"), max("gx").as("x_max"),
+           min("gy").as("y_min"), max("gy").as("y_max"),
+           countDistinct(col("gx"), col("gy")).as("n_nodes"))
+      .orderBy("dem_id")
+
+  val demBoundsSql: String =
+    s"""WITH pts AS (${Tables.eventsPointsSql}),
+       |g AS (SELECT CAST(id % 4 AS BIGINT) AS dem_id,
+       |             CAST(floor(x/100.0)*100 AS BIGINT) AS gx,
+       |             CAST(floor(y/100.0)*100 AS BIGINT) AS gy FROM pts)
+       |SELECT dem_id, min(gx) AS x_min, max(gx) AS x_max,
+       |       min(gy) AS y_min, max(gy) AS y_max,
+       |       count(DISTINCT (gx, gy)) AS n_nodes
+       |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- 23c. landmask filter (read_surfmask.py / ATL06_tiles.py:180-201) ---
+  /** The reference interpolates a land mask at tile centers and keeps
+    * only land tiles.  Here the mask is the z-grid thresholded at its
+    * cell mean > 55 ("land" ≈ the upper third of cells); points are kept by a semi-join on their
+    * mask cell — at scale the mask is a broadcast dim.
+    */
+  def landmaskFilter(s: SparkSession, dir: String): DataFrame = {
+    val d = 100.0
+    val pts = Tables.eventsPoints(s, dir)
+      .withColumn("gx", (floor(col("x") / d) * d.toLong).cast("long"))
+      .withColumn("gy", (floor(col("y") / d) * d.toLong).cast("long"))
+    val mask = pts.groupBy("gx", "gy")
+      .agg((sum(round(col("z") * 100).cast("long")) / 100.0 / count("*")).as("gz"))
+      .filter(col("gz") > 55.0)
+      .select("gx", "gy")
+    pts.join(broadcast(mask), Seq("gx", "gy"), "leftsemi")
+      .select("id", "x", "y", "z")
+      .orderBy("id")
+  }
+
+  val landmaskFilterSql: String =
+    s"""WITH pts AS (${Tables.eventsPointsSql}),
+       |b AS (SELECT *, CAST(floor(x/100.0)*100 AS BIGINT) AS gx,
+       |             CAST(floor(y/100.0)*100 AS BIGINT) AS gy FROM pts),
+       |mask AS (
+       |  SELECT gx, gy FROM (
+       |    SELECT gx, gy, sum(CAST(round(z*100) AS BIGINT))/100.0/count(*) AS gz
+       |    FROM b GROUP BY 1, 2)
+       |  WHERE gz > 55.0)
+       |SELECT id, x, y, z FROM b
+       |WHERE EXISTS (SELECT 1 FROM mask WHERE mask.gx = b.gx AND mask.gy = b.gy)
+       |ORDER BY id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dem_bounds"  -> (demBounds _),
+    "q_landmask"    -> (landmaskFilter _),
     "q_dates"       -> (dates _),
     "q_wv_date"     -> (wvDate _),
     "q_project_xy"  -> (projectXy _),
     "q_grid_interp" -> (gridInterp _))
 
   val oracles: Map[String, String] = Map(
+    "q_dem_bounds"  -> demBoundsSql,
+    "q_landmask"    -> landmaskFilterSql,
     "q_dates"       -> datesSql,
     "q_wv_date"     -> wvDateSql,
     "q_project_xy"  -> projectXySql,

@@ -224,7 +224,46 @@ object Dedup {
        |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // --- 33b. SimHash near-dup pair search ---
+  /** Pairs within Hamming distance ≤ 8 of each other's 32-bit simhash,
+    * candidates bucketed by the high byte of the signature (near-dups
+    * share high bits with high probability).  Hamming is the native
+    * codegen'd [[graft.functions.HammingDistance]].
+    */
+  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = simhash(s, dir).withColumn("bucket", expr("shiftright(simhash32, 24)"))
+    val a = sig.select(col("doc_id").as("d1"), col("simhash32").as("h1"), col("bucket"))
+    val b = sig.select(col("doc_id").as("d2"), col("simhash32").as("h2"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("d1") < col("d2"))
+      .withColumn("hamming", graft.functions.VectorExprs.hamming(col("h1"), col("h2")))
+      .filter(col("hamming") <= 8)
+      .select("d1", "d2", "hamming")
+      .orderBy("d1", "d2")
+  }
+
+  val simhashPairsSql: String = {
+    val H = TextOps.md5longSqlFmt.format("tok")
+    s"""WITH tk AS ($toksSql),
+       |th AS (SELECT doc_id, $H AS th FROM tk),
+       |votes AS (
+       |  SELECT doc_id, bit, sum((th >> bit) % 2 * 2 - 1) AS vote
+       |  FROM th, (SELECT unnest(generate_series(0, 31)) AS bit) bits
+       |  GROUP BY 1, 2),
+       |sig AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN vote > 0 THEN 1::BIGINT << bit ELSE 0 END) AS BIGINT) AS h
+       |  FROM votes GROUP BY doc_id),
+       |sb AS (SELECT *, h >> 24 AS bucket FROM sig)
+       |SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+       |FROM sb a JOIN sb b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.h, b.h)) <= 8
+       |ORDER BY d1, d2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_simhash_pairs" -> (simhashPairs _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_apply" -> (dedupApply _),
     "q_jaccard"     -> (jaccard _),
@@ -232,6 +271,7 @@ object Dedup {
     "q_simhash"     -> (simhash _))
 
   val oracles: Map[String, String] = Map(
+    "q_simhash_pairs" -> simhashPairsSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_apply" -> dedupApplySql,
     "q_jaccard"     -> jaccardSql,
