@@ -135,17 +135,22 @@ object TextOps {
   /** Winnowing-style: the fingerprint is the minimum hash over word
     * 3-gram shingles, plus a whole-content hash.
     */
-  def fingerprint(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(
-        col("doc_id"),
-        md5long(col("text")).as("content_fp"),
-        expr(
-          """array_min(transform(
-            |  sequence(1, greatest(size(split(text,' ')) - 2, 1)),
-            |  i -> cast(conv(substring(md5(concat_ws(' ', slice(split(text,' '), i, 3))), 1, 15), 16, 10) as long)
-            |))""".stripMargin).as("min_shingle_fp"),
-        greatest(size(split(col("text"), " ")) - 2, lit(1)).cast("long").as("n_shingles"))
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    // explode + agg instead of an array HOF: md5/conv evaluate inside
+    // whole-stage codegen in the projection; the HOF form interprets
+    // the lambda per shingle (~8 s at sf0.1 vs ~1 s this way)
+    val sh = docs(s, dir)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, greatest(size(split(text,' ')) - 2, 1)),
+          |          i -> concat_ws(' ', slice(split(text,' '), i, 3)))""".stripMargin)).as("g"))
+      .groupBy("doc_id")
+      .agg(min(md5long(col("g"))).as("min_shingle_fp"), count("*").as("n_shingles"))
+    docs(s, dir)
+      .select(col("doc_id"), md5long(col("text")).as("content_fp"))
+      .join(sh, "doc_id")
+      .select("doc_id", "content_fp", "min_shingle_fp", "n_shingles")
       .orderBy("doc_id")
+  }
 
   val fingerprintSql: String =
     """SELECT doc_id,
