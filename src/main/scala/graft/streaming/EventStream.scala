@@ -87,4 +87,48 @@ object EventStream {
           }
       }
   }
+
+  /** Event-time-timeout variant: idle sessions close when the
+    * watermark passes last-event + gap, so tails are emitted without
+    * waiting for the user's next event — the production shape (the
+    * NoTimeout variant above only closes on a successor event).
+    */
+  def sessionizeEventTime(events: DataFrame,
+                          gapMs: Long = 1800000L,
+                          watermark: String = "10 minutes"): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s =>
+              ClosedSession(user, s.nEvents, s.tStart, s.tEnd)).iterator
+            state.remove()
+            out
+          } else {
+            val ts = rows.map(_._2.getTime).toSeq.sorted
+            val (closed, finalState) =
+              ts.foldLeft((List.empty[ClosedSession], state.getOption)) {
+                case ((acc, Some(s)), t) if t - s.tEnd > gapMs =>
+                  (ClosedSession(user, s.nEvents, s.tStart, s.tEnd) :: acc,
+                    Some(SessionState(1, t, t)))
+                case ((acc, Some(s)), t) =>
+                  (acc, Some(SessionState(s.nEvents + 1, s.tStart, t)))
+                case ((acc, None), t) =>
+                  (acc, Some(SessionState(1, t, t)))
+              }
+            finalState.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.tEnd + gapMs)
+            }
+            closed.reverse.iterator
+          }
+      }
+  }
 }

@@ -112,6 +112,28 @@ class EngineInfraSpec extends SparkSpec {
     assert(out.head.user_id == 7L && out.head.n_events == 2)
   }
 
+  test("event-time-timeout sessionization closes idle sessions via watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val events = mem.toDF().toDF("ts", "user_id")
+    val q = EventStream.sessionizeEventTime(events, gapMs = 60000L, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("et_sessions")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData((ts("2024-01-01 10:00:00"), 7L), (ts("2024-01-01 10:00:10"), 7L))
+    q.processAllAvailable()
+    // another user far in the future advances the watermark past
+    // user 7's last event + gap...
+    mem.addData((ts("2024-01-01 11:00:00"), 9L))
+    q.processAllAvailable()
+    // ...and the following batch fires the timeout
+    mem.addData((ts("2024-01-01 11:00:01"), 9L))
+    q.processAllAvailable()
+    val out = spark.table("et_sessions").as[graft.streaming.ClosedSession].collect()
+    q.stop()
+    assert(out.exists(s => s.user_id == 7L && s.n_events == 2))
+  }
+
   test("streaming from the real events parquet source (readStream)") {
     val static = graft.core.Tables.t(spark, sf, "events")
     // the file source wants a directory: stream the sf dir, filtered
