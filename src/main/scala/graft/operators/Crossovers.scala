@@ -245,11 +245,34 @@ object Crossovers {
     }
   }
 
+  // --- 17c. crossover elevation-change rates (the reference's end
+  //     product: dh/dt between repeat passes at each crossing) ---
+  def xoverDhdt(s: SparkSession, dir: String): DataFrame = {
+    val xo = crossovers(s, dir)
+    val dtDays = (col("t_a") - col("t_b")) / lit(86400000.0)
+    xo.withColumn("dt_days", dtDays)
+      .filter(col("dt_days") =!= 0.0)
+      .withColumn("dhdt", col("dh") / col("dt_days"))
+      .select("track_a", "track_b", "seq_a", "seq_b", "dh", "dt_days", "dhdt")
+      .orderBy("track_a", "track_b", "seq_a", "seq_b")
+  }
+
+  val xoverDhdtSql: String =
+    s"""WITH xo AS ($crossoversSql)
+       |SELECT track_a, track_b, seq_a, seq_b, dh,
+       |  (t_a - t_b)/86400000.0 AS dt_days,
+       |  dh / ((t_a - t_b)/86400000.0) AS dhdt
+       |FROM xo
+       |WHERE (t_a - t_b)/86400000.0 <> 0.0
+       |ORDER BY track_a, track_b, seq_a, seq_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_crossovers"  -> (crossovers _),
+    "q_xover_dhdt"  -> (xoverDhdt _),
     "q_xover_slope" -> (xoverSlope _))
 
   val oracles: Map[String, String] = Map(
     "q_crossovers"  -> crossoversSql,
+    "q_xover_dhdt"  -> xoverDhdtSql,
     "q_xover_slope" -> xoverSlopeSql)
 }

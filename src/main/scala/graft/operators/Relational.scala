@@ -119,6 +119,51 @@ object Relational {
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
       |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
 
+  // --- 39c. large-volume customers (Q18 shape: having + join-back) ---
+  def q18Having(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("sum_qty"))
+      .filter(col("sum_qty") > 150.0)
+    t(s, dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+              col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  val q18HavingSql: String =
+    """SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+      |FROM orders
+      |JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      |      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150.0) big
+      |  ON o_orderkey = big.l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 20""".stripMargin
+
+  // --- 39d. anti join: orders with no shipped lineitem in a window ---
+  def antiJoin(s: SparkSession, dir: String): DataFrame = {
+    val shipped = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+      .select(col("l_orderkey"))
+    t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+      .join(shipped, col("o_orderkey") === col("l_orderkey"), "leftanti")
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
+      .orderBy("o_orderkey")
+  }
+
+  val antiJoinSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem
+      |                  WHERE l_orderkey = o_orderkey
+      |                    AND l_shipdate >= TIMESTAMP '1997-01-01')
+      |ORDER BY o_orderkey""".stripMargin
+
   // --- 40. window top-k per group ---
   def windowTopk(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey") % 10)
@@ -172,6 +217,8 @@ object Relational {
     "q3_join"       -> (q3Join _),
     "q5_join"       -> (q5Join _),
     "q6_filter"     -> (q6Filter _),
+    "q18_having"    -> (q18Having _),
+    "q_anti_join"   -> (antiJoin _),
     "q_window_topk" -> (windowTopk _),
     "q_sessionize"  -> (sessionize _))
 
@@ -180,6 +227,8 @@ object Relational {
     "q3_join"       -> q3JoinSql,
     "q5_join"       -> q5JoinSql,
     "q6_filter"     -> q6FilterSql,
+    "q18_having"    -> q18HavingSql,
+    "q_anti_join"   -> antiJoinSql,
     "q_window_topk" -> windowTopkSql,
     "q_sessionize"  -> sessionizeSql)
 }
