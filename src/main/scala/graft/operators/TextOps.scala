@@ -187,6 +187,35 @@ object TextOps {
       |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_digit_runs
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --- 36b. chunked payload + frame sampling (video-style access) ---
+  /** Split each payload into fixed 256-byte chunks and keep every 4th
+    * ("frame sampling" over a chunked binary column; the corpus is
+    * ASCII so char and byte offsets coincide).  The explode/filter
+    * shape is exactly how a real frame sampler fans a blob out to
+    * per-frame rows for parallel decode.
+    */
+  def frameSample(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        explode(expr("sequence(0, cast(ceil(length(text)/256.0) as int) - 1)")).as("chunk_idx"))
+      .filter(col("chunk_idx") % 4 === 0)
+      .join(docs(s, dir).select("doc_id", "text"), "doc_id")
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("frame_idx"),
+        length(expr("substring(text, chunk_idx*256 + 1, 256)")).cast("long").as("chunk_len"),
+        md5(expr("substring(text, chunk_idx*256 + 1, 256)")).as("chunk_md5"))
+      .orderBy("doc_id", "frame_idx")
+
+  val frameSampleSql: String =
+    """WITH c AS (
+      |  SELECT doc_id, text, i AS chunk_idx
+      |  FROM documents,
+      |    LATERAL (SELECT unnest(generate_series(0, CAST(ceil(length(text)/256.0) AS INTEGER) - 1)) AS i) t
+      |  WHERE i % 4 = 0)
+      |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS frame_idx,
+      |  CAST(length(substr(text, chunk_idx*256 + 1, 256)) AS BIGINT) AS chunk_len,
+      |  md5(substr(text, chunk_idx*256 + 1, 256)) AS chunk_md5
+      |FROM c ORDER BY doc_id, frame_idx""".stripMargin
+
   // --- 36. multimodal metadata surface (binary-column plumbing) ---
   /** Image/audio/video are opaque binary columns with typed metadata;
     * the decode stub lives in graft.multimodal.  The queryable surface
@@ -218,7 +247,8 @@ object TextOps {
     "q_lang_id"         -> (langId _),
     "q_char_ngrams"     -> (charNgrams _),
     "q_fingerprint"     -> (fingerprint _),
-    "q_multimodal_meta" -> (multimodalMeta _))
+    "q_multimodal_meta" -> (multimodalMeta _),
+    "q_frame_sample"    -> (frameSample _))
 
   val oracles: Map[String, String] = Map(
     "q_token_count"     -> tokenCountSql,
@@ -227,5 +257,6 @@ object TextOps {
     "q_lang_id"         -> langIdSql,
     "q_char_ngrams"     -> charNgramsSql,
     "q_fingerprint"     -> fingerprintSql,
-    "q_multimodal_meta" -> multimodalMetaSql)
+    "q_multimodal_meta" -> multimodalMetaSql,
+    "q_frame_sample"    -> frameSampleSql)
 }

@@ -88,6 +88,28 @@ object EventStream {
       }
   }
 
+  /** Stream-stream interval join: attribute each purchase to the
+    * user's clicks in the preceding 10 minutes.  Watermarks bound the
+    * join state on both sides — the canonical streaming-join shape.
+    */
+  def purchaseAttribution(events: DataFrame,
+                          watermark: String = "20 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+              col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+              col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", watermark)
+    purchases.join(clicks,
+      expr("""p_user = c_user AND
+              click_ts <= purchase_ts AND
+              click_ts >= purchase_ts - interval 10 minutes"""))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+              col("purchase_ts"), col("click_ts"), col("value"))
+  }
+
   /** Event-time-timeout variant: idle sessions close when the
     * watermark passes last-event + gap, so tails are emitted without
     * waiting for the user's next event — the production shape (the

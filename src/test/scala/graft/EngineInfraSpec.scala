@@ -112,6 +112,27 @@ class EngineInfraSpec extends SparkSpec {
     assert(out.head.user_id == 7L && out.head.n_events == 2)
   }
 
+  test("stream-stream interval join attributes purchases to recent clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String, Long, Double)]
+    val events = mem.toDF().toDF("ts", "user_id", "event_type", "event_id", "value")
+    val q = EventStream.purchaseAttribution(events)
+      .writeStream.format("memory").queryName("attribution")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData(
+      (ts("2024-01-01 10:00:00"), 1L, "click", 100L, 0.0),
+      (ts("2024-01-01 10:05:00"), 1L, "purchase", 101L, 9.99),
+      (ts("2024-01-01 09:30:00"), 1L, "click", 99L, 0.0),   // too old: > 10 min before
+      (ts("2024-01-01 10:06:00"), 2L, "purchase", 102L, 5.0)) // no click from user 2
+    q.processAllAvailable()
+    val out = spark.table("attribution").collect()
+    q.stop()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("purchase_id") == 101L &&
+           out.head.getAs[Long]("click_id") == 100L)
+  }
+
   test("event-time-timeout sessionization closes idle sessions via watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long)]
