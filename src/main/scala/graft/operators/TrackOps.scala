@@ -151,24 +151,27 @@ object TrackOps {
   def pairAgg(s: SparkSession, dir: String): DataFrame =
     Tables.eventsPoints(s, dir)
       .select(expr("id div 2").as("pair_id"), col("x"), col("y"), col("z"), col("t"),
-              (col("z") / 100.0).as("sigma"))
+              (col("z") / 100.0).as("sigma"),
+              (((col("id") % 7) - 3).cast("double") / 1000.0).as("dh_dx"))
       .groupBy("pair_id")
       .agg(count("*").as("nb"), avg("x").as("xm"), avg("y").as("ym"),
-           avg("t").as("tm"),
+           avg("t").as("tm"), avg("z").as("hm"), avg("dh_dx").as("dh_dx_m"),
            sum(col("sigma") * col("sigma")).as("ss"),
            max("y").as("y1"), min("y").as("y0"))
       .filter(col("nb") === 2 && col("y1") =!= col("y0"))
-      .select(col("pair_id"), col("xm"), col("ym"), col("tm"),
+      .select(col("pair_id"), col("xm"), col("ym"), col("tm"), col("hm"),
+              col("dh_dx_m"),
               (sqrt(col("ss")) / (col("y1") - col("y0"))).as("dh_dy_sigma"))
       .orderBy("pair_id")
 
   val pairAggSql: String =
     s"""WITH pts AS (${Tables.eventsPointsSql}),
        |g AS (SELECT id//2 AS pair_id, count(*) AS nb, avg(x) AS xm, avg(y) AS ym,
-       |             avg(t) AS tm, sum((z/100.0)*(z/100.0)) AS ss,
+       |             avg(t) AS tm, avg(z) AS hm, avg(((id % 7) - 3)/1000.0) AS dh_dx_m,
+       |             sum((z/100.0)*(z/100.0)) AS ss,
        |             max(y) AS y1, min(y) AS y0
        |      FROM pts GROUP BY 1)
-       |SELECT pair_id, xm, ym, tm, sqrt(ss)/(y1 - y0) AS dh_dy_sigma
+       |SELECT pair_id, xm, ym, tm, hm, dh_dx_m, sqrt(ss)/(y1 - y0) AS dh_dy_sigma
        |FROM g WHERE nb = 2 AND y1 <> y0 ORDER BY pair_id""".stripMargin
 
   // --- 10b. resample_path (referenced by xover_search.py:139-146) ---
