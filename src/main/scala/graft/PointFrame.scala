@@ -93,6 +93,22 @@ final case class PointFrame(df: DataFrame, delta: Double = 100.0) {
       .withColumn("y", rho * cos(radians(col("longitude")))))
   }
 
+  /** point_data.get_xy with a real CRS (ATL06_tiles.py:221-223 passes
+    * EPSG codes to pyproj): ellipsoidal polar stereographic,
+    * EPSG:3031 (Antarctic) or EPSG:3413 (Arctic), WGS84.
+    */
+  def withXY(epsg: Int): PointFrame = {
+    val (x, y) = graft.operators.Projections.forward(
+      col("latitude"), col("longitude"), epsg)
+    copy(df = df.withColumn("x", x).withColumn("y", y))
+  }
+
+  /** Inverse projection: recover latitude/longitude from x/y. */
+  def withLatLon(epsg: Int): PointFrame = {
+    val (lat, lon) = graft.operators.Projections.inverse(col("x"), col("y"), epsg)
+    copy(df = df.withColumn("latitude", lat).withColumn("longitude", lon))
+  }
+
   /** geo_index.to_file: persist as the bin-partitioned layout. */
   def toGeoParquet(path: String, d: Double = delta): Unit =
     graft.sources.GeoParquet.write(df, path, d)

@@ -84,30 +84,45 @@ object DateOps {
     * ATL06_tiles.py:221-223).  We implement the south polar
     * stereographic *spherical* form as pure column math: colat
     * ρ = 2·R·k0·tan((90+lat)/2 °), x = ρ·sin(lon), y = ρ·cos(lon).
-    * Trig differs from libm by ≤1 ulp across engines; rounding to
-    * 4 decimals (0.1 mm) absorbs it.
+    *
+    * Trig is evaluated as the shared fixed-degree polynomial of
+    * [[graft.functions.PolyTrig]] in the same operation order in both
+    * engines, so outputs are bit-identical raw doubles — no round()
+    * anywhere (round 1's 4-dp rounding was itself the divergence;
+    * SURVEY §7 invariant).
     */
   def projectXy(s: SparkSession, dir: String): DataFrame = {
-    val R  = 6378137.0; val k0 = 0.97276901289
-    val lat = lit(-60.0) - (col("id") % 300) / lit(10.0)
-    val lon = (col("id") % 3600) / lit(10.0) - 180.0
-    val rho = lit(2.0 * R * k0) * tan(radians((lit(90.0) + lat) / 2.0))
+    import graft.functions.PolyTrig._
     Tables.eventsPoints(s, dir)
-      .select(col("id"),
-        round(lat, 6).as("lat"), round(lon, 6).as("lon"),
-        round(rho * sin(radians(lon)), 4).as("px"),
-        round(rho * cos(radians(lon)), 4).as("py"))
+      .select(col("id"))
+      .withColumn("lat", lit(-60.0) - (col("id") % 300) / lit(10.0))
+      .withColumn("lon", (col("id") % 3600) / lit(10.0) - 180.0)
+      .withColumn("rlon", col("lon") * PI / 180.0)
+      .withColumn("th", (lit(90.0) + col("lat")) / 2.0 * PI / 180.0)
+      .withColumn("rlon2", col("rlon") * col("rlon"))
+      .withColumn("th2", col("th") * col("th"))
+      .withColumn("rho",
+        lit(2.0) * 6378137.0 * 0.97276901289 * (sinC(col("th"), col("th2")) / cosC(col("th2"))))
+      .select(col("id"), col("lat"), col("lon"),
+        (col("rho") * sinC(col("rlon"), col("rlon2"))).as("px"),
+        (col("rho") * cosC(col("rlon2"))).as("py"))
       .orderBy("id")
   }
 
-  val projectXySql: String =
+  val projectXySql: String = {
+    import graft.functions.PolyTrig._
     s"""WITH pts AS (${Tables.eventsPointsSql}),
-       |ll AS (SELECT id, -60.0 - (id % 300)/10.0 AS lat,
-       |              (id % 3600)/10.0 - 180.0 AS lon FROM pts)
-       |SELECT id, round(lat, 6) AS lat, round(lon, 6) AS lon,
-       |  round((2.0::DOUBLE)*6378137.0*0.97276901289*tan(radians((90.0+lat)/2.0))*sin(radians(lon)), 4) AS px,
-       |  round((2.0::DOUBLE)*6378137.0*0.97276901289*tan(radians((90.0+lat)/2.0))*cos(radians(lon)), 4) AS py
-       |FROM ll ORDER BY id""".stripMargin
+       |l1 AS (SELECT id, -60.0 - (id % 300)/10.0 AS lat,
+       |              (id % 3600)/10.0 - 180.0 AS lon FROM pts),
+       |l2 AS (SELECT *, lon * $PI / 180.0 AS rlon,
+       |              (90.0 + lat) / 2.0 * $PI / 180.0 AS th FROM l1),
+       |l3 AS (SELECT *, rlon * rlon AS rlon2, th * th AS th2 FROM l2),
+       |l4 AS (SELECT *, (2.0::DOUBLE)*6378137.0*0.97276901289*(${sinS("th", "th2")} / ${cosS("th2")}) AS rho FROM l3)
+       |SELECT id, lat, lon,
+       |  rho * ${sinS("rlon", "rlon2")} AS px,
+       |  rho * ${cosS("rlon2")} AS py
+       |FROM l4 ORDER BY id""".stripMargin
+  }
 
   // --- 23. grid bilinear interpolation at points (mapData.py interp) ---
   /** A DEM-style grid is built by block-averaging events z onto a
@@ -129,16 +144,16 @@ object DateOps {
         ((col("l_orderkey") * 57 % 3600) / lit(2.0) - 880.0).as("py"))
       .distinct()
     val g = broadcast(grid)
-    def node(sfx: String, ox: Int, oy: Int) =
+    def node(sfx: String) =
       g.select(col("gx").as(s"gx$sfx"), col("gy").as(s"gy$sfx"), col("gz").as(s"gz$sfx"))
     val p = probes
       .withColumn("x0", (floor(col("px") / d) * d.toLong).cast("long"))
       .withColumn("y0", (floor(col("py") / d) * d.toLong).cast("long"))
     val joined = p
-      .join(node("00", 0, 0), col("gx00") === col("x0") && col("gy00") === col("y0"))
-      .join(node("10", 1, 0), col("gx10") === col("x0") + 100 && col("gy10") === col("y0"))
-      .join(node("01", 0, 1), col("gx01") === col("x0") && col("gy01") === col("y0") + 100)
-      .join(node("11", 1, 1), col("gx11") === col("x0") + 100 && col("gy11") === col("y0") + 100)
+      .join(node("00"), col("gx00") === col("x0") && col("gy00") === col("y0"))
+      .join(node("10"), col("gx10") === col("x0") + 100 && col("gy10") === col("y0"))
+      .join(node("01"), col("gx01") === col("x0") && col("gy01") === col("y0") + 100)
+      .join(node("11"), col("gx11") === col("x0") + 100 && col("gy11") === col("y0") + 100)
     val u = (col("px") - col("x0")) / d
     val v = (col("py") - col("y0")) / d
     joined.select(col("pid"), col("px"), col("py"),
