@@ -46,9 +46,27 @@ final case class PointFrame(df: DataFrame, delta: Double = 100.0) {
       keys.map { case (a, b) => binX === a && binY === b }.reduce(_ || _)))
   }
 
-  /** geo_index.intersect: bins common to this and another frame. */
-  def intersectBins(other: PointFrame): DataFrame = {
-    val a = df.select(binX.as("bin_x"), binY.as("bin_y")).distinct()
+  /** geo_index.intersect: bins common to this and another frame,
+    * optionally dilating this frame's bins by ±pad bins first
+    * (geo_index.py:351-361's pad argument, via the pad_bins
+    * machinery).  The dilation cross-joins the tiny distinct-bin
+    * inventory against a broadcast (2·pad+1)² offset table — never
+    * the point data.
+    */
+  def intersectBins(other: PointFrame, pad: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val a0 = df.select(binX.as("bin_x"), binY.as("bin_y")).distinct()
+    val a =
+      if (pad == 0) a0
+      else {
+        val d = delta.toLong
+        val off = spark.range(-pad, pad + 1).select((col("id") * d).as("o"))
+        a0.crossJoin(broadcast(off.select(col("o").as("ox"))))
+          .crossJoin(broadcast(off.select(col("o").as("oy"))))
+          .select((col("bin_x") + col("ox")).as("bin_x"),
+                  (col("bin_y") + col("oy")).as("bin_y"))
+          .distinct()
+      }
     val b = other.df.select(
       GeoOps.binOf(col("x"), delta).as("bin_x"),
       GeoOps.binOf(col("y"), delta).as("bin_y")).distinct()
@@ -70,6 +88,25 @@ final case class PointFrame(df: DataFrame, delta: Double = 100.0) {
         (col("n") % 2 === 1 && col("rnk") === greatest((col("n") - 1) / 2, lit(1.0))))
       .groupBy("cx", "cy")
       .agg(avg("x").as("x"), avg("y").as("y"), avg("z").as("z"))
+  }
+
+  /** pt_blockmedian with return_index=True: the selected median
+    * point ids ride along (id_lo = id_hi for odd cells), so medians
+    * join back to full-width rows.  Requires an `id` column.
+    */
+  def blockmedianIdx(scale: Double): DataFrame = {
+    val c = df
+      .withColumn("cx", GeoOps.cellOf(col("x"), scale))
+      .withColumn("cy", GeoOps.cellOf(col("y"), scale))
+    val w = Window.partitionBy("cx", "cy")
+    c.withColumn("rnk", row_number().over(w.orderBy("z", "x", "y", "id")))
+      .withColumn("n", count("*").over(w))
+      .filter(
+        (col("n") % 2 === 0 && (col("rnk") === col("n") / 2 || col("rnk") === col("n") / 2 + 1)) ||
+        (col("n") % 2 === 1 && col("rnk") === greatest((col("n") - 1) / 2, lit(1.0))))
+      .groupBy("cx", "cy")
+      .agg(avg("x").as("x"), avg("y").as("y"), avg("z").as("z"),
+           min("id").as("id_lo"), max("id").as("id_hi"))
   }
 
   /** blockmax: the max-z point of each cell. */

@@ -41,6 +41,7 @@ object Verify {
     }
     Await.result(Future.sequence(runs), Duration.Inf)
     pool.shutdown()
+    graft.core.CacheBag.releaseAll()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

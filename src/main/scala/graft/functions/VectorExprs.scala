@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, GraftSql}
+import org.apache.spark.sql.{Column, GraftInputTypes, GraftSql}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -17,10 +17,14 @@ import org.apache.spark.sql.types._
   * Summation is left-to-right, matching the HOF fold bit-for-bit.
   */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with GraftInputTypes {
 
-  // callers guarantee array<double> inputs (the Column factory below
-  // is the only construction path)
+  // SQL users reach this via GraftExtensions: declared input types
+  // turn a wrong-typed call into an analysis error instead of a
+  // runtime ClassCastException
+  override def graftInputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+
   override def dataType: DataType = DoubleType
 
   override def prettyName: String = "dot_product"
@@ -59,7 +63,9 @@ case class DotProduct(left: Expression, right: Expression)
   * popcount of the xor, one instruction pair in generated code.
   */
 case class HammingDistance(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with GraftInputTypes {
+
+  override def graftInputTypes: Seq[DataType] = Seq(LongType, LongType)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "hamming"

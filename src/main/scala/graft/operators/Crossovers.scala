@@ -31,13 +31,18 @@ object Crossovers {
   private val CELL = 200.0
 
   /** Segments with coarse-cell assignment, exploded over the ≤2×2
-    * cells the segment's bounding box covers.  Persisted: the
-    * self-join would otherwise re-run the window stack on both sides
-    * (exchange reuse does not fire across the aliased branches) — at
-    * cluster scale this is the materialized segment table a crossover
-    * pipeline would keep anyway.
+    * cells the segment's bounding box covers.  Persisted via
+    * [[graft.core.CacheBag]] and memoized per input dir: the self-join
+    * would otherwise re-run the window stack on both sides (exchange
+    * reuse does not fire across the aliased branches), and the three
+    * crossover queries share the one materialization — at cluster
+    * scale this is the segment table a crossover pipeline keeps
+    * anyway.
     */
-  private def segments(s: SparkSession, dir: String): DataFrame = {
+  private def segments(s: SparkSession, dir: String): DataFrame =
+    graft.core.CacheBag.cached(s"xover-segments:$dir")(buildSegments(s, dir))
+
+  private def buildSegments(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("track").orderBy("seq")
     val seg = Tables.eventsTracks(s, dir)
       .select(
@@ -59,7 +64,6 @@ object Crossovers {
       .withColumn("cell_x", col("cx0") + col("ox"))
       .withColumn("cell_y", col("cy0") + col("oy"))
       .drop("cx0", "cx1", "cy0", "cy1", "ox", "oy")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   // --- 17/18. crossover search + value interpolation ---

@@ -1,8 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.core.Tables
+import graft.core.{CacheBag, Tables}
 import TextOps.md5long
 
 /** Deduplication operators for the training-data pipeline: exact
@@ -92,15 +93,32 @@ object Dedup {
 
   // --- 31. shingle-set Jaccard near-dup pairs ---
   /** Candidates = pairs sharing ≥1 shingle; similarity = exact Jaccard
-    * over the full shingle sets of each candidate pair.
+    * over the df-capped shingle sets of each candidate pair.
     */
   def jaccard(s: SparkSession, dir: String): DataFrame =
     jaccardOf(shinglesOf(docs(s, dir)))
 
+  /** Document-frequency cap: shingles appearing in more than `dfCap`
+    * documents are "stop shingles" — one such shingle shared by k docs
+    * fans the candidate self-join out to k² rows, the classic skew
+    * bomb of near-dup joins at corpus scale.  Dropping them bounds
+    * every join key's fan-in at dfCap² while near-duplicates (which
+    * share *rare* shingles by definition) are unaffected.  The window
+    * count shuffles once on `gh` — the same partitioning the candidate
+    * self-join needs next.
+    */
+  val DfCap = 50
+
+  def dfCapped(shingleFrame: DataFrame, dfCap: Int = DfCap): DataFrame =
+    shingleFrame
+      .withColumn("df", count("*").over(Window.partitionBy("gh")))
+      .filter(col("df") <= dfCap)
+      .drop("df")
+
   /** Shingle-set Jaccard over any (doc_id, gh) shingle frame. */
-  def jaccardOf(shingleFrame: DataFrame): DataFrame = {
+  def jaccardOf(shingleFrame: DataFrame, dfCap: Int = DfCap): DataFrame = {
     // persisted: used on both sides of the candidate self-join + sizes
-    val sh    = shingleFrame.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh    = CacheBag.register(dfCapped(shingleFrame, dfCap))
     val sizes = sh.groupBy("doc_id").agg(count("*").as("sz"))
     sh.as("t1")
       .join(sh.as("t2"),
@@ -116,7 +134,8 @@ object Dedup {
   }
 
   val jaccardSql: String =
-    s"""WITH sh AS ($shinglesSql),
+    s"""WITH sh0 AS ($shinglesSql),
+       |sh AS (SELECT * FROM sh0 QUALIFY count(*) OVER (PARTITION BY gh) <= $DfCap),
        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
        |inter AS (
        |  SELECT t1.doc_id AS d1, t2.doc_id AS d2, count(*) AS inter
@@ -142,29 +161,28 @@ object Dedup {
     val sigAggs = (0 until 32).map { j =>
       min(pmod(col("th") * (2 * j + 1) + (j.toLong * j + 7919), lit(P))).as(s"h$j")
     }
-    // persisted: feeds the band keys and both sides of the match join
     val sig = th.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def bandKey(b: Int) =
-      md5(concat_ws(",", (8 * b until 8 * b + 8).map(j => col(s"h$j").cast("string")): _*))
-    val bandsWide = sig.select(col("doc_id") +: (0 until 4).map(b => bandKey(b).as(s"bk$b")): _*)
-    val bands = bandsWide.select(col("doc_id"),
-      posexplode(array((0 until 4).map(b => col(s"bk$b")): _*)).as(Seq("band", "bk")))
-    val cand = bands.as("b1")
-      .join(bands.as("b2"),
-        col("b1.band") === col("b2.band") && col("b1.bk") === col("b2.bk") &&
-        col("b1.doc_id") < col("b2.doc_id"))
-      .select(col("b1.doc_id").as("d1"), col("b2.doc_id").as("d2"))
-      .distinct()
-    val s1 = (col("doc_id").as("d1") +: (0 until 32).map(j => col(s"h$j").as(s"a$j")))
-    val s2 = (col("doc_id").as("d2") +: (0 until 32).map(j => col(s"h$j").as(s"c$j")))
+    // band rows carry the full 32-slot signature: the candidate join
+    // yields the match count directly, deleting the two post-hoc
+    // signature join-backs of the round-1 plan (each a shuffle of the
+    // signature table).  Band keys are plain 8-long structs — a
+    // struct-equality shuffle key, no md5 digest needed.  Persisted:
+    // both sides of the self-join.
+    val bands = CacheBag.register(sig.select(
+      col("doc_id"),
+      array((0 until 32).map(j => col(s"h$j")): _*).as("sig"),
+      posexplode(array((0 until 4).map(b =>
+        struct((0 until 8).map(i => col(s"h${8 * b + i}").as(s"r$i")): _*)): _*))
+        .as(Seq("band", "bk"))))
     val matches = (0 until 32)
-      .map(j => when(col(s"a$j") === col(s"c$j"), 1L).otherwise(0L))
+      .map(j => when(col("s1").getItem(j) === col("s2").getItem(j), 1L).otherwise(0L))
       .reduce(_ + _)
-    cand
-      .join(sig.select(s1: _*), "d1")
-      .join(sig.select(s2: _*), "d2")
+    bands.select(col("doc_id").as("d1"), col("sig").as("s1"), col("band"), col("bk"))
+      .join(bands.select(col("doc_id").as("d2"), col("sig").as("s2"), col("band"), col("bk")),
+        Seq("band", "bk"))
+      .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2"), matches.as("matches"))
+      .distinct() // a pair agreeing on >1 band is one candidate
       .withColumn("est_sim", col("matches") / lit(32.0))
       .orderBy("d1", "d2")
   }
@@ -224,21 +242,42 @@ object Dedup {
        |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
-  // --- 33b. SimHash near-dup pair search ---
-  /** Pairs within Hamming distance ≤ 8 of each other's 32-bit simhash,
-    * candidates bucketed by the high byte of the signature (near-dups
-    * share high bits with high probability).  Hamming is the native
-    * codegen'd [[graft.functions.HammingDistance]].
+  // --- 33b. SimHash near-dup pair search (banded) ---
+  /** Pairs within Hamming distance ≤ 8 of each other's 60-bit simhash.
+    *
+    * Candidates come from 4 bands of 15 bits: a pair is a candidate if
+    * ANY band matches exactly (union of four 32768-bucket joins, done
+    * as one join on the exploded (band, key) table).  Pigeonhole: any
+    * pair with ≤3 differing bits is guaranteed a clean band; beyond
+    * that recall decays gracefully (the standard LSH trade; multi-probe
+    * widens it if needed).  This replaces the round-1 single
+    * `simhash >> 24` bucketing, which was both a scale killer (256
+    * fixed buckets ⇒ O(n²/256) fan-in per bucket) and a recall bug
+    * (pairs differing anywhere in the top byte were never candidates).
+    * The verify step is the native codegen'd
+    * [[graft.functions.HammingDistance]].
     */
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = simhash(s, dir).withColumn("bucket", expr("shiftright(simhash32, 24)"))
-    val a = sig.select(col("doc_id").as("d1"), col("simhash32").as("h1"), col("bucket"))
-    val b = sig.select(col("doc_id").as("d2"), col("simhash32").as("h2"), col("bucket"))
-    a.join(b, Seq("bucket"))
+    val th = toks(s, dir).withColumn("th", md5long(col("tok")))
+    val aggs = count("*").as("n") +:
+      (0 until 60).map(b => sum(expr(s"shiftright(th, $b) % 2")).as(s"s$b"))
+    val votes = th.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val sigExpr = (0 until 60)
+      .map(b => when(col(s"s$b") * 2 - col("n") > 0, lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
+    val sig = votes.select(col("doc_id"), sigExpr.as("h"))
+    // persisted: both sides of the any-band candidate self-join
+    val bands = CacheBag.register(sig.select(col("doc_id"), col("h"),
+      posexplode(array((0 until 4).map(b =>
+        expr(s"shiftright(h, ${15 * b}) % 32768")): _*)).as(Seq("band", "bk"))))
+    bands.select(col("doc_id").as("d1"), col("h").as("h1"), col("band"), col("bk"))
+      .join(bands.select(col("doc_id").as("d2"), col("h").as("h2"), col("band"), col("bk")),
+        Seq("band", "bk"))
       .filter(col("d1") < col("d2"))
       .withColumn("hamming", graft.functions.VectorExprs.hamming(col("h1"), col("h2")))
       .filter(col("hamming") <= 8)
       .select("d1", "d2", "hamming")
+      .distinct() // a pair agreeing on >1 band is one pair
       .orderBy("d1", "d2")
   }
 
@@ -248,16 +287,19 @@ object Dedup {
        |th AS (SELECT doc_id, $H AS th FROM tk),
        |votes AS (
        |  SELECT doc_id, bit, sum((th >> bit) % 2 * 2 - 1) AS vote
-       |  FROM th, (SELECT unnest(generate_series(0, 31)) AS bit) bits
+       |  FROM th, (SELECT unnest(generate_series(0, 59)) AS bit) bits
        |  GROUP BY 1, 2),
        |sig AS (
        |  SELECT doc_id,
        |    CAST(sum(CASE WHEN vote > 0 THEN 1::BIGINT << bit ELSE 0 END) AS BIGINT) AS h
        |  FROM votes GROUP BY doc_id),
-       |sb AS (SELECT *, h >> 24 AS bucket FROM sig)
-       |SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |bands AS (
+       |  SELECT doc_id, h, band, (h >> (15*band)) % 32768 AS bk
+       |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) bs)
+       |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
        |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
-       |FROM sb a JOIN sb b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.h, b.h)) <= 8
        |ORDER BY d1, d2""".stripMargin
   }

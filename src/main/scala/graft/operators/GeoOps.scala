@@ -123,6 +123,39 @@ object GeoOps {
        |SELECT a1.bin_x, a1.bin_y FROM a1 JOIN a2 USING (bin_x, bin_y)
        |ORDER BY 1,2""".stripMargin
 
+  // --- 4b. intersect with pad (geo_index.py:351-361, pad arg) ---
+  /** geo_index.intersect(other, pad=[1,1]): dilate one index's bin set
+    * by ±1 bin in each axis (the pad_bins machinery of geo_index.py:
+    * 591-603) before intersecting — bins of B adjacent to any bin of A
+    * count as overlap.  The dilation is a 9-row broadcast cross join
+    * on the *bin inventory* (tiny), never on the point data.
+    */
+  def geoIntersectPad(s: SparkSession, dir: String): DataFrame = {
+    val p = pts(s, dir)
+      .withColumn("bin_x", binOf(col("x"), 100))
+      .withColumn("bin_y", binOf(col("y"), 100))
+    val a = p.filter(col("user_id") % 2 === 0).select("bin_x", "bin_y").distinct()
+    val b = p.filter(col("user_id") % 2 === 1).select("bin_x", "bin_y").distinct()
+    val off = s.range(-1, 2).select((col("id") * 100).as("o"))
+    a.crossJoin(broadcast(off.select(col("o").as("ox"))))
+      .crossJoin(broadcast(off.select(col("o").as("oy"))))
+      .select((col("bin_x") + col("ox")).as("bin_x"), (col("bin_y") + col("oy")).as("bin_y"))
+      .distinct()
+      .join(b, Seq("bin_x", "bin_y"))
+      .orderBy("bin_x", "bin_y")
+  }
+
+  val geoIntersectPadSql: String =
+    s"""WITH pts AS ($P),
+       |b AS (SELECT *, CAST(round(x/100.0)*100 AS BIGINT) AS bin_x,
+       |             CAST(round(y/100.0)*100 AS BIGINT) AS bin_y FROM pts),
+       |a1 AS (SELECT DISTINCT bin_x, bin_y FROM b WHERE user_id % 2 = 0),
+       |a2 AS (SELECT DISTINCT bin_x, bin_y FROM b WHERE user_id % 2 = 1),
+       |dil AS (SELECT DISTINCT a1.bin_x + ox.v AS bin_x, a1.bin_y + oy.v AS bin_y
+       |        FROM a1, (VALUES (-100),(0),(100)) ox(v), (VALUES (-100),(0),(100)) oy(v))
+       |SELECT dil.bin_x, dil.bin_y FROM dil JOIN a2 USING (bin_x, bin_y)
+       |ORDER BY 1,2""".stripMargin
+
   // --- 5. unique_points (geo_index.py:585-589) ---
   def uniquePoints(s: SparkSession, dir: String): DataFrame =
     pts(s, dir)
@@ -195,6 +228,44 @@ object GeoOps {
        |r AS (SELECT *, row_number() OVER (PARTITION BY cx, cy ORDER BY z, x, y, id) AS rnk,
        |             count(*) OVER (PARTITION BY cx, cy) AS n FROM c)
        |SELECT cx, cy, avg(x) AS xm, avg(y) AS ym, avg(z) AS zm
+       |FROM r
+       |WHERE (n % 2 = 0 AND (rnk = n/2 OR rnk = n/2 + 1))
+       |   OR (n % 2 = 1 AND rnk = greatest((n-1)/2, 1.0))
+       |GROUP BY cx, cy ORDER BY cx, cy""".stripMargin
+
+  // --- 7b. blockmedian with return_index (pt_blockmedian.py:9, index arg) ---
+  /** The reference's `return_index=True` hands back the row indices of
+    * the selected median points so callers can join the medians back
+    * to full-width rows.  Same selection as [[blockmedian]], plus the
+    * selected ids: odd n → id_lo = id_hi = the median point's id; even
+    * n → the ids of the two averaged middle points.
+    */
+  def blockmedianIdx(s: SparkSession, dir: String): DataFrame = {
+    val d = 50.0
+    val c = pts(s, dir)
+      .withColumn("cx", cellOf(col("x"), d))
+      .withColumn("cy", cellOf(col("y"), d))
+    val w = Window.partitionBy("cx", "cy")
+    val r = c
+      .withColumn("rnk", row_number().over(w.orderBy("z", "x", "y", "id")))
+      .withColumn("n", count("*").over(w))
+    r.filter(
+        (col("n") % 2 === 0 && (col("rnk") === col("n") / 2 || col("rnk") === col("n") / 2 + 1)) ||
+        (col("n") % 2 === 1 && col("rnk") === greatest((col("n") - 1) / 2, lit(1.0))))
+      .groupBy("cx", "cy")
+      .agg(avg("x").as("xm"), avg("y").as("ym"), avg("z").as("zm"),
+           min("id").as("id_lo"), max("id").as("id_hi"))
+      .orderBy("cx", "cy")
+  }
+
+  val blockmedianIdxSql: String =
+    s"""WITH pts AS ($P),
+       |c AS (SELECT *, CAST(floor(x/50.0) AS BIGINT) AS cx,
+       |             CAST(floor(y/50.0) AS BIGINT) AS cy FROM pts),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY cx, cy ORDER BY z, x, y, id) AS rnk,
+       |             count(*) OVER (PARTITION BY cx, cy) AS n FROM c)
+       |SELECT cx, cy, avg(x) AS xm, avg(y) AS ym, avg(z) AS zm,
+       |       min(id) AS id_lo, max(id) AS id_hi
        |FROM r
        |WHERE (n % 2 = 0 AND (rnk = n/2 OR rnk = n/2 + 1))
        |   OR (n % 2 = 1 AND rnk = greatest((n-1)/2, 1.0))
@@ -326,10 +397,12 @@ object GeoOps {
     "q_geo_query_box"   -> (geoQueryBox _),
     "q_geo_query_pad"   -> (geoQueryPad _),
     "q_geo_intersect"   -> (geoIntersect _),
+    "q_geo_intersect_pad" -> (geoIntersectPad _),
     "q_unique_points"   -> (uniquePoints _),
     "q_offset_coalesce" -> (offsetCoalesce _),
     "q_hier_index"      -> (hierIndex _),
     "q_blockmedian"     -> (blockmedian _),
+    "q_blockmedian_idx" -> (blockmedianIdx _),
     "q_blockmax"        -> (blockmax _),
     "q_block_stats"     -> (blockStats _),
     "q_tile_assign"     -> (tileAssign _),
@@ -340,10 +413,12 @@ object GeoOps {
     "q_geo_query_box"   -> geoQueryBoxSql,
     "q_geo_query_pad"   -> geoQueryPadSql,
     "q_geo_intersect"   -> geoIntersectSql,
+    "q_geo_intersect_pad" -> geoIntersectPadSql,
     "q_unique_points"   -> uniquePointsSql,
     "q_offset_coalesce" -> offsetCoalesceSql,
     "q_hier_index"      -> hierIndexSql,
     "q_blockmedian"     -> blockmedianSql,
+    "q_blockmedian_idx" -> blockmedianIdxSql,
     "q_blockmax"        -> blockmaxSql,
     "q_block_stats"     -> blockStatsSql,
     "q_tile_assign"     -> tileAssignSql,

@@ -168,9 +168,11 @@ object TextOps {
     * training-data pipeline, as pure codegen'd expressions.
     */
   def textClean(s: SparkSession, dir: String): DataFrame = {
-    val lowered  = lower(col("text"))
-    val stripped = regexp_replace(lowered, "[^a-z0-9 ]", " ")
-    val collapsed = trim(regexp_replace(stripped, " +", " "))
+    // one fused normalization pass: any run of characters outside
+    // [a-z0-9] (spaces included) collapses to a single space —
+    // equivalent to the round-1 strip('[^a-z0-9 ]') → collapse(' +')
+    // sequence, one full-corpus regex pass cheaper
+    val collapsed = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
     val redacted  = regexp_replace(collapsed, "[0-9]+", "<num>")
     docs(s, dir).select(
         col("doc_id"),
@@ -182,8 +184,8 @@ object TextOps {
 
   val textCleanSql: String =
     """SELECT doc_id,
-      |  length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS clean_len,
-      |  md5(regexp_replace(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), '[0-9]+', '<num>', 'g')) AS clean_md5,
+      |  length(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS clean_len,
+      |  md5(regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '[0-9]+', '<num>', 'g')) AS clean_md5,
       |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_digit_runs
       |FROM documents ORDER BY doc_id""".stripMargin
 
@@ -196,10 +198,16 @@ object TextOps {
     */
   def frameSample(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .select(col("doc_id"),
+      // the length guard pins the empty-payload behavior cross-engine:
+      // Spark's sequence(0, -1) yields a descending [0, -1] (a phantom
+      // frame), DuckDB's generate_series(0, -1) is empty
+      .filter(length(col("text")) > 0)
+      // text rides through the explode — one scan of documents, no
+      // join-back (round 1 re-joined documents on doc_id to recover
+      // text: a whole extra shuffle/broadcast in the plan)
+      .select(col("doc_id"), col("text"),
         explode(expr("sequence(0, cast(ceil(length(text)/256.0) as int) - 1)")).as("chunk_idx"))
       .filter(col("chunk_idx") % 4 === 0)
-      .join(docs(s, dir).select("doc_id", "text"), "doc_id")
       .select(col("doc_id"), col("chunk_idx").cast("long").as("frame_idx"),
         length(expr("substring(text, chunk_idx*256 + 1, 256)")).cast("long").as("chunk_len"),
         md5(expr("substring(text, chunk_idx*256 + 1, 256)")).as("chunk_md5"))
@@ -210,7 +218,7 @@ object TextOps {
       |  SELECT doc_id, text, i AS chunk_idx
       |  FROM documents,
       |    LATERAL (SELECT unnest(generate_series(0, CAST(ceil(length(text)/256.0) AS INTEGER) - 1)) AS i) t
-      |  WHERE i % 4 = 0)
+      |  WHERE length(text) > 0 AND i % 4 = 0)
       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS frame_idx,
       |  CAST(length(substr(text, chunk_idx*256 + 1, 256)) AS BIGINT) AS chunk_len,
       |  md5(substr(text, chunk_idx*256 + 1, 256)) AS chunk_md5

@@ -78,7 +78,11 @@ object EventStream {
                   (ClosedSession(user, s.nEvents, s.tStart, s.tEnd) :: acc,
                     Some(SessionState(1, t, t)))
                 case ((acc, Some(s)), t) =>
-                  (acc, Some(SessionState(s.nEvents + 1, s.tStart, t)))
+                  // min/max merge: an out-of-order event from a later
+                  // micro-batch (allowed within the watermark) with
+                  // t <= s.tEnd must not regress the session bounds
+                  (acc, Some(SessionState(s.nEvents + 1,
+                    math.min(s.tStart, t), math.max(s.tEnd, t))))
                 case ((acc, None), t) =>
                   (acc, Some(SessionState(1, t, t)))
               }
@@ -141,7 +145,10 @@ object EventStream {
                   (ClosedSession(user, s.nEvents, s.tStart, s.tEnd) :: acc,
                     Some(SessionState(1, t, t)))
                 case ((acc, Some(s)), t) =>
-                  (acc, Some(SessionState(s.nEvents + 1, s.tStart, t)))
+                  // min/max merge — see sessionize: late events within
+                  // the watermark must not regress the session bounds
+                  (acc, Some(SessionState(s.nEvents + 1,
+                    math.min(s.tStart, t), math.max(s.tEnd, t))))
                 case ((acc, None), t) =>
                   (acc, Some(SessionState(1, t, t)))
               }

@@ -8,6 +8,18 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * expressions (cf. public Spark extension projects that place a
   * factory in `org.apache.spark.sql` for the same reason).
   */
+/** [[org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes]]
+  * facade: `AbstractDataType` is `private[sql]`, so expressions living
+  * outside this package declare their input types via the public
+  * `DataType` subset.
+  */
+trait GraftInputTypes
+    extends org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  def graftInputTypes: Seq[org.apache.spark.sql.types.DataType]
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    graftInputTypes
+}
+
 object GraftSql {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)

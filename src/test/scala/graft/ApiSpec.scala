@@ -14,10 +14,19 @@ class ApiSpec extends SparkSpec {
     val bm = pf.blockmedian(50.0)
     assert(bm.columns.toSet == Set("cx", "cy", "x", "y", "z"))
     assert(pf.blockmax(50.0).count() == bm.count())
-    val inter = pf.where($"user_id" % 2 === 0)
-      .intersectBins(pf.where($"user_id" % 2 === 1))
+    val even = pf.where($"user_id" % 2 === 0)
+    val odd  = pf.where($"user_id" % 2 === 1)
+    val inter = even.intersectBins(odd)
     assert(inter.count() > 0)
+    // padded intersect is a superset of the exact one (geo_index.py pad arg)
+    assert(even.intersectBins(odd, pad = 1).count() >= inter.count())
     assert(pf.queryBins(Seq((0L, 0L)), pad = 1).size >= pf.queryBins(Seq((0L, 0L))).size)
+    // return_index blockmedian joins back to full-width rows: every
+    // selected id exists, and odd cells have id_lo == id_hi
+    val bmi = pf.blockmedianIdx(50.0)
+    val ids = graft.core.Tables.eventsPoints(spark, sf).select($"id".as("id_lo"))
+    assert(bmi.join(ids, "id_lo", "left_anti").count() == 0)
+    assert(bmi.count() == pf.blockmedian(50.0).count())
   }
 
   test("PointFrame round-trips through the geo-parquet layout") {

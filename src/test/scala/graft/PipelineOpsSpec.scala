@@ -23,6 +23,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(m.filter($"est_sim" < 0 || $"est_sim" > 1).count() == 0)
   }
 
+  test("jaccard df cap drops stop shingles from the candidate join input") {
+    // 20 docs all sharing one hot prefix phrase (df=20); docs 0/1 also
+    // share a rare tail phrase (df=2)
+    val hot = "the quick brown fox jumps over the lazy dog again"
+    val docsDf = (0 until 20).map { i =>
+      val tail = if (i < 2) "rare shared tail phrase unique pair marker"
+                 else s"filler $i text $i pad $i pad pad pad pad"
+      (i.toLong, s"$hot $tail")
+    }.toDF("doc_id", "text")
+    val sh = graft.operators.Dedup.shinglesOf(docsDf)
+    val capped = graft.operators.Dedup.dfCapped(sh, dfCap = 5)
+    // no shingle above the cap survives
+    assert(capped.groupBy("gh").count().filter($"count" > 5).count() == 0)
+    // pairs connected only through the hot phrase are gone; the
+    // rare-tail pair (0,1) survives
+    val pairs = graft.operators.Dedup.jaccardOf(sh, dfCap = 5)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.forall { case (a, b) => Set(a, b).subsetOf(Set(0L, 1L)) },
+      s"hot-shingle-only pairs leaked: $pairs")
+  }
+
+  test("banded simhash pair search honors its hamming contract") {
+    val p = Dedup.simhashPairs(spark, sf)
+    assert(p.filter($"hamming" > 8 || $"hamming" < 0).count() == 0)
+    assert(p.filter($"d1" >= $"d2").count() == 0)
+    // identical docs (hamming 0) are always candidates — every band
+    // matches, the pigeonhole guarantee of the 4×15-bit banding; the
+    // corpus contains exact duplicates by construction
+    val dups = Dedup.dedupExact(spark, sf).filter($"n_copies" > 1).count()
+    if (dups > 0) assert(p.filter($"hamming" === 0).count() > 0)
+  }
+
   test("simhash signatures fit in 32 bits") {
     val sh = Dedup.simhash(spark, sf)
     assert(sh.filter($"simhash32" < 0 || $"simhash32" > ((1L << 32) - 1)).count() == 0)
