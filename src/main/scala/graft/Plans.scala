@@ -38,6 +38,11 @@ object Plans {
     show("jaccard", operators.Dedup.jaccard(spark, sf), Seq("Join", "Exchange"))
     show("q1_agg", operators.Relational.q1Agg(spark, sf),
       Seq("HashAggregate", "Exchange", "PushedFilters"))
+    show("minhash_lsh", operators.Dedup.minhashLsh(spark, sf), joiny)
+    show("simhash_pairs", operators.Dedup.simhashPairs(spark, sf), joiny)
+    show("ann_ivf", operators.Similarity.annIvf(spark, sf), joiny)
+    show("project_epsg", operators.Projections.projectEpsg(spark, sf),
+      Seq("Scan", "ReadSchema", "WholeStageCodegen"))
     spark.stop()
   }
 }

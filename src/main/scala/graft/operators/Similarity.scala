@@ -16,7 +16,7 @@ import graft.core.Tables
   */
 object Similarity {
 
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  private[graft] def emb(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
@@ -126,13 +126,16 @@ object Similarity {
   }
 
   // --- 35b. IVF-style ANN: coarse quantize, probe the 2 nearest lists ---
-  /** Inverted-file search with deterministic formula centroids
-    * c_j[k] = (((j·31 + k·17) mod 13) − 6)/6: every vector is
-    * assigned to its nearest centroid (one pass, 8 native dot
-    * products); a query probes only the 2 centroid lists nearest to
-    * it.  At 100 TB the assignment is the partition key — each probe
-    * touches 2/8 of the corpus, and centroid lists are the unit of
-    * locality (the classic IVF trade of recall for fan-in).
+  /** Inverted-file search: deterministic formula centroids
+    * c_j[k] = (((j·31 + k·17) mod 13) − 6)/6 seed one k-means
+    * refinement pass ([[refinedCentroids]] — per-cluster means over
+    * exact integer-quantized sums, so both engines learn identical
+    * centroids); every vector is then assigned to its nearest refined
+    * centroid (one pass, 8 native dot products) and a query probes
+    * only the 2 centroid lists nearest to it.  At 100 TB the
+    * assignment is the partition key — each probe touches 2/8 of the
+    * corpus, and centroid lists are the unit of locality (the classic
+    * IVF trade of recall for fan-in).
     */
   private val NCENT = 8
 
@@ -141,7 +144,7 @@ object Similarity {
     * per row and, combined with nested argmin folds, blew the
     * expression tree up to a 49 s/query plan at sf0.1).
     */
-  private def centroidArr(j: Int): Array[Double] =
+  private[graft] def centroidArr(j: Int): Array[Double] =
     Array.tabulate(64)(k0 => (((j * 31 + (k0 + 1) * 17) % 13) - 6).toDouble / 6.0)
 
   /** |c_j|² via the same left fold both engines use. */
@@ -191,12 +194,43 @@ object Similarity {
       when(col("cent") === j, inner).otherwise(acc)
     }
 
+  /** One deterministic k-means refinement pass over the seed
+    * assignment: each refined centroid is its cluster's per-dimension
+    * mean, accumulated as exact `floor(v[k]·1e6)` integer sums (float
+    * sums would be partition-order-dependent and could never
+    * hash-match the oracle; floor — unlike round — is exact on every
+    * input).  The k×d model (8×64 doubles) is collected to the
+    * driver: model parameters, not data — the classic Spark k-means
+    * shape.  Empty clusters keep their formula seed (mirrored by the
+    * oracle's COALESCE).
+    */
+  private[graft] def refinedCentroids(base0: DataFrame): IndexedSeq[Array[Double]] = {
+    val seeded = (0 until NCENT)
+      .foldLeft(base0)((df, j) => df.withColumn(s"d$j", distExpr(j)))
+      .withColumn("cent0", argminCol("d"))
+    val sumAggs = count("*").as("cnt") +: (0 until 64).map(k =>
+      sum(floor(element_at(col("v"), k + 1) * 1000000.0).cast("long")).as(s"sk$k"))
+    val learned = seeded.groupBy("cent0").agg(sumAggs.head, sumAggs.tail: _*)
+      .collect().map { r =>
+        val cnt = r.getLong(1)
+        r.getLong(0) -> Array.tabulate(64)(k => r.getLong(k + 2) / 1000000.0 / cnt)
+      }.toMap
+    (0 until NCENT).map(j => learned.getOrElse(j.toLong, centroidArr(j)))
+  }
+
+  private def selfDot(c: Array[Double]): Double =
+    c.foldLeft(0.0)((acc, x) => acc + x * x)
+
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val base0 = emb(s, dir)
       .withColumn("vv", dot("v", "v"))
       .withColumn("norm", sqrt(col("vv")))
       .filter(col("norm") > 0.0)
-    val base = (0 until NCENT).foldLeft(base0)((df, j) => df.withColumn(s"d$j", distExpr(j)))
+    val cents = refinedCentroids(base0)
+    def rdist(j: Int): Column =
+      col("vv") - lit(2.0) * graft.functions.VectorExprs.dotp(col("v"), typedlit(cents(j))) +
+        lit(selfDot(cents(j)))
+    val base = (0 until NCENT).foldLeft(base0)((df, j) => df.withColumn(s"d$j", rdist(j)))
     val assigned = base.withColumn("cent", argminCol("d"))
     val withSecond = assigned.withColumn("cent2", secondCol("d"))
     val q = withSecond.filter(col("vec_id") < 5)
@@ -219,25 +253,43 @@ object Similarity {
     val argmin = (1 until NCENT).foldLeft("0") { (acc, j) =>
       s"CASE WHEN d$j < ${(0 until j).map(i => s"d$i").mkString("least(", ", ", ")")} THEN $j ELSE $acc END"
     }
-    // second-nearest: the argmin over distances excluding the nearest
-    val second = (0 until NCENT).map { j =>
-      val others = (0 until NCENT).filter(_ != j)
-      val inner = others.tail.foldLeft(others.head.toString) { (acc, k) =>
-        s"CASE WHEN d$k < ${others.takeWhile(_ != k).map(i => s"d$i").mkString("least(", ", ", ")")} THEN $k ELSE $acc END"
-      }
-      s"WHEN cent = $j THEN ($inner)"
-    }.mkString("CASE ", " ", " END")
+    // refined distance: the centroid is a list column, so the argmin
+    // is a row_number over the 8-row cents cross join (ties ORDER BY
+    // d, j = the Spark CASE chain's ties-to-lowest-index)
+    val dvc = dotSqlOn("v", "cv")
+    val dcc = dotSqlOn("cv", "cv")
     s"""WITH e AS ($embSql),
        |n0 AS (SELECT vec_id, v, $dq AS vv FROM e),
        |n AS (SELECT *, sqrt(vv) AS norm FROM n0 WHERE sqrt(vv) > 0.0),
        |dd AS (SELECT *,
        |    $distCases
        |  FROM n),
-       |a AS (SELECT *, CAST($argmin AS BIGINT) AS cent FROM dd),
-       |a2 AS (SELECT *, CAST($second AS BIGINT) AS cent2 FROM a),
+       |a0 AS (SELECT *, CAST($argmin AS BIGINT) AS cent0 FROM dd),
+       |dim AS (
+       |  SELECT cent0, k, sum(CAST(floor(v[k]*1000000.0) AS BIGINT)) AS sk,
+       |         count(*) AS cnt
+       |  FROM a0, (SELECT unnest(generate_series(1, 64)) AS k) ks
+       |  GROUP BY 1, 2),
+       |refined AS (SELECT cent0 AS j, list(sk/1000000.0/cnt ORDER BY k) AS cv
+       |            FROM dim GROUP BY 1),
+       |seeds AS (SELECT j, list_transform(generate_series(1, 64),
+       |                 k -> (((j*31 + k*17) % 13) - 6)/6.0) AS cv0
+       |          FROM (SELECT unnest(generate_series(0, 7)) AS j)),
+       |cents AS (SELECT seeds.j, COALESCE(refined.cv, seeds.cv0) AS cv
+       |          FROM seeds LEFT JOIN refined ON refined.j = seeds.j),
+       |dist AS (SELECT n.vec_id, n.norm, cc.j,
+       |           (n.vv - 2.0*$dvc + $dcc) AS d
+       |         FROM n, cents cc),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS r
+       |       FROM dist),
+       |asg AS (SELECT vec_id, max(CASE WHEN r = 1 THEN j END) AS cent,
+       |               max(CASE WHEN r = 2 THEN j END) AS cent2
+       |        FROM rk GROUP BY vec_id),
+       |av AS (SELECT n.vec_id, n.v, n.norm, asg.cent, asg.cent2
+       |       FROM n JOIN asg USING (vec_id)),
        |q AS (SELECT vec_id AS qid, v AS qv, norm AS qn, cent AS p1, cent2 AS p2
-       |      FROM a2 WHERE vec_id < 5),
-       |c AS (SELECT vec_id AS vid, v, norm, cent FROM a WHERE vec_id >= 5),
+       |      FROM av WHERE vec_id < 5),
+       |c AS (SELECT vec_id AS vid, v, norm, cent FROM av WHERE vec_id >= 5),
        |s AS (SELECT qid, vid, c.cent, ($d)/(qn*norm) AS cos
        |      FROM c JOIN q ON c.cent = q.p1 OR c.cent = q.p2),
        |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rnk

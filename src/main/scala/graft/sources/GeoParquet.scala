@@ -44,7 +44,17 @@ object GeoParquet {
       .filter(col("bin_x").between(xr._1, xr._2) &&
               col("bin_y").between(yr._1, yr._2))
 
-  /** Query a list of bins with a ±pad dilation (query_xy + pad_bins). */
+  /** Query a list of bins with a ±pad dilation (query_xy + pad_bins).
+    *
+    * Small bin lists become an explicit OR-chain — a static partition
+    * filter, pruned at planning time.  Large lists (a thousand-bin
+    * query from a hierarchical index drill-down) would make the
+    * OR-chain a quadratic-to-plan monster, so they become a broadcast
+    * semi-join instead, which dynamic partition pruning turns into
+    * the same directory-level skip at runtime.
+    */
+  val OrChainMaxBins = 64
+
   def queryBins(spark: SparkSession, path: String,
                 bins: Seq[(Long, Long)], pad: Int, delta: Double): DataFrame = {
     val d = delta.toLong
@@ -54,8 +64,15 @@ object GeoParquet {
       oy <- -pad to pad
     } yield (bx + ox * d, by + oy * d)
     val keys = dilated.distinct
-    read(spark, path).filter(
-      keys.map { case (a, b) => col("bin_x") === a && col("bin_y") === b }
-        .reduce(_ || _))
+    val base = read(spark, path)
+    if (keys.size <= OrChainMaxBins)
+      base.filter(
+        keys.map { case (a, b) => col("bin_x") === a && col("bin_y") === b }
+          .reduce(_ || _))
+    else {
+      import spark.implicits._
+      base.join(broadcast(keys.toDF("bin_x", "bin_y")),
+        Seq("bin_x", "bin_y"), "leftsemi")
+    }
   }
 }

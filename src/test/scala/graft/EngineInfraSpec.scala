@@ -59,6 +59,16 @@ class EngineInfraSpec extends SparkSpec {
       .withColumn("by", graft.operators.GeoOps.binOf(col("y"), 100))
       .filter(col("bx").between(-100, 100) && col("by").between(-100, 100))
     assert(binned.count() == expected2.count())
+    // a large bin list switches to the broadcast-semi-join path and
+    // returns the same rows as the OR-chain would
+    val manyBins = for { bx <- -1000L to 1000L by 100; by <- Seq(0L) } yield (bx, by)
+    assert(manyBins.size * 9 > GeoParquet.OrChainMaxBins)
+    val wide = GeoParquet.queryBins(spark, dir, manyBins, pad = 1, delta = 100.0)
+    val expected3 = pts
+      .withColumn("bx", graft.operators.GeoOps.binOf(col("x"), 100))
+      .withColumn("by", graft.operators.GeoOps.binOf(col("y"), 100))
+      .filter(col("by").between(-100, 100))
+    assert(wide.count() == expected3.count())
   }
 
   test("streaming windowed counts with watermark over a memory stream") {

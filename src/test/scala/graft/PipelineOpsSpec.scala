@@ -62,6 +62,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(sh.count() == graft.core.Tables.t(spark, sf, "documents").count())
   }
 
+  test("IVF centroids are learned and the assignment is balanced") {
+    val base = Similarity.emb(spark, sf)
+      .withColumn("vv", graft.functions.VectorExprs.dotp($"v", $"v"))
+      .withColumn("norm", sqrt($"vv"))
+      .filter($"norm" > 0.0)
+    val cents = Similarity.refinedCentroids(base)
+    assert(cents.length == 8)
+    // learning moved every centroid off its formula seed
+    (0 until 8).foreach { j =>
+      assert(!cents(j).sameElements(Similarity.centroidArr(j)),
+        s"centroid $j did not move")
+    }
+    // assignment balance: the refined argmin leaves no empty cluster
+    // and no cluster swallows the corpus
+    val asg = Similarity.annIvf(spark, sf).groupBy("cent").count()
+      .as[(Long, Long)].collect().toMap
+    val n = asg.values.sum.toDouble
+    assert(asg.nonEmpty && asg.values.max / n <= 0.9,
+      s"degenerate assignment: $asg")
+  }
+
   test("cosine top-k returns k ranked neighbors per query") {
     val c = Similarity.cosineTopk(spark, sf)
     val perQ = c.groupBy("qid").agg(count("*").as("n"), max("rnk").as("mr"))

@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.QfitSource
+
+/** Qfit binary point source: synthetic records round-trip through the
+  * big-endian fixed-width parse and feed the geo pipeline.
+  */
+class QfitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rec(t: Int, latE6: Int, lonE6: Int, elevMm: Int): Array[Int] =
+    Array(t, latE6, lonE6, elevMm, 100, 200, 45000, -1500, 2500, 13, 7, 120155000)
+
+  test("reads synthetic Qfit records back bit-exactly") {
+    val dir = Files.createTempDirectory("qfit")
+    QfitSource.writeFile(dir.resolve("flight1.qi"), Seq(
+      rec(1000, -70123456, 245000000, 1234567),
+      rec(2000, -70123460, 244999000, 1234000)))
+    QfitSource.writeFile(dir.resolve("flight2.qi"), Seq(
+      rec(3000, -71000000, 10000000, -500)))
+    val df = QfitSource.read(spark, dir.toString + "/*.qi")
+    assert(df.count() == 3)
+    val r0 = df.filter($"rel_time_s" === 1.0).head()
+    assert(r0.getAs[Double]("latitude") == -70.123456)
+    // 245° normalizes to −115°
+    assert(r0.getAs[Double]("longitude") == 245.0 - 360.0)
+    assert(r0.getAs[Double]("elevation") == 1234.567)
+    assert(r0.getAs[Long]("start_pulse_sig") == 100L)
+    assert(r0.getAs[Double]("pitch") == -1.5)
+    // negative elevations survive the signed big-endian parse
+    val r2 = df.filter($"rel_time_s" === 3.0).head()
+    assert(r2.getAs[Double]("elevation") == -0.5)
+    assert(r2.getAs[Double]("longitude") == 10.0)
+  }
+
+  test("Qfit points project and geo-index like any point frame") {
+    val dir = Files.createTempDirectory("qfit2")
+    QfitSource.writeFile(dir.resolve("f.qi"),
+      (0 until 50).map(i => rec(i * 100, -70000000 - i * 1000, i * 100000, 900000 + i)))
+    val pts = QfitSource.read(spark, dir.toString)
+      .withColumn("z", $"elevation")
+    val pf = PointFrame(pts).withXY(3031)
+    val idx = pf.geoIndex(100000.0).df
+    assert(idx.agg(sum("n_points")).as[Long].head() == 50L)
+    assert(idx.count() >= 1)
+  }
+}
