@@ -16,11 +16,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     GeoOps.queries ++ TrackOps.queries ++ Crossovers.queries ++
       Relational.queries ++ DateOps.queries ++ TextOps.queries ++
-      Dedup.queries ++ Similarity.queries ++ Projections.queries
+      Dedup.queries ++ Similarity.queries ++ Projections.queries ++
+      RasterOps.queries
 
   /** DuckDB-equivalent SQL per query key (driver correctness gate). */
   def oracleSql: Map[String, String] =
     GeoOps.oracles ++ TrackOps.oracles ++ Crossovers.oracles ++
       Relational.oracles ++ DateOps.oracles ++ TextOps.oracles ++
-      Dedup.oracles ++ Similarity.oracles ++ Projections.oracles
+      Dedup.oracles ++ Similarity.oracles ++ Projections.oracles ++
+      RasterOps.oracles
 }

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Raster products over grid tables — the write-back half of the
+  * reference's mapData (mapData.py:125-196: `normalize`, `toRGB`,
+  * `to_geotif`).  A raster here is a grid DataFrame `(gx, gy, gz)`
+  * (see PointSources.rasterize); the GeoTIFF byte-stream itself is
+  * out of scope (no GDAL in a Spark executor), but the full product
+  * pipeline — block-average, normalize to [0,1], quantize to 8-bit
+  * gray — is pure column math, and [[graft.sources.RasterSink]]
+  * persists the result as CRS-tagged, tile-partitioned parquet that a
+  * GDAL edge job can format-convert from.
+  */
+object RasterOps {
+
+  /** mapData.normalize + toRGB as one plan: δ=100 block-average grid
+    * from the point view (exact integer-cents means), global min/max
+    * normalization, 8-bit gray quantization.  min/max ride a
+    * broadcast cross join of the 1-row aggregate — the grid scan runs
+    * twice (agg + join), which at 100 TB is still two cheap passes
+    * over the *grid* (≪ points), never the point data.
+    */
+  def rasterRgb(s: SparkSession, dir: String): DataFrame = {
+    val d = 100.0
+    val g = Tables.eventsPoints(s, dir)
+      .groupBy((floor(col("x") / d) * d.toLong).cast("long").as("gx"),
+               (floor(col("y") / d) * d.toLong).cast("long").as("gy"))
+      .agg((sum(round(col("z") * 100).cast("long")) / 100.0 / count("*")).as("gz"))
+    val mm = g.agg(min("gz").as("zmin"), max("gz").as("zmax"))
+    g.crossJoin(broadcast(mm))
+      .withColumn("norm",
+        when(col("zmax") =!= col("zmin"),
+          (col("gz") - col("zmin")) / (col("zmax") - col("zmin"))).otherwise(0.0))
+      .withColumn("gray", least(floor(col("norm") * 255.0), lit(255L)))
+      .select("gx", "gy", "gz", "norm", "gray")
+      .orderBy("gx", "gy")
+  }
+
+  val rasterRgbSql: String =
+    s"""WITH pts AS (${Tables.eventsPointsSql}),
+       |g AS (SELECT CAST(floor(x/100.0)*100 AS BIGINT) AS gx,
+       |             CAST(floor(y/100.0)*100 AS BIGINT) AS gy,
+       |             sum(CAST(round(z*100) AS BIGINT))/100.0/count(*) AS gz
+       |      FROM pts GROUP BY 1,2),
+       |mm AS (SELECT min(gz) AS zmin, max(gz) AS zmax FROM g),
+       |n AS (SELECT gx, gy, gz,
+       |        CASE WHEN zmax <> zmin THEN (gz - zmin)/(zmax - zmin)
+       |             ELSE 0.0 END AS norm
+       |      FROM g, mm)
+       |SELECT gx, gy, gz, norm,
+       |  least(CAST(floor(norm*255.0) AS BIGINT), 255) AS gray
+       |FROM n ORDER BY gx, gy""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_raster_rgb" -> (rasterRgb _))
+
+  val oracles: Map[String, String] = Map(
+    "q_raster_rgb" -> rasterRgbSql)
+}

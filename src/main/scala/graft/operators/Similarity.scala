@@ -297,13 +297,62 @@ object Similarity {
        |SELECT qid, rnk, vid, cent, cos FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
   }
 
+  // --- 35c. embedding-cosine near-duplicate pairs (dedup mode) ---
+  /** The embedding-space flavor of near-dup detection: candidate
+    * pairs share a random-hyperplane LSH bucket (same 8-plane family
+    * as [[annLsh]] — cosine-similar vectors collide with high
+    * probability), verified by exact cosine ≥ minCos.  The self-join
+    * keys on the 256-way bucket, so pair cost tracks bucket occupancy
+    * — the same shape that keeps MinHash LSH linear-ish at corpus
+    * scale, here for the modality where shingles don't exist.
+    *
+    * A production dedup runs minCos ≈ 0.95-0.99; the synthetic test
+    * embeddings are random (max pairwise cosine ≈ 0.46), so the
+    * oracle query pins the threshold at the distribution's top tail
+    * (0.3) to keep the verified path non-vacuous.
+    */
+  val NearDupMinCos = 0.3
+
+  def embedNearDup(s: SparkSession, dir: String,
+                   minCos: Double = NearDupMinCos): DataFrame = {
+    val e = graft.core.CacheBag.register(emb(s, dir)
+      .withColumn("norm", sqrt(dot("v", "v")))
+      .filter(col("norm") > 0.0)
+      .withColumn("bucket", bucketExpr))
+    val a = e.select(col("vec_id").as("d1"), col("v").as("v1"),
+      col("norm").as("n1"), col("bucket"))
+    val b = e.select(col("vec_id").as("d2"), col("v").as("v2"),
+      col("norm").as("n2"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("d1") < col("d2"))
+      .withColumn("cos", dot("v1", "v2") / (col("n1") * col("n2")))
+      .filter(col("cos") >= minCos)
+      .select("d1", "d2", "cos")
+      .orderBy("d1", "d2")
+  }
+
+  val embedNearDupSql: String = {
+    val d12 = dotSql("v1", "v2"); val dq = dotSql("v", "v")
+    s"""WITH e AS ($embSql),
+       |n AS (SELECT vec_id, v, sqrt($dq) AS norm FROM e),
+       |nb AS (SELECT *, $bucketSqlExpr AS bucket FROM n WHERE norm > 0.0),
+       |p AS (SELECT a.vec_id AS d1, b.vec_id AS d2,
+       |        a.v AS v1, b.v AS v2, a.norm AS n1, b.norm AS n2
+       |      FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT d1, d2, ($d12)/(n1*n2) AS cos
+       |FROM p WHERE ($d12)/(n1*n2) >= $NearDupMinCos
+       |ORDER BY d1, d2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_cosine_topk" -> (cosineTopk _),
-    "q_ann_lsh"     -> (annLsh _),
-    "q_ann_ivf"     -> (annIvf _))
+    "q_cosine_topk"  -> (cosineTopk _),
+    "q_ann_lsh"      -> (annLsh _),
+    "q_ann_ivf"      -> (annIvf _),
+    "q_embed_neardup" -> ((s, d) => embedNearDup(s, d)))
 
   val oracles: Map[String, String] = Map(
-    "q_cosine_topk" -> cosineTopkSql,
-    "q_ann_lsh"     -> annLshSql,
-    "q_ann_ivf"     -> annIvfSql)
+    "q_cosine_topk"  -> cosineTopkSql,
+    "q_ann_lsh"      -> annLshSql,
+    "q_ann_ivf"      -> annIvfSql,
+    "q_embed_neardup" -> embedNearDupSql)
 }

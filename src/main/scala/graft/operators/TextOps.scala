@@ -107,16 +107,19 @@ object TextOps {
     * building block of n-gram language profiles.
     */
   def charNgrams(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // argmax as min_by over (−n, g): highest count, ties to the
+    // lexicographically smallest trigram — same selection as a rank
+    // window but with map-side partial aggregation (one row per doc
+    // per partition reaches the shuffle) instead of a full
+    // repartition+sort of the gram table
     val grams = docs(s, dir)
       .select(col("doc_id"),
         explode(expr("transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"))
           .as("g"))
       .groupBy("doc_id", "g").agg(count("*").as("n"))
-    val w = Window.partitionBy("doc_id").orderBy(col("n").desc, col("g"))
-    grams.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1)
-      .select(col("doc_id"), col("g").as("top_trigram"), col("n").as("n_occurrences"))
+    grams.groupBy("doc_id")
+      .agg(min_by(struct(col("g"), col("n")), struct(-col("n"), col("g"))).as("top"))
+      .select(col("doc_id"), col("top.g").as("top_trigram"), col("top.n").as("n_occurrences"))
       .orderBy("doc_id")
   }
 
