@@ -62,6 +62,46 @@ object MediaOps {
       }
   }
 
+  /** Resized-media record produced by the (stubbed) resampler. */
+  case class ResizedMedia(
+      doc_id: Long,
+      media_type: String,
+      width: Int,
+      height: Int,
+      scale_x: Double,
+      scale_y: Double,
+      resample_fp: Long)
+
+  /** STUB resize (brief: decode / feature-extract / *resize* /
+    * frame-sample): a real implementation initializes the resampler
+    * per partition and emits the resampled payload; the stub keeps the
+    * exact distributed shape — one output row per media item, scale
+    * factors computed from true dims, deterministic fingerprint in
+    * place of the pixel buffer.
+    */
+  def resize(decoded: Dataset[DecodedMedia], outW: Int, outH: Int): Dataset[ResizedMedia] = {
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    decoded.mapPartitions { rows =>
+      // per-partition resampler init would happen here
+      rows.map { m =>
+        val fp = (m.doc_id * 1000003L + m.width.toLong * outW + m.height.toLong * outH) &
+          0x0FFFFFFFFFFFFFFFL
+        ResizedMedia(m.doc_id, m.media_type, outW, outH,
+          m.width.toDouble / outW, m.height.toDouble / outH, fp)
+      }
+    }
+  }
+
+  /** Decoded features as an embedding table `(vec_id, v)` — the
+    * handoff from the multimodal pipeline into the similarity stack
+    * (brute-force / LSH / IVF all consume this shape).
+    */
+  def mediaEmbeddings(decoded: Dataset[DecodedMedia]): DataFrame =
+    decoded.toDF().select(
+      col("doc_id").as("vec_id"),
+      expr("transform(features, x -> cast(x as double))").as("v"))
+
   /** Feature extraction surface over decoded media: mean feature +
     * aspect ratio, grouped by media type.
     */

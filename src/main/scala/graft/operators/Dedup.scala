@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{CacheBag, Tables}
 import TextOps.md5long
@@ -103,17 +102,23 @@ object Dedup {
     * fans the candidate self-join out to k² rows, the classic skew
     * bomb of near-dup joins at corpus scale.  Dropping them bounds
     * every join key's fan-in at dfCap² while near-duplicates (which
-    * share *rare* shingles by definition) are unaffected.  The window
-    * count shuffles once on `gh` — the same partitioning the candidate
-    * self-join needs next.
+    * share *rare* shingles by definition) are unaffected.
+    *
+    * Shape: the hot-shingle list is found with a map-side-combinable
+    * count (the shuffle carries one row per distinct shingle per
+    * partition) and is by construction tiny (≤ |shingles|/dfCap
+    * rows), so removing it is a broadcast anti-join — the big shingle
+    * frame is never repartitioned or sorted for the cap (a window
+    * count would shuffle+sort the whole frame).
     */
   val DfCap = 50
 
-  def dfCapped(shingleFrame: DataFrame, dfCap: Int = DfCap): DataFrame =
-    shingleFrame
-      .withColumn("df", count("*").over(Window.partitionBy("gh")))
-      .filter(col("df") <= dfCap)
-      .drop("df")
+  def dfCapped(shingleFrame: DataFrame, dfCap: Int = DfCap): DataFrame = {
+    val hot = shingleFrame.groupBy("gh").agg(count("*").as("df"))
+      .filter(col("df") > dfCap)
+      .select("gh")
+    shingleFrame.join(broadcast(hot), Seq("gh"), "left_anti")
+  }
 
   /** Shingle-set Jaccard over any (doc_id, gh) shingle frame. */
   def jaccardOf(shingleFrame: DataFrame, dfCap: Int = DfCap): DataFrame = {

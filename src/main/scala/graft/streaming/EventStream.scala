@@ -92,6 +92,21 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup — the streaming face of Dedup.dedupExact
+    * for a continuously-arriving corpus: keep only the first event
+    * per content hash, with state bounded by the watermark horizon
+    * (dropDuplicatesWithinWatermark — late duplicates beyond the
+    * watermark age out of state instead of accumulating forever, the
+    * requirement for an unbounded ingest pipeline).
+    */
+  def streamingDedup(events: DataFrame,
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .withColumn("content_md5",
+        md5(concat_ws("|", col("event_type"), col("value").cast("string"))))
+      .dropDuplicatesWithinWatermark("content_md5")
+
   /** Stream-stream interval join: attribute each purchase to the
     * user's clicks in the preceding 10 minutes.  Watermarks bound the
     * join state on both sides — the canonical streaming-join shape.

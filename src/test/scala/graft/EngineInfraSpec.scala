@@ -88,6 +88,27 @@ class EngineInfraSpec extends SparkSpec {
     assert(click.getAs[Long]("n_events") == 2 && click.getAs[Long]("value_cents") == 400)
   }
 
+  test("streaming dedup keeps first occurrence within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double, Long)]
+    val events = mem.toDF().toDF("ts", "event_type", "value", "event_id")
+    val q = EventStream.streamingDedup(events, "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    // two exact duplicates of (click, 1.5) + one distinct event
+    mem.addData((ts(0), "click", 1.5, 1L), (ts(1), "click", 1.5, 2L),
+      (ts(2), "view", 2.0, 3L))
+    q.processAllAvailable()
+    // a later-batch duplicate is also dropped (state held within watermark)
+    mem.addData((ts(3), "click", 1.5, 4L))
+    q.processAllAvailable()
+    val out = spark.table("dedup_stream").collect()
+    q.stop()
+    assert(out.length == 2)
+    assert(out.map(_.getAs[Long]("event_id")).toSet == Set(1L, 3L))
+  }
+
   test("streaming geo-index builder bins events on the fly") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long)]
@@ -198,5 +219,18 @@ class EngineInfraSpec extends SparkSpec {
     assert(r.features.toSeq == r2.features.toSeq)
     val stats = MediaOps.mediaStats(spark, sf)
     assert(stats.count() == 3) // image/audio/video
+    // resize: one row per item, true-dims scale factors, fixed output dims
+    val rs = MediaOps.resize(decoded, 224, 224)
+    assert(rs.count() == docs.count())
+    val rr = rs.filter(col("doc_id") === 0).head()
+    assert(rr.width == 224 && rr.height == 224)
+    assert(rr.scale_x == r.width.toDouble / 224)
+    // media features hand off to the similarity stack as (vec_id, v)
+    val emb = MediaOps.mediaEmbeddings(decoded)
+    assert(emb.columns.toSeq == Seq("vec_id", "v"))
+    val selfDot = emb.filter(col("vec_id") === 0)
+      .select(graft.functions.VectorExprs.dotp(col("v"), col("v")).as("d"))
+      .head().getDouble(0)
+    assert(selfDot > 0.0)
   }
 }
