@@ -122,8 +122,12 @@ object Dedup {
 
   /** Shingle-set Jaccard over any (doc_id, gh) shingle frame. */
   def jaccardOf(shingleFrame: DataFrame, dfCap: Int = DfCap): DataFrame = {
-    // persisted: used on both sides of the candidate self-join + sizes
-    val sh    = CacheBag.register(dfCapped(shingleFrame, dfCap))
+    // raw persisted first: the md5-heavy shingle extraction must run
+    // once, not once for the hot-list aggregate and again for the
+    // anti-join input; capped persisted too — it feeds both sides of
+    // the candidate self-join + the size aggregate
+    val raw   = CacheBag.register(shingleFrame)
+    val sh    = CacheBag.register(dfCapped(raw, dfCap))
     val sizes = sh.groupBy("doc_id").agg(count("*").as("sz"))
     sh.as("t1")
       .join(sh.as("t2"),
