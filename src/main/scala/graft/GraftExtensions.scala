@@ -16,28 +16,51 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       GraftExtensions.dotProductBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("hamming"),
+      new ExpressionInfo(classOf[graft.functions.HammingDistance].getName, "hamming"),
+      GraftExtensions.binary("hamming", graft.functions.HammingDistance.apply)))
+    ext.injectFunction((
+      new FunctionIdentifier("top_trigram"),
+      new ExpressionInfo(classOf[graft.functions.TopTrigram].getName, "top_trigram"),
+      GraftExtensions.unary("top_trigram", graft.functions.TopTrigram.apply)))
   }
 }
 
 object GraftExtensions {
-  private[graft] val dotProductBuilder
-      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
-        org.apache.spark.sql.catalyst.expressions.Expression = { exprs =>
-    // arity checked here (analysis-time error); input types are
-    // declared on the expression itself via ExpectsInputTypes
-    if (exprs.length != 2)
+  private type Expr = org.apache.spark.sql.catalyst.expressions.Expression
+
+  /** Arity check at analysis time; input types are declared on the
+    * expressions themselves via ExpectsInputTypes.
+    */
+  private def arity(name: String, expected: Int, actual: Int): Unit =
+    if (actual != expected)
       throw new org.apache.spark.sql.AnalysisException(
         errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
         messageParameters = Map(
-          "functionName" -> "dot_product",
-          "expectedNum" -> "2",
-          "actualNum" -> exprs.length.toString,
+          "functionName" -> name,
+          "expectedNum" -> expected.toString,
+          "actualNum" -> actual.toString,
           "docroot" -> "https://spark.apache.org/docs/latest"))
-    DotProduct(exprs(0), exprs(1))
+
+  private[graft] def unary(name: String, f: Expr => Expr): Seq[Expr] => Expr = {
+    exprs => arity(name, 1, exprs.length); f(exprs(0))
   }
 
+  private[graft] def binary(name: String, f: (Expr, Expr) => Expr): Seq[Expr] => Expr = {
+    exprs => arity(name, 2, exprs.length); f(exprs(0), exprs(1))
+  }
+
+  private[graft] val dotProductBuilder: Seq[Expr] => Expr =
+    binary("dot_product", DotProduct.apply)
+
   /** Register graft SQL functions on an existing session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     org.apache.spark.sql.GraftSql.registerFunction(
       spark, "dot_product", dotProductBuilder)
+    org.apache.spark.sql.GraftSql.registerFunction(
+      spark, "hamming", binary("hamming", graft.functions.HammingDistance.apply))
+    org.apache.spark.sql.GraftSql.registerFunction(
+      spark, "top_trigram", unary("top_trigram", graft.functions.TopTrigram.apply))
+  }
 }

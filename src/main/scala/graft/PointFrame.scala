@@ -146,6 +146,17 @@ final case class PointFrame(df: DataFrame, delta: Double = 100.0) {
     copy(df = df.withColumn("latitude", lat).withColumn("longitude", lon))
   }
 
+  /** geo_index.bin_latlon (geo_index.py:477-487): the geographic
+    * coordinates of each occupied bin center — the index frame
+    * inverse-projected, no touch of the point data.
+    */
+  def binLatLon(epsg: Int): DataFrame = {
+    val bins = df.select(binX.as("bin_x"), binY.as("bin_y")).distinct()
+    val (lat, lon) = graft.operators.Projections.inverse(
+      col("bin_x").cast("double"), col("bin_y").cast("double"), epsg)
+    bins.withColumn("latitude", lat).withColumn("longitude", lon)
+  }
+
   /** geo_index.to_file: persist as the bin-partitioned layout. */
   def toGeoParquet(path: String, d: Double = delta): Unit =
     graft.sources.GeoParquet.write(df, path, d)

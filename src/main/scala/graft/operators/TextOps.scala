@@ -106,12 +106,20 @@ object TextOps {
     * lexicographically smallest) and that trigram's count — the
     * building block of n-gram language profiles.
     */
-  def charNgrams(s: SparkSession, dir: String): DataFrame = {
-    // argmax as min_by over (−n, g): highest count, ties to the
-    // lexicographically smallest trigram — same selection as a rank
-    // window but with map-side partial aggregation (one row per doc
-    // per partition reaches the shuffle) instead of a full
-    // repartition+sort of the gram table
+  def charNgrams(s: SparkSession, dir: String): DataFrame =
+    // the per-doc trigram argmax is row-local: the native one-pass
+    // TopTrigram expression computes it inside whole-stage codegen —
+    // no explode (one row per corpus character) and no shuffles
+    // (groupBy(doc,g) + argmax) ever leave the scan stage
+    docs(s, dir)
+      .select(col("doc_id"), graft.functions.TopTrigram.of(col("text")).as("top"))
+      .select(col("doc_id"), col("top.g").as("top_trigram"), col("top.n").as("n_occurrences"))
+      .orderBy("doc_id")
+
+  /** The composed (explode + aggregate) form of [[charNgrams]] — kept
+    * as the cross-check reference for the native expression.
+    */
+  def charNgramsComposed(s: SparkSession, dir: String): DataFrame = {
     val grams = docs(s, dir)
       .select(col("doc_id"),
         explode(expr("transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"))

@@ -71,10 +71,19 @@ class ApiSpec extends SparkSpec {
     assert(grid.agg(sum("n")).as[Long].head() == pts.count())
   }
 
-  test("dot_product is callable from SQL after extension registration") {
+  test("native expressions are callable from SQL after extension registration") {
     GraftExtensions.register(spark)
     val r = spark.sql("SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
       .as[Double].head()
     assert(r == 11.0)
+    assert(spark.sql("SELECT hamming(7L, 1L) AS h").as[Long].head() == 2L)
+    // 'ababa' → grams aba, bab, aba → top (aba, 2)
+    val t = spark.sql("SELECT top_trigram('ababa').g AS g, top_trigram('ababa').n AS n")
+      .as[(String, Long)].head()
+    assert(t == ("aba", 2L))
+    // wrong arity is an analysis error, not a runtime crash
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT dot_product(array(1.0d))").collect()
+    }
   }
 }

@@ -32,6 +32,22 @@ class EngineInfraSpec extends SparkSpec {
     assert(!hofLine.trim.startsWith("*("))
   }
 
+  test("TopTrigram expression matches the composed form and codegens") {
+    val native = graft.operators.TextOps.charNgrams(spark, sf)
+    val composed = graft.operators.TextOps.charNgramsComposed(spark, sf)
+    assert(native.exceptAll(composed).count() == 0)
+    assert(composed.exceptAll(native).count() == 0)
+    // stays inside whole-stage codegen ("*(n)" stage marker)
+    val docs = graft.core.Tables.t(spark, sf, "documents")
+    val line = docs.select(graft.functions.TopTrigram.of(col("text")))
+      .queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("top_trigram")).get
+    assert(line.trim.startsWith("*("))
+    // the plan has no exchange at all before the final sort
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Exchange")) <= 1) // only the orderBy range exchange
+  }
+
   test("GeoParquet: partitioned layout prunes bins at planning time") {
     val dir = Files.createTempDirectory("geoparquet").toString
     val pts = graft.core.Tables.eventsPoints(spark, sf)

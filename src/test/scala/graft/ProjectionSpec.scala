@@ -52,6 +52,36 @@ class ProjectionSpec extends SparkSpec {
       s"northing at standard parallel: ${p.getDouble(1)} vs $aMf")
   }
 
+  test("PolyTrig polynomials track libm within 1e-10 on their domains") {
+    import graft.functions.PolyTrig._
+    val xs = spark.range(-3141, 3142)
+      .select(($"id" / 1000.0).as("x"))
+      .withColumn("x2", $"x" * $"x")
+    val err = xs.select(
+        max(abs(sinC($"x", $"x2") - sin($"x"))).as("es"),
+        max(abs(cosC($"x2") - cos($"x"))).as("ec"))
+      .as[(Double, Double)].head()
+    assert(err._1 < 1e-10 && err._2 < 1e-10, s"sin/cos poly error: $err")
+    // exp on the ellipsoidal-correction range |w| <= 0.01
+    val ws = spark.range(-100, 101).select(($"id" / 10000.0).as("w"))
+    val ee = ws.select(max(abs(expC($"w") - exp($"w")))).as[Double].head()
+    assert(ee < 1e-14, s"exp poly error: $ee")
+    // atanh on |z| <= e ≈ 0.082
+    val zs = spark.range(-82, 83).select(($"id" / 1000.0).as("z"))
+      .withColumn("z2", $"z" * $"z")
+    val ea = zs.select(max(abs(atanhC($"z", $"z2") - atanh($"z")))).as[Double].head()
+    assert(ea < 1e-12, s"atanh poly error: $ea")
+  }
+
+  test("binLatLon inverse-projects the occupied bin centers") {
+    val pts = PointFrame(southGrid).withXY(3031)
+    val bins = PointFrame(pts.df, delta = 100000.0).binLatLon(3031)
+    assert(bins.count() > 0)
+    // every bin center lands back in the data's latitude band (southern)
+    assert(bins.filter($"latitude" > -55.0 || $"latitude" < -90.0).count() == 0)
+    assert(bins.filter(abs($"longitude") > 180.0).count() == 0)
+  }
+
   test("polynomial oracle form agrees with the libm API to sub-cm") {
     val api = PointFrame(southGrid).withXY(3031).df.select($"id", $"x", $"y")
     val poly = Projections.projectEpsg(spark, sf)
