@@ -251,20 +251,21 @@ object Dedup {
        |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
-  // --- 33b. SimHash near-dup pair search (banded) ---
+  // --- 33b. SimHash near-dup pair search (banded, multi-probe) ---
   /** Pairs within Hamming distance ≤ 8 of each other's 60-bit simhash.
     *
-    * Candidates come from 4 bands of 15 bits: a pair is a candidate if
-    * ANY band matches exactly (union of four 32768-bucket joins, done
-    * as one join on the exploded (band, key) table).  Pigeonhole: any
-    * pair with ≤3 differing bits is guaranteed a clean band; beyond
-    * that recall decays gracefully (the standard LSH trade; multi-probe
-    * widens it if needed).  This replaces the round-1 single
-    * `simhash >> 24` bucketing, which was both a scale killer (256
-    * fixed buckets ⇒ O(n²/256) fan-in per bucket) and a recall bug
-    * (pairs differing anywhere in the top byte were never candidates).
-    * The verify step is the native codegen'd
-    * [[graft.functions.HammingDistance]].
+    * Candidates come from 4 bands of 15 bits with single-bit
+    * multi-probe: one side of the self-join also probes every
+    * 1-bit-flipped variant of each band key (16 keys per band), so a
+    * pair is a candidate iff some band differs by ≤1 bit.  Pigeonhole:
+    * d ≤ 7 ⇒ some band has ≤ ⌊7/4⌋ = 1 differing bits ⇒ guaranteed
+    * candidate — recall is exact for d ≤ 7 and only the 2+2+2+2 split
+    * of d = 8 can escape.  (Round 1's single `simhash >> 24` bucketing
+    * was both a scale killer — 256 fixed buckets ⇒ O(n²/256) fan-in —
+    * and a recall bug: any pair differing in the top byte was never a
+    * candidate.)  Probing multiplies one side's band table ×16, the
+    * classic multi-probe trade of compute for memory; the verify step
+    * is the native codegen'd [[graft.functions.HammingDistance]].
     */
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     val th = toks(s, dir).withColumn("th", md5long(col("tok")))
@@ -275,18 +276,23 @@ object Dedup {
       .map(b => when(col(s"s$b") * 2 - col("n") > 0, lit(1L << b)).otherwise(0L))
       .reduce(_ + _)
     val sig = votes.select(col("doc_id"), sigExpr.as("h"))
-    // persisted: both sides of the any-band candidate self-join
+    // persisted: the exact side and the (derived) probe side of the
+    // candidate self-join
     val bands = CacheBag.register(sig.select(col("doc_id"), col("h"),
       posexplode(array((0 until 4).map(b =>
         expr(s"shiftright(h, ${15 * b}) % 32768")): _*)).as(Seq("band", "bk"))))
-    bands.select(col("doc_id").as("d1"), col("h").as("h1"), col("band"), col("bk"))
+    // probe side: the exact key plus its 15 single-bit flips
+    val probes = bands.select(col("doc_id").as("d1"), col("h").as("h1"), col("band"),
+      explode(array(col("bk") +:
+        (0 until 15).map(f => col("bk").bitwiseXOR(lit(1L << f))): _*)).as("bk"))
+    probes
       .join(bands.select(col("doc_id").as("d2"), col("h").as("h2"), col("band"), col("bk")),
         Seq("band", "bk"))
       .filter(col("d1") < col("d2"))
       .withColumn("hamming", graft.functions.VectorExprs.hamming(col("h1"), col("h2")))
       .filter(col("hamming") <= 8)
       .select("d1", "d2", "hamming")
-      .distinct() // a pair agreeing on >1 band is one pair
+      .distinct() // a pair matching via >1 (band, probe) is one pair
       .orderBy("d1", "d2")
   }
 
@@ -304,10 +310,14 @@ object Dedup {
        |  FROM votes GROUP BY doc_id),
        |bands AS (
        |  SELECT doc_id, h, band, (h >> (15*band)) % 32768 AS bk
-       |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) bs)
+       |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) bs),
+       |probes AS (
+       |  SELECT doc_id, h, band,
+       |    CASE WHEN f = 0 THEN bk ELSE xor(bk, 1::BIGINT << (f-1)) END AS bk
+       |  FROM bands, (SELECT unnest(generate_series(0, 15)) AS f) fs)
        |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
        |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
-       |FROM bands a JOIN bands b
+       |FROM probes a JOIN bands b
        |  ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.h, b.h)) <= 8
        |ORDER BY d1, d2""".stripMargin
