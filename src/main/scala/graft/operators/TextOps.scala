@@ -200,6 +200,44 @@ object TextOps {
       |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_digit_runs
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --- 28c. corpus-rarity quality signal (unigram-LM analog) ---
+  /** Rarity-based quality scoring — the deterministic stand-in for a
+    * unigram-logprob filter (log is libm, so a logprob could never
+    * hash-match cross-engine; ranks are integers and can): build the
+    * corpus vocabulary with counts, dense-rank it by frequency
+    * (rank 1 = most common), broadcast the vocabulary, and score each
+    * document by the mean/max rank of its tokens.  High mean rank =
+    * rare vocabulary = candidate for quality/domain filtering.
+    *
+    * Scale shape: the global window runs over the *vocabulary* (a dim
+    * table ≪ corpus — natural-language vocabularies are millions of
+    * rows where corpora are trillions); the corpus-side join is
+    * broadcast map-side, and the per-doc rollup is the one shuffle.
+    */
+  def tokenRarity(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val vocab = tk.groupBy("tok").agg(count("*").as("cnt"))
+    val ranked = vocab.select(col("tok"),
+      dense_rank().over(Window.orderBy(col("cnt").desc, col("tok"))).cast("long").as("rnk"))
+    tk.join(broadcast(ranked), "tok")
+      .groupBy("doc_id")
+      .agg(count("*").as("n_tokens"), sum("rnk").as("rank_sum"), max("rnk").as("rank_max"))
+      .withColumn("mean_rank", col("rank_sum").cast("double") / col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val tokenRaritySql: String =
+    """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |vocab AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY 1),
+      |ranked AS (SELECT tok, CAST(dense_rank() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rnk
+      |           FROM vocab),
+      |j AS (SELECT tk.doc_id, r.rnk FROM tk JOIN ranked r ON r.tok = tk.tok)
+      |SELECT doc_id, count(*) AS n_tokens, CAST(sum(rnk) AS BIGINT) AS rank_sum,
+      |       max(rnk) AS rank_max, CAST(sum(rnk) AS DOUBLE)/count(*) AS mean_rank
+      |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // --- 36b. chunked payload + frame sampling (video-style access) ---
   /** Split each payload into fixed 256-byte chunks and keep every 4th
     * ("frame sampling" over a chunked binary column; the corpus is
@@ -267,7 +305,8 @@ object TextOps {
     "q_char_ngrams"     -> (charNgrams _),
     "q_fingerprint"     -> (fingerprint _),
     "q_multimodal_meta" -> (multimodalMeta _),
-    "q_frame_sample"    -> (frameSample _))
+    "q_frame_sample"    -> (frameSample _),
+    "q_token_rarity"    -> (tokenRarity _))
 
   val oracles: Map[String, String] = Map(
     "q_token_count"     -> tokenCountSql,
@@ -277,5 +316,6 @@ object TextOps {
     "q_char_ngrams"     -> charNgramsSql,
     "q_fingerprint"     -> fingerprintSql,
     "q_multimodal_meta" -> multimodalMetaSql,
-    "q_frame_sample"    -> frameSampleSql)
+    "q_frame_sample"    -> frameSampleSql,
+    "q_token_rarity"    -> tokenRaritySql)
 }

@@ -92,6 +92,14 @@ object EventStream {
       }
   }
 
+  /** Stream-static enrichment: join the unbounded event stream with a
+    * static dimension frame (user attributes, tile metadata, a model
+    * table).  Spark broadcasts the static side into every micro-batch
+    * — no stream state at all, the cheapest join shape there is.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Streaming exact dedup — the streaming face of Dedup.dedupExact
     * for a continuously-arriving corpus: keep only the first event
     * per content hash, with state bounded by the watermark horizon

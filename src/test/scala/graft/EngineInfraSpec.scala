@@ -104,6 +104,24 @@ class EngineInfraSpec extends SparkSpec {
     assert(click.getAs[Long]("n_events") == 2 && click.getAs[Long]("value_cents") == 400)
   }
 
+  test("stream-static enrichment joins a broadcast dimension per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val events = mem.toDF().toDF("ts", "user_id")
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = EventStream.enrich(events, dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    mem.addData((java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:01:00"), 3L))
+    q.processAllAvailable()
+    val out = spark.table("enriched").collect()
+    q.stop()
+    assert(out.length == 2)
+    assert(out.find(_.getAs[Long]("user_id") == 1L).get.getAs[String]("tier") == "gold")
+    assert(out.find(_.getAs[Long]("user_id") == 3L).get.isNullAt(2)) // left join keeps unmatched
+  }
+
   test("streaming dedup keeps first occurrence within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String, Double, Long)]
