@@ -45,6 +45,87 @@ case class TopTrigram(child: Expression)
     copy(child = newChild)
 }
 
+/** Native one-pass word-shingle hasher: the DISTINCT 60-bit md5
+  * hashes of a string's word k-grams, deduplicated inside the row.
+  *
+  * Replaces the composed pipeline `explode(transform(sequence(...),
+  * i -> concat_ws(' ', slice(split(text,' '), i, k))))` →
+  * `md5long(g)` → `.distinct()`: the distinct there exists only to
+  * dedupe shingles *within* each document — a purely row-local fact —
+  * yet it costs a full (doc_id, gh) exchange of the exploded corpus.
+  * This expression dedupes in a per-row hash set, so the explode that
+  * follows it needs no shuffle at all, and the per-shingle string
+  * building (array slice + concat) happens in one pass without
+  * intermediate arrays.
+  *
+  * Hash semantics are identical to `TextOps.md5long` (first 60 bits
+  * of the md5 of the UTF-8 shingle text, words joined by a single
+  * space; `split(' ', -1)` keeps empty tokens exactly like Spark's
+  * `split(text, ' ')`), so the DuckDB oracle mirror is unchanged.
+  * k = 1 degenerates to distinct token hashes (the simhash input).
+  */
+case class WordShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression with GraftInputTypes {
+
+  override def graftInputTypes: Seq[DataType] = Seq(StringType)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "word_shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    WordShingleHashes.compute(input.asInstanceOf[UTF8String], k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordShingleHashes.compute($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordShingleHashes {
+
+  def compute(u: UTF8String, k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = u.toString.split(" ", -1)
+    val sz = toks.length
+    val last = math.max(sz - (k - 1), 1)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < last) {
+      sb.setLength(0)
+      var j = i
+      val end = math.min(i + k, sz)
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 15 hex chars of the digest = bytes 0..6 plus the high
+      // nibble of byte 7 — identical to conv(substr(md5(g),1,15),16,10)
+      var v = 0L
+      var b = 0
+      while (b < 7) { v = (v << 8) | (d(b) & 0xFFL); b += 1 }
+      v = (v << 4) | ((d(7) & 0xFFL) >>> 4)
+      seen.add(v)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Column API. */
+  def of(c: Column, k: Int): Column =
+    GraftSql.column(WordShingleHashes(GraftSql.expression(c), k))
+}
+
 object TopTrigram {
 
   /** One pass: count every trigram, return (best gram, count). */

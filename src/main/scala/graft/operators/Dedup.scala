@@ -57,11 +57,14 @@ object Dedup {
       |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
       |ORDER BY doc_id""".stripMargin
 
-  /** Distinct (doc_id, tok) pairs — for per-document signatures. */
-  private def toks(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .distinct()
+  /** Distinct (doc_id, token-hash) pairs — for per-document
+    * signatures.  The native [[graft.functions.WordShingleHashes]]
+    * (k = 1) dedupes tokens inside the row, so no distinct exchange
+    * ever happens — the explode output is already set-semantic.
+    */
+  private def tokHashes(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      explode(graft.functions.WordShingleHashes.of(col("text"), 1)).as("th"))
 
   private val toksSql =
     "SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents"
@@ -74,15 +77,13 @@ object Dedup {
   private def shingles(s: SparkSession, dir: String): DataFrame =
     shinglesOf(docs(s, dir))
 
-  /** Shingle extraction over any (doc_id, text) frame. */
+  /** Shingle extraction over any (doc_id, text) frame — native
+    * one-pass hashing with in-row dedup (no distinct exchange; see
+    * [[graft.functions.WordShingleHashes]]).
+    */
   def shinglesOf(documents: DataFrame): DataFrame =
-    documents
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, greatest(size(split(text,' ')) - 4, 1)),
-          |          i -> concat_ws(' ', slice(split(text,' '), i, 5)))""".stripMargin))
-        .as("g"))
-      .select(col("doc_id"), md5long(col("g")).as("gh"))
-      .distinct()
+    documents.select(col("doc_id"),
+      explode(graft.functions.WordShingleHashes.of(col("text"), 5)).as("gh"))
 
   private val shinglesSql =
     s"""SELECT DISTINCT doc_id,
@@ -228,7 +229,7 @@ object Dedup {
   def simhash(s: SparkSession, dir: String): DataFrame = {
     // single-pass: vote_b = 2·Σ bit_b(H(tok)) − n_toks, sig bit = vote>0;
     // 32 sum() columns in one shuffle instead of a 32× bit explode
-    val th = toks(s, dir).withColumn("th", md5long(col("tok")))
+    val th = tokHashes(s, dir)
     val aggs = count("*").as("n") +:
       (0 until 32).map(b => sum(expr(s"shiftright(th, $b) % 2")).as(s"s$b"))
     val votes = th.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
@@ -268,7 +269,7 @@ object Dedup {
     * is the native codegen'd [[graft.functions.HammingDistance]].
     */
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val th = toks(s, dir).withColumn("th", md5long(col("tok")))
+    val th = tokHashes(s, dir)
     val aggs = count("*").as("n") +:
       (0 until 60).map(b => sum(expr(s"shiftright(th, $b) % 2")).as(s"s$b"))
     val votes = th.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)

@@ -48,6 +48,32 @@ class EngineInfraSpec extends SparkSpec {
     assert(plan.linesIterator.count(_.contains("Exchange")) <= 1) // only the orderBy range exchange
   }
 
+  test("WordShingleHashes matches the composed explode+md5+distinct form") {
+    val docs = graft.core.Tables.t(spark, sf, "documents")
+    val native = docs.select(col("doc_id"),
+      explode(graft.functions.WordShingleHashes.of(col("text"), 5)).as("gh"))
+    val composed = docs
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, greatest(size(split(text,' ')) - 4, 1)),
+          |          i -> concat_ws(' ', slice(split(text,' '), i, 5)))""".stripMargin)).as("g"))
+      .select(col("doc_id"), graft.operators.TextOps.md5long(col("g")).as("gh"))
+      .distinct()
+    assert(native.exceptAll(composed).count() == 0)
+    assert(composed.exceptAll(native).count() == 0)
+    // k=1 degenerates to distinct token hashes
+    val nat1 = docs.select(col("doc_id"),
+      explode(graft.functions.WordShingleHashes.of(col("text"), 1)).as("th"))
+    val comp1 = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok")).distinct()
+      .select(col("doc_id"), graft.operators.TextOps.md5long(col("tok")).as("th"))
+    assert(nat1.exceptAll(comp1).count() == 0 && comp1.exceptAll(nat1).count() == 0)
+    // stays inside whole-stage codegen
+    val line = docs.select(graft.functions.WordShingleHashes.of(col("text"), 5))
+      .queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("word_shingle_hashes")).get
+    assert(line.trim.startsWith("*("))
+  }
+
   test("GeoParquet: partitioned layout prunes bins at planning time") {
     val dir = Files.createTempDirectory("geoparquet").toString
     val pts = graft.core.Tables.eventsPoints(spark, sf)
