@@ -126,6 +126,70 @@ object WordShingleHashes {
     GraftSql.column(WordShingleHashes(GraftSql.expression(c), k))
 }
 
+/** Native one-pass winnowing fingerprint: the minimum 60-bit md5 hash
+  * over a string's word k-grams (ALL positions, duplicates included —
+  * unlike [[WordShingleHashes]] this is positional, not set-semantic)
+  * plus the position count, as one struct — the whole per-document
+  * fingerprint without an explode, a groupBy, or a join.
+  */
+case class MinShingleHash(child: Expression, k: Int)
+    extends UnaryExpression with GraftInputTypes {
+
+  override def graftInputTypes: Seq[DataType] = Seq(StringType)
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("min_fp", LongType, nullable = false),
+    StructField("n", LongType, nullable = false)))
+
+  override def prettyName: String = "min_shingle_hash"
+
+  override def nullSafeEval(input: Any): Any =
+    MinShingleHash.compute(input.asInstanceOf[UTF8String], k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinShingleHash.compute($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinShingleHash {
+
+  def compute(u: UTF8String, k: Int): InternalRow = {
+    val toks = u.toString.split(" ", -1)
+    val sz = toks.length
+    val last = math.max(sz - (k - 1), 1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sb = new java.lang.StringBuilder
+    var minV = Long.MaxValue
+    var i = 0
+    while (i < last) {
+      sb.setLength(0)
+      var j = i
+      val end = math.min(i + k, sz)
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var v = 0L
+      var b = 0
+      while (b < 7) { v = (v << 8) | (d(b) & 0xFFL); b += 1 }
+      v = (v << 4) | ((d(7) & 0xFFL) >>> 4)
+      if (v < minV) minV = v
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](minV, last.toLong))
+  }
+
+  /** Column API. */
+  def of(c: Column, k: Int): Column =
+    GraftSql.column(MinShingleHash(GraftSql.expression(c), k))
+}
+
 object TopTrigram {
 
   /** One pass: count every trigram, return (best gram, count). */

@@ -146,22 +146,17 @@ object TextOps {
   /** Winnowing-style: the fingerprint is the minimum hash over word
     * 3-gram shingles, plus a whole-content hash.
     */
-  def fingerprint(s: SparkSession, dir: String): DataFrame = {
-    // explode + agg instead of an array HOF: md5/conv evaluate inside
-    // whole-stage codegen in the projection; the HOF form interprets
-    // the lambda per shingle (~8 s at sf0.1 vs ~1 s this way)
-    val sh = docs(s, dir)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, greatest(size(split(text,' ')) - 2, 1)),
-          |          i -> concat_ws(' ', slice(split(text,' '), i, 3)))""".stripMargin)).as("g"))
-      .groupBy("doc_id")
-      .agg(min(md5long(col("g"))).as("min_shingle_fp"), count("*").as("n_shingles"))
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    // the per-doc min-hash fingerprint is row-local: the native
+    // MinShingleHash expression computes it in one pass inside
+    // whole-stage codegen — the round-1 explode + groupBy + join-back
+    // collapses to a single projection over one scan
     docs(s, dir)
-      .select(col("doc_id"), md5long(col("text")).as("content_fp"))
-      .join(sh, "doc_id")
-      .select("doc_id", "content_fp", "min_shingle_fp", "n_shingles")
+      .select(col("doc_id"), md5long(col("text")).as("content_fp"),
+        graft.functions.MinShingleHash.of(col("text"), 3).as("fp"))
+      .select(col("doc_id"), col("content_fp"),
+        col("fp.min_fp").as("min_shingle_fp"), col("fp.n").as("n_shingles"))
       .orderBy("doc_id")
-  }
 
   val fingerprintSql: String =
     """SELECT doc_id,
