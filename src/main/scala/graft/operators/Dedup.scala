@@ -268,7 +268,8 @@ object Dedup {
     * classic multi-probe trade of compute for memory; the verify step
     * is the native codegen'd [[graft.functions.HammingDistance]].
     */
-  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+  /** The 60-bit simhash signature table (doc_id, h). */
+  private[graft] def simhash60(s: SparkSession, dir: String): DataFrame = {
     val th = tokHashes(s, dir)
     val aggs = count("*").as("n") +:
       (0 until 60).map(b => sum(expr(s"shiftright(th, $b) % 2")).as(s"s$b"))
@@ -276,7 +277,11 @@ object Dedup {
     val sigExpr = (0 until 60)
       .map(b => when(col(s"s$b") * 2 - col("n") > 0, lit(1L << b)).otherwise(0L))
       .reduce(_ + _)
-    val sig = votes.select(col("doc_id"), sigExpr.as("h"))
+    votes.select(col("doc_id"), sigExpr.as("h"))
+  }
+
+  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = simhash60(s, dir)
     // persisted: the exact side and the (derived) probe side of the
     // candidate self-join
     val bands = CacheBag.register(sig.select(col("doc_id"), col("h"),

@@ -45,6 +45,23 @@ class PipelineOpsSpec extends SparkSpec {
       s"hot-shingle-only pairs leaked: $pairs")
   }
 
+  test("multi-probe banding finds EVERY pair within hamming 7 (exhaustive)") {
+    // brute-force all-pairs hamming over the 60-bit signatures, then
+    // assert the banded multi-probe candidate generation missed none
+    // with d <= 7 — the pigeonhole guarantee, checked empirically
+    val sigs = Dedup.simhash60(spark, sf).persist()
+    val brute = sigs.as("a").join(sigs.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
+        graft.functions.VectorExprs.hamming($"a.h", $"b.h").as("hm"))
+      .filter($"hm" <= 7)
+      .select("d1", "d2")
+    val found = Dedup.simhashPairs(spark, sf).select("d1", "d2")
+    assert(brute.count() > 0, "test corpus has no close pairs — vacuous")
+    assert(brute.exceptAll(found).count() == 0,
+      "a hamming<=7 pair escaped the multi-probe banding")
+    sigs.unpersist()
+  }
+
   test("banded simhash pair search honors its hamming contract") {
     val p = Dedup.simhashPairs(spark, sf)
     assert(p.filter($"hamming" > 8 || $"hamming" < 0).count() == 0)
