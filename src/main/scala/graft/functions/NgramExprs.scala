@@ -86,12 +86,21 @@ case class WordShingleHashes(child: Expression, k: Int)
 
 object WordShingleHashes {
 
+  /** One digest instance per executor thread (getInstance per row is
+    * measurable at corpus scale); compute() resets it per shingle.
+    */
+  private[functions] val mdLocal: ThreadLocal[java.security.MessageDigest] =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
   def compute(u: UTF8String, k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
     val toks = u.toString.split(" ", -1)
     val sz = toks.length
     val last = math.max(sz - (k - 1), 1)
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = mdLocal.get()
     val sb = new java.lang.StringBuilder
     var i = 0
     while (i < last) {
@@ -160,7 +169,7 @@ object MinShingleHash {
     val toks = u.toString.split(" ", -1)
     val sz = toks.length
     val last = math.max(sz - (k - 1), 1)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = WordShingleHashes.mdLocal.get()
     val sb = new java.lang.StringBuilder
     var minV = Long.MaxValue
     var i = 0
