@@ -297,6 +297,76 @@ object Similarity {
        |SELECT qid, rnk, vid, cent, cos FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
   }
 
+  // --- IVF as a parameterized library API (ncent / nprobe knobs) ---
+  /** Learn `ncent` centroids over any (vec_id, v) embedding frame:
+    * deterministic formula seeds + one exact-integer-sum k-means pass
+    * (same scheme as the oracle query, generalized to any k).
+    */
+  def ivfCentroids(emb: DataFrame, ncent: Int): IndexedSeq[Array[Double]] = {
+    def seed(j: Int): Array[Double] =
+      Array.tabulate(64)(k0 => (((j * 31 + (k0 + 1) * 17) % 13) - 6).toDouble / 6.0)
+    val base = emb.withColumn("vv", graft.functions.VectorExprs.dotp(col("v"), col("v")))
+    val dists = array((0 until ncent).map { j =>
+      col("vv") - lit(2.0) * graft.functions.VectorExprs.dotp(col("v"), typedlit(seed(j))) +
+        lit(selfDot(seed(j)))
+    }: _*)
+    val assigned = base.withColumn("cent0",
+      (array_position(dists, array_min(dists)) - 1).cast("long"))
+    val sumAggs = count("*").as("cnt") +: (0 until 64).map(k =>
+      sum(floor(element_at(col("v"), k + 1) * 1000000.0).cast("long")).as(s"sk$k"))
+    val learned = assigned.groupBy("cent0").agg(sumAggs.head, sumAggs.tail: _*)
+      .collect().map { r =>
+        val cnt = r.getLong(1)
+        r.getLong(0) -> Array.tabulate(64)(k => r.getLong(k + 2) / 1000000.0 / cnt)
+      }.toMap
+    (0 until ncent).map(j => learned.getOrElse(j.toLong, seed(j)))
+  }
+
+  /** Assign each vector to its nearest centroid (`cent`), keeping
+    * norm/vv columns for downstream scoring.
+    */
+  def ivfAssign(emb: DataFrame, cents: Seq[Array[Double]]): DataFrame = {
+    val base = emb
+      .withColumn("vv", graft.functions.VectorExprs.dotp(col("v"), col("v")))
+      .withColumn("norm", sqrt(col("vv")))
+      .filter(col("norm") > 0.0)
+    val dists = array(cents.indices.map { j =>
+      col("vv") - lit(2.0) * graft.functions.VectorExprs.dotp(col("v"), typedlit(cents(j))) +
+        lit(selfDot(cents(j)))
+    }: _*)
+    base.withColumn("dists", dists)
+      .withColumn("cent", (array_position(col("dists"), array_min(col("dists"))) - 1).cast("long"))
+  }
+
+  /** IVF search: probe the `nprobe` nearest centroid lists per query,
+    * exact cosine + top-k inside the probed lists.  nprobe = ncent
+    * degenerates to exact brute-force search (every list probed) —
+    * the knob trades recall for the fraction of the corpus touched,
+    * which at 100 TB is the difference between reading 2 partitions
+    * and reading them all.
+    */
+  def ivfSearch(emb: DataFrame, queryIds: Seq[Long],
+                cents: Seq[Array[Double]], nprobe: Int, k: Int): DataFrame = {
+    val assigned = graft.core.CacheBag.register(ivfAssign(emb, cents))
+    // nprobe nearest lists per query: sort (dist, cent) pairs, slice
+    val probes = assigned
+      .filter(col("vec_id").isInCollection(queryIds))
+      .withColumn("ranked", expr(
+        s"""transform(array_sort(zip_with(dists, sequence(0, ${cents.size - 1}),
+           |  (d, i) -> struct(d as d, i as i))), p -> cast(p.i as bigint))""".stripMargin))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"),
+        slice(col("ranked"), 1, nprobe).as("probes"))
+    val corpus = assigned.filter(!col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("vid"), col("v"), col("norm"), col("cent"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
+    corpus.join(broadcast(probes), array_contains(col("probes"), col("cent")))
+      .withColumn("cos",
+        graft.functions.VectorExprs.dotp(col("qv"), col("v")) / (col("qn") * col("norm")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("qid", "rnk", "vid", "cent", "cos")
+  }
+
   // --- 35c. embedding-cosine near-duplicate pairs (dedup mode) ---
   /** The embedding-space flavor of near-dup detection: candidate
     * pairs share a random-hyperplane LSH bucket (same 8-plane family

@@ -100,6 +100,24 @@ class PipelineOpsSpec extends SparkSpec {
       s"degenerate assignment: $asg")
   }
 
+  test("parameterized IVF: probing every list is exactly brute force") {
+    val e = Similarity.emb(spark, sf)
+    val cents = Similarity.ivfCentroids(e, 8)
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    // nprobe = ncent ⇒ every candidate scored ⇒ identical to the
+    // exact brute-force ranking
+    val full = Similarity.ivfSearch(e, qids, cents, nprobe = 8, k = 10)
+      .select("qid", "rnk", "vid", "cos")
+    val brute = Similarity.cosineTopk(spark, sf)
+      .select("qid", "rnk", "vid", "cos")
+    assert(full.exceptAll(brute).count() == 0 && brute.exceptAll(full).count() == 0)
+    // narrow probing returns at most k per query and overlaps the truth
+    val two = Similarity.ivfSearch(e, qids, cents, nprobe = 2, k = 10)
+    val perQ = two.groupBy("qid").count()
+    assert(perQ.filter($"count" > 10).count() == 0)
+    assert(two.select("qid", "vid").intersect(brute.select("qid", "vid")).count() > 0)
+  }
+
   test("cosine top-k returns k ranked neighbors per query") {
     val c = Similarity.cosineTopk(spark, sf)
     val perQ = c.groupBy("qid").agg(count("*").as("n"), max("rnk").as("mr"))
