@@ -55,6 +55,26 @@ class SkewAndSinkSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("bucketed shingle table: near-dup candidate self-join is exchange-free") {
+    import graft.sources.Bucketing
+    // at 100 TB the shingle table is materialized once, bucketed by
+    // the shingle hash; every near-dup candidate pass then self-joins
+    // with no shuffle at all — the layout IS the join plan
+    val sh = graft.operators.Dedup.shinglesOf(
+      graft.core.Tables.t(spark, sf, "documents"))
+    Bucketing.writeBucketed(sh, "sh_b", "gh", 4)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val t = spark.table("sh_b")
+      val cand = t.as("a").join(t.as("b"),
+        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+      assert(cand.count() > 0)
+      val plan = cand.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"), s"expected shuffle-free self-join:\n$plan")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("crossover tile sink round-trips with partition pruning") {
     val dir = Files.createTempDirectory("xovers").toString
     val xo = Crossovers.crossovers(spark, sf)
