@@ -74,14 +74,45 @@ object Similarity {
     * vectors in the query's bucket — candidate cost tracks bucket
     * occupancy, not corpus size.
     */
-  private def bucketExpr: Column = {
-    val bits = (0 until 8).map { j =>
-      val dotj =
-        s"""aggregate(zip_with(v, transform(sequence(0, 63), k -> cast((($j*97 + k*31) % 7) - 3 as double)),
-           |  (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)""".stripMargin
-      s"(CASE WHEN $dotj > 0.0 THEN ${1L << j}L ELSE 0L END)"
+  private def bucketExpr: Column = lshBucketCol(8)
+
+  /** Random-hyperplane bucket id with `nplanes` planes (2^nplanes
+    * buckets).  The knob trades bucket occupancy (candidate cost per
+    * query) against recall; nplanes = 0 is a single bucket — exact
+    * brute-force search.
+    */
+  def lshBucketCol(nplanes: Int): Column =
+    if (nplanes == 0) lit(0L)
+    else {
+      val bits = (0 until nplanes).map { j =>
+        val dotj =
+          s"""aggregate(zip_with(v, transform(sequence(0, 63), k -> cast((($j*97 + k*31) % 7) - 3 as double)),
+             |  (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)""".stripMargin
+        s"(CASE WHEN $dotj > 0.0 THEN ${1L << j}L ELSE 0L END)"
+      }
+      expr(bits.mkString(" + "))
     }
-    expr(bits.mkString(" + "))
+
+  /** LSH search as a parameterized API (the annLsh oracle query pins
+    * nplanes = 8): bucket the corpus, join each query to its bucket,
+    * exact cosine + top-k inside it.
+    */
+  def lshSearch(emb: DataFrame, queryIds: Seq[Long],
+                nplanes: Int, k: Int): DataFrame = {
+    val e = graft.core.CacheBag.register(emb
+      .withColumn("norm", sqrt(dot("v", "v")))
+      .filter(col("norm") > 0.0)
+      .withColumn("bucket", lshBucketCol(nplanes)))
+    val q = e.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"), col("bucket"))
+    val c = e.filter(!col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("vid"), col("v"), col("norm"), col("bucket"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
+    c.join(broadcast(q), "bucket")
+      .withColumn("cos", dot("qv", "v") / (col("qn") * col("norm")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("qid", "rnk", "vid", "bucket", "cos")
   }
 
   private def bucketSqlExpr: String = {

@@ -118,6 +118,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(two.select("qid", "vid").intersect(brute.select("qid", "vid")).count() > 0)
   }
 
+  test("parameterized LSH: zero planes is exactly brute force") {
+    val e = Similarity.emb(spark, sf)
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val zero = Similarity.lshSearch(e, qids, nplanes = 0, k = 10)
+      .select("qid", "rnk", "vid", "cos")
+    val brute = Similarity.cosineTopk(spark, sf)
+      .select("qid", "rnk", "vid", "cos")
+    assert(zero.exceptAll(brute).count() == 0 && brute.exceptAll(zero).count() == 0)
+    // more planes ⇒ fewer candidates per bucket, results stay bounded
+    val eight = Similarity.lshSearch(e, qids, nplanes = 8, k = 10)
+    assert(eight.groupBy("qid").count().filter($"count" > 10).count() == 0)
+  }
+
   test("cosine top-k returns k ranked neighbors per query") {
     val c = Similarity.cosineTopk(spark, sf)
     val perQ = c.groupBy("qid").agg(count("*").as("n"), max("rnk").as("mr"))
