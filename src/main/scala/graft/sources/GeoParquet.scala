@@ -31,6 +31,34 @@ object GeoParquet {
       .partitionBy("bin_x", "bin_y")
       .parquet(path)
 
+  /** Append a (micro-)batch into the layout — the streaming-ingest
+    * write path (see graft.streaming.EventStream.ingestGeoParquet).
+    */
+  def append(df: DataFrame, path: String, delta: Double): Unit =
+    df.withColumn("bin_x", GeoOps.binOf(col("x"), delta))
+      .withColumn("bin_y", GeoOps.binOf(col("y"), delta))
+      .write.mode("append")
+      .partitionBy("bin_x", "bin_y")
+      .parquet(path)
+
+  /** Compact the layout in place: streaming appends leave one small
+    * file per bin per micro-batch; rewriting each bin's rows into one
+    * file restores scan efficiency (the operational sibling of
+    * streaming ingest — run it on a schedule, not per batch).
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val tmp = path + ".compact"
+    read(spark, path)
+      .repartition(col("bin_x"), col("bin_y"))
+      .sortWithinPartitions("bin_x", "bin_y", "x", "y")
+      .write.mode("overwrite").partitionBy("bin_x", "bin_y").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 

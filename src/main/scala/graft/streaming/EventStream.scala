@@ -92,6 +92,22 @@ object EventStream {
       }
   }
 
+  /** Streaming ingest into the GeoParquet spatial layout: every
+    * micro-batch of points lands bin-partitioned, so the index stays
+    * continuously queryable with partition pruning while data streams
+    * in.  Pair with GeoParquet.compact on a schedule — appends leave
+    * one file per bin per batch.
+    */
+  def ingestGeoParquet(points: DataFrame, path: String, delta: Double,
+                       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    points.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.GeoParquet.append(batch, path, delta)
+      }
+      .start()
+
   /** Stream-static enrichment: join the unbounded event stream with a
     * static dimension frame (user attributes, tile metadata, a model
     * table).  Spark broadcasts the static side into every micro-batch

@@ -130,6 +130,34 @@ class EngineInfraSpec extends SparkSpec {
     assert(click.getAs[Long]("n_events") == 2 && click.getAs[Long]("value_cents") == 400)
   }
 
+  test("streaming ingest maintains a queryable GeoParquet layout + compaction") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("geo_ingest")
+    val mem = MemoryStream[(Long, Double, Double, Double)]
+    val pts = mem.toDF().toDF("id", "x", "y", "z")
+    val q = EventStream.ingestGeoParquet(pts, s"$dir/data", 100.0,
+      s"$dir/ckpt")
+    mem.addData((1L, 10.0, 20.0, 1.0), (2L, 510.0, -520.0, 2.0))
+    q.processAllAvailable()
+    mem.addData((3L, 12.0, 22.0, 3.0)) // lands in the same bin as id=1
+    q.processAllAvailable()
+    q.stop()
+    // layout is immediately queryable with bin pruning
+    val all = GeoParquet.read(spark, s"$dir/data")
+    assert(all.count() == 3)
+    val boxed = GeoParquet.queryBox(spark, s"$dir/data", (0L, 100L), (0L, 100L))
+    assert(boxed.select("id").as[Long].collect().toSet == Set(1L, 3L))
+    // two appends → ≥2 files in bin (0,0); compaction folds them to 1
+    def filesInBin = new java.io.File(s"$dir/data/bin_x=0/bin_y=0")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(filesInBin >= 2)
+    GeoParquet.compact(spark, s"$dir/data")
+    assert(filesInBin == 1)
+    assert(GeoParquet.read(spark, s"$dir/data").count() == 3)
+    assert(GeoParquet.queryBox(spark, s"$dir/data", (0L, 100L), (0L, 100L))
+      .count() == 2)
+  }
+
   test("stream-static enrichment joins a broadcast dimension per batch") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long)]
