@@ -72,6 +72,30 @@ object GeoOps {
        |  AND CAST(round(y/100.0)*100 AS BIGINT) BETWEEN -300 AND 300
        |ORDER BY id""".stripMargin
 
+  // --- 2b. box query THROUGH the written geo-layout (geo_index.py to_file → query_xy_box) ---
+  /** The full to_file → from_file → query cycle as one oracle-checked
+    * query: write the point cloud as the bin-partitioned GeoParquet
+    * layout, then box-query it — the read scans only matching bin
+    * directories (PartitionFilters; proven in GeoParquetSpec), which
+    * is the honest 100-TB pruning story, here exercised end-to-end
+    * against the DuckDB oracle rather than only in a plan spec.
+    */
+  def geoLayoutQuery(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("geolayout").toString
+    graft.sources.GeoParquet.write(
+      pts(s, dir).select("id", "x", "y", "z"), path, 100.0)
+    graft.sources.GeoParquet.queryBox(s, path, (-200L, 400L), (-300L, 300L))
+      .select("id", "x", "y", "z")
+      .orderBy("id")
+  }
+
+  val geoLayoutQuerySql: String =
+    s"""WITH pts AS ($P)
+       |SELECT id, x, y, z FROM pts
+       |WHERE CAST(round(x/100.0)*100 AS BIGINT) BETWEEN -200 AND 400
+       |  AND CAST(round(y/100.0)*100 AS BIGINT) BETWEEN -300 AND 300
+       |ORDER BY id""".stripMargin
+
   // --- 3. query_xy with pad: dilate query bins by ±1 (geo_index.py:363-..., pad_bins 591-603) ---
   def geoQueryPad(s: SparkSession, dir: String): DataFrame = {
     val p = pts(s, dir)
@@ -395,6 +419,7 @@ object GeoOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_geoindex_build"  -> (geoindexBuild _),
     "q_geo_query_box"   -> (geoQueryBox _),
+    "q_geo_layout_query" -> (geoLayoutQuery _),
     "q_geo_query_pad"   -> (geoQueryPad _),
     "q_geo_intersect"   -> (geoIntersect _),
     "q_geo_intersect_pad" -> (geoIntersectPad _),
@@ -411,6 +436,7 @@ object GeoOps {
   val oracles: Map[String, String] = Map(
     "q_geoindex_build"  -> geoindexBuildSql,
     "q_geo_query_box"   -> geoQueryBoxSql,
+    "q_geo_layout_query" -> geoLayoutQuerySql,
     "q_geo_query_pad"   -> geoQueryPadSql,
     "q_geo_intersect"   -> geoIntersectSql,
     "q_geo_intersect_pad" -> geoIntersectPadSql,
