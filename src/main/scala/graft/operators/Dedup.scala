@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{CacheBag, Tables}
-import TextOps.md5long
 
 /** Deduplication operators for the training-data pipeline: exact
   * (hash groupBy), shingle-set Jaccard, MinHash+LSH, SimHash.
