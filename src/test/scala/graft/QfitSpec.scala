@@ -35,6 +35,18 @@ class QfitSpec extends SparkSpec {
     assert(r2.getAs[Double]("longitude") == 10.0)
   }
 
+  test("a truncated trailing record is ignored, not mis-parsed") {
+    val dir = Files.createTempDirectory("qfit3")
+    val f = dir.resolve("trunc.qi")
+    QfitSource.writeFile(f, Seq(rec(1000, -70000000, 10000000, 500)))
+    // simulate a cut-off transfer: 5 stray bytes after the last record
+    Files.write(f, Array[Byte](1, 2, 3, 4, 5),
+      java.nio.file.StandardOpenOption.APPEND)
+    val df = QfitSource.read(spark, dir.toString)
+    assert(df.count() == 1)
+    assert(df.head().getAs[Double]("elevation") == 0.5)
+  }
+
   test("Qfit points project and geo-index like any point frame") {
     val dir = Files.createTempDirectory("qfit2")
     QfitSource.writeFile(dir.resolve("f.qi"),
