@@ -373,6 +373,25 @@ object GeoOps {
        |       min(id_min) AS id_min, max(id_max) AS id_max
        |FROM fine GROUP BY 1,2 ORDER BY 1,2""".stripMargin
 
+  // --- sketch rollup: approximate distinct visitors per super-bin ---
+  /** The sketch variant of the hierarchical index rollup: per coarse
+    * bin, the approximate distinct user count via Spark's native
+    * HLL++ (`approx_count_distinct`) next to the exact one.  At
+    * 100 TB the exact `countDistinct` is a full shuffle of every
+    * (bin, user) pair, while the sketch is a fixed-size mergeable
+    * state per bin — the standard trade for cardinality dashboards.
+    * Sketch internals differ across engines, so this is spec-verified
+    * (error bound vs exact) rather than oracle-hashed.
+    */
+  def binApproxUsers(s: SparkSession, dir: String, rsd: Double = 0.02): DataFrame =
+    pts(s, dir)
+      .withColumn("bin_x", binOf(col("x"), 500))
+      .withColumn("bin_y", binOf(col("y"), 500))
+      .groupBy("bin_x", "bin_y")
+      .agg(approx_count_distinct("user_id", rsd).as("approx_users"),
+           countDistinct("user_id").as("exact_users"))
+      .orderBy("bin_x", "bin_y")
+
   // --- 19. make_tile: tile + bin key assignment (ATL06_tiles.py:30-107) ---
   def tileAssign(s: SparkSession, dir: String): DataFrame =
     pts(s, dir)

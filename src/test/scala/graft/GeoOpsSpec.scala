@@ -96,4 +96,14 @@ class GeoOpsSpec extends SparkSpec {
     assert(ti.count() > 0)
     assert(ti.select("tile_e", "tile_n").distinct().count() == ti.count())
   }
+
+  test("HLL sketch rollup stays within its error bound of exact counts") {
+    val r = GeoOps.binApproxUsers(spark, sf, rsd = 0.02)
+      .withColumn("rel_err",
+        abs($"approx_users" - $"exact_users") / $"exact_users".cast("double"))
+    assert(r.count() > 0)
+    // 2% rsd ⇒ essentially exact at these cardinalities; allow headroom
+    val worst = r.agg(max("rel_err")).head().getDouble(0)
+    assert(worst <= 0.10, s"worst HLL relative error $worst")
+  }
 }
