@@ -16,19 +16,25 @@ object Bench {
     // whichever query happens to run first (~3-4 s of noise)
     try SparkEntry.queries.headOption.foreach(_._2(spark, sfDir).count())
     catch { case _: Throwable => () }
+    // SPARK_GRAFT_REPS>1 reports the per-query MEDIAN of that many
+    // runs — variance control for local comparisons (driver default 1)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink: count() would let Catalyst elide the projection
-      // math of map-only queries; the noop writer executes the full
-      // plan and discards rows
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case _: Throwable => false }
-      // each query pays for its own materializations (no cross-query
-      // cache credit), and cached blocks don't accumulate over the run
-      graft.core.CacheBag.releaseAll()
-      // a failed query records -1, not a suspiciously fast success
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        // noop sink: count() would let Catalyst elide the projection
+        // math of map-only queries; the noop writer executes the full
+        // plan and discards rows
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case _: Throwable => false }
+        // each query pays for its own materializations (no cross-query
+        // cache credit), and cached blocks don't accumulate over the run
+        graft.core.CacheBag.releaseAll()
+        // a failed query records -1, not a suspiciously fast success
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      name -> (if (times.contains(-1.0)) -1.0 else times.sorted.apply(reps / 2))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
