@@ -268,6 +268,38 @@ object TextOps {
       |  md5(substr(text, chunk_idx*256 + 1, 256)) AS chunk_md5
       |FROM c ORDER BY doc_id, frame_idx""".stripMargin
 
+  // --- 26c. cross-document duplicated-passage detection ---
+  /** Passage-level exact dedup (the chunked form of substring dedup
+    * in training-data pipelines): split every document into fixed
+    * 64-char chunks, hash them, and report chunks appearing in more
+    * than one document.  One shuffle on the chunk hash; downstream a
+    * pipeline semi-joins these spans back to redact or drop them.
+    */
+  def spanDedup(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(0, cast(ceil(length(text)/64.0) as int) - 1)")).as("ci"))
+      .select(col("doc_id"),
+        md5(expr("substring(text, ci*64 + 1, 64)")).as("chunk_md5"))
+      .groupBy("chunk_md5")
+      .agg(countDistinct("doc_id").as("n_docs"),
+           count("*").as("n_occurrences"),
+           min("doc_id").as("first_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy("chunk_md5")
+
+  val spanDedupSql: String =
+    """WITH c AS (
+      |  SELECT doc_id, md5(substr(text, i*64 + 1, 64)) AS chunk_md5
+      |  FROM documents,
+      |    LATERAL (SELECT unnest(generate_series(0, CAST(ceil(length(text)/64.0) AS INTEGER) - 1)) AS i) t
+      |  WHERE length(text) > 0)
+      |SELECT chunk_md5, count(DISTINCT doc_id) AS n_docs,
+      |       count(*) AS n_occurrences, min(doc_id) AS first_doc
+      |FROM c GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
+      |ORDER BY chunk_md5""".stripMargin
+
   // --- 36. multimodal metadata surface (binary-column plumbing) ---
   /** Image/audio/video are opaque binary columns with typed metadata;
     * the decode stub lives in graft.multimodal.  The queryable surface
@@ -301,7 +333,8 @@ object TextOps {
     "q_fingerprint"     -> (fingerprint _),
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_frame_sample"    -> (frameSample _),
-    "q_token_rarity"    -> (tokenRarity _))
+    "q_token_rarity"    -> (tokenRarity _),
+    "q_span_dedup"      -> (spanDedup _))
 
   val oracles: Map[String, String] = Map(
     "q_token_count"     -> tokenCountSql,
@@ -312,5 +345,6 @@ object TextOps {
     "q_fingerprint"     -> fingerprintSql,
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_frame_sample"    -> frameSampleSql,
-    "q_token_rarity"    -> tokenRaritySql)
+    "q_token_rarity"    -> tokenRaritySql,
+    "q_span_dedup"      -> spanDedupSql)
 }
