@@ -55,6 +55,11 @@ object GeoParquet {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
+    // carry the streaming-ingest batch markers across the swap, or a
+    // restarted stream would re-append batches it already committed
+    val markers = new org.apache.hadoop.fs.Path(path, "_batches")
+    if (fs.exists(markers))
+      fs.rename(markers, new org.apache.hadoop.fs.Path(tmp, "_batches"))
     fs.delete(dst, true)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
   }

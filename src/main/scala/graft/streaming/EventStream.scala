@@ -97,14 +97,28 @@ object EventStream {
     * continuously queryable with partition pruning while data streams
     * in.  Pair with GeoParquet.compact on a schedule — appends leave
     * one file per bin per batch.
+    *
+    * Restart semantics: foreachBatch file appends are at-least-once;
+    * a per-batch marker under `_batches/` makes replays of an
+    * already-appended batch no-ops.  (The append+marker pair is not
+    * atomic — a crash between them can still duplicate that one
+    * batch; exactly-once needs a transactional sink or a downstream
+    * `dedupExact` pass, which this engine also provides.)
     */
   def ingestGeoParquet(points: DataFrame, path: String, delta: Double,
                        checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     points.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.sources.GeoParquet.append(batch, path, delta)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          batch.sparkSession.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(s"$path/_batches/$batchId")
+        if (!fs.exists(marker)) {
+          graft.sources.GeoParquet.append(batch, path, delta)
+          fs.mkdirs(marker.getParent)
+          fs.create(marker, true).close()
+        }
       }
       .start()
 

@@ -156,6 +156,9 @@ class EngineInfraSpec extends SparkSpec {
     assert(GeoParquet.read(spark, s"$dir/data").count() == 3)
     assert(GeoParquet.queryBox(spark, s"$dir/data", (0L, 100L), (0L, 100L))
       .count() == 2)
+    // idempotency markers survive compaction (a restarted stream must
+    // not re-append committed batches)
+    assert(new java.io.File(s"$dir/data/_batches").list().nonEmpty)
   }
 
   test("stream-static enrichment joins a broadcast dimension per batch") {
