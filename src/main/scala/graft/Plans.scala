@@ -43,6 +43,14 @@ object Plans {
     show("ann_ivf", operators.Similarity.annIvf(spark, sf), joiny)
     show("project_epsg", operators.Projections.projectEpsg(spark, sf),
       Seq("Scan", "ReadSchema", "WholeStageCodegen"))
+    show("char_ngrams (native)", operators.TextOps.charNgrams(spark, sf),
+      Seq("Exchange", "top_trigram", "WholeStageCodegen"))
+    show("fingerprint (native)", operators.TextOps.fingerprint(spark, sf),
+      Seq("Exchange", "min_shingle_hash", "WholeStageCodegen"))
+    show("token_rarity", operators.TextOps.tokenRarity(spark, sf), joiny)
+    show("span_dedup", operators.TextOps.spanDedup(spark, sf),
+      Seq("HashAggregate", "Exchange", "Expand"))
+    show("raster_rgb", operators.RasterOps.rasterRgb(spark, sf), joiny)
     spark.stop()
   }
 }
