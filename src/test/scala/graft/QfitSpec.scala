@@ -47,6 +47,34 @@ class QfitSpec extends SparkSpec {
     assert(df.head().getAs[Double]("elevation") == 0.5)
   }
 
+  test("property: arbitrary int records round-trip bit-exactly (incl. extremes)") {
+    val rnd = new scala.util.Random(42)
+    val extremes = Seq(Int.MinValue, Int.MaxValue, -1, 0, 1)
+    val recs = (0 until 40).map { i =>
+      Array.tabulate(12)(w =>
+        if (i < 5) extremes(i) else rnd.nextInt())
+    }
+    val dir = Files.createTempDirectory("qfit_prop")
+    QfitSource.writeFile(dir.resolve("p.qi"), recs)
+    // raw signed words, undoing the reader's unit scaling
+    val back = QfitSource.read(spark, dir.toString)
+      .orderBy("rec_idx")
+      .select(
+        (col("rel_time_s") * 1000.0).cast("long"),
+        (col("latitude") * 1000000.0),
+        col("start_pulse_sig"), col("refl_sig"), col("gps_time_packed"))
+      .collect()
+    assert(back.length == recs.length)
+    recs.zip(back).foreach { case (r, row) =>
+      assert(row.getLong(0) == r(0).toLong, s"w0: ${row.getLong(0)} vs ${r(0)}")
+      // v/1e6*1e6 re-rounds; the error is far below half a raw unit
+      assert(math.abs(row.getDouble(1) - r(1).toDouble) < 1e-3)
+      assert(row.getLong(2) == r(4).toLong)
+      assert(row.getLong(3) == r(5).toLong)
+      assert(row.getLong(4) == r(11).toLong)
+    }
+  }
+
   test("Qfit points project and geo-index like any point frame") {
     val dir = Files.createTempDirectory("qfit2")
     QfitSource.writeFile(dir.resolve("f.qi"),
