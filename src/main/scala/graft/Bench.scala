@@ -12,10 +12,16 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: JVM/codegen/scan setup otherwise lands on
-    // whichever query happens to run first (~3-4 s of noise)
-    try SparkEntry.queries.headOption.foreach(_._2(spark, sfDir).count())
-    catch { case _: Throwable => () }
+    // untimed warmup: one full pass over every query (JMH-style).
+    // Round-2 data showed the one-query warmup left a 20-40 s JIT/
+    // codegen tax smeared over whichever queries ran early (same build
+    // measured 58-96 s single-shot vs 35 s steady-state) — the timed
+    // pass below measures the engine, not the JVM's compile queue.
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
+      graft.core.CacheBag.releaseAll()
+    }
     // SPARK_GRAFT_REPS>1 reports the per-query MEDIAN of that many
     // runs — variance control for local comparisons (driver default 1)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
