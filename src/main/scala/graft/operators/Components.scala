@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Duplicate-cluster resolution: near-dup *pairs* → connected
+  * *components* → one keeper per cluster.  The last stage of a real
+  * dedup pipeline — pairwise output (q_jaccard / q_minhash_lsh /
+  * q_simhash_pairs) can't be applied to a corpus until transitive
+  * chains (A~B, B~C ⇒ {A,B,C}) are resolved to a single canonical
+  * document per group.
+  *
+  * The component algorithm is the alternating large-star / small-star
+  * formulation (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond", SoCC 2014): each round is a pair of groupBy+join passes
+  * over the edge set keyed on node id, and the edge set contracts
+  * toward a star forest in O(log n) rounds — the published scale path
+  * for trillion-edge graphs, vs. O(diameter) rounds for naive
+  * min-label propagation (a 100 TB corpus adversarially chains
+  * near-dup docs into long paths).  No driver-side data: the loop on
+  * the driver only compares per-round convergence aggregates.
+  */
+object Components {
+
+  /** Connected components over an undirected edge list.
+    *
+    * @param edges0 DataFrame with two long-typed columns `src`, `dst`.
+    * @return (node, component) where component = min node id of the
+    *         node's component.  Nodes with no edges don't appear (the
+    *         caller unions isolated vertices if it needs them).
+    *
+    * Each round localCheckpoints the contracted edge set: iterative
+    * self-joins otherwise stack an exponentially growing lineage that
+    * re-executes from the scan each round (on a cluster a reliable
+    * `checkpoint()` to the shuffle-tracking store does the same job).
+    */
+  def connectedComponents(edges0: DataFrame, maxIter: Int = 25): DataFrame = {
+    // canonical orientation big→small; self-loops dropped
+    var edges = edges0
+      .select(col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint()
+
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // large-star: every node u connects its *larger* neighbors to
+      // its minimum neighborhood member m(u) = min(N(u) ∪ {u})
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mLarge = sym.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val large = sym.join(mLarge, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star: every node u re-points itself and its (smaller)
+      // neighbors at m(u) = min(N(u)); edges stay big→small
+      val mSmall = large.groupBy("u").agg(min(col("v")).as("m"))
+      val next = large.join(mSmall, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mSmall.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+      // exact fixpoint test (symmetric difference empty) — a hash-sum
+      // comparison would risk a silently wrong merge on collision
+      converged = next.except(edges).union(edges.except(next)).head(1).isEmpty
+      edges = next
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    // at the fixpoint the edge set is a star forest: u → its root
+    edges.select(col("u").as("node"), col("v").as("component"))
+      .union(edges.select(col("v").as("node"), col("v").as("component")))
+      .groupBy("node").agg(min("component").as("component"))
+  }
+
+  // --- 26d. dup-cluster resolution over jaccard near-dup pairs ---
+  /** Near-dup pairs at jaccard ≥ 0.5 (the corpus is cleanly bimodal:
+    * true near-dups sit ≥ 0.96, shared-shingle noise ≤ 0.02; the
+    * threshold compares a single IEEE division of integer counts, so
+    * it is bit-identical cross-engine) → components → per-doc cluster
+    * assignment with size and keeper flag (keeper = min doc_id).
+    */
+  def dupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.jaccardOf(Dedup.shinglesOf(Tables.t(s, dir, "documents")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("d1").as("src"), col("d2").as("dst"))
+    val labels = connectedComponents(pairs)
+    val sizes = labels.groupBy("component").agg(count("*").as("cluster_sz"))
+    labels.join(sizes, "component")
+      .select(col("node").as("doc_id"), col("component"), col("cluster_sz"),
+        when(col("node") === col("component"), 1L).otherwise(0L).as("is_keeper"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: same edges, transitive closure by recursive CTE (the
+    * oracle may be O(n·m); the Spark side must not be).
+    */
+  val dupClustersSql: String = {
+    val jacBody = Dedup.jaccardSql
+      .replace("ORDER BY d1, d2", "")
+    s"""WITH RECURSIVE jac AS ($jacBody),
+       |e0 AS (SELECT d1 AS u, d2 AS v FROM jac WHERE jaccard >= 0.5),
+       |e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+       |reach(node, r) AS (
+       |  SELECT u, v FROM e
+       |  UNION
+       |  SELECT reach.node, e.v FROM reach JOIN e ON e.u = reach.r),
+       |lab AS (SELECT node AS doc_id, least(node, min(r)) AS component
+       |        FROM reach GROUP BY node),
+       |szs AS (SELECT component, count(*) AS cluster_sz FROM lab GROUP BY 1)
+       |SELECT doc_id, component, cluster_sz,
+       |  CAST(CASE WHEN doc_id = component THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+       |FROM lab JOIN szs USING (component) ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dup_clusters" -> (dupClusters _))
+
+  val oracles: Map[String, String] = Map(
+    "q_dup_clusters" -> dupClustersSql)
+}

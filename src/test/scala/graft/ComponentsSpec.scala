@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Components
+
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponents(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+
+  test("chain, clique, and isolated pair resolve to min-id components") {
+    // chain 1-2-3-4-5 (worst case for label propagation), clique
+    // {10,11,12}, pair {20,21}; edges in adversarial orientation/order
+    val edges = Seq[(Long, Long)](
+      (5L, 4L), (2L, 1L), (3L, 4L), (2L, 3L),
+      (12L, 10L), (11L, 12L), (10L, 11L),
+      (21L, 20L))
+    val got = cc(edges)
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("long path converges (log-round contraction, not diameter-round)") {
+    // a 64-node path: min-label propagation needs 63 rounds; the
+    // alternating-star contraction must land well inside maxIter=25
+    val edges = (0L until 63L).map(i => (i + 1, i))
+    val got = cc(edges)
+    assert(got.size == 64 && got.values.forall(_ == 0L))
+  }
+
+  test("duplicate and reversed edges, self-loops, and star shapes are harmless") {
+    val edges = Seq[(Long, Long)](
+      (7L, 7L),                               // self-loop: dropped
+      (30L, 31L), (31L, 30L), (30L, 31L),     // dup + reversed
+      (40L, 41L), (40L, 42L), (40L, 43L))     // star centered high
+    val got = cc(edges)
+    assert(got.get(7L).isEmpty)               // self-loop-only node has no edges
+    assert(got(31L) == 30L && got(30L) == 30L)
+    assert(Seq(40L, 41L, 42L, 43L).map(got).forall(_ == 40L))
+  }
+
+  test("dup clusters: sizes consistent, exactly one keeper per cluster") {
+    val d = Components.dupClusters(spark, sf).cache()
+    // every cluster has exactly one keeper, and it is the component min
+    val perCluster = d.groupBy("component")
+      .agg(sum("is_keeper").as("nk"), count("*").as("n"),
+        min("doc_id").as("mn"), max("cluster_sz").as("sz"))
+    assert(perCluster.filter($"nk" =!= 1L || $"n" =!= $"sz" || $"mn" =!= $"component")
+      .count() == 0)
+    // transitivity did its job: at least one cluster is larger than a pair
+    assert(d.filter($"cluster_sz" > 2).count() > 0)
+    d.unpersist()
+  }
+}
