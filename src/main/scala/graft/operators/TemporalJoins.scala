@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Temporal join operators: as-of join and point-in-interval range
+  * join — the two join shapes time-series / telemetry analysis needs
+  * that plain equi-joins can't express without a cartesian blowup.
+  *
+  * Both are built from Spark's own partitioned window/equi-join
+  * machinery, so Catalyst plans them as ONE keyed shuffle (+ sort):
+  * no BroadcastNestedLoopJoin, no O(|L|·|R|) pair space, and a
+  * 1000-executor cluster scales them by raising
+  * spark.sql.shuffle.partitions.
+  */
+object TemporalJoins {
+
+  /** As-of join: each left row is matched to the latest right row with
+    * `right.time <= left.time` on the same `key` (the classic
+    * trade-attribution / sensor-alignment join).
+    *
+    * Plan shape: tag each side, union, ONE shuffle on `key`, ONE sort
+    * by (time, side, id), and a running `last(..., ignoreNulls)` window
+    * — the right row's values "flow forward" onto every left row until
+    * the next right row supersedes them.  This is the same
+    * merge-by-time pass a dedicated asof physical operator performs,
+    * expressed as a declarative plan Catalyst can push filters through.
+    * Right rows at the exact left timestamp DO match (side tag sorts
+    * right-before-left within a tie); ties between right rows at the
+    * same time resolve to the largest `id` — deterministic, and
+    * mirrored in the oracle.
+    *
+    * @param left  probe side; all its columns pass through unchanged.
+    * @param right build side; its non-key columns come back `r_`-prefixed
+    *              (null when no right row precedes the left row).
+    * @param id    a column present in both sides, unique across their
+    *              union (the deterministic tiebreak).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               key: String, time: String, id: String): DataFrame = {
+    val lCols = left.columns.filterNot(_ == key).toSeq
+    val rCols = right.columns.filterNot(_ == key).toSeq
+    val lType = left.schema.fields.map(f => f.name -> f.dataType).toMap
+    val rType = right.schema.fields.map(f => f.name -> f.dataType).toMap
+    val lu = left.select(
+      Seq(col(key), col(time).as("_t"), lit(1).as("_side"), col(id).as("_tie")) ++
+        lCols.map(col) ++
+        rCols.map(c => lit(null).cast(rType(c)).as(s"r_$c")): _*)
+    val ru = right.select(
+      Seq(col(key), col(time).as("_t"), lit(0).as("_side"), col(id).as("_tie")) ++
+        lCols.map(c => lit(null).cast(lType(c)).as(c)) ++
+        rCols.map(c => col(c).as(s"r_$c")): _*)
+    val w = Window.partitionBy(key).orderBy(col("_t"), col("_side"), col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // all r_* columns are null/non-null on exactly the same rows, so
+    // each per-column last() resolves to the SAME right row
+    val matched = rCols.foldLeft(lu.unionByName(ru)) { (df, c) =>
+      df.withColumn(s"r_$c", last(col(s"r_$c"), ignoreNulls = true).over(w))
+    }
+    matched.filter(col("_side") === 1)
+      .select(col(key) +: (lCols.map(col) ++ rCols.map(c => col(s"r_$c"))): _*)
+  }
+
+  /** Point-in-interval range join: rows of `points` matched to every
+    * row of `intervals` (same `key`) whose [start, end] contains the
+    * point's time.
+    *
+    * Scale shape: intervals explode to the fixed-width time bins they
+    * cover, points key to their single bin, and the match is a plain
+    * equi-join on (key, bin) + an exact containment filter — a hash
+    * join proportional to true match density, never a
+    * BroadcastNestedLoopJoin over the pair space.  `binMs` trades
+    * interval fan-out (span/binMs rows per interval) against join
+    * selectivity, exactly like the crossover cell grid.  Each
+    * (point, interval) pair matches at most once (a point has one bin),
+    * so no dedup pass is needed.
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, key: String,
+                time: String, start: String, end: String, binMs: Long): DataFrame = {
+    val binned = intervals.withColumn("_bin",
+      explode(sequence(floor(col(start) / binMs).cast("long"),
+                       floor(col(end) / binMs).cast("long"))))
+    points.withColumn("_bin", floor(col(time) / binMs).cast("long"))
+      .join(binned, Seq(key, "_bin"))
+      .filter(col(time) >= col(start) && col(time) <= col(end))
+      .drop("_bin")
+  }
+
+  // ---- the events-domain views both queries share ----
+  private def typed(s: SparkSession, dir: String, et: String): DataFrame =
+    Tables.eventsPoints(s, dir).filter(col("event_type") === et)
+      .select(col("id"), col("user_id"), col("t"), col("z").as("value"))
+
+  private def typedSql(et: String): String =
+    s"""SELECT id, user_id, t, z AS value FROM (${Tables.eventsPointsSql})
+       | WHERE event_type = '$et'""".stripMargin
+
+  /** Click sessions: gap-based sessionization (2-day gap) of click
+    * events per user — the interval table of [[rangeAttribution]].
+    */
+  private val GapMs = 172800000L // 2 days
+
+  private def clickSessions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("t"), col("id"))
+    val ws = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    typed(s, dir, "click")
+      .withColumn("ns",
+        when(col("t") - lag("t", 1).over(w) > GapMs, lit(1L)).otherwise(lit(0L)))
+      .withColumn("sid", sum("ns").over(ws))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min("t").as("s_start"), max("t").as("s_end"),
+        count("*").as("n_clicks"))
+  }
+
+  private val clickSessionsSql: String =
+    s"""SELECT user_id, CAST(sid AS BIGINT) AS sid, min(t) AS s_start,
+       |       max(t) AS s_end, count(*) AS n_clicks
+       |FROM (
+       |  SELECT user_id, t,
+       |    sum(ns) OVER (PARTITION BY user_id ORDER BY t, id
+       |                  ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM (
+       |    SELECT user_id, id, t,
+       |      CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t, id)
+       |                > $GapMs THEN 1 ELSE 0 END AS ns
+       |    FROM (${typedSql("click")})))
+       |GROUP BY 1, 2""".stripMargin
+
+  // --- 56. as-of join: purchase → most recent prior click ---
+  def asofAttribution(s: SparkSession, dir: String): DataFrame =
+    asofJoin(typed(s, dir, "purchase"), typed(s, dir, "click"),
+      key = "user_id", time = "t", id = "id")
+      .select(col("id").as("purchase_id"), col("user_id"), col("t"), col("value"),
+        col("r_id").as("click_id"), col("r_t").as("click_t"),
+        col("r_value").as("click_value"),
+        (col("t") - col("r_t")).as("ms_since_click"))
+      .orderBy("purchase_id")
+
+  val asofAttributionSql: String =
+    s"""WITH p AS (${typedSql("purchase")}),
+       |c AS (${typedSql("click")}),
+       |u AS (
+       |  SELECT user_id, t AS _t, 1 AS _side, id AS _tie, id, t, value,
+       |         NULL::BIGINT AS r_id, NULL::BIGINT AS r_t, NULL::DOUBLE AS r_value
+       |  FROM p
+       |  UNION ALL
+       |  SELECT user_id, t, 0, id, NULL, NULL, NULL, id, t, value FROM c),
+       |m AS (
+       |  SELECT user_id, _side, id, t, value,
+       |    last_value(r_id IGNORE NULLS) OVER w AS click_id,
+       |    last_value(r_t IGNORE NULLS) OVER w AS click_t,
+       |    last_value(r_value IGNORE NULLS) OVER w AS click_value
+       |  FROM u
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY _t, _side, _tie
+       |               ROWS UNBOUNDED PRECEDING))
+       |SELECT id AS purchase_id, user_id, t, value, click_id, click_t,
+       |       click_value, t - click_t AS ms_since_click
+       |FROM m WHERE _side = 1 ORDER BY purchase_id""".stripMargin
+
+  // --- 57. range join: error events within click sessions ---
+  def rangeAttribution(s: SparkSession, dir: String): DataFrame =
+    rangeJoin(typed(s, dir, "error"), clickSessions(s, dir),
+      key = "user_id", time = "t", start = "s_start", end = "s_end",
+      binMs = GapMs)
+      .select(col("id").as("error_id"), col("user_id"), col("t"),
+        col("sid"), col("s_start"), col("s_end"), col("n_clicks"),
+        (col("t") - col("s_start")).as("ms_into_session"))
+      .orderBy("error_id")
+
+  val rangeAttributionSql: String =
+    s"""WITH e AS (${typedSql("error")}),
+       |s AS ($clickSessionsSql)
+       |SELECT e.id AS error_id, e.user_id, e.t, s.sid, s.s_start, s.s_end,
+       |       s.n_clicks, e.t - s.s_start AS ms_into_session
+       |FROM e JOIN s ON s.user_id = e.user_id
+       |              AND e.t BETWEEN s.s_start AND s.s_end
+       |ORDER BY error_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join"  -> (asofAttribution _),
+    "q_range_join" -> (rangeAttribution _))
+
+  val oracles: Map[String, String] = Map(
+    "q_asof_join"  -> asofAttributionSql,
+    "q_range_join" -> rangeAttributionSql)
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TemporalJoins
+
+class TemporalJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asof join: basic semantics incl. same-instant match and no-match null") {
+    val left = Seq((1L, 100L, 10L), (1L, 205L, 11L), (2L, 50L, 12L), (3L, 90L, 13L))
+      .toDF("k", "t", "id")
+    val right = Seq((1L, 100L, 20L, 1.0), (1L, 200L, 21L, 2.0), (1L, 300L, 22L, 3.0),
+        (2L, 60L, 23L, 4.0))
+      .toDF("k", "t", "id", "v")
+    val got = TemporalJoins.asofJoin(left, right, "k", "t", "id")
+      .select($"id", $"r_id", $"r_v").as[(Long, Option[Long], Option[Double])]
+      .collect().map { case (k, a, b) => k -> ((a, b)) }.toMap
+    assert(got(10L) == (Some(20L), Some(1.0)))  // same-instant right row matches
+    assert(got(11L) == (Some(21L), Some(2.0)))  // latest at-or-before, not later
+    assert(got(12L) == (None, None))            // right row is strictly later
+    assert(got(13L) == (None, None))            // key with no right rows at all
+  }
+
+  test("asof join: right-side time ties resolve to the largest id") {
+    val left = Seq((1L, 100L, 10L)).toDF("k", "t", "id")
+    val right = Seq((1L, 90L, 20L, 1.0), (1L, 90L, 21L, 2.0)).toDF("k", "t", "id", "v")
+    val got = TemporalJoins.asofJoin(left, right, "k", "t", "id")
+    assert(got.select($"r_id").as[Long].head() == 21L)
+  }
+
+  test("asof join plan: one keyed shuffle, no join operator at all") {
+    val plan = TemporalJoins.asofAttribution(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"))
+    // the whole asof is union + window — no join node in the plan
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"))
+  }
+
+  test("range join matches the brute-force pair filter exactly") {
+    // intervals spanning 1, 2 and many bins; touching endpoints; a
+    // point exactly on a bin edge; same-key disjoint intervals
+    val points = Seq((1L, 0L, 100L), (1L, 999L, 101L), (1L, 1000L, 102L),
+        (1L, 2500L, 103L), (2L, 500L, 104L), (3L, 777L, 105L))
+      .toDF("k", "t", "pid")
+    val ivals = Seq((1L, 0L, 999L, 200L), (1L, 1000L, 3999L, 201L),
+        (1L, 2400L, 2600L, 202L), (2L, 600L, 700L, 203L))
+      .toDF("k", "s", "e", "iid")
+    val got = TemporalJoins.rangeJoin(points, ivals, "k", "t", "s", "e", binMs = 1000L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val want = points.as("p").crossJoin(ivals.as("i"))
+      .filter($"p.k" === $"i.k" && $"t" >= $"s" && $"t" <= $"e")
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got == want && want.size == 5)
+  }
+
+  test("range join plan: equi-join on (key, bin), never a nested loop") {
+    val plan = TemporalJoins.rangeAttribution(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"))
+  }
+}
