@@ -17,12 +17,14 @@ object SparkEntry {
     GeoOps.queries ++ TrackOps.queries ++ Crossovers.queries ++
       Relational.queries ++ DateOps.queries ++ TextOps.queries ++
       Dedup.queries ++ Similarity.queries ++ Projections.queries ++
-      RasterOps.queries ++ Components.queries ++ TemporalJoins.queries
+      RasterOps.queries ++ Components.queries ++ TemporalJoins.queries ++
+      CorpusOps.queries
 
   /** DuckDB-equivalent SQL per query key (driver correctness gate). */
   def oracleSql: Map[String, String] =
     GeoOps.oracles ++ TrackOps.oracles ++ Crossovers.oracles ++
       Relational.oracles ++ DateOps.oracles ++ TextOps.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Projections.oracles ++
-      RasterOps.oracles ++ Components.oracles ++ TemporalJoins.oracles
+      RasterOps.oracles ++ Components.oracles ++ TemporalJoins.oracles ++
+      CorpusOps.oracles
 }
