@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) curve key — the write-time clustering key for
+  * multi-dimensional data layouts (the technique behind Delta/Iceberg
+  * Z-ORDER BY).  Sorting a 2-D point set by the interleaved-bit key
+  * makes every contiguous chunk of rows spatially compact, so parquet
+  * row-group min/max stats on x AND y are simultaneously tight and a
+  * 2-D box query prunes on one sort order — a bin-partitioned layout
+  * (GeoParquet.write) prunes directories, a z-ordered layout
+  * additionally prunes row groups *within* large partitions/files.
+  *
+  * Paired generators (PolyTrig doctrine): [[zkey]] builds the Spark
+  * Column, [[zkeySql]] the structurally identical DuckDB expression —
+  * pure integer shifts/masks, so results are bit-identical
+  * cross-engine.  21 bits per axis → 42-bit key, range ±2²⁰ per axis.
+  */
+object ZOrder {
+
+  /** Bias making cell indexes non-negative before bit-spreading. */
+  val Bias = 1L << 20
+  private val M21 = (1L << 21) - 1
+
+  // the classic 64-bit Morton spread: after step (s, m), the bits of
+  // the 21-bit input sit at every other position below bit 42
+  private val steps = Seq(
+    32 -> 0x1f00000000ffffL,
+    16 -> 0x1f0000ff0000ffL,
+    8  -> 0x100f00f00f00f00fL,
+    4  -> 0x10c30c30c30c30c3L,
+    2  -> 0x1249249249249249L)
+
+  // each step is (x | x<<s) & m, algebraically rewritten as
+  // (x & m) | ((x & (m>>s)) << s) so the shift can never overflow a
+  // signed 64-bit value — DuckDB raises on <<-overflow where Java
+  // wraps, and the pre-masked form is bit-identical in both engines
+  private def spread(c: Column): Column =
+    steps.foldLeft(c.bitwiseAND(lit(M21))) { case (x, (s, m)) =>
+      x.bitwiseAND(lit(m))
+        .bitwiseOR(shiftleft(x.bitwiseAND(lit(m >>> s)), s))
+    }
+
+  private def spreadSql(e: String): String =
+    steps.foldLeft(s"(($e) & $M21)") { case (x, (s, m)) =>
+      s"((($x & $m) | (($x & ${m >>> s}) << $s)))"
+    }
+
+  /** Interleaved key of two signed cell indexes in [−2²⁰, 2²⁰). */
+  def zkey(cellX: Column, cellY: Column): Column =
+    spread(cellX + Bias).bitwiseOR(shiftleft(spread(cellY + Bias), 1))
+
+  /** DuckDB mirror of [[zkey]] over two BIGINT cell-index expressions. */
+  def zkeySql(cellX: String, cellY: String): String =
+    s"(${spreadSql(s"($cellX) + $Bias")} | (${spreadSql(s"($cellY) + $Bias")} << 1))"
+
+  /** Driver-side decode (specs): recover (cellX, cellY) from a key. */
+  def decode(key: Long): (Long, Long) = {
+    def unspread(v0: Long): Long = {
+      var v = v0 & 0x1249249249249249L
+      Seq(2 -> 0x10c30c30c30c30c3L, 4 -> 0x100f00f00f00f00fL,
+        8 -> 0x1f0000ff0000ffL, 16 -> 0x1f00000000ffffL, 32 -> M21)
+        .foreach { case (s, m) => v = (v | (v >> s)) & m }
+      v
+    }
+    (unspread(key) - Bias, unspread(key >> 1) - Bias)
+  }
+}

@@ -435,7 +435,28 @@ object GeoOps {
        |       count(*) AS n_points, min(id) AS id_min, max(id) AS id_max
        |FROM b GROUP BY 1,2 ORDER BY 1,2""".stripMargin
 
+  // --- 61. z-order clustering key (write-time layout, Delta/Iceberg Z-ORDER) ---
+  /** The Morton key of each point's δ=50 cell — sorting the corpus by
+    * this single key makes contiguous row ranges compact in x AND y
+    * simultaneously (see [[graft.functions.ZOrder]] and
+    * GeoParquet.writeZOrdered for the layout side).
+    */
+  def zorderKey(s: SparkSession, dir: String): DataFrame =
+    pts(s, dir)
+      .select(col("id"), cellOf(col("x"), 50).as("cell_x"), cellOf(col("y"), 50).as("cell_y"))
+      .withColumn("zkey", graft.functions.ZOrder.zkey(col("cell_x"), col("cell_y")))
+      .orderBy("id")
+
+  val zorderKeySql: String =
+    s"""WITH pts AS ($P),
+       |c AS (SELECT id, CAST(floor(x/50.0) AS BIGINT) AS cell_x,
+       |             CAST(floor(y/50.0) AS BIGINT) AS cell_y FROM pts)
+       |SELECT id, cell_x, cell_y,
+       |  ${graft.functions.ZOrder.zkeySql("cell_x", "cell_y")} AS zkey
+       |FROM c ORDER BY id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zorder"          -> (zorderKey _),
     "q_geoindex_build"  -> (geoindexBuild _),
     "q_geo_query_box"   -> (geoQueryBox _),
     "q_geo_layout_query" -> (geoLayoutQuery _),
@@ -453,6 +474,7 @@ object GeoOps {
     "q_tile_index"      -> (tileIndex _))
 
   val oracles: Map[String, String] = Map(
+    "q_zorder"          -> zorderKeySql,
     "q_geoindex_build"  -> geoindexBuildSql,
     "q_geo_query_box"   -> geoQueryBoxSql,
     "q_geo_layout_query" -> geoLayoutQuerySql,

@@ -31,6 +31,24 @@ object GeoParquet {
       .partitionBy("bin_x", "bin_y")
       .parquet(path)
 
+  /** Write points z-order-clustered: one global range partition on
+    * the Morton key of the δ-cell, sorted within — every file (and
+    * row group) covers a spatially compact region, so min/max stats
+    * on x AND y are simultaneously tight and a 2-D box query prunes
+    * on a single sort order.  Complements [[write]]: bin-partitioning
+    * prunes whole directories; z-ordering prunes *within* big files —
+    * at 100 TB you bin-partition coarsely (bounded directory count)
+    * and z-order inside each partition.
+    */
+  def writeZOrdered(df: DataFrame, path: String, delta: Double, nFiles: Int): Unit =
+    df.withColumn("cell_x", GeoOps.cellOf(col("x"), delta))
+      .withColumn("cell_y", GeoOps.cellOf(col("y"), delta))
+      .withColumn("zkey",
+        graft.functions.ZOrder.zkey(col("cell_x"), col("cell_y")))
+      .repartitionByRange(nFiles, col("zkey"))
+      .sortWithinPartitions("zkey")
+      .write.mode("overwrite").parquet(path)
+
   /** Append a (micro-)batch into the layout — the streaming-ingest
     * write path (see graft.streaming.EventStream.ingestGeoParquet).
     */

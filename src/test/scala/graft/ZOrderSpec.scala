@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.ZOrder
+import graft.sources.GeoParquet
+
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zkey is a bijection: decode inverts encode across the signed range") {
+    val cells = Seq((-1048576L, -1048576L), (-1L, 1L), (0L, 0L), (7L, -3L),
+      (1048575L, 1048575L), (20L, -20L), (-17L, 13L))
+    val keyed = cells.toDF("cx", "cy")
+      .select(ZOrder.zkey(col("cx"), col("cy")).as("k")).as[Long].collect()
+    assert(keyed.toSeq.map(ZOrder.decode) == cells)
+    assert(keyed.distinct.length == cells.length)
+  }
+
+  test("z-ordered layout: every file covers a spatially compact region") {
+    val dir = java.nio.file.Files.createTempDirectory("zord").toString
+    val pts = graft.core.Tables.eventsPoints(spark, sf)
+    GeoParquet.writeZOrdered(pts, dir, delta = 50.0, nFiles = 16)
+    // per-file bounding boxes over the full [-1000,1000)² extent
+    val boxes = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(((max("x") - min("x")) * (max("y") - min("y"))).as("area"))
+      .as[(String, Double)].collect()
+    assert(boxes.length >= 8)
+    val fullArea = 2000.0 * 2000.0
+    // random (unclustered) 16-way split ⇒ every chunk spans ~the full
+    // extent (sum ≈ 16·full); z-order chunks must be far tighter
+    val sum = boxes.map(_._2).sum
+    assert(sum < 0.35 * boxes.length * fullArea,
+      s"sum of per-file bbox areas $sum vs ${boxes.length} x $fullArea")
+    // and a 2-D box probe must skip most files on x/y min-max alone
+    val touching = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("x").as("x0"), max("x").as("x1"), min("y").as("y0"), max("y").as("y1"))
+      .filter($"x1" >= 0.0 && $"x0" < 200.0 && $"y1" >= 0.0 && $"y0" < 200.0)
+      .count()
+    assert(touching <= boxes.length / 2,
+      s"$touching of ${boxes.length} files intersect a 1% box")
+  }
+}
