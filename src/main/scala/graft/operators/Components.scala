@@ -66,9 +66,12 @@ object Components {
         .filter(col("u") =!= col("v"))
         .distinct()
         .localCheckpoint()
-      // exact fixpoint test (symmetric difference empty) — a hash-sum
-      // comparison would risk a silently wrong merge on collision
-      converged = next.except(edges).union(edges.except(next)).head(1).isEmpty
+      // exact fixpoint test: both are distinct sets, so equal counts +
+      // empty one-way difference ⇔ equality (a hash-sum comparison
+      // would risk a silently wrong merge on collision); the cheap
+      // count gate skips the except entirely on still-shrinking rounds
+      converged = next.count() == edges.count() &&
+        next.except(edges).head(1).isEmpty
       edges = next
       iter += 1
     }

@@ -12,65 +12,50 @@ object CorpusOps {
 
   private def docs(s: SparkSession, dir: String) = Tables.t(s, dir, "documents")
 
-  /** Word n-gram hashes WITH multiplicity (unlike
-    * [[graft.functions.WordShingleHashes]], which dedups in-row for
-    * set-semantic joins) — repetition signals need the counts.
-    * Slicing past the token-array end truncates identically in Spark
-    * (`slice`) and DuckDB (`[i:i+k-1]`), pinning short-doc behavior.
-    */
-  private def gramHashExpr(k: Int): Column = {
-    val gram = s"array_join(slice(split(text, ' '), i, $k), ' ')"
-    expr(s"""transform(sequence(1, greatest(size(split(text, ' ')) - ${k - 1}, 1)),
-             i -> cast(conv(substring(md5($gram), 1, 15), 16, 10) as bigint))""")
-  }
-
-  private def gramHashSql(k: Int): String = {
-    val gram = s"array_to_string((string_split(text, ' '))[i:i+${k - 1}], ' ')"
-    s"""SELECT doc_id, ${TextOps.md5longSqlFmt.format(gram)} AS gh
-       |FROM documents,
-       |  LATERAL (SELECT unnest(generate_series(1,
-       |    greatest(len(string_split(text, ' ')) - ${k - 1}, 1))) AS i) t""".stripMargin
-  }
+  // Gram slicing past the token-array end truncates identically in
+  // Spark (`slice`) and DuckDB (`[i:i+k-1]`), pinning short-doc
+  // behavior cross-engine.
 
   // --- 58. repetition quality signals (Gopher-style dup-ngram ratios) ---
   /** Per document: fraction of repeated 4-grams (1 − distinct/total)
     * and the share of the single most frequent 2-gram — the two
-    * classic repetition filters of corpus curation.  Counting keys are
-    * (doc_id, gram-hash): doc_id rides every shuffle key, so the
-    * aggregation is embarrassingly parallel and skew-free regardless
-    * of corpus-wide gram frequencies.
+    * classic repetition filters of corpus curation.
+    *
+    * Both signals are row-local, so the whole query is ONE map-side
+    * projection with zero shuffles (the ideal 100 TB shape): gram
+    * lists, distinct counts, and the in-row mode all evaluate as
+    * higher-order array expressions inside the scan stage.  (The
+    * first cut exploded 2- and 4-grams through two corpus-wide
+    * aggregations — two full shuffles for per-row arithmetic.)
     */
   def repetition(s: SparkSession, dir: String): DataFrame = {
-    val g4 = docs(s, dir)
-      .select(col("doc_id"), explode(gramHashExpr(4)).as("gh"))
-      .groupBy("doc_id")
-      .agg(count("*").as("n4"), countDistinct("gh").as("n4_distinct"))
+    def grams(k: Int) =
+      s"transform(sequence(1, greatest(size(split(text, ' ')) - ${k - 1}, 1)), i -> array_join(slice(split(text, ' '), i, $k), ' '))"
+    docs(s, dir).select(
+        col("doc_id"),
+        expr(s"cast(size(${grams(4)}) as bigint)").as("n4"),
+        expr(s"cast(size(array_distinct(${grams(4)})) as bigint)").as("n4_distinct"),
+        expr(s"cast(size(${grams(2)}) as bigint)").as("n2"),
+        expr(s"cast(array_max(transform(array_distinct(${grams(2)}), g -> size(filter(${grams(2)}, x -> x = g)))) as bigint)").as("top2_n"))
       .withColumn("dup4_ratio",
         lit(1.0) - col("n4_distinct").cast("double") / col("n4"))
-    val g2 = docs(s, dir)
-      .select(col("doc_id"), explode(gramHashExpr(2)).as("gh"))
-      .groupBy("doc_id", "gh").agg(count("*").as("n"))
-      .groupBy("doc_id")
-      .agg(sum("n").as("n2"), max("n").as("top2_n"))
       .withColumn("top2_frac", col("top2_n").cast("double") / col("n2"))
-    g4.join(g2, "doc_id")
       .select("doc_id", "n4", "n4_distinct", "dup4_ratio", "n2", "top2_n", "top2_frac")
       .orderBy("doc_id")
   }
 
-  val repetitionSql: String =
-    s"""WITH g4 AS (${gramHashSql(4)}),
-       |a4 AS (SELECT doc_id, count(*) AS n4, count(DISTINCT gh) AS n4_distinct
-       |       FROM g4 GROUP BY 1),
-       |g2 AS (${gramHashSql(2)}),
-       |c2 AS (SELECT doc_id, gh, count(*) AS n FROM g2 GROUP BY 1, 2),
-       |a2 AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n2, max(n) AS top2_n
-       |       FROM c2 GROUP BY 1)
-       |SELECT a4.doc_id, n4, n4_distinct,
-       |  1.0::DOUBLE - CAST(n4_distinct AS DOUBLE)/n4 AS dup4_ratio,
-       |  n2, top2_n, CAST(top2_n AS DOUBLE)/n2 AS top2_frac
-       |FROM a4 JOIN a2 ON a2.doc_id = a4.doc_id
-       |ORDER BY 1""".stripMargin
+  val repetitionSql: String = {
+    def grams(k: Int) =
+      s"list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - ${k - 1}, 1)), i -> array_to_string((string_split(text, ' '))[i:i+${k - 1}], ' '))"
+    s"""SELECT doc_id,
+       |  CAST(len(${grams(4)}) AS BIGINT) AS n4,
+       |  CAST(len(list_distinct(${grams(4)})) AS BIGINT) AS n4_distinct,
+       |  1.0::DOUBLE - CAST(len(list_distinct(${grams(4)})) AS DOUBLE)/len(${grams(4)}) AS dup4_ratio,
+       |  CAST(len(${grams(2)}) AS BIGINT) AS n2,
+       |  CAST(list_max(list_transform(list_distinct(${grams(2)}), g -> len(list_filter(${grams(2)}, x -> x = g)))) AS BIGINT) AS top2_n,
+       |  CAST(list_max(list_transform(list_distinct(${grams(2)}), g -> len(list_filter(${grams(2)}, x -> x = g)))) AS DOUBLE)/len(${grams(2)}) AS top2_frac
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
 
   // --- 59. benchmark-contamination screen ---
   /** Flag corpus documents sharing 5-gram shingles with a held-out

@@ -30,6 +30,9 @@ class PlanGuardSpec extends SparkSpec {
     ("project_xy", DateOps.projectXy(spark, sf), 1),
     ("project_epsg", Projections.projectEpsg(spark, sf), 1),
     ("dates", DateOps.dates(spark, sf), 1),
+    ("rep_ngrams", CorpusOps.repetition(spark, sf), 1),
+    ("sample", CorpusOps.sample(spark, sf), 1),
+    ("zorder", GeoOps.zorderKey(spark, sf), 1),
     // one aggregation + the output ordering
     ("geoindex_build", GeoOps.geoindexBuild(spark, sf), 2),
     ("block_stats", GeoOps.blockStats(spark, sf), 2),
