@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("top_trigram"),
       new ExpressionInfo(classOf[graft.functions.TopTrigram].getName, "top_trigram"),
       GraftExtensions.unary("top_trigram", graft.functions.TopTrigram.apply)))
+    ext.injectFunction((
+      new FunctionIdentifier("word_gram_stats"),
+      new ExpressionInfo(classOf[graft.functions.WordGramStats].getName, "word_gram_stats"),
+      GraftExtensions.wordGramStatsBuilder))
   }
 }
 
@@ -54,6 +58,24 @@ object GraftExtensions {
   private[graft] val dotProductBuilder: Seq[Expr] => Expr =
     binary("dot_product", DotProduct.apply)
 
+  /** word_gram_stats(text, k) — k must be a foldable integer literal. */
+  private[graft] val wordGramStatsBuilder: Seq[Expr] => Expr = { exprs =>
+    arity("word_gram_stats", 2, exprs.length)
+    val k = exprs(1) match {
+      case e if e.foldable && (e.dataType == org.apache.spark.sql.types.IntegerType ||
+          e.dataType == org.apache.spark.sql.types.LongType) =>
+        e.eval(null).toString.toInt
+      case _ =>
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> "word_gram_stats (k must be an integer literal)",
+            "expectedNum" -> "2", "actualNum" -> exprs.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+    }
+    graft.functions.WordGramStats(exprs(0), k)
+  }
+
   /** Register graft SQL functions on an existing session. */
   def register(spark: SparkSession): Unit = {
     org.apache.spark.sql.GraftSql.registerFunction(
@@ -62,5 +84,7 @@ object GraftExtensions {
       spark, "hamming", binary("hamming", graft.functions.HammingDistance.apply))
     org.apache.spark.sql.GraftSql.registerFunction(
       spark, "top_trigram", unary("top_trigram", graft.functions.TopTrigram.apply))
+    org.apache.spark.sql.GraftSql.registerFunction(
+      spark, "word_gram_stats", wordGramStatsBuilder)
   }
 }

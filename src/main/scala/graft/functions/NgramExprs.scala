@@ -199,6 +199,77 @@ object MinShingleHash {
     GraftSql.column(MinShingleHash(GraftSql.expression(c), k))
 }
 
+/** Native one-pass word k-gram statistics: total gram positions,
+  * distinct gram count, and the multiplicity of the most frequent
+  * gram, as one struct — the inputs of the Gopher-style repetition
+  * filters (dup-ngram ratio, top-gram share).
+  *
+  * The composable forms both lose: explode + groupBy shuffles the
+  * whole corpus twice for row-local arithmetic, and the higher-order
+  * `transform(array_distinct(g), x -> size(filter(g, ...)))` form
+  * re-evaluates the gram-array expression per lambda element (HOFs
+  * don't whole-stage-codegen and CSE stops at lambda boundaries) —
+  * measured 175 s at sf0.1 vs sub-second for this expression.
+  * Gram semantics mirror the SQL `(string_split(text,' '))[i:i+k-1]`
+  * slice for i ∈ [1, max(len−k+1, 1)]: edge grams truncate.
+  */
+case class WordGramStats(child: Expression, k: Int)
+    extends UnaryExpression with GraftInputTypes {
+
+  override def graftInputTypes: Seq[DataType] = Seq(StringType)
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("top_n", LongType, nullable = false)))
+
+  override def prettyName: String = "word_gram_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    WordGramStats.compute(input.asInstanceOf[UTF8String], k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordGramStats.compute($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordGramStats {
+
+  def compute(u: UTF8String, k: Int): InternalRow = {
+    val toks = u.toString.split(" ", -1)
+    val sz = toks.length
+    val last = math.max(sz - (k - 1), 1)
+    val counts = new java.util.HashMap[String, Long]()
+    val sb = new java.lang.StringBuilder
+    var top = 0L
+    var i = 0
+    while (i < last) {
+      sb.setLength(0)
+      var j = i
+      val end = math.min(i + k, sz)
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      val g = sb.toString
+      val prev = counts.get(g)
+      val n = if (prev == null) 1L else prev + 1L
+      counts.put(g, n)
+      if (n > top) top = n
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](last.toLong, counts.size.toLong, top))
+  }
+
+  /** Column API. */
+  def of(c: Column, k: Int): Column =
+    GraftSql.column(WordGramStats(GraftSql.expression(c), k))
+}
+
 object TopTrigram {
 
   /** One pass: count every trigram, return (best gram, count). */

@@ -28,21 +28,17 @@ object CorpusOps {
     * first cut exploded 2- and 4-grams through two corpus-wide
     * aggregations — two full shuffles for per-row arithmetic.)
     */
-  def repetition(s: SparkSession, dir: String): DataFrame = {
-    def grams(k: Int) =
-      s"transform(sequence(1, greatest(size(split(text, ' ')) - ${k - 1}, 1)), i -> array_join(slice(split(text, ' '), i, $k), ' '))"
+  def repetition(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
         col("doc_id"),
-        expr(s"cast(size(${grams(4)}) as bigint)").as("n4"),
-        expr(s"cast(size(array_distinct(${grams(4)})) as bigint)").as("n4_distinct"),
-        expr(s"cast(size(${grams(2)}) as bigint)").as("n2"),
-        expr(s"cast(array_max(transform(array_distinct(${grams(2)}), g -> size(filter(${grams(2)}, x -> x = g)))) as bigint)").as("top2_n"))
-      .withColumn("dup4_ratio",
-        lit(1.0) - col("n4_distinct").cast("double") / col("n4"))
-      .withColumn("top2_frac", col("top2_n").cast("double") / col("n2"))
-      .select("doc_id", "n4", "n4_distinct", "dup4_ratio", "n2", "top2_n", "top2_frac")
+        graft.functions.WordGramStats.of(col("text"), 4).as("s4"),
+        graft.functions.WordGramStats.of(col("text"), 2).as("s2"))
+      .select(col("doc_id"),
+        col("s4.n").as("n4"), col("s4.n_distinct").as("n4_distinct"),
+        (lit(1.0) - col("s4.n_distinct").cast("double") / col("s4.n")).as("dup4_ratio"),
+        col("s2.n").as("n2"), col("s2.top_n").as("top2_n"),
+        (col("s2.top_n").cast("double") / col("s2.n")).as("top2_frac"))
       .orderBy("doc_id")
-  }
 
   val repetitionSql: String = {
     def grams(k: Int) =

@@ -16,6 +16,36 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r.filter($"top2_n" > 1).count() > 0)
   }
 
+  test("WordGramStats matches the composed array-expression form") {
+    val probe = Seq(
+      (1L, "a b a b a b"),            // 2-grams: ab ba ab ba ab → top 3
+      (2L, "x"),                      // fewer tokens than k: one truncated gram
+      (3L, ""),                       // empty string → one empty token
+      (4L, "w w w w w w w w"),        // maximal repetition
+      (5L, "q r s t u v w x y z"))    // no repetition
+      .toDF("doc_id", "text")
+    def grams(k: Int) =
+      s"transform(sequence(1, greatest(size(split(text, ' ')) - ${k - 1}, 1)), i -> array_join(slice(split(text, ' '), i, $k), ' '))"
+    val want = probe.selectExpr("doc_id",
+        s"cast(size(${grams(2)}) as bigint) as n",
+        s"cast(size(array_distinct(${grams(2)})) as bigint) as n_distinct",
+        s"cast(array_max(transform(array_distinct(${grams(2)}), g -> size(filter(${grams(2)}, x -> x = g)))) as bigint) as top_n")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val got = probe.select(col("doc_id"),
+        graft.functions.WordGramStats.of(col("text"), 2).as("s"))
+      .select($"doc_id", $"s.n", $"s.n_distinct", $"s.top_n")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == want)
+    assert(got.find(_._1 == 1L).get == ((1L, 5L, 2L, 3L)))
+    // SQL registration surface
+    graft.GraftExtensions.register(spark)
+    probe.createOrReplaceTempView("wgs_probe")
+    val viaSql = spark.sql(
+      "SELECT doc_id, word_gram_stats(text, 2).top_n AS t FROM wgs_probe WHERE doc_id = 1")
+      .as[(Long, Long)].head()
+    assert(viaSql == ((1L, 3L)))
+  }
+
   test("contamination: overlap bounded, flag consistent, benchmark docs excluded") {
     val c = CorpusOps.contamination(spark, sf).cache()
     assert(c.filter($"doc_id" % 19 === 0).count() == 0)
