@@ -51,6 +51,18 @@ object Plans {
     show("span_dedup", operators.TextOps.spanDedup(spark, sf),
       Seq("HashAggregate", "Exchange", "Expand"))
     show("raster_rgb", operators.RasterOps.rasterRgb(spark, sf), joiny)
+    show("asof_join (no join nodes)", operators.TemporalJoins.asofAttribution(spark, sf),
+      Seq("Join", "Exchange", "Window"))
+    show("range_join", operators.TemporalJoins.rangeAttribution(spark, sf), joiny)
+    show("rep_ngrams (native)", operators.CorpusOps.repetition(spark, sf),
+      Seq("Exchange", "word_gram_stats", "WholeStageCodegen"))
+    show("contamination", operators.CorpusOps.contamination(spark, sf), joiny)
+    show("sample (map-side)", operators.CorpusOps.sample(spark, sf),
+      Seq("Exchange", "Scan", "PushedFilters"))
+    show("zorder (map-side)", operators.GeoOps.zorderKey(spark, sf),
+      Seq("Exchange", "Scan", "WholeStageCodegen"))
+    show("dup_clusters (post-CC rollup)", operators.Components.dupClusters(spark, sf),
+      Seq("Join", "Exchange"))
     spark.stop()
   }
 }
