@@ -132,12 +132,60 @@ object CorpusOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --- 64. token-budget domain mixing ---
+  /** Mixture re-weighting: hit a global token budget (here half the
+    * corpus) at target per-language shares (en 40%, others 15%) by
+    * computing each language's keep-rate from its token inventory and
+    * applying it as a deterministic hash-bucket filter.  The inventory
+    * is a per-lang aggregate (a dim-sized frame, broadcast back); the
+    * apply pass is map-side — the 100 TB shape of "train on 40%
+    * English at half my data budget".  Rates land under 1.0 when a
+    * language is over-represented and clamp at 1.0 when the target
+    * exceeds supply (no upsampling).
+    */
+  def domainMix(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      pmod(TextOps.md5long(concat(lit("mix:"), col("doc_id"))), lit(100))
+        .cast("long").as("bucket"))
+    val langTot = d.groupBy("lang").agg(sum("n_tokens").as("lang_tokens"))
+    val total = d.agg(sum("n_tokens").as("total_tokens"))
+    val share = when(col("lang") === "en", lit(0.4)).otherwise(lit(0.15))
+    d.join(broadcast(langTot), "lang").crossJoin(broadcast(total))
+      .withColumn("rate", least(lit(1.0),
+        share * lit(0.5) * col("total_tokens") / col("lang_tokens")))
+      .filter(col("bucket").cast("double") / 100.0 < col("rate"))
+      .select("doc_id", "lang", "n_tokens", "bucket", "rate")
+      .orderBy("doc_id")
+  }
+
+  val domainMixSql: String = {
+    val bucket = TextOps.md5longSqlFmt.format("concat('mix:', doc_id)") + " % 100"
+    val rate = """least(1.0::DOUBLE,
+      CASE WHEN d.lang = 'en' THEN 0.4::DOUBLE ELSE 0.15::DOUBLE END
+        * 0.5::DOUBLE * total_tokens / lang_tokens)"""
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST($bucket AS BIGINT) AS bucket
+       |  FROM documents),
+       |lt AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS lang_tokens
+       |       FROM d GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM d)
+       |SELECT doc_id, d.lang, n_tokens, bucket, $rate AS rate
+       |FROM d JOIN lt ON lt.lang = d.lang CROSS JOIN tot
+       |WHERE bucket / 100.0 < $rate
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_domain_mix"     -> (domainMix _),
     "q_rep_ngrams"     -> (repetition _),
     "q_contamination"  -> (contamination _),
     "q_sample"         -> (sample _))
 
   val oracles: Map[String, String] = Map(
+    "q_domain_mix"     -> domainMixSql,
     "q_rep_ngrams"     -> repetitionSql,
     "q_contamination"  -> contaminationSql,
     "q_sample"         -> sampleSql)

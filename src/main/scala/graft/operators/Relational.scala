@@ -212,7 +212,76 @@ object Relational {
        |       min(t) AS t_start, max(t) AS t_end
        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
+  // --- 62. column profiling (the engine's ANALYZE surface) ---
+  /** Null/distinct/min/max per numeric column, as ONE single-pass wide
+    * aggregation melted afterwards — profiling at 100 TB must not melt
+    * first (that multiplies the corpus by the column count before the
+    * shuffle); here the stack() runs over the one aggregated row.
+    */
+  def profile(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}_n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nnull"),
+        countDistinct(col(c)).as(s"${c}_nd"),
+        min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))
+    }
+    val one = t(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map(c =>
+      s"'$c', ${c}_n, ${c}_nnull, ${c}_nd, ${c}_min, ${c}_max").mkString(", ")
+    one.selectExpr(
+        s"stack(${cols.length}, $stacked) AS (col_name, n, n_null, n_distinct, vmin, vmax)")
+      .orderBy("col_name")
+  }
+
+  val profileSql: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val agg = cols.map(c =>
+      s"""count($c) AS ${c}_n, CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ${c}_nnull,
+         |count(DISTINCT $c) AS ${c}_nd, min($c) AS ${c}_min, max($c) AS ${c}_max""".stripMargin).mkString(",\n")
+    val rows = cols.map(c =>
+      s"SELECT '$c' AS col_name, ${c}_n AS n, ${c}_nnull AS n_null, ${c}_nd AS n_distinct, ${c}_min AS vmin, ${c}_max AS vmax FROM a").mkString("\nUNION ALL\n")
+    s"WITH a AS (SELECT $agg FROM lineitem)\n$rows\nORDER BY col_name"
+  }
+
+  // --- 63. group-wise exact quantiles (nearest-rank selection) ---
+  /** p25/p50/p75/p95 of extended price per return flag, by the
+    * nearest-rank definition (value at 1-based rank ⌈q·n⌉ of the
+    * sorted group) — selection semantics like blockmedian, no
+    * interpolation, so results hash-match raw doubles cross-engine.
+    * One window sort per group + one aggregation; groups are the
+    * shuffle keys.
+    */
+  def quantiles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    val ranked = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count("*").over(Window.partitionBy("l_returnflag")))
+    def at(q: Double, name: String) =
+      min(when(col("rn") === ceil(lit(q) * col("n")), col("l_extendedprice"))).as(name)
+    ranked.groupBy("l_returnflag")
+      .agg(max("n").as("n"), at(0.25, "p25"), at(0.50, "p50"),
+        at(0.75, "p75"), at(0.95, "p95"))
+      .orderBy("l_returnflag")
+  }
+
+  val quantilesSql: String =
+    """WITH r AS (
+      |  SELECT l_returnflag, l_extendedprice,
+      |    CAST(row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS BIGINT) AS rn,
+      |    CAST(count(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+      |  FROM lineitem)
+      |SELECT l_returnflag, max(n) AS n,
+      |  min(CASE WHEN rn = ceil(0.25 * n) THEN l_extendedprice END) AS p25,
+      |  min(CASE WHEN rn = ceil(0.5 * n) THEN l_extendedprice END) AS p50,
+      |  min(CASE WHEN rn = ceil(0.75 * n) THEN l_extendedprice END) AS p75,
+      |  min(CASE WHEN rn = ceil(0.95 * n) THEN l_extendedprice END) AS p95
+      |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_profile"     -> (profile _),
+    "q_quantiles"   -> (quantiles _),
     "q1_agg"        -> (q1Agg _),
     "q3_join"       -> (q3Join _),
     "q5_join"       -> (q5Join _),
@@ -223,6 +292,8 @@ object Relational {
     "q_sessionize"  -> (sessionize _))
 
   val oracles: Map[String, String] = Map(
+    "q_profile"     -> profileSql,
+    "q_quantiles"   -> quantilesSql,
     "q1_agg"        -> q1AggSql,
     "q3_join"       -> q3JoinSql,
     "q5_join"       -> q5JoinSql,

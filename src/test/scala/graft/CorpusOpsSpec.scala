@@ -55,6 +55,40 @@ class CorpusOpsSpec extends SparkSpec {
     c.unpersist()
   }
 
+  test("profile: counts reconcile with the table, bounds ordered") {
+    val p = graft.operators.Relational.profile(spark, sf).cache()
+    val rows = graft.core.Tables.t(spark, sf, "lineitem").count()
+    assert(p.count() == 3)
+    assert(p.filter($"n" + $"n_null" =!= rows).count() == 0)
+    assert(p.filter($"vmin" > $"vmax" || $"n_distinct" > $"n").count() == 0)
+    p.unpersist()
+  }
+
+  test("quantiles: nearest-rank values are monotone group members") {
+    val q = graft.operators.Relational.quantiles(spark, sf).cache()
+    assert(q.filter($"p25" > $"p50" || $"p50" > $"p75" || $"p75" > $"p95").count() == 0)
+    // every reported quantile is an actual value of its group
+    val li = graft.core.Tables.t(spark, sf, "lineitem")
+      .select($"l_returnflag", $"l_extendedprice")
+    for (c <- Seq("p25", "p50", "p75", "p95"))
+      assert(q.select($"l_returnflag", col(c).as("l_extendedprice"))
+        .except(li).count() == 0, s"$c not a member value")
+    q.unpersist()
+  }
+
+  test("domain mix: rates clamp at 1, kept token shares approach targets") {
+    val m = CorpusOps.domainMix(spark, sf).cache()
+    assert(m.filter($"rate" > 1.0 || $"rate" <= 0.0).count() == 0)
+    val kept = m.groupBy("lang").agg(sum("n_tokens").as("kt"))
+      .as[(String, Long)].collect().toMap
+    val total = kept.values.sum.toDouble
+    // targets: en 40%, others 15% of a half-corpus budget; hash-bucket
+    // granularity (percent buckets) leaves ±10pp noise at spec scale
+    val enShare = kept("en") / total
+    assert(enShare > 0.25 && enShare < 0.55, s"en share $enShare")
+    m.unpersist()
+  }
+
   test("stratified sample: deterministic, rate-respecting, language-stratified") {
     val docs = graft.core.Tables.t(spark, sf, "documents")
     val s1 = CorpusOps.stratifiedSample(docs, Map("en" -> 50), 20)
