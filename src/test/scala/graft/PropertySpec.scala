@@ -104,4 +104,56 @@ class PropertySpec extends SparkSpec {
         s"pair $i: $t1 | $t2")
     }
   }
+
+  test("property: asofJoin = brute-force latest-at-or-before scan") {
+    val rowGen = for {
+      k <- Gen.chooseNum(0L, 3L)     // few keys → dense collisions
+      t <- Gen.chooseNum(0L, 50L)    // small range → many exact ties
+    } yield (k, t)
+    val tables = Gen.listOfN(30, rowGen)
+    for (seed <- 0 until 8) {
+      val ls = samples(tables, 1).head.zipWithIndex
+        .map { case ((k, t), i) => (k, t, 1000L + i) }
+      val rs = samples(tables, 1).headOption.toList
+        .flatMap(_.map { case (k, t) => (k, t) })
+        .zipWithIndex.map { case ((k, t), i) => (k, (t * (seed + 1)) % 53, 2000L + i, i * 1.5) }
+      val left = ls.toDF("k", "t", "id")
+      val right = rs.toDF("k", "t", "id", "v")
+      val got = graft.operators.TemporalJoins.asofJoin(left, right, "k", "t", "id")
+        .select($"id", $"r_id").as[(Long, Option[Long])].collect().toMap
+      ls.foreach { case (k, t, id) =>
+        // latest right row at-or-before; ties at the same time → max id
+        val want = rs.filter(r => r._1 == k && r._2 <= t)
+          .sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+        assert(got(id) == want, s"seed $seed left ($k,$t,$id)")
+      }
+    }
+  }
+
+  test("property: connectedComponents = driver-side union-find") {
+    val edgeGen = for {
+      a <- Gen.chooseNum(0L, 19L); b <- Gen.chooseNum(0L, 19L)
+    } yield (a, b)
+    for (i <- 0 until 6) {
+      val edges = samples(Gen.listOfN(15, edgeGen), 1).head
+        .map { case (a, b) => (a + i, b + i) } // shift per round for variety
+      val got = graft.operators.Components
+        .connectedComponents(edges.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      // union-find reference
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        if (a != b) { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+      }
+      val nodes = edges.flatMap { case (a, b) => Seq(a, b) }
+        .filter(n => edges.exists { case (a, b) => a != b && (a == n || b == n) })
+        .distinct
+      val want = nodes.map(n => n -> find(n)).toMap
+      assert(got == want, s"round $i: $edges")
+    }
+  }
 }
