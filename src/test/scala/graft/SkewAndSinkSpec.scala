@@ -27,6 +27,36 @@ class SkewAndSinkSpec extends SparkSpec {
            plain.select(sum($"event_id")).as[Long].head())
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // at 100 TB a selective dim predicate should reach the fact scan as
+    // a runtime bloom filter (row-level semi-join pushdown) — assert
+    // Spark's optimizer injects it when the join must shuffle
+    val prev = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    // production default is 10GB of fact-side scan before a bloom
+    // filter pays for itself; the sf-scale fact side is MBs, so lower
+    // the gate to let the optimizer prove the mechanism here
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      val orders = graft.core.Tables.t(spark, sf, "orders")
+        .filter($"o_orderpriority" === "1-URGENT")
+      val li = graft.core.Tables.t(spark, sf, "lineitem")
+      val joined = li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        s"no runtime bloom filter in:\n${plan.take(2000)}")
+      assert(joined.count() > 0)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None    => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("q6 predicates reach the parquet scan as PushedFilters") {
     val plan = graft.operators.Relational.q6Filter(spark, sf)
       .queryExecution.explainString(
