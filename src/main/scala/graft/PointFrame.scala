@@ -161,6 +161,12 @@ final case class PointFrame(df: DataFrame, delta: Double = 100.0) {
   def toGeoParquet(path: String, d: Double = delta): Unit =
     graft.sources.GeoParquet.write(df, path, d)
 
+  /** Persist z-order-clustered (Morton-key sorted) — row-group-level
+    * 2-D pruning inside big files; see GeoParquet.writeZOrdered.
+    */
+  def toZOrderedParquet(path: String, d: Double = delta, nFiles: Int = 64): Unit =
+    graft.sources.GeoParquet.writeZOrdered(df, path, d, nFiles)
+
   /** point_data.from_list / append — union of point frames. */
   def union(other: PointFrame): PointFrame =
     copy(df = df.unionByName(other.df, allowMissingColumns = true))

@@ -88,6 +88,29 @@ object TemporalJoins {
       .drop("_bin")
   }
 
+  /** Interval-overlap join: pairs of intervals (same `key`, one from
+    * each side) whose [start, end] ranges intersect.
+    *
+    * Both sides explode to covered bins and equi-join on (key, bin);
+    * a pair overlapping several shared bins would match once per bin,
+    * so the join keeps only the CANONICAL bin — the bin containing
+    * max(start1, start2), the overlap's left edge — making the output
+    * duplicate-free without any distinct/dedup exchange.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   s1: String, e1: String, s2: String, e2: String,
+                   binMs: Long): DataFrame = {
+    def binned(df: DataFrame, s: String, e: String) =
+      df.withColumn("_bin",
+        explode(sequence(floor(col(s) / binMs).cast("long"),
+                         floor(col(e) / binMs).cast("long"))))
+    binned(left, s1, e1)
+      .join(binned(right, s2, e2), Seq(key, "_bin"))
+      .filter(col(s1) <= col(e2) && col(s2) <= col(e1))
+      .filter(col("_bin") === floor(greatest(col(s1), col(s2)) / binMs).cast("long"))
+      .drop("_bin")
+  }
+
   // ---- the events-domain views both queries share ----
   private def typed(s: SparkSession, dir: String, et: String): DataFrame =
     Tables.eventsPoints(s, dir).filter(col("event_type") === et)
@@ -102,10 +125,10 @@ object TemporalJoins {
     */
   private val GapMs = 172800000L // 2 days
 
-  private def clickSessions(s: SparkSession, dir: String): DataFrame = {
+  private def sessionsOf(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("t"), col("id"))
     val ws = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    typed(s, dir, "click")
+    events
       .withColumn("ns",
         when(col("t") - lag("t", 1).over(w) > GapMs, lit(1L)).otherwise(lit(0L)))
       .withColumn("sid", sum("ns").over(ws))
@@ -114,7 +137,10 @@ object TemporalJoins {
         count("*").as("n_clicks"))
   }
 
-  private val clickSessionsSql: String =
+  private def clickSessions(s: SparkSession, dir: String): DataFrame =
+    sessionsOf(typed(s, dir, "click"))
+
+  private def sessionsSqlFor(et: String): String =
     s"""SELECT user_id, CAST(sid AS BIGINT) AS sid, min(t) AS s_start,
        |       max(t) AS s_end, count(*) AS n_clicks
        |FROM (
@@ -125,8 +151,10 @@ object TemporalJoins {
        |    SELECT user_id, id, t,
        |      CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t, id)
        |                > $GapMs THEN 1 ELSE 0 END AS ns
-       |    FROM (${typedSql("click")})))
+       |    FROM (${typedSql(et)})))
        |GROUP BY 1, 2""".stripMargin
+
+  private val clickSessionsSql: String = sessionsSqlFor("click")
 
   // --- 56. as-of join: purchase → most recent prior click ---
   def asofAttribution(s: SparkSession, dir: String): DataFrame =
@@ -178,11 +206,46 @@ object TemporalJoins {
        |              AND e.t BETWEEN s.s_start AND s.s_end
        |ORDER BY error_id""".stripMargin
 
+  // --- 57b. interval-overlap join: click sessions × error bursts ---
+  /** Per user, which click sessions and error bursts coincide — the
+    * interval×interval sibling of [[rangeAttribution]], duplicate-free
+    * by canonical-bin selection rather than a distinct pass.
+    */
+  def intervalAttribution(s: SparkSession, dir: String): DataFrame = {
+    val clicks = clickSessions(s, dir)
+    val errors = sessionsOf(typed(s, dir, "error"))
+      .select(col("user_id"), col("sid").as("esid"),
+        col("s_start").as("e_start"), col("s_end").as("e_end"),
+        col("n_clicks").as("n_errors"))
+    intervalJoin(clicks, errors, "user_id",
+      "s_start", "s_end", "e_start", "e_end", binMs = GapMs)
+      .select(col("user_id"), col("sid"), col("esid"),
+        col("s_start"), col("s_end"), col("e_start"), col("e_end"),
+        col("n_clicks"), col("n_errors"),
+        (least(col("s_end"), col("e_end")) -
+          greatest(col("s_start"), col("e_start"))).as("overlap_ms"))
+      .orderBy("user_id", "sid", "esid")
+  }
+
+  val intervalAttributionSql: String =
+    s"""WITH c AS (${sessionsSqlFor("click")}),
+       |e AS (SELECT user_id, sid AS esid, s_start AS e_start,
+       |             s_end AS e_end, n_clicks AS n_errors
+       |      FROM (${sessionsSqlFor("error")}))
+       |SELECT c.user_id, c.sid, e.esid, c.s_start, c.s_end,
+       |       e.e_start, e.e_end, c.n_clicks, e.n_errors,
+       |       least(c.s_end, e.e_end) - greatest(c.s_start, e.e_start) AS overlap_ms
+       |FROM c JOIN e ON e.user_id = c.user_id
+       |             AND c.s_start <= e.e_end AND e.e_start <= c.s_end
+       |ORDER BY c.user_id, sid, esid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_asof_join"  -> (asofAttribution _),
-    "q_range_join" -> (rangeAttribution _))
+    "q_asof_join"     -> (asofAttribution _),
+    "q_range_join"    -> (rangeAttribution _),
+    "q_interval_join" -> (intervalAttribution _))
 
   val oracles: Map[String, String] = Map(
-    "q_asof_join"  -> asofAttributionSql,
-    "q_range_join" -> rangeAttributionSql)
+    "q_asof_join"     -> asofAttributionSql,
+    "q_range_join"    -> rangeAttributionSql,
+    "q_interval_join" -> intervalAttributionSql)
 }

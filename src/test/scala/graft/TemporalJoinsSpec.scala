@@ -53,6 +53,23 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(got == want && want.size == 5)
   }
 
+  test("interval join matches brute force, duplicate-free across shared bins") {
+    // intervals deliberately spanning many shared bins (the case where
+    // a naive bin join duplicates pairs), plus touching endpoints
+    val l = Seq((1L, 0L, 5000L, 10L), (1L, 6000L, 6500L, 11L), (2L, 0L, 999L, 12L))
+      .toDF("k", "s1", "e1", "lid")
+    val r = Seq((1L, 4000L, 9000L, 20L), (1L, 5000L, 5999L, 21L), (2L, 999L, 2000L, 22L),
+        (2L, 1000L, 1500L, 23L))
+      .toDF("k", "s2", "e2", "rid")
+    val got = TemporalJoins.intervalJoin(l, r, "k", "s1", "e1", "s2", "e2", binMs = 1000L)
+      .select("lid", "rid").as[(Long, Long)].collect().toList
+    val want = l.crossJoin(r.withColumnRenamed("k", "k2"))
+      .filter($"k" === $"k2" && $"s1" <= $"e2" && $"s2" <= $"e1")
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got.toSet == want && got.size == want.size, s"got $got want $want")
+    assert(want == Set((10L, 20L), (10L, 21L), (11L, 20L), (12L, 22L)))
+  }
+
   test("range join plan: equi-join on (key, bin), never a nested loop") {
     val plan = TemporalJoins.rangeAttribution(spark, sf)
       .queryExecution.executedPlan.toString
