@@ -37,9 +37,14 @@ object TemporalJoins {
     *              (null when no right row precedes the left row).
     * @param id    a column present in both sides, unique across their
     *              union (the deterministic tiebreak).
+    * @param tolerance max allowed `left.time − right.time`; a match
+    *              older than this nulls out (pandas merge_asof
+    *              semantics), applied as a post-window projection —
+    *              same plan shape.
     */
   def asofJoin(left: DataFrame, right: DataFrame,
-               key: String, time: String, id: String): DataFrame = {
+               key: String, time: String, id: String,
+               tolerance: Option[Long] = None): DataFrame = {
     val lCols = left.columns.filterNot(_ == key).toSeq
     val rCols = right.columns.filterNot(_ == key).toSeq
     val lType = left.schema.fields.map(f => f.name -> f.dataType).toMap
@@ -59,7 +64,17 @@ object TemporalJoins {
     val matched = rCols.foldLeft(lu.unionByName(ru)) { (df, c) =>
       df.withColumn(s"r_$c", last(col(s"r_$c"), ignoreNulls = true).over(w))
     }
-    matched.filter(col("_side") === 1)
+    val withinTol = tolerance match {
+      case None      => matched
+      case Some(tol) =>
+        // capture the age test against the ORIGINAL matched time once,
+        // then null every r_* together (they came from one right row)
+        val fresh = matched.withColumn("_ok", col("_t") - col(s"r_$time") <= tol)
+        rCols.foldLeft(fresh) { (df, c) =>
+          df.withColumn(s"r_$c", when(col("_ok"), col(s"r_$c")))
+        }.drop("_ok")
+    }
+    withinTol.filter(col("_side") === 1)
       .select(col(key) +: (lCols.map(col) ++ rCols.map(c => col(s"r_$c"))): _*)
   }
 

@@ -43,6 +43,24 @@ class ComponentsSpec extends SparkSpec {
     assert(Seq(40L, 41L, 42L, 43L).map(got).forall(_ == 40L))
   }
 
+  test("CC converges on the dense simhash pair graph and labels every edge consistently") {
+    // the realistic-density stress: tens of thousands of near-dup
+    // edges (vs jaccard's dozens) — convergence must stay in the
+    // round budget and both endpoints of every edge must land in the
+    // same component
+    val pairs = graft.operators.Dedup.simhashPairs(spark, sf)
+      .select($"d1".as("src"), $"d2".as("dst")).cache()
+    val nEdges = pairs.count()
+    assert(nEdges > 1000L, s"expected a dense graph, got $nEdges edges")
+    val labels = Components.connectedComponents(pairs)
+    val lab1 = labels.select($"node".as("src"), $"component".as("c1"))
+    val lab2 = labels.select($"node".as("dst"), $"component".as("c2"))
+    val inconsistent = pairs.join(lab1, "src").join(lab2, "dst")
+      .filter($"c1" =!= $"c2").count()
+    assert(inconsistent == 0L)
+    pairs.unpersist()
+  }
+
   test("dup clusters: sizes consistent, exactly one keeper per cluster") {
     val d = Components.dupClusters(spark, sf).cache()
     // every cluster has exactly one keeper, and it is the component min

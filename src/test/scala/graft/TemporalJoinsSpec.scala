@@ -28,6 +28,16 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(got.select($"r_id").as[Long].head() == 21L)
   }
 
+  test("asof join: tolerance nulls out stale matches, keeps fresh ones") {
+    val left = Seq((1L, 100L, 10L), (1L, 300L, 11L)).toDF("k", "t", "id")
+    val right = Seq((1L, 95L, 20L, 1.0), (1L, 110L, 21L, 2.0)).toDF("k", "t", "id", "v")
+    val got = TemporalJoins.asofJoin(left, right, "k", "t", "id", tolerance = Some(50L))
+      .select($"id", $"r_id", $"r_v").as[(Long, Option[Long], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(10L) == ((Some(20L), Some(1.0))))   // age 5 ≤ 50: kept
+    assert(got(11L) == ((None, None)))             // age 190 > 50: all nulled
+  }
+
   test("asof join plan: one keyed shuffle, no join operator at all") {
     val plan = TemporalJoins.asofAttribution(spark, sf)
       .queryExecution.executedPlan.toString
