@@ -58,20 +58,26 @@ object GraftExtensions {
   private[graft] val dotProductBuilder: Seq[Expr] => Expr =
     binary("dot_product", DotProduct.apply)
 
-  /** word_gram_stats(text, k) — k must be a foldable integer literal. */
+  /** word_gram_stats(text, k) — k must be a positive int literal. */
   private[graft] val wordGramStatsBuilder: Seq[Expr] => Expr = { exprs =>
     arity("word_gram_stats", 2, exprs.length)
+    def bad(why: String): Nothing =
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> s"word_gram_stats ($why)",
+          "expectedNum" -> "2", "actualNum" -> exprs.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
     val k = exprs(1) match {
       case e if e.foldable && (e.dataType == org.apache.spark.sql.types.IntegerType ||
           e.dataType == org.apache.spark.sql.types.LongType) =>
-        e.eval(null).toString.toInt
-      case _ =>
-        throw new org.apache.spark.sql.AnalysisException(
-          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-          messageParameters = Map(
-            "functionName" -> "word_gram_stats (k must be an integer literal)",
-            "expectedNum" -> "2", "actualNum" -> exprs.length.toString,
-            "docroot" -> "https://spark.apache.org/docs/latest"))
+        e.eval(null) match {
+          case null              => bad("k must not be null")
+          case v: java.lang.Number
+            if v.longValue >= 1 && v.longValue <= Int.MaxValue => v.intValue
+          case _                 => bad("k must be a positive int literal")
+        }
+      case _ => bad("k must be a positive int literal")
     }
     graft.functions.WordGramStats(exprs(0), k)
   }

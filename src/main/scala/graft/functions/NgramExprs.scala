@@ -84,23 +84,41 @@ case class WordShingleHashes(child: Expression, k: Int)
     copy(child = newChild)
 }
 
-object WordShingleHashes {
+/** Shared machinery of the word-gram expressions: the tokenize /
+  * truncating-slice / join loop and the 60-bit md5 gram hash.  The
+  * edge-gram truncation (positions [1, max(len−k+1, 1)], last grams
+  * shortened) is load-bearing for oracle parity — one implementation,
+  * three expressions.
+  */
+private[functions] object WordGrams {
 
   /** One digest instance per executor thread (getInstance per row is
-    * measurable at corpus scale); compute() resets it per shingle.
+    * measurable at corpus scale); hash60() resets it per shingle.
     */
-  private[functions] val mdLocal: ThreadLocal[java.security.MessageDigest] =
+  val mdLocal: ThreadLocal[java.security.MessageDigest] =
     new ThreadLocal[java.security.MessageDigest] {
       override def initialValue(): java.security.MessageDigest =
         java.security.MessageDigest.getInstance("MD5")
     }
 
-  def compute(u: UTF8String, k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+  /** First 60 bits of md5(g) — identical to
+    * conv(substr(md5(g),1,15),16,10): bytes 0..6 plus the high nibble
+    * of byte 7.
+    */
+  def hash60(md: java.security.MessageDigest, g: String): Long = {
+    md.reset()
+    val d = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var b = 0
+    while (b < 7) { v = (v << 8) | (d(b) & 0xFFL); b += 1 }
+    (v << 4) | ((d(7) & 0xFFL) >>> 4)
+  }
+
+  /** Invoke f on every word k-gram of u, in position order. */
+  def foreach(u: UTF8String, k: Int)(f: String => Unit): Unit = {
     val toks = u.toString.split(" ", -1)
     val sz = toks.length
     val last = math.max(sz - (k - 1), 1)
-    val seen = new java.util.LinkedHashSet[java.lang.Long]()
-    val md = mdLocal.get()
     val sb = new java.lang.StringBuilder
     var i = 0
     while (i < last) {
@@ -112,17 +130,18 @@ object WordShingleHashes {
         sb.append(toks(j))
         j += 1
       }
-      md.reset()
-      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      // first 15 hex chars of the digest = bytes 0..6 plus the high
-      // nibble of byte 7 — identical to conv(substr(md5(g),1,15),16,10)
-      var v = 0L
-      var b = 0
-      while (b < 7) { v = (v << 8) | (d(b) & 0xFFL); b += 1 }
-      v = (v << 4) | ((d(7) & 0xFFL) >>> 4)
-      seen.add(v)
+      f(sb.toString)
       i += 1
     }
+  }
+}
+
+object WordShingleHashes {
+
+  def compute(u: UTF8String, k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val md = WordGrams.mdLocal.get()
+    WordGrams.foreach(u, k)(g => seen.add(WordGrams.hash60(md, g)))
     val out = new Array[Long](seen.size)
     val it = seen.iterator()
     var o = 0
@@ -166,32 +185,15 @@ case class MinShingleHash(child: Expression, k: Int)
 object MinShingleHash {
 
   def compute(u: UTF8String, k: Int): InternalRow = {
-    val toks = u.toString.split(" ", -1)
-    val sz = toks.length
-    val last = math.max(sz - (k - 1), 1)
-    val md = WordShingleHashes.mdLocal.get()
-    val sb = new java.lang.StringBuilder
+    val md = WordGrams.mdLocal.get()
     var minV = Long.MaxValue
-    var i = 0
-    while (i < last) {
-      sb.setLength(0)
-      var j = i
-      val end = math.min(i + k, sz)
-      while (j < end) {
-        if (j > i) sb.append(' ')
-        sb.append(toks(j))
-        j += 1
-      }
-      md.reset()
-      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      var v = 0L
-      var b = 0
-      while (b < 7) { v = (v << 8) | (d(b) & 0xFFL); b += 1 }
-      v = (v << 4) | ((d(7) & 0xFFL) >>> 4)
+    var n = 0L
+    WordGrams.foreach(u, k) { g =>
+      val v = WordGrams.hash60(md, g)
       if (v < minV) minV = v
-      i += 1
+      n += 1
     }
-    new GenericInternalRow(Array[Any](minV, last.toLong))
+    new GenericInternalRow(Array[Any](minV, n))
   }
 
   /** Column API. */
@@ -239,30 +241,17 @@ case class WordGramStats(child: Expression, k: Int)
 object WordGramStats {
 
   def compute(u: UTF8String, k: Int): InternalRow = {
-    val toks = u.toString.split(" ", -1)
-    val sz = toks.length
-    val last = math.max(sz - (k - 1), 1)
     val counts = new java.util.HashMap[String, Long]()
-    val sb = new java.lang.StringBuilder
     var top = 0L
-    var i = 0
-    while (i < last) {
-      sb.setLength(0)
-      var j = i
-      val end = math.min(i + k, sz)
-      while (j < end) {
-        if (j > i) sb.append(' ')
-        sb.append(toks(j))
-        j += 1
-      }
-      val g = sb.toString
+    var total = 0L
+    WordGrams.foreach(u, k) { g =>
       val prev = counts.get(g)
       val n = if (prev == null) 1L else prev + 1L
       counts.put(g, n)
       if (n > top) top = n
-      i += 1
+      total += 1
     }
-    new GenericInternalRow(Array[Any](last.toLong, counts.size.toLong, top))
+    new GenericInternalRow(Array[Any](total, counts.size.toLong, top))
   }
 
   /** Column API. */

@@ -23,14 +23,15 @@ object ZOrder {
   val Bias = 1L << 20
   private val M21 = (1L << 21) - 1
 
-  // the classic 64-bit Morton spread: after step (s, m), the bits of
-  // the 21-bit input sit at every other position below bit 42
+  // the 2-D Morton spread (part1by1): after the last step the 21
+  // input bits sit at even positions 0,2,…,40, so x | y<<1 occupies
+  // exactly bits 0..41 — a true 42-bit key
   private val steps = Seq(
-    32 -> 0x1f00000000ffffL,
-    16 -> 0x1f0000ff0000ffL,
-    8  -> 0x100f00f00f00f00fL,
-    4  -> 0x10c30c30c30c30c3L,
-    2  -> 0x1249249249249249L)
+    16 -> 0x0000ffff0000ffffL,
+    8  -> 0x00ff00ff00ff00ffL,
+    4  -> 0x0f0f0f0f0f0f0f0fL,
+    2  -> 0x3333333333333333L,
+    1  -> 0x5555555555555555L)
 
   // each step is (x | x<<s) & m, algebraically rewritten as
   // (x & m) | ((x & (m>>s)) << s) so the shift can never overflow a
@@ -58,9 +59,9 @@ object ZOrder {
   /** Driver-side decode (specs): recover (cellX, cellY) from a key. */
   def decode(key: Long): (Long, Long) = {
     def unspread(v0: Long): Long = {
-      var v = v0 & 0x1249249249249249L
-      Seq(2 -> 0x10c30c30c30c30c3L, 4 -> 0x100f00f00f00f00fL,
-        8 -> 0x1f0000ff0000ffL, 16 -> 0x1f00000000ffffL, 32 -> M21)
+      var v = v0 & 0x5555555555555555L
+      Seq(1 -> 0x3333333333333333L, 2 -> 0x0f0f0f0f0f0f0f0fL,
+        4 -> 0x00ff00ff00ff00ffL, 8 -> 0x0000ffff0000ffffL, 16 -> M21)
         .foreach { case (s, m) => v = (v | (v >> s)) & m }
       v
     }

@@ -54,8 +54,8 @@ object CorpusOps {
   }
 
   // --- 59. benchmark-contamination screen ---
-  /** Flag corpus documents sharing 5-gram shingles with a held-out
-    * "benchmark" set (here: doc_id % 97 = 0 — at real scale, the
+  /** Flag corpus documents sharing 3-gram shingles with a held-out
+    * "benchmark" set (here: doc_id % 19 = 0 — at real scale, the
     * eval suites).  The benchmark shingle set is tiny relative to the
     * corpus (eval suites are MBs; corpora are TBs), so the probe is a
     * broadcast hash join against the corpus shingle stream — one scan,
@@ -149,7 +149,8 @@ object CorpusOps {
       pmod(TextOps.md5long(concat(lit("mix:"), col("doc_id"))), lit(100))
         .cast("long").as("bucket"))
     val langTot = d.groupBy("lang").agg(sum("n_tokens").as("lang_tokens"))
-    val total = d.agg(sum("n_tokens").as("total_tokens"))
+    // total from the dim-sized inventory, NOT another corpus scan
+    val total = langTot.agg(sum("lang_tokens").as("total_tokens"))
     val share = when(col("lang") === "en", lit(0.4)).otherwise(lit(0.15))
     d.join(broadcast(langTot), "lang").crossJoin(broadcast(total))
       .withColumn("rate", least(lit(1.0),

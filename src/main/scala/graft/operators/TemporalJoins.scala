@@ -59,17 +59,25 @@ object TemporalJoins {
         rCols.map(c => col(c).as(s"r_$c")): _*)
     val w = Window.partitionBy(key).orderBy(col("_t"), col("_side"), col("_tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // all r_* columns are null/non-null on exactly the same rows, so
-    // each per-column last() resolves to the SAME right row
-    val matched = rCols.foldLeft(lu.unionByName(ru)) { (df, c) =>
-      df.withColumn(s"r_$c", last(col(s"r_$c"), ignoreNulls = true).over(w))
+    // ONE last() over a struct of all r_* columns: the struct is null
+    // on left rows and non-null on right rows (even when individual
+    // right VALUES are null), so the match is atomic — per-column
+    // last(ignoreNulls) would stitch values from different right rows
+    // whenever a right value column holds a null
+    val matched = lu.unionByName(ru)
+      .withColumn("_r",
+        when(col("_side") === 0, struct(rCols.map(c => col(s"r_$c")): _*)))
+      .withColumn("_r", last(col("_r"), ignoreNulls = true).over(w))
+      .drop(rCols.map(c => s"r_$c"): _*)
+    val unpacked = rCols.foldLeft(matched) { (df, c) =>
+      df.withColumn(s"r_$c", col("_r").getField(s"r_$c"))
     }
     val withinTol = tolerance match {
-      case None      => matched
+      case None      => unpacked
       case Some(tol) =>
         // capture the age test against the ORIGINAL matched time once,
         // then null every r_* together (they came from one right row)
-        val fresh = matched.withColumn("_ok", col("_t") - col(s"r_$time") <= tol)
+        val fresh = unpacked.withColumn("_ok", col("_t") - col(s"r_$time") <= tol)
         rCols.foldLeft(fresh) { (df, c) =>
           df.withColumn(s"r_$c", when(col("_ok"), col(s"r_$c")))
         }.drop("_ok")

@@ -47,6 +47,10 @@ object GeoParquet {
         graft.functions.ZOrder.zkey(col("cell_x"), col("cell_y")))
       .repartitionByRange(nFiles, col("zkey"))
       .sortWithinPartitions("zkey")
+      // the key did its job ordering the rows — persisting it (and the
+      // cell indexes) would add 24 bytes/row of pure overhead; pruning
+      // reads the x/y min-max stats, not the key
+      .drop("cell_x", "cell_y", "zkey")
       .write.mode("overwrite").parquet(path)
 
   /** Append a (micro-)batch into the layout — the streaming-ingest

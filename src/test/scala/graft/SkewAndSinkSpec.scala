@@ -31,7 +31,15 @@ class SkewAndSinkSpec extends SparkSpec {
     // at 100 TB a selective dim predicate should reach the fact scan as
     // a runtime bloom filter (row-level semi-join pushdown) — assert
     // Spark's optimizer injects it when the join must shuffle
-    val prev = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    // restore EVERY touched key afterwards — the session is a shared
+    // singleton and leaked thresholds would inject bloom aggregates
+    // into later suites' plans (PlanGuardSpec pins exchange counts)
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
@@ -50,9 +58,9 @@ class SkewAndSinkSpec extends SparkSpec {
         s"no runtime bloom filter in:\n${plan.take(2000)}")
       assert(joined.count() > 0)
     } finally {
-      prev match {
-        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
-        case None    => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
       }
     }
   }

@@ -28,6 +28,18 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(got.select($"r_id").as[Long].head() == 21L)
   }
 
+  test("asof join: a matched right row with null values is reported as-is, never stitched") {
+    // the matched row (t=10) carries a null v; the match must NOT
+    // borrow v=7.0 from the older t=5 row (per-column ignoreNulls
+    // forward-fill would) — pandas merge_asof keeps the matched null
+    val left = Seq((1L, 20L, 10L)).toDF("k", "t", "id")
+    val right = Seq((1L, 5L, 20L, Some(7.0)), (1L, 10L, 21L, Option.empty[Double]))
+      .toDF("k", "t", "id", "v")
+    val got = TemporalJoins.asofJoin(left, right, "k", "t", "id")
+      .select($"r_id", $"r_v").as[(Option[Long], Option[Double])].head()
+    assert(got == ((Some(21L), None)))
+  }
+
   test("asof join: tolerance nulls out stale matches, keeps fresh ones") {
     val left = Seq((1L, 100L, 10L), (1L, 300L, 11L)).toDF("k", "t", "id")
     val right = Seq((1L, 95L, 20L, 1.0), (1L, 110L, 21L, 2.0)).toDF("k", "t", "id", "v")
