@@ -130,6 +130,22 @@ object EventStream {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream-static AS-OF enrichment: every micro-batch of events picks
+    * up the latest static reference row at-or-before its own
+    * timestamp (rate tables, model versions, calibration records) —
+    * foreachBatch + the batch [[graft.operators.TemporalJoins.asofJoin]].
+    * The static side re-resolves per batch, so a slowly-changing
+    * reference table stays current without restarting the query.
+    */
+  def asofEnrich(events: DataFrame, ref: DataFrame,
+                 key: String, time: String, id: String)
+                (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink(graft.operators.TemporalJoins.asofJoin(batch, ref, key, time, id))
+      }
+      .start()
+
   /** Streaming exact dedup — the streaming face of Dedup.dedupExact
     * for a continuously-arriving corpus: keep only the first event
     * per content hash, with state bounded by the watermark horizon

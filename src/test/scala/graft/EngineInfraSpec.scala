@@ -179,6 +179,25 @@ class EngineInfraSpec extends SparkSpec {
     assert(out.find(_.getAs[Long]("user_id") == 3L).get.isNullAt(2)) // left join keeps unmatched
   }
 
+  test("stream-static as-of enrichment picks the latest ref row per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long)]
+    val events = mem.toDF().toDF("k", "t", "id")
+    val ref = Seq((1L, 100L, 20L, 1.0), (1L, 200L, 21L, 2.0))
+      .toDF("k", "t", "id", "v")
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Option[Long])]()
+    val q = EventStream.asofEnrich(events, ref, "k", "t", "id") { out =>
+      got ++= out.select(col("id"), col("r_id"))
+        .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+    }
+    mem.addData((1L, 150L, 10L), (1L, 250L, 11L))
+    q.processAllAvailable()
+    mem.addData((1L, 90L, 12L)) // a later batch re-resolves independently
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toMap == Map(10L -> Some(20L), 11L -> Some(21L), 12L -> None))
+  }
+
   test("streaming dedup keeps first occurrence within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String, Double, Long)]
