@@ -179,13 +179,48 @@ object CorpusOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --- 65. end-to-end curation pipeline (composition proof) ---
+  /** The full curation chain as ONE declarative plan: exact-dedup
+    * keep-first → quality threshold → deterministic stratified
+    * sample.  Each stage is the already-verified operator; composing
+    * them hands Catalyst the whole pipeline to optimize as a unit
+    * (shared scans, pushed filters) — the way a production corpus
+    * build actually runs, rather than one materialized hop per stage.
+    */
+  def pipeline(s: SparkSession, dir: String): DataFrame = {
+    val keepers = Dedup.dedupApply(s, dir).select("doc_id")
+    val quality = TextOps.qualityScore(s, dir)
+      .select(col("doc_id"), col("quality"))
+    val sampled = sample(s, dir).select("doc_id", "bucket")
+    docs(s, dir).select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("n_chars_txt"))
+      .join(keepers, Seq("doc_id"), "leftsemi")
+      .join(quality, "doc_id")
+      .filter(col("quality") >= 0.5)
+      .join(sampled, "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val pipelineSql: String =
+    s"""WITH keep AS (SELECT doc_id FROM (${Dedup.dedupApplySql})),
+       |q AS (SELECT doc_id, quality FROM (${TextOps.qualityScoreSql})),
+       |smp AS (SELECT doc_id, bucket FROM ($sampleSql))
+       |SELECT d.doc_id, d.lang, length(d.text) AS n_chars_txt,
+       |       q.quality, smp.bucket
+       |FROM documents d
+       |JOIN keep USING (doc_id) JOIN q USING (doc_id) JOIN smp USING (doc_id)
+       |WHERE q.quality >= 0.5
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pipeline_e2e"   -> (pipeline _),
     "q_domain_mix"     -> (domainMix _),
     "q_rep_ngrams"     -> (repetition _),
     "q_contamination"  -> (contamination _),
     "q_sample"         -> (sample _))
 
   val oracles: Map[String, String] = Map(
+    "q_pipeline_e2e"   -> pipelineSql,
     "q_domain_mix"     -> domainMixSql,
     "q_rep_ngrams"     -> repetitionSql,
     "q_contamination"  -> contaminationSql,
