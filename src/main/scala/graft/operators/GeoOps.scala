@@ -455,7 +455,31 @@ object GeoOps {
        |  ${graft.functions.ZOrder.zkeySql("cell_x", "cell_y")} AS zkey
        |FROM c ORDER BY id""".stripMargin
 
+  // --- 61b. Hilbert curve key (tighter-locality layout sibling) ---
+  /** The Hilbert index of each point's δ=50 cell — same role as
+    * [[zorderKey]] with strictly better chunk locality (consecutive
+    * keys are always Manhattan-adjacent cells; see
+    * [[graft.functions.Hilbert]]).
+    */
+  def hilbertKey(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Hilbert.withDkey(
+      pts(s, dir).select(col("id"),
+        cellOf(col("x"), 50).as("cell_x"), cellOf(col("y"), 50).as("cell_y")),
+      "cell_x", "cell_y", "hkey")
+      .orderBy("id")
+
+  val hilbertKeySql: String = {
+    val (chain, finalRel) = graft.functions.Hilbert.dkeySqlChain(
+      "c", "cell_x", "cell_y", Seq("id", "cell_x", "cell_y"), "hkey")
+    s"""WITH pts AS ($P),
+       |c AS (SELECT id, CAST(floor(x/50.0) AS BIGINT) AS cell_x,
+       |             CAST(floor(y/50.0) AS BIGINT) AS cell_y FROM pts),
+       |$chain
+       |SELECT id, cell_x, cell_y, hkey FROM $finalRel ORDER BY id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hilbert"         -> (hilbertKey _),
     "q_zorder"          -> (zorderKey _),
     "q_geoindex_build"  -> (geoindexBuild _),
     "q_geo_query_box"   -> (geoQueryBox _),
@@ -474,6 +498,7 @@ object GeoOps {
     "q_tile_index"      -> (tileIndex _))
 
   val oracles: Map[String, String] = Map(
+    "q_hilbert"         -> hilbertKeySql,
     "q_zorder"          -> zorderKeySql,
     "q_geoindex_build"  -> geoindexBuildSql,
     "q_geo_query_box"   -> geoQueryBoxSql,

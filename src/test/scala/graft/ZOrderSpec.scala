@@ -16,6 +16,43 @@ class ZOrderSpec extends SparkSpec {
     assert(keyed.distinct.length == cells.length)
   }
 
+  test("hilbert: adjacency (the defining property), inverse, and Spark/driver parity") {
+    import graft.functions.Hilbert
+    // consecutive d values decode to Manhattan-adjacent cells — the
+    // property that distinguishes a real Hilbert walk from Z-order's
+    // corner jumps; probe ranges far apart on the 2^42-cell curve
+    for (base <- Seq(0L, 12345678L, (1L << 41) + 977L)) {
+      var prev = Hilbert.d2xy(base)
+      for (d <- base + 1 to base + 500) {
+        val cur = Hilbert.d2xy(d)
+        assert(math.abs(cur._1 - prev._1) + math.abs(cur._2 - prev._2) == 1,
+          s"jump at d=$d: $prev -> $cur")
+        assert(Hilbert.xy2d(cur._1, cur._2) == d)   // inverse round-trip
+        prev = cur
+      }
+    }
+    // Spark column walk == driver loop, incl. signed extremes
+    val cells = Seq((-1048576L, -1048576L), (-1L, 1L), (0L, 0L), (20L, -20L),
+      (1048575L, 1048575L), (-313L, 7772L))
+    val got = Hilbert.withDkey(cells.toDF("cell_x", "cell_y"), "cell_x", "cell_y", "d")
+      .select("cell_x", "cell_y", "d").as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, d) => assert(d == Hilbert.xy2d(x, y), s"($x,$y)") }
+  }
+
+  test("hilbert-clustered layout: per-file chunks at least as compact as z-order") {
+    val dir = java.nio.file.Files.createTempDirectory("hilb").toString
+    val pts = graft.core.Tables.eventsPoints(spark, sf)
+    GeoParquet.writeHilbertClustered(pts, dir, delta = 50.0, nFiles = 16)
+    val boxes = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(((max("x") - min("x")) * (max("y") - min("y"))).as("area"))
+      .as[(String, Double)].collect()
+    assert(boxes.length >= 8)
+    val sum = boxes.map(_._2).sum
+    assert(sum < 0.35 * boxes.length * 2000.0 * 2000.0,
+      s"sum of per-file bbox areas $sum over ${boxes.length} files")
+  }
+
   test("z-ordered layout: every file covers a spatially compact region") {
     val dir = java.nio.file.Files.createTempDirectory("zord").toString
     val pts = graft.core.Tables.eventsPoints(spark, sf)
