@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Persisted IVF vector index — the embedding-space sibling of
+  * [[GeoParquet]]: the directory layout IS the index.
+  *
+  * `write` learns centroids (deterministic seeded k-means pass),
+  * assigns every vector to its nearest list, and persists the corpus
+  * `partitionBy(cent)` with the centroid table as a sidecar.  A
+  * query then reads ONLY its `nprobe` nearest centroid partitions —
+  * planning-time PartitionFilters, the same pruning story as the
+  * spatial layout, which at 100 TB is the difference between
+  * scanning 2/64ths of the corpus and scanning it all.
+  */
+object VectorIndex {
+
+  def write(emb: DataFrame, path: String, ncent: Int): Unit = {
+    val spark = emb.sparkSession
+    val cents = Similarity.ivfCentroids(emb, ncent)
+    Similarity.ivfAssign(emb, cents)
+      .select(col("vec_id"), col("v"), col("norm"), col("cent"))
+      .repartition(col("cent"))
+      .write.mode("overwrite").partitionBy("cent").parquet(s"$path/data")
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, j) => (j.toLong, c.toSeq) }
+      .toDF("cent", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  def centroids(spark: SparkSession, path: String): IndexedSeq[Array[Double]] =
+    spark.read.parquet(s"$path/centroids")
+      .orderBy("cent")
+      .collect()
+      .map(r => r.getSeq[Double](1).toArray)
+      .toIndexedSeq
+
+  /** Top-k cosine neighbors of `qvec` reading only the `nprobe`
+    * nearest centroid partitions.  nprobe = ncent degenerates to an
+    * exact full scan.
+    */
+  def search(spark: SparkSession, path: String, qvec: Array[Double],
+             nprobe: Int, k: Int): DataFrame = {
+    val cents = centroids(spark, path)
+    def dist(c: Array[Double]): Double = {
+      var qq = 0.0; var qc = 0.0; var cc = 0.0
+      var i = 0
+      while (i < qvec.length) {
+        qq += qvec(i) * qvec(i); qc += qvec(i) * c(i); cc += c(i) * c(i); i += 1
+      }
+      qq - 2.0 * qc + cc
+    }
+    val probes = cents.indices.sortBy(j => (dist(cents(j)), j)).take(nprobe).map(_.toLong)
+    val qn = math.sqrt(qvec.foldLeft(0.0)((a, x) => a + x * x))
+    spark.read.parquet(s"$path/data")
+      // partition-column filter → planning-time directory pruning
+      .filter(col("cent").isInCollection(probes))
+      .withColumn("cos",
+        graft.functions.VectorExprs.dotp(col("v"), typedlit(qvec.toSeq)) /
+          (col("norm") * qn))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+      .select("vec_id", "cent", "cos")
+  }
+}
