@@ -212,6 +212,79 @@ object Relational {
        |       min(t) AS t_start, max(t) AS t_end
        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
+  // --- 39e. Q13 shape: outer-join count distribution ---
+  /** Orders-per-customer histogram INCLUDING zero-order customers —
+    * the left-outer-join + two-level aggregation shape (TPC-H Q13).
+    * The outer join is what forces the engine to keep unmatched
+    * build-side rows; counting `o_orderkey` (not `*`) makes the
+    * zero bucket fall out of null semantics.
+    */
+  def q13Histogram(s: SparkSession, dir: String): DataFrame = {
+    val perCust = t(s, dir, "customer")
+      .join(t(s, dir, "orders")
+          .filter(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count("o_orderkey").as("c_count"))
+    perCust.groupBy("c_count")
+      .agg(count("*").as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13HistogramSql: String =
+    """WITH pc AS (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders
+      |    ON o_custkey = c_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey)
+      |SELECT c_count, count(*) AS custdist
+      |FROM pc GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // --- 39f. Q21 shape: correlated EXISTS + NOT EXISTS ---
+  /** Suppliers whose line items are the ONLY late ones in a
+    * multi-supplier order (TPC-H Q21's semi + anti double
+    * correlation): exists(other supplier in order) AND NOT
+    * exists(other supplier late in order).  Planned as one leftsemi
+    * and one leftanti join against the same fact table — the shape
+    * that separates engines that decorrelate from engines that
+    * re-scan per row.
+    */
+  def q21Waiting(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    // "late" analog: shipped in H2-1997 (no receipt/commit dates in
+    // this corpus; the join algebra is the point)
+    val late = li.filter(col("l_shipdate") >= lit("1997-07-01").cast("timestamp"))
+    val l1 = late.select(col("l_orderkey").as("k"), col("l_suppkey").as("sk"))
+    val others = li.select(col("l_orderkey").as("k"), col("l_suppkey").as("osk"))
+    val lateOthers = late.select(col("l_orderkey").as("k"), col("l_suppkey").as("osk"))
+    l1.distinct()
+      .join(others.filter(col("osk").isNotNull), Seq("k"), "inner")
+      .filter(col("osk") =!= col("sk")).select("k", "sk").distinct().as("c")
+      .join(lateOthers.as("lo"),
+        col("c.k") === col("lo.k") && col("lo.osk") =!= col("c.sk"), "leftanti")
+      .groupBy("sk").agg(count("*").as("numwait"))
+      .orderBy(col("numwait").desc, col("sk"))
+  }
+
+  val q21WaitingSql: String =
+    """WITH late AS (
+      |  SELECT DISTINCT l_orderkey AS k, l_suppkey AS sk
+      |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-07-01'),
+      |cand AS (
+      |  SELECT DISTINCT late.k, late.sk
+      |  FROM late JOIN lineitem o ON o.l_orderkey = late.k
+      |  WHERE o.l_suppkey <> late.sk),
+      |waiting AS (
+      |  SELECT k, sk FROM cand c
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM lineitem o
+      |    WHERE o.l_orderkey = c.k AND o.l_suppkey <> c.sk
+      |      AND o.l_shipdate >= TIMESTAMP '1997-07-01'))
+      |SELECT sk, count(*) AS numwait
+      |FROM waiting GROUP BY sk
+      |ORDER BY numwait DESC, sk""".stripMargin
+
   // --- 62. column profiling (the engine's ANALYZE surface) ---
   /** Null/distinct/min/max per numeric column, as ONE single-pass wide
     * aggregation melted afterwards — profiling at 100 TB must not melt
@@ -280,6 +353,8 @@ object Relational {
       |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_histogram" -> (q13Histogram _),
+    "q21_waiting"   -> (q21Waiting _),
     "q_profile"     -> (profile _),
     "q_quantiles"   -> (quantiles _),
     "q1_agg"        -> (q1Agg _),
@@ -292,6 +367,8 @@ object Relational {
     "q_sessionize"  -> (sessionize _))
 
   val oracles: Map[String, String] = Map(
+    "q13_histogram" -> q13HistogramSql,
+    "q21_waiting"   -> q21WaitingSql,
     "q_profile"     -> profileSql,
     "q_quantiles"   -> quantilesSql,
     "q1_agg"        -> q1AggSql,
