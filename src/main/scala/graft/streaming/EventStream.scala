@@ -183,6 +183,32 @@ object EventStream {
               col("purchase_ts"), col("click_ts"), col("value"))
   }
 
+  /** Stream-stream AS-OF: [[purchaseAttribution]] reduced to the
+    * single LATEST click per purchase — the streaming form of
+    * TemporalJoins.asofJoin (which Structured Streaming cannot
+    * express directly: no ordered windows over unbounded joins).
+    * Shape: bounded interval join, then a windowed max_by keyed on
+    * (purchase window, purchase) so the append-mode aggregation has
+    * an event-time key and emits exactly once when the watermark
+    * passes the window.  State on all three stages is
+    * watermark-bounded.
+    */
+  def purchaseAsof(events: DataFrame,
+                   watermark: String = "20 minutes"): DataFrame =
+    // purchase_ts's pre-join watermark propagates through the join;
+    // re-declaring it downstream is disallowed (multi-stateful rule)
+    purchaseAttribution(events, watermark)
+      .groupBy(window(col("purchase_ts"), "10 minutes"),
+        col("user_id"), col("purchase_id"))
+      .agg(max_by(
+          struct(col("click_id"), col("click_ts")),
+          struct(col("click_ts"), col("click_id"))).as("best"),
+        count("*").as("n_candidate_clicks"))
+      .select(col("user_id"), col("purchase_id"),
+        col("best.click_id").as("click_id"),
+        col("best.click_ts").as("click_ts"),
+        col("n_candidate_clicks"))
+
   /** Event-time-timeout variant: idle sessions close when the
     * watermark passes last-event + gap, so tails are emitted without
     * waiting for the user's next event — the production shape (the

@@ -274,6 +274,38 @@ class EngineInfraSpec extends SparkSpec {
            out.head.getAs[Long]("click_id") == 100L)
   }
 
+  test("stream-stream as-of keeps only the latest click per purchase") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String, Long, Double)]
+    val events = mem.toDF().toDF("ts", "user_id", "event_type", "event_id", "value")
+    val q = EventStream.purchaseAsof(events)
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData(
+      (ts("2024-01-01 10:00:00"), 1L, "click", 100L, 0.0),
+      (ts("2024-01-01 10:04:00"), 1L, "click", 103L, 0.0),  // later → wins
+      (ts("2024-01-01 10:05:00"), 1L, "purchase", 101L, 9.99))
+    q.processAllAvailable()
+    // the global watermark is the min over BOTH sides, so the flush
+    // must advance clicks AND purchases past window end + delay; a
+    // second flush covers the one-batch propagation lag of chained
+    // stateful operators
+    mem.addData((ts("2024-01-01 11:00:00"), 9L, "click", 999L, 0.0),
+      (ts("2024-01-01 11:00:00"), 9L, "purchase", 899L, 1.0))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 12:00:00"), 9L, "click", 998L, 0.0),
+      (ts("2024-01-01 12:00:00"), 9L, "purchase", 898L, 1.0))
+    q.processAllAvailable()
+    val out = spark.table("asof_stream").collect()
+    q.stop()
+    // exactly one row for the probed purchase (flush rows also emit)
+    val rs = out.filter(_.getAs[Long]("purchase_id") == 101L)
+    assert(rs.length == 1)
+    assert(rs.head.getAs[Long]("click_id") == 103L &&
+           rs.head.getAs[Long]("n_candidate_clicks") == 2L)
+  }
+
   test("event-time-timeout sessionization closes idle sessions via watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long)]
