@@ -40,11 +40,14 @@ object Crossovers {
     * anyway.
     */
   private def segments(s: SparkSession, dir: String): DataFrame =
-    graft.core.CacheBag.cached(s"xover-segments:$dir")(buildSegments(s, dir))
+    graft.core.CacheBag.cached(s"xover-segments:$dir")(
+      segmentsOf(Tables.eventsTracks(s, dir)))
 
-  private def buildSegments(s: SparkSession, dir: String): DataFrame = {
+  /** Segment + cell table of any (track, seq, x, y, z, t) frame. */
+  def segmentsOf(tracks: DataFrame): DataFrame = {
+    val s = tracks.sparkSession
     val w = Window.partitionBy("track").orderBy("seq")
-    val seg = Tables.eventsTracks(s, dir)
+    val seg = tracks
       .select(
         col("track"), col("seq"),
         col("x").as("x1"), col("y").as("y1"), col("z").as("z1"), col("t").as("t1"),
@@ -67,13 +70,17 @@ object Crossovers {
   }
 
   // --- 17/18. crossover search + value interpolation ---
-  def crossovers(s: SparkSession, dir: String): DataFrame = {
-    val seg = segments(s, dir)
+  /** The cell-join + exact-intersection core over a segment frame;
+    * `extraCond` further restricts candidate pairs (e.g. the
+    * incremental "at least one side new" predicate).
+    */
+  private def crossoversOfSegments(seg: DataFrame,
+                                   extraCond: org.apache.spark.sql.Column): DataFrame = {
     val a = seg.columns.foldLeft(seg)((d, c) => d.withColumnRenamed(c, c + "_a"))
     val b = seg.columns.foldLeft(seg)((d, c) => d.withColumnRenamed(c, c + "_b"))
     val joined = a.join(b,
       col("cell_x_a") === col("cell_x_b") && col("cell_y_a") === col("cell_y_b") &&
-      col("track_a") < col("track_b"))
+      col("track_a") < col("track_b") && extraCond)
     val dxa = col("x2_a") - col("x1_a"); val dya = col("y2_a") - col("y1_a")
     val dxb = col("x2_b") - col("x1_b"); val dyb = col("y2_b") - col("y1_b")
     val det = dxa * dyb - dya * dxb
@@ -97,6 +104,28 @@ object Crossovers {
         (col("t1_b") + col("sb") * (col("t2_b") - col("t1_b"))).as("t_b"))
       .distinct() // a crossing found in >1 shared cell is one crossing
       .orderBy("track_a", "track_b", "seq_a", "seq_b")
+  }
+
+  def crossovers(s: SparkSession, dir: String): DataFrame =
+    crossoversOfSegments(segments(s, dir), lit(true))
+
+  /** Incremental crossovers — the reference's operational loop
+    * (run_tile_updates: cross new granules against the tile store)
+    * as a pruned join: only crossings INVOLVING a new track are
+    * computed, and the old corpus is first semi-joined down to the
+    * cells the new segments touch, so per-batch cost scales with the
+    * new data's footprint, not the archive size.  At 100 TB the old
+    * segment table is the persisted tile layout (write_xovers'
+    * sibling) and the semi-join is partition pruning.
+    */
+  def incrementalCrossovers(oldTracks: DataFrame, newTracks: DataFrame): DataFrame = {
+    val newSegs = segmentsOf(newTracks).withColumn("is_new", lit(1L))
+    val hotCells = newSegs.select("cell_x", "cell_y").distinct()
+    val oldInHot = segmentsOf(oldTracks)
+      .join(hotCells, Seq("cell_x", "cell_y"), "leftsemi")
+      .withColumn("is_new", lit(0L))
+    crossoversOfSegments(oldInHot.unionByName(newSegs),
+      col("is_new_a") + col("is_new_b") > 0)
   }
 
   val crossoversSql: String = {

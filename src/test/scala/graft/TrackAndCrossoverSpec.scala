@@ -64,4 +64,22 @@ class TrackAndCrossoverSpec extends SparkSpec {
       $"h_robust_sprd" < 1.0 && $"h_li_sigma" < 1.0 && $"snr_significance" < 0.02).count()
     assert(q.count() == expected && expected > 0)
   }
+
+  test("incremental crossovers = full crossings involving the new tracks") {
+    // archive = tracks 0..5, new batch = tracks 6..7 (run_tile_updates'
+    // granule-vs-tile-store loop); incremental must reproduce exactly
+    // the full result's rows that touch a new track — no more, no less
+    val tracks = Tables.eventsTracks(spark, sf)
+    val inc = Crossovers.incrementalCrossovers(
+        tracks.filter($"track" < 6), tracks.filter($"track" >= 6))
+      .select("track_a", "track_b", "seq_a", "seq_b", "dh")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    val full = Crossovers.crossovers(spark, sf)
+      .filter($"track_a" >= 6 || $"track_b" >= 6)
+      .select("track_a", "track_b", "seq_a", "seq_b", "dh")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(inc == full && inc.nonEmpty)
+    // and nothing old-only leaked in
+    assert(inc.forall { case (a, b, _, _, _) => a >= 6 || b >= 6 })
+  }
 }
