@@ -18,7 +18,7 @@ object SparkEntry {
       Relational.queries ++ DateOps.queries ++ TextOps.queries ++
       Dedup.queries ++ Similarity.queries ++ Projections.queries ++
       RasterOps.queries ++ Components.queries ++ TemporalJoins.queries ++
-      CorpusOps.queries
+      CorpusOps.queries ++ Bpe.queries
 
   /** DuckDB-equivalent SQL per query key (driver correctness gate). */
   def oracleSql: Map[String, String] =

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Bpe
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference BPE trainer: plain Scala over a word-frequency map. */
+  private def refTrain(words: Map[String, Long], n: Int): Seq[(String, String)] = {
+    var ws: Map[Vector[String], Long] =
+      words.map { case (w, f) => w.map(_.toString).toVector -> f }
+    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var done = false
+    while (out.size < n && !done) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, f) <- ws; i <- 0 until syms.size - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      val best = counts.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.headOption
+      best match {
+        case Some(((a, b), c)) if c >= 2 =>
+          out += ((a, b))
+          ws = ws.map { case (syms, f) => merge(syms, a, b) -> f }
+            .groupBy(_._1).map { case (k, vs) => k -> vs.values.sum }
+            .filter(_._1.size > 1)
+        case _ => done = true
+      }
+    }
+    out.toSeq
+  }
+
+  private def merge(syms: Vector[String], a: String, b: String): Vector[String] =
+    syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+      if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+      else acc :+ x
+    }
+
+  private val corpus = Seq(
+    (1L, "low low low lower lower newest newest newest newest widest"),
+    (2L, "newest widest widest low lowest"),
+    (3L, "newest newest lowest lower low"))
+
+  test("distributed training matches the reference trainer merge-for-merge") {
+    val docs = corpus.toDF("doc_id", "text")
+    val wordFreq = corpus.flatMap(_._2.split(" ")).groupBy(identity)
+      .map { case (w, ws) => w -> ws.size.toLong }
+    val got = Bpe.train(docs, nMerges = 8)
+    val want = refTrain(wordFreq, 8)
+    assert(got == want, s"got $got\nwant $want")
+    assert(got.size == 8)
+  }
+
+  test("tokenization applies merges in order and conserves characters") {
+    val docs = corpus.toDF("doc_id", "text")
+    val merges = Bpe.train(docs, nMerges = 6)
+    val toks = Bpe.tokenize(docs, merges).cache()
+    // every word's tokens concatenate back to the word
+    assert(toks.filter(concat_ws("", $"tokens") =!= $"w").count() == 0)
+    // merges actually compress: some word has fewer tokens than chars
+    assert(toks.filter($"n_tokens" < length($"w")).count() > 0)
+    // determinism: retraining yields the identical merge list
+    assert(Bpe.train(docs, nMerges = 6) == merges)
+    toks.unpersist()
+  }
+}
