@@ -66,6 +66,41 @@ object GeoParquet {
       .drop(key)
       .write.mode("overwrite").parquet(path)
 
+  /** File-level min/max manifest of a flat (curve-clustered) layout —
+    * the Iceberg-manifest-lite for layouts without partition
+    * directories: a tiny sidecar table (one row per data file) that a
+    * planner consults INSTEAD of listing + footer-reading every file.
+    * At 100 TB the manifest is the difference between a query
+    * planning against millions of footers and planning against one
+    * small table.  The `_manifest` prefix keeps it invisible to
+    * readers of the data directory (Spark skips `_`/`.` paths).
+    */
+  def writeManifest(spark: SparkSession, path: String): Unit =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(count("*").as("n_rows"),
+        min("x").as("x0"), max("x").as("x1"),
+        min("y").as("y0"), max("y").as("y1"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_manifest")
+
+  /** Box query planned through the manifest: only files whose
+    * [x0,x1]×[y0,y1] envelope intersects the box are opened.
+    */
+  def queryBoxViaManifest(spark: SparkSession, path: String,
+                          xr: (Double, Double), yr: (Double, Double)): DataFrame = {
+    val files = spark.read.parquet(s"$path/_manifest")
+      .filter(col("x1") >= xr._1 && col("x0") < xr._2 &&
+              col("y1") >= yr._1 && col("y0") < yr._2)
+      .select("file").collect().map(_.getString(0))
+    if (files.isEmpty)
+      spark.read.parquet(path).filter(lit(false))
+    else
+      spark.read.parquet(files.toIndexedSeq: _*)
+        .filter(col("x") >= xr._1 && col("x") < xr._2 &&
+                col("y") >= yr._1 && col("y") < yr._2)
+  }
+
   /** Append a (micro-)batch into the layout — the streaming-ingest
     * write path (see graft.streaming.EventStream.ingestGeoParquet).
     */

@@ -53,6 +53,25 @@ class ZOrderSpec extends SparkSpec {
       s"sum of per-file bbox areas $sum over ${boxes.length} files")
   }
 
+  test("manifest-planned box query: same rows, fraction of the files opened") {
+    val dir = java.nio.file.Files.createTempDirectory("manif").toString
+    val pts = graft.core.Tables.eventsPoints(spark, sf)
+    GeoParquet.writeZOrdered(pts, dir, delta = 50.0, nFiles = 16)
+    GeoParquet.writeManifest(spark, dir)
+    val xr = (0.0, 200.0); val yr = (0.0, 200.0)
+    val viaManifest = GeoParquet.queryBoxViaManifest(spark, dir, xr, yr)
+    val direct = spark.read.parquet(dir)
+      .filter($"x" >= xr._1 && $"x" < xr._2 && $"y" >= yr._1 && $"y" < yr._2)
+    assert(viaManifest.select("id").as[Long].collect().sorted.toSeq ==
+           direct.select("id").as[Long].collect().sorted.toSeq)
+    assert(direct.count() > 0)
+    val total = spark.read.parquet(dir).inputFiles.length
+    assert(viaManifest.inputFiles.length <= total / 2,
+      s"${viaManifest.inputFiles.length} of $total files opened for a 1% box")
+    // manifest sidecar is invisible to plain readers of the directory
+    assert(!spark.read.parquet(dir).inputFiles.exists(_.contains("_manifest")))
+  }
+
   test("z-ordered layout: every file covers a spatially compact region") {
     val dir = java.nio.file.Files.createTempDirectory("zord").toString
     val pts = graft.core.Tables.eventsPoints(spark, sf)
