@@ -285,6 +285,49 @@ object Relational {
       |FROM waiting GROUP BY sk
       |ORDER BY numwait DESC, sk""".stripMargin
 
+  // --- 41b. funnel analysis (staged event attrition) ---
+  /** Per user: earliest view, earliest click strictly after it,
+    * earliest purchase strictly after that — the classic conversion
+    * funnel, as three cascaded conditional aggregations (each stage's
+    * threshold is the previous stage's min, broadcast back on the
+    * user key; null propagates "never reached").  All shuffles key
+    * on user_id.
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val pts = graft.core.Tables.eventsPoints(s, dir)
+      .select(col("user_id"), col("event_type"), col("t"))
+    val v = pts.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("t").as("t_view"))
+    val c = pts.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("t") > col("t_view"))
+      .groupBy("user_id").agg(min("t").as("t_click"))
+    val p = pts.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("t") > col("t_click"))
+      .groupBy("user_id").agg(min("t").as("t_purchase"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .withColumn("stage",
+        when(col("t_purchase").isNotNull, 3L)
+          .when(col("t_click").isNotNull, 2L).otherwise(1L))
+      .orderBy("user_id")
+  }
+
+  val funnelSql: String =
+    s"""WITH pts AS (${graft.core.Tables.eventsPointsSql}),
+       |v AS (SELECT user_id, min(t) AS t_view FROM pts
+       |      WHERE event_type = 'view' GROUP BY 1),
+       |c AS (SELECT p.user_id, min(t) AS t_click
+       |      FROM pts p JOIN v ON v.user_id = p.user_id
+       |      WHERE p.event_type = 'click' AND p.t > v.t_view GROUP BY 1),
+       |pu AS (SELECT p.user_id, min(t) AS t_purchase
+       |       FROM pts p JOIN c ON c.user_id = p.user_id
+       |       WHERE p.event_type = 'purchase' AND p.t > c.t_click GROUP BY 1)
+       |SELECT v.user_id, v.t_view, c.t_click, pu.t_purchase,
+       |  CAST(CASE WHEN pu.t_purchase IS NOT NULL THEN 3
+       |            WHEN c.t_click IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS stage
+       |FROM v LEFT JOIN c ON c.user_id = v.user_id
+       |       LEFT JOIN pu ON pu.user_id = v.user_id
+       |ORDER BY v.user_id""".stripMargin
+
   // --- 62. column profiling (the engine's ANALYZE surface) ---
   /** Null/distinct/min/max per numeric column, as ONE single-pass wide
     * aggregation melted afterwards — profiling at 100 TB must not melt
@@ -353,6 +396,7 @@ object Relational {
       |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel"      -> (funnel _),
     "q13_histogram" -> (q13Histogram _),
     "q21_waiting"   -> (q21Waiting _),
     "q_profile"     -> (profile _),
@@ -367,6 +411,7 @@ object Relational {
     "q_sessionize"  -> (sessionize _))
 
   val oracles: Map[String, String] = Map(
+    "q_funnel"      -> funnelSql,
     "q13_histogram" -> q13HistogramSql,
     "q21_waiting"   -> q21WaitingSql,
     "q_profile"     -> profileSql,

@@ -445,13 +445,51 @@ object Similarity {
        |ORDER BY d1, d2""".stripMargin
   }
 
+  // --- 35e. cross-modality agreement audit ---
+  /** For every TEXT near-dup pair (shingle jaccard ≥ 0.5), the
+    * embedding cosine of the same id pair — the audit a pipeline runs
+    * to check that its lexical and semantic dedup signals agree
+    * (pairs with high jaccard but low cosine flag embedding-model or
+    * extraction problems).  The near-dup frame is tiny relative to
+    * the corpus, so the two embedding joins are broadcast lookups.
+    */
+  def modalityAudit(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.jaccardOf(Dedup.shinglesOf(Tables.t(s, dir, "documents")))
+      .filter(col("jaccard") >= 0.5)
+      .select("d1", "d2", "jaccard")
+    val e = emb(s, dir)
+      .withColumn("norm", sqrt(dot("v", "v")))
+      .filter(col("norm") > 0.0)
+    pairs
+      .join(e.select(col("vec_id").as("d1"), col("v").as("v1"), col("norm").as("n1")), "d1")
+      .join(e.select(col("vec_id").as("d2"), col("v").as("v2"), col("norm").as("n2")), "d2")
+      .select(col("d1"), col("d2"), col("jaccard"),
+        (dot("v1", "v2") / (col("n1") * col("n2"))).as("cos"))
+      .orderBy("d1", "d2")
+  }
+
+  val modalityAuditSql: String = {
+    val d12 = dotSql("v1", "v2"); val dq = dotSql("v", "v")
+    s"""WITH jac AS (${Dedup.jaccardSql.replace("ORDER BY d1, d2", "")}),
+       |p AS (SELECT d1, d2, jaccard FROM jac WHERE jaccard >= 0.5),
+       |e AS ($embSql),
+       |n AS (SELECT vec_id, v, sqrt($dq) AS norm FROM e WHERE sqrt($dq) > 0.0)
+       |SELECT p.d1, p.d2, p.jaccard, ($d12)/(a.norm*b.norm) AS cos
+       |FROM p
+       |JOIN (SELECT vec_id, v AS v1, norm FROM n) a ON a.vec_id = p.d1
+       |JOIN (SELECT vec_id, v AS v2, norm FROM n) b ON b.vec_id = p.d2
+       |ORDER BY d1, d2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_modality_audit" -> (modalityAudit _),
     "q_cosine_topk"  -> (cosineTopk _),
     "q_ann_lsh"      -> (annLsh _),
     "q_ann_ivf"      -> (annIvf _),
     "q_embed_neardup" -> ((s, d) => embedNearDup(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "q_modality_audit" -> modalityAuditSql,
     "q_cosine_topk"  -> cosineTopkSql,
     "q_ann_lsh"      -> annLshSql,
     "q_ann_ivf"      -> annIvfSql,
