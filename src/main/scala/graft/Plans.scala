@@ -63,6 +63,13 @@ object Plans {
       Seq("Exchange", "Scan", "WholeStageCodegen"))
     show("dup_clusters (post-CC rollup)", operators.Components.dupClusters(spark, sf),
       Seq("Join", "Exchange"))
+    show("hilbert (map-side)", operators.GeoOps.hilbertKey(spark, sf),
+      Seq("Exchange", "Scan", "WholeStageCodegen"))
+    show("q13_histogram", operators.Relational.q13Histogram(spark, sf), joiny)
+    show("q21_waiting (semi+anti)", operators.Relational.q21Waiting(spark, sf), joiny)
+    show("funnel", operators.Relational.funnel(spark, sf), joiny)
+    show("pipeline_e2e", operators.CorpusOps.pipeline(spark, sf), joiny)
+    show("modality_audit", operators.Similarity.modalityAudit(spark, sf), joiny)
     spark.stop()
   }
 }

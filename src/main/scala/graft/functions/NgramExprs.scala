@@ -259,6 +259,74 @@ object WordGramStats {
     GraftSql.column(WordGramStats(GraftSql.expression(c), k))
 }
 
+/** Native BPE encoder: apply a trained merge list (training order,
+  * each merge greedy left-to-right — exactly the semantics of
+  * [[graft.operators.Bpe]]'s higher-order-fold form) to one word per
+  * row, in a single JVM pass.  The fold form chains one interpreted
+  * HOF per merge (HOFs don't codegen), costing merges × corpus array
+  * rebuilds; this does all merges in one call inside whole-stage
+  * codegen.
+  */
+case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with GraftInputTypes {
+
+  override def graftInputTypes: Seq[DataType] = Seq(StringType)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "bpe_encode"
+
+  private lazy val flat: Array[String] =
+    merges.flatMap(p => Seq(p._1, p._2)).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    BpeEncode.compute(input.asInstanceOf[UTF8String], flat)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeMerges", flat, "java.lang.String[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BpeEncode.compute($c, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BpeEncode {
+
+  /** flatMerges = [a0, b0, a1, b1, ...] in training order. */
+  def compute(u: UTF8String,
+              flatMerges: Array[String]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = u.toString
+    var syms = new java.util.ArrayList[String](s.length)
+    var ci = 0
+    while (ci < s.length) { syms.add(s.substring(ci, ci + 1)); ci += 1 }
+    var m = 0
+    while (m < flatMerges.length) {
+      val a = flatMerges(m); val b = flatMerges(m + 1)
+      val out = new java.util.ArrayList[String](syms.size)
+      var i = 0
+      while (i < syms.size) {
+        val x = syms.get(i)
+        if (!out.isEmpty && out.get(out.size - 1) == a && x == b)
+          out.set(out.size - 1, a + b)
+        else out.add(x)
+        i += 1
+      }
+      syms = out
+      m += 2
+    }
+    val arr = new Array[AnyRef](syms.size)
+    var o = 0
+    while (o < syms.size) { arr(o) = UTF8String.fromString(syms.get(o)); o += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  /** Column API. */
+  def of(c: Column, merges: Seq[(String, String)]): Column =
+    GraftSql.column(BpeEncode(GraftSql.expression(c), merges))
+}
+
 object TopTrigram {
 
   /** One pass: count every trigram, return (best gram, count). */

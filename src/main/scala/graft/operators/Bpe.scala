@@ -43,13 +43,21 @@ object Bpe {
       .groupBy("w").agg(count("*").as("freq"))
       .withColumn("syms", expr("transform(split(w, ''), x -> x)"))
 
-  /** Train `nMerges` merges; returns the ordered merge list. */
-  def train(docs: DataFrame, nMerges: Int): Seq[(String, String)] = {
+  /** Train `nMerges` merges; returns the ordered merge list.
+    *
+    * @param nParts partitioning of the training word table.  The
+    *   default 1 is right for vocabulary-sized tables (every
+    *   iteration becomes a single-task job — 12 rounds cost hundreds
+    *   of ms, not 12 × a 32-partition shuffle); raise it when the
+    *   distinct-word table itself is large.
+    */
+  def train(docs: DataFrame, nMerges: Int, nParts: Int = 1): Seq[(String, String)] = {
     // single-symbol words contribute no pairs — and would turn the
     // pair-position sequence(1, size-1) into Spark's descending
     // [1, 0] trap
     var words = wordTable(docs).select("freq", "syms")
       .filter(size(col("syms")) > 1)
+      .repartition(nParts)
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
     var i = 0
@@ -72,7 +80,9 @@ object Bpe {
         words = words
           .withColumn("syms", mergeExpr("syms", a, b))
           .filter(size(col("syms")) > 1) // fully-merged words can't contribute pairs
-          .localCheckpoint()
+        // checkpoint every few rounds: enough to bound the chained-
+        // fold plan depth without paying a materialization per merge
+        if ((i + 1) % 4 == 0) words = words.localCheckpoint()
         i += 1
       }
     }
@@ -80,10 +90,25 @@ object Bpe {
   }
 
   /** Tokenize with a trained merge list: per word, apply the merges
-    * in training order (the standard BPE application rule) — N
-    * chained higher-order folds, all inside one projection.
+    * in training order (the standard BPE application rule) via the
+    * native one-pass [[graft.functions.BpeEncode]] expression — the
+    * equivalent chained-higher-order-fold form costs one interpreted
+    * corpus pass PER MERGE (HOFs don't codegen; measured 16 s vs
+    * ~1 s at sf0.1 for 12 merges).
     */
-  def tokenize(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+  def tokenize(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .filter(length(col("w")) > 0)
+      .withColumn("tokens", graft.functions.BpeEncode.of(col("w"), merges))
+      .select(col("doc_id"), col("pos"), col("w"),
+        col("tokens"), size(col("tokens")).cast("long").as("n_tokens"))
+
+  /** The composed fold form of [[tokenize]] — kept as the cross-check
+    * reference for the native expression (BpeSpec).
+    */
+  private[graft] def tokenizeFold(docs: DataFrame,
+                                  merges: Seq[(String, String)]): DataFrame = {
     val words = docs.select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
       .filter(length(col("w")) > 0)

@@ -462,10 +462,10 @@ object GeoOps {
     * [[graft.functions.Hilbert]]).
     */
   def hilbertKey(s: SparkSession, dir: String): DataFrame =
-    graft.functions.Hilbert.withDkey(
-      pts(s, dir).select(col("id"),
-        cellOf(col("x"), 50).as("cell_x"), cellOf(col("y"), 50).as("cell_y")),
-      "cell_x", "cell_y", "hkey")
+    pts(s, dir).select(col("id"),
+        cellOf(col("x"), 50).as("cell_x"), cellOf(col("y"), 50).as("cell_y"))
+      .withColumn("hkey",
+        graft.functions.Hilbert.dkey(col("cell_x"), col("cell_y")))
       .orderBy("id")
 
   val hilbertKeySql: String = {

@@ -51,10 +51,8 @@ object GeoParquet {
     */
   def writeHilbertClustered(df: DataFrame, path: String, delta: Double, nFiles: Int): Unit =
     writeCurveClustered(df, path, nFiles, "hkey",
-      d => graft.functions.Hilbert.withDkey(
-        d.withColumn("cell_x", GeoOps.cellOf(col("x"), delta))
-          .withColumn("cell_y", GeoOps.cellOf(col("y"), delta)),
-        "cell_x", "cell_y", "hkey").drop("cell_x", "cell_y"))
+      d => d.withColumn("hkey", graft.functions.Hilbert.dkey(
+        GeoOps.cellOf(col("x"), delta), GeoOps.cellOf(col("y"), delta))))
 
   private def writeCurveClustered(df: DataFrame, path: String, nFiles: Int,
                                   key: String, keyed: DataFrame => DataFrame): Unit =

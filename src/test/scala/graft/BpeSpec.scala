@@ -54,6 +54,12 @@ class BpeSpec extends SparkSpec {
     val docs = corpus.toDF("doc_id", "text")
     val merges = Bpe.train(docs, nMerges = 6)
     val toks = Bpe.tokenize(docs, merges).cache()
+    // native BpeEncode == the composed fold form, row for row
+    val fold = Bpe.tokenizeFold(docs, merges)
+      .select("doc_id", "pos", "tokens").as[(Long, Int, Seq[String])].collect().toSet
+    val native = toks
+      .select("doc_id", "pos", "tokens").as[(Long, Int, Seq[String])].collect().toSet
+    assert(native == fold)
     // every word's tokens concatenate back to the word
     assert(toks.filter(concat_ws("", $"tokens") =!= $"w").count() == 0)
     // merges actually compress: some word has fewer tokens than chars

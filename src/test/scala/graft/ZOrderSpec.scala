@@ -31,12 +31,16 @@ class ZOrderSpec extends SparkSpec {
         prev = cur
       }
     }
-    // Spark column walk == driver loop, incl. signed extremes
+    // Spark column walk AND native expression == driver loop, incl.
+    // signed extremes
     val cells = Seq((-1048576L, -1048576L), (-1L, 1L), (0L, 0L), (20L, -20L),
       (1048575L, 1048575L), (-313L, 7772L))
     val got = Hilbert.withDkey(cells.toDF("cell_x", "cell_y"), "cell_x", "cell_y", "d")
-      .select("cell_x", "cell_y", "d").as[(Long, Long, Long)].collect()
-    got.foreach { case (x, y, d) => assert(d == Hilbert.xy2d(x, y), s"($x,$y)") }
+      .withColumn("dn", Hilbert.dkey(col("cell_x"), col("cell_y")))
+      .select("cell_x", "cell_y", "d", "dn").as[(Long, Long, Long, Long)].collect()
+    got.foreach { case (x, y, d, dn) =>
+      assert(d == Hilbert.xy2d(x, y) && dn == d, s"($x,$y)")
+    }
   }
 
   test("hilbert-clustered layout: per-file chunks at least as compact as z-order") {
