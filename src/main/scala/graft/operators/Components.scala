@@ -122,9 +122,36 @@ object Components {
        |FROM lab JOIN szs USING (component) ORDER BY doc_id""".stripMargin
   }
 
+  // --- 26e. cluster-based dedup apply ---
+  /** Materialize the near-dup-deduplicated corpus: every document
+    * except non-keeper cluster members survives — the transitive
+    * completion of exact dedup's keep-first rule (A~B, B~C drops both
+    * B and C even when A and C share nothing directly).  One leftanti
+    * join of the corpus against the (tiny) drop list.
+    */
+  def dedupApplyNeardup(s: SparkSession, dir: String): DataFrame = {
+    val drops = dupClusters(s, dir)
+      .filter(col("is_keeper") === 0L)
+      .select("doc_id")
+    Tables.t(s, dir, "documents")
+      .join(drops, Seq("doc_id"), "leftanti")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val dedupApplyNeardupSql: String = {
+    val clusters = dupClustersSql.replace("ORDER BY doc_id", "")
+    s"""SELECT doc_id, lang, n_chars FROM documents
+       |WHERE doc_id NOT IN (
+       |  SELECT doc_id FROM ($clusters) WHERE is_keeper = 0)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_dup_clusters" -> (dupClusters _))
+    "q_dup_clusters" -> (dupClusters _),
+    "q_dedup_apply_neardup" -> (dedupApplyNeardup _))
 
   val oracles: Map[String, String] = Map(
-    "q_dup_clusters" -> dupClustersSql)
+    "q_dup_clusters" -> dupClustersSql,
+    "q_dedup_apply_neardup" -> dedupApplyNeardupSql)
 }

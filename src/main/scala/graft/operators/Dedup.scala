@@ -155,6 +155,68 @@ object Dedup {
        |FROM inter JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2
        |ORDER BY d1, d2""".stripMargin
 
+  // --- 31b. prefix-filtered similarity self-join (PPJoin-lite) ---
+  /** All pairs with jaccard ≥ `minJ`, found via PREFIX FILTERING: for
+    * threshold t, two sets with J ≥ t must share an element among the
+    * first ⌊(1−t)·|s|⌋+1 of each set under ANY global element order
+    * (pigeonhole: missing all of either prefix caps the overlap below
+    * t).  Indexing only prefixes shrinks the candidate join by ~t per
+    * side versus the share-any-shingle join — THE standard scale
+    * technique for similarity self-joins — while staying EXACT: the
+    * oracle is the plain threshold query over all sharing pairs, and
+    * the hash match proves the pruned plan loses nothing.  Element
+    * order = the shingle hash itself (rarity-uncorrelated, and both
+    * engines sort identically on int64).
+    */
+  def jaccardPrefix(s: SparkSession, dir: String, minJ: Double = 0.5): DataFrame = {
+    val raw = CacheBag.register(shinglesOf(docs(s, dir)))
+    val sh = CacheBag.register(dfCapped(raw))
+    val sizes = sh.groupBy("doc_id").agg(count("*").as("sz"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("gh")
+    val prefix = CacheBag.register(
+      sh.join(sizes, "doc_id")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= floor(lit(1.0 - minJ) * col("sz")) + 1)
+        .select("doc_id", "gh"))
+    // candidates share a PREFIX shingle on at least one side; then
+    // verify with the exact intersection over the FULL shingle sets
+    val cand = prefix.as("p1")
+      .join(prefix.as("p2"),
+        col("p1.gh") === col("p2.gh") && col("p1.doc_id") < col("p2.doc_id"))
+      .select(col("p1.doc_id").as("d1"), col("p2.doc_id").as("d2"))
+      .distinct()
+    val inter = cand
+      .join(sh.select(col("doc_id").as("d1"), col("gh")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("gh")), Seq("d2", "gh"))
+      .groupBy("d1", "d2").agg(count("*").as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("s1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("s2")), "d2")
+      .select(col("d1"), col("d2"), col("inter"),
+        (col("inter").cast("double") / (col("s1") + col("s2") - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJ)
+      .orderBy("d1", "d2")
+  }
+
+  /** Oracle: the UNPRUNED threshold query — hash equality proves the
+    * prefix filter exact.
+    */
+  val jaccardPrefixSql: String =
+    s"""WITH sh0 AS ($shinglesSql),
+       |sh AS (SELECT * FROM sh0 QUALIFY count(*) OVER (PARTITION BY gh) <= $DfCap),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT t1.doc_id AS d1, t2.doc_id AS d2, count(*) AS inter
+       |  FROM sh t1 JOIN sh t2 ON t1.gh = t2.gh AND t1.doc_id < t2.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2, inter,
+       |  CAST(inter AS DOUBLE)/(s1.sz + s2.sz - inter) AS jaccard
+       |FROM inter JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2
+       |WHERE CAST(inter AS DOUBLE)/(s1.sz + s2.sz - inter) >= 0.5
+       |ORDER BY d1, d2""".stripMargin
+
   // --- 32. MinHash + LSH near-dup candidates ---
   /** 32 minhashes h_j = min over shingles of (a_j·H(g)+b_j mod p),
     * p = 2^31−1, H = md5-derived 60-bit hash mod p; 4 bands × 8 rows;
@@ -329,6 +391,7 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_jaccard_prefix" -> ((s, d) => jaccardPrefix(s, d)),
     "q_simhash_pairs" -> (simhashPairs _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_apply" -> (dedupApply _),
@@ -337,6 +400,7 @@ object Dedup {
     "q_simhash"     -> (simhash _))
 
   val oracles: Map[String, String] = Map(
+    "q_jaccard_prefix" -> jaccardPrefixSql,
     "q_simhash_pairs" -> simhashPairsSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_apply" -> dedupApplySql,

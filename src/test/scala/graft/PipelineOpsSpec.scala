@@ -18,6 +18,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(j.filter($"jaccard" < 0 || $"jaccard" > 1).count() == 0)
   }
 
+  test("prefix filtering shrinks the candidate space without losing a pair") {
+    import org.apache.spark.sql.expressions.Window
+    val sh = graft.operators.Dedup.dfCapped(
+      graft.operators.Dedup.shinglesOf(graft.core.Tables.t(spark, sf, "documents"))).cache()
+    val anyShare = sh.as("a").join(sh.as("b"),
+        $"a.gh" === $"b.gh" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id").distinct().count()
+    val sizes = sh.groupBy("doc_id").agg(count("*").as("sz"))
+    val w = Window.partitionBy("doc_id").orderBy("gh")
+    val prefix = sh.join(sizes, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= floor(lit(0.5) * $"sz") + 1)
+      .select("doc_id", "gh")
+    val prefixShare = prefix.as("a").join(prefix.as("b"),
+        $"a.gh" === $"b.gh" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id").distinct().count()
+    // strictly smaller candidate set...
+    assert(prefixShare < anyShare, s"$prefixShare !< $anyShare")
+    // ...with identical final output (already hash-proven vs the
+    // unpruned oracle; re-assert in-engine against the plain join)
+    val pruned = graft.operators.Dedup.jaccardPrefix(spark, sf)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val plain = graft.operators.Dedup.jaccard(spark, sf)
+      .filter($"jaccard" >= 0.5).select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(pruned == plain)
+    sh.unpersist()
+  }
+
   test("minhash est_sim upper-bounds nothing below 0 and at most 1") {
     val m = Dedup.minhashLsh(spark, sf)
     assert(m.filter($"est_sim" < 0 || $"est_sim" > 1).count() == 0)
