@@ -122,6 +122,54 @@ object Components {
        |FROM lab JOIN szs USING (component) ORDER BY doc_id""".stripMargin
   }
 
+  /** Deterministic PageRank over a directed edge list — the domain/
+    * document authority signal crawl-curation pipelines rank sources
+    * by.  Each iteration is one groupBy on dst of out-degree-
+    * normalized contributions (the classic shuffle shape; dangling
+    * mass redistributed uniformly).  Contributions are quantized to
+    * integer nano-units before summation, so ranks are bit-identical
+    * regardless of partition order or cluster size — the float-
+    * hygiene doctrine (SURVEY §4) applied to iterative numerics: an
+    * unquantized sum of doubles is nondeterministic across runs on
+    * the same data.
+    *
+    * @return (node, rank); dangling-node mass evaporates (simplified
+    *         variant), so ranks sum to ≤ 1.
+    */
+  def pageRank(edges0: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
+    val E9 = 1000000000L
+    val edges = edges0
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    require(n > 0, "pageRank needs a non-empty edge list")
+    val outDeg = edges.groupBy("src").agg(count("*").as("deg"))
+    // ranks held as integer nano-units end to end
+    var ranks = nodes.withColumn("r", lit(E9 / n)).localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(outDeg, "src")
+        .select(col("dst").as("node"), floor(col("r") / col("deg")).cast("long").as("c"))
+        .groupBy("node").agg(sum("c").as("in_mass"))
+      // simplified-dangling variant: sink mass evaporates (ranks then
+      // sum to < 1; relative ordering — the signal — is unaffected)
+      ranks = nodes
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(math.floor((1 - damping) * E9 / n).toLong) +
+            floor(lit(damping) * coalesce(col("in_mass"), lit(0L))).cast("long"))
+            .as("r"))
+        .localCheckpoint()
+      i += 1
+    }
+    ranks.select(col("node"), (col("r").cast("double") / E9).as("rank"))
+  }
+
   // --- 26e. cluster-based dedup apply ---
   /** Materialize the near-dup-deduplicated corpus: every document
     * except non-keeper cluster members survives — the transitive

@@ -61,6 +61,39 @@ class ComponentsSpec extends SparkSpec {
     pairs.unpersist()
   }
 
+  test("pageRank matches the integer-quantized reference power iteration exactly") {
+    // a graph with a hub, a chain, a cycle, and a dangling sink
+    val edges = Seq[(Long, Long)](
+      (1L, 2L), (3L, 2L), (4L, 2L),           // 2 is a hub
+      (2L, 5L), (5L, 6L),                     // chain into 6 (dangling)
+      (7L, 8L), (8L, 9L), (9L, 7L),           // 3-cycle
+      (2L, 1L))
+    val got = Components.pageRank(edges.toDF("src", "dst"), iters = 10)
+      .as[(Long, Double)].collect().toMap
+    // reference: the same quantized arithmetic, driver-side
+    val E9 = 1000000000L
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var r = nodes.map(_ -> E9 / nodes.size).toMap
+    for (_ <- 1 to 10) {
+      val in = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for ((s, d) <- edges) in(d) += r(s) / deg(s)
+      // NB (1 - 0.85), not the literal 0.15: they are different
+      // doubles, and the floor must see the operator's exact value
+      r = nodes.map(v => v ->
+        (math.floor((1 - 0.85) * E9 / nodes.size).toLong +
+          math.floor(0.85 * in(v)).toLong)).toMap
+    }
+    val want = r.map { case (k, v) => k -> v.toDouble / E9 }
+    assert(got == want, s"got $got\nwant $want")
+    // the hub outranks every spoke
+    assert(got(2L) > got(1L) && got(2L) > got(3L) && got(2L) > got(4L))
+    // determinism across reruns
+    val again = Components.pageRank(edges.toDF("src", "dst"), iters = 10)
+      .as[(Long, Double)].collect().toMap
+    assert(again == got)
+  }
+
   test("dup clusters: sizes consistent, exactly one keeper per cluster") {
     val d = Components.dupClusters(spark, sf).cache()
     // every cluster has exactly one keeper, and it is the component min
