@@ -299,8 +299,16 @@ object BpeEncode {
               flatMerges: Array[String]): org.apache.spark.sql.catalyst.util.ArrayData = {
     val s = u.toString
     var syms = new java.util.ArrayList[String](s.length)
+    // split by CODE POINT, exactly like the fold form's split(w, '')
+    // — per-code-unit substring would break surrogate pairs (emoji)
+    // into lone surrogates and diverge from the trainer's symbols
     var ci = 0
-    while (ci < s.length) { syms.add(s.substring(ci, ci + 1)); ci += 1 }
+    while (ci < s.length) {
+      val cp = s.codePointAt(ci)
+      val n = Character.charCount(cp)
+      syms.add(s.substring(ci, ci + n))
+      ci += n
+    }
     var m = 0
     while (m < flatMerges.length) {
       val a = flatMerges(m); val b = flatMerges(m + 1)

@@ -138,15 +138,18 @@ object Components {
     */
   def pageRank(edges0: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
     val E9 = 1000000000L
+    // edges and outDeg are re-read every iteration — checkpoint once
+    // so the loop doesn't re-plan the distinct/degree shuffles ×iters
     val edges = edges0
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint()
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
     val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty edge list")
-    val outDeg = edges.groupBy("src").agg(count("*").as("deg"))
+    val outDeg = edges.groupBy("src").agg(count("*").as("deg")).localCheckpoint()
     // ranks held as integer nano-units end to end
     var ranks = nodes.withColumn("r", lit(E9 / n)).localCheckpoint()
     var i = 0

@@ -174,10 +174,14 @@ object Dedup {
     val sizes = sh.groupBy("doc_id").agg(count("*").as("sz"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy("gh")
+    // prefix length n − floor(t·n) + 1 (≥ the required n − ⌈t·n⌉ + 1
+    // under any 1-ulp product rounding; the naive floor((1−t)·n)+1
+    // UNDERSIZES it when 1−t rounds down, e.g. t = 0.9 → 0.0999…98,
+    // silently dropping qualifying pairs)
     val prefix = CacheBag.register(
       sh.join(sizes, "doc_id")
         .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= floor(lit(1.0 - minJ) * col("sz")) + 1)
+        .filter(col("rk") <= col("sz") - floor(lit(minJ) * col("sz")) + 1)
         .select("doc_id", "gh"))
     // candidates share a PREFIX shingle on at least one side; then
     // verify with the exact intersection over the FULL shingle sets
@@ -200,22 +204,13 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
-  /** Oracle: the UNPRUNED threshold query — hash equality proves the
-    * prefix filter exact.
+  /** Oracle: the UNPRUNED threshold query (a thin wrapper over
+    * [[jaccardSql]], not a copy) — hash equality proves the prefix
+    * filter exact.
     */
   val jaccardPrefixSql: String =
-    s"""WITH sh0 AS ($shinglesSql),
-       |sh AS (SELECT * FROM sh0 QUALIFY count(*) OVER (PARTITION BY gh) <= $DfCap),
-       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-       |inter AS (
-       |  SELECT t1.doc_id AS d1, t2.doc_id AS d2, count(*) AS inter
-       |  FROM sh t1 JOIN sh t2 ON t1.gh = t2.gh AND t1.doc_id < t2.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT d1, d2, inter,
-       |  CAST(inter AS DOUBLE)/(s1.sz + s2.sz - inter) AS jaccard
-       |FROM inter JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2
-       |WHERE CAST(inter AS DOUBLE)/(s1.sz + s2.sz - inter) >= 0.5
-       |ORDER BY d1, d2""".stripMargin
+    s"""SELECT * FROM (${jaccardSql.replace("ORDER BY d1, d2", "")})
+       |WHERE jaccard >= 0.5 ORDER BY d1, d2""".stripMargin
 
   // --- 32. MinHash + LSH near-dup candidates ---
   /** 32 minhashes h_j = min over shingles of (a_j·H(g)+b_j mod p),

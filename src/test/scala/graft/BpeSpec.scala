@@ -50,6 +50,22 @@ class BpeSpec extends SparkSpec {
     assert(got.size == 8)
   }
 
+  test("native encode splits by code point: surrogate pairs stay whole") {
+    val docs = Seq((1L, "😀ab 😀ab ab")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, nMerges = 2)
+    val native = Bpe.tokenize(docs, merges)
+      .select("pos", "tokens").as[(Int, Seq[String])].collect().toMap
+    val fold = Bpe.tokenizeFold(docs, merges)
+      .select("pos", "tokens").as[(Int, Seq[String])].collect().toMap
+    assert(native == fold, s"native $native\nfold $fold")
+    // no token is a lone surrogate half, and words reassemble exactly
+    assert(native.values.flatten.forall(t =>
+      !(t.length == 1 && Character.isSurrogate(t.charAt(0)))))
+    val broken = Bpe.tokenize(docs, merges)
+      .filter(concat_ws("", $"tokens") =!= $"w").count()
+    assert(broken == 0)
+  }
+
   test("tokenization applies merges in order and conserves characters") {
     val docs = corpus.toDF("doc_id", "text")
     val merges = Bpe.train(docs, nMerges = 6)

@@ -43,6 +43,16 @@ class PipelineOpsSpec extends SparkSpec {
     val plain = graft.operators.Dedup.jaccard(spark, sf)
       .filter($"jaccard" >= 0.5).select("d1", "d2").as[(Long, Long)].collect().toSet
     assert(pruned == plain)
+    // thresholds whose complement is NOT exactly representable
+    // (1 − 0.9 rounds below 0.1 — the formula that undersized the
+    // prefix) must still lose nothing
+    for (t <- Seq(0.9, 0.7, 0.95)) {
+      val p = graft.operators.Dedup.jaccardPrefix(spark, sf, minJ = t)
+        .select("d1", "d2").as[(Long, Long)].collect().toSet
+      val q = graft.operators.Dedup.jaccard(spark, sf)
+        .filter($"jaccard" >= t).select("d1", "d2").as[(Long, Long)].collect().toSet
+      assert(p == q, s"threshold $t: ${q -- p} lost, ${p -- q} extra")
+    }
     sh.unpersist()
   }
 
