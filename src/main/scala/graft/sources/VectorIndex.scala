@@ -31,6 +31,21 @@ object VectorIndex {
       .write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Append a batch into an existing index: assign against the
+    * PERSISTED centroids (never re-learned — retraining would silently
+    * re-shuffle old vectors' list membership) and append to the
+    * centroid partitions.  With [[graft.streaming.EventStream]]-style
+    * foreachBatch this is the streaming ingest path of the ANN index;
+    * like GeoParquet streaming ingest, periodic compaction of small
+    * files applies.
+    */
+  def append(emb: DataFrame, path: String): Unit = {
+    val cents = centroids(emb.sparkSession, path)
+    Similarity.ivfAssign(emb, cents)
+      .select(col("vec_id"), col("v"), col("norm"), col("cent"))
+      .write.mode("append").partitionBy("cent").parquet(s"$path/data")
+  }
+
   def centroids(spark: SparkSession, path: String): IndexedSeq[Array[Double]] =
     spark.read.parquet(s"$path/centroids")
       .orderBy("cent")

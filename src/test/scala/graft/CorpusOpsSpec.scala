@@ -76,6 +76,34 @@ class CorpusOpsSpec extends SparkSpec {
     q.unpersist()
   }
 
+  test("approx_percentile sketch lands within its rank-error bound of exact quantiles") {
+    // the sketch path a 100 TB profiler actually uses (one pass, no
+    // per-group sort) validated against the exact nearest-rank
+    // operator: with accuracy a, rank error is bounded by n/a
+    val li = graft.core.Tables.t(spark, sf, "lineitem")
+      .select($"l_returnflag", $"l_extendedprice")
+    val acc = 1000
+    val approx = li.groupBy("l_returnflag")
+      .agg(expr(s"approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95), $acc)")
+        .as("ap"))
+      .select($"l_returnflag", $"ap"(0).as("a25"), $"ap"(1).as("a50"),
+        $"ap"(2).as("a75"), $"ap"(3).as("a95"))
+    val exact = graft.operators.Relational.quantiles(spark, sf)
+    val joined = approx.join(exact, "l_returnflag").cache()
+    // convert value error to rank error per group and bound it
+    for ((a, e, qf) <- Seq(("a25", "p25", 0.25), ("a50", "p50", 0.5),
+        ("a75", "p75", 0.75), ("a95", "p95", 0.95))) {
+      val bad = joined.select($"l_returnflag", col(a), col(e), $"n").collect().filter { r =>
+        val flag = r.getString(0); val av = r.getDouble(1); val n = r.getLong(3)
+        val rankOfApprox = li.filter($"l_returnflag" === flag &&
+          $"l_extendedprice" <= av).count()
+        math.abs(rankOfApprox - qf * n) > n.toDouble / acc + 1
+      }
+      assert(bad.isEmpty, s"$a rank error beyond n/$acc: ${bad.mkString}")
+    }
+    joined.unpersist()
+  }
+
   test("domain mix: rates clamp at 1, kept token shares approach targets") {
     val m = CorpusOps.domainMix(spark, sf).cache()
     assert(m.filter($"rate" > 1.0 || $"rate" <= 0.0).count() == 0)
