@@ -28,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("word_gram_stats"),
       new ExpressionInfo(classOf[graft.functions.WordGramStats].getName, "word_gram_stats"),
       GraftExtensions.wordGramStatsBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("hilbert_key"),
+      new ExpressionInfo(classOf[graft.functions.HilbertKey].getName, "hilbert_key"),
+      GraftExtensions.binary("hilbert_key", graft.functions.HilbertKey.apply)))
   }
 }
 
@@ -92,5 +96,7 @@ object GraftExtensions {
       spark, "top_trigram", unary("top_trigram", graft.functions.TopTrigram.apply))
     org.apache.spark.sql.GraftSql.registerFunction(
       spark, "word_gram_stats", wordGramStatsBuilder)
+    org.apache.spark.sql.GraftSql.registerFunction(
+      spark, "hilbert_key", binary("hilbert_key", graft.functions.HilbertKey.apply))
   }
 }

@@ -41,6 +41,10 @@ class ZOrderSpec extends SparkSpec {
     got.foreach { case (x, y, d, dn) =>
       assert(d == Hilbert.xy2d(x, y) && dn == d, s"($x,$y)")
     }
+    // SQL surface
+    graft.GraftExtensions.register(spark)
+    assert(spark.sql("SELECT hilbert_key(20L, -20L) AS k").as[Long].head() ==
+      Hilbert.xy2d(20L, -20L))
   }
 
   test("hilbert-clustered layout: per-file chunks at least as compact as z-order") {
