@@ -328,6 +328,50 @@ object Relational {
        |       LEFT JOIN pu ON pu.user_id = v.user_id
        |ORDER BY v.user_id""".stripMargin
 
+  // --- 39g. ROLLUP: multi-level aggregation in one pass ---
+  /** Subtotals at (flag, status), (flag), and grand-total levels from
+    * ONE scan (Spark expands grouping sets map-side — no re-reads per
+    * level).  Money stays in exact integer cents; grouping_id
+    * disambiguates real NULL keys from subtotal markers.
+    */
+  def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count("*").as("n"),
+        sum(cents(col("l_extendedprice"))).as("sum_cents"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+
+  val rollupAggSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  CAST(grouping(l_returnflag)*2 + grouping(l_linestatus) AS BIGINT) AS gid
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
+
+  // --- 39h. PIVOT: wide-format aggregation ---
+  /** Order counts per priority pivoted by status — Spark's pivot()
+    * with an explicit value list compiles to conditional aggregation
+    * (one scan, one shuffle), which is also how the oracle states it.
+    */
+  def pivotAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("o_orderpriority"), col("F").cast("long").as("n_f"),
+        col("O").cast("long").as("n_o"), col("P").cast("long").as("n_p"))
+      .orderBy("o_orderpriority")
+
+  val pivotAggSql: String =
+    """SELECT o_orderpriority,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // --- 62. column profiling (the engine's ANALYZE surface) ---
   /** Null/distinct/min/max per numeric column, as ONE single-pass wide
     * aggregation melted afterwards — profiling at 100 TB must not melt
@@ -396,6 +440,8 @@ object Relational {
       |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rollup"      -> (rollupAgg _),
+    "q_pivot"       -> (pivotAgg _),
     "q_funnel"      -> (funnel _),
     "q13_histogram" -> (q13Histogram _),
     "q21_waiting"   -> (q21Waiting _),
@@ -411,6 +457,8 @@ object Relational {
     "q_sessionize"  -> (sessionize _))
 
   val oracles: Map[String, String] = Map(
+    "q_rollup"      -> rollupAggSql,
+    "q_pivot"       -> pivotAggSql,
     "q_funnel"      -> funnelSql,
     "q13_histogram" -> q13HistogramSql,
     "q21_waiting"   -> q21WaitingSql,
