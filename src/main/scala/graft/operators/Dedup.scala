@@ -212,6 +212,43 @@ object Dedup {
     s"""SELECT * FROM (${jaccardSql.replace("ORDER BY d1, d2", "")})
        |WHERE jaccard >= 0.5 ORDER BY d1, d2""".stripMargin
 
+  // --- 31c. edit-distance verification of near-dup candidates ---
+  /** Exact Levenshtein distance over the jaccard candidate pairs —
+    * the character-level confirmation pass of fuzzy dedup (shingle
+    * overlap is word-order-insensitive; edit distance catches
+    * reorderings that jaccard misses).  Candidates only: the O(len²)
+    * DP runs on the near-dup frame, never the corpus pair space.
+    * Both engines implement standard integer Levenshtein, so results
+    * hash-match exactly.
+    */
+  def editVerify(s: SparkSession, dir: String): DataFrame = {
+    val pairs = jaccardOf(shinglesOf(docs(s, dir)))
+      .filter(col("jaccard") >= 0.5).select("d1", "d2", "jaccard")
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    pairs
+      .join(d.select(col("doc_id").as("d1"), col("text").as("t1")), "d1")
+      .join(d.select(col("doc_id").as("d2"), col("text").as("t2")), "d2")
+      .select(col("d1"), col("d2"), col("jaccard"),
+        levenshtein(col("t1"), col("t2")).cast("long").as("edit_dist"),
+        greatest(length(col("t1")), length(col("t2"))).cast("long").as("max_len"))
+      .withColumn("edit_sim",
+        lit(1.0) - col("edit_dist").cast("double") / col("max_len"))
+      .orderBy("d1", "d2")
+  }
+
+  val editVerifySql: String =
+    s"""WITH jac AS (${"%s"}),
+       |p AS (SELECT d1, d2, jaccard FROM jac WHERE jaccard >= 0.5)
+       |SELECT d1, d2, jaccard,
+       |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+       |  CAST(greatest(length(a.text), length(b.text)) AS BIGINT) AS max_len,
+       |  1.0::DOUBLE - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+       |    / greatest(length(a.text), length(b.text)) AS edit_sim
+       |FROM p JOIN documents a ON a.doc_id = p.d1
+       |       JOIN documents b ON b.doc_id = p.d2
+       |ORDER BY d1, d2""".stripMargin
+      .format(jaccardSql.replace("ORDER BY d1, d2", ""))
+
   // --- 32. MinHash + LSH near-dup candidates ---
   /** 32 minhashes h_j = min over shingles of (a_j·H(g)+b_j mod p),
     * p = 2^31−1, H = md5-derived 60-bit hash mod p; 4 bands × 8 rows;
@@ -386,6 +423,7 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_edit_verify" -> (editVerify _),
     "q_jaccard_prefix" -> ((s, d) => jaccardPrefix(s, d)),
     "q_simhash_pairs" -> (simhashPairs _),
     "q_dedup_exact" -> (dedupExact _),
@@ -395,6 +433,7 @@ object Dedup {
     "q_simhash"     -> (simhash _))
 
   val oracles: Map[String, String] = Map(
+    "q_edit_verify" -> editVerifySql,
     "q_jaccard_prefix" -> jaccardPrefixSql,
     "q_simhash_pairs" -> simhashPairsSql,
     "q_dedup_exact" -> dedupExactSql,

@@ -372,6 +372,37 @@ object Relational {
       |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // --- 40b. time-RANGE sliding aggregate ---
+  /** Trailing 1-hour per-user average event value — a RANGE frame
+    * (time-based, not row-count-based: all rows within the interval,
+    * however many) over the millisecond axis.  Money quantized to
+    * integer cents so the in-frame summation is order-free and
+    * hash-matches cross-engine.
+    */
+  def movingAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("t")
+      .rangeBetween(-3600000L, 0L)
+    graft.core.Tables.eventsPoints(s, dir)
+      .select(col("id"), col("user_id"), col("t"),
+        round(col("z") * 100).cast("long").as("cents"))
+      .withColumn("win_n", count("*").over(w))
+      .withColumn("win_cents", sum("cents").over(w))
+      .withColumn("win_avg", col("win_cents").cast("double") / col("win_n"))
+      .orderBy("id")
+  }
+
+  val movingAvgSql: String =
+    s"""WITH pts AS (${graft.core.Tables.eventsPointsSql}),
+       |c AS (SELECT id, user_id, t, CAST(round(z*100) AS BIGINT) AS cents FROM pts)
+       |SELECT id, user_id, t, cents,
+       |  CAST(count(*) OVER w AS BIGINT) AS win_n,
+       |  CAST(sum(cents) OVER w AS BIGINT) AS win_cents,
+       |  CAST(sum(cents) OVER w AS DOUBLE) / count(*) OVER w AS win_avg
+       |FROM c
+       |WINDOW w AS (PARTITION BY user_id ORDER BY t
+       |             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+       |ORDER BY id""".stripMargin
+
   // --- 62. column profiling (the engine's ANALYZE surface) ---
   /** Null/distinct/min/max per numeric column, as ONE single-pass wide
     * aggregation melted afterwards — profiling at 100 TB must not melt
@@ -442,6 +473,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rollup"      -> (rollupAgg _),
     "q_pivot"       -> (pivotAgg _),
+    "q_moving_avg"  -> (movingAvg _),
     "q_funnel"      -> (funnel _),
     "q13_histogram" -> (q13Histogram _),
     "q21_waiting"   -> (q21Waiting _),
@@ -459,6 +491,7 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q_rollup"      -> rollupAggSql,
     "q_pivot"       -> pivotAggSql,
+    "q_moving_avg"  -> movingAvgSql,
     "q_funnel"      -> funnelSql,
     "q13_histogram" -> q13HistogramSql,
     "q21_waiting"   -> q21WaitingSql,
