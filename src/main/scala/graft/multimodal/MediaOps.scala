@@ -16,12 +16,15 @@ case class DecodedMedia(
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata.
   *
-  * The decode step is a clearly-marked STUB (this container has no
-  * image/audio codecs): `fakeDecode` derives deterministic
-  * dimensions/features from the bytes.  Everything around it — the
-  * binary schema, partition-wise batched `mapPartitions` (one decoder
-  * instantiation per partition, the shape a JNI/codec binding needs),
-  * and the downstream feature-column contract — is real and tested.
+  * The decode step is REAL for the formats the JVM ships codecs for
+  * (PNG/JPEG/BMP/GIF via `javax.imageio`): true width/height and a
+  * luminance-histogram feature vector.  Payloads ImageIO cannot
+  * parse (audio/video — no pure-JVM codec in this container) fall
+  * back to `fakeDecode`, a clearly-marked deterministic stub.
+  * Everything around the codec — the binary schema, partition-wise
+  * batched `mapPartitions` (one decoder instantiation per partition,
+  * the shape a JNI/codec binding needs), and the downstream
+  * feature-column contract — is real and tested either way.
   */
 object MediaOps {
 
@@ -47,9 +50,48 @@ object MediaOps {
     DecodedMedia(docId, mediaType, n, w, h, frames, feat)
   }
 
+  /** REAL pure-JVM image decode for the formats `javax.imageio`
+    * bundles readers for (PNG, JPEG, BMP, GIF): true pixel
+    * dimensions plus an 8-bin luminance histogram (normalized, on a
+    * ≤64×64 sample grid so decode cost is bounded per image) as the
+    * feature vector.  Returns None when the payload isn't a parseable
+    * image — the caller falls back to the stub.
+    */
+  private def imageioDecode(docId: Long, mediaType: String,
+                            bytes: Array[Byte]): Option[DecodedMedia] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val hist = new Array[Long](8)
+        val sx = math.max(1, w / 64)
+        val sy = math.max(1, h / 64)
+        var n = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+              (rgb & 0xFF) * 114) / 1000
+            hist(lum >> 5) += 1
+            n += 1
+            x += sx
+          }
+          y += sy
+        }
+        val feat = hist.map(c => (c.toDouble / n).toFloat)
+        Some(DecodedMedia(docId, mediaType, bytes.length, w, h, 1, feat))
+      }
+    } catch { case _: Exception => None }
+
   /** Partition-batched decode: the decoder context is created once
     * per partition (the expensive part with a real codec), then
     * streamed over rows — no per-row setup, no driver collect.
+    * Real ImageIO decode where the payload parses; stub fallback
+    * otherwise.
     */
   def decode(media: DataFrame): Dataset[DecodedMedia] = {
     val spark = media.sparkSession
@@ -58,7 +100,9 @@ object MediaOps {
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
         // per-partition decoder init would happen here
-        rows.map { case (id, mt, bytes) => fakeDecode(id, mt, bytes) }
+        rows.map { case (id, mt, bytes) =>
+          imageioDecode(id, mt, bytes).getOrElse(fakeDecode(id, mt, bytes))
+        }
       }
   }
 

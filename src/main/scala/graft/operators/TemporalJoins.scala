@@ -17,6 +17,9 @@ import graft.core.Tables
   */
 object TemporalJoins {
 
+  /** Working column names [[asofJoin]] claims internally. */
+  val AsofInternalNames: Set[String] = Set("_t", "_side", "_tie", "_r", "_ok")
+
   /** As-of join: each left row is matched to the latest right row with
     * `right.time <= left.time` on the same `key` (the classic
     * trade-attribution / sensor-alignment join).
@@ -47,6 +50,18 @@ object TemporalJoins {
                tolerance: Option[Long] = None): DataFrame = {
     val lCols = left.columns.filterNot(_ == key).toSeq
     val rCols = right.columns.filterNot(_ == key).toSeq
+    // the merge pass claims these working names and the r_ output
+    // prefix; colliding inputs would fail far downstream with an
+    // ambiguous-reference error, so reject them at the contract edge
+    val internal = (left.columns ++ right.columns).filter(AsofInternalNames).distinct
+    require(internal.isEmpty,
+      s"asofJoin: input column(s) ${internal.mkString(", ")} collide with " +
+        s"internal working names ${AsofInternalNames.mkString("{", ", ", "}")}; " +
+        "rename them before joining")
+    val outClash = left.columns.filter(c => rCols.contains(c.stripPrefix("r_")) && c.startsWith("r_"))
+    require(outClash.isEmpty,
+      s"asofJoin: left column(s) ${outClash.mkString(", ")} collide with the " +
+        "r_-prefixed right output columns; rename them before joining")
     val lType = left.schema.fields.map(f => f.name -> f.dataType).toMap
     val rType = right.schema.fields.map(f => f.name -> f.dataType).toMap
     val lu = left.select(

@@ -82,21 +82,66 @@ object GeoParquet {
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_manifest")
 
+  /** Data files currently on disk under `path` (recursive, skipping
+    * `_`/`.`-prefixed sidecars like `_manifest` and `_batches`) —
+    * the ground truth a manifest is checked against.
+    */
+  private def listDataFiles(spark: SparkSession, path: String): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = Seq.newBuilder[String]
+    def walk(p: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(p).foreach { st =>
+        val n = st.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) {
+          if (st.isDirectory) walk(st.getPath)
+          else if (n.endsWith(".parquet")) out += st.getPath.toUri.getPath
+        }
+      }
+    walk(new org.apache.hadoop.fs.Path(path))
+    out.result()
+  }
+
   /** Box query planned through the manifest: only files whose
     * [x0,x1]×[y0,y1] envelope intersects the box are opened.
+    *
+    * STALENESS GUARD: the `_manifest` sidecar describes the layout as
+    * of its last [[writeManifest]]; an [[append]] since then would
+    * make envelope pruning silently DROP the appended rows — a
+    * wrong-answer generator under continuous ingest.  So the planner
+    * first cross-checks the manifest's file set against a directory
+    * listing; on any divergence it falls back to a full recursive
+    * scan (correct, unpruned) — re-run [[writeManifest]] to restore
+    * pruned reads.
     */
   def queryBoxViaManifest(spark: SparkSession, path: String,
                           xr: (Double, Double), yr: (Double, Double)): DataFrame = {
-    val files = spark.read.parquet(s"$path/_manifest")
-      .filter(col("x1") >= xr._1 && col("x0") < xr._2 &&
-              col("y1") >= yr._1 && col("y0") < yr._2)
-      .select("file").collect().map(_.getString(0))
-    if (files.isEmpty)
-      spark.read.parquet(path).filter(lit(false))
-    else
-      spark.read.parquet(files.toIndexedSeq: _*)
-        .filter(col("x") >= xr._1 && col("x") < xr._2 &&
-                col("y") >= yr._1 && col("y") < yr._2)
+    val boxFilter =
+      col("x") >= xr._1 && col("x") < xr._2 &&
+        col("y") >= yr._1 && col("y") < yr._2
+    val manifest = spark.read.parquet(s"$path/_manifest")
+    val manifested = manifest.select("file").collect().map(_.getString(0))
+    val onDisk = listDataFiles(spark, path)
+    // compare by URI path component: input_file_name() renders
+    // file:///p while Hadoop Path renders file:/p
+    val known = manifested
+      .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet
+    if (onDisk.exists(f => !known(f)))
+      // stale manifest — files appended since writeManifest; correctness
+      // over pruning (recursiveFileLookup also disables partition
+      // inference, so appended bin_x=… files read with the flat schema)
+      spark.read.option("recursiveFileLookup", "true").parquet(path)
+        .filter(boxFilter)
+    else {
+      val files = manifest
+        .filter(col("x1") >= xr._1 && col("x0") < xr._2 &&
+                col("y1") >= yr._1 && col("y0") < yr._2)
+        .select("file").collect().map(_.getString(0))
+      if (files.isEmpty)
+        spark.read.parquet(path).filter(lit(false))
+      else
+        spark.read.parquet(files.toIndexedSeq: _*).filter(boxFilter)
+    }
   }
 
   /** Append a (micro-)batch into the layout — the streaming-ingest

@@ -17,6 +17,17 @@ import graft.operators.Similarity
   */
 object VectorIndex {
 
+  /** Build the index.
+    *
+    * CONTRACT — zero-norm vectors are EXCLUDED: cosine distance is
+    * undefined for the zero vector, so `ivfAssign` drops rows with
+    * `norm == 0` and the persisted index is the input minus those
+    * rows.  Such ids can never be returned by [[search]].  Callers
+    * that must keep every row should filter/repair zero vectors
+    * before indexing (the exclusion is deliberate, not lossage:
+    * returning a zero vector from a cosine top-k would mean
+    * comparing against a NaN similarity).
+    */
   def write(emb: DataFrame, path: String, ncent: Int): Unit = {
     val spark = emb.sparkSession
     val cents = Similarity.ivfCentroids(emb, ncent)
@@ -37,7 +48,8 @@ object VectorIndex {
     * centroid partitions.  With [[graft.streaming.EventStream]]-style
     * foreachBatch this is the streaming ingest path of the ANN index;
     * like GeoParquet streaming ingest, periodic compaction of small
-    * files applies.
+    * files applies.  Zero-norm vectors are excluded — same contract
+    * as [[write]].
     */
   def append(emb: DataFrame, path: String): Unit = {
     val cents = centroids(emb.sparkSession, path)

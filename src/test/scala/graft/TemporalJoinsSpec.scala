@@ -50,6 +50,23 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(got(11L) == ((None, None)))             // age 190 > 50: all nulled
   }
 
+  test("asof join rejects inputs colliding with internal / output names") {
+    val right = Seq((1L, 90L, 20L, 1.0)).toDF("k", "t", "id", "v")
+    // internal working-name collision → clear contract error, not a
+    // downstream ambiguous-reference failure
+    val badInternal = Seq((1L, 100L, 10L, 0.0)).toDF("k", "t", "id", "_side")
+    val e1 = intercept[IllegalArgumentException] {
+      TemporalJoins.asofJoin(badInternal, right, "k", "t", "id")
+    }
+    assert(e1.getMessage.contains("_side"))
+    // left column shadowing an r_-prefixed output column
+    val badOut = Seq((1L, 100L, 10L, 0.0)).toDF("k", "t", "id", "r_v")
+    val e2 = intercept[IllegalArgumentException] {
+      TemporalJoins.asofJoin(badOut, right, "k", "t", "id")
+    }
+    assert(e2.getMessage.contains("r_v"))
+  }
+
   test("asof join plan: one keyed shuffle, no join operator at all") {
     val plan = TemporalJoins.asofAttribution(spark, sf)
       .queryExecution.executedPlan.toString

@@ -70,6 +70,56 @@ class VectorIndexSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("zero-norm vectors are excluded by contract: not persisted, never returned") {
+    val dim = qvec.length
+    val rows = Seq(
+      (1L, Seq.fill(dim)(1.0)),
+      (2L, Seq.fill(dim)(0.0)),        // the zero vector — excluded by contract
+      (3L, Seq.tabulate(dim)(_.toDouble + 1.0)))
+    val d = java.nio.file.Files.createTempDirectory("vidx_z").toString
+    VectorIndex.write(rows.toDF("vec_id", "v"), d, ncent = 2)
+    val persisted = spark.read.parquet(s"$d/data").select("vec_id").as[Long].collect().toSet
+    assert(persisted == Set(1L, 3L), s"persisted $persisted")
+    // append path honors the same contract
+    VectorIndex.append(Seq((4L, Seq.fill(dim)(0.0)), (5L, Seq.fill(dim)(2.0)))
+      .toDF("vec_id", "v"), d)
+    val after = spark.read.parquet(s"$d/data").select("vec_id").as[Long].collect().toSet
+    assert(after == Set(1L, 3L, 5L), s"after append $after")
+    val hits = VectorIndex.search(spark, d, Array.fill(dim)(1.0), nprobe = 2, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(hits == Set(1L, 3L, 5L))
+  }
+
+  test("centroid drift: appends far from every persisted centroid stay searchable") {
+    val dim = qvec.length
+    // seed cluster near the origin corner — centroids learn only this region
+    val seed = (0L until 40L).map(i => (i, Seq.tabulate(dim)(j => 0.1 + 0.001 * ((i + j) % 7))))
+    val d = java.nio.file.Files.createTempDirectory("vidx_drift").toString
+    VectorIndex.write(seed.toDF("vec_id", "v"), d, ncent = 4)
+    // drifted batch: a far-away direction no centroid represents
+    val drift = (100L until 110L).map(i =>
+      (i, Seq.tabulate(dim)(j => if (j == dim - 1) 50.0 + 0.01 * (i - 100) else -40.0)))
+    VectorIndex.append(drift.toDF("vec_id", "v"), d)
+    // full probe must have perfect recall on the drifted region…
+    val q = Array.tabulate(dim)(j => if (j == dim - 1) 50.05 else -40.0)
+    val got = VectorIndex.search(spark, d, q, nprobe = 4, k = 5)
+      .select("vec_id").as[Long].collect().toSeq
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    val want = (seed ++ drift).toDF("vec_id", "v")
+      .withColumn("norm", sqrt(graft.functions.VectorExprs.dotp($"v", $"v")))
+      .withColumn("cos",
+        graft.functions.VectorExprs.dotp($"v", typedlit(q.toSeq)) / ($"norm" * qn))
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(5).select("vec_id").as[Long].collect().toSeq
+    assert(got == want, s"got $got want $want")
+    assert(got.forall(_ >= 100L), "drifted vectors should dominate a drifted query")
+    // …and even a 1-probe search lands on the drifted vectors' adopted
+    // centroid (they all sit in ONE nearest-centroid partition)
+    val narrow = VectorIndex.search(spark, d, q, nprobe = 1, k = 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(narrow == want, s"narrow $narrow want $want")
+  }
+
   test("narrow probe results are consistent with the probed partitions") {
     val res = VectorIndex.search(spark, dir, qvec, nprobe = 2, k = 5)
       .select("vec_id", "cent").as[(Long, Long)].collect()
