@@ -56,6 +56,17 @@ object ZOrder {
   def zkeySql(cellX: String, cellY: String): String =
     s"(${spreadSql(s"($cellX) + $Bias")} | (${spreadSql(s"($cellY) + $Bias")} << 1))"
 
+  /** Driver-side encode — the planning-time kernel of
+    * [[CurveRanges]] (and the specs' reference for [[zkey]]).
+    */
+  def xy2z(cellX: Long, cellY: Long): Long = {
+    def spread(v0: Long): Long =
+      steps.foldLeft(v0 & M21) { case (x, (s, m)) =>
+        (x & m) | ((x & (m >>> s)) << s)
+      }
+    spread(cellX + Bias) | (spread(cellY + Bias) << 1)
+  }
+
   /** Driver-side decode (specs): recover (cellX, cellY) from a key. */
   def decode(key: Long): (Long, Long) = {
     def unspread(v0: Long): Long = {

@@ -20,6 +20,16 @@ object TemporalJoins {
   /** Working column names [[asofJoin]] claims internally. */
   val AsofInternalNames: Set[String] = Set("_t", "_side", "_tie", "_r", "_ok")
 
+  /** Working column name [[rangeJoin]]/[[intervalJoin]] claim. */
+  val BinInternalName: String = "_bin"
+
+  private def requireNoBin(op: String, dfs: DataFrame*): Unit = {
+    val hit = dfs.exists(_.columns.contains(BinInternalName))
+    require(!hit,
+      s"$op: input column '$BinInternalName' collides with the internal " +
+        "working name; rename it before joining")
+  }
+
   /** As-of join: each left row is matched to the latest right row with
     * `right.time <= left.time` on the same `key` (the classic
     * trade-attribution / sensor-alignment join).
@@ -117,6 +127,7 @@ object TemporalJoins {
     */
   def rangeJoin(points: DataFrame, intervals: DataFrame, key: String,
                 time: String, start: String, end: String, binMs: Long): DataFrame = {
+    requireNoBin("rangeJoin", points, intervals)
     val binned = intervals.withColumn("_bin",
       explode(sequence(floor(col(start) / binMs).cast("long"),
                        floor(col(end) / binMs).cast("long"))))
@@ -138,6 +149,7 @@ object TemporalJoins {
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
                    s1: String, e1: String, s2: String, e2: String,
                    binMs: Long): DataFrame = {
+    requireNoBin("intervalJoin", left, right)
     def binned(df: DataFrame, s: String, e: String) =
       df.withColumn("_bin",
         explode(sequence(floor(col(s) / binMs).cast("long"),

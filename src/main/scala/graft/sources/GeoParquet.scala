@@ -59,9 +59,11 @@ object GeoParquet {
     keyed(df)
       .repartitionByRange(nFiles, col(key))
       .sortWithinPartitions(key)
-      // the key did its job ordering the rows — persisting it would
-      // add dead bytes per row; pruning reads x/y min-max stats
-      .drop(key)
+      // the key column is PERSISTED (8 bytes/row, ~1 byte on disk
+      // after delta encoding of a sorted column): it is what
+      // queryBoxCurve's BIGMIN range filters prune row groups and
+      // files on — x/y min/max envelopes over-select wherever a chunk
+      // straddles a curve jump, the key intervals never do
       .write.mode("overwrite").parquet(path)
 
   /** File-level min/max manifest of a flat (curve-clustered) layout —
@@ -73,14 +75,67 @@ object GeoParquet {
     * small table.  The `_manifest` prefix keeps it invisible to
     * readers of the data directory (Spark skips `_`/`.` paths).
     */
-  def writeManifest(spark: SparkSession, path: String): Unit =
-    spark.read.parquet(path)
-      .groupBy(input_file_name().as("file"))
-      .agg(count("*").as("n_rows"),
-        min("x").as("x0"), max("x").as("x1"),
-        min("y").as("y0"), max("y").as("y1"))
+  /** Curve-key columns a layout may carry (see writeZOrdered /
+    * writeHilbertClustered); the manifest records their per-file
+    * min/max as k0/k1 when present, enabling file-level BIGMIN
+    * range pruning in [[queryBoxCurve]].
+    */
+  private val CurveKeyCols = Seq("zkey", "hkey")
+
+  def writeManifest(spark: SparkSession, path: String): Unit = {
+    val df = spark.read.parquet(path)
+    val keyCol = CurveKeyCols.find(df.columns.contains)
+    val base = Seq(count("*").as("n_rows"),
+      min("x").as("x0"), max("x").as("x1"),
+      min("y").as("y0"), max("y").as("y1"))
+    val aggs = base ++ keyCol.toSeq.flatMap(k =>
+      Seq(min(k).as("k0"), max(k).as("k1")))
+    df.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_manifest")
+    // record the layout epoch the manifest describes — the O(1)
+    // staleness handshake with append()
+    writeEpochFile(spark, s"$path/_manifest_epoch", readEpoch(spark, path))
+  }
+
+  // --- layout epoch: O(1) staleness signal ---------------------------
+  // append() bumps a one-line `_epoch` sidecar at the layout root;
+  // writeManifest snapshots it into `_manifest_epoch`.  A manifest is
+  // fresh iff the two match — one tiny file read instead of a full
+  // recursive listing of (at 100 TB) millions of objects.  External
+  // mutations that bypass append() are caught by the opt-in
+  // verify=true listing check, which compares file sets BOTH ways
+  // (additions and deletions).
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeEpochFile(spark: SparkSession, file: String, epoch: Long): Unit = {
+    val fs = fsOf(spark, file)
+    val out = fs.create(new org.apache.hadoop.fs.Path(file), true)
+    try out.write(epoch.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readEpochFile(spark: SparkSession, file: String): Long = {
+    val fs = fsOf(spark, file)
+    val p = new org.apache.hadoop.fs.Path(file)
+    if (!fs.exists(p)) 0L
+    else {
+      val in = fs.open(p)
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        "UTF-8").trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** Current epoch of the layout at `path` (0 for a fresh write). */
+  def readEpoch(spark: SparkSession, path: String): Long =
+    readEpochFile(spark, s"$path/_epoch")
+
+  private def bumpEpoch(spark: SparkSession, path: String): Unit =
+    writeEpochFile(spark, s"$path/_epoch", readEpoch(spark, path) + 1)
 
   /** Data files currently on disk under `path` (recursive, skipping
     * `_`/`.`-prefixed sidecars like `_manifest` and `_batches`) —

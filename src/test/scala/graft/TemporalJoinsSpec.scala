@@ -67,6 +67,20 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(e2.getMessage.contains("r_v"))
   }
 
+  test("range/interval join reject inputs claiming the _bin working column") {
+    val pts = Seq((1L, 100L, 5L)).toDF("k", "t", "_bin")
+    val ivs = Seq((1L, 90L, 110L)).toDF("k", "s", "e")
+    val e1 = intercept[IllegalArgumentException] {
+      TemporalJoins.rangeJoin(pts, ivs, "k", "t", "s", "e", 100L)
+    }
+    assert(e1.getMessage.contains("_bin"))
+    val badIv = Seq((1L, 90L, 110L, 0L)).toDF("k", "s", "e", "_bin")
+    val e2 = intercept[IllegalArgumentException] {
+      TemporalJoins.intervalJoin(ivs, badIv, "k", "s", "e", "s", "e", 100L)
+    }
+    assert(e2.getMessage.contains("_bin"))
+  }
+
   test("asof join plan: one keyed shuffle, no join operator at all") {
     val plan = TemporalJoins.asofAttribution(spark, sf)
       .queryExecution.executedPlan.toString
