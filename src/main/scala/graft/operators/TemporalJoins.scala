@@ -128,13 +128,13 @@ object TemporalJoins {
   def rangeJoin(points: DataFrame, intervals: DataFrame, key: String,
                 time: String, start: String, end: String, binMs: Long): DataFrame = {
     requireNoBin("rangeJoin", points, intervals)
-    val binned = intervals.withColumn("_bin",
+    val binned = intervals.withColumn(BinInternalName,
       explode(sequence(floor(col(start) / binMs).cast("long"),
                        floor(col(end) / binMs).cast("long"))))
-    points.withColumn("_bin", floor(col(time) / binMs).cast("long"))
-      .join(binned, Seq(key, "_bin"))
+    points.withColumn(BinInternalName, floor(col(time) / binMs).cast("long"))
+      .join(binned, Seq(key, BinInternalName))
       .filter(col(time) >= col(start) && col(time) <= col(end))
-      .drop("_bin")
+      .drop(BinInternalName)
   }
 
   /** Interval-overlap join: pairs of intervals (same `key`, one from
@@ -151,14 +151,14 @@ object TemporalJoins {
                    binMs: Long): DataFrame = {
     requireNoBin("intervalJoin", left, right)
     def binned(df: DataFrame, s: String, e: String) =
-      df.withColumn("_bin",
+      df.withColumn(BinInternalName,
         explode(sequence(floor(col(s) / binMs).cast("long"),
                          floor(col(e) / binMs).cast("long"))))
     binned(left, s1, e1)
-      .join(binned(right, s2, e2), Seq(key, "_bin"))
+      .join(binned(right, s2, e2), Seq(key, BinInternalName))
       .filter(col(s1) <= col(e2) && col(s2) <= col(e1))
-      .filter(col("_bin") === floor(greatest(col(s1), col(s2)) / binMs).cast("long"))
-      .drop("_bin")
+      .filter(col(BinInternalName) === floor(greatest(col(s1), col(s2)) / binMs).cast("long"))
+      .drop(BinInternalName)
   }
 
   // ---- the events-domain views both queries share ----

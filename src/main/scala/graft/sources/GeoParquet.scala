@@ -66,6 +66,13 @@ object GeoParquet {
       // straddles a curve jump, the key intervals never do
       .write.mode("overwrite").parquet(path)
 
+  /** Curve-key columns a layout may carry (see writeZOrdered /
+    * writeHilbertClustered); the manifest records their per-file
+    * min/max as k0/k1 when present, enabling file-level BIGMIN
+    * range pruning in [[queryBoxCurve]].
+    */
+  private val CurveKeyCols = Seq("zkey", "hkey")
+
   /** File-level min/max manifest of a flat (curve-clustered) layout —
     * the Iceberg-manifest-lite for layouts without partition
     * directories: a tiny sidecar table (one row per data file) that a
@@ -75,13 +82,6 @@ object GeoParquet {
     * small table.  The `_manifest` prefix keeps it invisible to
     * readers of the data directory (Spark skips `_`/`.` paths).
     */
-  /** Curve-key columns a layout may carry (see writeZOrdered /
-    * writeHilbertClustered); the manifest records their per-file
-    * min/max as k0/k1 when present, enabling file-level BIGMIN
-    * range pruning in [[queryBoxCurve]].
-    */
-  private val CurveKeyCols = Seq("zkey", "hkey")
-
   def writeManifest(spark: SparkSession, path: String): Unit = {
     val df = spark.read.parquet(path)
     val keyCol = CurveKeyCols.find(df.columns.contains)
@@ -100,13 +100,13 @@ object GeoParquet {
   }
 
   // --- layout epoch: O(1) staleness signal ---------------------------
-  // append() bumps a one-line `_epoch` sidecar at the layout root;
-  // writeManifest snapshots it into `_manifest_epoch`.  A manifest is
-  // fresh iff the two match — one tiny file read instead of a full
-  // recursive listing of (at 100 TB) millions of objects.  External
-  // mutations that bypass append() are caught by the opt-in
-  // verify=true listing check, which compares file sets BOTH ways
-  // (additions and deletions).
+  // append() and compact() bump a one-line `_epoch` sidecar at the
+  // layout root; writeManifest snapshots it into `_manifest_epoch`.
+  // A manifest is fresh iff the two match — one tiny file read instead
+  // of a full recursive listing of (at 100 TB) millions of objects.
+  // External mutations that bypass append()/compact() are caught by
+  // the opt-in verify=true listing check, which compares file sets
+  // BOTH ways (additions and deletions).
 
   private def fsOf(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
@@ -163,26 +163,35 @@ object GeoParquet {
     * STALENESS GUARD: the `_manifest` sidecar describes the layout as
     * of its last [[writeManifest]]; an [[append]] since then would
     * make envelope pruning silently DROP the appended rows — a
-    * wrong-answer generator under continuous ingest.  So the planner
-    * first cross-checks the manifest's file set against a directory
-    * listing; on any divergence it falls back to a full recursive
-    * scan (correct, unpruned) — re-run [[writeManifest]] to restore
-    * pruned reads.
+    * wrong-answer generator under continuous ingest.  Freshness is an
+    * O(1) epoch compare (`_epoch` vs `_manifest_epoch` — one tiny
+    * file read, not a recursive listing of millions of objects);
+    * `verify = true` additionally cross-checks the manifest's file
+    * set against a full directory listing BOTH ways, catching
+    * external mutations (out-of-band appends OR deletions) that
+    * bypassed [[append]]/[[compact]].  On any divergence the planner
+    * falls back to a full recursive scan (correct, unpruned) — re-run
+    * [[writeManifest]] to restore pruned reads.
     */
   def queryBoxViaManifest(spark: SparkSession, path: String,
-                          xr: (Double, Double), yr: (Double, Double)): DataFrame = {
+                          xr: (Double, Double), yr: (Double, Double),
+                          verify: Boolean = false): DataFrame = {
     val boxFilter =
       col("x") >= xr._1 && col("x") < xr._2 &&
         col("y") >= yr._1 && col("y") < yr._2
     val manifest = spark.read.parquet(s"$path/_manifest")
-    val manifested = manifest.select("file").collect().map(_.getString(0))
-    val onDisk = listDataFiles(spark, path)
-    // compare by URI path component: input_file_name() renders
-    // file:///p while Hadoop Path renders file:/p
-    val known = manifested
-      .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet
-    if (onDisk.exists(f => !known(f)))
-      // stale manifest — files appended since writeManifest; correctness
+    val epochStale =
+      readEpoch(spark, path) != readEpochFile(spark, s"$path/_manifest_epoch")
+    val listingStale = verify && {
+      val manifested = manifest.select("file").collect().map(_.getString(0))
+      // compare by URI path component: input_file_name() renders
+      // file:///p while Hadoop Path renders file:/p
+      val known = manifested
+        .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet
+      listDataFiles(spark, path).toSet != known
+    }
+    if (epochStale || listingStale)
+      // stale manifest — layout mutated since writeManifest; correctness
       // over pruning (recursiveFileLookup also disables partition
       // inference, so appended bin_x=… files read with the flat schema)
       spark.read.option("recursiveFileLookup", "true").parquet(path)
@@ -199,15 +208,83 @@ object GeoParquet {
     }
   }
 
+  /** Box query over a curve-clustered layout ([[writeZOrdered]] /
+    * [[writeHilbertClustered]]) planned through BIGMIN curve-range
+    * decomposition — the Spark analog of the reference's offset-run
+    * pruned reads (geo_index.py:410-429).
+    *
+    * The box's cell rectangle is decomposed into ≤ `maxRanges`
+    * contiguous key intervals ([[graft.functions.CurveRanges]]); the
+    * intervals prune at BOTH granularities:
+    *   - file-level: only files whose manifest [k0,k1] intersects an
+    *     interval are opened (when a fresh manifest with curve-key
+    *     stats exists — otherwise every file is listed but row groups
+    *     still prune);
+    *   - row-group-level: the `key BETWEEN lo AND hi` OR-chain is
+    *     pushed to the parquet scan, and because the layout is
+    *     globally sorted on the key, row-group min/max stats on that
+    *     single column skip everything between the intervals.
+    * An x/y-envelope plan ([[queryBoxViaManifest]]) over-selects
+    * wherever a file/row-group straddles a curve jump (its bounding
+    * box covers dead space the curve never enters); the key intervals
+    * never do.  Rows are re-filtered by the exact x/y box, so
+    * coarsened (superset) intervals stay correct.
+    */
+  def queryBoxCurve(spark: SparkSession, path: String,
+                    xr: (Double, Double), yr: (Double, Double),
+                    delta: Double, maxRanges: Int = 32): DataFrame = {
+    import graft.functions.CurveRanges
+    val base = spark.read.parquet(path)
+    val keyCol = CurveKeyCols.find(base.columns.contains).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path carries no curve key column (${CurveKeyCols.mkString("/")}); " +
+          "write it with writeZOrdered/writeHilbertClustered"))
+    val curve = if (keyCol == "zkey") CurveRanges.Z else CurveRanges.H
+    val boxFilter =
+      col("x") >= xr._1 && col("x") < xr._2 &&
+        col("y") >= yr._1 && col("y") < yr._2
+    // cells intersecting the half-open box (cellOf = floor(v/δ)); the
+    // top edge is a superset cell — the exact boxFilter re-trims it
+    val ranges = CurveRanges.decompose(
+      math.floor(xr._1 / delta).toLong, math.floor(xr._2 / delta).toLong,
+      math.floor(yr._1 / delta).toLong, math.floor(yr._2 / delta).toLong,
+      curve, maxRanges)
+    if (ranges.isEmpty) return base.filter(lit(false))
+    val keyFilter = ranges
+      .map { case (lo, hi) => col(keyCol).between(lo, hi) }.reduce(_ || _)
+    val manifestOk = fsOf(spark, path)
+      .exists(new org.apache.hadoop.fs.Path(s"$path/_manifest")) &&
+      readEpoch(spark, path) == readEpochFile(spark, s"$path/_manifest_epoch")
+    val src =
+      if (!manifestOk) base
+      else {
+        val m = spark.read.parquet(s"$path/_manifest")
+        if (!m.columns.contains("k0")) base
+        else {
+          val hit = ranges
+            .map { case (lo, hi) => col("k1") >= lo && col("k0") <= hi }
+            .reduce(_ || _)
+          val files = m.filter(hit).select("file").collect().map(_.getString(0))
+          if (files.isEmpty) return base.filter(lit(false))
+          spark.read.parquet(files.toIndexedSeq: _*)
+        }
+      }
+    src.filter(keyFilter && boxFilter)
+  }
+
   /** Append a (micro-)batch into the layout — the streaming-ingest
     * write path (see graft.streaming.EventStream.ingestGeoParquet).
     */
-  def append(df: DataFrame, path: String, delta: Double): Unit =
+  def append(df: DataFrame, path: String, delta: Double): Unit = {
     df.withColumn("bin_x", GeoOps.binOf(col("x"), delta))
       .withColumn("bin_y", GeoOps.binOf(col("y"), delta))
       .write.mode("append")
       .partitionBy("bin_x", "bin_y")
       .parquet(path)
+    // any manifest written before this batch is now stale — O(1)
+    // signal to queryBoxViaManifest/queryBoxCurve
+    bumpEpoch(df.sparkSession, path)
+  }
 
   /** Compact the layout in place: streaming appends leave one small
     * file per bin per micro-batch; rewriting each bin's rows into one
@@ -216,6 +293,7 @@ object GeoParquet {
     */
   def compact(spark: SparkSession, path: String): Unit = {
     val tmp = path + ".compact"
+    val epochBefore = readEpoch(spark, path)
     read(spark, path)
       .repartition(col("bin_x"), col("bin_y"))
       .sortWithinPartitions("bin_x", "bin_y", "x", "y")
@@ -230,6 +308,10 @@ object GeoParquet {
       fs.rename(markers, new org.apache.hadoop.fs.Path(tmp, "_batches"))
     fs.delete(dst, true)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    // compaction rewrites every data file — a pre-compaction manifest
+    // must read as stale (the swap dropped the old _epoch sidecar, so
+    // restore-and-bump in one write)
+    writeEpochFile(spark, s"$path/_epoch", epochBefore + 1)
   }
 
   def read(spark: SparkSession, path: String): DataFrame =

@@ -80,6 +80,55 @@ class ZOrderSpec extends SparkSpec {
     assert(!spark.read.parquet(dir).inputFiles.exists(_.contains("_manifest")))
   }
 
+  test("stale manifest: append() bumps the epoch, query falls back and returns appended rows") {
+    val dir = java.nio.file.Files.createTempDirectory("stale").toString
+    val pts = graft.core.Tables.eventsPoints(spark, sf)
+    GeoParquet.write(pts, dir, delta = 50.0)
+    GeoParquet.writeManifest(spark, dir)
+    assert(GeoParquet.readEpoch(spark, dir) == 0L)
+    val xr = (0.0, 100.0); val yr = (0.0, 100.0)
+    val before = GeoParquet.queryBoxViaManifest(spark, dir, xr, yr)
+      .select("id").as[Long].collect().toSet
+    // ingest a batch with rows inside the box — append() must bump
+    // the epoch so the (now stale) manifest stops pruning
+    val batch = pts.limit(3)
+      .withColumn("id", col("id") + 9000000L)
+      .withColumn("x", lit(10.0)).withColumn("y", lit(10.0))
+    GeoParquet.append(batch, dir, delta = 50.0)
+    assert(GeoParquet.readEpoch(spark, dir) == 1L)
+    val afterIds = GeoParquet.queryBoxViaManifest(spark, dir, xr, yr)
+      .select("id").as[Long].collect().toSet
+    assert((afterIds -- before).exists(_ >= 9000000L),
+      "appended rows dropped by a stale-manifest pruned read")
+    // re-manifesting restores the pruned plan, appended rows included
+    GeoParquet.writeManifest(spark, dir)
+    val pruned = GeoParquet.queryBoxViaManifest(spark, dir, xr, yr)
+      .select("id").as[Long].collect().toSet
+    assert(pruned == afterIds)
+  }
+
+  test("verify=true catches an external deletion the epoch cannot see") {
+    val dir = java.nio.file.Files.createTempDirectory("staledel").toString
+    val pts = graft.core.Tables.eventsPoints(spark, sf)
+    GeoParquet.write(pts, dir, delta = 50.0)
+    GeoParquet.writeManifest(spark, dir)
+    // external cleanup deletes one data file without touching _epoch
+    val victim = spark.read.parquet(dir).inputFiles
+      .filterNot(f => f.contains("_manifest")).head
+    val p = new org.apache.hadoop.fs.Path(new java.net.URI(victim).getPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(p, false))
+    val xr = (-1000.0, 1000.0); val yr = (-1000.0, 1000.0)
+    val direct = spark.read.parquet(dir)
+      .filter($"x" >= xr._1 && $"x" < xr._2 && $"y" >= yr._1 && $"y" < yr._2)
+      .count()
+    // both-ways file-set comparison → fallback to a live listing; the
+    // query reflects what is actually on disk instead of handing the
+    // scan a dead file path
+    val viaVerify = GeoParquet.queryBoxViaManifest(spark, dir, xr, yr, verify = true)
+    assert(viaVerify.count() == direct)
+  }
+
   test("z-ordered layout: every file covers a spatially compact region") {
     val dir = java.nio.file.Files.createTempDirectory("zord").toString
     val pts = graft.core.Tables.eventsPoints(spark, sf)
