@@ -87,11 +87,52 @@ object MediaOps {
       }
     } catch { case _: Exception => None }
 
+  /** REAL pure-JVM audio decode for formats `javax.sound.sampled`
+    * bundles readers for (WAV/AIFF/AU): true sample rate, channel
+    * count and frame length from the header, plus an 8-bin amplitude
+    * histogram over (up to) the first 4096 PCM frames as the feature
+    * vector.  The record reuses the image field slots the way a
+    * columnar pipeline would: width = sample rate (Hz), height =
+    * channels, n_frames = header frame count.  Returns None when the
+    * payload isn't parseable audio — the caller falls back to the
+    * stub.
+    */
+  private def audioDecode(docId: Long, mediaType: String,
+                          bytes: Array[Byte]): Option[DecodedMedia] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val nFrames = in.getFrameLength
+        val frameSz = math.max(1, fmt.getFrameSize)
+        val sample = new Array[Byte](frameSz * math.min(4096L, math.max(0L, nFrames)).toInt)
+        var off = 0
+        var read = 0
+        while (off < sample.length && read >= 0) {
+          read = in.read(sample, off, sample.length - off)
+          if (read > 0) off += read
+        }
+        val hist = new Array[Long](8)
+        var i = 0
+        while (i < off) {
+          // bucket each byte of PCM payload by amplitude octile —
+          // format-agnostic, deterministic, and cheap
+          hist(((sample(i) & 0xFF) >> 5)) += 1
+          i += 1
+        }
+        val n = math.max(1L, off.toLong)
+        Some(DecodedMedia(docId, mediaType, bytes.length,
+          fmt.getSampleRate.toInt, fmt.getChannels,
+          math.max(0L, nFrames).toInt, hist.map(c => (c.toDouble / n).toFloat)))
+      } finally in.close()
+    } catch { case _: Exception => None }
+
   /** Partition-batched decode: the decoder context is created once
     * per partition (the expensive part with a real codec), then
     * streamed over rows — no per-row setup, no driver collect.
-    * Real ImageIO decode where the payload parses; stub fallback
-    * otherwise.
+    * Real ImageIO / javax.sound decode where the payload parses;
+    * stub fallback otherwise.
     */
   def decode(media: DataFrame): Dataset[DecodedMedia] = {
     val spark = media.sparkSession
@@ -101,7 +142,9 @@ object MediaOps {
       .mapPartitions { rows =>
         // per-partition decoder init would happen here
         rows.map { case (id, mt, bytes) =>
-          imageioDecode(id, mt, bytes).getOrElse(fakeDecode(id, mt, bytes))
+          imageioDecode(id, mt, bytes)
+            .orElse(audioDecode(id, mt, bytes))
+            .getOrElse(fakeDecode(id, mt, bytes))
         }
       }
   }
