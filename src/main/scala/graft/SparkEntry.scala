@@ -26,5 +26,5 @@ object SparkEntry {
       Relational.oracles ++ DateOps.oracles ++ TextOps.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Projections.oracles ++
       RasterOps.oracles ++ Components.oracles ++ TemporalJoins.oracles ++
-      CorpusOps.oracles
+      CorpusOps.oracles ++ Bpe.oracles
 }

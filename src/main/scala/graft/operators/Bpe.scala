@@ -122,9 +122,10 @@ object Bpe {
 
   /** Train-then-tokenize over the documents table, rolled up per doc.
     * Training is an iterative driver loop (the merge list is the
-    * model), so there is no single-statement SQL oracle — the driver
-    * records a rows-only check; BpeSpec pins training merge-for-merge
-    * against a reference implementation.
+    * model) with no single-statement SQL oracle; BpeSpec pins
+    * training merge-for-merge against a reference implementation and
+    * the oracle-checked [[q_bpe_tokenize|bpeEncodeStats]] covers the
+    * encode side cross-engine.
     */
   def bpeStats(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val docs = graft.core.Tables.t(s, dir, "documents")
@@ -137,6 +138,89 @@ object Bpe {
       .orderBy("doc_id")
   }
 
+  // --- 27b (oracle side). encode against a PINNED merge table -------
+  //
+  // The trained model above is a driver loop; the ENCODE it produces
+  // is a pure function of (text, merge list) and therefore
+  // oracle-checkable once the merge list is pinned.  The encode is
+  // expressed over a wrapped-symbol string form — "the" →
+  // "(t)(h)(e)", merge (t,h) = replace "(t)(h)" → "(th)" — because a
+  // single left-to-right replace pass over that form IS the standard
+  // greedy exhaustive application of one merge (a replacement "(ab)"
+  // can never recreate or complete its own pattern: token boundaries
+  // are explicit, so no new occurrence can span a rewrite), and
+  // `replace` exists verbatim in both engines.  Paired generators
+  // (PolyTrig doctrine): [[encodeCol]] builds the Spark Column,
+  // [[encodeSql]] the structurally identical DuckDB expression.
+
+  /** The pinned merge table: [[train]]'s output (nMerges = 16) over
+    * the sf0.01 documents corpus normalized as in [[encodeCol]] —
+    * a real trained model frozen so the encode query needs no
+    * training pass.
+    */
+  val PinnedMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"))
+
+  /** Wrapped-form BPE encode of `textCol`: normalize (lowercase,
+    * non-letters → space), wrap each letter as "(c)", then apply the
+    * merges in training order.  Output "(th)(e) (c)(at)"-style; token
+    * count = number of '('.
+    */
+  def encodeCol(textCol: Column, merges: Seq[(String, String)]): Column = {
+    val wrapped = regexp_replace(
+      regexp_replace(lower(textCol), "[^a-z]+", " "), "([a-z])", "($1)")
+    merges.foldLeft(wrapped) { case (c, (a, b)) =>
+      replace(c, lit(s"($a)($b)"), lit(s"($a$b)"))
+    }
+  }
+
+  /** DuckDB mirror of [[encodeCol]] over a text expression. */
+  def encodeSql(textExpr: String, merges: Seq[(String, String)]): String = {
+    val wrapped = s"regexp_replace(regexp_replace(lower($textExpr), " +
+      s"'[^a-z]+', ' ', 'g'), '([a-z])', '(\\1)', 'g')"
+    merges.foldLeft(wrapped) { case (s, (a, b)) =>
+      s"replace($s, '($a)($b)', '($a$b)')"
+    }
+  }
+
+  /** Per-doc BPE encode stats against [[PinnedMerges]] — one
+    * codegen'd map pass (a chain of string replaces), no training
+    * jobs, no shuffle besides the output sort.
+    */
+  def bpeEncodeStats(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val docs = graft.core.Tables.t(s, dir, "documents")
+    docs
+      .select(col("doc_id"), col("text"),
+        encodeCol(col("text"), PinnedMerges).as("enc"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+          .cast("long").as("n_words"),
+        (length(col("enc")) - length(replace(col("enc"), lit("("), lit(""))))
+          .cast("long").as("n_bpe_tokens"),
+        substring(col("enc"), 1, 48).as("enc_prefix"))
+      .withColumn("compression",
+        col("n_bpe_tokens").cast("double") / expr("nullif(n_words, 0)"))
+      .orderBy("doc_id")
+  }
+
+  val bpeEncodeStatsSql: String = {
+    val enc = encodeSql("text", PinnedMerges)
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_words,
+       |  CAST(length(enc) - length(replace(enc, '(', '')) AS BIGINT) AS n_bpe_tokens,
+       |  substr(enc, 1, 48) AS enc_prefix,
+       |  CAST(length(enc) - length(replace(enc, '(', '')) AS DOUBLE)
+       |    / nullif(len(regexp_extract_all(lower(text), '[a-z]+')), 0) AS compression
+       |FROM (SELECT doc_id, text, $enc AS enc FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
-    Map("q_bpe_tokenize" -> (bpeStats _))
+    Map("q_bpe_tokenize" -> (bpeEncodeStats _))
+
+  val oracles: Map[String, String] =
+    Map("q_bpe_tokenize" -> bpeEncodeStatsSql)
 }

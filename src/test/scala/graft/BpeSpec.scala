@@ -84,4 +84,36 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.train(docs, nMerges = 6) == merges)
     toks.unpersist()
   }
+
+  test("chained-replace encode (the oracle form) segments exactly like the native tokenizer") {
+    // normalize the way encodeCol does, then compare segmentations:
+    // the wrapped-string replace chain must produce, per word, the
+    // same token sequence as the native BpeEncode expression
+    val docs = graft.core.Tables.t(spark, sf, "documents").limit(200)
+      .select($"doc_id",
+        regexp_replace(lower($"text"), "[^a-z]+", " ").as("text"))
+    val nativeCounts = Bpe.tokenize(docs, Bpe.PinnedMerges)
+      .groupBy("doc_id").agg(sum("n_tokens").as("n")).as[(Long, Long)]
+      .collect().toMap
+    val viaReplace = docs
+      .select($"doc_id", Bpe.encodeCol($"text", Bpe.PinnedMerges).as("enc"))
+      .select($"doc_id",
+        (length($"enc") - length(replace($"enc", lit("("), lit(""))))
+          .cast("long").as("n")).as[(Long, Long)].collect().toMap
+    assert(viaReplace == nativeCounts)
+    // and on a handful of fixed words, the full segmentation matches
+    val words = Seq("master", "partition", "join", "hash", "rows",
+      "interest", "lower", "a", "stow")
+    val wdocs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val seg = Bpe.tokenize(wdocs, Bpe.PinnedMerges)
+      .select("w", "tokens").as[(String, Seq[String])].collect().toMap
+    val segReplace = wdocs
+      .select($"text", Bpe.encodeCol($"text", Bpe.PinnedMerges).as("enc"))
+      .as[(String, String)].collect().toMap
+      .map { case (w, enc) =>
+        w -> enc.stripPrefix("(").stripSuffix(")").split("\\)\\(").toSeq
+      }
+    assert(seg == segReplace, s"native $seg\nreplace $segReplace")
+  }
 }
