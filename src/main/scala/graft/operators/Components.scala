@@ -198,11 +198,49 @@ object Components {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --- 33c. dup-cluster resolution over the SIMHASH pair graph ---
+  /** [[dupClusters]] with the banded-simhash candidate generator as
+    * the edge source instead of shingle-jaccard: hamming ≤ 8 pairs →
+    * connected components → per-doc cluster id, size, keeper flag.
+    * The two pair generators find overlapping-but-different duplicate
+    * graphs; running CC over each is how a curation pipeline compares
+    * them at corpus scale.
+    */
+  def simhashClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.simhashPairs(s, dir)
+      .select(col("d1").as("src"), col("d2").as("dst"))
+    val labels = connectedComponents(pairs)
+    val sizes = labels.groupBy("component").agg(count("*").as("cluster_sz"))
+    labels.join(sizes, "component")
+      .select(col("node").as("doc_id"), col("component"), col("cluster_sz"),
+        when(col("node") === col("component"), 1L).otherwise(0L).as("is_keeper"))
+      .orderBy("doc_id")
+  }
+
+  val simhashClustersSql: String = {
+    val pairsBody = Dedup.simhashPairsSql.replace("ORDER BY d1, d2", "")
+    s"""WITH RECURSIVE sp AS ($pairsBody),
+       |e0 AS (SELECT d1 AS u, d2 AS v FROM sp),
+       |e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+       |reach(node, r) AS (
+       |  SELECT u, v FROM e
+       |  UNION
+       |  SELECT reach.node, e.v FROM reach JOIN e ON e.u = reach.r),
+       |lab AS (SELECT node AS doc_id, least(node, min(r)) AS component
+       |        FROM reach GROUP BY node),
+       |szs AS (SELECT component, count(*) AS cluster_sz FROM lab GROUP BY 1)
+       |SELECT doc_id, component, cluster_sz,
+       |  CAST(CASE WHEN doc_id = component THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+       |FROM lab JOIN szs USING (component) ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dup_clusters" -> (dupClusters _),
+    "q_simhash_cc" -> (simhashClusters _),
     "q_dedup_apply_neardup" -> (dedupApplyNeardup _))
 
   val oracles: Map[String, String] = Map(
     "q_dup_clusters" -> dupClustersSql,
+    "q_simhash_cc" -> simhashClustersSql,
     "q_dedup_apply_neardup" -> dedupApplyNeardupSql)
 }
