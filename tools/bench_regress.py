@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Mechanical per-query bench regression check.
+
+Usage: python3 tools/bench_regress.py BASELINE.json CURRENT.json [CURRENT2.json ...]
+       [--threshold 2.0] [--floor 0.5]
+
+Each file is a one-line Bench JSON ({"queries": {name: sec, ...}, ...} —
+either printed by graft.Bench or the sidecar it writes, or a driver
+BENCH_r*.json). A query REGRESSES when current/baseline > threshold and
+current > floor seconds (sub-floor timings are jitter, not signal).
+
+Load-variance escape hatch: pass MORE than one current-run file (i.e.
+re-run Bench and give both runs) — a query is only flagged when it
+regresses in EVERY current run. One noisy run (the BENCH_r05 wolf-cry:
+11x on q_blockmax under machine load, steady-state on re-run) then
+cannot fail the check by itself.
+
+Exit 0: no confirmed regressions. Exit 1: confirmed regressions listed.
+"""
+import json
+import re
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        text = f.read().strip()
+    # tolerate a log line prefix before the JSON object
+    obj = json.loads(text[text.index("{"):])
+    qs = obj.get("queries", {})
+    if not qs and "tail" in obj:
+        # a driver BENCH_r*.json wraps TRUNCATED Bench stdout in
+        # "tail" — salvage whatever "name":sec pairs survived (the
+        # very reason Bench now also writes an untruncated sidecar)
+        qs = {m.group(1): float(m.group(2)) for m in
+              re.finditer(r'"(q[\w]*)":(-?\d+\.?\d*)', obj["tail"])}
+    return {k: v for k, v in qs.items() if isinstance(v, (int, float)) and v >= 0}
+
+
+def main(argv):
+    threshold, floor = 2.0, 0.5
+    paths = []
+    it = iter(argv)
+    for a in it:
+        if a == "--threshold":
+            threshold = float(next(it))
+        elif a == "--floor":
+            floor = float(next(it))
+        else:
+            paths.append(a)
+    if len(paths) < 2:
+        print(__doc__)
+        return 2
+    base = load(paths[0])
+    runs = [load(p) for p in paths[1:]]
+
+    flagged = {}
+    for q, b in sorted(base.items()):
+        if b <= 0:
+            continue
+        in_all = [r[q] for r in runs if q in r]
+        if len(in_all) != len(runs):
+            continue
+        if all(c / b > threshold and c > floor for c in in_all):
+            flagged[q] = (b, in_all)
+
+    cur, prev = runs[0], base
+    tot_c = sum(cur.values())
+    tot_b = sum(prev[q] for q in cur if q in prev)
+    print(f"queries: {len(cur)} (baseline {len(base)}); "
+          f"total {tot_c:.1f}s vs baseline {tot_b:.1f}s")
+    missing = sorted(set(base) - set(cur))
+    if missing:
+        print(f"note: {len(missing)} baseline queries absent now: {missing[:8]}")
+    if not flagged:
+        n = "both runs" if len(runs) > 1 else "the current run"
+        print(f"OK: no query regressed >{threshold}x (floor {floor}s) in {n}")
+        return 0
+    print(f"REGRESSIONS (>{threshold}x in all {len(runs)} current run(s)):")
+    for q, (b, cs) in sorted(flagged.items(), key=lambda kv: -max(kv[1][1])):
+        ratios = ", ".join(f"{c:.2f}s ({c / b:.1f}x)" for c in cs)
+        print(f"  {q}: baseline {b:.2f}s -> {ratios}")
+    if len(runs) == 1:
+        print("hint: re-run Bench and pass both current files — a single "
+              "loaded-machine run is not a confirmed regression")
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
