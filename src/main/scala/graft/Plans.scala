@@ -70,6 +70,8 @@ object Plans {
     show("funnel", operators.Relational.funnel(spark, sf), joiny)
     show("pipeline_e2e", operators.CorpusOps.pipeline(spark, sf), joiny)
     show("modality_audit", operators.Similarity.modalityAudit(spark, sf), joiny)
+    show("bpe_encode (pinned merges, map-side)", operators.Bpe.bpeEncodeStats(spark, sf),
+      Seq("Exchange", "Scan", "WholeStageCodegen"))
     spark.stop()
   }
 }
