@@ -16,11 +16,13 @@ case class DecodedMedia(
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata.
   *
-  * The decode step is REAL for the formats the JVM ships codecs for
-  * (PNG/JPEG/BMP/GIF via `javax.imageio`): true width/height and a
-  * luminance-histogram feature vector.  Payloads ImageIO cannot
-  * parse (audio/video — no pure-JVM codec in this container) fall
-  * back to `fakeDecode`, a clearly-marked deterministic stub.
+  * The decode step is REAL for the formats the JVM ships codecs for:
+  * PNG/JPEG/BMP/GIF via `javax.imageio` (true width/height plus a
+  * luminance-histogram feature vector) and WAV/AIFF/AU via
+  * `javax.sound.sampled` (true sample rate/channels/frame count plus
+  * an amplitude histogram).  Payloads neither codec parses (video —
+  * no pure-JVM codec in this container) fall back to `fakeDecode`, a
+  * clearly-marked deterministic stub.
   * Everything around the codec — the binary schema, partition-wise
   * batched `mapPartitions` (one decoder instantiation per partition,
   * the shape a JNI/codec binding needs), and the downstream
@@ -104,9 +106,13 @@ object MediaOps {
         new java.io.ByteArrayInputStream(bytes))
       try {
         val fmt = in.getFormat
+        // AudioSystem.NOT_SPECIFIED (-1) = stream with unknown length
+        // (e.g. an AU header with the length field unset): still
+        // sample up to the cap so the histogram reflects real PCM
         val nFrames = in.getFrameLength
         val frameSz = math.max(1, fmt.getFrameSize)
-        val sample = new Array[Byte](frameSz * math.min(4096L, math.max(0L, nFrames)).toInt)
+        val capFrames = if (nFrames < 0) 4096L else math.min(4096L, nFrames)
+        val sample = new Array[Byte](frameSz * capFrames.toInt)
         var off = 0
         var read = 0
         while (off < sample.length && read >= 0) {
@@ -124,7 +130,8 @@ object MediaOps {
         val n = math.max(1L, off.toLong)
         Some(DecodedMedia(docId, mediaType, bytes.length,
           fmt.getSampleRate.toInt, fmt.getChannels,
-          math.max(0L, nFrames).toInt, hist.map(c => (c.toDouble / n).toFloat)))
+          (if (nFrames < 0) off.toLong / frameSz else nFrames).toInt,
+          hist.map(c => (c.toDouble / n).toFloat)))
       } finally in.close()
     } catch { case _: Exception => None }
 

@@ -120,24 +120,6 @@ object Bpe {
       col("syms").as("tokens"), size(col("syms")).cast("long").as("n_tokens"))
   }
 
-  /** Train-then-tokenize over the documents table, rolled up per doc.
-    * Training is an iterative driver loop (the merge list is the
-    * model) with no single-statement SQL oracle; BpeSpec pins
-    * training merge-for-merge against a reference implementation and
-    * the oracle-checked [[q_bpe_tokenize|bpeEncodeStats]] covers the
-    * encode side cross-engine.
-    */
-  def bpeStats(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val docs = graft.core.Tables.t(s, dir, "documents")
-    val merges = train(docs, nMerges = 12)
-    tokenize(docs, merges)
-      .groupBy("doc_id")
-      .agg(count("*").as("n_words"), sum("n_tokens").as("n_bpe_tokens"))
-      .withColumn("compression",
-        col("n_bpe_tokens").cast("double") / col("n_words"))
-      .orderBy("doc_id")
-  }
-
   // --- 27b (oracle side). encode against a PINNED merge table -------
   //
   // The trained model above is a driver loop; the ENCODE it produces

@@ -89,10 +89,10 @@ object Components {
     * it is bit-identical cross-engine) → components → per-doc cluster
     * assignment with size and keeper flag (keeper = min doc_id).
     */
-  def dupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.jaccardOf(Dedup.shinglesOf(Tables.t(s, dir, "documents")))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("d1").as("src"), col("d2").as("dst"))
+  /** pairs → components → per-doc (cluster id, size, keeper flag) —
+    * the shared resolution tail of every pair generator.
+    */
+  private def clustersOf(pairs: DataFrame): DataFrame = {
     val labels = connectedComponents(pairs)
     val sizes = labels.groupBy("component").agg(count("*").as("cluster_sz"))
     labels.join(sizes, "component")
@@ -101,14 +101,14 @@ object Components {
       .orderBy("doc_id")
   }
 
-  /** Oracle: same edges, transitive closure by recursive CTE (the
-    * oracle may be O(n·m); the Spark side must not be).
+  /** Recursive-CTE transitive-closure oracle over a pair CTE body
+    * producing (u, v) edges via `edgeSelect` — the SQL twin of
+    * [[clustersOf]] (the oracle may be O(n·m); the Spark side must
+    * not be).
     */
-  val dupClustersSql: String = {
-    val jacBody = Dedup.jaccardSql
-      .replace("ORDER BY d1, d2", "")
-    s"""WITH RECURSIVE jac AS ($jacBody),
-       |e0 AS (SELECT d1 AS u, d2 AS v FROM jac WHERE jaccard >= 0.5),
+  private def clustersSqlOf(pairsBody: String, edgeSelect: String): String =
+    s"""WITH RECURSIVE pairs AS ($pairsBody),
+       |e0 AS ($edgeSelect),
        |e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
        |reach(node, r) AS (
        |  SELECT u, v FROM e
@@ -120,7 +120,16 @@ object Components {
        |SELECT doc_id, component, cluster_sz,
        |  CAST(CASE WHEN doc_id = component THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
        |FROM lab JOIN szs USING (component) ORDER BY doc_id""".stripMargin
-  }
+
+  def dupClusters(s: SparkSession, dir: String): DataFrame =
+    clustersOf(
+      Dedup.jaccardOf(Dedup.shinglesOf(Tables.t(s, dir, "documents")))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("d1").as("src"), col("d2").as("dst")))
+
+  val dupClustersSql: String = clustersSqlOf(
+    Dedup.jaccardSql.replace("ORDER BY d1, d2", ""),
+    "SELECT d1 AS u, d2 AS v FROM pairs WHERE jaccard >= 0.5")
 
   /** Deterministic PageRank over a directed edge list — the domain/
     * document authority signal crawl-curation pipelines rank sources
@@ -206,33 +215,13 @@ object Components {
     * graphs; running CC over each is how a curation pipeline compares
     * them at corpus scale.
     */
-  def simhashClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.simhashPairs(s, dir)
-      .select(col("d1").as("src"), col("d2").as("dst"))
-    val labels = connectedComponents(pairs)
-    val sizes = labels.groupBy("component").agg(count("*").as("cluster_sz"))
-    labels.join(sizes, "component")
-      .select(col("node").as("doc_id"), col("component"), col("cluster_sz"),
-        when(col("node") === col("component"), 1L).otherwise(0L).as("is_keeper"))
-      .orderBy("doc_id")
-  }
+  def simhashClusters(s: SparkSession, dir: String): DataFrame =
+    clustersOf(Dedup.simhashPairs(s, dir)
+      .select(col("d1").as("src"), col("d2").as("dst")))
 
-  val simhashClustersSql: String = {
-    val pairsBody = Dedup.simhashPairsSql.replace("ORDER BY d1, d2", "")
-    s"""WITH RECURSIVE sp AS ($pairsBody),
-       |e0 AS (SELECT d1 AS u, d2 AS v FROM sp),
-       |e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
-       |reach(node, r) AS (
-       |  SELECT u, v FROM e
-       |  UNION
-       |  SELECT reach.node, e.v FROM reach JOIN e ON e.u = reach.r),
-       |lab AS (SELECT node AS doc_id, least(node, min(r)) AS component
-       |        FROM reach GROUP BY node),
-       |szs AS (SELECT component, count(*) AS cluster_sz FROM lab GROUP BY 1)
-       |SELECT doc_id, component, cluster_sz,
-       |  CAST(CASE WHEN doc_id = component THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
-       |FROM lab JOIN szs USING (component) ORDER BY doc_id""".stripMargin
-  }
+  val simhashClustersSql: String = clustersSqlOf(
+    Dedup.simhashPairsSql.replace("ORDER BY d1, d2", ""),
+    "SELECT d1 AS u, d2 AS v FROM pairs")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dup_clusters" -> (dupClusters _),

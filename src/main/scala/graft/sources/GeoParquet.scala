@@ -173,31 +173,43 @@ object GeoParquet {
     * falls back to a full recursive scan (correct, unpruned) — re-run
     * [[writeManifest]] to restore pruned reads.
     */
+  /** The manifest's file set is fresh iff: it exists, its epoch
+    * snapshot matches the layout epoch (O(1); writers that bypass
+    * [[append]]/[[compact]] MUST bump `_epoch` themselves), and —
+    * under `verify` — a full listing matches it both ways.
+    */
+  private def manifestFresh(spark: SparkSession, path: String,
+                            verify: Boolean): Boolean = {
+    val exists = fsOf(spark, path)
+      .exists(new org.apache.hadoop.fs.Path(s"$path/_manifest"))
+    exists &&
+      readEpoch(spark, path) == readEpochFile(spark, s"$path/_manifest_epoch") &&
+      (!verify || {
+        val manifested = spark.read.parquet(s"$path/_manifest")
+          .select("file").collect().map(_.getString(0))
+        // compare by URI path component: input_file_name() renders
+        // file:///p while Hadoop Path renders file:/p
+        val known = manifested
+          .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet
+        listDataFiles(spark, path).toSet == known
+      })
+  }
+
   def queryBoxViaManifest(spark: SparkSession, path: String,
                           xr: (Double, Double), yr: (Double, Double),
                           verify: Boolean = false): DataFrame = {
     val boxFilter =
       col("x") >= xr._1 && col("x") < xr._2 &&
         col("y") >= yr._1 && col("y") < yr._2
-    val manifest = spark.read.parquet(s"$path/_manifest")
-    val epochStale =
-      readEpoch(spark, path) != readEpochFile(spark, s"$path/_manifest_epoch")
-    val listingStale = verify && {
-      val manifested = manifest.select("file").collect().map(_.getString(0))
-      // compare by URI path component: input_file_name() renders
-      // file:///p while Hadoop Path renders file:/p
-      val known = manifested
-        .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet
-      listDataFiles(spark, path).toSet != known
-    }
-    if (epochStale || listingStale)
-      // stale manifest — layout mutated since writeManifest; correctness
-      // over pruning (recursiveFileLookup also disables partition
-      // inference, so appended bin_x=… files read with the flat schema)
+    if (!manifestFresh(spark, path, verify))
+      // stale/missing manifest — layout mutated since writeManifest;
+      // correctness over pruning (recursiveFileLookup also disables
+      // partition inference, so appended bin_x=… files read with the
+      // flat schema)
       spark.read.option("recursiveFileLookup", "true").parquet(path)
         .filter(boxFilter)
     else {
-      val files = manifest
+      val files = spark.read.parquet(s"$path/_manifest")
         .filter(col("x1") >= xr._1 && col("x0") < xr._2 &&
                 col("y1") >= yr._1 && col("y0") < yr._2)
         .select("file").collect().map(_.getString(0))
@@ -232,17 +244,29 @@ object GeoParquet {
     */
   def queryBoxCurve(spark: SparkSession, path: String,
                     xr: (Double, Double), yr: (Double, Double),
-                    delta: Double, maxRanges: Int = 32): DataFrame = {
+                    delta: Double, maxRanges: Int = 32,
+                    verify: Boolean = false): DataFrame = {
     import graft.functions.CurveRanges
+    val boxFilter =
+      col("x") >= xr._1 && col("x") < xr._2 &&
+        col("y") >= yr._1 && col("y") < yr._2
+    val hasManifest = fsOf(spark, path)
+      .exists(new org.apache.hadoop.fs.Path(s"$path/_manifest"))
+    if ((readEpoch(spark, path) != 0L || verify) &&
+        !manifestFresh(spark, path, verify))
+      // the layout was mutated since its (possibly never-written)
+      // manifest: appended files may be bin-partitioned and carry no
+      // curve key, so neither file pruning nor the key-range filter
+      // is sound — correctness over pruning, exactly as in
+      // [[queryBoxViaManifest]]
+      return spark.read.option("recursiveFileLookup", "true").parquet(path)
+        .filter(boxFilter)
     val base = spark.read.parquet(path)
     val keyCol = CurveKeyCols.find(base.columns.contains).getOrElse(
       throw new IllegalArgumentException(
         s"$path carries no curve key column (${CurveKeyCols.mkString("/")}); " +
           "write it with writeZOrdered/writeHilbertClustered"))
     val curve = if (keyCol == "zkey") CurveRanges.Z else CurveRanges.H
-    val boxFilter =
-      col("x") >= xr._1 && col("x") < xr._2 &&
-        col("y") >= yr._1 && col("y") < yr._2
     // cells intersecting the half-open box (cellOf = floor(v/δ)); the
     // top edge is a superset cell — the exact boxFilter re-trims it
     val ranges = CurveRanges.decompose(
@@ -252,11 +276,8 @@ object GeoParquet {
     if (ranges.isEmpty) return base.filter(lit(false))
     val keyFilter = ranges
       .map { case (lo, hi) => col(keyCol).between(lo, hi) }.reduce(_ || _)
-    val manifestOk = fsOf(spark, path)
-      .exists(new org.apache.hadoop.fs.Path(s"$path/_manifest")) &&
-      readEpoch(spark, path) == readEpochFile(spark, s"$path/_manifest_epoch")
     val src =
-      if (!manifestOk) base
+      if (!hasManifest) base // fresh unmanifested layout: row-group pruning only
       else {
         val m = spark.read.parquet(s"$path/_manifest")
         if (!m.columns.contains("k0")) base

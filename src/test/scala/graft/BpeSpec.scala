@@ -89,7 +89,11 @@ class BpeSpec extends SparkSpec {
     // normalize the way encodeCol does, then compare segmentations:
     // the wrapped-string replace chain must produce, per word, the
     // same token sequence as the native BpeEncode expression
-    val docs = graft.core.Tables.t(spark, sf, "documents").limit(200)
+    // deterministic doc selection (limit() without order is not);
+    // tokenize emits no rows for a letterless doc while the replace
+    // chain yields n = 0 for it, so compare over the nonzero support
+    val docs = graft.core.Tables.t(spark, sf, "documents")
+      .filter($"doc_id" < 200)
       .select($"doc_id",
         regexp_replace(lower($"text"), "[^a-z]+", " ").as("text"))
     val nativeCounts = Bpe.tokenize(docs, Bpe.PinnedMerges)
@@ -100,7 +104,8 @@ class BpeSpec extends SparkSpec {
       .select($"doc_id",
         (length($"enc") - length(replace($"enc", lit("("), lit(""))))
           .cast("long").as("n")).as[(Long, Long)].collect().toMap
-    assert(viaReplace == nativeCounts)
+    assert(viaReplace.filter(_._2 > 0) == nativeCounts)
+    assert(viaReplace.keySet.diff(nativeCounts.keySet).forall(viaReplace(_) == 0L))
     // and on a handful of fixed words, the full segmentation matches
     val words = Seq("master", "partition", "join", "hash", "rows",
       "interest", "lower", "a", "stow")

@@ -107,6 +107,22 @@ class ZOrderSpec extends SparkSpec {
     assert(pruned == afterIds)
   }
 
+  test("compact() destroys the manifest but the query degrades to a live scan, not a throw") {
+    val dir = java.nio.file.Files.createTempDirectory("compactq").toString
+    val pts = graft.core.Tables.eventsPoints(spark, sf)
+    GeoParquet.write(pts, dir, delta = 50.0)
+    GeoParquet.writeManifest(spark, dir)
+    GeoParquet.append(pts.limit(2)
+      .withColumn("id", col("id") + 9100000L)
+      .withColumn("x", lit(12.0)).withColumn("y", lit(12.0)), dir, delta = 50.0)
+    GeoParquet.compact(spark, dir)
+    // the swap dropped _manifest and _manifest_epoch; epoch survived+bumped
+    assert(GeoParquet.readEpoch(spark, dir) == 2L)
+    val got = GeoParquet.queryBoxViaManifest(spark, dir, (0.0, 100.0), (0.0, 100.0))
+      .select("id").as[Long].collect().toSet
+    assert(got.exists(_ >= 9100000L), "post-compact query lost appended rows")
+  }
+
   test("verify=true catches an external deletion the epoch cannot see") {
     val dir = java.nio.file.Files.createTempDirectory("staledel").toString
     val pts = graft.core.Tables.eventsPoints(spark, sf)
