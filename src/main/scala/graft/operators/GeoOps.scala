@@ -478,9 +478,33 @@ object GeoOps {
        |SELECT id, cell_x, cell_y, hkey FROM $finalRel ORDER BY id""".stripMargin
   }
 
+  // --- 61d. BIGMIN curve-range read (geo_index.py:410-429 offset-run
+  // pruning analog): write a z-ordered layout + manifest, then box
+  // query through the curve-key ranges; the exact x/y re-filter makes
+  // the result a plain box select, so the oracle is trivial while the
+  // Spark side exercises decompose → manifest k0/k1 file pruning →
+  // key-range row-group pushdown end to end.
+  def curveQuery(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("curveq").toString
+    graft.sources.GeoParquet.writeZOrdered(
+      pts(s, dir).select("id", "x", "y", "z"), path, 50.0, 16)
+    graft.sources.GeoParquet.writeManifest(s, path)
+    graft.sources.GeoParquet
+      .queryBoxCurve(s, path, (-150.0, 150.0), (-150.0, 150.0), 50.0)
+      .select("id", "x", "y", "z")
+      .orderBy("id")
+  }
+
+  val curveQuerySql: String =
+    s"""WITH pts AS ($P)
+       |SELECT id, x, y, z FROM pts
+       |WHERE x >= -150 AND x < 150 AND y >= -150 AND y < 150
+       |ORDER BY id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hilbert"         -> (hilbertKey _),
     "q_zorder"          -> (zorderKey _),
+    "q_curve_query"     -> (curveQuery _),
     "q_geoindex_build"  -> (geoindexBuild _),
     "q_geo_query_box"   -> (geoQueryBox _),
     "q_geo_layout_query" -> (geoLayoutQuery _),
@@ -500,6 +524,7 @@ object GeoOps {
   val oracles: Map[String, String] = Map(
     "q_hilbert"         -> hilbertKeySql,
     "q_zorder"          -> zorderKeySql,
+    "q_curve_query"     -> curveQuerySql,
     "q_geoindex_build"  -> geoindexBuildSql,
     "q_geo_query_box"   -> geoQueryBoxSql,
     "q_geo_layout_query" -> geoLayoutQuerySql,

@@ -73,6 +73,15 @@ object GeoParquet {
     */
   private val CurveKeyCols = Seq("zkey", "hkey")
 
+  /** Absolute filesystem path of the layout root, scheme-free —
+    * the prefix manifest entries are made relative to.
+    */
+  private def rootPathOf(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(p).toUri.getPath
+  }
+
   /** File-level min/max manifest of a flat (curve-clustered) layout —
     * the Iceberg-manifest-lite for layouts without partition
     * directories: a tiny sidecar table (one row per data file) that a
@@ -81,6 +90,13 @@ object GeoParquet {
     * planning against millions of footers and planning against one
     * small table.  The `_manifest` prefix keeps it invisible to
     * readers of the data directory (Spark skips `_`/`.` paths).
+    *
+    * Entries are ROOT-RELATIVE paths, so a manifest is relocatable by
+    * construction: moving/copying the layout directory needs no
+    * rewrite pass — the Spark answer to the reference's dir_root
+    * bookkeeping and its fix_dir_root repair script
+    * (geo_index.py:193-205, fix_dir_root.py:1-22), where every index
+    * stores an absolute root that breaks on relocation.
     */
   def writeManifest(spark: SparkSession, path: String): Unit = {
     val df = spark.read.parquet(path)
@@ -90,8 +106,15 @@ object GeoParquet {
       min("y").as("y0"), max("y").as("y1"))
     val aggs = base ++ keyCol.toSeq.flatMap(k =>
       Seq(min(k).as("k0"), max(k).as("k1")))
+    val root = rootPathOf(spark, path)
     df.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
+      // input_file_name renders a URI (file:///p, hdfs://nn/p, …);
+      // cut everything through "<root>/" by locating the root path
+      // inside it — scheme/authority-agnostic, pure expressions,
+      // distributed (a 100 TB layout has millions of manifest rows)
+      .withColumn("file",
+        expr(s"substring(file, instr(file, '$root') + ${root.length + 1})"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_manifest")
     // record the layout epoch the manifest describes — the O(1)
@@ -185,12 +208,11 @@ object GeoParquet {
     exists &&
       readEpoch(spark, path) == readEpochFile(spark, s"$path/_manifest_epoch") &&
       (!verify || {
-        val manifested = spark.read.parquet(s"$path/_manifest")
-          .select("file").collect().map(_.getString(0))
-        // compare by URI path component: input_file_name() renders
-        // file:///p while Hadoop Path renders file:/p
-        val known = manifested
-          .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet
+        // manifest entries are root-relative — resolve against the
+        // CURRENT root before comparing to the absolute listing
+        val root = rootPathOf(spark, path)
+        val known = spark.read.parquet(s"$path/_manifest")
+          .select("file").collect().map(r => s"$root/${r.getString(0)}").toSet
         listDataFiles(spark, path).toSet == known
       })
   }
@@ -212,7 +234,7 @@ object GeoParquet {
       val files = spark.read.parquet(s"$path/_manifest")
         .filter(col("x1") >= xr._1 && col("x0") < xr._2 &&
                 col("y1") >= yr._1 && col("y0") < yr._2)
-        .select("file").collect().map(_.getString(0))
+        .select("file").collect().map(r => s"$path/${r.getString(0)}")
       if (files.isEmpty)
         spark.read.parquet(path).filter(lit(false))
       else
@@ -285,7 +307,8 @@ object GeoParquet {
           val hit = ranges
             .map { case (lo, hi) => col("k1") >= lo && col("k0") <= hi }
             .reduce(_ || _)
-          val files = m.filter(hit).select("file").collect().map(_.getString(0))
+          val files = m.filter(hit).select("file").collect()
+            .map(r => s"$path/${r.getString(0)}")
           if (files.isEmpty) return base.filter(lit(false))
           spark.read.parquet(files.toIndexedSeq: _*)
         }

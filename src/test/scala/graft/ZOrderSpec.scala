@@ -107,6 +107,34 @@ class ZOrderSpec extends SparkSpec {
     assert(pruned == afterIds)
   }
 
+  test("relocated layout: root-relative manifest entries survive a directory move (change_root)") {
+    // the reference stores an absolute dir_root in every index and
+    // ships fix_dir_root.py to repair it after a move
+    // (geo_index.py:193-205); root-relative manifests make the move
+    // itself sufficient — no rewrite pass
+    val dirA = java.nio.file.Files.createTempDirectory("relocA").toString
+    val pts = graft.core.Tables.eventsPoints(spark, sf)
+    GeoParquet.writeZOrdered(pts, dirA, delta = 50.0, nFiles = 16)
+    GeoParquet.writeManifest(spark, dirA)
+    val xr = (0.0, 200.0); val yr = (0.0, 200.0)
+    val want = GeoParquet.queryBoxViaManifest(spark, dirA, xr, yr)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(want.nonEmpty)
+    val dirB = dirA + ".moved"
+    val fs = new org.apache.hadoop.fs.Path(dirA)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dirA),
+      new org.apache.hadoop.fs.Path(dirB)))
+    // pruned reads at the NEW root: same rows, still a fraction of the
+    // files, and the verify listing agrees with the relocated manifest
+    val moved = GeoParquet.queryBoxViaManifest(spark, dirB, xr, yr, verify = true)
+    assert(moved.select("id").as[Long].collect().sorted.toSeq == want)
+    val total = spark.read.parquet(dirB).inputFiles.length
+    assert(moved.inputFiles.length <= total / 2)
+    val movedCurve = GeoParquet.queryBoxCurve(spark, dirB, xr, yr, delta = 50.0)
+    assert(movedCurve.select("id").as[Long].collect().sorted.toSeq == want)
+  }
+
   test("compact() destroys the manifest but the query degrades to a live scan, not a throw") {
     val dir = java.nio.file.Files.createTempDirectory("compactq").toString
     val pts = graft.core.Tables.eventsPoints(spark, sf)
