@@ -72,6 +72,8 @@ object Plans {
     show("modality_audit", operators.Similarity.modalityAudit(spark, sf), joiny)
     show("bpe_encode (pinned merges, map-side)", operators.Bpe.bpeEncodeStats(spark, sf),
       Seq("Exchange", "Scan", "WholeStageCodegen"))
+    show("curve_query (BIGMIN key-range pushdown)", operators.GeoOps.curveQuery(spark, sf),
+      Seq("PushedFilters", "ReadSchema", "Scan", "Filter ("))
     spark.stop()
   }
 }

@@ -46,6 +46,7 @@ object Components {
 
     var converged = false
     var iter = 0
+    var edgeCount = edges.count()
     while (!converged && iter < maxIter) {
       // large-star: every node u connects its *larger* neighbors to
       // its minimum neighborhood member m(u) = min(N(u) ∪ {u})
@@ -69,9 +70,12 @@ object Components {
       // exact fixpoint test: both are distinct sets, so equal counts +
       // empty one-way difference ⇔ equality (a hash-sum comparison
       // would risk a silently wrong merge on collision); the cheap
-      // count gate skips the except entirely on still-shrinking rounds
-      converged = next.count() == edges.count() &&
-        next.except(edges).head(1).isEmpty
+      // count gate skips the except entirely on still-shrinking
+      // rounds, and the previous round's count is carried instead of
+      // re-counted (one job per round saved — iterative-loop hygiene)
+      val nextCount = next.count()
+      converged = nextCount == edgeCount && next.except(edges).head(1).isEmpty
+      edgeCount = nextCount
       edges = next
       iter += 1
     }

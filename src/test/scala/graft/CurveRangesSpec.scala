@@ -66,6 +66,23 @@ class CurveRangesSpec extends SparkSpec {
     }
   }
 
+  test("decompose: seeded random boxes — exact under a generous budget, both curves") {
+    val rnd = new scala.util.Random(20260812L)
+    for (_ <- 1 to 25; (cname, curve, key) <- curves) {
+      val cx0 = rnd.nextLong(2000) - 1000
+      val cy0 = rnd.nextLong(2000) - 1000
+      val w = rnd.nextLong(12); val h = rnd.nextLong(12)
+      val (cx1, cy1) = (cx0 + w, cy0 + h)
+      val ranges = CurveRanges.decompose(cx0, cx1, cy0, cy1, curve, maxRanges = 4096)
+      val inBox = (for (cx <- cx0 to cx1; cy <- cy0 to cy1) yield key(cx, cy)).toSet
+      val covered = inBox.forall(k =>
+        ranges.exists { case (lo, hi) => k >= lo && k <= hi })
+      val total = ranges.map { case (lo, hi) => hi - lo + 1 }.sum
+      assert(covered && total == inBox.size.toLong,
+        s"$cname [$cx0..$cx1]x[$cy0..$cy1]: covered=$covered total=$total want=${inBox.size}")
+    }
+  }
+
   test("decompose: a huge box coarsens to superset runs within budget") {
     for ((cname, curve, key) <- curves) {
       val ranges = CurveRanges.decompose(-500L, 499L, -500L, 499L, curve, maxRanges = 16)
