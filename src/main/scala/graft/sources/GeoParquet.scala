@@ -330,6 +330,64 @@ object GeoParquet {
     bumpEpoch(df.sparkSession, path)
   }
 
+  /** Append a batch AND incrementally maintain the manifest — the
+    * O(batch) ingest path that keeps pruned reads fresh without the
+    * full-layout rebuild [[writeManifest]] costs (at 100 TB a rebuild
+    * re-reads every footer; this touches only the batch):
+    *
+    *   1. bump `_epoch` FIRST — from here readers see a stale
+    *      manifest and fall back to a correct unpruned scan, so a
+    *      crash anywhere below degrades performance, never answers;
+    *   2. stage the batch into a sibling directory, harvest its
+    *      per-file min/max stats (reads only the staged files);
+    *   3. move the staged files into the layout (bin-dir-preserving
+    *      renames — part-file names are UUID-unique);
+    *   4. append the stats rows to `_manifest` and snapshot
+    *      `_manifest_epoch` — pruned reads resume.
+    *
+    * Requires an existing base-schema manifest (bin-partitioned
+    * layouts; curve-clustered layouts are overwrite-only by design).
+    * Falls back to plain [[append]] when the layout has no manifest.
+    */
+  def appendWithManifest(df: DataFrame, path: String, delta: Double): Unit = {
+    val spark = df.sparkSession
+    val fs = fsOf(spark, path)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_manifest"))) {
+      append(df, path, delta); return
+    }
+    require(!spark.read.parquet(s"$path/_manifest").columns.contains("k0"),
+      "appendWithManifest maintains bin-partitioned manifests; " +
+        "curve-clustered layouts are overwrite-only (rewrite + writeManifest)")
+    val newEpoch = readEpoch(spark, path) + 1
+    writeEpochFile(spark, s"$path/_epoch", newEpoch) // stale until step 4
+    val tmp = path + ".staging-" + java.util.UUID.randomUUID().toString.take(8)
+    df.withColumn("bin_x", GeoOps.binOf(col("x"), delta))
+      .withColumn("bin_y", GeoOps.binOf(col("y"), delta))
+      .write.mode("overwrite").partitionBy("bin_x", "bin_y").parquet(tmp)
+    // per-file stats over the STAGED batch only, root-relative — the
+    // relative path is identical after the rename below
+    val tmpRoot = rootPathOf(spark, tmp)
+    val stats = spark.read.parquet(tmp)
+      .groupBy(input_file_name().as("file"))
+      .agg(count("*").as("n_rows"),
+        min("x").as("x0"), max("x").as("x1"),
+        min("y").as("y0"), max("y").as("y1"))
+      .withColumn("file",
+        expr(s"substring(file, instr(file, '$tmpRoot') + ${tmpRoot.length + 1})"))
+      .localCheckpoint() // materialize BEFORE the files move away
+    val staged = listDataFiles(spark, tmp)
+    staged.foreach { abs =>
+      val rel = abs.stripPrefix(tmpRoot).stripPrefix("/")
+      val dst = new org.apache.hadoop.fs.Path(s"$path/$rel")
+      fs.mkdirs(dst.getParent)
+      require(fs.rename(new org.apache.hadoop.fs.Path(abs), dst),
+        s"staging rename failed for $rel")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    stats.coalesce(1).write.mode("append").parquet(s"$path/_manifest")
+    writeEpochFile(spark, s"$path/_manifest_epoch", newEpoch)
+  }
+
   /** Compact the layout in place: streaming appends leave one small
     * file per bin per micro-batch; rewriting each bin's rows into one
     * file restores scan efficiency (the operational sibling of

@@ -135,6 +135,35 @@ class ZOrderSpec extends SparkSpec {
     assert(movedCurve.select("id").as[Long].collect().sorted.toSeq == want)
   }
 
+  test("appendWithManifest: O(batch) manifest maintenance keeps pruned reads fresh") {
+    val dir = java.nio.file.Files.createTempDirectory("incman").toString
+    val pts = graft.core.Tables.eventsPoints(spark, sf)
+    GeoParquet.write(pts, dir, delta = 50.0)
+    GeoParquet.writeManifest(spark, dir)
+    val batch = pts.limit(3)
+      .withColumn("id", col("id") + 9200000L)
+      .withColumn("x", lit(10.0)).withColumn("y", lit(10.0))
+    GeoParquet.appendWithManifest(batch, dir, delta = 50.0)
+    // no writeManifest re-run — epochs must ALREADY agree (fresh)
+    assert(GeoParquet.readEpoch(spark, dir) == 1L)
+    val xr = (0.0, 100.0); val yr = (0.0, 100.0)
+    // verify=true proves the incrementally-appended manifest matches
+    // a full listing BOTH ways — and the read is pruned, not fallback
+    val q = GeoParquet.queryBoxViaManifest(spark, dir, xr, yr, verify = true)
+    val ids = q.select("id").as[Long].collect().toSet
+    assert(ids.exists(_ >= 9200000L), "appended rows missing from pruned read")
+    val total = spark.read.parquet(dir).inputFiles.length
+    assert(q.inputFiles.length < total,
+      s"read ${q.inputFiles.length} of $total files — fallback, not pruned")
+    // second increment chains the epoch
+    GeoParquet.appendWithManifest(batch.withColumn("id", col("id") + 100L),
+      dir, delta = 50.0)
+    assert(GeoParquet.readEpoch(spark, dir) == 2L)
+    val again = GeoParquet.queryBoxViaManifest(spark, dir, xr, yr, verify = true)
+      .select("id").as[Long].collect().toSet
+    assert(again.exists(_ >= 9200100L))
+  }
+
   test("compact() destroys the manifest but the query degrades to a live scan, not a throw") {
     val dir = java.nio.file.Files.createTempDirectory("compactq").toString
     val pts = graft.core.Tables.eventsPoints(spark, sf)
