@@ -416,6 +416,25 @@ object GeoParquet {
     writeEpochFile(spark, s"$path/_epoch", epochBefore + 1)
   }
 
+  /** Run [[compact]] only when some bin holds more than
+    * `maxFilesPerBin` data files — the scheduling gate a maintenance
+    * job calls after streaming ingest (each micro-batch appends one
+    * small file per touched bin; compacting every batch would rewrite
+    * the layout continuously, never compacting lets scans degrade to
+    * one open per tiny file).  The listing is the same O(files) walk
+    * compact itself needs, so the gate adds no asymptotic cost.
+    *
+    * @return true iff compaction ran.
+    */
+  def compactIfNeeded(spark: SparkSession, path: String,
+                      maxFilesPerBin: Int = 4): Boolean = {
+    val pressure = listDataFiles(spark, path)
+      .groupBy(f => f.substring(0, f.lastIndexOf('/')))
+      .values.exists(_.size > maxFilesPerBin)
+    if (pressure) compact(spark, path)
+    pressure
+  }
+
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 

@@ -151,8 +151,11 @@ class EngineInfraSpec extends SparkSpec {
     def filesInBin = new java.io.File(s"$dir/data/bin_x=0/bin_y=0")
       .listFiles().count(_.getName.endsWith(".parquet"))
     assert(filesInBin >= 2)
-    GeoParquet.compact(spark, s"$dir/data")
+    // the scheduling gate fires above the per-bin threshold…
+    assert(GeoParquet.compactIfNeeded(spark, s"$dir/data", maxFilesPerBin = 1))
     assert(filesInBin == 1)
+    // …and declines on an already-compact layout
+    assert(!GeoParquet.compactIfNeeded(spark, s"$dir/data", maxFilesPerBin = 1))
     assert(GeoParquet.read(spark, s"$dir/data").count() == 3)
     assert(GeoParquet.queryBox(spark, s"$dir/data", (0L, 100L), (0L, 100L))
       .count() == 2)
