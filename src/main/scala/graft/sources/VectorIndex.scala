@@ -58,6 +58,36 @@ object VectorIndex {
       .write.mode("append").partitionBy("cent").parquet(s"$path/data")
   }
 
+  /** Compact the index's `cent=` partitions in place — streaming
+    * [[append]]s leave one small file per touched centroid list per
+    * micro-batch, exactly the GeoParquet small-file story; the
+    * centroid sidecar (the model) is untouched.  `maxFilesPerCent`
+    * gates the rewrite so a scheduler can call this after every batch
+    * without continuously rewriting the corpus.
+    *
+    * @return true iff compaction ran.
+    */
+  def compactIfNeeded(spark: SparkSession, path: String,
+                      maxFilesPerCent: Int = 4): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataDir = new org.apache.hadoop.fs.Path(s"$path/data")
+    val pressure = fs.listStatus(dataDir).exists { st =>
+      st.isDirectory && st.getPath.getName.startsWith("cent=") &&
+        fs.listStatus(st.getPath)
+          .count(_.getPath.getName.endsWith(".parquet")) > maxFilesPerCent
+    }
+    if (pressure) {
+      val tmp = s"$path/data.compact"
+      spark.read.parquet(s"$path/data")
+        .repartition(col("cent"))
+        .write.mode("overwrite").partitionBy("cent").parquet(tmp)
+      fs.delete(dataDir, true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), dataDir)
+    }
+    pressure
+  }
+
   def centroids(spark: SparkSession, path: String): IndexedSeq[Array[Double]] =
     spark.read.parquet(s"$path/centroids")
       .orderBy("cent")

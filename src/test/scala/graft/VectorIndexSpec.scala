@@ -68,6 +68,18 @@ class VectorIndexSpec extends SparkSpec {
       .orderBy($"cos".desc, $"vec_id")
       .limit(5).select("vec_id").as[Long].collect().toSeq
     assert(got == want)
+    // streaming appends left >1 file in some cent partition; the
+    // gated compaction folds them and search results are unchanged
+    def maxFilesPerCent = new java.io.File(s"$d/data").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cent="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).max
+    assert(maxFilesPerCent > 1)
+    assert(VectorIndex.compactIfNeeded(spark, d, maxFilesPerCent = 1))
+    assert(maxFilesPerCent == 1)
+    assert(!VectorIndex.compactIfNeeded(spark, d, maxFilesPerCent = 1))
+    val gotAfter = VectorIndex.search(spark, d, qvec, nprobe = 8, k = 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(gotAfter == want)
   }
 
   test("zero-norm vectors are excluded by contract: not persisted, never returned") {
