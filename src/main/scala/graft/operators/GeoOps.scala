@@ -501,10 +501,53 @@ object GeoOps {
        |WHERE x >= -150 AND x < 150 AND y >= -150 AND y < 150
        |ORDER BY id""".stripMargin
 
+  // --- 61e. Hilbert BIGMIN read over an INCREMENTALLY grown layout:
+  // base write (even ids) + appendCurve of the rest (the O(batch)
+  // ingest path that keeps the manifest fresh without a rewrite),
+  // then a curve-range box read.  The exact x/y re-filter makes the
+  // oracle the plain box select over ALL points — rows lost to a
+  // mis-maintained manifest or ranges miscomputed for the Hilbert
+  // kernel would hash-mismatch.
+  def curveQueryH(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("curveqh").toString
+    val p = pts(s, dir).select("id", "x", "y", "z")
+    graft.sources.GeoParquet.writeHilbertClustered(
+      p.filter(col("id") % 2 === 0), path, 50.0, 8)
+    graft.sources.GeoParquet.writeManifest(s, path)
+    graft.sources.GeoParquet.appendCurve(
+      p.filter(col("id") % 2 === 1), path, 50.0, 4)
+    graft.sources.GeoParquet
+      .queryBoxCurve(s, path, (-150.0, 150.0), (-150.0, 150.0), 50.0)
+      .select("id", "x", "y", "z")
+      .orderBy("id")
+  }
+
+  val curveQueryHSql: String = curveQuerySql
+
+  // --- 61f. manifest-answered box count: interior files contribute
+  // manifest n_rows unopened; only boundary-straddling files are
+  // scanned (perimeter-not-area planning; the reference's quick
+  // cardinality probe is a geo_index query + len()).
+  def countBox(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("countbox").toString
+    graft.sources.GeoParquet.writeZOrdered(
+      pts(s, dir).select("id", "x", "y", "z"), path, 50.0, 16)
+    graft.sources.GeoParquet.writeManifest(s, path)
+    graft.sources.GeoParquet
+      .countBoxViaManifest(s, path, (-200.0, 200.0), (-200.0, 200.0))
+  }
+
+  val countBoxSql: String =
+    s"""WITH pts AS ($P)
+       |SELECT count(*) AS n FROM pts
+       |WHERE x >= -200 AND x < 200 AND y >= -200 AND y < 200""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hilbert"         -> (hilbertKey _),
     "q_zorder"          -> (zorderKey _),
     "q_curve_query"     -> (curveQuery _),
+    "q_curve_query_h"   -> (curveQueryH _),
+    "q_count_box"       -> (countBox _),
     "q_geoindex_build"  -> (geoindexBuild _),
     "q_geo_query_box"   -> (geoQueryBox _),
     "q_geo_layout_query" -> (geoLayoutQuery _),
@@ -525,6 +568,8 @@ object GeoOps {
     "q_hilbert"         -> hilbertKeySql,
     "q_zorder"          -> zorderKeySql,
     "q_curve_query"     -> curveQuerySql,
+    "q_curve_query_h"   -> curveQueryHSql,
+    "q_count_box"       -> countBoxSql,
     "q_geoindex_build"  -> geoindexBuildSql,
     "q_geo_query_box"   -> geoQueryBoxSql,
     "q_geo_layout_query" -> geoLayoutQuerySql,

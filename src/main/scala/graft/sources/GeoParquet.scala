@@ -242,6 +242,42 @@ object GeoParquet {
     }
   }
 
+  /** Box COUNT answered (mostly) from the manifest: a file whose
+    * [x0,x1]×[y0,y1] envelope lies fully inside the half-open box
+    * contributes its manifest `n_rows` without being opened; only
+    * files STRADDLING the box boundary are scanned and filtered.  At
+    * 100 TB a cardinality probe — the reference's "how many points
+    * here?" (a geo_index query followed by len()) — then touches
+    * kilobytes of manifest plus the box *perimeter* instead of
+    * scanning the box *area*.  Stale manifest ⇒ full recursive-scan
+    * count, exactly as [[queryBoxViaManifest]].
+    */
+  def countBoxViaManifest(spark: SparkSession, path: String,
+                          xr: (Double, Double), yr: (Double, Double),
+                          verify: Boolean = false): DataFrame = {
+    val boxFilter =
+      col("x") >= xr._1 && col("x") < xr._2 &&
+        col("y") >= yr._1 && col("y") < yr._2
+    if (!manifestFresh(spark, path, verify))
+      return spark.read.option("recursiveFileLookup", "true").parquet(path)
+        .filter(boxFilter).agg(count("*").as("n"))
+    val m = spark.read.parquet(s"$path/_manifest")
+    val intersects = col("x1") >= xr._1 && col("x0") < xr._2 &&
+      col("y1") >= yr._1 && col("y0") < yr._2
+    val contained = col("x0") >= xr._1 && col("x1") < xr._2 &&
+      col("y0") >= yr._1 && col("y1") < yr._2
+    val interior = m.filter(intersects && contained)
+      .agg(coalesce(sum("n_rows"), lit(0L)).as("n"))
+    val boundaryFiles = m.filter(intersects && !contained)
+      .select("file").collect().map(r => s"$path/${r.getString(0)}")
+    if (boundaryFiles.isEmpty) interior
+    else
+      interior.union(
+        spark.read.parquet(boundaryFiles.toIndexedSeq: _*)
+          .filter(boxFilter).agg(count("*").as("n")))
+        .agg(sum("n").as("n"))
+  }
+
   /** Box query over a curve-clustered layout ([[writeZOrdered]] /
     * [[writeHilbertClustered]]) planned through BIGMIN curve-range
     * decomposition — the Spark analog of the reference's offset-run
@@ -375,8 +411,20 @@ object GeoParquet {
       .withColumn("file",
         expr(s"substring(file, instr(file, '$tmpRoot') + ${tmpRoot.length + 1})"))
       .localCheckpoint() // materialize BEFORE the files move away
-    val staged = listDataFiles(spark, tmp)
-    staged.foreach { abs =>
+    commitStaged(spark, path, tmp, stats, newEpoch)
+  }
+
+  /** Steps 3–4 of the staged-append protocol shared by
+    * [[appendWithManifest]] and [[appendCurve]]: move the staged
+    * files into the layout (bin-dir-preserving renames; part-file
+    * names are UUID-unique), append their stats rows to `_manifest`,
+    * snapshot `_manifest_epoch` — pruned reads resume.
+    */
+  private def commitStaged(spark: SparkSession, path: String, tmp: String,
+                           stats: DataFrame, newEpoch: Long): Unit = {
+    val fs = fsOf(spark, path)
+    val tmpRoot = rootPathOf(spark, tmp)
+    listDataFiles(spark, tmp).foreach { abs =>
       val rel = abs.stripPrefix(tmpRoot).stripPrefix("/")
       val dst = new org.apache.hadoop.fs.Path(s"$path/$rel")
       fs.mkdirs(dst.getParent)
@@ -386,6 +434,89 @@ object GeoParquet {
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     stats.coalesce(1).write.mode("append").parquet(s"$path/_manifest")
     writeEpochFile(spark, s"$path/_manifest_epoch", newEpoch)
+  }
+
+  /** [[appendWithManifest]] for CURVE-clustered layouts
+    * ([[writeZOrdered]]/[[writeHilbertClustered]]): append a batch as
+    * new internally-sorted curve files and extend the manifest with
+    * their [k0,k1] key ranges — O(batch), no layout rewrite.
+    *
+    * Appending gives up the GLOBAL key sort (a new file's key range
+    * may overlap old ones), but [[queryBoxCurve]] never needed it:
+    * file pruning rides per-file manifest [k0,k1] and row-group
+    * pruning rides per-file parquet min/max, and both only need each
+    * file to be INTERNALLY key-sorted — which the staged write
+    * enforces.  Accumulated overlap does erode selectivity (each
+    * boundary range opens every file whose range covers it), so run
+    * [[compactCurve]] under small-file pressure, exactly as
+    * [[compactIfNeeded]] does for bin layouts.  The crash ordering is
+    * [[appendWithManifest]]'s: `_epoch` bumps first, so a failure
+    * anywhere below degrades reads to a correct unpruned scan, never
+    * a wrong answer.
+    */
+  def appendCurve(df: DataFrame, path: String, delta: Double,
+                  nFiles: Int = 1): Unit = {
+    val spark = df.sparkSession
+    val fs = fsOf(spark, path)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/_manifest")),
+      "appendCurve needs the layout manifest (writeManifest first) — " +
+        "queryBoxCurve file pruning is manifest-driven")
+    val keyCol = CurveKeyCols.find(spark.read.parquet(path).columns.contains)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$path carries no curve key column (${CurveKeyCols.mkString("/")}); " +
+          "appendCurve serves writeZOrdered/writeHilbertClustered layouts"))
+    val keyed =
+      if (keyCol == "zkey")
+        df.withColumn("zkey", graft.functions.ZOrder.zkey(
+          GeoOps.cellOf(col("x"), delta), GeoOps.cellOf(col("y"), delta)))
+      else
+        df.withColumn("hkey", graft.functions.Hilbert.dkey(
+          GeoOps.cellOf(col("x"), delta), GeoOps.cellOf(col("y"), delta)))
+    val newEpoch = readEpoch(spark, path) + 1
+    writeEpochFile(spark, s"$path/_epoch", newEpoch) // stale until commit
+    val tmp = path + ".staging-" + java.util.UUID.randomUUID().toString.take(8)
+    keyed.repartitionByRange(nFiles, col(keyCol))
+      .sortWithinPartitions(keyCol)
+      .write.mode("overwrite").parquet(tmp)
+    val tmpRoot = rootPathOf(spark, tmp)
+    val stats = spark.read.parquet(tmp)
+      .groupBy(input_file_name().as("file"))
+      .agg(count("*").as("n_rows"),
+        min("x").as("x0"), max("x").as("x1"),
+        min("y").as("y0"), max("y").as("y1"),
+        min(keyCol).as("k0"), max(keyCol).as("k1"))
+      .withColumn("file",
+        expr(s"substring(file, instr(file, '$tmpRoot') + ${tmpRoot.length + 1})"))
+      .localCheckpoint() // materialize BEFORE the files move away
+    commitStaged(spark, path, tmp, stats, newEpoch)
+  }
+
+  /** [[compact]] for curve-clustered layouts: [[appendCurve]] leaves
+    * overlapping small files; re-running the global range partition +
+    * within-file sort restores one non-overlapping globally-sorted
+    * chain of `nFiles` files, then rebuilds the manifest.  Schedule
+    * it on small-file pressure, not per batch.
+    */
+  def compactCurve(spark: SparkSession, path: String, nFiles: Int): Unit = {
+    val df = spark.read.parquet(path)
+    val keyCol = CurveKeyCols.find(df.columns.contains).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path is not curve-clustered (${CurveKeyCols.mkString("/")} absent)"))
+    val tmp = path + ".compact"
+    val epochBefore = readEpoch(spark, path)
+    df.repartitionByRange(nFiles, col(keyCol))
+      .sortWithinPartitions(keyCol)
+      .write.mode("overwrite").parquet(tmp) // materializes before the swap
+    val fs = fsOf(spark, path)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
+      s"compaction swap failed for $path")
+    // the swap dropped the sidecars — restore-and-bump the epoch so a
+    // pre-compaction manifest read elsewhere can never look fresh,
+    // then rebuild the manifest for this epoch
+    writeEpochFile(spark, s"$path/_epoch", epochBefore + 1)
+    writeManifest(spark, path)
   }
 
   /** Compact the layout in place: streaming appends leave one small

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.GeoParquet
+
+/** Incremental maintenance of curve-clustered layouts: appendCurve
+  * (O(batch) manifest extension), compactCurve (global re-sort), and
+  * the manifest-answered box count.
+  */
+class CurveAppendSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def boxIds(df: org.apache.spark.sql.DataFrame,
+                     xr: (Double, Double), yr: (Double, Double)): Set[Long] =
+    df.filter($"x" >= xr._1 && $"x" < xr._2 && $"y" >= yr._1 && $"y" < yr._2)
+      .select("id").as[Long].collect().toSet
+
+  test("appendCurve: manifest stays fresh, pruned curve reads see the appended rows") {
+    val dir = java.nio.file.Files.createTempDirectory("capp").toString
+    val pts = graft.core.Tables.eventsPoints(spark, sf)
+    GeoParquet.writeZOrdered(pts.filter($"id" % 2 === 0), dir, 50.0, 8)
+    GeoParquet.writeManifest(spark, dir)
+    GeoParquet.appendCurve(pts.filter($"id" % 2 === 1), dir, 50.0, nFiles = 2)
+
+    // the epoch handshake held — no stale fallback on the next read
+    assert(GeoParquet.readEpoch(spark, dir) == 1L)
+    val xr = (0.0, 200.0); val yr = (0.0, 200.0)
+    val got = GeoParquet.queryBoxCurve(spark, dir, xr, yr, 50.0)
+    assert(got.select("id").as[Long].collect().toSet == boxIds(pts, xr, yr),
+      "pruned curve read after appendCurve lost or invented rows")
+    // both halves are visible THROUGH the pruned path: parity check
+    val parities = got.select(($"id" % 2).as("p")).distinct().as[Long].collect().toSet
+    assert(parities == Set(0L, 1L))
+    // file pruning still prunes: the small box opens a strict subset
+    val total = spark.read.parquet(dir).inputFiles.length
+    assert(got.inputFiles.length < total,
+      s"${got.inputFiles.length} of $total files opened for a 1% box")
+    // manifest rows grew by the appended file count, all with k ranges
+    val m = spark.read.parquet(s"$dir/_manifest")
+    assert(m.count() == total)
+    assert(m.filter($"k0".isNull || $"k1".isNull).count() == 0)
+  }
+
+  test("appendCurve serves both curves and rejects unmanifested/non-curve layouts") {
+    val pts = graft.core.Tables.eventsPoints(spark, sf)
+    // hilbert path
+    val dirH = java.nio.file.Files.createTempDirectory("capph").toString
+    GeoParquet.writeHilbertClustered(pts.filter($"id" % 2 === 0), dirH, 50.0, 8)
+    GeoParquet.writeManifest(spark, dirH)
+    GeoParquet.appendCurve(pts.filter($"id" % 2 === 1), dirH, 50.0, nFiles = 2)
+    val xr = (0.0, 200.0); val yr = (0.0, 200.0)
+    assert(GeoParquet.queryBoxCurve(spark, dirH, xr, yr, 50.0)
+      .select("id").as[Long].collect().toSet == boxIds(pts, xr, yr))
+    // no manifest -> explicit refusal (pruning would silently degrade)
+    val dirN = java.nio.file.Files.createTempDirectory("cappn").toString
+    GeoParquet.writeZOrdered(pts, dirN, 50.0, 4)
+    intercept[IllegalArgumentException] {
+      GeoParquet.appendCurve(pts.limit(1), dirN, 50.0)
+    }
+    // bin-partitioned layout -> wrong entry point
+    val dirB = java.nio.file.Files.createTempDirectory("cappb").toString
+    GeoParquet.write(pts, dirB, 50.0)
+    GeoParquet.writeManifest(spark, dirB)
+    intercept[IllegalArgumentException] {
+      GeoParquet.appendCurve(pts.limit(1), dirB, 50.0)
+    }
+  }
+
+  test("compactCurve: restores a disjoint globally-sorted chain; reads stay correct") {
+    val dir = java.nio.file.Files.createTempDirectory("ccomp").toString
+    val pts = graft.core.Tables.eventsPoints(spark, sf)
+    GeoParquet.writeZOrdered(pts.filter($"id" % 3 === 0), dir, 50.0, 4)
+    GeoParquet.writeManifest(spark, dir)
+    GeoParquet.appendCurve(pts.filter($"id" % 3 === 1), dir, 50.0, nFiles = 2)
+    GeoParquet.appendCurve(pts.filter($"id" % 3 === 2), dir, 50.0, nFiles = 2)
+    GeoParquet.compactCurve(spark, dir, nFiles = 4)
+
+    assert(spark.read.parquet(dir).inputFiles.length == 4)
+    // per-file key ranges are pairwise disjoint again (global sort)
+    val ranges = spark.read.parquet(s"$dir/_manifest")
+      .select("k0", "k1").as[(Long, Long)].collect().sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi < lo, s"overlap: $hi >= $lo")
+      case _ =>
+    }
+    // fresh manifest (compact bumped + re-manifested), pruned read exact
+    val xr = (0.0, 200.0); val yr = (0.0, 200.0)
+    val got = GeoParquet.queryBoxCurve(spark, dir, xr, yr, 50.0)
+    assert(got.select("id").as[Long].collect().toSet == boxIds(pts, xr, yr))
+    assert(got.inputFiles.length < 4)
+  }
+
+  test("countBoxViaManifest: interior files are counted without being opened") {
+    val dir = java.nio.file.Files.createTempDirectory("cbox").toString
+    val pts = graft.core.Tables.eventsPoints(spark, sf)
+    GeoParquet.writeZOrdered(pts, dir, 50.0, 16)
+    GeoParquet.writeManifest(spark, dir)
+    // a box covering the whole domain: EVERY file is interior — the
+    // count must come from the manifest alone, zero data files opened
+    val all = GeoParquet.countBoxViaManifest(
+      spark, dir, (-1e9, 1e9), (-1e9, 1e9))
+    assert(all.inputFiles.forall(_.contains("_manifest")),
+      s"data files opened for an interior-only count: ${all.inputFiles.toSeq}")
+    assert(all.as[Long].head() == pts.count())
+    // a boundary-straddling box: exact, and only boundary files opened
+    val xr = (0.0, 200.0); val yr = (0.0, 200.0)
+    val mixed = GeoParquet.countBoxViaManifest(spark, dir, xr, yr)
+    assert(mixed.as[Long].head() == boxIds(pts, xr, yr).size.toLong)
+    val total = spark.read.parquet(dir).inputFiles.length
+    val opened = mixed.inputFiles.count(!_.contains("_manifest"))
+    assert(opened < total, s"$opened of $total data files opened")
+    // stale layout (out-of-band append) -> correct unpruned fallback
+    GeoParquet.append(pts.limit(5)
+      .withColumn("id", $"id" + 9000000L)
+      .withColumn("x", lit(10.0)).withColumn("y", lit(10.0)), dir, 50.0)
+    val stale = GeoParquet.countBoxViaManifest(spark, dir, xr, yr)
+    assert(stale.as[Long].head() == boxIds(pts, xr, yr).size.toLong + 5L)
+  }
+}
