@@ -509,6 +509,11 @@ object GeoParquet {
       .write.mode("overwrite").parquet(tmp) // materializes before the swap
     val fs = fsOf(spark, path)
     val dst = new org.apache.hadoop.fs.Path(path)
+    // carry the streaming-ingest batch markers across the swap, or a
+    // restarted stream would re-append batches it already committed
+    val markers = new org.apache.hadoop.fs.Path(path, "_batches")
+    if (fs.exists(markers))
+      fs.rename(markers, new org.apache.hadoop.fs.Path(tmp, "_batches"))
     fs.delete(dst, true)
     require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
       s"compaction swap failed for $path")
@@ -517,6 +522,34 @@ object GeoParquet {
     // then rebuild the manifest for this epoch
     writeEpochFile(spark, s"$path/_epoch", epochBefore + 1)
     writeManifest(spark, path)
+  }
+
+  /** Run [[compactCurve]] only under OVERLAP pressure: the max number
+    * of files whose [k0,k1] ranges cover a single curve key — exactly
+    * how many files a point/small-range read must open.  A freshly
+    * compacted layout has depth 1; every [[appendCurve]] batch can
+    * raise it by `nFiles`.  The gate reads the MANIFEST, not the file
+    * tree — O(files) rows from one sidecar table instead of a
+    * recursive listing, so at 100 TB the scheduling decision costs a
+    * planning step, not an object-store walk.
+    *
+    * @return true iff compaction ran.
+    */
+  def compactCurveIfNeeded(spark: SparkSession, path: String, nFiles: Int,
+                           maxOverlap: Int = 4): Boolean = {
+    val ranges = spark.read.parquet(s"$path/_manifest")
+      .select("k0", "k1").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // sweep: depth at each range start = ranges begun - ranges ended
+    val ends = ranges.map(_._2).sorted
+    var depth = 0; var maxDepth = 0; var e = 0
+    ranges.foreach { case (lo, _) =>
+      while (e < ends.length && ends(e) < lo) { depth -= 1; e += 1 }
+      depth += 1; maxDepth = maxDepth.max(depth)
+    }
+    val pressure = maxDepth > maxOverlap
+    if (pressure) compactCurve(spark, path, nFiles)
+    pressure
   }
 
   /** Compact the layout in place: streaming appends leave one small

@@ -122,6 +122,53 @@ object EventStream {
       }
       .start()
 
+  /** Streaming ingest into a CURVE-clustered layout
+    * (GeoParquet.writeZOrdered/writeHilbertClustered): every
+    * micro-batch lands as internally-key-sorted files via
+    * GeoParquet.appendCurve, which also extends the `_manifest` under
+    * the epoch handshake — so BIGMIN curve-range reads
+    * (queryBoxCurve) stay PRUNED, not fallback-scanning, while data
+    * streams in.  Appends accumulate key-range overlap; the gated
+    * compactCurveIfNeeded keeps point-read fan-out (files covering
+    * one key) bounded by `maxOverlap`, and its gate reads the
+    * manifest, not the file tree.  The first batch seeds the layout
+    * (writeZOrdered/writeHilbertClustered + writeManifest); later
+    * ones append.  Same restart semantics as [[ingestGeoParquet]]:
+    * `_batches/` markers make replays no-ops.
+    */
+  def ingestCurveParquet(points: DataFrame, path: String, delta: Double,
+                         checkpoint: String, hilbert: Boolean = false,
+                         nFilesPerBatch: Int = 1,
+                         compactTo: Int = 16, maxOverlap: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    points.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(s"$path/_batches/$batchId")
+        if (!fs.exists(marker)) {
+          if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_manifest"))) {
+            if (hilbert)
+              graft.sources.GeoParquet.writeHilbertClustered(
+                batch, path, delta, nFilesPerBatch)
+            else
+              graft.sources.GeoParquet.writeZOrdered(
+                batch, path, delta, nFilesPerBatch)
+            graft.sources.GeoParquet.writeManifest(spark, path)
+          } else
+            graft.sources.GeoParquet.appendCurve(batch, path, delta, nFilesPerBatch)
+          fs.mkdirs(marker.getParent)
+          fs.create(marker, true).close()
+          graft.sources.GeoParquet.compactCurveIfNeeded(
+            spark, path, compactTo, maxOverlap)
+          ()
+        }
+      }
+      .start()
+
   /** Stream-static enrichment: join the unbounded event stream with a
     * static dimension frame (user attributes, tile metadata, a model
     * table).  Spark broadcasts the static side into every micro-batch

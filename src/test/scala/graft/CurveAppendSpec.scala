@@ -90,6 +90,40 @@ class CurveAppendSpec extends SparkSpec {
     assert(got.inputFiles.length < 4)
   }
 
+  test("streaming curve ingest: seeds, appends, keeps BIGMIN reads pruned, gated compaction") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("curve_ingest").toString
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double, Double, Double)]
+    val pts = mem.toDF().toDF("id", "x", "y", "z")
+    val q = graft.streaming.EventStream.ingestCurveParquet(
+      pts, s"$dir/data", 50.0, s"$dir/ckpt",
+      nFilesPerBatch = 1, compactTo = 2, maxOverlap = 1)
+    mem.addData((1L, 10.0, 20.0, 1.0), (2L, 510.0, -520.0, 2.0)) // seeds
+    q.processAllAvailable()
+    mem.addData((3L, 12.0, 22.0, 3.0)) // appendCurve — overlaps the seed range
+    q.processAllAvailable()
+    mem.addData((4L, 11.0, 21.0, 4.0))
+    q.processAllAvailable()
+    q.stop()
+    // manifest stayed fresh through every append/compact: the curve
+    // read takes the PRUNED path and sees all ingested rows
+    assert(GeoParquet.readEpoch(spark, s"$dir/data") > 0L)
+    val got = GeoParquet.queryBoxCurve(
+      spark, s"$dir/data", (0.0, 100.0), (0.0, 100.0), 50.0)
+    assert(got.select("id").as[Long].collect().toSet == Set(1L, 3L, 4L))
+    // the per-batch gate (maxOverlap=1) already compacted: a fresh
+    // gate call declines, and file key ranges are pairwise disjoint
+    assert(!GeoParquet.compactCurveIfNeeded(spark, s"$dir/data", 2, maxOverlap = 1))
+    val ranges = spark.read.parquet(s"$dir/data/_manifest")
+      .select("k0", "k1").as[(Long, Long)].collect().sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi < lo, s"overlap: $hi >= $lo")
+      case _ =>
+    }
+    // idempotency markers survived the compaction swaps
+    assert(new java.io.File(s"$dir/data/_batches").list().nonEmpty)
+  }
+
   test("countBoxViaManifest: interior files are counted without being opened") {
     val dir = java.nio.file.Files.createTempDirectory("cbox").toString
     val pts = graft.core.Tables.eventsPoints(spark, sf)
