@@ -542,12 +542,44 @@ object GeoOps {
        |SELECT count(*) AS n FROM pts
        |WHERE x >= -200 AND x < 200 AND y >= -200 AND y < 200""".stripMargin
 
+  // --- 61h. time-pruned box query over an ingest-grown layout: the
+  // layout is built as three time-sliced appendWithManifest batches
+  // (exactly what continuous ingest produces — each batch's files are
+  // time-bounded), then a mid-window box+time query prunes the
+  // historical and future batches from the MANIFEST's t0/t1 — no
+  // layout dimension is time.  Oracle: the plain box+time filter.
+  private val TimeSliceT1 = 1704844800000L // 2024-01-10
+  private val TimeSliceT2 = 1705708800000L // 2024-01-20
+
+  def boxTime(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("boxtime").toString
+    val p = pts(s, dir).select("id", "x", "y", "z", "t")
+    graft.sources.GeoParquet.write(p.filter(col("t") < TimeSliceT1), path, 50.0)
+    graft.sources.GeoParquet.writeManifest(s, path)
+    graft.sources.GeoParquet.appendWithManifest(
+      p.filter(col("t") >= TimeSliceT1 && col("t") < TimeSliceT2), path, 50.0)
+    graft.sources.GeoParquet.appendWithManifest(
+      p.filter(col("t") >= TimeSliceT2), path, 50.0)
+    graft.sources.GeoParquet.queryBoxTimeViaManifest(s, path,
+        (-300.0, 300.0), (-300.0, 300.0), (1705000000000L, 1705600000000L))
+      .select("id", "x", "y", "z", "t")
+      .orderBy("id")
+  }
+
+  val boxTimeSql: String =
+    s"""WITH pts AS ($P)
+       |SELECT id, x, y, z, t FROM pts
+       |WHERE x >= -300 AND x < 300 AND y >= -300 AND y < 300
+       |  AND t >= 1705000000000 AND t < 1705600000000
+       |ORDER BY id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hilbert"         -> (hilbertKey _),
     "q_zorder"          -> (zorderKey _),
     "q_curve_query"     -> (curveQuery _),
     "q_curve_query_h"   -> (curveQueryH _),
     "q_count_box"       -> (countBox _),
+    "q_box_time"        -> (boxTime _),
     "q_geoindex_build"  -> (geoindexBuild _),
     "q_geo_query_box"   -> (geoQueryBox _),
     "q_geo_layout_query" -> (geoLayoutQuery _),
@@ -570,6 +602,7 @@ object GeoOps {
     "q_curve_query"     -> curveQuerySql,
     "q_curve_query_h"   -> curveQueryHSql,
     "q_count_box"       -> countBoxSql,
+    "q_box_time"        -> boxTimeSql,
     "q_geoindex_build"  -> geoindexBuildSql,
     "q_geo_query_box"   -> geoQueryBoxSql,
     "q_geo_layout_query" -> geoLayoutQuerySql,

@@ -98,14 +98,32 @@ object GeoParquet {
     * (geo_index.py:193-205, fix_dir_root.py:1-22), where every index
     * stores an absolute root that breaks on relocation.
     */
-  def writeManifest(spark: SparkSession, path: String): Unit = {
-    val df = spark.read.parquet(path)
-    val keyCol = CurveKeyCols.find(df.columns.contains)
+  /** Per-file stats columns for a manifest over `df`: row count, x/y
+    * envelope, the curve-key range when a key column is present, and
+    * the TIME range when a `t` column is present (epoch ms) — the
+    * temporal face of the same sidecar.  Batches of a time-series
+    * ingest are naturally time-bounded, so t0/t1 prune historical
+    * files out of recent-window queries ([[queryBoxTimeViaManifest]])
+    * even though no layout dimension is time.  All three manifest
+    * writers ([[writeManifest]]/[[appendWithManifest]]/[[appendCurve]])
+    * MUST agree on this column set and order — `_manifest` part files
+    * with diverging schemas would make reads sample-dependent.
+    */
+  private def manifestStatsAggs(df: DataFrame): Seq[org.apache.spark.sql.Column] = {
     val base = Seq(count("*").as("n_rows"),
       min("x").as("x0"), max("x").as("x1"),
       min("y").as("y0"), max("y").as("y1"))
-    val aggs = base ++ keyCol.toSeq.flatMap(k =>
+    val key = CurveKeyCols.find(df.columns.contains).toSeq.flatMap(k =>
       Seq(min(k).as("k0"), max(k).as("k1")))
+    val time =
+      if (df.columns.contains("t")) Seq(min("t").as("t0"), max("t").as("t1"))
+      else Seq.empty
+    base ++ key ++ time
+  }
+
+  def writeManifest(spark: SparkSession, path: String): Unit = {
+    val df = spark.read.parquet(path)
+    val aggs = manifestStatsAggs(df)
     val root = rootPathOf(spark, path)
     df.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
@@ -278,6 +296,41 @@ object GeoParquet {
         .agg(sum("n").as("n"))
   }
 
+  /** Box + time-window query planned through the manifest: files are
+    * pruned on the x/y envelope AND the [t0,t1] time range (written
+    * by [[manifestStatsAggs]] when the layout carries a `t` column).
+    * No layout dimension is time, but a time-series ingest's batches
+    * are naturally time-bounded, so under continuous
+    * [[appendWithManifest]] ingest a recent-window query opens only
+    * the recent batches' files — the dominant access pattern of a
+    * monitoring/repeat-track workload (the reference re-queries the
+    * same region per campaign cycle).  Stale manifest ⇒ full scan,
+    * as everywhere.
+    */
+  def queryBoxTimeViaManifest(spark: SparkSession, path: String,
+                              xr: (Double, Double), yr: (Double, Double),
+                              tr: (Long, Long),
+                              verify: Boolean = false): DataFrame = {
+    val rowFilter =
+      col("x") >= xr._1 && col("x") < xr._2 &&
+        col("y") >= yr._1 && col("y") < yr._2 &&
+        col("t") >= tr._1 && col("t") < tr._2
+    if (!manifestFresh(spark, path, verify))
+      return spark.read.option("recursiveFileLookup", "true").parquet(path)
+        .filter(rowFilter)
+    val m = spark.read.parquet(s"$path/_manifest")
+    val boxHit = col("x1") >= xr._1 && col("x0") < xr._2 &&
+      col("y1") >= yr._1 && col("y0") < yr._2
+    val hit =
+      if (m.columns.contains("t0"))
+        boxHit && col("t1") >= tr._1 && col("t0") < tr._2
+      else boxHit // pre-time manifest: envelope pruning only
+    val files = m.filter(hit)
+      .select("file").collect().map(r => s"$path/${r.getString(0)}")
+    if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
+    else spark.read.parquet(files.toIndexedSeq: _*).filter(rowFilter)
+  }
+
   /** Box query over a curve-clustered layout ([[writeZOrdered]] /
     * [[writeHilbertClustered]]) planned through BIGMIN curve-range
     * decomposition — the Spark analog of the reference's offset-run
@@ -403,11 +456,11 @@ object GeoParquet {
     // per-file stats over the STAGED batch only, root-relative — the
     // relative path is identical after the rename below
     val tmpRoot = rootPathOf(spark, tmp)
-    val stats = spark.read.parquet(tmp)
+    val staged = spark.read.parquet(tmp)
+    val aggs = manifestStatsAggs(staged)
+    val stats = staged
       .groupBy(input_file_name().as("file"))
-      .agg(count("*").as("n_rows"),
-        min("x").as("x0"), max("x").as("x1"),
-        min("y").as("y0"), max("y").as("y1"))
+      .agg(aggs.head, aggs.tail: _*)
       .withColumn("file",
         expr(s"substring(file, instr(file, '$tmpRoot') + ${tmpRoot.length + 1})"))
       .localCheckpoint() // materialize BEFORE the files move away
@@ -479,12 +532,11 @@ object GeoParquet {
       .sortWithinPartitions(keyCol)
       .write.mode("overwrite").parquet(tmp)
     val tmpRoot = rootPathOf(spark, tmp)
-    val stats = spark.read.parquet(tmp)
+    val staged = spark.read.parquet(tmp)
+    val aggs = manifestStatsAggs(staged)
+    val stats = staged
       .groupBy(input_file_name().as("file"))
-      .agg(count("*").as("n_rows"),
-        min("x").as("x0"), max("x").as("x1"),
-        min("y").as("y0"), max("y").as("y1"),
-        min(keyCol).as("k0"), max(keyCol).as("k1"))
+      .agg(aggs.head, aggs.tail: _*)
       .withColumn("file",
         expr(s"substring(file, instr(file, '$tmpRoot') + ${tmpRoot.length + 1})"))
       .localCheckpoint() // materialize BEFORE the files move away

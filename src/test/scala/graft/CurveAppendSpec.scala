@@ -124,6 +124,34 @@ class CurveAppendSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/data/_batches").list().nonEmpty)
   }
 
+  test("time-range manifest stats: recent-window queries prune historical batches") {
+    val dir = java.nio.file.Files.createTempDirectory("boxtime").toString
+    val pts = graft.core.Tables.eventsPoints(spark, sf)
+      .select("id", "x", "y", "z", "t")
+    val (t1, t2) = (1704844800000L, 1705708800000L) // Jan 10 / Jan 20
+    GeoParquet.write(pts.filter($"t" < t1), dir, 50.0)
+    GeoParquet.writeManifest(spark, dir)
+    GeoParquet.appendWithManifest(pts.filter($"t" >= t1 && $"t" < t2), dir, 50.0)
+    GeoParquet.appendWithManifest(pts.filter($"t" >= t2), dir, 50.0)
+    // manifest stayed fresh and carries time stats for every file
+    val m = spark.read.parquet(s"$dir/_manifest")
+    assert(m.columns.contains("t0") && m.filter($"t0".isNull).count() == 0)
+    // a window inside (t1, t2): only middle-batch files are opened
+    val tr = (1705000000000L, 1705600000000L)
+    val got = GeoParquet.queryBoxTimeViaManifest(
+      spark, dir, (-1e9, 1e9), (-1e9, 1e9), tr)
+    val want = pts.filter($"t" >= tr._1 && $"t" < tr._2)
+      .select("id").as[Long].collect().toSet
+    assert(got.select("id").as[Long].collect().toSet == want)
+    val total = spark.read.parquet(dir).inputFiles.length
+    val middle = m.filter($"t1" >= tr._1 && $"t0" < tr._2).count()
+    assert(got.inputFiles.length.toLong == middle && middle < total,
+      s"${got.inputFiles.length} opened, $middle time-matching of $total files")
+    // a window before all data: zero files, empty result
+    assert(GeoParquet.queryBoxTimeViaManifest(
+      spark, dir, (-1e9, 1e9), (-1e9, 1e9), (0L, 1000L)).count() == 0L)
+  }
+
   test("countBoxViaManifest: interior files are counted without being opened") {
     val dir = java.nio.file.Files.createTempDirectory("cbox").toString
     val pts = graft.core.Tables.eventsPoints(spark, sf)
