@@ -285,6 +285,107 @@ object Relational {
       |FROM waiting GROUP BY sk
       |ORDER BY numwait DESC, sk""".stripMargin
 
+  // --- 39g. Q7 volume-shipping shape: the two-aliased-dimension join ---
+  /** Revenue between a nation PAIR by ship year (TPC-H Q7): the same
+    * dimension table joined twice under different roles (supplier's
+    * nation, customer's nation), with a symmetric pair predicate that
+    * can only apply above both joins.  Both nation joins broadcast;
+    * the orders/customer joins shuffle on their keys.
+    */
+  def q7Nations(s: SparkSession, dir: String): DataFrame = {
+    val n1 = t(s, dir, "nation")
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = t(s, dir, "nation")
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+              (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("revenue_cents"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val q7NationsSql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  year(l_shipdate) AS l_year,
+      |  CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1, 2, 3""".stripMargin
+
+  // --- 39h'. Q14 promo-revenue shape: conditional-aggregate ratio ---
+  /** Share of revenue from PROMO parts in a ship-date window (TPC-H
+    * Q14): one broadcast join, two conditional sums, a ratio.  The
+    * cents quantization keeps both sums exact BIGINTs, so the single
+    * closing division is the only float op — bit-identical
+    * cross-engine.
+    */
+  def q14Promo(s: SparkSession, dir: String): DataFrame = {
+    val rev = cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0L))).as("promo_cents"),
+        sum(rev).as("total_cents"))
+      .select(col("promo_cents"), col("total_cents"),
+        (col("promo_cents") * lit(100L) / col("total_cents")).as("promo_pct"))
+  }
+
+  val q14PromoSql: String =
+    """WITH w AS (
+      |  SELECT p_type,
+      |    CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT) AS rev
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |    AND l_shipdate < TIMESTAMP '1997-07-01')
+      |SELECT
+      |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS BIGINT) AS promo_cents,
+      |  CAST(sum(rev) AS BIGINT) AS total_cents,
+      |  (sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) * 100) / sum(rev) AS promo_pct
+      |FROM w""".stripMargin
+
+  // --- 39i. semi-structured JSON column extraction ---
+  /** Typed extraction from the events.props JSON column with
+    * from_json (schema-on-read; codegen'd Jackson parse, no UDF) and
+    * aggregation over the extracted field.  At 100 TB the point is
+    * the EXTRACTION stays inside whole-stage codegen and the
+    * aggregate is a plain map-side-combined groupBy — semi-structured
+    * never forces a slow path.
+    */
+  def jsonProps(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(count("*").as("n"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
+  val jsonPropsSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+      |  min(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS min_k,
+      |  max(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // --- 41b. funnel analysis (staged event attrition) ---
   /** Per user: earliest view, earliest click strictly after it,
     * earliest purchase strictly after that — the classic conversion
@@ -477,6 +578,9 @@ object Relational {
     "q_funnel"      -> (funnel _),
     "q13_histogram" -> (q13Histogram _),
     "q21_waiting"   -> (q21Waiting _),
+    "q7_nations"    -> (q7Nations _),
+    "q14_promo"     -> (q14Promo _),
+    "q_json_props"  -> (jsonProps _),
     "q_profile"     -> (profile _),
     "q_quantiles"   -> (quantiles _),
     "q1_agg"        -> (q1Agg _),
@@ -495,6 +599,9 @@ object Relational {
     "q_funnel"      -> funnelSql,
     "q13_histogram" -> q13HistogramSql,
     "q21_waiting"   -> q21WaitingSql,
+    "q7_nations"    -> q7NationsSql,
+    "q14_promo"     -> q14PromoSql,
+    "q_json_props"  -> jsonPropsSql,
     "q_profile"     -> profileSql,
     "q_quantiles"   -> quantilesSql,
     "q1_agg"        -> q1AggSql,
