@@ -128,6 +128,57 @@ object Crossovers {
       col("is_new_a") + col("is_new_b") > 0)
   }
 
+  /** Persist an archive's SEGMENT table curve-clustered on the
+    * Morton key of its cell — the storage side of the incremental
+    * crossover loop (run_tile_updates' tile store) at scale.
+    * Segments rather than points are persisted so a pruned read can
+    * never stitch non-adjacent points into a phantom segment; each
+    * row is already exploded per covering cell ([[segmentsOf]]), so a
+    * cell-key read is exact.  The key column is named `zkey`, so
+    * [[graft.sources.GeoParquet.writeManifest]] records per-file
+    * [k0,k1] ranges as for any curve layout (x/y envelopes are
+    * skipped — segments carry endpoints, not an x/y pair).
+    */
+  def writeSegmentArchive(tracks: DataFrame, path: String, nFiles: Int = 16): Unit = {
+    segmentsOf(tracks)
+      .withColumn("zkey",
+        graft.functions.ZOrder.zkey(col("cell_x"), col("cell_y")))
+      .repartitionByRange(nFiles, col("zkey"))
+      .sortWithinPartitions("zkey")
+      .write.mode("overwrite").parquet(path)
+    graft.sources.GeoParquet.writeManifest(tracks.sparkSession, path)
+  }
+
+  /** [[incrementalCrossovers]] against a persisted
+    * [[writeSegmentArchive]] layout: the new batch's (dilated) cell
+    * keys are joined against the manifest's [k0,k1] ranges, so only
+    * archive FILES whose key range covers a touched cell are opened —
+    * per-batch cost scales with the new data's footprint twice over
+    * (file pruning at planning, the exact hot-cell semi-join at
+    * runtime), while the archive itself is never rescanned.  At
+    * 100 TB this is the difference between an update reading a few
+    * curve-adjacent files and re-listing a continental tile store.
+    */
+  def incrementalCrossoversFromArchive(spark: SparkSession, path: String,
+                                       newTracks: DataFrame): DataFrame = {
+    val newSegs = segmentsOf(newTracks).withColumn("is_new", lit(1L))
+    val hotCells = newSegs.select("cell_x", "cell_y").distinct()
+    val hotKeys = hotCells
+      .select(graft.functions.ZOrder.zkey(col("cell_x"), col("cell_y")).as("k"))
+    val files = spark.read.parquet(s"$path/_manifest")
+      .join(broadcast(hotKeys),
+        col("k").between(col("k0"), col("k1")), "leftsemi")
+      .select("file").collect().map(r => s"$path/${r.getString(0)}")
+    val oldSegs =
+      if (files.isEmpty) spark.read.parquet(path).limit(0) // schema only
+      else spark.read.parquet(files.toIndexedSeq: _*)
+    val oldInHot = oldSegs.drop("zkey")
+      .join(hotCells, Seq("cell_x", "cell_y"), "leftsemi")
+      .withColumn("is_new", lit(0L))
+    crossoversOfSegments(oldInHot.unionByName(newSegs),
+      col("is_new_a") + col("is_new_b") > 0)
+  }
+
   val crossoversSql: String = {
     val T = Tables.eventsTracksSql
     s"""WITH trk AS ($T),

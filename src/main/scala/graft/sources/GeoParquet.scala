@@ -110,15 +110,17 @@ object GeoParquet {
     * with diverging schemas would make reads sample-dependent.
     */
   private def manifestStatsAggs(df: DataFrame): Seq[org.apache.spark.sql.Column] = {
-    val base = Seq(count("*").as("n_rows"),
-      min("x").as("x0"), max("x").as("x1"),
-      min("y").as("y0"), max("y").as("y1"))
+    val xy =
+      if (df.columns.contains("x") && df.columns.contains("y"))
+        Seq(min("x").as("x0"), max("x").as("x1"),
+          min("y").as("y0"), max("y").as("y1"))
+      else Seq.empty // key-only layouts (e.g. segment archives) skip envelopes
     val key = CurveKeyCols.find(df.columns.contains).toSeq.flatMap(k =>
       Seq(min(k).as("k0"), max(k).as("k1")))
     val time =
       if (df.columns.contains("t")) Seq(min("t").as("t0"), max("t").as("t1"))
       else Seq.empty
-    base ++ key ++ time
+    Seq(count("*").as("n_rows")) ++ xy ++ key ++ time
   }
 
   def writeManifest(spark: SparkSession, path: String): Unit = {

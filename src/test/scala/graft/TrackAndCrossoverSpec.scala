@@ -82,4 +82,31 @@ class TrackAndCrossoverSpec extends SparkSpec {
     // and nothing old-only leaked in
     assert(inc.forall { case (a, b, _, _, _) => a >= 6 || b >= 6 })
   }
+
+  test("archive-backed incremental crossovers: same rows, only curve-matched files opened") {
+    val tracks = Tables.eventsTracks(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("segarch").toString
+    Crossovers.writeSegmentArchive(tracks.filter($"track" < 6), dir, nFiles = 16)
+    val inc = Crossovers.incrementalCrossoversFromArchive(
+        spark, dir, tracks.filter($"track" >= 6))
+      .select("track_a", "track_b", "seq_a", "seq_b", "dh")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    // identical to the in-memory incremental operator (itself pinned
+    // against the full result above)
+    val want = Crossovers.incrementalCrossovers(
+        tracks.filter($"track" < 6), tracks.filter($"track" >= 6))
+      .select("track_a", "track_b", "seq_a", "seq_b", "dh")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(inc == want && inc.nonEmpty)
+    // file pruning bites: the manifest key-range join opens fewer
+    // archive files than exist (tracks 6..7 touch a band of cells,
+    // not the whole domain)
+    val total = spark.read.parquet(dir).inputFiles.length
+    val newSegCells = Crossovers.segmentsOf(tracks.filter($"track" >= 6))
+      .select(graft.functions.ZOrder.zkey($"cell_x", $"cell_y").as("k"))
+    val opened = spark.read.parquet(s"$dir/_manifest")
+      .join(org.apache.spark.sql.functions.broadcast(newSegCells),
+        $"k".between($"k0", $"k1"), "leftsemi").count()
+    assert(opened < total, s"$opened of $total archive files match")
+  }
 }
