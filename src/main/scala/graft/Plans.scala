@@ -74,6 +74,11 @@ object Plans {
       Seq("Exchange", "Scan", "WholeStageCodegen"))
     show("curve_query (BIGMIN key-range pushdown)", operators.GeoOps.curveQuery(spark, sf),
       Seq("PushedFilters", "ReadSchema", "Scan", "Filter ("))
+    show("box_time (manifest t0/t1 file pruning)", operators.GeoOps.boxTime(spark, sf),
+      Seq("PushedFilters", "ReadSchema", "Scan", "Filter ("))
+    show("q7_nations (two-aliased-dim broadcasts)", operators.Relational.q7Nations(spark, sf), joiny)
+    show("json_props (codegen'd from_json)", operators.Relational.jsonProps(spark, sf),
+      Seq("HashAggregate", "Exchange", "WholeStageCodegen", "Scan"))
     spark.stop()
   }
 }

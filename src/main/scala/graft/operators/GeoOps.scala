@@ -554,12 +554,16 @@ object GeoOps {
   def boxTime(s: SparkSession, dir: String): DataFrame = {
     val path = java.nio.file.Files.createTempDirectory("boxtime").toString
     val p = pts(s, dir).select("id", "x", "y", "z", "t")
-    graft.sources.GeoParquet.write(p.filter(col("t") < TimeSliceT1), path, 50.0)
+    // coarse δ=250 bins (8×8 over the ±1000 domain): a temp layout's
+    // bin count should be bounded, not row-count-proportional — at
+    // δ=50 the three time-sliced writes churn ~1600 directories each
+    // and the staged renames dominate the query 30:1
+    graft.sources.GeoParquet.write(p.filter(col("t") < TimeSliceT1), path, 250.0)
     graft.sources.GeoParquet.writeManifest(s, path)
     graft.sources.GeoParquet.appendWithManifest(
-      p.filter(col("t") >= TimeSliceT1 && col("t") < TimeSliceT2), path, 50.0)
+      p.filter(col("t") >= TimeSliceT1 && col("t") < TimeSliceT2), path, 250.0)
     graft.sources.GeoParquet.appendWithManifest(
-      p.filter(col("t") >= TimeSliceT2), path, 50.0)
+      p.filter(col("t") >= TimeSliceT2), path, 250.0)
     graft.sources.GeoParquet.queryBoxTimeViaManifest(s, path,
         (-300.0, 300.0), (-300.0, 300.0), (1705000000000L, 1705600000000L))
       .select("id", "x", "y", "z", "t")
