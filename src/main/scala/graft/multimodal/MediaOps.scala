@@ -112,7 +112,13 @@ object MediaOps {
         val nFrames = in.getFrameLength
         val frameSz = math.max(1, fmt.getFrameSize)
         val capFrames = if (nFrames < 0) 4096L else math.min(4096L, nFrames)
-        val sample = new Array[Byte](frameSz * capFrames.toInt)
+        // cap total BYTES, not just frames: frameSize comes from an
+        // untrusted header (blockAlign can claim 65535), and
+        // frameSz * capFrames could demand a huge or Int-overflowed
+        // allocation — OutOfMemoryError is an Error the Exception
+        // fallback below would not catch
+        val sampleBytes = math.min(frameSz.toLong * capFrames, 1L << 20).toInt
+        val sample = new Array[Byte](sampleBytes)
         var off = 0
         var read = 0
         while (off < sample.length && read >= 0) {

@@ -73,6 +73,24 @@ object GeoParquet {
     */
   private val CurveKeyCols = Seq("zkey", "hkey")
 
+  /** The layout's curve key column, discovered WITHOUT a full
+    * directory listing: a manifest names every data file, so one
+    * file's footer answers — O(1) planning where reading the layout
+    * root's schema costs an O(files) object-store walk at 100 TB.
+    * Unmanifested layouts fall back to the directory schema read.
+    */
+  private def curveKeyColOf(spark: SparkSession, path: String): Option[String] = {
+    val cols =
+      if (!fsOf(spark, path).exists(new org.apache.hadoop.fs.Path(s"$path/_manifest")))
+        spark.read.parquet(path).columns
+      else
+        spark.read.parquet(s"$path/_manifest").select("file").head(1) match {
+          case Array(r) => spark.read.parquet(s"$path/${r.getString(0)}").columns
+          case _        => spark.read.parquet(path).columns // empty manifest
+        }
+    CurveKeyCols.find(cols.contains)
+  }
+
   /** Absolute filesystem path of the layout root, scheme-free —
     * the prefix manifest entries are made relative to.
     */
@@ -123,18 +141,24 @@ object GeoParquet {
     Seq(count("*").as("n_rows")) ++ xy ++ key ++ time
   }
 
-  def writeManifest(spark: SparkSession, path: String): Unit = {
-    val df = spark.read.parquet(path)
+  /** Per-file manifest rows of the layout/stage under `root`, with
+    * `file` made root-relative.  input_file_name renders a URI
+    * (file:///p, hdfs://nn/p, …); everything through "<root>/" is cut
+    * by locating the root path inside it — scheme/authority-agnostic,
+    * pure COLUMN expressions (no SQL-string interpolation: a root
+    * containing a quote must not break the plan), distributed (a
+    * 100 TB layout has millions of manifest rows).
+    */
+  private def statsOf(df: DataFrame, root: String): DataFrame = {
     val aggs = manifestStatsAggs(df)
-    val root = rootPathOf(spark, path)
     df.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
-      // input_file_name renders a URI (file:///p, hdfs://nn/p, …);
-      // cut everything through "<root>/" by locating the root path
-      // inside it — scheme/authority-agnostic, pure expressions,
-      // distributed (a 100 TB layout has millions of manifest rows)
-      .withColumn("file",
-        expr(s"substring(file, instr(file, '$root') + ${root.length + 1})"))
+      .withColumn("file", col("file").substr(
+        instr(col("file"), root) + lit(root.length + 1), length(col("file"))))
+  }
+
+  def writeManifest(spark: SparkSession, path: String): Unit = {
+    statsOf(spark.read.parquet(path), rootPathOf(spark, path))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_manifest")
     // record the layout epoch the manifest describes — the O(1)
@@ -374,11 +398,14 @@ object GeoParquet {
       // [[queryBoxViaManifest]]
       return spark.read.option("recursiveFileLookup", "true").parquet(path)
         .filter(boxFilter)
-    val base = spark.read.parquet(path)
-    val keyCol = CurveKeyCols.find(base.columns.contains).getOrElse(
+    // key-column discovery goes through the manifest (one file's
+    // schema), NOT a full-layout listing — `base` below is only built
+    // on the paths that genuinely need the whole directory
+    val keyCol = curveKeyColOf(spark, path).getOrElse(
       throw new IllegalArgumentException(
         s"$path carries no curve key column (${CurveKeyCols.mkString("/")}); " +
           "write it with writeZOrdered/writeHilbertClustered"))
+    lazy val base = spark.read.parquet(path)
     val curve = if (keyCol == "zkey") CurveRanges.Z else CurveRanges.H
     // cells intersecting the half-open box (cellOf = floor(v/δ)); the
     // top edge is a superset cell — the exact boxFilter re-trims it
@@ -448,7 +475,21 @@ object GeoParquet {
     }
     require(!spark.read.parquet(s"$path/_manifest").columns.contains("k0"),
       "appendWithManifest maintains bin-partitioned manifests; " +
-        "curve-clustered layouts are overwrite-only (rewrite + writeManifest)")
+        "curve-clustered layouts append via appendCurve")
+    // CONTINUITY GUARD: incremental maintenance is only sound on a
+    // manifest that was fresh when this append started.  If a prior
+    // append crashed after its renames but before its stats landed,
+    // the manifest is missing that batch's files — appending THIS
+    // batch's stats and stamping `_manifest_epoch` would mark the
+    // hole fresh and pruned reads would silently drop the crashed
+    // batch's rows forever.  A stale start therefore degrades to a
+    // plain append (reads keep falling back, still correct) until
+    // writeManifest rebuilds the whole sidecar.
+    if (readEpoch(spark, path) !=
+        readEpochFile(spark, s"$path/_manifest_epoch")) {
+      append(df, path, delta); return
+    }
+    if (df.isEmpty) return // a 0-row stage has no files to harvest
     val newEpoch = readEpoch(spark, path) + 1
     writeEpochFile(spark, s"$path/_epoch", newEpoch) // stale until step 4
     val tmp = path + ".staging-" + java.util.UUID.randomUUID().toString.take(8)
@@ -456,16 +497,10 @@ object GeoParquet {
       .withColumn("bin_y", GeoOps.binOf(col("y"), delta))
       .write.mode("overwrite").partitionBy("bin_x", "bin_y").parquet(tmp)
     // per-file stats over the STAGED batch only, root-relative — the
-    // relative path is identical after the rename below
-    val tmpRoot = rootPathOf(spark, tmp)
-    val staged = spark.read.parquet(tmp)
-    val aggs = manifestStatsAggs(staged)
-    val stats = staged
-      .groupBy(input_file_name().as("file"))
-      .agg(aggs.head, aggs.tail: _*)
-      .withColumn("file",
-        expr(s"substring(file, instr(file, '$tmpRoot') + ${tmpRoot.length + 1})"))
-      .localCheckpoint() // materialize BEFORE the files move away
+    // relative path is identical after the rename below; materialized
+    // (localCheckpoint) BEFORE the files move away
+    val stats = statsOf(spark.read.parquet(tmp), rootPathOf(spark, tmp))
+      .localCheckpoint()
     commitStaged(spark, path, tmp, stats, newEpoch)
   }
 
@@ -516,10 +551,20 @@ object GeoParquet {
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/_manifest")),
       "appendCurve needs the layout manifest (writeManifest first) — " +
         "queryBoxCurve file pruning is manifest-driven")
-    val keyCol = CurveKeyCols.find(spark.read.parquet(path).columns.contains)
-      .getOrElse(throw new IllegalArgumentException(
+    val keyCol = curveKeyColOf(spark, path).getOrElse(
+      throw new IllegalArgumentException(
         s"$path carries no curve key column (${CurveKeyCols.mkString("/")}); " +
           "appendCurve serves writeZOrdered/writeHilbertClustered layouts"))
+    // same continuity guard as appendWithManifest: a stale start must
+    // not be "healed" by this batch's stats landing — but a curve
+    // layout has no bin-partitioned plain-append shape to degrade to,
+    // so refuse loudly; writeManifest repairs
+    require(readEpoch(spark, path) ==
+        readEpochFile(spark, s"$path/_manifest_epoch"),
+      s"$path: manifest is stale (a prior append crashed mid-commit or " +
+        "an out-of-band write bumped the epoch); run writeManifest to " +
+        "rebuild it before appending incrementally")
+    if (df.isEmpty) return // a 0-row stage has no files to harvest
     val keyed =
       if (keyCol == "zkey")
         df.withColumn("zkey", graft.functions.ZOrder.zkey(
@@ -533,14 +578,7 @@ object GeoParquet {
     keyed.repartitionByRange(nFiles, col(keyCol))
       .sortWithinPartitions(keyCol)
       .write.mode("overwrite").parquet(tmp)
-    val tmpRoot = rootPathOf(spark, tmp)
-    val staged = spark.read.parquet(tmp)
-    val aggs = manifestStatsAggs(staged)
-    val stats = staged
-      .groupBy(input_file_name().as("file"))
-      .agg(aggs.head, aggs.tail: _*)
-      .withColumn("file",
-        expr(s"substring(file, instr(file, '$tmpRoot') + ${tmpRoot.length + 1})"))
+    val stats = statsOf(spark.read.parquet(tmp), rootPathOf(spark, tmp))
       .localCheckpoint() // materialize BEFORE the files move away
     commitStaged(spark, path, tmp, stats, newEpoch)
   }
@@ -561,21 +599,39 @@ object GeoParquet {
     df.repartitionByRange(nFiles, col(keyCol))
       .sortWithinPartitions(keyCol)
       .write.mode("overwrite").parquet(tmp) // materializes before the swap
-    val fs = fsOf(spark, path)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    // carry the streaming-ingest batch markers across the swap, or a
-    // restarted stream would re-append batches it already committed
-    val markers = new org.apache.hadoop.fs.Path(path, "_batches")
-    if (fs.exists(markers))
-      fs.rename(markers, new org.apache.hadoop.fs.Path(tmp, "_batches"))
-    fs.delete(dst, true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
-      s"compaction swap failed for $path")
+    swapInPlace(spark, path, tmp)
     // the swap dropped the sidecars — restore-and-bump the epoch so a
     // pre-compaction manifest read elsewhere can never look fresh,
     // then rebuild the manifest for this epoch
     writeEpochFile(spark, s"$path/_epoch", epochBefore + 1)
     writeManifest(spark, path)
+  }
+
+  /** Replace the layout at `path` with the rewrite at `tmp` WITHOUT a
+    * destructive window: the old directory is renamed ASIDE (not
+    * deleted) before the new one moves in, so a crash at any point
+    * leaves every byte on disk — worst case the layout root is
+    * briefly absent and recovery is one manual rename of the
+    * `.pre-compact` directory back.  Streaming-ingest `_batches`
+    * markers are carried into the new directory first, or a restarted
+    * stream would re-append batches it already committed.  (True
+    * atomic swap needs a metastore pointer — out of scope; never
+    * deleting live data before its replacement is in place is the
+    * invariant this protocol guarantees.)
+    */
+  private def swapInPlace(spark: SparkSession, path: String, tmp: String): Unit = {
+    val fs = fsOf(spark, path)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val markers = new org.apache.hadoop.fs.Path(path, "_batches")
+    if (fs.exists(markers))
+      require(fs.rename(markers, new org.apache.hadoop.fs.Path(tmp, "_batches")),
+        s"marker carry failed for $path")
+    val aside = new org.apache.hadoop.fs.Path(path + ".pre-compact")
+    fs.delete(aside, true) // leftover from an older compaction
+    require(fs.rename(dst, aside), s"old-aside rename failed for $path")
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
+      s"compaction swap failed for $path — intact data is at $aside")
+    fs.delete(aside, true)
   }
 
   /** Run [[compactCurve]] only under OVERLAP pressure: the max number
@@ -618,16 +674,7 @@ object GeoParquet {
       .repartition(col("bin_x"), col("bin_y"))
       .sortWithinPartitions("bin_x", "bin_y", "x", "y")
       .write.mode("overwrite").partitionBy("bin_x", "bin_y").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    // carry the streaming-ingest batch markers across the swap, or a
-    // restarted stream would re-append batches it already committed
-    val markers = new org.apache.hadoop.fs.Path(path, "_batches")
-    if (fs.exists(markers))
-      fs.rename(markers, new org.apache.hadoop.fs.Path(tmp, "_batches"))
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    swapInPlace(spark, path, tmp)
     // compaction rewrites every data file — a pre-compaction manifest
     // must read as stale (the swap dropped the old _epoch sidecar, so
     // restore-and-bump in one write)

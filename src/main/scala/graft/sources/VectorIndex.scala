@@ -82,8 +82,16 @@ object VectorIndex {
       spark.read.parquet(s"$path/data")
         .repartition(col("cent"))
         .write.mode("overwrite").partitionBy("cent").parquet(tmp)
-      fs.delete(dataDir, true)
-      fs.rename(new org.apache.hadoop.fs.Path(tmp), dataDir)
+      // preserve-aside swap: the live corpus is renamed out of the
+      // way, never deleted before its replacement is in place — a
+      // crash leaves every byte on disk (worst case `data` is briefly
+      // absent and recovery is renaming `data.pre-compact` back)
+      val aside = new org.apache.hadoop.fs.Path(s"$path/data.pre-compact")
+      fs.delete(aside, true) // leftover from an older compaction
+      require(fs.rename(dataDir, aside), s"old-aside rename failed for $path")
+      require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dataDir),
+        s"compaction swap failed for $path — intact data is at $aside")
+      fs.delete(aside, true)
     }
     pressure
   }

@@ -111,9 +111,11 @@ object EventStream {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          batch.sparkSession.sparkContext.hadoopConfiguration)
+        // resolve the marker's OWN filesystem (an s3a:// layout under
+        // an hdfs:// default FS must not throw Wrong FS)
         val marker = new org.apache.hadoop.fs.Path(s"$path/_batches/$batchId")
+        val fs = marker.getFileSystem(
+          batch.sparkSession.sparkContext.hadoopConfiguration)
         if (!fs.exists(marker)) {
           graft.sources.GeoParquet.append(batch, path, delta)
           fs.mkdirs(marker.getParent)
@@ -146,9 +148,8 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
         val marker = new org.apache.hadoop.fs.Path(s"$path/_batches/$batchId")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (!fs.exists(marker)) {
           if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_manifest"))) {
             if (hilbert)

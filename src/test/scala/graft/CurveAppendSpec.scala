@@ -152,6 +152,68 @@ class CurveAppendSpec extends SparkSpec {
       spark, dir, (-1e9, 1e9), (-1e9, 1e9), (0L, 1000L)).count() == 0L)
   }
 
+  test("continuity guard: a stale-start append never marks the manifest fresh over a hole") {
+    val fsConf = spark.sparkContext.hadoopConfiguration
+    val pts = graft.core.Tables.eventsPoints(spark, sf).select("id", "x", "y", "z")
+    // bin path: an out-of-band append() bumps the epoch without stats
+    // (exactly the state a crash between renames and stats-append
+    // leaves); the next appendWithManifest must DEGRADE to a plain
+    // append, not extend the manifest and stamp the hole fresh
+    val dir = java.nio.file.Files.createTempDirectory("cont").toString
+    GeoParquet.write(pts.filter($"id" % 3 === 0), dir, 250.0)
+    GeoParquet.writeManifest(spark, dir)
+    GeoParquet.append(pts.filter($"id" % 3 === 1), dir, 250.0) // hole
+    val rowsBefore = spark.read.parquet(s"$dir/_manifest").count()
+    GeoParquet.appendWithManifest(pts.filter($"id" % 3 === 2), dir, 250.0)
+    assert(spark.read.parquet(s"$dir/_manifest").count() == rowsBefore,
+      "stale-start appendWithManifest extended the manifest over a hole")
+    // reads fall back (stale) and see EVERYTHING — nothing lost
+    val got = GeoParquet.queryBoxViaManifest(spark, dir, (-1e9, 1e9), (-1e9, 1e9))
+    assert(got.count() == pts.count())
+    // writeManifest repairs; incremental maintenance resumes
+    GeoParquet.writeManifest(spark, dir)
+    GeoParquet.appendWithManifest(pts.limit(3)
+      .withColumn("id", $"id" + 9000000L), dir, 250.0)
+    assert(spark.read.parquet(s"$dir/_manifest").count() > rowsBefore)
+    assert(GeoParquet.queryBoxViaManifest(spark, dir, (-1e9, 1e9), (-1e9, 1e9))
+      .count() == pts.count() + 3)
+
+    // curve path: a torn commit (epoch bumped, `_manifest_epoch` gone)
+    // must make appendCurve refuse loudly — there is no sound
+    // bin-append to degrade to
+    val dirC = java.nio.file.Files.createTempDirectory("contc").toString
+    GeoParquet.writeZOrdered(pts.filter($"id" % 2 === 0), dirC, 50.0, 4)
+    GeoParquet.writeManifest(spark, dirC)
+    GeoParquet.appendCurve(pts.filter($"id" % 2 === 1), dirC, 50.0) // epoch -> 1
+    val fs = new org.apache.hadoop.fs.Path(dirC).getFileSystem(fsConf)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dirC/_manifest_epoch"), false)
+    intercept[IllegalArgumentException] {
+      GeoParquet.appendCurve(pts.limit(1), dirC, 50.0)
+    }
+  }
+
+  test("empty batches are no-ops: manifest stays fresh, nothing staged") {
+    val pts = graft.core.Tables.eventsPoints(spark, sf).select("id", "x", "y", "z")
+    val dir = java.nio.file.Files.createTempDirectory("emptyb").toString
+    GeoParquet.writeZOrdered(pts, dir, 50.0, 4)
+    GeoParquet.writeManifest(spark, dir)
+    val before = spark.read.parquet(s"$dir/_manifest").count()
+    GeoParquet.appendCurve(pts.filter($"id" < 0), dir, 50.0) // empty
+    assert(spark.read.parquet(s"$dir/_manifest").count() == before)
+    // still fresh: pruned read, exact
+    assert(GeoParquet.queryBoxCurve(spark, dir, (0.0, 200.0), (0.0, 200.0), 50.0)
+      .count() == boxIds(pts, (0.0, 200.0), (0.0, 200.0)).size.toLong)
+
+    val dirB = java.nio.file.Files.createTempDirectory("emptybb").toString
+    GeoParquet.write(pts, dirB, 250.0)
+    GeoParquet.writeManifest(spark, dirB)
+    val beforeB = spark.read.parquet(s"$dirB/_manifest").count()
+    GeoParquet.appendWithManifest(pts.filter($"id" < 0), dirB, 250.0) // empty
+    assert(spark.read.parquet(s"$dirB/_manifest").count() == beforeB)
+    assert(GeoParquet.queryBoxViaManifest(spark, dirB, (0.0, 200.0), (0.0, 200.0))
+      .count() == boxIds(pts, (0.0, 200.0), (0.0, 200.0)).size.toLong)
+  }
+
   test("countBoxViaManifest: interior files are counted without being opened") {
     val dir = java.nio.file.Files.createTempDirectory("cbox").toString
     val pts = graft.core.Tables.eventsPoints(spark, sf)

@@ -34,7 +34,11 @@ def load(path):
         # very reason Bench now also writes an untruncated sidecar)
         qs = {m.group(1): float(m.group(2)) for m in
               re.finditer(r'"(q[\w]*)":(-?\d+\.?\d*)', obj["tail"])}
-    return {k: v for k, v in qs.items() if isinstance(v, (int, float)) and v >= 0}
+    ok = {k: v for k, v in qs.items() if isinstance(v, (int, float)) and v >= 0}
+    # queries Bench records as negative FAILED outright — the worst
+    # regression class, which must not vanish from the comparison
+    failed = {k for k, v in qs.items() if isinstance(v, (int, float)) and v < 0}
+    return ok, failed
 
 
 def main(argv):
@@ -51,8 +55,15 @@ def main(argv):
     if len(paths) < 2:
         print(__doc__)
         return 2
-    base = load(paths[0])
-    runs = [load(p) for p in paths[1:]]
+    base, _ = load(paths[0])
+    loaded = [load(p) for p in paths[1:]]
+    runs = [ok for ok, _ in loaded]
+
+    # a query that PASSED in the baseline and FAILS (negative time) in
+    # every current run is an automatic regression — timing thresholds
+    # must never launder a pass→fail transition into an OK exit
+    broken = sorted(q for q in base
+                    if all(q in bad for _, bad in loaded))
 
     flagged = {}
     for q, b in sorted(base.items()):
@@ -72,10 +83,15 @@ def main(argv):
     missing = sorted(set(base) - set(cur))
     if missing:
         print(f"note: {len(missing)} baseline queries absent now: {missing[:8]}")
-    if not flagged:
+    if broken:
+        print(f"FAILED queries (passed in baseline, negative time in all "
+              f"current runs): {broken}")
+    if not flagged and not broken:
         n = "both runs" if len(runs) > 1 else "the current run"
         print(f"OK: no query regressed >{threshold}x (floor {floor}s) in {n}")
         return 0
+    if broken and not flagged:
+        return 1
     print(f"REGRESSIONS (>{threshold}x in all {len(runs)} current run(s)):")
     for q, (b, cs) in sorted(flagged.items(), key=lambda kv: -max(kv[1][1])):
         ratios = ", ".join(f"{c:.2f}s ({c / b:.1f}x)" for c in cs)
