@@ -212,7 +212,56 @@ object CorpusOps {
        |WHERE q.quality >= 0.5
        |ORDER BY d.doc_id""".stripMargin
 
+  // --- 66. TF-IDF distinctive terms (corpus-signature extraction) ---
+  /** Top-3 most distinctive terms per document by an exact rational
+    * TF-IDF: score = tf·(N−df)/df.  The classic idf = ln(N/df) is
+    * libm (could never hash-match cross-engine — see SURVEY §7); the
+    * rational form keeps the same ordering intent (rare-in-corpus,
+    * frequent-in-doc wins) with tf·(N−df) exact in BIGINT and the
+    * single closing division bit-identical IEEE in both engines.
+    *
+    * Scale shape: (doc,term) tf and term df are the two natural
+    * shuffles (df aggregates the tf table — already one row per
+    * (doc,term) — so no second corpus scan); N arrives as a broadcast
+    * 1-row aggregate, never a driver collect; the top-k window
+    * partitions by doc_id over per-doc vocabularies (bounded state).
+    * The BIGINT product tf·(N−df) stays exact under 2^53 — at
+    * trillion-doc scale you would quantize df/N to keep the product
+    * in range before the division.
+    */
+  def tfidf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    val tk = d.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val tf = tk.groupBy("doc_id", "tok").agg(count("*").as("tf"))
+    val dfT = tf.groupBy("tok").agg(count("*").as("df"))
+    val n = d.agg(count("*").as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
+    tf.join(dfT, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf") * (col("n_docs") - col("df"))).cast("double") / col("df"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("tok"), col("tf"), col("df"), col("score"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  val tfidfSql: String =
+    """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+      |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |sc AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+      |              CAST(tf.tf * (n.n_docs - df.df) AS DOUBLE) / df.df AS score
+      |       FROM tf JOIN df ON df.tok = tf.tok CROSS JOIN n),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+      |               ORDER BY score DESC, tok) AS BIGINT) AS rnk FROM sc)
+      |SELECT doc_id, rnk, tok, tf, df, score FROM r
+      |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tfidf"          -> (tfidf _),
     "q_pipeline_e2e"   -> (pipeline _),
     "q_domain_mix"     -> (domainMix _),
     "q_rep_ngrams"     -> (repetition _),
@@ -220,6 +269,7 @@ object CorpusOps {
     "q_sample"         -> (sample _))
 
   val oracles: Map[String, String] = Map(
+    "q_tfidf"          -> tfidfSql,
     "q_pipeline_e2e"   -> pipelineSql,
     "q_domain_mix"     -> domainMixSql,
     "q_rep_ngrams"     -> repetitionSql,

@@ -50,6 +50,46 @@ object GeoOps {
        |       count(*) AS n_points, min(id) AS id_min, max(id) AS id_max
        |FROM pts GROUP BY 1,2 ORDER BY 1,2""".stripMargin
 
+  // --- 1b. geo_index.from_list: merge of per-source indexes (geo_index.py:114-172) ---
+  /** The reference builds one index per input file and merges them
+    * (`from_list`): a bin present in several sources concatenates its
+    * run lists.  Spark-first, the partial index of a source is that
+    * source's bin rollup, and the merge is a union + re-aggregation on
+    * the bin key — an associative combine, so merging 1000 per-file
+    * indexes is ONE shuffle of index-sized frames (bins, not points;
+    * at 100 TB the index frame is MBs).  Here three disjoint sources
+    * (`id % 3` — the per-file split analog) are indexed independently
+    * and merged; the oracle indexes the unioned data directly, so the
+    * hash-match proves the merge law: merge(index(s_i)) == index(∪ s_i),
+    * with `n_sources` pinning per-bin source multiplicity.
+    */
+  def mergeIndexes(indexes: Seq[DataFrame]): DataFrame =
+    indexes.reduce(_ unionByName _)
+      .groupBy("bin_x", "bin_y")
+      .agg(sum("n_points").cast("long").as("n_points"),
+        min("id_min").as("id_min"), max("id_max").as("id_max"),
+        count("*").cast("long").as("n_sources"))
+
+  def indexMerge(s: SparkSession, dir: String): DataFrame = {
+    val base = pts(s, dir)
+    val partials = (0 to 2).map { i =>
+      base.filter(col("id") % 3 === i)
+        .select(binOf(col("x"), 200).as("bin_x"), binOf(col("y"), 200).as("bin_y"), col("id"))
+        .groupBy("bin_x", "bin_y")
+        .agg(count("*").as("n_points"), min("id").as("id_min"), max("id").as("id_max"))
+    }
+    mergeIndexes(partials).orderBy("bin_x", "bin_y")
+  }
+
+  val indexMergeSql: String =
+    s"""WITH pts AS ($P),
+       |b AS (SELECT CAST(round(x/200.0)*200 AS BIGINT) AS bin_x,
+       |             CAST(round(y/200.0)*200 AS BIGINT) AS bin_y,
+       |             id, id % 3 AS src FROM pts)
+       |SELECT bin_x, bin_y, count(*) AS n_points, min(id) AS id_min,
+       |       max(id) AS id_max, CAST(count(DISTINCT src) AS BIGINT) AS n_sources
+       |FROM b GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+
   // --- 2. query_xy_box: bin-granular box query (geo_index.py:344-349) ---
   def geoQueryBox(s: SparkSession, dir: String): DataFrame =
     pts(s, dir)
@@ -585,6 +625,7 @@ object GeoOps {
     "q_count_box"       -> (countBox _),
     "q_box_time"        -> (boxTime _),
     "q_geoindex_build"  -> (geoindexBuild _),
+    "q_index_merge"     -> (indexMerge _),
     "q_geo_query_box"   -> (geoQueryBox _),
     "q_geo_layout_query" -> (geoLayoutQuery _),
     "q_geo_query_pad"   -> (geoQueryPad _),
@@ -608,6 +649,7 @@ object GeoOps {
     "q_count_box"       -> countBoxSql,
     "q_box_time"        -> boxTimeSql,
     "q_geoindex_build"  -> geoindexBuildSql,
+    "q_index_merge"     -> indexMergeSql,
     "q_geo_query_box"   -> geoQueryBoxSql,
     "q_geo_layout_query" -> geoLayoutQuerySql,
     "q_geo_query_pad"   -> geoQueryPadSql,

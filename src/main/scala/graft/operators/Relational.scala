@@ -386,6 +386,57 @@ object Relational {
       |  max(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --- 39l. nested semi-structured extraction (VARIANT-style surface) ---
+  /** Multi-level schema-on-read: a JSON document with a nested object
+    * AND an array-of-structs — `{"u":{"id":…,"seg":…},"items":[{…},{…}]}`
+    * — parsed by ONE codegen'd `from_json` into a typed nested struct,
+    * the array lateral-exploded, and the leaves aggregated.  This is
+    * the event-payload shape real pipelines carry (user envelope +
+    * item list); the flat `q_json_props` covers scalar extraction,
+    * this covers the nested/array path.  The document is constructed
+    * deterministically from events columns in BOTH engines, and the
+    * DuckDB oracle re-parses it with genuine JSON operators
+    * (json_extract + from_json + unnest), so the hash-match pins the
+    * full build → parse → explode → aggregate round trip.
+    *
+    * Scale shape: parse and explode are map-side (inside the scan
+    * stage, whole-stage codegen — no UDF, no shuffle until the final
+    * small groupBy on (seg, t)); map-side combine applies.
+    */
+  def jsonNested(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val doc = concat(
+      lit("{\"u\":{\"id\":"), col("user_id").cast("string"),
+      lit(",\"seg\":"), (col("user_id") % 7).cast("string"),
+      lit("},\"items\":[{\"t\":\"a\",\"n\":"), (col("event_id") % 5).cast("string"),
+      lit("},{\"t\":\"b\",\"n\":"), (col("event_id") % 3).cast("string"),
+      lit("}]}"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "u STRUCT<id: BIGINT, seg: BIGINT>, items ARRAY<STRUCT<t: STRING, n: BIGINT>>")
+    e.select(from_json(doc, schema).as("d"))
+      .select(col("d.u.seg").as("seg"), explode(col("d.items")).as("it"))
+      .groupBy(col("seg"), col("it.t").as("t"))
+      .agg(count("*").as("n_events"),
+        sum(col("it.n")).cast("long").as("sum_n"),
+        max(col("it.n")).as("max_n"))
+      .orderBy("seg", "t")
+  }
+
+  val jsonNestedSql: String =
+    """WITH j AS (
+      |  SELECT '{"u":{"id":' || CAST(user_id AS VARCHAR)
+      |      || ',"seg":' || CAST(user_id % 7 AS VARCHAR)
+      |      || '},"items":[{"t":"a","n":' || CAST(event_id % 5 AS VARCHAR)
+      |      || '},{"t":"b","n":' || CAST(event_id % 3 AS VARCHAR)
+      |      || '}]}' AS doc FROM events),
+      |p AS (SELECT CAST(json_extract(doc, '$.u.seg') AS BIGINT) AS seg,
+      |             unnest(from_json(json_extract(doc, '$.items'),
+      |                              '[{"t":"VARCHAR","n":"BIGINT"}]')) AS it
+      |      FROM j)
+      |SELECT seg, it.t AS t, count(*) AS n_events,
+      |       CAST(sum(it.n) AS BIGINT) AS sum_n, max(it.n) AS max_n
+      |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // --- 41b. funnel analysis (staged event attrition) ---
   /** Per user: earliest view, earliest click strictly after it,
     * earliest purchase strictly after that — the classic conversion
@@ -581,6 +632,7 @@ object Relational {
     "q7_nations"    -> (q7Nations _),
     "q14_promo"     -> (q14Promo _),
     "q_json_props"  -> (jsonProps _),
+    "q_json_nested" -> (jsonNested _),
     "q_profile"     -> (profile _),
     "q_quantiles"   -> (quantiles _),
     "q1_agg"        -> (q1Agg _),
@@ -602,6 +654,7 @@ object Relational {
     "q7_nations"    -> q7NationsSql,
     "q14_promo"     -> q14PromoSql,
     "q_json_props"  -> jsonPropsSql,
+    "q_json_nested" -> jsonNestedSql,
     "q_profile"     -> profileSql,
     "q_quantiles"   -> quantilesSql,
     "q1_agg"        -> q1AggSql,
