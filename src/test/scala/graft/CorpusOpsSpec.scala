@@ -46,6 +46,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(viaSql == ((1L, 3L)))
   }
 
+  test("tfidf: exact rational score, per-doc top-3 contract") {
+    val r = CorpusOps.tfidf(spark, sf).cache()
+    // at most 3 rows per doc, ranks are 1..3, scores non-increasing
+    val perDoc = r.groupBy("doc_id").agg(
+      count("*").as("k"), max("rnk").as("rmax"), min("rnk").as("rmin"))
+    assert(perDoc.filter($"k" > 3 || $"rmax" > 3 || $"rmin" < 1).count() == 0)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("rnk")
+    assert(r.withColumn("prev", lag("score", 1).over(w))
+      .filter($"prev".isNotNull && $"prev" < $"score").count() == 0)
+    // the score IS tf*(N-df)/df for the corpus N
+    val n = graft.core.Tables.t(spark, sf, "documents").count()
+    assert(r.filter(
+      $"score" =!= ($"tf" * (lit(n) - $"df")).cast("double") / $"df").count() == 0)
+    // a term can never appear in more docs than the corpus has
+    assert(r.filter($"df" < 1 || $"df" > n || $"tf" < 1).count() == 0)
+    r.unpersist()
+  }
+
   test("contamination: overlap bounded, flag consistent, benchmark docs excluded") {
     val c = CorpusOps.contamination(spark, sf).cache()
     assert(c.filter($"doc_id" % 19 === 0).count() == 0)

@@ -97,6 +97,23 @@ class GeoOpsSpec extends SparkSpec {
     assert(ti.select("tile_e", "tile_n").distinct().count() == ti.count())
   }
 
+  test("indexMerge: merging partial indexes equals indexing the union") {
+    val merged = GeoOps.indexMerge(spark, sf)
+    val direct = graft.core.Tables.eventsPoints(spark, sf)
+      .select(GeoOps.binOf(col("x"), 200).as("bin_x"),
+        GeoOps.binOf(col("y"), 200).as("bin_y"), col("id"))
+      .groupBy("bin_x", "bin_y")
+      .agg(count("*").as("n_points"), min("id").as("id_min"), max("id").as("id_max"))
+    val j = merged.join(direct.withColumnRenamed("n_points", "n_d")
+        .withColumnRenamed("id_min", "min_d").withColumnRenamed("id_max", "max_d"),
+      Seq("bin_x", "bin_y"))
+    assert(merged.count() == direct.count())
+    assert(j.filter($"n_points" =!= $"n_d" || $"id_min" =!= $"min_d" ||
+      $"id_max" =!= $"max_d").count() == 0)
+    // a bin's source multiplicity never exceeds the partial count
+    assert(merged.filter($"n_sources" < 1 || $"n_sources" > 3).count() == 0)
+  }
+
   test("HLL sketch rollup stays within its error bound of exact counts") {
     val r = GeoOps.binApproxUsers(spark, sf, rsd = 0.02)
       .withColumn("rel_err",

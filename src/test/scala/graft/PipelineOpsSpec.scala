@@ -204,6 +204,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(s.filter($"t_end" < $"t_start").count() == 0)
   }
 
+  test("json_nested: parsed aggregates reconcile with the base columns") {
+    val r = Relational.jsonNested(spark, sf).cache()
+    val e = graft.core.Tables.t(spark, sf, "events")
+    // every (seg, t) bucket: 7 segs × 2 item types, all events represented
+    assert(r.count() == 14)
+    assert(r.agg(sum("n_events")).as[Long].head() == 2 * e.count())
+    // the parsed sum round-trips the modular arithmetic the JSON carried
+    val wantA = e.agg(sum(col("event_id") % 5)).as[Long].head()
+    val wantB = e.agg(sum(col("event_id") % 3)).as[Long].head()
+    assert(r.filter($"t" === "a").agg(sum("sum_n")).as[Long].head() == wantA)
+    assert(r.filter($"t" === "b").agg(sum("sum_n")).as[Long].head() == wantB)
+    assert(r.filter($"max_n" > 4 || ($"t" === "b" && $"max_n" > 2)).count() == 0)
+    r.unpersist()
+  }
+
+  test("dem_anomaly: cells confined to the box, medians inside per-cell extremes") {
+    val a = DateOps.demAnomaly(spark, sf).cache()
+    assert(a.count() > 0)
+    // δ=50 cells of a [-800,600)×[-700,700) box
+    assert(a.filter($"cx" < -16 || $"cx" > 11 || $"cy" < -14 || $"cy" > 13).count() == 0)
+    // the anomaly of a cell-mean DEM is bounded by the global z spread
+    val Array(zmin, zmax) = graft.core.Tables.eventsPoints(spark, sf)
+      .agg(min("z"), max("z")).as[(Double, Double)].head().productIterator
+      .map(_.asInstanceOf[Double]).toArray
+    val spread = zmax - zmin
+    assert(a.filter(abs($"dzm") > spread).count() == 0)
+    a.unpersist()
+  }
+
   test("grid interpolation stays within the grid's z range") {
     val g = DateOps.gridInterp(spark, sf)
     assert(g.count() > 0)

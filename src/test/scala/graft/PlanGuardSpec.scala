@@ -40,7 +40,9 @@ class PlanGuardSpec extends SparkSpec {
     ("dedup_exact", Dedup.dedupExact(spark, sf), 2),
     // distinct-aggregate (countDistinct) plans one extra exchange
     ("span_dedup", TextOps.spanDedup(spark, sf), 3),
-    ("q1_agg", Relational.q1Agg(spark, sf), 2))
+    ("q1_agg", Relational.q1Agg(spark, sf), 2),
+    // nested from_json + explode stay map-side: agg + orderBy only
+    ("json_nested", Relational.jsonNested(spark, sf), 2))
 
   test("exchange counts stay at their optimized bounds") {
     val over = bounds.flatMap { case (name, df, bound) =>
