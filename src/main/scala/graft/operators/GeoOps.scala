@@ -610,6 +610,58 @@ object GeoOps {
       .orderBy("id")
   }
 
+  // --- 61i. manifest-answered box min/max (aggregate pushdown) ---
+  /** Box COUNT + MIN/MAX(z) planned through the manifest's z0/z1
+    * stats: interior files contribute their manifest row unopened
+    * (min/max are decomposable aggregates), only boundary-straddlers
+    * are scanned — the Iceberg/Trino stats-pushdown story on the same
+    * sidecar q_count_box uses for counts.  The box edges deliberately
+    * avoid bin boundaries so both the interior and boundary legs
+    * execute.
+    */
+  def minmaxBox(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("minmaxbox").toString
+    graft.sources.GeoParquet.write(
+      pts(s, dir).select("id", "x", "y", "z"), path, 250.0)
+    graft.sources.GeoParquet.writeManifest(s, path)
+    graft.sources.GeoParquet.minMaxBoxViaManifest(s, path,
+      (-230.0, 480.0), (-470.0, 230.0))
+  }
+
+  val minmaxBoxSql: String =
+    s"""WITH pts AS ($P)
+       |SELECT count(*) AS n, min(z) AS zmin, max(z) AS zmax FROM pts
+       |WHERE x >= -230 AND x < 480 AND y >= -470 AND y < 230""".stripMargin
+
+  // --- 61j. snapshot read: the layout as of an earlier epoch ---
+  /** Time travel on the manifest's per-row commit epoch: seed batch
+    * (ids even) manifested at epoch 0, second batch (ids odd)
+    * incrementally appended at epoch 1, then the box read AS OF
+    * epoch 0 — the appended files are planned away, so the oracle is
+    * simply the seed batch's box subset.  Snapshot isolation for a
+    * continuously-ingesting layout, at the cost of one BIGINT per
+    * manifest row.
+    */
+  def snapshotBox(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("snapbox").toString
+    val p = pts(s, dir).select("id", "x", "y", "z")
+    graft.sources.GeoParquet.write(p.filter(col("id") % 2 === 0), path, 250.0)
+    graft.sources.GeoParquet.writeManifest(s, path)
+    graft.sources.GeoParquet.appendWithManifest(
+      p.filter(col("id") % 2 === 1), path, 250.0)
+    graft.sources.GeoParquet.queryBoxAsOf(s, path, 0L,
+        (-230.0, 480.0), (-470.0, 230.0))
+      .select("id", "x", "y", "z")
+      .orderBy("id")
+  }
+
+  val snapshotBoxSql: String =
+    s"""WITH pts AS ($P)
+       |SELECT id, x, y, z FROM pts
+       |WHERE x >= -230 AND x < 480 AND y >= -470 AND y < 230
+       |  AND id % 2 = 0
+       |ORDER BY id""".stripMargin
+
   val boxTimeSql: String =
     s"""WITH pts AS ($P)
        |SELECT id, x, y, z, t FROM pts
@@ -623,6 +675,8 @@ object GeoOps {
     "q_curve_query"     -> (curveQuery _),
     "q_curve_query_h"   -> (curveQueryH _),
     "q_count_box"       -> (countBox _),
+    "q_minmax_box"      -> (minmaxBox _),
+    "q_snapshot_box"    -> (snapshotBox _),
     "q_box_time"        -> (boxTime _),
     "q_geoindex_build"  -> (geoindexBuild _),
     "q_index_merge"     -> (indexMerge _),
@@ -647,6 +701,8 @@ object GeoOps {
     "q_curve_query"     -> curveQuerySql,
     "q_curve_query_h"   -> curveQueryHSql,
     "q_count_box"       -> countBoxSql,
+    "q_minmax_box"      -> minmaxBoxSql,
+    "q_snapshot_box"    -> snapshotBoxSql,
     "q_box_time"        -> boxTimeSql,
     "q_geoindex_build"  -> geoindexBuildSql,
     "q_index_merge"     -> indexMergeSql,

@@ -117,13 +117,15 @@ object GeoParquet {
     * stores an absolute root that breaks on relocation.
     */
   /** Per-file stats columns for a manifest over `df`: row count, x/y
-    * envelope, the curve-key range when a key column is present, and
-    * the TIME range when a `t` column is present (epoch ms) — the
-    * temporal face of the same sidecar.  Batches of a time-series
-    * ingest are naturally time-bounded, so t0/t1 prune historical
-    * files out of recent-window queries ([[queryBoxTimeViaManifest]])
-    * even though no layout dimension is time.  All three manifest
-    * writers ([[writeManifest]]/[[appendWithManifest]]/[[appendCurve]])
+    * envelope, the VALUE range when a `z` column is present (feeds
+    * [[minMaxBoxViaManifest]] aggregate pushdown), the curve-key
+    * range when a key column is present, and the TIME range when a
+    * `t` column is present (epoch ms) — the temporal face of the same
+    * sidecar.  Batches of a time-series ingest are naturally
+    * time-bounded, so t0/t1 prune historical files out of
+    * recent-window queries ([[queryBoxTimeViaManifest]]) even though
+    * no layout dimension is time.  All three manifest writers
+    * ([[writeManifest]]/[[appendWithManifest]]/[[appendCurve]])
     * MUST agree on this column set and order — `_manifest` part files
     * with diverging schemas would make reads sample-dependent.
     */
@@ -133,12 +135,15 @@ object GeoParquet {
         Seq(min("x").as("x0"), max("x").as("x1"),
           min("y").as("y0"), max("y").as("y1"))
       else Seq.empty // key-only layouts (e.g. segment archives) skip envelopes
+    val zv =
+      if (df.columns.contains("z")) Seq(min("z").as("z0"), max("z").as("z1"))
+      else Seq.empty
     val key = CurveKeyCols.find(df.columns.contains).toSeq.flatMap(k =>
       Seq(min(k).as("k0"), max(k).as("k1")))
     val time =
       if (df.columns.contains("t")) Seq(min("t").as("t0"), max("t").as("t1"))
       else Seq.empty
-    Seq(count("*").as("n_rows")) ++ xy ++ key ++ time
+    Seq(count("*").as("n_rows")) ++ xy ++ zv ++ key ++ time
   }
 
   /** Per-file manifest rows of the layout/stage under `root`, with
@@ -149,16 +154,21 @@ object GeoParquet {
     * containing a quote must not break the plan), distributed (a
     * 100 TB layout has millions of manifest rows).
     */
-  private def statsOf(df: DataFrame, root: String): DataFrame = {
+  private def statsOf(df: DataFrame, root: String, epoch: Long): DataFrame = {
     val aggs = manifestStatsAggs(df)
     df.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("file", col("file").substr(
         instr(col("file"), root) + lit(root.length + 1), length(col("file"))))
+      // the layout epoch this file became visible at — incremental
+      // appends stamp increasing epochs, giving [[queryBoxAsOf]] its
+      // snapshot axis for free (one BIGINT per manifest row)
+      .withColumn("epoch", lit(epoch))
   }
 
   def writeManifest(spark: SparkSession, path: String): Unit = {
-    statsOf(spark.read.parquet(path), rootPathOf(spark, path))
+    statsOf(spark.read.parquet(path), rootPathOf(spark, path),
+        readEpoch(spark, path))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_manifest")
     // record the layout epoch the manifest describes — the O(1)
@@ -320,6 +330,87 @@ object GeoParquet {
         spark.read.parquet(boundaryFiles.toIndexedSeq: _*)
           .filter(boxFilter).agg(count("*").as("n")))
         .agg(sum("n").as("n"))
+  }
+
+  /** Box MIN/MAX/COUNT answered (mostly) from the manifest — the
+    * aggregate-pushdown face of the same sidecar (what Iceberg/Trino
+    * do with manifest stats): a file whose envelope lies fully inside
+    * the half-open box contributes its manifest `n_rows`/`z0`/`z1`
+    * WITHOUT being opened (min and max are decomposable: the min over
+    * the box is the min of interior-file minima and the scanned
+    * boundary rows' minimum); only boundary-straddling files are
+    * scanned.  Perimeter-not-area, as [[countBoxViaManifest]].
+    * Requires a `z`-bearing layout (manifest carries z0/z1).
+    */
+  def minMaxBoxViaManifest(spark: SparkSession, path: String,
+                           xr: (Double, Double), yr: (Double, Double),
+                           verify: Boolean = false): DataFrame = {
+    val boxFilter =
+      col("x") >= xr._1 && col("x") < xr._2 &&
+        col("y") >= yr._1 && col("y") < yr._2
+    def aggOf(df: DataFrame) =
+      df.agg(count("*").as("n"), min("z").as("zmin"), max("z").as("zmax"))
+    if (!manifestFresh(spark, path, verify))
+      return aggOf(spark.read.option("recursiveFileLookup", "true")
+        .parquet(path).filter(boxFilter))
+    val m = spark.read.parquet(s"$path/_manifest")
+    require(m.columns.contains("z0"),
+      s"$path/_manifest carries no z stats — the layout has no z column")
+    val intersects = col("x1") >= xr._1 && col("x0") < xr._2 &&
+      col("y1") >= yr._1 && col("y0") < yr._2
+    val contained = col("x0") >= xr._1 && col("x1") < xr._2 &&
+      col("y0") >= yr._1 && col("y1") < yr._2
+    val interior = m.filter(intersects && contained)
+      .agg(coalesce(sum("n_rows"), lit(0L)).as("n"),
+        min("z0").as("zmin"), max("z1").as("zmax"))
+    val boundaryFiles = m.filter(intersects && !contained)
+      .select("file").collect().map(r => s"$path/${r.getString(0)}")
+    if (boundaryFiles.isEmpty) interior
+    else
+      interior.union(
+        aggOf(spark.read.parquet(boundaryFiles.toIndexedSeq: _*)
+          .filter(boxFilter)))
+        .agg(sum("n").as("n"), min("zmin").as("zmin"), max("zmax").as("zmax"))
+  }
+
+  /** SNAPSHOT box query: the layout as it stood at `asOfEpoch` — the
+    * manifest's per-row commit `epoch` is the snapshot axis (each
+    * incremental append stamps its files with the epoch they became
+    * visible at), so time travel costs one BIGINT per manifest row
+    * and zero extra I/O.  Files committed after `asOfEpoch` are
+    * planned away exactly like envelope-pruned files.
+    *
+    * History lives only as long as the manifest rows that carry it:
+    * [[writeManifest]] (full rebuild) and the compactors stamp every
+    * row with the current epoch, so snapshots older than the last
+    * rebuild/compaction are gone — requesting one throws rather than
+    * returning a silently-wrong subset.  A stale manifest refuses
+    * too: with unmanifested files on disk there IS no sound snapshot
+    * to serve (the fallback scan of the other readers would read
+    * files from AFTER the requested epoch).
+    */
+  def queryBoxAsOf(spark: SparkSession, path: String, asOfEpoch: Long,
+                   xr: (Double, Double), yr: (Double, Double),
+                   verify: Boolean = false): DataFrame = {
+    require(manifestFresh(spark, path, verify),
+      s"$path: manifest is stale — snapshot reads have no sound " +
+        "fallback; run writeManifest (which resets history to the " +
+        "current epoch) first")
+    val m = spark.read.parquet(s"$path/_manifest")
+    val oldest = m.agg(min("epoch")).head().getLong(0)
+    require(asOfEpoch >= oldest,
+      s"$path: history before epoch $oldest was compacted away " +
+        s"(requested $asOfEpoch)")
+    val files = m
+      .filter(col("epoch") <= asOfEpoch &&
+        col("x1") >= xr._1 && col("x0") < xr._2 &&
+        col("y1") >= yr._1 && col("y0") < yr._2)
+      .select("file").collect().map(r => s"$path/${r.getString(0)}")
+    val boxFilter =
+      col("x") >= xr._1 && col("x") < xr._2 &&
+        col("y") >= yr._1 && col("y") < yr._2
+    if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
+    else spark.read.parquet(files.toIndexedSeq: _*).filter(boxFilter)
   }
 
   /** Box + time-window query planned through the manifest: files are
@@ -499,7 +590,7 @@ object GeoParquet {
     // per-file stats over the STAGED batch only, root-relative — the
     // relative path is identical after the rename below; materialized
     // (localCheckpoint) BEFORE the files move away
-    val stats = statsOf(spark.read.parquet(tmp), rootPathOf(spark, tmp))
+    val stats = statsOf(spark.read.parquet(tmp), rootPathOf(spark, tmp), newEpoch)
       .localCheckpoint()
     commitStaged(spark, path, tmp, stats, newEpoch)
   }
@@ -578,7 +669,7 @@ object GeoParquet {
     keyed.repartitionByRange(nFiles, col(keyCol))
       .sortWithinPartitions(keyCol)
       .write.mode("overwrite").parquet(tmp)
-    val stats = statsOf(spark.read.parquet(tmp), rootPathOf(spark, tmp))
+    val stats = statsOf(spark.read.parquet(tmp), rootPathOf(spark, tmp), newEpoch)
       .localCheckpoint() // materialize BEFORE the files move away
     commitStaged(spark, path, tmp, stats, newEpoch)
   }

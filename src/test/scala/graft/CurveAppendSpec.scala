@@ -214,6 +214,72 @@ class CurveAppendSpec extends SparkSpec {
       .count() == boxIds(pts, (0.0, 200.0), (0.0, 200.0)).size.toLong)
   }
 
+  test("minMaxBoxViaManifest: interior stats come from the manifest alone") {
+    val dir = java.nio.file.Files.createTempDirectory("mmbox").toString
+    val pts = graft.core.Tables.eventsPoints(spark, sf)
+    GeoParquet.writeZOrdered(pts, dir, 50.0, 16)
+    GeoParquet.writeManifest(spark, dir)
+    // whole domain: every file interior — zero data files opened
+    val all = GeoParquet.minMaxBoxViaManifest(spark, dir, (-1e9, 1e9), (-1e9, 1e9))
+    assert(all.inputFiles.forall(_.contains("_manifest")),
+      s"data files opened for an interior-only min/max: ${all.inputFiles.toSeq}")
+    val want = pts.agg(count("*"), min("z"), max("z"))
+      .as[(Long, Double, Double)].head()
+    assert(all.as[(Long, Double, Double)].head() == want)
+    // boundary-straddling box: exact, pruned
+    val xr = (0.0, 200.0); val yr = (0.0, 200.0)
+    val mixed = GeoParquet.minMaxBoxViaManifest(spark, dir, xr, yr)
+    val wantBox = pts.filter($"x" >= 0 && $"x" < 200 && $"y" >= 0 && $"y" < 200)
+      .agg(count("*"), min("z"), max("z")).as[(Long, Double, Double)].head()
+    assert(mixed.as[(Long, Double, Double)].head() == wantBox)
+    val total = spark.read.parquet(dir).inputFiles.length
+    val opened = mixed.inputFiles.count(!_.contains("_manifest"))
+    assert(opened < total, s"$opened of $total data files opened")
+    // stale layout -> correct unpruned fallback
+    GeoParquet.append(pts.limit(3)
+      .withColumn("id", $"id" + 9000000L)
+      .withColumn("x", lit(10.0)).withColumn("y", lit(10.0)), dir, 50.0)
+    val stale = GeoParquet.minMaxBoxViaManifest(spark, dir, xr, yr)
+    assert(stale.as[(Long, Double, Double)].head()._1 == wantBox._1 + 3L)
+  }
+
+  test("queryBoxAsOf: snapshots pin epochs; lost history refuses loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("snap").toString
+    val pts = graft.core.Tables.eventsPoints(spark, sf).select("id", "x", "y", "z")
+    val box = ((-1e9, 1e9), (-1e9, 1e9))
+    GeoParquet.write(pts.filter($"id" % 2 === 0), dir, 250.0)
+    GeoParquet.writeManifest(spark, dir) // epoch 0
+    GeoParquet.appendWithManifest(pts.filter($"id" % 2 === 1), dir, 250.0) // epoch 1
+    val evens = pts.filter($"id" % 2 === 0).select("id").as[Long].collect().toSet
+    val snap0 = GeoParquet.queryBoxAsOf(spark, dir, 0L, box._1, box._2)
+    assert(snap0.select("id").as[Long].collect().toSet == evens,
+      "epoch-0 snapshot must be exactly the seed batch")
+    val snap1 = GeoParquet.queryBoxAsOf(spark, dir, 1L, box._1, box._2)
+    assert(snap1.count() == pts.count())
+    // the snapshot is PLANNED away, not filtered away: only epoch-0 files open
+    val e0Files = spark.read.parquet(s"$dir/_manifest")
+      .filter($"epoch" === 0L).count()
+    assert(snap0.inputFiles.length.toLong == e0Files)
+    // pre-history epoch: refuse
+    intercept[IllegalArgumentException] {
+      GeoParquet.queryBoxAsOf(spark, dir, -1L, box._1, box._2)
+    }
+    // stale manifest: no sound snapshot to serve — refuse
+    GeoParquet.append(pts.limit(2).withColumn("id", $"id" + 9000000L), dir, 250.0)
+    intercept[IllegalArgumentException] {
+      GeoParquet.queryBoxAsOf(spark, dir, 0L, box._1, box._2)
+    }
+    // a manifest rebuild stamps everything with the current epoch:
+    // older snapshots are gone (refused), the current one sees all rows
+    GeoParquet.writeManifest(spark, dir)
+    intercept[IllegalArgumentException] {
+      GeoParquet.queryBoxAsOf(spark, dir, 0L, box._1, box._2)
+    }
+    val now = GeoParquet.readEpoch(spark, dir)
+    assert(GeoParquet.queryBoxAsOf(spark, dir, now, box._1, box._2).count()
+      == pts.count() + 2L)
+  }
+
   test("countBoxViaManifest: interior files are counted without being opened") {
     val dir = java.nio.file.Files.createTempDirectory("cbox").toString
     val pts = graft.core.Tables.eventsPoints(spark, sf)
