@@ -65,6 +65,37 @@ class CorpusOpsSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("count-min sketch: never undercounts, overcount within bound, merge law") {
+    import graft.operators.Sketches
+    val (d, w) = (4, 512)
+    val toks = graft.core.Tables.t(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val n = toks.count()
+    val truth = toks.groupBy("tok").agg(count("*").as("true_cnt"))
+    val sk = Sketches.cmsBuild(toks, "tok", d, w).cache()
+    // sketch state is bounded by d*w regardless of corpus size
+    assert(sk.count() <= d.toLong * w)
+    val est = Sketches.cmsEstimate(sk, toks, "tok", d, w).join(truth, "tok").cache()
+    // CMS never undercounts
+    assert(est.filter($"est" < $"true_cnt").count() == 0)
+    // and overcounts by at most ~eps*N (fixed seeds => deterministic;
+    // 5x headroom over the single-row expectation N/w)
+    val bound = 5.0 * n / w
+    val worst = est.agg(max($"est" - $"true_cnt")).as[Long].head()
+    assert(worst <= bound, s"worst CMS overcount $worst > bound $bound")
+    // merging per-half sketches equals sketching the whole corpus
+    // (split by token hash so both halves are genuine sub-corpora)
+    val a = toks.filter(abs(hash($"tok")) % 2 === 0)
+    val b = toks.filter(abs(hash($"tok")) % 2 =!= 0)
+    val merged = Sketches.cmsMerge(Seq(
+      Sketches.cmsBuild(a, "tok", d, w), Sketches.cmsBuild(b, "tok", d, w)))
+    val direct = sk.withColumnRenamed("cnt", "cnt_d")
+    assert(merged.join(direct, Seq("h_row", "slot"), "full")
+      .filter($"cnt".isNull || $"cnt_d".isNull || $"cnt" =!= $"cnt_d")
+      .count() == 0)
+    sk.unpersist(); est.unpersist()
+  }
+
   test("contamination: overlap bounded, flag consistent, benchmark docs excluded") {
     val c = CorpusOps.contamination(spark, sf).cache()
     assert(c.filter($"doc_id" % 19 === 0).count() == 0)
