@@ -633,6 +633,35 @@ object GeoOps {
        |SELECT count(*) AS n, min(z) AS zmin, max(z) AS zmax FROM pts
        |WHERE x >= -230 AND x < 480 AND y >= -470 AND y < 230""".stripMargin
 
+  // --- 61k. merge-on-read deletes: box query under pending tombstones ---
+  /** Write a layout, register every `id % 7 == 0` row for deletion
+    * (tombstones only — zero data files rewritten), then box-query
+    * through the manifest reader: the pending deletes are subtracted
+    * by the read-side anti-join, so the oracle is simply the box
+    * minus the doomed ids.  The 100 TB story: a dedup drop-list or a
+    * purge takes effect instantly and the rewrite cost is deferred to
+    * the next compaction.
+    */
+  def deleteBox(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("delbox").toString
+    val p = pts(s, dir).select("id", "x", "y", "z")
+    graft.sources.GeoParquet.write(p, path, 250.0)
+    graft.sources.GeoParquet.writeManifest(s, path)
+    graft.sources.GeoParquet.deleteIds(
+      p.filter(col("id") % 7 === 0).select("id"), path)
+    graft.sources.GeoParquet.queryBoxViaManifest(s, path,
+        (-230.0, 480.0), (-470.0, 230.0))
+      .select("id", "x", "y", "z")
+      .orderBy("id")
+  }
+
+  val deleteBoxSql: String =
+    s"""WITH pts AS ($P)
+       |SELECT id, x, y, z FROM pts
+       |WHERE x >= -230 AND x < 480 AND y >= -470 AND y < 230
+       |  AND id % 7 <> 0
+       |ORDER BY id""".stripMargin
+
   // --- 61j. snapshot read: the layout as of an earlier epoch ---
   /** Time travel on the manifest's per-row commit epoch: seed batch
     * (ids even) manifested at epoch 0, second batch (ids odd)
@@ -677,6 +706,7 @@ object GeoOps {
     "q_count_box"       -> (countBox _),
     "q_minmax_box"      -> (minmaxBox _),
     "q_snapshot_box"    -> (snapshotBox _),
+    "q_delete_box"      -> (deleteBox _),
     "q_box_time"        -> (boxTime _),
     "q_geoindex_build"  -> (geoindexBuild _),
     "q_index_merge"     -> (indexMerge _),
@@ -703,6 +733,7 @@ object GeoOps {
     "q_count_box"       -> countBoxSql,
     "q_minmax_box"      -> minmaxBoxSql,
     "q_snapshot_box"    -> snapshotBoxSql,
+    "q_delete_box"      -> deleteBoxSql,
     "q_box_time"        -> boxTimeSql,
     "q_geoindex_build"  -> geoindexBuildSql,
     "q_index_merge"     -> indexMergeSql,

@@ -234,6 +234,59 @@ object GeoParquet {
     out.result()
   }
 
+  // --- merge-on-read deletes (tombstones) ---------------------------
+  // At 100 TB a dedup drop-list or a GDPR purge cannot rewrite the
+  // layout synchronously.  deleteIds() appends the doomed keys to a
+  // `_tombstones` sidecar and bumps the epoch; readers subtract the
+  // tombstones (an anti-join AFTER pruning, so pruned reads stay
+  // pruned), stats shortcuts that cannot subtract fall back to merged
+  // scans, and the next compaction applies the deletes physically and
+  // clears the sidecar.  This is the Iceberg equality-delete shape.
+
+  /** Register keys for deletion without touching data files.  `ids`
+    * must be a single column named exactly like the layout's key
+    * column — readers discover the join key from the sidecar schema.
+    */
+  def deleteIds(ids: DataFrame, path: String): Unit = {
+    val spark = ids.sparkSession
+    require(ids.columns.length == 1,
+      s"tombstone frame must be a single key column, got ${ids.columns.toSeq}")
+    if (ids.isEmpty) return
+    ids.write.mode("append").parquet(s"$path/_tombstones")
+    // pending deletes: manifest-trusting readers must re-plan
+    bumpEpoch(spark, path)
+  }
+
+  /** The pending tombstone keys, if any. */
+  def pendingTombstones(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+    if (fsOf(spark, path).exists(p)) Some(spark.read.parquet(p.toString))
+    else None
+  }
+
+  /** `df` minus the layout's pending tombstones (no-op when none).
+    * The anti-join runs AFTER whatever pruning produced `df`, and the
+    * tombstone side is a key list (broadcastable under AQE when
+    * small) — deleting 0.1% of a corpus must not cost a corpus scan.
+    */
+  private def minusTombstones(spark: SparkSession, path: String,
+                              df: DataFrame): DataFrame =
+    pendingTombstones(spark, path) match {
+      case Some(ts) => df.join(ts, Seq(ts.columns.head), "left_anti")
+      case None     => df
+    }
+
+  /** [[read]] with pending deletes subtracted. */
+  def readMerged(spark: SparkSession, path: String): DataFrame =
+    minusTombstones(spark, path, read(spark, path))
+
+  /** [[queryBox]] (bin-partition-pruned) with pending deletes
+    * subtracted — pruning first, anti-join on the survivors.
+    */
+  def queryBoxMerged(spark: SparkSession, path: String,
+                     xr: (Long, Long), yr: (Long, Long)): DataFrame =
+    minusTombstones(spark, path, queryBox(spark, path, xr, yr))
+
   /** Box query planned through the manifest: only files whose
     * [x0,x1]×[y0,y1] envelope intersects the box are opened.
     *
@@ -277,23 +330,27 @@ object GeoParquet {
     val boxFilter =
       col("x") >= xr._1 && col("x") < xr._2 &&
         col("y") >= yr._1 && col("y") < yr._2
-    if (!manifestFresh(spark, path, verify))
-      // stale/missing manifest — layout mutated since writeManifest;
-      // correctness over pruning (recursiveFileLookup also disables
-      // partition inference, so appended bin_x=… files read with the
-      // flat schema)
-      spark.read.option("recursiveFileLookup", "true").parquet(path)
-        .filter(boxFilter)
-    else {
-      val files = spark.read.parquet(s"$path/_manifest")
-        .filter(col("x1") >= xr._1 && col("x0") < xr._2 &&
-                col("y1") >= yr._1 && col("y0") < yr._2)
-        .select("file").collect().map(r => s"$path/${r.getString(0)}")
-      if (files.isEmpty)
-        spark.read.parquet(path).filter(lit(false))
-      else
-        spark.read.parquet(files.toIndexedSeq: _*).filter(boxFilter)
-    }
+    val raw =
+      if (!manifestFresh(spark, path, verify))
+        // stale/missing manifest — layout mutated since writeManifest;
+        // correctness over pruning (recursiveFileLookup also disables
+        // partition inference, so appended bin_x=… files read with the
+        // flat schema)
+        spark.read.option("recursiveFileLookup", "true").parquet(path)
+          .filter(boxFilter)
+      else {
+        val files = spark.read.parquet(s"$path/_manifest")
+          .filter(col("x1") >= xr._1 && col("x0") < xr._2 &&
+                  col("y1") >= yr._1 && col("y0") < yr._2)
+          .select("file").collect().map(r => s"$path/${r.getString(0)}")
+        if (files.isEmpty)
+          spark.read.parquet(path).filter(lit(false))
+        else
+          spark.read.parquet(files.toIndexedSeq: _*).filter(boxFilter)
+      }
+    // pending deletes ride every read path (a post-delete writeManifest
+    // could make the manifest look fresh while tombstones are pending)
+    minusTombstones(spark, path, raw)
   }
 
   /** Box COUNT answered (mostly) from the manifest: a file whose
@@ -312,6 +369,12 @@ object GeoParquet {
     val boxFilter =
       col("x") >= xr._1 && col("x") < xr._2 &&
         col("y") >= yr._1 && col("y") < yr._2
+    // a manifest row's n_rows cannot subtract pending deletes — under
+    // tombstones the count comes from a merged scan (correct, unpruned)
+    if (pendingTombstones(spark, path).nonEmpty)
+      return minusTombstones(spark, path,
+        spark.read.option("recursiveFileLookup", "true").parquet(path)
+          .filter(boxFilter)).agg(count("*").as("n"))
     if (!manifestFresh(spark, path, verify))
       return spark.read.option("recursiveFileLookup", "true").parquet(path)
         .filter(boxFilter).agg(count("*").as("n"))
@@ -350,6 +413,11 @@ object GeoParquet {
         col("y") >= yr._1 && col("y") < yr._2
     def aggOf(df: DataFrame) =
       df.agg(count("*").as("n"), min("z").as("zmin"), max("z").as("zmax"))
+    // manifest z0/z1 cannot subtract pending deletes — merged scan
+    if (pendingTombstones(spark, path).nonEmpty)
+      return aggOf(minusTombstones(spark, path,
+        spark.read.option("recursiveFileLookup", "true")
+          .parquet(path).filter(boxFilter)))
     if (!manifestFresh(spark, path, verify))
       return aggOf(spark.read.option("recursiveFileLookup", "true")
         .parquet(path).filter(boxFilter))
@@ -392,6 +460,9 @@ object GeoParquet {
   def queryBoxAsOf(spark: SparkSession, path: String, asOfEpoch: Long,
                    xr: (Double, Double), yr: (Double, Double),
                    verify: Boolean = false): DataFrame = {
+    require(pendingTombstones(spark, path).isEmpty,
+      s"$path has pending deletes — tombstones carry no epoch, so no " +
+        "historical snapshot is reconstructible; compact first")
     require(manifestFresh(spark, path, verify),
       s"$path: manifest is stale — snapshot reads have no sound " +
         "fallback; run writeManifest (which resets history to the " +
@@ -432,20 +503,24 @@ object GeoParquet {
       col("x") >= xr._1 && col("x") < xr._2 &&
         col("y") >= yr._1 && col("y") < yr._2 &&
         col("t") >= tr._1 && col("t") < tr._2
-    if (!manifestFresh(spark, path, verify))
-      return spark.read.option("recursiveFileLookup", "true").parquet(path)
-        .filter(rowFilter)
-    val m = spark.read.parquet(s"$path/_manifest")
-    val boxHit = col("x1") >= xr._1 && col("x0") < xr._2 &&
-      col("y1") >= yr._1 && col("y0") < yr._2
-    val hit =
-      if (m.columns.contains("t0"))
-        boxHit && col("t1") >= tr._1 && col("t0") < tr._2
-      else boxHit // pre-time manifest: envelope pruning only
-    val files = m.filter(hit)
-      .select("file").collect().map(r => s"$path/${r.getString(0)}")
-    if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
-    else spark.read.parquet(files.toIndexedSeq: _*).filter(rowFilter)
+    val raw =
+      if (!manifestFresh(spark, path, verify))
+        spark.read.option("recursiveFileLookup", "true").parquet(path)
+          .filter(rowFilter)
+      else {
+        val m = spark.read.parquet(s"$path/_manifest")
+        val boxHit = col("x1") >= xr._1 && col("x0") < xr._2 &&
+          col("y1") >= yr._1 && col("y0") < yr._2
+        val hit =
+          if (m.columns.contains("t0"))
+            boxHit && col("t1") >= tr._1 && col("t0") < tr._2
+          else boxHit // pre-time manifest: envelope pruning only
+        val files = m.filter(hit)
+          .select("file").collect().map(r => s"$path/${r.getString(0)}")
+        if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
+        else spark.read.parquet(files.toIndexedSeq: _*).filter(rowFilter)
+      }
+    minusTombstones(spark, path, raw)
   }
 
   /** Box query over a curve-clustered layout ([[writeZOrdered]] /
@@ -487,8 +562,9 @@ object GeoParquet {
       // curve key, so neither file pruning nor the key-range filter
       // is sound — correctness over pruning, exactly as in
       // [[queryBoxViaManifest]]
-      return spark.read.option("recursiveFileLookup", "true").parquet(path)
-        .filter(boxFilter)
+      return minusTombstones(spark, path,
+        spark.read.option("recursiveFileLookup", "true").parquet(path)
+          .filter(boxFilter))
     // key-column discovery goes through the manifest (one file's
     // schema), NOT a full-layout listing — `base` below is only built
     // on the paths that genuinely need the whole directory
@@ -522,7 +598,7 @@ object GeoParquet {
           spark.read.parquet(files.toIndexedSeq: _*)
         }
       }
-    src.filter(keyFilter && boxFilter)
+    minusTombstones(spark, path, src.filter(keyFilter && boxFilter))
   }
 
   /** Append a (micro-)batch into the layout — the streaming-ingest
@@ -681,7 +757,8 @@ object GeoParquet {
     * it on small-file pressure, not per batch.
     */
   def compactCurve(spark: SparkSession, path: String, nFiles: Int): Unit = {
-    val df = spark.read.parquet(path)
+    // compaction is where merge-on-read deletes become physical
+    val df = minusTombstones(spark, path, spark.read.parquet(path))
     val keyCol = CurveKeyCols.find(df.columns.contains).getOrElse(
       throw new IllegalArgumentException(
         s"$path is not curve-clustered (${CurveKeyCols.mkString("/")} absent)"))
@@ -761,7 +838,9 @@ object GeoParquet {
   def compact(spark: SparkSession, path: String): Unit = {
     val tmp = path + ".compact"
     val epochBefore = readEpoch(spark, path)
-    read(spark, path)
+    // merged read: compaction applies pending deletes physically; the
+    // swap leaves `_tombstones` behind in the retired directory
+    readMerged(spark, path)
       .repartition(col("bin_x"), col("bin_y"))
       .sortWithinPartitions("bin_x", "bin_y", "x", "y")
       .write.mode("overwrite").partitionBy("bin_x", "bin_y").parquet(tmp)
@@ -784,9 +863,12 @@ object GeoParquet {
     */
   def compactIfNeeded(spark: SparkSession, path: String,
                       maxFilesPerBin: Int = 4): Boolean = {
-    val pressure = listDataFiles(spark, path)
-      .groupBy(f => f.substring(0, f.lastIndexOf('/')))
-      .values.exists(_.size > maxFilesPerBin)
+    // pending deletes are compaction pressure too: every merged read
+    // pays the anti-join until the tombstones are applied
+    val pressure = pendingTombstones(spark, path).nonEmpty ||
+      listDataFiles(spark, path)
+        .groupBy(f => f.substring(0, f.lastIndexOf('/')))
+        .values.exists(_.size > maxFilesPerBin)
     if (pressure) compact(spark, path)
     pressure
   }

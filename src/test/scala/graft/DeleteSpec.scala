@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.GeoParquet
+
+/** Merge-on-read deletes: tombstone registration, read-side
+  * subtraction on every entry point, stats-path degradation, refusal
+  * where no sound answer exists, and physical apply at compaction.
+  */
+class DeleteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def p = graft.core.Tables.eventsPoints(spark, sf)
+    .select("id", "x", "y", "z")
+
+  test("deleteIds: merged reads subtract instantly, pruning survives") {
+    val dir = java.nio.file.Files.createTempDirectory("del1").toString
+    GeoParquet.write(p, dir, 250.0)
+    GeoParquet.writeManifest(spark, dir)
+    val doomed = p.filter($"id" % 7 === 0).select("id")
+    val nDoomed = doomed.count()
+    GeoParquet.deleteIds(doomed, dir)
+    // zero data files rewritten, sidecar present, epoch bumped
+    assert(GeoParquet.pendingTombstones(spark, dir).get.count() == nDoomed)
+    assert(GeoParquet.readEpoch(spark, dir) == 1L)
+    // merged full read
+    assert(GeoParquet.readMerged(spark, dir).count() == p.count() - nDoomed)
+    assert(GeoParquet.readMerged(spark, dir)
+      .filter($"id" % 7 === 0).count() == 0)
+    // merged box read keeps bin-partition pruning: the bin predicates
+    // stay PartitionFilters on the data scan despite the anti-join
+    val boxed = GeoParquet.queryBoxMerged(spark, dir, (0L, 250L), (0L, 250L))
+    val pf = boxed.queryExecution.executedPlan.toString
+      .linesIterator.find(l => l.contains("PartitionFilters") && l.contains("bin_x"))
+    assert(pf.exists(l => l.contains("(bin_x") && !l.contains("PartitionFilters: []")),
+      s"bin predicates lost from the scan: $pf")
+    assert(boxed.filter($"id" % 7 === 0).count() == 0)
+    // raw read still sees everything (merged-ness is explicit)
+    assert(GeoParquet.read(spark, dir).count() == p.count())
+    // a second delete accumulates
+    GeoParquet.deleteIds(p.filter($"id" % 7 === 1).select("id"), dir)
+    assert(GeoParquet.readMerged(spark, dir)
+      .filter($"id" % 7 <= 1).count() == 0)
+  }
+
+  test("stats shortcuts degrade to merged scans under pending deletes") {
+    val dir = java.nio.file.Files.createTempDirectory("del2").toString
+    GeoParquet.write(p, dir, 250.0)
+    GeoParquet.writeManifest(spark, dir)
+    GeoParquet.deleteIds(p.filter($"id" % 3 === 0).select("id"), dir)
+    val want = p.filter($"id" % 3 =!= 0)
+    val n = GeoParquet.countBoxViaManifest(spark, dir, (-1e9, 1e9), (-1e9, 1e9))
+    assert(n.as[Long].head() == want.count())
+    val mm = GeoParquet.minMaxBoxViaManifest(spark, dir, (-1e9, 1e9), (-1e9, 1e9))
+    val wantAgg = want.agg(count("*"), min("z"), max("z"))
+      .as[(Long, Double, Double)].head()
+    assert(mm.as[(Long, Double, Double)].head() == wantAgg)
+    // snapshots cannot be served under pending deletes — refuse
+    intercept[IllegalArgumentException] {
+      GeoParquet.queryBoxAsOf(spark, dir, 0L, (-1e9, 1e9), (-1e9, 1e9))
+    }
+  }
+
+  test("compaction applies tombstones physically and clears the sidecar") {
+    val dir = java.nio.file.Files.createTempDirectory("del3").toString
+    GeoParquet.write(p, dir, 250.0)
+    GeoParquet.writeManifest(spark, dir)
+    GeoParquet.deleteIds(p.filter($"id" % 5 === 0).select("id"), dir)
+    // tombstones count as compaction pressure on their own
+    assert(GeoParquet.compactIfNeeded(spark, dir, maxFilesPerBin = 1000))
+    assert(GeoParquet.pendingTombstones(spark, dir).isEmpty)
+    // the RAW read now excludes the deleted rows — the delete is physical
+    val raw = GeoParquet.read(spark, dir)
+    assert(raw.filter($"id" % 5 === 0).count() == 0)
+    assert(raw.count() == p.filter($"id" % 5 =!= 0).count())
+    // rebuilt manifest serves snapshot reads again
+    GeoParquet.writeManifest(spark, dir)
+    val e = GeoParquet.readEpoch(spark, dir)
+    assert(GeoParquet.queryBoxAsOf(spark, dir, e, (-1e9, 1e9), (-1e9, 1e9))
+      .count() == raw.count())
+  }
+
+  test("curve layouts: pruned reads subtract, compactCurve applies") {
+    val dir = java.nio.file.Files.createTempDirectory("del4").toString
+    GeoParquet.writeZOrdered(p, dir, 50.0, 8)
+    GeoParquet.writeManifest(spark, dir)
+    GeoParquet.deleteIds(p.filter($"id" % 4 === 0).select("id"), dir)
+    // post-delete the manifest reads stale -> merged fallback, correct
+    val xr = (0.0, 200.0); val yr = (0.0, 200.0)
+    val got = GeoParquet.queryBoxCurve(spark, dir, xr, yr, 50.0)
+    val want = p.filter($"x" >= 0 && $"x" < 200 && $"y" >= 0 && $"y" < 200 &&
+      $"id" % 4 =!= 0).select("id").as[Long].collect().toSet
+    assert(got.select("id").as[Long].collect().toSet == want)
+    // writeManifest over the raw files re-freshens pruning; the
+    // pending tombstones must STILL be subtracted on the pruned path
+    GeoParquet.writeManifest(spark, dir)
+    val pruned = GeoParquet.queryBoxCurve(spark, dir, xr, yr, 50.0)
+    assert(pruned.select("id").as[Long].collect().toSet == want)
+    assert(pruned.inputFiles.count(!_.contains("_manifest")) <
+      spark.read.parquet(dir).inputFiles.length)
+    // compactCurve applies the deletes physically
+    GeoParquet.compactCurve(spark, dir, 4)
+    assert(GeoParquet.pendingTombstones(spark, dir).isEmpty)
+    assert(GeoParquet.read(spark, dir).filter($"id" % 4 === 0).count() == 0)
+  }
+}
