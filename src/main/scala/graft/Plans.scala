@@ -79,6 +79,24 @@ object Plans {
     show("q7_nations (two-aliased-dim broadcasts)", operators.Relational.q7Nations(spark, sf), joiny)
     show("json_props (codegen'd from_json)", operators.Relational.jsonProps(spark, sf),
       Seq("HashAggregate", "Exchange", "WholeStageCodegen", "Scan"))
+    show("json_nested (nested from_json + lateral explode, map-side)",
+      operators.Relational.jsonNested(spark, sf),
+      Seq("Generate", "HashAggregate", "Exchange", "WholeStageCodegen"))
+    show("tfidf (broadcast N, tok-keyed join, per-doc window)",
+      operators.CorpusOps.tfidf(spark, sf),
+      Seq("Join", "Exchange", "Window", "HashAggregate"))
+    show("index_merge (partial-index union + re-agg)",
+      operators.GeoOps.indexMerge(spark, sf),
+      Seq("Union", "HashAggregate", "Exchange"))
+    show("dem_anomaly (broadcast DEM grid, one window + one rollup)",
+      operators.DateOps.demAnomaly(spark, sf),
+      Seq("BroadcastHashJoin", "Window", "HashAggregate", "PushedFilters"))
+    show("minmax_box (manifest z-stats pushdown; boundary leg only)",
+      operators.GeoOps.minmaxBox(spark, sf),
+      Seq("Scan", "HashAggregate", "Union", "Exchange"))
+    show("delete_box (tombstone anti-join after pruning)",
+      operators.GeoOps.deleteBox(spark, sf),
+      Seq("Join", "Exchange", "PushedFilters"))
     spark.stop()
   }
 }
