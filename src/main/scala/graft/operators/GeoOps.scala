@@ -662,6 +662,36 @@ object GeoOps {
        |  AND id % 7 <> 0
        |ORDER BY id""".stripMargin
 
+  // --- 61l. MERGE/upsert by key, read back through the manifest ---
+  /** Write a layout, upsert a modified copy of every `id % 11 == 0`
+    * row (z shifted by +1000 — same key, new value), and box-query
+    * through the manifest reader.  The oracle expresses the merge as
+    * a CASE over the base table, so the hash-match proves replaced
+    * rows carry the new value exactly once and untouched rows are
+    * bit-identical — the MERGE INTO contract.
+    */
+  def upsertBox(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("upsert").toString
+    val p = pts(s, dir).select("id", "x", "y", "z")
+    graft.sources.GeoParquet.write(p, path, 250.0)
+    graft.sources.GeoParquet.writeManifest(s, path)
+    graft.sources.GeoParquet.upsert(
+      p.filter(col("id") % 11 === 0).withColumn("z", col("z") + 1000.0),
+      path, "id", 250.0)
+    graft.sources.GeoParquet.queryBoxViaManifest(s, path,
+        (-230.0, 480.0), (-470.0, 230.0))
+      .select("id", "x", "y", "z")
+      .orderBy("id")
+  }
+
+  val upsertBoxSql: String =
+    s"""WITH pts AS ($P)
+       |SELECT id, x, y,
+       |       CASE WHEN id % 11 = 0 THEN z + 1000.0 ELSE z END AS z
+       |FROM pts
+       |WHERE x >= -230 AND x < 480 AND y >= -470 AND y < 230
+       |ORDER BY id""".stripMargin
+
   // --- 61j. snapshot read: the layout as of an earlier epoch ---
   /** Time travel on the manifest's per-row commit epoch: seed batch
     * (ids even) manifested at epoch 0, second batch (ids odd)
@@ -707,6 +737,7 @@ object GeoOps {
     "q_minmax_box"      -> (minmaxBox _),
     "q_snapshot_box"    -> (snapshotBox _),
     "q_delete_box"      -> (deleteBox _),
+    "q_upsert_box"      -> (upsertBox _),
     "q_box_time"        -> (boxTime _),
     "q_geoindex_build"  -> (geoindexBuild _),
     "q_index_merge"     -> (indexMerge _),
@@ -734,6 +765,7 @@ object GeoOps {
     "q_minmax_box"      -> minmaxBoxSql,
     "q_snapshot_box"    -> snapshotBoxSql,
     "q_delete_box"      -> deleteBoxSql,
+    "q_upsert_box"      -> upsertBoxSql,
     "q_box_time"        -> boxTimeSql,
     "q_geoindex_build"  -> geoindexBuildSql,
     "q_index_merge"     -> indexMergeSql,

@@ -186,6 +186,35 @@ object Relational {
       |WHERE rnk <= 3 ORDER BY bucket, rnk""".stripMargin
 
   // --- 41. gap-based sessionization over the events stream table ---
+  // --- 41c. ordered path aggregation (session-path signatures) ---
+  /** Per user, the full time-ordered event-type path as one string
+    * plus its md5 signature — the clickstream "path analysis"
+    * primitive (and the LISTAGG/string_agg surface).  collect_list is
+    * order-nondeterministic under parallelism, so the order is forced
+    * structurally: collect (t, id, type) STRUCTS and sort_array them
+    * — struct ordering is lexicographic and (t, id) is a unique key,
+    * making the aggregation deterministic on any cluster.  One
+    * shuffle on user_id; path state is bounded per user.
+    */
+  def userPaths(s: SparkSession, dir: String): DataFrame =
+    graft.core.Tables.eventsPoints(s, dir)
+      .select(col("user_id"),
+        struct(col("t"), col("id"), col("event_type")).as("e"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(col("e"))).as("es"))
+      .select(col("user_id"),
+        size(col("es")).cast("long").as("n_events"),
+        array_join(expr("transform(es, x -> x.event_type)"), ">").as("path"))
+      .withColumn("path_sig", md5(col("path")))
+      .orderBy("user_id")
+
+  val userPathsSql: String =
+    s"""WITH pts AS (${graft.core.Tables.eventsPointsSql})
+       |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       |       string_agg(event_type, '>' ORDER BY t, id) AS path,
+       |       md5(string_agg(event_type, '>' ORDER BY t, id)) AS path_sig
+       |FROM pts GROUP BY user_id ORDER BY user_id""".stripMargin
+
   def sessionize(s: SparkSession, dir: String): DataFrame = {
     val e  = graft.core.Tables.eventsPoints(s, dir) // has exact t (ms) + user_id
     val w  = Window.partitionBy("user_id").orderBy("t", "id")
@@ -633,6 +662,7 @@ object Relational {
     "q14_promo"     -> (q14Promo _),
     "q_json_props"  -> (jsonProps _),
     "q_json_nested" -> (jsonNested _),
+    "q_user_paths"  -> (userPaths _),
     "q_profile"     -> (profile _),
     "q_quantiles"   -> (quantiles _),
     "q1_agg"        -> (q1Agg _),
@@ -655,6 +685,7 @@ object Relational {
     "q14_promo"     -> q14PromoSql,
     "q_json_props"  -> jsonPropsSql,
     "q_json_nested" -> jsonNestedSql,
+    "q_user_paths"  -> userPathsSql,
     "q_profile"     -> profileSql,
     "q_quantiles"   -> quantilesSql,
     "q1_agg"        -> q1AggSql,

@@ -280,6 +280,29 @@ object GeoParquet {
   def readMerged(spark: SparkSession, path: String): DataFrame =
     minusTombstones(spark, path, read(spark, path))
 
+  /** MERGE/upsert by key: rows of `df` replace layout rows sharing
+    * their `keyCol` (absent keys are plain inserts) — composed from
+    * primitives this store already has: [[deleteIds]] the incoming
+    * keys, apply physically, [[appendWithManifest]] the new rows.
+    *
+    * The delete MUST be physical before the append lands: an
+    * equality tombstone matches on key alone, so it cannot tell an
+    * old copy from its replacement — leaving it pending would shadow
+    * the new rows too.  (Deferring the rewrite needs positional
+    * (file, row) deletes, which know which copy they kill; with the
+    * manifest's per-row epochs that is a natural next step.)  So
+    * upsert costs one compaction of the layout today; bin-partitioned
+    * layouts only, like [[compact]].
+    */
+  def upsert(df: DataFrame, path: String, keyCol: String,
+             delta: Double): Unit = {
+    val spark = df.sparkSession
+    deleteIds(df.select(keyCol), path)
+    compact(spark, path)    // equality tombstones become physical here
+    writeManifest(spark, path)
+    appendWithManifest(df, path, delta)
+  }
+
   /** [[queryBox]] (bin-partition-pruned) with pending deletes
     * subtracted — pruning first, anti-join on the survivors.
     */

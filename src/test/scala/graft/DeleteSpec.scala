@@ -80,6 +80,46 @@ class DeleteSpec extends SparkSpec {
       .count() == raw.count())
   }
 
+  test("upsert: replaces by key exactly once, leaves a clean fresh layout") {
+    val dir = java.nio.file.Files.createTempDirectory("ups").toString
+    GeoParquet.write(p, dir, 250.0)
+    GeoParquet.writeManifest(spark, dir)
+    GeoParquet.upsert(
+      p.filter($"id" % 9 === 0).withColumn("z", $"z" + 1000.0), dir, "id", 250.0)
+    val r = GeoParquet.read(spark, dir).select("id", "x", "y", "z")
+    val expect = p.withColumn("z",
+      when($"id" % 9 === 0, $"z" + 1000.0).otherwise($"z"))
+    // multiset equality: every key exactly once, replaced values exact
+    assert(r.exceptAll(expect).count() == 0 && expect.exceptAll(r).count() == 0)
+    // the merge left no pending tombstones and a FRESH manifest —
+    // pruned reads serve the post-merge state immediately
+    assert(GeoParquet.pendingTombstones(spark, dir).isEmpty)
+    val boxed = GeoParquet.queryBoxViaManifest(spark, dir, (0.0, 200.0), (0.0, 200.0))
+    assert(boxed.count() ==
+      expect.filter($"x" >= 0 && $"x" < 200 && $"y" >= 0 && $"y" < 200).count())
+  }
+
+  test("dedup drop-list as tombstones: retroactive dedup without a rewrite") {
+    val dir = java.nio.file.Files.createTempDirectory("deldup").toString
+    // corpus with every content duplicated under a second id
+    val dupes = p.withColumn("id", $"id" + 10000000L)
+    GeoParquet.write(p.unionByName(dupes), dir, 250.0)
+    GeoParquet.writeManifest(spark, dir)
+    // keeper = min id per content; everything else is the drop list
+    val drops = GeoParquet.read(spark, dir)
+      .groupBy("x", "y", "z").agg(min("id").as("keep"), collect_list("id").as("ids"))
+      .select(explode($"ids").as("id"), $"keep")
+      .filter($"id" =!= $"keep").select("id")
+    GeoParquet.deleteIds(drops, dir)
+    // instantly dedup-clean through the merged read — zero data rewritten
+    val merged = GeoParquet.readMerged(spark, dir)
+    assert(merged.count() == p.count())
+    assert(merged.groupBy("x", "y", "z").count().filter($"count" > 1).count() == 0)
+    // ...and physically clean after compaction
+    GeoParquet.compact(spark, dir)
+    assert(GeoParquet.read(spark, dir).count() == p.count())
+  }
+
   test("curve layouts: pruned reads subtract, compactCurve applies") {
     val dir = java.nio.file.Files.createTempDirectory("del4").toString
     GeoParquet.writeZOrdered(p, dir, 50.0, 8)
