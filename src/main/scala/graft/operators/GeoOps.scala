@@ -692,6 +692,35 @@ object GeoOps {
        |WHERE x >= -230 AND x < 480 AND y >= -470 AND y < 230
        |ORDER BY id""".stripMargin
 
+  // --- 61m. O(batch) MERGE via positional deletes, pruned read-back ---
+  /** As [[upsertBox]] but through [[graft.sources.GeoParquet.upsertPositional]]:
+    * no compaction, no rewrite — old copies die by (file, row) address
+    * and the manifest stays fresh throughout, so the read-back runs
+    * the PRUNED manifest path with the positional subtraction riding
+    * it.  Same MERGE contract, the scale-honest mechanism.
+    */
+  def upsertPosBox(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("upsertp").toString
+    val p = pts(s, dir).select("id", "x", "y", "z")
+    graft.sources.GeoParquet.write(p, path, 250.0)
+    graft.sources.GeoParquet.writeManifest(s, path)
+    graft.sources.GeoParquet.upsertPositional(
+      p.filter(col("id") % 13 === 0).withColumn("z", col("z") + 500.0),
+      path, "id", 250.0)
+    graft.sources.GeoParquet.queryBoxViaManifest(s, path,
+        (-230.0, 480.0), (-470.0, 230.0))
+      .select("id", "x", "y", "z")
+      .orderBy("id")
+  }
+
+  val upsertPosBoxSql: String =
+    s"""WITH pts AS ($P)
+       |SELECT id, x, y,
+       |       CASE WHEN id % 13 = 0 THEN z + 500.0 ELSE z END AS z
+       |FROM pts
+       |WHERE x >= -230 AND x < 480 AND y >= -470 AND y < 230
+       |ORDER BY id""".stripMargin
+
   // --- 61j. snapshot read: the layout as of an earlier epoch ---
   /** Time travel on the manifest's per-row commit epoch: seed batch
     * (ids even) manifested at epoch 0, second batch (ids odd)
@@ -738,6 +767,7 @@ object GeoOps {
     "q_snapshot_box"    -> (snapshotBox _),
     "q_delete_box"      -> (deleteBox _),
     "q_upsert_box"      -> (upsertBox _),
+    "q_upsert_pos"      -> (upsertPosBox _),
     "q_box_time"        -> (boxTime _),
     "q_geoindex_build"  -> (geoindexBuild _),
     "q_index_merge"     -> (indexMerge _),
@@ -766,6 +796,7 @@ object GeoOps {
     "q_snapshot_box"    -> snapshotBoxSql,
     "q_delete_box"      -> deleteBoxSql,
     "q_upsert_box"      -> upsertBoxSql,
+    "q_upsert_pos"      -> upsertPosBoxSql,
     "q_box_time"        -> boxTimeSql,
     "q_geoindex_build"  -> geoindexBuildSql,
     "q_index_merge"     -> indexMergeSql,

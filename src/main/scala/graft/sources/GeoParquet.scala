@@ -264,17 +264,76 @@ object GeoParquet {
     else None
   }
 
-  /** `df` minus the layout's pending tombstones (no-op when none).
-    * The anti-join runs AFTER whatever pruning produced `df`, and the
-    * tombstone side is a key list (broadcastable under AQE when
-    * small) — deleting 0.1% of a corpus must not cost a corpus scan.
+  /** The pending POSITIONAL tombstones (root-relative file, row
+    * index), if any — written by [[deleteWhere]]/[[upsertPositional]].
+    * Unlike equality tombstones these know exactly which physical row
+    * they kill, so replacements of the same key in newer files are
+    * untouched — the Iceberg v2 position-delete shape.
+    */
+  def pendingPositional(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_tombstones_pos")
+    if (fsOf(spark, path).exists(p)) Some(spark.read.parquet(p.toString))
+    else None
+  }
+
+  /** Any pending delete, of either kind. */
+  def hasPendingDeletes(spark: SparkSession, path: String): Boolean =
+    pendingTombstones(spark, path).nonEmpty ||
+      pendingPositional(spark, path).nonEmpty
+
+  /** Root-relative form of an absolute/URI file path column — the
+    * same scheme-agnostic cut [[statsOf]] uses for manifest entries.
+    */
+  private def relativeTo(root: String)(fileCol: org.apache.spark.sql.Column) =
+    fileCol.substr(instr(fileCol, root) + lit(root.length + 1), length(fileCol))
+
+  /** `df` minus the layout's pending deletes (no-op when none).
+    * Equality tombstones anti-join on the key; positional tombstones
+    * anti-join on (`_metadata.file_path`, `_metadata.row_index`) —
+    * which requires `df` to derive directly from a parquet scan of
+    * this layout (true of every caller: scans plus filters only).
+    * Both joins run AFTER whatever pruning produced `df`, and both
+    * delete sides are id/position lists (broadcastable under AQE) —
+    * deleting 0.1% of a corpus must not cost a corpus scan.
     */
   private def minusTombstones(spark: SparkSession, path: String,
-                              df: DataFrame): DataFrame =
-    pendingTombstones(spark, path) match {
+                              df: DataFrame): DataFrame = {
+    val eq = pendingTombstones(spark, path) match {
       case Some(ts) => df.join(ts, Seq(ts.columns.head), "left_anti")
       case None     => df
     }
+    pendingPositional(spark, path) match {
+      case Some(ts) =>
+        val root = rootPathOf(spark, path)
+        eq.withColumn("__file", relativeTo(root)(col("_metadata.file_path")))
+          .withColumn("__pos", col("_metadata.row_index"))
+          .join(ts.withColumnRenamed("file", "__file")
+                  .withColumnRenamed("pos", "__pos"),
+            Seq("__file", "__pos"), "left_anti")
+          .drop("__file", "__pos")
+      case None => eq
+    }
+  }
+
+  /** DELETE FROM … WHERE as positional tombstones: the matching rows'
+    * (file, row) addresses are harvested in one scan and appended to
+    * the `_tombstones_pos` sidecar — no data file rewritten, and
+    * because positions identify physical rows (not keys), envelope
+    * pruning and the manifest stay VALID: pruned reads keep pruning
+    * (the subtraction rides them), only row-count shortcuts degrade
+    * (they check [[hasPendingDeletes]] explicitly).  The epoch is
+    * deliberately NOT bumped — nothing the manifest asserts about
+    * files has changed.
+    */
+  def deleteWhere(spark: SparkSession, path: String,
+                  cond: org.apache.spark.sql.Column): Unit = {
+    val root = rootPathOf(spark, path)
+    val doomed = spark.read.parquet(path).filter(cond)
+      .select(relativeTo(root)(col("_metadata.file_path")).as("file"),
+        col("_metadata.row_index").as("pos"))
+    if (!doomed.isEmpty)
+      doomed.write.mode("append").parquet(s"$path/_tombstones_pos")
+  }
 
   /** [[read]] with pending deletes subtracted. */
   def readMerged(spark: SparkSession, path: String): DataFrame =
@@ -301,6 +360,35 @@ object GeoParquet {
     compact(spark, path)    // equality tombstones become physical here
     writeManifest(spark, path)
     appendWithManifest(df, path, delta)
+  }
+
+  /** O(batch) MERGE/upsert via POSITIONAL deletes — the shape
+    * [[upsert]]'s doc promises: the old copies' (file, row) addresses
+    * are harvested by one semi-join scan and pinned BEFORE the append
+    * (so the replacements, which land in new files, can never match),
+    * then the new rows stage-append with the manifest maintained.
+    * No compaction, no rewrite; envelope pruning stays valid and
+    * every pruned read keeps pruning (positions ride the subtraction
+    * join).  The scan to find old copies is the irreducible MERGE
+    * cost (a join against the target); at 100 TB a key-bucketed or
+    * manifest-key-range layout would prune it too.
+    */
+  def upsertPositional(df: DataFrame, path: String, keyCol: String,
+                       delta: Double): Unit = {
+    val spark = df.sparkSession
+    val root = rootPathOf(spark, path)
+    val doomed = spark.read.parquet(path)
+      .select(col(keyCol),
+        relativeTo(root)(col("_metadata.file_path")).as("file"),
+        col("_metadata.row_index").as("pos"))
+      .join(df.select(keyCol).distinct(), Seq(keyCol), "leftsemi")
+      .select("file", "pos")
+      // pin the PRE-append address list — eager, so the append below
+      // cannot leak its own files into the doomed set
+      .localCheckpoint()
+    appendWithManifest(df, path, delta)
+    if (!doomed.isEmpty)
+      doomed.write.mode("append").parquet(s"$path/_tombstones_pos")
   }
 
   /** [[queryBox]] (bin-partition-pruned) with pending deletes
@@ -394,7 +482,7 @@ object GeoParquet {
         col("y") >= yr._1 && col("y") < yr._2
     // a manifest row's n_rows cannot subtract pending deletes — under
     // tombstones the count comes from a merged scan (correct, unpruned)
-    if (pendingTombstones(spark, path).nonEmpty)
+    if (hasPendingDeletes(spark, path))
       return minusTombstones(spark, path,
         spark.read.option("recursiveFileLookup", "true").parquet(path)
           .filter(boxFilter)).agg(count("*").as("n"))
@@ -437,7 +525,7 @@ object GeoParquet {
     def aggOf(df: DataFrame) =
       df.agg(count("*").as("n"), min("z").as("zmin"), max("z").as("zmax"))
     // manifest z0/z1 cannot subtract pending deletes — merged scan
-    if (pendingTombstones(spark, path).nonEmpty)
+    if (hasPendingDeletes(spark, path))
       return aggOf(minusTombstones(spark, path,
         spark.read.option("recursiveFileLookup", "true")
           .parquet(path).filter(boxFilter)))
@@ -483,7 +571,7 @@ object GeoParquet {
   def queryBoxAsOf(spark: SparkSession, path: String, asOfEpoch: Long,
                    xr: (Double, Double), yr: (Double, Double),
                    verify: Boolean = false): DataFrame = {
-    require(pendingTombstones(spark, path).isEmpty,
+    require(!hasPendingDeletes(spark, path),
       s"$path has pending deletes — tombstones carry no epoch, so no " +
         "historical snapshot is reconstructible; compact first")
     require(manifestFresh(spark, path, verify),
@@ -888,7 +976,7 @@ object GeoParquet {
                       maxFilesPerBin: Int = 4): Boolean = {
     // pending deletes are compaction pressure too: every merged read
     // pays the anti-join until the tombstones are applied
-    val pressure = pendingTombstones(spark, path).nonEmpty ||
+    val pressure = hasPendingDeletes(spark, path) ||
       listDataFiles(spark, path)
         .groupBy(f => f.substring(0, f.lastIndexOf('/')))
         .values.exists(_.size > maxFilesPerBin)

@@ -120,6 +120,53 @@ class DeleteSpec extends SparkSpec {
     assert(GeoParquet.read(spark, dir).count() == p.count())
   }
 
+  test("deleteWhere: positional deletes keep the manifest fresh and pruning live") {
+    val dir = java.nio.file.Files.createTempDirectory("delw").toString
+    GeoParquet.write(p, dir, 250.0)
+    GeoParquet.writeManifest(spark, dir)
+    val e0 = GeoParquet.readEpoch(spark, dir)
+    GeoParquet.deleteWhere(spark, dir, col("id") % 6 === 0)
+    // positions identify physical rows — nothing the manifest asserts
+    // changed, so NO epoch bump and pruned reads stay pruned
+    assert(GeoParquet.readEpoch(spark, dir) == e0)
+    val xr = (0.0, 200.0); val yr = (0.0, 200.0)
+    val got = GeoParquet.queryBoxViaManifest(spark, dir, xr, yr)
+    val want = p.filter($"x" >= 0 && $"x" < 200 && $"y" >= 0 && $"y" < 200 &&
+      $"id" % 6 =!= 0)
+    assert(got.count() == want.count())
+    assert(got.filter($"id" % 6 === 0).count() == 0)
+    // row-count shortcuts cannot subtract from manifest rows: degrade, correct
+    val n = GeoParquet.countBoxViaManifest(spark, dir, (-1e9, 1e9), (-1e9, 1e9))
+    assert(n.as[Long].head() == p.filter($"id" % 6 =!= 0).count())
+    // snapshots refuse under pending deletes of either kind
+    intercept[IllegalArgumentException] {
+      GeoParquet.queryBoxAsOf(spark, dir, e0, (-1e9, 1e9), (-1e9, 1e9))
+    }
+    // compaction applies and clears the positional sidecar too
+    GeoParquet.compact(spark, dir)
+    assert(GeoParquet.pendingPositional(spark, dir).isEmpty)
+    assert(GeoParquet.read(spark, dir).filter($"id" % 6 === 0).count() == 0)
+  }
+
+  test("upsertPositional: repeated upserts keep exactly the latest copy") {
+    val dir = java.nio.file.Files.createTempDirectory("upsp").toString
+    GeoParquet.write(p, dir, 250.0)
+    GeoParquet.writeManifest(spark, dir)
+    val keys = p.filter($"id" % 13 === 0)
+    GeoParquet.upsertPositional(keys.withColumn("z", $"z" + 500.0), dir, "id", 250.0)
+    // second upsert of the SAME keys: the first replacement must die by
+    // its (file, row) address — an equality tombstone could not tell it
+    // from the second replacement
+    GeoParquet.upsertPositional(keys.withColumn("z", $"z" + 900.0), dir, "id", 250.0)
+    val r = GeoParquet.readMerged(spark, dir).select("id", "x", "y", "z")
+    val expect = p.withColumn("z",
+      when($"id" % 13 === 0, $"z" + 900.0).otherwise($"z"))
+    assert(r.exceptAll(expect).count() == 0 && expect.exceptAll(r).count() == 0)
+    // the manifest stayed fresh through BOTH merges — no full-scan fallback
+    assert(GeoParquet.readEpoch(spark, dir) ==
+      spark.read.parquet(s"$dir/_manifest").agg(max("epoch")).head().getLong(0))
+  }
+
   test("curve layouts: pruned reads subtract, compactCurve applies") {
     val dir = java.nio.file.Files.createTempDirectory("del4").toString
     GeoParquet.writeZOrdered(p, dir, 50.0, 8)
