@@ -120,6 +120,31 @@ object Dedup {
     shingleFrame.join(broadcast(hot), Seq("gh"), "left_anti")
   }
 
+  /** [[dfCapped]] with the document frequencies estimated by a
+    * count-min sketch instead of the exact per-shingle count.  The
+    * CMS never undercounts, so `est > dfCap` flags a SUPERSET of the
+    * truly-hot shingles: the skew bound (no join key fans out beyond
+    * dfCap²) holds unconditionally, and the only cost is a few
+    * rare-but-collision-inflated shingles dropped with the stop set
+    * — the safe direction for a candidate filter.
+    *
+    * Why a sketch when the exact count is one map-side-combined
+    * shuffle?  The sketch is d·w rows REGARDLESS of vocabulary and
+    * ADDITIVE: under streaming/multi-batch dedup the corpus-wide df
+    * stats are maintained by merging per-batch sketches
+    * (Sketches.cmsMerge) — no re-scan of the accumulated corpus per
+    * batch, which an exact hot list needs.
+    */
+  def dfCappedApprox(shingleFrame: DataFrame, dfCap: Int = DfCap,
+                     d: Int = 4, w: Int = 8192): DataFrame = {
+    import graft.operators.Sketches
+    val sk = Sketches.cmsBuild(shingleFrame, "gh", d, w)
+    val hot = Sketches.cmsEstimate(sk, shingleFrame, "gh", d, w)
+      .filter(col("est") > dfCap)
+      .select("gh")
+    shingleFrame.join(broadcast(hot), Seq("gh"), "left_anti")
+  }
+
   /** Shingle-set Jaccard over any (doc_id, gh) shingle frame. */
   def jaccardOf(shingleFrame: DataFrame, dfCap: Int = DfCap): DataFrame = {
     // raw persisted first: the md5-heavy shingle extraction must run

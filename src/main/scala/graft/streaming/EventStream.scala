@@ -170,6 +170,49 @@ object EventStream {
       }
       .start()
 
+  /** Streaming MERGE (CDC apply): every micro-batch UPSERTS into the
+    * layout by key via GeoParquet.upsertPositional — old copies die by
+    * (file, row) address, replacements stage-append with the manifest
+    * maintained, so the layout is continuously queryable THROUGH the
+    * pruned manifest path while updates stream in.  This is the
+    * change-data-capture sink shape: a stream of latest-value records
+    * keyed by entity, merged as they arrive, O(batch) per batch.
+    * The first batch seeds the layout (write + manifest).  Same
+    * restart semantics as [[ingestGeoParquet]]: `_batches/` markers
+    * make replays no-ops (at-least-once between append and marker).
+    */
+  def ingestUpserts(updates: DataFrame, path: String, keyCol: String,
+                    delta: Double, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val marker = new org.apache.hadoop.fs.Path(s"$path/_batches/$batchId")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker)) {
+          // a batch may carry several updates for one key — keep the
+          // latest (max t, id tiebreak) so the merge is deterministic
+          val latest =
+            if (batch.columns.contains("t")) {
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy(keyCol)
+                .orderBy(col("t").desc, col("id").desc)
+              batch.withColumn("__rn", row_number().over(w))
+                .filter(col("__rn") === 1).drop("__rn")
+            } else batch.dropDuplicates(keyCol)
+          if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_manifest"))) {
+            graft.sources.GeoParquet.write(latest, path, delta)
+            graft.sources.GeoParquet.writeManifest(spark, path)
+          } else
+            graft.sources.GeoParquet.upsertPositional(latest, path, keyCol, delta)
+          fs.mkdirs(marker.getParent)
+          fs.create(marker, true).close()
+        }
+      }
+      .start()
+
   /** Stream-static enrichment: join the unbounded event stream with a
     * static dimension frame (user attributes, tile metadata, a model
     * table).  Spark broadcasts the static side into every micro-batch

@@ -167,6 +167,39 @@ class DeleteSpec extends SparkSpec {
       spark.read.parquet(s"$dir/_manifest").agg(max("epoch")).head().getLong(0))
   }
 
+  test("streaming MERGE: CDC batches upsert continuously, reads stay pruned") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("cdc").toString
+    val mem = MemoryStream[(Long, Double, Double, Double, Long)]
+    val updates = mem.toDF().toDF("id", "x", "y", "z", "t")
+    val q = graft.streaming.EventStream.ingestUpserts(
+      updates, s"$dir/data", "id", 250.0, s"$dir/ckpt")
+    // batch 0 seeds; batch 1 updates id=1 twice (latest-in-batch wins)
+    // and inserts id=3
+    mem.addData((1L, 10.0, 20.0, 1.0, 100L), (2L, 510.0, -520.0, 2.0, 100L))
+    q.processAllAvailable()
+    mem.addData((1L, 10.0, 20.0, 7.0, 200L), (1L, 10.0, 20.0, 9.0, 300L),
+      (3L, 12.0, 22.0, 3.0, 200L))
+    q.processAllAvailable()
+    // batch 2: update id=3 — a key first seen as an upsert, proving
+    // replacements of replacements die by position
+    mem.addData((3L, 12.0, 22.0, 5.0, 400L))
+    q.processAllAvailable()
+    q.stop()
+    val r = GeoParquet.readMerged(spark, s"$dir/data")
+      .select("id", "z").as[(Long, Double)].collect().toMap
+    assert(r == Map(1L -> 9.0, 2L -> 2.0, 3L -> 5.0))
+    // the manifest stayed fresh through every merge — pruned path live
+    assert(GeoParquet.readEpoch(spark, s"$dir/data") ==
+      spark.read.parquet(s"$dir/data/_manifest")
+        .agg(max("epoch")).head().getLong(0))
+    val boxed = GeoParquet.queryBoxViaManifest(
+      spark, s"$dir/data", (0.0, 100.0), (0.0, 100.0))
+    assert(boxed.select("id", "z").as[(Long, Double)].collect().toSet ==
+      Set((1L, 9.0), (3L, 5.0)))
+  }
+
   test("curve layouts: pruned reads subtract, compactCurve applies") {
     val dir = java.nio.file.Files.createTempDirectory("del4").toString
     GeoParquet.writeZOrdered(p, dir, 50.0, 8)

@@ -56,6 +56,23 @@ class PipelineOpsSpec extends SparkSpec {
     sh.unpersist()
   }
 
+  test("approx df cap: drops every truly-hot shingle, keeps nearly all others") {
+    val sh = Dedup.shinglesOf(graft.core.Tables.t(spark, sf, "documents"))
+      .cache()
+    val cap = 10
+    val exact = Dedup.dfCapped(sh, cap).cache()
+    val approx = Dedup.dfCappedApprox(sh, cap).cache()
+    // CMS never undercounts => the approx stop set is a superset of the
+    // exact one => the approx-capped frame is a SUBSET of the exact
+    assert(approx.exceptAll(exact).count() == 0)
+    // and the collision overshoot is small: ≥90% of the exact frame kept
+    val kept = approx.count().toDouble / exact.count()
+    assert(kept >= 0.9, s"approx cap kept only ${kept * 100}% of the exact frame")
+    // the skew contract itself: no surviving shingle exceeds the cap
+    assert(approx.groupBy("gh").count().filter($"count" > cap).count() == 0)
+    sh.unpersist(); exact.unpersist(); approx.unpersist()
+  }
+
   test("minhash est_sim upper-bounds nothing below 0 and at most 1") {
     val m = Dedup.minhashLsh(spark, sf)
     assert(m.filter($"est_sim" < 0 || $"est_sim" > 1).count() == 0)
