@@ -97,6 +97,9 @@ object Plans {
     show("delete_box (tombstone anti-join after pruning)",
       operators.GeoOps.deleteBox(spark, sf),
       Seq("Join", "Exchange", "PushedFilters"))
+    show("upsert_pos read-back (positional (file,row) anti-join on the pruned path)",
+      operators.GeoOps.upsertPosBox(spark, sf),
+      Seq("Join", "Exchange", "PushedFilters", "row_index"))
     spark.stop()
   }
 }
