@@ -149,6 +149,20 @@ object Crossovers {
     graft.sources.GeoParquet.writeManifest(tracks.sparkSession, path)
   }
 
+  /** Grow a [[writeSegmentArchive]] incrementally: the batch's
+    * segments land as new internally-key-sorted files with the
+    * manifest extended under the crash-safe epoch ordering — the
+    * archive side of a continuous crossover-update loop.  Rides
+    * GeoParquet.appendCurve (the batch arrives pre-keyed on the cell
+    * Morton key, so no x/y pair is required).
+    */
+  def appendSegmentArchive(tracks: DataFrame, path: String,
+                           nFiles: Int = 1): Unit =
+    graft.sources.GeoParquet.appendCurve(
+      segmentsOf(tracks).withColumn("zkey",
+        graft.functions.ZOrder.zkey(col("cell_x"), col("cell_y"))),
+      path, delta = 1.0 /* unused: batch is pre-keyed */, nFiles)
+
   /** [[incrementalCrossovers]] against a persisted
     * [[writeSegmentArchive]] layout: the new batch's (dilated) cell
     * keys are joined against the manifest's [k0,k1] ranges, so only
@@ -158,14 +172,31 @@ object Crossovers {
     * runtime), while the archive itself is never rescanned.  At
     * 100 TB this is the difference between an update reading a few
     * curve-adjacent files and re-listing a continental tile store.
+    *
+    * `asOfEpoch` pins the archive to an earlier manifest epoch
+    * (files committed later are planned away) — an update job re-run
+    * against a GROWING archive reproduces its original answer, the
+    * same snapshot axis as GeoParquet.queryBoxAsOf and with the same
+    * contract: history older than the last rebuild/compaction throws.
     */
   def incrementalCrossoversFromArchive(spark: SparkSession, path: String,
-                                       newTracks: DataFrame): DataFrame = {
+                                       newTracks: DataFrame,
+                                       asOfEpoch: Option[Long] = None): DataFrame = {
     val newSegs = segmentsOf(newTracks).withColumn("is_new", lit(1L))
     val hotCells = newSegs.select("cell_x", "cell_y").distinct()
     val hotKeys = hotCells
       .select(graft.functions.ZOrder.zkey(col("cell_x"), col("cell_y")).as("k"))
-    val files = spark.read.parquet(s"$path/_manifest")
+    val m0 = spark.read.parquet(s"$path/_manifest")
+    val m = asOfEpoch match {
+      case Some(e) =>
+        val oldest = m0.agg(min("epoch")).head().getLong(0)
+        require(e >= oldest,
+          s"$path: archive history before epoch $oldest was compacted " +
+            s"away (requested $e)")
+        m0.filter(col("epoch") <= e)
+      case None => m0
+    }
+    val files = m
       .join(broadcast(hotKeys),
         col("k").between(col("k0"), col("k1")), "leftsemi")
       .select("file").collect().map(r => s"$path/${r.getString(0)}")

@@ -844,7 +844,10 @@ object GeoParquet {
         "rebuild it before appending incrementally")
     if (df.isEmpty) return // a 0-row stage has no files to harvest
     val keyed =
-      if (keyCol == "zkey")
+      // a batch that already carries the layout's key column is taken
+      // as-is (segment archives key on cell coordinates, not x/y)
+      if (df.columns.contains(keyCol)) df
+      else if (keyCol == "zkey")
         df.withColumn("zkey", graft.functions.ZOrder.zkey(
           GeoOps.cellOf(col("x"), delta), GeoOps.cellOf(col("y"), delta)))
       else

@@ -58,12 +58,42 @@ object VectorIndex {
       .write.mode("append").partitionBy("cent").parquet(s"$path/data")
   }
 
+  /** Delete vectors by id WITHOUT rebuilding the index — the ANN face
+    * of merge-on-read deletes: a near-dup purge or right-to-be-
+    * forgotten request tombstones the ids, [[search]] subtracts them
+    * AFTER its partition pruning and BEFORE the top-k cut (a deleted
+    * vector must not eat a result slot), and the next compaction
+    * applies them physically.  The centroid model is untouched —
+    * deleting members never moves a list.
+    */
+  def deleteVectors(ids: DataFrame, path: String): Unit = {
+    require(ids.columns.length == 1,
+      s"vector tombstones must be a single id column, got ${ids.columns.toSeq}")
+    if (!ids.isEmpty)
+      ids.toDF("vec_id").write.mode("append").parquet(s"$path/_tombstones")
+  }
+
+  /** Pending vector tombstones, if any. */
+  def pendingDeleted(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  private def minusDeleted(spark: SparkSession, path: String,
+                           df: DataFrame): DataFrame =
+    pendingDeleted(spark, path) match {
+      case Some(ts) => df.join(ts, Seq("vec_id"), "left_anti")
+      case None     => df
+    }
+
   /** Compact the index's `cent=` partitions in place — streaming
     * [[append]]s leave one small file per touched centroid list per
     * micro-batch, exactly the GeoParquet small-file story; the
     * centroid sidecar (the model) is untouched.  `maxFilesPerCent`
     * gates the rewrite so a scheduler can call this after every batch
-    * without continuously rewriting the corpus.
+    * without continuously rewriting the corpus.  Pending vector
+    * tombstones count as pressure and are applied by the rewrite.
     *
     * @return true iff compaction ran.
     */
@@ -72,14 +102,15 @@ object VectorIndex {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dataDir = new org.apache.hadoop.fs.Path(s"$path/data")
-    val pressure = fs.listStatus(dataDir).exists { st =>
-      st.isDirectory && st.getPath.getName.startsWith("cent=") &&
-        fs.listStatus(st.getPath)
-          .count(_.getPath.getName.endsWith(".parquet")) > maxFilesPerCent
-    }
+    val pressure = pendingDeleted(spark, path).nonEmpty ||
+      fs.listStatus(dataDir).exists { st =>
+        st.isDirectory && st.getPath.getName.startsWith("cent=") &&
+          fs.listStatus(st.getPath)
+            .count(_.getPath.getName.endsWith(".parquet")) > maxFilesPerCent
+      }
     if (pressure) {
       val tmp = s"$path/data.compact"
-      spark.read.parquet(s"$path/data")
+      minusDeleted(spark, path, spark.read.parquet(s"$path/data"))
         .repartition(col("cent"))
         .write.mode("overwrite").partitionBy("cent").parquet(tmp)
       // preserve-aside swap: the live corpus is renamed out of the
@@ -92,6 +123,10 @@ object VectorIndex {
       require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dataDir),
         s"compaction swap failed for $path — intact data is at $aside")
       fs.delete(aside, true)
+      // the rewrite applied the tombstones — retire the sidecar (only
+      // after the swap landed; a crash before this point leaves them
+      // pending, which is correct)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/_tombstones"), true)
     }
     pressure
   }
@@ -120,9 +155,12 @@ object VectorIndex {
     }
     val probes = cents.indices.sortBy(j => (dist(cents(j)), j)).take(nprobe).map(_.toLong)
     val qn = math.sqrt(qvec.foldLeft(0.0)((a, x) => a + x * x))
-    spark.read.parquet(s"$path/data")
+    val probed = spark.read.parquet(s"$path/data")
       // partition-column filter → planning-time directory pruning
       .filter(col("cent").isInCollection(probes))
+    // subtract pending deletes AFTER pruning, BEFORE the top-k cut —
+    // a deleted vector must not eat a result slot
+    minusDeleted(spark, path, probed)
       .withColumn("cos",
         graft.functions.VectorExprs.dotp(col("v"), typedlit(qvec.toSeq)) /
           (col("norm") * qn))

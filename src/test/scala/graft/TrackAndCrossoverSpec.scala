@@ -109,4 +109,32 @@ class TrackAndCrossoverSpec extends SparkSpec {
         $"k".between($"k0", $"k1"), "leftsemi").count()
     assert(opened < total, s"$opened of $total archive files match")
   }
+
+  test("snapshot-pinned archive crossovers: a grown archive replays old answers") {
+    val tracks = Tables.eventsTracks(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("segarch2").toString
+    // epoch 0: tracks 0-3 archived; epoch 1: tracks 4-5 appended
+    Crossovers.writeSegmentArchive(tracks.filter($"track" < 4), dir, nFiles = 8)
+    Crossovers.appendSegmentArchive(
+      tracks.filter($"track" >= 4 && $"track" < 6), dir, nFiles = 2)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .select("track_a", "track_b", "seq_a", "seq_b", "dh")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    val batch = tracks.filter($"track" >= 6)
+    // pinned at epoch 0: exactly the answer the pre-append archive gave
+    val pinned = keyed(Crossovers.incrementalCrossoversFromArchive(
+      spark, dir, batch, asOfEpoch = Some(0L)))
+    assert(pinned == keyed(Crossovers.incrementalCrossovers(
+      tracks.filter($"track" < 4), batch)))
+    // unpinned: the grown archive, appended segments included
+    val now = keyed(Crossovers.incrementalCrossoversFromArchive(spark, dir, batch))
+    assert(now == keyed(Crossovers.incrementalCrossovers(
+      tracks.filter($"track" < 6), batch)))
+    assert(pinned.subsetOf(now) && pinned != now)
+    // pre-history pin refuses
+    intercept[IllegalArgumentException] {
+      Crossovers.incrementalCrossoversFromArchive(
+        spark, dir, batch, asOfEpoch = Some(-1L))
+    }
+  }
 }

@@ -82,6 +82,31 @@ class VectorIndexSpec extends SparkSpec {
     assert(gotAfter == want)
   }
 
+  test("deleteVectors: purged ids vanish from search without a rebuild") {
+    // fresh index — the shared `dir` must not see these tombstones
+    val d = java.nio.file.Files.createTempDirectory("vdel").toString
+    VectorIndex.write(graft.operators.Similarity.emb(spark, sf), d, ncent = 8)
+    val before = VectorIndex.search(spark, d, qvec, nprobe = 8, k = 5)
+      .select("vec_id").as[Long].collect().toSeq
+    val victim = before.head
+    VectorIndex.deleteVectors(Seq(victim).toDF("vec_id"), d)
+    val after = VectorIndex.search(spark, d, qvec, nprobe = 8, k = 5)
+      .select("vec_id").as[Long].collect().toSeq
+    // the victim is gone AND did not eat a slot: still k results,
+    // exactly the before-list minus the victim plus one promoted id
+    assert(!after.contains(victim))
+    assert(after.size == 5)
+    assert(after.take(4) == before.filterNot(_ == victim).take(4))
+    // tombstones are compaction pressure on their own; the rewrite
+    // applies them and retires the sidecar
+    assert(VectorIndex.compactIfNeeded(spark, d, maxFilesPerCent = 1000))
+    assert(VectorIndex.pendingDeleted(spark, d).isEmpty)
+    assert(spark.read.parquet(s"$d/data")
+      .filter($"vec_id" === victim).count() == 0)
+    assert(VectorIndex.search(spark, d, qvec, nprobe = 8, k = 5)
+      .select("vec_id").as[Long].collect().toSeq == after)
+  }
+
   test("zero-norm vectors are excluded by contract: not persisted, never returned") {
     val dim = qvec.length
     val rows = Seq(
