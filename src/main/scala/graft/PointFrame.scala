@@ -185,4 +185,27 @@ object PointFrame {
   /** geo_index.from_file: open a bin-partitioned layout. */
   def fromGeoParquet(spark: SparkSession, path: String, delta: Double = 100.0): PointFrame =
     PointFrame(graft.sources.GeoParquet.read(spark, path), delta)
+
+  /** Open a layout with pending deletes subtracted (merge-on-read). */
+  def fromGeoParquetMerged(spark: SparkSession, path: String,
+                           delta: Double = 100.0): PointFrame =
+    PointFrame(graft.sources.GeoParquet.readMerged(spark, path), delta)
+
+  /** The layout as of an earlier manifest epoch (snapshot read). */
+  def fromGeoParquetAsOf(spark: SparkSession, path: String, epoch: Long,
+                         delta: Double = 100.0): PointFrame =
+    PointFrame(graft.sources.GeoParquet.queryBoxAsOf(spark, path, epoch,
+      (Double.MinValue, Double.MaxValue), (Double.MinValue, Double.MaxValue)),
+      delta)
+
+  /** DELETE WHERE on a persisted layout (positional tombstones —
+    * no rewrite, pruned reads stay pruned).
+    */
+  def deleteWhere(spark: SparkSession, path: String, cond: Column): Unit =
+    graft.sources.GeoParquet.deleteWhere(spark, path, cond)
+
+  /** MERGE by key into a persisted layout (O(batch), positional). */
+  def upsertInto(updates: DataFrame, path: String, keyCol: String,
+                 delta: Double = 100.0): Unit =
+    graft.sources.GeoParquet.upsertPositional(updates, path, keyCol, delta)
 }

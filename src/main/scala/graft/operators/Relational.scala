@@ -531,6 +531,28 @@ object Relational {
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
 
+  // --- 39g2. CUBE: every grouping-set combination in one scan ---
+  /** ROLLUP's sibling: CUBE(a, b) expands to all four grouping sets
+    * — (a,b), (a), (b), () — still ONE scan + one Expand + one
+    * shuffle; `gid` disambiguates which set a row belongs to (the
+    * `(b)`-only set, which ROLLUP lacks, carries gid = 2).
+    */
+  def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count("*").as("n"),
+        sum(cents(col("l_extendedprice"))).as("sum_cents"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+
+  val cubeAggSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  CAST(grouping(l_returnflag)*2 + grouping(l_linestatus) AS BIGINT) AS gid
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
+
   // --- 39h. PIVOT: wide-format aggregation ---
   /** Order counts per priority pivoted by status — Spark's pivot()
     * with an explicit value list compiles to conditional aggregation
@@ -653,6 +675,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rollup"      -> (rollupAgg _),
+    "q_cube"        -> (cubeAgg _),
     "q_pivot"       -> (pivotAgg _),
     "q_moving_avg"  -> (movingAvg _),
     "q_funnel"      -> (funnel _),
@@ -676,6 +699,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q_rollup"      -> rollupAggSql,
+    "q_cube"        -> cubeAggSql,
     "q_pivot"       -> pivotAggSql,
     "q_moving_avg"  -> movingAvgSql,
     "q_funnel"      -> funnelSql,

@@ -71,6 +71,28 @@ class ApiSpec extends SparkSpec {
     assert(grid.agg(sum("n")).as[Long].head() == pts.count())
   }
 
+  test("PointFrame mutation surface: deleteWhere, upsertInto, merged/asOf opens") {
+    val dir = java.nio.file.Files.createTempDirectory("pfmut").toString
+    val pts = graft.core.Tables.eventsPoints(spark, sf).select("id", "x", "y", "z")
+    PointFrame(pts).toGeoParquet(dir, 250.0)
+    graft.sources.GeoParquet.writeManifest(spark, dir)
+    // MERGE by key through the facade
+    PointFrame.upsertInto(
+      pts.filter($"id" % 10 === 0).withColumn("z", $"z" + 100.0), dir, "id", 250.0)
+    // DELETE WHERE through the facade
+    PointFrame.deleteWhere(spark, dir, col("id") % 10 === 1)
+    val merged = PointFrame.fromGeoParquetMerged(spark, dir).df
+    assert(merged.filter($"id" % 10 === 1).count() == 0)
+    assert(merged.count() == pts.filter($"id" % 10 =!= 1).count())
+    assert(merged.filter($"id" % 10 === 0 && $"z" < 100.0).count() ==
+      pts.filter($"id" % 10 === 0 && $"z" + 100.0 < 100.0).count())
+    // snapshot open refuses under pending deletes — the facade
+    // surfaces the same contract as the source API
+    intercept[IllegalArgumentException] {
+      PointFrame.fromGeoParquetAsOf(spark, dir, 0L)
+    }
+  }
+
   test("native expressions are callable from SQL after extension registration") {
     GraftExtensions.register(spark)
     val r = spark.sql("SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
