@@ -362,6 +362,56 @@ object GeoParquet {
     appendWithManifest(df, path, delta)
   }
 
+  /** A KEY-clustered merge target: rows range-partitioned and sorted
+    * on `keyCol` itself (persisted as the cluster column `zkey`, so
+    * the standard manifest records per-file [k0,k1] key ranges).
+    * This is the layout a CDC/merge table wants: [[upsertKeyed]]'s
+    * position lookup prunes to the files whose key range overlaps
+    * the incoming batch instead of scanning the corpus.  Not a
+    * spatial layout — box/curve readers don't apply; read with
+    * [[readMerged]] and merge with [[upsertKeyed]].
+    */
+  def writeKeyed(df: DataFrame, path: String, keyCol: String,
+                 nFiles: Int): Unit = {
+    df.withColumn("zkey", col(keyCol))
+      .repartitionByRange(nFiles, col("zkey"))
+      .sortWithinPartitions("zkey")
+      .write.mode("overwrite").parquet(path)
+    writeManifest(df.sparkSession, path)
+  }
+
+  /** [[upsertPositional]] for a [[writeKeyed]] target: the old
+    * copies' position lookup opens ONLY the files whose manifest
+    * [k0,k1] range overlaps the incoming keys (the same broadcast
+    * range-semi-join the curve readers use), then the batch appends
+    * as new key-sorted files via [[appendCurve]].  Per-merge cost:
+    * the overlapping files + the batch — at 100 TB, a trickle of
+    * updates against a sorted corpus touches a sliver.
+    */
+  def upsertKeyed(df: DataFrame, path: String, keyCol: String,
+                  nFiles: Int = 1): Unit = {
+    val spark = df.sparkSession
+    val root = rootPathOf(spark, path)
+    // integral keys: the manifest's [k0,k1] are the key min/max
+    val keys = df.select(col(keyCol).cast("long").as("k")).distinct()
+    val files = spark.read.parquet(s"$path/_manifest")
+      .join(broadcast(keys), col("k").between(col("k0"), col("k1")), "leftsemi")
+      .select("file").collect().map(r => s"$path/${r.getString(0)}")
+    val doomed = files.headOption.map { _ =>
+      spark.read.parquet(files.toIndexedSeq: _*)
+        .select(col(keyCol),
+          relativeTo(root)(col("_metadata.file_path")).as("file"),
+          col("_metadata.row_index").as("pos"))
+        .join(df.select(keyCol).distinct(), Seq(keyCol), "leftsemi")
+        .select("file", "pos")
+        .localCheckpoint() // pin BEFORE the append
+    }
+    appendCurve(df.withColumn("zkey", col(keyCol)), path,
+      delta = 1.0 /* unused: pre-keyed */, nFiles)
+    doomed.filter(!_.isEmpty).foreach(
+      _.write.mode("append").parquet(s"$path/_tombstones_pos"))
+  }
+
   /** O(batch) MERGE/upsert via POSITIONAL deletes — the shape
     * [[upsert]]'s doc promises: the old copies' (file, row) addresses
     * are harvested by one semi-join scan and pinned BEFORE the append

@@ -167,6 +167,37 @@ class DeleteSpec extends SparkSpec {
       spark.read.parquet(s"$dir/_manifest").agg(max("epoch")).head().getLong(0))
   }
 
+  test("upsertKeyed: position lookup prunes to key-overlapping files") {
+    val dir = java.nio.file.Files.createTempDirectory("upsk").toString
+    val base = p.select($"id", $"z") // a keyed "dimension" table
+    GeoParquet.writeKeyed(base, dir, "id", nFiles = 8)
+    // update a narrow key band: only the band's file(s) hold old copies
+    val band = base.filter($"id" >= 100 && $"id" < 300)
+      .withColumn("z", $"z" + 1.0)
+    val nBand = band.count()
+    assert(nBand > 0)
+    GeoParquet.upsertKeyed(band, dir, "id", nFiles = 1)
+    val r = GeoParquet.readMerged(spark, dir).select("id", "z")
+    val expect = base.withColumn("z",
+      when($"id" >= 100 && $"id" < 300, $"z" + 1.0).otherwise($"z"))
+    assert(r.exceptAll(expect).count() == 0 && expect.exceptAll(r).count() == 0)
+    // pruning evidence: the tombstoned positions live in a strict
+    // subset of the files — the lookup never scanned the whole corpus
+    val total = spark.read.parquet(s"$dir/_manifest").count()
+    val touched = spark.read.parquet(s"$dir/_tombstones_pos")
+      .select("file").distinct().count()
+    assert(touched < total, s"lookup touched $touched of $total files")
+    assert(spark.read.parquet(s"$dir/_tombstones_pos").count() == nBand)
+    // manifest stayed fresh: the merge is repeatable without rebuilds
+    assert(GeoParquet.readEpoch(spark, dir) ==
+      spark.read.parquet(s"$dir/_manifest").agg(max("epoch")).head().getLong(0))
+    GeoParquet.upsertKeyed(band.withColumn("z", $"z" + 1.0), dir, "id")
+    val r2 = GeoParquet.readMerged(spark, dir).select("id", "z")
+    val expect2 = base.withColumn("z",
+      when($"id" >= 100 && $"id" < 300, $"z" + 2.0).otherwise($"z"))
+    assert(r2.exceptAll(expect2).count() == 0 && expect2.exceptAll(r2).count() == 0)
+  }
+
   test("streaming MERGE: CDC batches upsert continuously, reads stay pruned") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
