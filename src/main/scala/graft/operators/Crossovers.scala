@@ -161,7 +161,7 @@ object Crossovers {
     graft.sources.GeoParquet.appendCurve(
       segmentsOf(tracks).withColumn("zkey",
         graft.functions.ZOrder.zkey(col("cell_x"), col("cell_y"))),
-      path, delta = 1.0 /* unused: batch is pre-keyed */, nFiles)
+      path, delta = 1.0 /* unused when preKeyed */, nFiles, preKeyed = true)
 
   /** [[incrementalCrossovers]] against a persisted
     * [[writeSegmentArchive]] layout: the new batch's (dilated) cell
@@ -189,6 +189,14 @@ object Crossovers {
     val m0 = spark.read.parquet(s"$path/_manifest")
     val m = asOfEpoch match {
       case Some(e) =>
+        // the queryBoxAsOf contract in full: a stale manifest means
+        // unmanifested segment files on disk — there is no sound
+        // snapshot to serve, so refuse rather than silently omit the
+        // crashed batch
+        require(graft.sources.GeoParquet.manifestFresh(spark, path,
+            verify = false),
+          s"$path: archive manifest is stale — no sound snapshot to " +
+            "serve; run writeManifest (resets history) first")
         val oldest = m0.agg(min("epoch")).head().getLong(0)
         require(e >= oldest,
           s"$path: archive history before epoch $oldest was compacted " +

@@ -158,8 +158,10 @@ object GeoParquet {
     val aggs = manifestStatsAggs(df)
     df.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
-      .withColumn("file", col("file").substr(
-        instr(col("file"), root) + lit(root.length + 1), length(col("file"))))
+      // the ONE definition of file identity — manifest entries and
+      // positional tombstones must agree on it, so both go through
+      // relativeTo
+      .withColumn("file", relativeTo(root)(col("file")))
       // the layout epoch this file became visible at — incremental
       // appends stamp increasing epochs, giving [[queryBoxAsOf]] its
       // snapshot axis for free (one BIGINT per manifest row)
@@ -248,13 +250,16 @@ object GeoParquet {
     * column — readers discover the join key from the sidecar schema.
     */
   def deleteIds(ids: DataFrame, path: String): Unit = {
-    val spark = ids.sparkSession
     require(ids.columns.length == 1,
       s"tombstone frame must be a single key column, got ${ids.columns.toSeq}")
     if (ids.isEmpty) return
     ids.write.mode("append").parquet(s"$path/_tombstones")
-    // pending deletes: manifest-trusting readers must re-plan
-    bumpEpoch(spark, path)
+    // NO epoch bump: nothing the manifest asserts about files changed.
+    // Every reader subtracts tombstones after its own pruning, the
+    // row-count shortcuts and snapshot reads check hasPendingDeletes
+    // explicitly — bumping would only degrade pruned reads to full
+    // scans and kill in-flight appendCurve streams on the continuity
+    // guard, buying no correctness.
   }
 
   /** The pending tombstone keys, if any. */
@@ -269,11 +274,76 @@ object GeoParquet {
     * Unlike equality tombstones these know exactly which physical row
     * they kill, so replacements of the same key in newer files are
     * untouched — the Iceberg v2 position-delete shape.
+    *
+    * Includes ADOPTABLE staged merges: a merge stages its tombstones
+    * with the epoch its append will commit at ([[stageMerge]]); once
+    * the layout epoch reaches that mark the append has landed, so the
+    * staged addresses are live deletes even if the merge crashed
+    * before moving them into `_tombstones_pos` — readers therefore
+    * never see a duplicate through the crash window.
     */
   def pendingPositional(spark: SparkSession, path: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/_tombstones_pos")
-    if (fsOf(spark, path).exists(p)) Some(spark.read.parquet(p.toString))
-    else None
+    val fs = fsOf(spark, path)
+    val base = new org.apache.hadoop.fs.Path(s"$path/_tombstones_pos")
+    val cur = readEpoch(spark, path)
+    val staged = stagedMergeDirs(spark, path).collect {
+      case (d, expect) if expect > 0 && cur >= expect =>
+        spark.read.parquet(d).select("file", "pos")
+    }
+    val parts =
+      (if (fs.exists(base)) Seq(spark.read.parquet(base.toString)) else Nil) ++
+        staged
+    parts.reduceOption(_ unionByName _)
+  }
+
+  private def stagedMergeDirs(spark: SparkSession,
+                              path: String): Seq[(String, Long)] = {
+    val fs = fsOf(spark, path)
+    val root = new org.apache.hadoop.fs.Path(s"$path/_merge_staging")
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.filter(_.isDirectory).map { st =>
+      val d = st.getPath.toUri.getPath
+      (d, readEpochFile(spark, s"$d/_expect"))
+    }
+  }
+
+  /** Stage a merge's doomed addresses BEFORE its append: the sidecar
+    * records the epoch the append will commit at, so after a crash
+    * anyone can tell whether the staged deletes are live (epoch
+    * reached — append landed) or void (append never happened).
+    */
+  private def stageMerge(spark: SparkSession, path: String,
+                         doomed: DataFrame): Unit = {
+    val dir = s"$path/_merge_staging/" +
+      java.util.UUID.randomUUID().toString.take(8)
+    doomed.write.mode("overwrite").parquet(dir)
+    writeEpochFile(spark, s"$dir/_expect", readEpoch(spark, path) + 1)
+  }
+
+  /** Resolve staged merges: adopt the live ones into `_tombstones_pos`
+    * (their append committed), discard the void ones (their append
+    * never landed — the crashed merge changed nothing).  Called by the
+    * merge writers and compaction; safe to call any time under the
+    * store's single-writer assumption.
+    */
+  def adoptStagedMerges(spark: SparkSession, path: String): Unit = {
+    val fs = fsOf(spark, path)
+    val cur = readEpoch(spark, path)
+    stagedMergeDirs(spark, path).foreach { case (d, expect) =>
+      val dp = new org.apache.hadoop.fs.Path(d)
+      if (expect > 0 && cur >= expect) {
+        fs.listStatus(dp).filter(_.getPath.getName.endsWith(".parquet"))
+          .foreach { f =>
+            val dst = new org.apache.hadoop.fs.Path(
+              s"$path/_tombstones_pos/${f.getPath.getName}")
+            fs.mkdirs(dst.getParent)
+            require(fs.rename(f.getPath, dst),
+              s"staged-merge adoption rename failed for ${f.getPath}")
+          }
+      }
+      // adopted, incomplete (expect missing), or void — gone either way
+      fs.delete(dp, true)
+    }
   }
 
   /** Any pending delete, of either kind. */
@@ -391,6 +461,7 @@ object GeoParquet {
   def upsertKeyed(df: DataFrame, path: String, keyCol: String,
                   nFiles: Int = 1): Unit = {
     val spark = df.sparkSession
+    adoptStagedMerges(spark, path) // heal any crashed predecessor
     val root = rootPathOf(spark, path)
     // integral keys: the manifest's [k0,k1] are the key min/max
     val keys = df.select(col(keyCol).cast("long").as("k")).distinct()
@@ -406,10 +477,11 @@ object GeoParquet {
         .select("file", "pos")
         .localCheckpoint() // pin BEFORE the append
     }
+    // same staged protocol as upsertPositional: no duplicate window
+    doomed.filter(!_.isEmpty).foreach(stageMerge(spark, path, _))
     appendCurve(df.withColumn("zkey", col(keyCol)), path,
-      delta = 1.0 /* unused: pre-keyed */, nFiles)
-    doomed.filter(!_.isEmpty).foreach(
-      _.write.mode("append").parquet(s"$path/_tombstones_pos"))
+      delta = 1.0 /* unused when preKeyed */, nFiles, preKeyed = true)
+    adoptStagedMerges(spark, path)
   }
 
   /** O(batch) MERGE/upsert via POSITIONAL deletes — the shape
@@ -426,6 +498,7 @@ object GeoParquet {
   def upsertPositional(df: DataFrame, path: String, keyCol: String,
                        delta: Double): Unit = {
     val spark = df.sparkSession
+    adoptStagedMerges(spark, path) // heal any crashed predecessor
     val root = rootPathOf(spark, path)
     val doomed = spark.read.parquet(path)
       .select(col(keyCol),
@@ -436,9 +509,13 @@ object GeoParquet {
       // pin the PRE-append address list — eager, so the append below
       // cannot leak its own files into the doomed set
       .localCheckpoint()
+    // stage BEFORE the append: a crash in between leaves the staged
+    // deletes epoch-tagged as live, so readers still see exactly one
+    // copy per key and the next writer adopts them (no duplicate
+    // window, no lost batch)
+    if (!doomed.isEmpty) stageMerge(spark, path, doomed)
     appendWithManifest(df, path, delta)
-    if (!doomed.isEmpty)
-      doomed.write.mode("append").parquet(s"$path/_tombstones_pos")
+    adoptStagedMerges(spark, path)
   }
 
   /** [[queryBox]] (bin-partition-pruned) with pending deletes
@@ -469,8 +546,8 @@ object GeoParquet {
     * [[append]]/[[compact]] MUST bump `_epoch` themselves), and —
     * under `verify` — a full listing matches it both ways.
     */
-  private def manifestFresh(spark: SparkSession, path: String,
-                            verify: Boolean): Boolean = {
+  private[graft] def manifestFresh(spark: SparkSession, path: String,
+                                   verify: Boolean): Boolean = {
     val exists = fsOf(spark, path)
       .exists(new org.apache.hadoop.fs.Path(s"$path/_manifest"))
     exists &&
@@ -644,6 +721,26 @@ object GeoParquet {
     if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
     else spark.read.parquet(files.toIndexedSeq: _*).filter(boxFilter)
   }
+
+  /** Snapshot inventory (the Iceberg snapshots-table analog): one row
+    * per commit epoch still in history, with the files and rows that
+    * commit added — what [[queryBoxAsOf]] can still serve.  Pure
+    * manifest metadata; no data file is opened.
+    */
+  def snapshots(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/_manifest")
+      .groupBy("epoch")
+      .agg(count("*").cast("long").as("n_files"),
+        sum("n_rows").cast("long").as("n_rows"))
+      .orderBy("epoch")
+
+  /** Retention: positional-delete every row older than `cutoffMs`
+    * (epoch-ms `t` column) — the TTL maintenance verb.  Merge-on-read
+    * like any [[deleteWhere]]; the next compaction reclaims space.
+    */
+  def expireOlderThan(spark: SparkSession, path: String,
+                      cutoffMs: Long): Unit =
+    deleteWhere(spark, path, col("t") < cutoffMs)
 
   /** Box + time-window query planned through the manifest: files are
     * pruned on the x/y envelope AND the [t0,t1] time range (written
@@ -873,7 +970,7 @@ object GeoParquet {
     * a wrong answer.
     */
   def appendCurve(df: DataFrame, path: String, delta: Double,
-                  nFiles: Int = 1): Unit = {
+                  nFiles: Int = 1, preKeyed: Boolean = false): Unit = {
     val spark = df.sparkSession
     val fs = fsOf(spark, path)
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/_manifest")),
@@ -894,10 +991,17 @@ object GeoParquet {
         "rebuild it before appending incrementally")
     if (df.isEmpty) return // a 0-row stage has no files to harvest
     val keyed =
-      // a batch that already carries the layout's key column is taken
-      // as-is (segment archives key on cell coordinates, not x/y)
-      if (df.columns.contains(keyCol)) df
-      else if (keyCol == "zkey")
+      // preKeyed callers (segment archives / writeKeyed tables, whose
+      // key is not an x/y cell key) vouch for their key column.  All
+      // other batches have the key recomputed at THIS layout's delta —
+      // silently trusting a carried key from a different-delta layout
+      // would divide the key space against queryBoxCurve's range
+      // decomposition and drop rows from pruned reads.
+      if (preKeyed) {
+        require(df.columns.contains(keyCol),
+          s"preKeyed append without a $keyCol column")
+        df
+      } else if (keyCol == "zkey")
         df.withColumn("zkey", graft.functions.ZOrder.zkey(
           GeoOps.cellOf(col("x"), delta), GeoOps.cellOf(col("y"), delta)))
       else

@@ -177,13 +177,26 @@ object EventStream {
     * pruned manifest path while updates stream in.  This is the
     * change-data-capture sink shape: a stream of latest-value records
     * keyed by entity, merged as they arrive, O(batch) per batch.
-    * The first batch seeds the layout (write + manifest).  Same
-    * restart semantics as [[ingestGeoParquet]]: `_batches/` markers
-    * make replays no-ops (at-least-once between append and marker).
+    * The first non-empty batch seeds the layout (write + manifest).
+    * Same restart semantics as [[ingestGeoParquet]]: `_batches/`
+    * markers make replays no-ops (at-least-once between append and
+    * marker).
+    *
+    * `orderCols` must TOTALLY order each key's updates within a batch
+    * (several CDC records for one key arrive together); the latest
+    * wins.  The columns present in the stream are used in the given
+    * priority order — at least one must exist, or the merge would
+    * pick an arbitrary winner and the same input could merge
+    * different values on different runs.
     */
   def ingestUpserts(updates: DataFrame, path: String, keyCol: String,
-                    delta: Double, checkpoint: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+                    delta: Double, checkpoint: String,
+                    orderCols: Seq[String] = Seq("t", "id"))
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val present = orderCols.filter(updates.columns.contains)
+    require(present.nonEmpty,
+      s"none of the order columns $orderCols exist in the stream " +
+        s"(${updates.columns.toSeq}) — latest-per-key needs a total order")
     updates.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -193,25 +206,27 @@ object EventStream {
         val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (!fs.exists(marker)) {
           // a batch may carry several updates for one key — keep the
-          // latest (max t, id tiebreak) so the merge is deterministic
-          val latest =
-            if (batch.columns.contains("t")) {
-              val w = org.apache.spark.sql.expressions.Window
-                .partitionBy(keyCol)
-                .orderBy(col("t").desc, col("id").desc)
-              batch.withColumn("__rn", row_number().over(w))
-                .filter(col("__rn") === 1).drop("__rn")
-            } else batch.dropDuplicates(keyCol)
-          if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_manifest"))) {
-            graft.sources.GeoParquet.write(latest, path, delta)
-            graft.sources.GeoParquet.writeManifest(spark, path)
-          } else
-            graft.sources.GeoParquet.upsertPositional(latest, path, keyCol, delta)
+          // latest under the caller's declared total order
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(keyCol)
+            .orderBy(present.map(col(_).desc): _*)
+          val latest = batch.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+          // an empty batch must not attempt the schema-less seed write
+          // (zero-row write + writeManifest cannot infer a schema)
+          if (!latest.isEmpty) {
+            if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_manifest"))) {
+              graft.sources.GeoParquet.write(latest, path, delta)
+              graft.sources.GeoParquet.writeManifest(spark, path)
+            } else
+              graft.sources.GeoParquet.upsertPositional(latest, path, keyCol, delta)
+          }
           fs.mkdirs(marker.getParent)
           fs.create(marker, true).close()
         }
       }
       .start()
+  }
 
   /** Stream-static enrichment: join the unbounded event stream with a
     * static dimension frame (user attributes, tile metadata, a model

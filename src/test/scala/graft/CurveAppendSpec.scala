@@ -280,6 +280,25 @@ class CurveAppendSpec extends SparkSpec {
       == pts.count() + 2L)
   }
 
+  test("snapshots inventory and TTL expiry ride the same sidecars") {
+    val dir = java.nio.file.Files.createTempDirectory("snapinv").toString
+    val pts = graft.core.Tables.eventsPoints(spark, sf)
+      .select("id", "x", "y", "z", "t")
+    GeoParquet.write(pts.filter($"id" % 3 === 0), dir, 250.0)
+    GeoParquet.writeManifest(spark, dir) // epoch 0
+    GeoParquet.appendWithManifest(pts.filter($"id" % 3 === 1), dir, 250.0) // 1
+    GeoParquet.appendWithManifest(pts.filter($"id" % 3 === 2), dir, 250.0) // 2
+    val inv = GeoParquet.snapshots(spark, dir).collect()
+    assert(inv.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(inv.map(r => r.getAs[Long]("n_rows")).sum == pts.count())
+    // TTL: expire everything before the median t, merge-on-read
+    val cutoff = pts.selectExpr("percentile_approx(t, 0.5)").head().getLong(0)
+    GeoParquet.expireOlderThan(spark, dir, cutoff)
+    val merged = GeoParquet.readMerged(spark, dir)
+    assert(merged.filter($"t" < cutoff).count() == 0)
+    assert(merged.count() == pts.filter($"t" >= cutoff).count())
+  }
+
   test("countBoxViaManifest: interior files are counted without being opened") {
     val dir = java.nio.file.Files.createTempDirectory("cbox").toString
     val pts = graft.core.Tables.eventsPoints(spark, sf)

@@ -20,9 +20,11 @@ class DeleteSpec extends SparkSpec {
     val doomed = p.filter($"id" % 7 === 0).select("id")
     val nDoomed = doomed.count()
     GeoParquet.deleteIds(doomed, dir)
-    // zero data files rewritten, sidecar present, epoch bumped
+    // zero data files rewritten, sidecar present, epoch UNCHANGED —
+    // equality deletes assert nothing about files, so pruned reads
+    // must not degrade
     assert(GeoParquet.pendingTombstones(spark, dir).get.count() == nDoomed)
-    assert(GeoParquet.readEpoch(spark, dir) == 1L)
+    assert(GeoParquet.readEpoch(spark, dir) == 0L)
     // merged full read
     assert(GeoParquet.readMerged(spark, dir).count() == p.count() - nDoomed)
     assert(GeoParquet.readMerged(spark, dir)
@@ -198,6 +200,49 @@ class DeleteSpec extends SparkSpec {
     assert(r2.exceptAll(expect2).count() == 0 && expect2.exceptAll(r2).count() == 0)
   }
 
+  test("staged-merge journal: live stages subtract and adopt, void stages discard") {
+    val dir = java.nio.file.Files.createTempDirectory("mjrnl").toString
+    GeoParquet.write(p.filter($"id" % 2 === 0), dir, 250.0)
+    GeoParquet.writeManifest(spark, dir) // epoch 0
+    // a real merge's expect is always >= 1 (epoch-after-append);
+    // reach epoch 1 the way a merge's append would
+    GeoParquet.appendWithManifest(p.filter($"id" % 2 === 1), dir, 250.0)
+    assert(GeoParquet.readEpoch(spark, dir) == 1L)
+    // one real (file, pos) address from the layout
+    val root = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+    val victim = spark.read.parquet(dir)
+      .select($"id", col("_metadata.file_path").as("f"),
+        col("_metadata.row_index").as("pos"))
+      .orderBy("id").limit(1).collect().head
+    val rel = victim.getString(1).split(root + "/").last
+    def stage(name: String, expect: String): Unit = {
+      Seq((rel, victim.getLong(2)))
+        .toDF("file", "pos")
+        .write.parquet(s"$dir/_merge_staging/$name")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/_merge_staging/$name/_expect"),
+        expect.getBytes("UTF-8"))
+    }
+    // a LIVE stage (its append committed: expect <= current epoch) —
+    // the crashed-merge state upsertPositional can leave behind
+    stage("live", "1")
+    // a VOID stage (its append never landed: expect > current epoch)
+    stage("void", "99")
+    // readers subtract the live stage's row already — no duplicate
+    // (or resurrected) copy through the crash window
+    assert(GeoParquet.readMerged(spark, dir)
+      .filter($"id" === victim.getLong(0)).count() == 0)
+    assert(GeoParquet.readMerged(spark, dir).count() == p.count() - 1)
+    // adoption moves the live stage into the sidecar, discards the void
+    GeoParquet.adoptStagedMerges(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_merge_staging/live")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_merge_staging/void")))
+    assert(spark.read.parquet(s"$dir/_tombstones_pos").count() == 1)
+    assert(GeoParquet.readMerged(spark, dir).count() == p.count() - 1)
+  }
+
   test("streaming MERGE: CDC batches upsert continuously, reads stay pruned") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
@@ -236,7 +281,8 @@ class DeleteSpec extends SparkSpec {
     GeoParquet.writeZOrdered(p, dir, 50.0, 8)
     GeoParquet.writeManifest(spark, dir)
     GeoParquet.deleteIds(p.filter($"id" % 4 === 0).select("id"), dir)
-    // post-delete the manifest reads stale -> merged fallback, correct
+    // the manifest stays fresh — the PRUNED curve path runs, with the
+    // tombstone subtraction riding it
     val xr = (0.0, 200.0); val yr = (0.0, 200.0)
     val got = GeoParquet.queryBoxCurve(spark, dir, xr, yr, 50.0)
     val want = p.filter($"x" >= 0 && $"x" < 200 && $"y" >= 0 && $"y" < 200 &&
