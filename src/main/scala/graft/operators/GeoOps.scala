@@ -721,6 +721,56 @@ object GeoOps {
        |WHERE x >= -230 AND x < 480 AND y >= -470 AND y < 230
        |ORDER BY id""".stripMargin
 
+  // --- 61o. TTL retention: expire-then-query through the merged read ---
+  /** Write a layout with the time column, expire everything before a
+    * fixed cutoff (positional tombstones — no rewrite), box-query the
+    * survivors through the manifest reader.  The oracle states the
+    * retention predicate directly.
+    */
+  def expireBox(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("expire").toString
+    val p = pts(s, dir).select("id", "x", "y", "z", "t")
+    graft.sources.GeoParquet.write(p, path, 250.0)
+    graft.sources.GeoParquet.writeManifest(s, path)
+    graft.sources.GeoParquet.expireOlderThan(s, path, 1705300000000L)
+    graft.sources.GeoParquet.queryBoxViaManifest(s, path,
+        (-230.0, 480.0), (-470.0, 230.0))
+      .select("id", "x", "y", "z", "t")
+      .orderBy("id")
+  }
+
+  val expireBoxSql: String =
+    s"""WITH pts AS ($P)
+       |SELECT id, x, y, z, t FROM pts
+       |WHERE x >= -230 AND x < 480 AND y >= -470 AND y < 230
+       |  AND t >= 1705300000000
+       |ORDER BY id""".stripMargin
+
+  // --- 61p. keyed MERGE target: upsertKeyed read back merged ---
+  /** The [[graft.sources.GeoParquet.writeKeyed]]/upsertKeyed pair as
+    * an oracle query: a key-clustered (id-sorted) table, a narrow key
+    * band replaced, the merged read hash-matched against the CASE
+    * oracle — the CDC-table MERGE contract with the position lookup
+    * pruned by the manifest's key ranges.
+    */
+  def upsertKeyedQ(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("upsk").toString
+    val p = pts(s, dir).select("id", "z")
+    graft.sources.GeoParquet.writeKeyed(p, path, "id", nFiles = 8)
+    graft.sources.GeoParquet.upsertKeyed(
+      p.filter(col("id") >= 1000 && col("id") < 3000)
+        .withColumn("z", col("z") + 250.0), path, "id")
+    graft.sources.GeoParquet.readMerged(s, path)
+      .select("id", "z")
+      .orderBy("id")
+  }
+
+  val upsertKeyedSql: String =
+    s"""WITH pts AS ($P)
+       |SELECT id,
+       |       CASE WHEN id >= 1000 AND id < 3000 THEN z + 250.0 ELSE z END AS z
+       |FROM pts ORDER BY id""".stripMargin
+
   // --- 61j. snapshot read: the layout as of an earlier epoch ---
   /** Time travel on the manifest's per-row commit epoch: seed batch
     * (ids even) manifested at epoch 0, second batch (ids odd)
@@ -768,6 +818,8 @@ object GeoOps {
     "q_delete_box"      -> (deleteBox _),
     "q_upsert_box"      -> (upsertBox _),
     "q_upsert_pos"      -> (upsertPosBox _),
+    "q_upsert_keyed"    -> (upsertKeyedQ _),
+    "q_expire_box"      -> (expireBox _),
     "q_box_time"        -> (boxTime _),
     "q_geoindex_build"  -> (geoindexBuild _),
     "q_index_merge"     -> (indexMerge _),
@@ -797,6 +849,8 @@ object GeoOps {
     "q_delete_box"      -> deleteBoxSql,
     "q_upsert_box"      -> upsertBoxSql,
     "q_upsert_pos"      -> upsertPosBoxSql,
+    "q_upsert_keyed"    -> upsertKeyedSql,
+    "q_expire_box"      -> expireBoxSql,
     "q_box_time"        -> boxTimeSql,
     "q_geoindex_build"  -> geoindexBuildSql,
     "q_index_merge"     -> indexMergeSql,
