@@ -771,6 +771,33 @@ object GeoOps {
        |       CASE WHEN id >= 1000 AND id < 3000 THEN z + 250.0 ELSE z END AS z
        |FROM pts ORDER BY id""".stripMargin
 
+  // --- 61r. incremental consumption: only the batches since a checkpoint ---
+  /** Seed (ids ≡ 0 mod 3) at epoch 0, append two batches (epochs 1,
+    * 2), then read the changes since epoch 0 — exactly the two
+    * appended batches, never the seed.  The periodic-ETL sync
+    * pattern: a consumer checkpoints the epoch it has seen and reads
+    * only newer files.
+    */
+  def changesSince(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("changes").toString
+    val p = pts(s, dir).select("id", "x", "y", "z")
+    graft.sources.GeoParquet.write(p.filter(col("id") % 3 === 0), path, 250.0)
+    graft.sources.GeoParquet.writeManifest(s, path)
+    graft.sources.GeoParquet.appendWithManifest(
+      p.filter(col("id") % 3 === 1), path, 250.0)
+    graft.sources.GeoParquet.appendWithManifest(
+      p.filter(col("id") % 3 === 2), path, 250.0)
+    graft.sources.GeoParquet.readChangesSince(s, path, 0L)
+      .select("id", "x", "y", "z")
+      .orderBy("id")
+  }
+
+  val changesSinceSql: String =
+    s"""WITH pts AS ($P)
+       |SELECT id, x, y, z FROM pts
+       |WHERE id % 3 <> 0
+       |ORDER BY id""".stripMargin
+
   // --- 61j. snapshot read: the layout as of an earlier epoch ---
   /** Time travel on the manifest's per-row commit epoch: seed batch
     * (ids even) manifested at epoch 0, second batch (ids odd)
@@ -820,6 +847,7 @@ object GeoOps {
     "q_upsert_pos"      -> (upsertPosBox _),
     "q_upsert_keyed"    -> (upsertKeyedQ _),
     "q_expire_box"      -> (expireBox _),
+    "q_changes_since"   -> (changesSince _),
     "q_box_time"        -> (boxTime _),
     "q_geoindex_build"  -> (geoindexBuild _),
     "q_index_merge"     -> (indexMerge _),
@@ -851,6 +879,7 @@ object GeoOps {
     "q_upsert_pos"      -> upsertPosBoxSql,
     "q_upsert_keyed"    -> upsertKeyedSql,
     "q_expire_box"      -> expireBoxSql,
+    "q_changes_since"   -> changesSinceSql,
     "q_box_time"        -> boxTimeSql,
     "q_geoindex_build"  -> geoindexBuildSql,
     "q_index_merge"     -> indexMergeSql,

@@ -734,6 +734,31 @@ object GeoParquet {
         sum("n_rows").cast("long").as("n_rows"))
       .orderBy("epoch")
 
+  /** Incremental consumption (the Iceberg incremental-read analog):
+    * the rows committed AFTER `sinceEpoch` — exactly the files whose
+    * manifest epoch exceeds it, so a periodic consumer syncs a
+    * growing layout by reading only the new batches (no streaming
+    * infrastructure, no full rescan; pair with [[snapshots]] to
+    * checkpoint the consumed epoch).  Same soundness contract as
+    * [[queryBoxAsOf]]: requires a fresh manifest and no pending
+    * deletes (a delete is not an append — consumers of a mutating
+    * layout need the merged read, not a changelog).
+    */
+  def readChangesSince(spark: SparkSession, path: String,
+                       sinceEpoch: Long): DataFrame = {
+    require(!hasPendingDeletes(spark, path),
+      s"$path has pending deletes — incremental reads describe appends " +
+        "only; compact first")
+    require(manifestFresh(spark, path, verify = false),
+      s"$path: manifest is stale — unmanifested files have no epoch, " +
+        "so no sound changelog exists; run writeManifest first")
+    val files = spark.read.parquet(s"$path/_manifest")
+      .filter(col("epoch") > sinceEpoch)
+      .select("file").collect().map(r => s"$path/${r.getString(0)}")
+    if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
+    else spark.read.parquet(files.toIndexedSeq: _*)
+  }
+
   /** Retention: positional-delete every row older than `cutoffMs`
     * (epoch-ms `t` column) — the TTL maintenance verb.  Merge-on-read
     * like any [[deleteWhere]]; the next compaction reclaims space.

@@ -37,6 +37,15 @@ object PointSources {
       col("id").cast("long"), col("x").cast("double"), col("y").cast("double"),
       col("z").cast("double"), col("t").cast("long"))
 
+  /** ORC point source — same canonical schema; ORC files carry their
+    * own min/max stripe statistics, so the sargable box filters push
+    * down exactly as on parquet.
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path).select(
+      col("id").cast("long"), col("x").cast("double"), col("y").cast("double"),
+      col("z").cast("double"), col("t").cast("long"))
+
   /** A DEM-style raster as a grid table `(gx, gy, gz)` from any point
     * source, block-averaged at δ (read_DEM.py asPoints=True analog).
     */

@@ -66,6 +66,13 @@ class ApiSpec extends SparkSpec {
     val fromJson = PointSources.readJson(spark, s"$dir/json")
     assert(fromCsv.count() == pts.count() && fromJson.count() == pts.count())
     assert(fromCsv.schema == PointSources.pointSchema)
+    // orc round-trips the canonical schema with pushdown-capable stats
+    pts.write.orc(s"$dir/orc")
+    val fromOrc = PointSources.readOrc(spark, s"$dir/orc")
+    assert(fromOrc.count() == pts.count())
+    val pushed = fromOrc.filter($"x" >= 0 && $"x" < 100)
+      .queryExecution.executedPlan.toString
+    assert(pushed.contains("PushedFilters") && pushed.contains("GreaterThanOrEqual(x"))
     // rasterize produces a grid with full coverage accounting
     val grid = PointSources.rasterize(fromJson, 100.0)
     assert(grid.agg(sum("n")).as[Long].head() == pts.count())

@@ -156,4 +156,30 @@ class PropertySpec extends SparkSpec {
       assert(got == want, s"round $i: $edges")
     }
   }
+
+  test("property: chained upsertKeyed merges = a driver-side Map") {
+    import graft.sources.GeoParquet
+    // random seed table + 3 random update batches (overlapping keys,
+    // inserts and replacements mixed) — the layout must end exactly
+    // at the Map the same batches fold to
+    val kv = for {
+      k <- Gen.chooseNum(0L, 40L) // few keys → dense replacement
+      v <- Gen.chooseNum(-1000.0, 1000.0).map(math.rint)
+    } yield (k, v)
+    (0 until 3).foreach { round =>
+      val seed = samples(Gen.listOfN(25, kv), 1).head
+        .groupBy(_._1).map(_._2.head).toSeq // unique keys in the seed
+      val batches = (1 to 3).map(b =>
+        samples(Gen.listOfN(10, kv), 1).map(_.map {
+          case (k, v) => (k, v + b * 10000.0 + round) // batch-distinct values
+        }).head.groupBy(_._1).map(_._2.head).toSeq)
+      val dir = java.nio.file.Files.createTempDirectory(s"upsprop$round").toString
+      GeoParquet.writeKeyed(seed.toDF("id", "z"), dir, "id", nFiles = 4)
+      batches.foreach(b => GeoParquet.upsertKeyed(b.toDF("id", "z"), dir, "id"))
+      val got = GeoParquet.readMerged(spark, dir)
+        .select("id", "z").as[(Long, Double)].collect().toMap
+      val want = batches.foldLeft(seed.toMap)((m, b) => m ++ b.toMap)
+      assert(got == want, s"round $round")
+    }
+  }
 }
