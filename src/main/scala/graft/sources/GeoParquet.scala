@@ -759,6 +759,33 @@ object GeoParquet {
     else spark.read.parquet(files.toIndexedSeq: _*)
   }
 
+  /** Maintenance sweep for crash leftovers (the VACUUM analog): the
+    * staged-write protocols never delete live data, so a crash can
+    * strand sibling directories — `<layout>.staging-*` (interrupted
+    * appends), `<layout>.pre-compact` (the preserve-aside of a
+    * compaction that died mid-swap), `<layout>.compact` (a rewrite
+    * that never swapped in) — plus unresolved `_merge_staging`
+    * entries.  vacuum resolves the merge stages (adopt live, discard
+    * void) and deletes the known-pattern siblings.  It never touches
+    * the live tree, the sidecars, or anything it cannot positively
+    * identify as this layout's debris.
+    */
+  def vacuum(spark: SparkSession, path: String): Unit = {
+    adoptStagedMerges(spark, path)
+    val fs = fsOf(spark, path)
+    val p = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
+    val parent = p.getParent
+    val base = p.getName
+    if (parent != null && fs.exists(parent))
+      fs.listStatus(parent).foreach { st =>
+        val n = st.getPath.getName
+        if (n != base &&
+            (n.startsWith(base + ".staging-") ||
+              n == base + ".pre-compact" || n == base + ".compact"))
+          fs.delete(st.getPath, true)
+      }
+  }
+
   /** Retention: positional-delete every row older than `cutoffMs`
     * (epoch-ms `t` column) — the TTL maintenance verb.  Merge-on-read
     * like any [[deleteWhere]]; the next compaction reclaims space.

@@ -243,6 +243,30 @@ class DeleteSpec extends SparkSpec {
     assert(GeoParquet.readMerged(spark, dir).count() == p.count() - 1)
   }
 
+  test("vacuum: removes crash debris, resolves merge stages, spares the layout") {
+    val dir = java.nio.file.Files.createTempDirectory("vac").toString + "/layout"
+    GeoParquet.write(p, dir, 250.0)
+    GeoParquet.writeManifest(spark, dir)
+    // fabricate the three crash-leftover shapes as siblings
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(".staging-dead1", ".pre-compact", ".compact").foreach { sfx =>
+      fs.mkdirs(new org.apache.hadoop.fs.Path(dir + sfx))
+    }
+    // and an unrelated sibling vacuum must NOT touch
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir + "_other"))
+    GeoParquet.vacuum(spark, dir)
+    Seq(".staging-dead1", ".pre-compact", ".compact").foreach { sfx =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + sfx)), sfx)
+    }
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir + "_other")))
+    // layout, manifest, and reads untouched
+    assert(GeoParquet.read(spark, dir).count() == p.count())
+    assert(GeoParquet.queryBoxViaManifest(spark, dir, (0.0, 200.0), (0.0, 200.0))
+      .count() == p.filter($"x" >= 0 && $"x" < 200 &&
+        $"y" >= 0 && $"y" < 200).count())
+  }
+
   test("streaming MERGE: CDC batches upsert continuously, reads stay pruned") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
