@@ -227,13 +227,61 @@ object Components {
     Dedup.simhashPairsSql.replace("ORDER BY d1, d2", ""),
     "SELECT d1 AS u, d2 AS v FROM pairs")
 
+  // --- 26f (oracle face). deterministic PageRank over an events graph ---
+  /** [[pageRank]] as an oracle query: a 40-node deterministic graph
+    * from events (src = user_id mod 40, dst = 31·event_id mod 40),
+    * 10 power iterations.  Every arithmetic step is either exact
+    * integer (nano-unit ranks, `//` init) or the identical IEEE
+    * double op in both engines (deg division, 0.85 damping multiply,
+    * the closing /1e9) — so the ranks hash-match bit-for-bit.  The
+    * DuckDB mirror UNROLLS the 10 iterations as chained CTE pairs
+    * (standard SQL's recursive CTEs cannot aggregate over the
+    * recursive reference).
+    */
+  def pagerankQ(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.core.Tables.t(s, dir, "events").select(
+      (col("user_id") % 40).cast("long").as("src"),
+      (col("event_id") * 31 % 40).cast("long").as("dst"))
+    pageRank(e, iters = 10)
+      .select(col("node"), col("rank"))
+      .orderBy("node")
+  }
+
+  val pagerankSql: String = {
+    val iters = (1 to 10).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS node,
+         |    CAST(sum(CAST(floor(p${i - 1}.r / od.deg) AS BIGINT)) AS BIGINT) AS in_mass
+         |  FROM edges e
+         |  JOIN p${i - 1} ON p${i - 1}.node = e.src
+         |  JOIN outdeg od ON od.src = e.src
+         |  GROUP BY e.dst),
+         |p$i AS (
+         |  SELECT n.node,
+         |    CAST(FLOOR((1.0::DOUBLE - 0.85::DOUBLE) * 1000000000.0 / nn.n) AS BIGINT)
+         |      + CAST(FLOOR(0.85::DOUBLE * COALESCE(c$i.in_mass, 0)) AS BIGINT) AS r
+         |  FROM nodes n CROSS JOIN nn LEFT JOIN c$i ON c$i.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT user_id % 40 AS src, (event_id*31) % 40 AS dst FROM events),
+       |edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+       |p0 AS (SELECT node, 1000000000 // nn.n AS r FROM nodes CROSS JOIN nn),
+       |$iters
+       |SELECT node, CAST(r AS DOUBLE) / 1000000000 AS rank
+       |FROM p10 ORDER BY node""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dup_clusters" -> (dupClusters _),
     "q_simhash_cc" -> (simhashClusters _),
+    "q_pagerank" -> (pagerankQ _),
     "q_dedup_apply_neardup" -> (dedupApplyNeardup _))
 
   val oracles: Map[String, String] = Map(
     "q_dup_clusters" -> dupClustersSql,
     "q_simhash_cc" -> simhashClustersSql,
+    "q_pagerank" -> pagerankSql,
     "q_dedup_apply_neardup" -> dedupApplyNeardupSql)
 }
