@@ -77,16 +77,22 @@ object GeoParquet {
     * directory listing: a manifest names every data file, so one
     * file's footer answers — O(1) planning where reading the layout
     * root's schema costs an O(files) object-store walk at 100 TB.
-    * Unmanifested layouts fall back to the directory schema read.
+    * Unmanifested layouts fall back to the directory schema read —
+    * as does a STALE manifest whose named file was compacted away
+    * (the caller's freshness guard owns that diagnosis; schema
+    * discovery must not crash first with a raw file-not-found).
     */
   private def curveKeyColOf(spark: SparkSession, path: String): Option[String] = {
+    val fs = fsOf(spark, path)
     val cols =
-      if (!fsOf(spark, path).exists(new org.apache.hadoop.fs.Path(s"$path/_manifest")))
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_manifest")))
         spark.read.parquet(path).columns
       else
         spark.read.parquet(s"$path/_manifest").select("file").head(1) match {
-          case Array(r) => spark.read.parquet(s"$path/${r.getString(0)}").columns
-          case _        => spark.read.parquet(path).columns // empty manifest
+          case Array(r)
+            if fs.exists(new org.apache.hadoop.fs.Path(s"$path/${r.getString(0)}")) =>
+            spark.read.parquet(s"$path/${r.getString(0)}").columns
+          case _ => spark.read.parquet(path).columns // empty/stale manifest
         }
     CurveKeyCols.find(cols.contains)
   }
@@ -169,6 +175,11 @@ object GeoParquet {
   }
 
   def writeManifest(spark: SparkSession, path: String): Unit = {
+    // a manifest rebuild is the layout's repair verb — resolve any
+    // crash-stranded merge stages first (adopt landed, roll forward
+    // in-flight, discard void) so the rebuilt manifest describes a
+    // layout with no unresolved `_merge_staging` entries
+    adoptStagedMerges(spark, path)
     statsOf(spark.read.parquet(path), rootPathOf(spark, path),
         readEpoch(spark, path))
       .coalesce(1)
@@ -191,11 +202,22 @@ object GeoParquet {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def writeEpochFile(spark: SparkSession, file: String, epoch: Long): Unit = {
+  private def writeTextFile(spark: SparkSession, file: String, text: String): Unit = {
     val fs = fsOf(spark, file)
     val out = fs.create(new org.apache.hadoop.fs.Path(file), true)
-    try out.write(epoch.toString.getBytes("UTF-8")) finally out.close()
+    try out.write(text.getBytes("UTF-8")) finally out.close()
   }
+
+  private def readTextFile(spark: SparkSession, file: String): String = {
+    val fs = fsOf(spark, file)
+    val in = fs.open(new org.apache.hadoop.fs.Path(file))
+    try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+      "UTF-8").trim
+    finally in.close()
+  }
+
+  private def writeEpochFile(spark: SparkSession, file: String, epoch: Long): Unit =
+    writeTextFile(spark, file, epoch.toString)
 
   private def readEpochFile(spark: SparkSession, file: String): Long = {
     val fs = fsOf(spark, file)
@@ -239,11 +261,13 @@ object GeoParquet {
   // --- merge-on-read deletes (tombstones) ---------------------------
   // At 100 TB a dedup drop-list or a GDPR purge cannot rewrite the
   // layout synchronously.  deleteIds() appends the doomed keys to a
-  // `_tombstones` sidecar and bumps the epoch; readers subtract the
-  // tombstones (an anti-join AFTER pruning, so pruned reads stay
-  // pruned), stats shortcuts that cannot subtract fall back to merged
-  // scans, and the next compaction applies the deletes physically and
-  // clears the sidecar.  This is the Iceberg equality-delete shape.
+  // `_tombstones` sidecar WITHOUT bumping the epoch (nothing the
+  // manifest asserts about files changed — see its body); readers
+  // subtract the tombstones (an anti-join AFTER pruning, so pruned
+  // reads stay pruned), stats shortcuts that cannot subtract fall
+  // back to merged scans, and the next compaction applies the deletes
+  // physically and clears the sidecar.  The Iceberg equality-delete
+  // shape.
 
   /** Register keys for deletion without touching data files.  `ids`
     * must be a single column named exactly like the layout's key
@@ -275,19 +299,24 @@ object GeoParquet {
     * they kill, so replacements of the same key in newer files are
     * untouched — the Iceberg v2 position-delete shape.
     *
-    * Includes ADOPTABLE staged merges: a merge stages its tombstones
-    * with the epoch its append will commit at ([[stageMerge]]); once
-    * the layout epoch reaches that mark the append has landed, so the
-    * staged addresses are live deletes even if the merge crashed
-    * before moving them into `_tombstones_pos` — readers therefore
-    * never see a duplicate through the crash window.
+    * Includes LANDED staged merges: a merge stages its tombstones
+    * before its append ([[stageMerge]]) and the append's commit step
+    * marks the stage landed the instant the batch's files are all
+    * renamed into the layout ([[commitStaged]] writes the `_landed`
+    * marker right after the renames, or — if it died between the
+    * renames and the marker — the `_tmp` journal points at a staging
+    * directory that no longer exists, which proves the rename loop
+    * ran to completion).  Liveness is therefore tied to the append's
+    * ACTUAL data commit, never inferred from epoch arithmetic: a
+    * crash before the renames finish leaves the stage void (old rows
+    * stay — the merge simply didn't happen), and no unrelated append
+    * can make a void stage look live.
     */
   def pendingPositional(spark: SparkSession, path: String): Option[DataFrame] = {
     val fs = fsOf(spark, path)
     val base = new org.apache.hadoop.fs.Path(s"$path/_tombstones_pos")
-    val cur = readEpoch(spark, path)
     val staged = stagedMergeDirs(spark, path).collect {
-      case (d, expect) if expect > 0 && cur >= expect =>
+      case d if stageStatusOf(spark, d) == StageLanded =>
         spark.read.parquet(d).select("file", "pos")
     }
     val parts =
@@ -297,52 +326,98 @@ object GeoParquet {
   }
 
   private def stagedMergeDirs(spark: SparkSession,
-                              path: String): Seq[(String, Long)] = {
+                              path: String): Seq[String] = {
     val fs = fsOf(spark, path)
     val root = new org.apache.hadoop.fs.Path(s"$path/_merge_staging")
     if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq.filter(_.isDirectory).map { st =>
-      val d = st.getPath.toUri.getPath
-      (d, readEpochFile(spark, s"$d/_expect"))
+    else fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(_.getPath.toUri.getPath)
+  }
+
+  // --- staged-merge lifecycle --------------------------------------
+  // A stage's deletes are LIVE iff the paired append's data files
+  // actually landed; the on-disk markers (written by commitStaged)
+  // encode how far the append got:
+  //   _landed            — renames completed; deletes are live.
+  //   _tmp → missing dir — renames completed (the tmp directory is
+  //                        deleted only after the rename loop), the
+  //                        writer died before _landed; live.
+  //   _tmp → extant dir  — the writer died mid-append; the staged
+  //                        batch is intact in tmp, so the heal rolls
+  //                        the append FORWARD (finish the renames),
+  //                        after which the deletes are live.
+  //   no markers         — the append never reached its commit step;
+  //                        void (the crashed merge changed nothing).
+  private sealed trait StageStatus
+  private case object StageLanded extends StageStatus
+  private case class StageInFlight(tmp: String) extends StageStatus
+  private case object StageVoid extends StageStatus
+
+  private def stageStatusOf(spark: SparkSession, d: String): StageStatus = {
+    val fs = fsOf(spark, d)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$d/_landed"))) StageLanded
+    else if (!fs.exists(new org.apache.hadoop.fs.Path(s"$d/_tmp"))) StageVoid
+    else {
+      val tmp = readTextFile(spark, s"$d/_tmp")
+      if (fs.exists(new org.apache.hadoop.fs.Path(tmp))) StageInFlight(tmp)
+      else StageLanded
     }
   }
 
-  /** Stage a merge's doomed addresses BEFORE its append: the sidecar
-    * records the epoch the append will commit at, so after a crash
-    * anyone can tell whether the staged deletes are live (epoch
-    * reached — append landed) or void (append never happened).
+  /** Stage a merge's doomed addresses BEFORE its append; returns the
+    * stage directory the append will commit against (threaded to
+    * [[commitStaged]] as `mergeDir`, whose markers make the staged
+    * deletes live exactly when the batch's files land).
     */
   private def stageMerge(spark: SparkSession, path: String,
-                         doomed: DataFrame): Unit = {
+                         doomed: DataFrame): String = {
     val dir = s"$path/_merge_staging/" +
       java.util.UUID.randomUUID().toString.take(8)
     doomed.write.mode("overwrite").parquet(dir)
-    writeEpochFile(spark, s"$dir/_expect", readEpoch(spark, path) + 1)
+    dir
   }
 
-  /** Resolve staged merges: adopt the live ones into `_tombstones_pos`
-    * (their append committed), discard the void ones (their append
-    * never landed — the crashed merge changed nothing).  Called by the
-    * merge writers and compaction; safe to call any time under the
-    * store's single-writer assumption.
+  /** Move one resolved stage's addresses into `_tombstones_pos` and
+    * drop the stage directory — the final step of a merge commit and
+    * of [[adoptStagedMerges]] healing.
+    */
+  private def adoptStage(spark: SparkSession, path: String, d: String): Unit = {
+    val fs = fsOf(spark, path)
+    val dp = new org.apache.hadoop.fs.Path(d)
+    fs.listStatus(dp).filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach { f =>
+        val dst = new org.apache.hadoop.fs.Path(
+          s"$path/_tombstones_pos/${f.getPath.getName}")
+        fs.mkdirs(dst.getParent)
+        require(fs.rename(f.getPath, dst),
+          s"staged-merge adoption rename failed for ${f.getPath}")
+      }
+    fs.delete(dp, true)
+  }
+
+  /** Resolve staged merges: adopt the landed ones into
+    * `_tombstones_pos` (their append committed), roll crashed
+    * mid-append stages FORWARD (the staged batch is intact in its
+    * `.staging-*` directory — finish the renames, then adopt; the
+    * manifest stays stale, so reads degrade to correct unpruned scans
+    * until writeManifest), and discard the void ones (their append
+    * never reached its commit — the crashed merge changed nothing).
+    * Called by the merge writers, compaction, and vacuum; safe to
+    * call any time under the store's single-writer assumption (a
+    * stage can only be in flight if its writer is dead).
     */
   def adoptStagedMerges(spark: SparkSession, path: String): Unit = {
     val fs = fsOf(spark, path)
-    val cur = readEpoch(spark, path)
-    stagedMergeDirs(spark, path).foreach { case (d, expect) =>
-      val dp = new org.apache.hadoop.fs.Path(d)
-      if (expect > 0 && cur >= expect) {
-        fs.listStatus(dp).filter(_.getPath.getName.endsWith(".parquet"))
-          .foreach { f =>
-            val dst = new org.apache.hadoop.fs.Path(
-              s"$path/_tombstones_pos/${f.getPath.getName}")
-            fs.mkdirs(dst.getParent)
-            require(fs.rename(f.getPath, dst),
-              s"staged-merge adoption rename failed for ${f.getPath}")
-          }
+    stagedMergeDirs(spark, path).foreach { d =>
+      stageStatusOf(spark, d) match {
+        case StageLanded => adoptStage(spark, path, d)
+        case StageInFlight(tmp) =>
+          moveStagedFiles(spark, path, tmp) // finish the dead append's renames
+          writeTextFile(spark, s"$d/_landed", "1")
+          adoptStage(spark, path, d)
+        case StageVoid =>
+          fs.delete(new org.apache.hadoop.fs.Path(d), true)
       }
-      // adopted, incomplete (expect missing), or void — gone either way
-      fs.delete(dp, true)
     }
   }
 
@@ -461,9 +536,21 @@ object GeoParquet {
   def upsertKeyed(df: DataFrame, path: String, keyCol: String,
                   nFiles: Int = 1): Unit = {
     val spark = df.sparkSession
+    // integral keys ONLY: the manifest's [k0,k1] are the key min/max
+    // and the prune below casts to long — a non-integral key (e.g. a
+    // string id) would cast to NULL, match no files, and silently
+    // leave the old copies alive next to the appended replacements
+    require(df.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }, s"upsertKeyed requires an integral key column; " +
+      s"'$keyCol' is ${df.schema(keyCol).dataType.simpleString} — " +
+      "hash or dictionary-encode non-integral keys first")
     adoptStagedMerges(spark, path) // heal any crashed predecessor
     val root = rootPathOf(spark, path)
-    // integral keys: the manifest's [k0,k1] are the key min/max
     val keys = df.select(col(keyCol).cast("long").as("k")).distinct()
     val files = spark.read.parquet(s"$path/_manifest")
       .join(broadcast(keys), col("k").between(col("k0"), col("k1")), "leftsemi")
@@ -477,11 +564,13 @@ object GeoParquet {
         .select("file", "pos")
         .localCheckpoint() // pin BEFORE the append
     }
-    // same staged protocol as upsertPositional: no duplicate window
-    doomed.filter(!_.isEmpty).foreach(stageMerge(spark, path, _))
+    // same staged protocol as upsertPositional: the deletes commit
+    // inside the append's own commit step — no duplicate window
+    val mergeDir = doomed.filter(!_.isEmpty)
+      .map(stageMerge(spark, path, _))
     appendCurve(df.withColumn("zkey", col(keyCol)), path,
-      delta = 1.0 /* unused when preKeyed */, nFiles, preKeyed = true)
-    adoptStagedMerges(spark, path)
+      delta = 1.0 /* unused when preKeyed */, nFiles, preKeyed = true,
+      mergeDir = mergeDir)
   }
 
   /** O(batch) MERGE/upsert via POSITIONAL deletes — the shape
@@ -509,13 +598,16 @@ object GeoParquet {
       // pin the PRE-append address list — eager, so the append below
       // cannot leak its own files into the doomed set
       .localCheckpoint()
-    // stage BEFORE the append: a crash in between leaves the staged
-    // deletes epoch-tagged as live, so readers still see exactly one
-    // copy per key and the next writer adopts them (no duplicate
-    // window, no lost batch)
-    if (!doomed.isEmpty) stageMerge(spark, path, doomed)
-    appendWithManifest(df, path, delta)
-    adoptStagedMerges(spark, path)
+    // stage BEFORE the append; the staged deletes commit inside the
+    // append's own commit step (commitStaged marks the stage landed
+    // the moment the batch's files are all renamed in), so readers
+    // see exactly one copy per key through every crash window — a
+    // crash before the data lands leaves the stage void (old copies
+    // stay; nothing lost), a crash after leaves it landed (the next
+    // heal adopts it)
+    val mergeDir =
+      if (doomed.isEmpty) None else Some(stageMerge(spark, path, doomed))
+    appendWithManifest(df, path, delta, mergeDir)
   }
 
   /** [[queryBox]] (bin-partition-pruned) with pending deletes
@@ -913,13 +1005,21 @@ object GeoParquet {
 
   /** Append a (micro-)batch into the layout — the streaming-ingest
     * write path (see graft.streaming.EventStream.ingestGeoParquet).
+    * `mergeDir`: the staged-merge directory whose deletes commit with
+    * this batch (the degraded-path analog of [[commitStaged]]'s merge
+    * commit; the direct write's job commit is the data landing).
     */
-  def append(df: DataFrame, path: String, delta: Double): Unit = {
+  def append(df: DataFrame, path: String, delta: Double,
+             mergeDir: Option[String] = None): Unit = {
     df.withColumn("bin_x", GeoOps.binOf(col("x"), delta))
       .withColumn("bin_y", GeoOps.binOf(col("y"), delta))
       .write.mode("append")
       .partitionBy("bin_x", "bin_y")
       .parquet(path)
+    mergeDir.foreach { d =>
+      writeTextFile(df.sparkSession, s"$d/_landed", "1")
+      adoptStage(df.sparkSession, path, d)
+    }
     // any manifest written before this batch is now stale — O(1)
     // signal to queryBoxViaManifest/queryBoxCurve
     bumpEpoch(df.sparkSession, path)
@@ -944,11 +1044,12 @@ object GeoParquet {
     * layouts; curve-clustered layouts are overwrite-only by design).
     * Falls back to plain [[append]] when the layout has no manifest.
     */
-  def appendWithManifest(df: DataFrame, path: String, delta: Double): Unit = {
+  def appendWithManifest(df: DataFrame, path: String, delta: Double,
+                         mergeDir: Option[String] = None): Unit = {
     val spark = df.sparkSession
     val fs = fsOf(spark, path)
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_manifest"))) {
-      append(df, path, delta); return
+      append(df, path, delta, mergeDir); return
     }
     require(!spark.read.parquet(s"$path/_manifest").columns.contains("k0"),
       "appendWithManifest maintains bin-partitioned manifests; " +
@@ -964,9 +1065,17 @@ object GeoParquet {
     // writeManifest rebuilds the whole sidecar.
     if (readEpoch(spark, path) !=
         readEpochFile(spark, s"$path/_manifest_epoch")) {
-      append(df, path, delta); return
+      append(df, path, delta, mergeDir); return
     }
-    if (df.isEmpty) return // a 0-row stage has no files to harvest
+    if (df.isEmpty) {
+      // a 0-row stage has no files to harvest; a merge with an empty
+      // insert set commits trivially (its deletes go live now)
+      mergeDir.foreach { d =>
+        writeTextFile(spark, s"$d/_landed", "1")
+        adoptStage(spark, path, d)
+      }
+      return
+    }
     val newEpoch = readEpoch(spark, path) + 1
     writeEpochFile(spark, s"$path/_epoch", newEpoch) // stale until step 4
     val tmp = path + ".staging-" + java.util.UUID.randomUUID().toString.take(8)
@@ -978,17 +1087,18 @@ object GeoParquet {
     // (localCheckpoint) BEFORE the files move away
     val stats = statsOf(spark.read.parquet(tmp), rootPathOf(spark, tmp), newEpoch)
       .localCheckpoint()
-    commitStaged(spark, path, tmp, stats, newEpoch)
+    commitStaged(spark, path, tmp, stats, newEpoch, mergeDir)
   }
 
-  /** Steps 3–4 of the staged-append protocol shared by
-    * [[appendWithManifest]] and [[appendCurve]]: move the staged
-    * files into the layout (bin-dir-preserving renames; part-file
-    * names are UUID-unique), append their stats rows to `_manifest`,
-    * snapshot `_manifest_epoch` — pruned reads resume.
+  /** Move every staged data file under `tmp` into the layout
+    * (directory-structure-preserving renames; part-file names are
+    * UUID-unique) and drop the emptied staging directory.  The tmp
+    * delete is ORDERED AFTER the rename loop on purpose: "the tmp
+    * directory is gone" is the durable proof the renames all
+    * completed, which the staged-merge liveness check leans on.
     */
-  private def commitStaged(spark: SparkSession, path: String, tmp: String,
-                           stats: DataFrame, newEpoch: Long): Unit = {
+  private def moveStagedFiles(spark: SparkSession, path: String,
+                              tmp: String): Unit = {
     val fs = fsOf(spark, path)
     val tmpRoot = rootPathOf(spark, tmp)
     listDataFiles(spark, tmp).foreach { abs =>
@@ -999,6 +1109,34 @@ object GeoParquet {
         s"staging rename failed for $rel")
     }
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
+  /** Steps 3–4 of the staged-append protocol shared by
+    * [[appendWithManifest]] and [[appendCurve]]: move the staged
+    * files into the layout, append their stats rows to `_manifest`,
+    * snapshot `_manifest_epoch` — pruned reads resume.
+    *
+    * When the append is the second half of a MERGE (`mergeDir` set),
+    * this is also where the merge's staged deletes commit, tied to
+    * the DATA landing rather than any epoch mark: the `_tmp` journal
+    * is written before the renames (so a crash mid-rename is
+    * detectable and the heal can roll the append forward), and the
+    * `_landed` marker + adoption follow immediately after — from the
+    * instant the last file renames in, readers subtract the old
+    * copies, so no duplicate window exists and a crash anywhere can
+    * only delay adoption, never void a landed merge or adopt an
+    * unlanded one.
+    */
+  private def commitStaged(spark: SparkSession, path: String, tmp: String,
+                           stats: DataFrame, newEpoch: Long,
+                           mergeDir: Option[String] = None): Unit = {
+    mergeDir.foreach(d => writeTextFile(spark, s"$d/_tmp", tmp))
+    moveStagedFiles(spark, path, tmp)
+    // COMMIT POINT for a merge: the batch is fully in the layout
+    mergeDir.foreach { d =>
+      writeTextFile(spark, s"$d/_landed", "1")
+      adoptStage(spark, path, d)
+    }
     stats.coalesce(1).write.mode("append").parquet(s"$path/_manifest")
     writeEpochFile(spark, s"$path/_manifest_epoch", newEpoch)
   }
@@ -1022,7 +1160,8 @@ object GeoParquet {
     * a wrong answer.
     */
   def appendCurve(df: DataFrame, path: String, delta: Double,
-                  nFiles: Int = 1, preKeyed: Boolean = false): Unit = {
+                  nFiles: Int = 1, preKeyed: Boolean = false,
+                  mergeDir: Option[String] = None): Unit = {
     val spark = df.sparkSession
     val fs = fsOf(spark, path)
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/_manifest")),
@@ -1041,7 +1180,15 @@ object GeoParquet {
       s"$path: manifest is stale (a prior append crashed mid-commit or " +
         "an out-of-band write bumped the epoch); run writeManifest to " +
         "rebuild it before appending incrementally")
-    if (df.isEmpty) return // a 0-row stage has no files to harvest
+    if (df.isEmpty) {
+      // 0-row stage: nothing to harvest; an empty-insert merge
+      // commits trivially (its deletes go live now)
+      mergeDir.foreach { d =>
+        writeTextFile(spark, s"$d/_landed", "1")
+        adoptStage(spark, path, d)
+      }
+      return
+    }
     val keyed =
       // preKeyed callers (segment archives / writeKeyed tables, whose
       // key is not an x/y cell key) vouch for their key column.  All
@@ -1067,7 +1214,7 @@ object GeoParquet {
       .write.mode("overwrite").parquet(tmp)
     val stats = statsOf(spark.read.parquet(tmp), rootPathOf(spark, tmp), newEpoch)
       .localCheckpoint() // materialize BEFORE the files move away
-    commitStaged(spark, path, tmp, stats, newEpoch)
+    commitStaged(spark, path, tmp, stats, newEpoch, mergeDir)
   }
 
   /** [[compact]] for curve-clustered layouts: [[appendCurve]] leaves
@@ -1077,6 +1224,7 @@ object GeoParquet {
     * it on small-file pressure, not per batch.
     */
   def compactCurve(spark: SparkSession, path: String, nFiles: Int): Unit = {
+    adoptStagedMerges(spark, path) // as compact(): resolve before the swap
     // compaction is where merge-on-read deletes become physical
     val df = minusTombstones(spark, path, spark.read.parquet(path))
     val keyCol = CurveKeyCols.find(df.columns.contains).getOrElse(
@@ -1156,6 +1304,12 @@ object GeoParquet {
     * streaming ingest — run it on a schedule, not per batch).
     */
   def compact(spark: SparkSession, path: String): Unit = {
+    // resolve staged merges first: the swap below discards
+    // `_merge_staging` (it stays behind in the retired directory), so
+    // a landed-but-unadopted stage must be applied via the merged
+    // read and a crashed mid-append stage rolled forward NOW — after
+    // the swap the staged batch's sibling directory would be orphaned
+    adoptStagedMerges(spark, path)
     val tmp = path + ".compact"
     val epochBefore = readEpoch(spark, path)
     // merged read: compaction applies pending deletes physically; the

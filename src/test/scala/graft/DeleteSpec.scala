@@ -200,47 +200,133 @@ class DeleteSpec extends SparkSpec {
     assert(r2.exceptAll(expect2).count() == 0 && expect2.exceptAll(r2).count() == 0)
   }
 
-  test("staged-merge journal: live stages subtract and adopt, void stages discard") {
+  // --- staged-merge crash windows: liveness is tied to the append's
+  // --- ACTUAL data commit (markers), never to epoch arithmetic
+
+  /** One real (file, pos) address per selected id, root-relative. */
+  private def addressesOf(dir: String, cond: org.apache.spark.sql.Column) = {
+    val root = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+    spark.read.parquet(dir).filter(cond)
+      .select($"id",
+        substring_index(col("_metadata.file_path"), root + "/", -1).as("file"),
+        col("_metadata.row_index").as("pos"))
+  }
+
+  test("staged-merge liveness: landed stages subtract, void stages never resurrect") {
     val dir = java.nio.file.Files.createTempDirectory("mjrnl").toString
     GeoParquet.write(p.filter($"id" % 2 === 0), dir, 250.0)
     GeoParquet.writeManifest(spark, dir) // epoch 0
-    // a real merge's expect is always >= 1 (epoch-after-append);
-    // reach epoch 1 the way a merge's append would
-    GeoParquet.appendWithManifest(p.filter($"id" % 2 === 1), dir, 250.0)
-    assert(GeoParquet.readEpoch(spark, dir) == 1L)
-    // one real (file, pos) address from the layout
-    val root = new org.apache.hadoop.fs.Path(dir).toUri.getPath
-    val victim = spark.read.parquet(dir)
-      .select($"id", col("_metadata.file_path").as("f"),
-        col("_metadata.row_index").as("pos"))
-      .orderBy("id").limit(1).collect().head
-    val rel = victim.getString(1).split(root + "/").last
-    def stage(name: String, expect: String): Unit = {
-      Seq((rel, victim.getLong(2)))
-        .toDF("file", "pos")
+    val Seq(v1, v2) = spark.read.parquet(dir).select($"id")
+      .orderBy("id").limit(2).as[Long].collect().toSeq
+    def stage(name: String, id: Long, landed: Boolean): Unit = {
+      addressesOf(dir, $"id" === id).select("file", "pos")
         .write.parquet(s"$dir/_merge_staging/$name")
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(s"$dir/_merge_staging/$name/_expect"),
-        expect.getBytes("UTF-8"))
+      if (landed)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$dir/_merge_staging/$name/_landed"),
+          "1".getBytes("UTF-8"))
     }
-    // a LIVE stage (its append committed: expect <= current epoch) —
-    // the crashed-merge state upsertPositional can leave behind
-    stage("live", "1")
-    // a VOID stage (its append never landed: expect > current epoch)
-    stage("void", "99")
-    // readers subtract the live stage's row already — no duplicate
-    // (or resurrected) copy through the crash window
-    assert(GeoParquet.readMerged(spark, dir)
-      .filter($"id" === victim.getLong(0)).count() == 0)
-    assert(GeoParquet.readMerged(spark, dir).count() == p.count() - 1)
-    // adoption moves the live stage into the sidecar, discards the void
+    // a LANDED stage (its append's files renamed in; the merge died
+    // between the _landed marker and adoption)
+    stage("landed", v1, landed = true)
+    // a VOID stage (the merge died after staging, before its append
+    // reached the commit step — old copies must stay)
+    stage("void", v2, landed = false)
+    // readers subtract the landed stage's row, keep the void one
+    assert(GeoParquet.readMerged(spark, dir).filter($"id" === v1).count() == 0)
+    assert(GeoParquet.readMerged(spark, dir).filter($"id" === v2).count() == 1)
+    // THE round-7 advisory failure mode: an unrelated append bumps the
+    // epoch past whatever the crashed merge would have committed at —
+    // under marker-based liveness the void stage still must not go live
+    GeoParquet.appendWithManifest(p.filter($"id" % 2 === 1), dir, 250.0)
+    assert(GeoParquet.readEpoch(spark, dir) >= 1L)
+    assert(GeoParquet.readMerged(spark, dir).filter($"id" === v2).count() == 1)
+    // healing adopts the landed stage, discards the void one
     GeoParquet.adoptStagedMerges(spark, dir)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_merge_staging/live")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_merge_staging/landed")))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_merge_staging/void")))
     assert(spark.read.parquet(s"$dir/_tombstones_pos").count() == 1)
     assert(GeoParquet.readMerged(spark, dir).count() == p.count() - 1)
+    assert(GeoParquet.readMerged(spark, dir).filter($"id" === v2).count() == 1)
+  }
+
+  test("staged-merge: epoch-colliding crash loses nothing (the r7 advisory)") {
+    // reproduce advisory window (a): a merge's append bumps _epoch and
+    // dies BEFORE renaming any data in.  The old protocol compared
+    // epochs, saw the expected mark reached, and subtracted the old
+    // copies of rows whose replacements never landed — silent loss.
+    val dir = java.nio.file.Files.createTempDirectory("mcrash").toString
+    GeoParquet.write(p, dir, 250.0)
+    GeoParquet.writeManifest(spark, dir)
+    val victims = addressesOf(dir, $"id" % 11 === 0).localCheckpoint()
+    val nVict = victims.count()
+    assert(nVict > 0)
+    victims.select("file", "pos").write.parquet(s"$dir/_merge_staging/dead")
+    // the crashed append got exactly as far as its epoch bump
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/_epoch"),
+      (GeoParquet.readEpoch(spark, dir) + 1).toString.getBytes("UTF-8"))
+    // every committed row is still readable — the stage is void
+    assert(GeoParquet.readMerged(spark, dir).count() == p.count())
+    GeoParquet.adoptStagedMerges(spark, dir)
+    assert(GeoParquet.readMerged(spark, dir).count() == p.count())
+    assert(!new java.io.File(s"$dir/_tombstones_pos").exists())
+  }
+
+  test("staged-merge roll-forward: a crash mid-append lands batch AND deletes") {
+    // advisory window (b)-adjacent: the merge died inside commitStaged
+    // with the _tmp journal written and the staged batch intact in its
+    // sibling directory.  The heal must finish the renames (batch
+    // lands), adopt the deletes, and leave reads correct (manifest
+    // stale => unpruned fallback, never a wrong answer).
+    val dir = java.nio.file.Files.createTempDirectory("mroll").toString
+    GeoParquet.write(p, dir, 250.0)
+    GeoParquet.writeManifest(spark, dir)
+    val repl = p.filter($"id" % 11 === 0).withColumn("z", $"z" + 777.0)
+    val doomed = addressesOf(dir, $"id" % 11 === 0)
+      .select("file", "pos").localCheckpoint()
+    doomed.write.parquet(s"$dir/_merge_staging/m1")
+    // stage the replacement batch exactly as appendWithManifest does
+    val tmp = dir + ".staging-crash"
+    repl.withColumn("bin_x", graft.operators.GeoOps.binOf($"x", 250.0))
+      .withColumn("bin_y", graft.operators.GeoOps.binOf($"y", 250.0))
+      .write.mode("overwrite").partitionBy("bin_x", "bin_y").parquet(tmp)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_merge_staging/m1/_tmp"),
+      tmp.getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/_epoch"),
+      (GeoParquet.readEpoch(spark, dir) + 1).toString.getBytes("UTF-8"))
+    // pre-heal: deletes are NOT live (the batch hasn't landed) — the
+    // old copies remain the committed truth; nothing lost, nothing dup
+    assert(GeoParquet.readMerged(spark, dir).count() == p.count())
+    GeoParquet.adoptStagedMerges(spark, dir)
+    // post-heal: the batch landed, old copies died by address
+    val r = GeoParquet.readMerged(spark, dir).select("id", "x", "y", "z")
+    val expect = p.withColumn("z",
+      when($"id" % 11 === 0, $"z" + 777.0).otherwise($"z"))
+    assert(r.exceptAll(expect).count() == 0 && expect.exceptAll(r).count() == 0)
+    assert(!new java.io.File(tmp).exists())
+    // manifest is stale (the dead writer never appended its stats) —
+    // the pruned reader must fall back, and still answer correctly
+    assert(!GeoParquet.manifestFresh(spark, dir, verify = false))
+    assert(GeoParquet.queryBoxViaManifest(spark, dir, (-1e9, 1e9), (-1e9, 1e9))
+      .count() == p.count())
+    // writeManifest is the repair verb: pruning resumes
+    GeoParquet.writeManifest(spark, dir)
+    assert(GeoParquet.manifestFresh(spark, dir, verify = false))
+  }
+
+  test("upsertKeyed refuses non-integral key columns") {
+    val dir = java.nio.file.Files.createTempDirectory("upstr").toString
+    val base = p.select(concat(lit("k"), $"id").as("sid"), $"z")
+    GeoParquet.writeKeyed(base, dir, "sid", nFiles = 2)
+    // a string key casts to NULL in the manifest range prune — the old
+    // protocol silently kept both copies; now it refuses up front
+    val ex = intercept[IllegalArgumentException] {
+      GeoParquet.upsertKeyed(base.limit(5), dir, "sid")
+    }
+    assert(ex.getMessage.contains("integral"))
   }
 
   test("vacuum: removes crash debris, resolves merge stages, spares the layout") {
