@@ -103,6 +103,7 @@ object Tables {
       (col("l_tax") * 5.0).as("h_robust_sprd"),
       ((col("l_partkey") % 100) / lit(1000.0)).as("snr_significance"),
       (col("l_linenumber") * 4).cast("long").as("n_fit_photons"),
+      (col("l_suppkey") % 40).cast("long").as("fpb_n_corr"),
       col("l_quantity").as("w_surface_window_final"),
       (col("l_suppkey") % 2).cast("long").as("beam_strong"))
 
@@ -114,6 +115,7 @@ object Tables {
       | l_tax*5.0 AS h_robust_sprd,
       | (l_partkey % 100)/1000.0 AS snr_significance,
       | CAST(l_linenumber*4 AS BIGINT) AS n_fit_photons,
+      | CAST(l_suppkey % 40 AS BIGINT) AS fpb_n_corr,
       | l_quantity AS w_surface_window_final,
       | CAST(l_suppkey % 2 AS BIGINT) AS beam_strong
       |FROM lineitem""".stripMargin

@@ -218,14 +218,47 @@ object Crossovers {
       col("is_new_a") + col("is_new_b") > 0)
   }
 
-  val crossoversSql: String = {
+  /** Snapshot-pinned incremental crossovers, end-to-end (the oracle
+    * face of rows 18d + 61j composed): a segment archive is grown in
+    * three commits (tracks 0-3 at epoch 0, tracks 4-5 at epoch 1,
+    * track 6 at epoch 2), then the track-7 update batch is crossed
+    * against the archive AS OF epoch 1 — the replay a re-run
+    * update job needs against a grown archive (the reference's
+    * run_tile_updates semantics with a time-travel axis it lacks).
+    * Epoch-2 files are planned away at the manifest, so the result
+    * hash-matching an oracle that has never seen track 6 is direct
+    * proof the snapshot read serves the pinned world, not the
+    * current one.
+    */
+  def xoverReplay(s: SparkSession, dir: String): DataFrame = {
+    val tracks = Tables.eventsTracks(s, dir)
+    val arch = java.nio.file.Files.createTempDirectory("xover-replay")
+      .toString
+    writeSegmentArchive(tracks.filter(col("track") < 4), arch, nFiles = 4)
+    appendSegmentArchive(
+      tracks.filter(col("track") >= 4 && col("track") < 6), arch, nFiles = 2)
+    val pin = graft.sources.GeoParquet.readEpoch(s, arch) // epoch 1
+    appendSegmentArchive(tracks.filter(col("track") === 6), arch, nFiles = 2)
+    incrementalCrossoversFromArchive(s, arch,
+      tracks.filter(col("track") === 7), asOfEpoch = Some(pin))
+  }
+
+  /** The crossover SQL chain with injectable predicates: `trackPred`
+    * restricts which tracks exist at all (the snapshot-pinned replay
+    * oracle's world), `pairPred` restricts candidate pairs (the
+    * incremental "involves a new track" predicate).  The unfiltered
+    * [[crossoversSql]] is the TRUE/TRUE instance.
+    */
+  private def crossoversSqlFiltered(trackPred: String,
+                                    pairPred: String): String = {
     val T = Tables.eventsTracksSql
     s"""WITH trk AS ($T),
        |seg0 AS (
        |  SELECT track, seq, x AS x1, y AS y1, z AS z1, t AS t1,
        |    lead(x,1) OVER w AS x2, lead(y,1) OVER w AS y2,
        |    lead(z,1) OVER w AS z2, lead(t,1) OVER w AS t2
-       |  FROM trk WINDOW w AS (PARTITION BY track ORDER BY seq)),
+       |  FROM trk WHERE ($trackPred)
+       |  WINDOW w AS (PARTITION BY track ORDER BY seq)),
        |seg1 AS (SELECT * FROM seg0 WHERE x2 IS NOT NULL),
        |seg AS (
        |  SELECT seg1.*,
@@ -245,7 +278,8 @@ object Crossovers {
        |    (a.x2-a.x1) AS dxa, (a.y2-a.y1) AS dya,
        |    (b.x2-b.x1) AS dxb, (b.y2-b.y1) AS dyb
        |  FROM seg a JOIN seg b
-       |    ON a.cell_x = b.cell_x AND a.cell_y = b.cell_y AND a.track < b.track),
+       |    ON a.cell_x = b.cell_x AND a.cell_y = b.cell_y
+       |      AND a.track < b.track AND ($pairPred)),
        |x AS (
        |  SELECT *, (dxa*dyb - dya*dxb) AS det,
        |    ((x1b-x1a)*dyb - (y1b-y1a)*dxb) / (dxa*dyb - dya*dxb) AS sa,
@@ -259,6 +293,126 @@ object Crossovers {
        |FROM x
        |WHERE sa >= 0.0 AND sa < 1.0 AND sb >= 0.0 AND sb < 1.0
        |ORDER BY track_a, track_b, seq_a, seq_b""".stripMargin
+  }
+
+  val crossoversSql: String = crossoversSqlFiltered("TRUE", "TRUE")
+
+  /** DuckDB mirror of [[xoverReplay]]: the pinned world is tracks
+    * {0..5, 7} (epoch-2's track 6 must never appear), and candidate
+    * pairs must involve the new batch (track 7).
+    */
+  val xoverReplaySql: String =
+    crossoversSqlFiltered("track < 6 OR track = 7",
+      "a.track = 7 OR b.track = 7")
+
+  // --- 17d. same-track self-crossovers (xover_search.py:42
+  //     cross_by_time: a repeat ground track folded by time) ---
+  /** A deterministic two-pass fold of each events track: the first
+    * half of the track (by seq) runs outbound on the line
+    * y = (track+1)·x, the second half runs back along
+    * y = (track+1)·(2K − x) with K = ⌊n/4⌋·10 — so every track
+    * self-intersects exactly once, at x = K.  Pure integer-valued
+    * arithmetic (no libm), so the Spark and DuckDB worlds agree
+    * bit-for-bit.  `pass` is the reference's time-epoch split
+    * (cross_by_time groups a track's points by time gap before
+    * crossing the groups against each other); here the split is
+    * seq-median so the oracle can reproduce it exactly.
+    */
+  private def selfTracksOf(tracks: DataFrame): DataFrame = {
+    val w = Window.partitionBy("track")
+    val withN = tracks.withColumn("n", max("seq").over(w))
+    val outbound = col("seq") * 2 <= col("n")
+    val k = floor(col("n") / lit(4.0)).cast("long") * 10
+    withN
+      .withColumn("pass", when(outbound, 0L).otherwise(1L))
+      .withColumn("xs",
+        when(outbound, col("seq") * lit(10.0))
+          .otherwise((col("n") - col("seq") + 1) * lit(10.0)))
+      .withColumn("ys",
+        when(outbound, (col("track") + 1) * col("xs"))
+          .otherwise((col("track") + 1) * (lit(2.0) * k - col("xs"))))
+      .select(col("track"), col("pass"), col("seq"),
+        col("xs").as("x"), col("ys").as("y"), col("z"), col("t"))
+  }
+
+  /** Same-track self-crossovers: segments are built PER (track, pass)
+    * — the fold boundary must not stitch a phantom segment — and the
+    * pair key generalizes from `track` to `(track, pass)` via the
+    * composite key 2·track+pass, so the same bucketed cell join
+    * serves (the candidate condition "same track, different pass"
+    * rides the existing `track_a < track_b` plus adjacency — never
+    * an all-pairs scan).
+    */
+  def selfCrossovers(s: SparkSession, dir: String): DataFrame = {
+    val folded = selfTracksOf(Tables.eventsTracks(s, dir))
+      .withColumn("track", col("track") * 2 + col("pass"))
+      .drop("pass")
+    crossoversOfSegments(segmentsOf(folded),
+      // same physical track, outbound (even key) vs return (odd key)
+      col("track_b") === col("track_a") + 1 &&
+        col("track_a") % 2 === 0)
+      .select((col("track_a") / 2).cast("long").as("track"),
+        col("seq_a"), col("seq_b"), col("xc"), col("yc"),
+        col("z_a"), col("z_b"), col("dh"), col("t_a"), col("t_b"))
+      .orderBy("track", "seq_a", "seq_b")
+  }
+
+  val selfCrossoversSql: String = {
+    val T = Tables.eventsTracksSql
+    s"""WITH trk AS ($T),
+       |st0 AS (SELECT track, seq, z, t,
+       |  max(seq) OVER (PARTITION BY track) AS n FROM trk),
+       |st AS (
+       |  SELECT track,
+       |    CASE WHEN seq*2 <= n THEN 0 ELSE 1 END AS pass, seq, z, t,
+       |    CASE WHEN seq*2 <= n THEN seq*10.0
+       |         ELSE (n - seq + 1)*10.0 END AS x,
+       |    CAST(floor(n/4.0) AS BIGINT)*10 AS k
+       |  FROM st0),
+       |st2 AS (
+       |  SELECT track, pass, seq, z, t, x,
+       |    CASE WHEN pass = 0 THEN (track+1)*x
+       |         ELSE (track+1)*(2.0*k - x) END AS y
+       |  FROM st),
+       |seg0 AS (
+       |  SELECT track, pass, seq, x AS x1, y AS y1, z AS z1, t AS t1,
+       |    lead(x,1) OVER w AS x2, lead(y,1) OVER w AS y2,
+       |    lead(z,1) OVER w AS z2, lead(t,1) OVER w AS t2
+       |  FROM st2 WINDOW w AS (PARTITION BY track, pass ORDER BY seq)),
+       |seg1 AS (SELECT * FROM seg0 WHERE x2 IS NOT NULL),
+       |seg AS (
+       |  SELECT seg1.*,
+       |    CAST(floor(least(x1,x2)/200.0) AS BIGINT) + ox.v AS cell_x,
+       |    CAST(floor(least(y1,y2)/200.0) AS BIGINT) + oy.v AS cell_y
+       |  FROM seg1, (VALUES (0),(1)) ox(v), (VALUES (0),(1)) oy(v)
+       |  WHERE CAST(floor(least(x1,x2)/200.0) AS BIGINT) + ox.v
+       |          <= CAST(floor(greatest(x1,x2)/200.0) AS BIGINT)
+       |    AND CAST(floor(least(y1,y2)/200.0) AS BIGINT) + oy.v
+       |          <= CAST(floor(greatest(y1,y2)/200.0) AS BIGINT)),
+       |cand AS (
+       |  SELECT a.track AS track, a.seq AS seq_a, b.seq AS seq_b,
+       |    a.x1 AS x1a, a.y1 AS y1a, a.z1 AS z1a, a.z2 AS z2a,
+       |    a.t1 AS t1a, a.t2 AS t2a,
+       |    b.x1 AS x1b, b.y1 AS y1b, b.z1 AS z1b, b.z2 AS z2b,
+       |    b.t1 AS t1b, b.t2 AS t2b,
+       |    (a.x2-a.x1) AS dxa, (a.y2-a.y1) AS dya,
+       |    (b.x2-b.x1) AS dxb, (b.y2-b.y1) AS dyb
+       |  FROM seg a JOIN seg b
+       |    ON a.cell_x = b.cell_x AND a.cell_y = b.cell_y
+       |      AND a.track = b.track AND a.pass < b.pass),
+       |x AS (
+       |  SELECT *, (dxa*dyb - dya*dxb) AS det,
+       |    ((x1b-x1a)*dyb - (y1b-y1a)*dxb) / (dxa*dyb - dya*dxb) AS sa,
+       |    ((x1b-x1a)*dya - (y1b-y1a)*dxa) / (dxa*dyb - dya*dxb) AS sb
+       |  FROM cand WHERE (dxa*dyb - dya*dxb) <> 0.0)
+       |SELECT DISTINCT track, seq_a, seq_b,
+       |  x1a + sa*dxa AS xc, y1a + sa*dya AS yc,
+       |  z1a + sa*(z2a-z1a) AS z_a, z1b + sb*(z2b-z1b) AS z_b,
+       |  z1a + sa*(z2a-z1a) - (z1b + sb*(z2b-z1b)) AS dh,
+       |  t1a + sa*(t2a-t1a) AS t_a, t1b + sb*(t2b-t1b) AS t_b
+       |FROM x
+       |WHERE sa >= 0.0 AND sa < 1.0 AND sb >= 0.0 AND sb < 1.0
+       |ORDER BY track, seq_a, seq_b""".stripMargin
   }
 
   // --- 17b. local surface slope at each crossover (cross_ATL06_tile.py:101-127) ---
@@ -390,12 +544,16 @@ object Crossovers {
        |ORDER BY track_a, track_b, seq_a, seq_b""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_crossovers"  -> (crossovers _),
-    "q_xover_dhdt"  -> (xoverDhdt _),
-    "q_xover_slope" -> (xoverSlope _))
+    "q_crossovers"   -> (crossovers _),
+    "q_xover_dhdt"   -> (xoverDhdt _),
+    "q_xover_slope"  -> (xoverSlope _),
+    "q_xover_replay" -> (xoverReplay _),
+    "q_self_xover"   -> (selfCrossovers _))
 
   val oracles: Map[String, String] = Map(
-    "q_crossovers"  -> crossoversSql,
-    "q_xover_dhdt"  -> xoverDhdtSql,
-    "q_xover_slope" -> xoverSlopeSql)
+    "q_crossovers"   -> crossoversSql,
+    "q_xover_dhdt"   -> xoverDhdtSql,
+    "q_xover_slope"  -> xoverSlopeSql,
+    "q_xover_replay" -> xoverReplaySql,
+    "q_self_xover"   -> selfCrossoversSql)
 }

@@ -16,12 +16,16 @@ import graft.core.Tables
   */
 object RasterOps {
 
-  /** mapData.normalize + toRGB as one plan: δ=100 block-average grid
-    * from the point view (exact integer-cents means), global min/max
-    * normalization, 8-bit gray quantization.  min/max ride a
-    * broadcast cross join of the 1-row aggregate — the grid scan runs
-    * twice (agg + join), which at 100 TB is still two cheap passes
-    * over the *grid* (≪ points), never the point data.
+  /** mapData.normalize + toRGB + add_alpha_band as one plan: δ=100
+    * block-average grid from the point view (exact integer-cents
+    * means), global min/max normalization, 8-bit gray quantization,
+    * and the nodata→alpha mask (mapData.py:160-178: alpha drops to 0
+    * where the band equals the nodata value — here the grid's global
+    * minimum stands in for the nodata sentinel, NaN-or-equal like the
+    * reference's `~isfinite | ==nodata`).  min/max ride a broadcast
+    * cross join of the 1-row aggregate — the grid scan runs twice
+    * (agg + join), which at 100 TB is still two cheap passes over the
+    * *grid* (≪ points), never the point data.
     */
   def rasterRgb(s: SparkSession, dir: String): DataFrame = {
     val d = 100.0
@@ -35,7 +39,9 @@ object RasterOps {
         when(col("zmax") =!= col("zmin"),
           (col("gz") - col("zmin")) / (col("zmax") - col("zmin"))).otherwise(0.0))
       .withColumn("gray", least(floor(col("norm") * 255.0), lit(255L)))
-      .select("gx", "gy", "gz", "norm", "gray")
+      .withColumn("alpha",
+        when(isnan(col("gz")) || col("gz") === col("zmin"), 0L).otherwise(1L))
+      .select("gx", "gy", "gz", "norm", "gray", "alpha")
       .orderBy("gx", "gy")
   }
 
@@ -46,12 +52,13 @@ object RasterOps {
        |             sum(CAST(round(z*100) AS BIGINT))/100.0/count(*) AS gz
        |      FROM pts GROUP BY 1,2),
        |mm AS (SELECT min(gz) AS zmin, max(gz) AS zmax FROM g),
-       |n AS (SELECT gx, gy, gz,
+       |n AS (SELECT gx, gy, gz, zmin,
        |        CASE WHEN zmax <> zmin THEN (gz - zmin)/(zmax - zmin)
        |             ELSE 0.0 END AS norm
        |      FROM g, mm)
        |SELECT gx, gy, gz, norm,
-       |  least(CAST(floor(norm*255.0) AS BIGINT), 255) AS gray
+       |  least(CAST(floor(norm*255.0) AS BIGINT), 255) AS gray,
+       |  CASE WHEN isnan(gz) OR gz = zmin THEN 0 ELSE 1 END::BIGINT AS alpha
        |FROM n ORDER BY gx, gy""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

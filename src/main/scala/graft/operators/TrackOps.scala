@@ -120,6 +120,25 @@ object TrackOps {
        |WHERE h_robust_sprd < 1.0 AND h_li_sigma < 1.0 AND snr_significance < 0.02
        |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  // --- 14b. fpb_glitch_filter (ATL06_filters.py:72-80) ---
+  /** First-photon-bias glitch screen: a segment is good when its fit
+    * used no more photons than the FPB correction accounted for
+    * (`n_fit_photons <= fpb_n_corr`) — the fourth and last ATL06
+    * quality filter.
+    */
+  def fpbGlitch(s: SparkSession, dir: String): DataFrame =
+    li(s, dir)
+      .filter(col("n_fit_photons") <= col("fpb_n_corr"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("n_fit_photons"), col("fpb_n_corr"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val fpbGlitchSql: String =
+    s"""WITH li AS ($L)
+       |SELECT l_orderkey, l_linenumber, n_fit_photons, fpb_n_corr FROM li
+       |WHERE n_fit_photons <= fpb_n_corr
+       |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   // --- 15. phDensityFilter (ATL06_filters.py:9-27) ---
   /** density = n_fit_photons / w_surface_window_final, min 1 for weak
     * beams and 4 for strong beams.
@@ -227,6 +246,7 @@ object TrackOps {
     "q_rss_dh"    -> (rssDh _),
     "q_min_dh"    -> (minDh _),
     "q_quality"   -> (quality _),
+    "q_fpb_glitch" -> (fpbGlitch _),
     "q_phdensity" -> (phDensity _),
     "q_pair_agg"  -> (pairAgg _))
 
@@ -237,6 +257,7 @@ object TrackOps {
     "q_rss_dh"    -> rssDhSql,
     "q_min_dh"    -> minDhSql,
     "q_quality"   -> qualitySql,
+    "q_fpb_glitch" -> fpbGlitchSql,
     "q_phdensity" -> phDensitySql,
     "q_pair_agg"  -> pairAggSql)
 }

@@ -75,6 +75,48 @@ class QfitSpec extends SparkSpec {
     }
   }
 
+  private def wrec(sodMs: Int, latE6: Int, lonE6: Int, elevMm: Int,
+                   passiveSig: Int): Array[Int] =
+    Array(sodMs, latE6, lonE6, elevMm, 100, 200, 45000, -1500, 2500,
+      passiveSig, latE6 + 500, lonE6 + 700, elevMm - 3000, 120155000)
+
+  test("waveform variant: 14-word records decode the passive channel") {
+    val dir = Files.createTempDirectory("qfitw")
+    QfitSource.writeFile(dir.resolve("wf.qi"), Seq(
+      wrec(43200500, -70123456, 245000000, 1234567, 87),
+      wrec(43201000, -70123460, 244999000, -500, -3)))
+    val df = QfitSource.readWaveform(spark, dir.toString)
+    assert(df.count() == 2)
+    val r0 = df.filter($"rec_idx" === 0).head()
+    // the waveform time axis: seconds from the granule day's midnight
+    assert(r0.getAs[Double]("seconds_of_day") == 43200.5)
+    assert(r0.getAs[Double]("latitude") == -70.123456)
+    assert(r0.getAs[Double]("longitude") == 245.0 - 360.0)
+    assert(r0.getAs[Double]("elevation") == 1234.567)
+    assert(r0.getAs[Long]("passive_sig") == 87L)
+    assert(r0.getAs[Double]("passive_lat") == -70.122956)
+    assert(r0.getAs[Double]("passive_lon") == 245.0007 - 360.0)
+    assert(r0.getAs[Double]("passive_elev") == 1231.567)
+    // signed parse holds in the passive words too
+    val r1 = df.filter($"rec_idx" === 1).head()
+    assert(r1.getAs[Long]("passive_sig") == -3L)
+    assert(r1.getAs[Double]("elevation") == -0.5)
+  }
+
+  test("mixed directory: each reader keeps only its own record format") {
+    val dir = Files.createTempDirectory("qfitmix")
+    QfitSource.writeFile(dir.resolve("a12.qi"),
+      Seq(rec(1000, -70000000, 10000000, 500)))
+    QfitSource.writeFile(dir.resolve("b14.qi"),
+      Seq(wrec(2000, -71000000, 20000000, 600, 5),
+        wrec(3000, -71000100, 20000100, 700, 6)))
+    assert(QfitSource.read(spark, dir.toString).count() == 1)
+    assert(QfitSource.readWaveform(spark, dir.toString).count() == 2)
+    // the 12-word reader never mis-parses 14-word bytes as records
+    assert(QfitSource.read(spark, dir.toString)
+      .select("file").distinct().as[String].head().endsWith("a12.qi"))
+  }
+
   test("Qfit points project and geo-index like any point frame") {
     val dir = Files.createTempDirectory("qfit2")
     QfitSource.writeFile(dir.resolve("f.qi"),

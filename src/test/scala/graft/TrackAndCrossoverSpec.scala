@@ -136,5 +136,42 @@ class TrackAndCrossoverSpec extends SparkSpec {
       Crossovers.incrementalCrossoversFromArchive(
         spark, dir, batch, asOfEpoch = Some(-1L))
     }
+    // REPLAY SURVIVES GROWTH: append another batch — the epoch-0 pin
+    // still reproduces the original answer against the larger archive
+    Crossovers.appendSegmentArchive(
+      tracks.filter($"track" === 6), dir, nFiles = 1)
+    assert(keyed(Crossovers.incrementalCrossoversFromArchive(
+      spark, dir, batch, asOfEpoch = Some(0L))) == pinned)
+    // ...but NOT compaction: the rewrite collapses history to the
+    // current epoch, so the old pin now throws instead of serving a
+    // silently-wrong subset, while the unpinned read sees the full
+    // (grown) archive
+    graft.sources.GeoParquet.compactCurve(spark, dir, nFiles = 8)
+    intercept[IllegalArgumentException] {
+      Crossovers.incrementalCrossoversFromArchive(
+        spark, dir, batch, asOfEpoch = Some(0L))
+    }
+    assert(keyed(Crossovers.incrementalCrossoversFromArchive(spark, dir, batch))
+      == keyed(Crossovers.incrementalCrossovers(
+        tracks.filter($"track" < 7), batch)))
+  }
+
+  test("self-crossovers: each folded track crosses itself once, at x = K") {
+    // the fold construction pins the crossing analytically: outbound
+    // y=(track+1)x vs return y=(track+1)(2K-x) meet at exactly x=K,
+    // y=(track+1)K — the operator must find one crossing per track at
+    // that point, with pass 0 always the 'a' side
+    val tracks = Tables.eventsTracks(spark, sf)
+    val xo = Crossovers.selfCrossovers(spark, sf)
+    val perTrack = tracks.groupBy("track")
+      .agg(max("seq").as("n")).as[(Long, Long)].collect().toMap
+    val rows = xo.select("track", "xc", "yc")
+      .as[(Long, Double, Double)].collect()
+    assert(rows.length == perTrack.size) // exactly one per track
+    rows.foreach { case (trk, xc, yc) =>
+      val k = (perTrack(trk) / 4) * 10.0
+      assert(xc == k, s"track $trk crossing at $xc, expected $k")
+      assert(yc == (trk + 1) * k)
+    }
   }
 }
