@@ -38,7 +38,32 @@ def load(path):
     # queries Bench records as negative FAILED outright — the worst
     # regression class, which must not vanish from the comparison
     failed = {k for k, v in qs.items() if isinstance(v, (int, float)) and v < 0}
-    return ok, failed
+    return ok, failed, obj.get("load")
+
+
+def external_load(load):
+    """Cores of NON-bench work running alongside the timed pass, or
+    None when the run carries no telemetry (pre-r8 files)."""
+    if not load:
+        return None
+    peak = max(load.get("loadavg_start", -1), load.get("loadavg_end", -1))
+    cores = load.get("bench_cores", -1)
+    if peak < 0 or cores < 0:
+        return None
+    return max(0.0, peak - cores)
+
+
+def contaminated(load):
+    """A run self-identifies as load-contaminated when the 1-min
+    loadavg exceeds what the bench JVM itself was using by more than a
+    quarter of the machine — the uniform-inflation signature of the
+    r05/r07 wolf-cries (an overlapping DuckDB validation pegging
+    cores the bench thought it had)."""
+    ext = external_load(load)
+    if ext is None:
+        return False
+    cpus = float(load.get("cpus", 0) or 0)
+    return cpus > 0 and ext > 0.25 * cpus
 
 
 def main(argv):
@@ -55,15 +80,30 @@ def main(argv):
     if len(paths) < 2:
         print(__doc__)
         return 2
-    base, _ = load(paths[0])
+    base, _, base_load = load(paths[0])
     loaded = [load(p) for p in paths[1:]]
-    runs = [ok for ok, _ in loaded]
+    runs = [ok for ok, _, _ in loaded]
+
+    # load-guard: contaminated runs self-identify up front
+    dirty = []
+    for p, (_, _, ld) in zip(paths[1:], loaded):
+        ext = external_load(ld)
+        if contaminated(ld):
+            dirty.append(p)
+            print(f"CONTAMINATED: {p} ran under ~{ext:.1f} external cores "
+                  f"(bench used {ld['bench_cores']:.1f} of {ld['cpus']}) — "
+                  "timings are inflated; regressions below are suspect")
+        elif ext is not None:
+            print(f"load-ok: {p} (~{ext:.1f} external cores)")
+    if contaminated(base_load):
+        print(f"note: BASELINE {paths[0]} is itself load-contaminated — "
+              "speedups are suspect too")
 
     # a query that PASSED in the baseline and FAILS (negative time) in
     # every current run is an automatic regression — timing thresholds
     # must never launder a pass→fail transition into an OK exit
     broken = sorted(q for q in base
-                    if all(q in bad for _, bad in loaded))
+                    if all(q in bad for _, bad, _ in loaded))
 
     flagged = {}
     for q, b in sorted(base.items()):
@@ -92,6 +132,17 @@ def main(argv):
         return 0
     if broken and not flagged:
         return 1
+    if flagged and len(dirty) == len(runs):
+        # every current run was captured under external load: the
+        # timing flags are the load's signature, not the engine's —
+        # report them as unconfirmed and exit distinctly so a driver
+        # can schedule a quiet re-run instead of filing a regression
+        print(f"UNCONFIRMED (all {len(runs)} current run(s) "
+              f"load-contaminated — re-run on a quiet machine):")
+        for q, (b, cs) in sorted(flagged.items(), key=lambda kv: -max(kv[1][1])):
+            ratios = ", ".join(f"{c:.2f}s ({c / b:.1f}x)" for c in cs)
+            print(f"  {q}: baseline {b:.2f}s -> {ratios}")
+        return 1 if broken else 3
     print(f"REGRESSIONS (>{threshold}x in all {len(runs)} current run(s)):")
     for q, (b, cs) in sorted(flagged.items(), key=lambda kv: -max(kv[1][1])):
         ratios = ", ".join(f"{c:.2f}s ({c / b:.1f}x)" for c in cs)
