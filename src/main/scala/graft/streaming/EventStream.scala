@@ -267,6 +267,62 @@ object EventStream {
         md5(concat_ws("|", col("event_type"), col("value").cast("string"))))
       .dropDuplicatesWithinWatermark("content_md5")
 
+  /** Streaming document-frequency state for the near-dup pipeline —
+    * Dedup.dfCappedApprox's sketch face composed with streaming
+    * ingest (the reason that operator uses a count-min sketch at
+    * all): each micro-batch of documents appends its shingles to the
+    * corpus store and MERGES its own CMS into the persisted
+    * corpus-wide sketch (counters are additive, Sketches.cmsMerge) —
+    * one scan per batch, no corpus re-count, state d·w counters
+    * regardless of vocabulary.  Because summed per-batch counters are
+    * BIT-IDENTICAL to the counters cmsBuild computes over the whole
+    * corpus in one pass, [[dfCappedShinglesFromState]] reproduces the
+    * batch pipeline's kept-set exactly — proven by spec.
+    */
+  def ingestShingleDfState(docs: DataFrame, stateDir: String,
+                           d: Int = 4, w: Int = 8192): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val sh = graft.operators.Dedup.shinglesOf(batch)
+            .localCheckpoint() // one shingle pass feeds store AND sketch
+          sh.write.mode("append").parquet(s"$stateDir/shingles")
+          val bs = graft.operators.Sketches.cmsBuild(sh, "gh", d, w)
+          val cmsPath = new org.apache.hadoop.fs.Path(s"$stateDir/_cms")
+          val fs = cmsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val merged =
+            if (fs.exists(cmsPath))
+              graft.operators.Sketches.cmsMerge(
+                Seq(spark.read.parquet(cmsPath.toString), bs))
+            else bs
+          // pin BEFORE the overwrite — the merge reads the very
+          // directory it replaces
+          merged.localCheckpoint()
+            .coalesce(1).write.mode("overwrite").parquet(cmsPath.toString)
+        }
+      }
+      .start()
+
+  /** The df-capped shingle frame of everything
+    * [[ingestShingleDfState]] has ingested: estimate each shingle's
+    * corpus df from the ACCUMULATED sketch, drop the stop-shingle
+    * superset (est never undercounts — the skew bound is
+    * unconditional), exactly Dedup.dfCappedApprox over the streamed
+    * corpus.  Feed it to jaccardOf/minhash as the batch path does.
+    */
+  def dfCappedShinglesFromState(spark: org.apache.spark.sql.SparkSession,
+                                stateDir: String,
+                                dfCap: Int = graft.operators.Dedup.DfCap,
+                                d: Int = 4, w: Int = 8192): DataFrame = {
+    val sh = spark.read.parquet(s"$stateDir/shingles")
+    val sk = spark.read.parquet(s"$stateDir/_cms")
+    val hot = graft.operators.Sketches.cmsEstimate(sk, sh, "gh", d, w)
+      .filter(col("est") > dfCap)
+      .select("gh")
+    sh.join(broadcast(hot), Seq("gh"), "left_anti")
+  }
+
   /** Stream-stream interval join: attribute each purchase to the
     * user's clicks in the preceding 10 minutes.  Watermarks bound the
     * join state on both sides — the canonical streaming-join shape.

@@ -124,6 +124,52 @@ class CurveAppendSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/data/_batches").list().nonEmpty)
   }
 
+  test("curve streaming replay stays idempotent under interleaved positional deletes") {
+    // the _batches replay guarantee already survives compaction swaps;
+    // this drives the full chaos interleaving: stream → deleteWhere
+    // (positional tombstones) → restart-replay → delete → compaction
+    // (applies tombstones physically) → full restart-replay.  Deleted
+    // rows must never resurrect and no replay may duplicate a batch.
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("curve_chaos").toString
+    val data = s"$dir/data"
+    val b0 = Seq((1L, 10.0, 20.0, 1.0), (2L, 510.0, -520.0, 2.0))
+    val b1 = Seq((3L, 12.0, 22.0, 3.0), (4L, 600.0, -600.0, 4.0))
+    val b2 = Seq((5L, 14.0, 24.0, 5.0))
+    def run(ckpt: String, batches: Seq[(Long, Double, Double, Double)]*): Unit = {
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double, Double, Double)]
+      val q = graft.streaming.EventStream.ingestCurveParquet(
+        mem.toDF().toDF("id", "x", "y", "z"), data, 50.0, s"$dir/$ckpt",
+        nFilesPerBatch = 1, compactTo = 2, maxOverlap = 1)
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+    }
+    run("ck1", b0, b1)
+    // positional delete between stream runs: no epoch bump, manifest
+    // stays fresh, the subtraction rides every read
+    GeoParquet.deleteWhere(spark, data, $"id" === 3)
+    assert(GeoParquet.readMerged(spark, data)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L, 4L))
+    // restart-replay with the deleted row's batch included: markers
+    // make batches 0-1 no-ops (id 3 must NOT resurrect), batch 2 lands
+    run("ck2", b0, b1, b2)
+    assert(GeoParquet.readMerged(spark, data)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L, 4L, 5L))
+    // second delete, then compaction: tombstones become physical, the
+    // sidecar clears, markers survive the swap
+    GeoParquet.deleteWhere(spark, data, $"id" === 1)
+    GeoParquet.compactCurve(spark, data, 2)
+    assert(GeoParquet.pendingPositional(spark, data).isEmpty)
+    // full restart-replay against the compacted layout: pure no-op
+    run("ck3", b0, b1, b2)
+    val fin = GeoParquet.readMerged(spark, data).select("id").as[Long].collect()
+    assert(fin.toSet == Set(2L, 4L, 5L) && fin.length == 3) // no dup copies
+    // the manifest handshake held through all of it: pruned curve
+    // reads serve the final state (deletes subtracted, nothing lost)
+    val got = GeoParquet.queryBoxCurve(spark, data, (0.0, 700.0), (-700.0, 100.0), 50.0)
+    assert(got.select("id").as[Long].collect().toSet == Set(2L, 4L, 5L))
+  }
+
   test("time-range manifest stats: recent-window queries prune historical batches") {
     val dir = java.nio.file.Files.createTempDirectory("boxtime").toString
     val pts = graft.core.Tables.eventsPoints(spark, sf)

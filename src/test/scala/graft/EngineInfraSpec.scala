@@ -222,6 +222,37 @@ class EngineInfraSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("event_id")).toSet == Set(1L, 3L))
   }
 
+  test("streaming df-state: streamed batches reproduce the batch dfCappedApprox kept-set") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.core.Tables.t(spark, sf, "documents")
+      .select($"doc_id", $"text").limit(120).localCheckpoint()
+    val stateDir = java.nio.file.Files.createTempDirectory("dfstate").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStream.ingestShingleDfState(
+      mem.toDF().toDF("doc_id", "text"), stateDir, d = 4, w = 512)
+    // three micro-batches partitioning the corpus
+    val all = docs.as[(Long, String)].collect()
+    (0 until 3).foreach { b =>
+      mem.addData(all.filter(_._1 % 3 == b).toIndexedSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // merged per-batch sketches == the one-pass corpus sketch, so the
+    // streamed kept-set must equal the batch operator's EXACTLY
+    // (a small w forces real collisions — the equality must survive them)
+    val streamed = EventStream
+      .dfCappedShinglesFromState(spark, stateDir, dfCap = 10, d = 4, w = 512)
+      .select("doc_id", "gh").as[(Long, Long)].collect().toSet
+    val batch = graft.operators.Dedup
+      .dfCappedApprox(graft.operators.Dedup.shinglesOf(docs),
+        dfCap = 10, d = 4, w = 512)
+      .select("doc_id", "gh").as[(Long, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    // and the cap bit: something was actually dropped
+    val rawN = graft.operators.Dedup.shinglesOf(docs).count()
+    assert(streamed.size < rawN, s"df cap dropped nothing (raw $rawN)")
+  }
+
   test("streaming geo-index builder bins events on the fly") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long)]
