@@ -662,6 +662,76 @@ object GeoOps {
        |  AND id % 7 <> 0
        |ORDER BY id""".stripMargin
 
+  // --- 61u. incrementally-maintained per-bin aggregate (materialized view) ---
+  /** Grow a layout in three commits, [[graft.sources.MaterializedAgg.refresh]]ing
+    * the per-bin rollup after each — every refresh reads ONLY the
+    * files the changelog says landed since the last one.  The oracle
+    * is the from-scratch GROUP BY over all the points, so the
+    * hash-match proves the monoid merges (count / integral sum /
+    * min / max) reproduce the one-shot rollup exactly — the
+    * incremental-view-maintenance contract at any number of batches.
+    */
+  def incrAgg(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("incragg").toString
+    val st = java.nio.file.Files.createTempDirectory("incragg_state").toString
+    val p = pts(s, dir).select("id", "x", "y", "z")
+    graft.sources.GeoParquet.write(p.filter(col("id") % 3 === 0), path, 250.0)
+    graft.sources.GeoParquet.writeManifest(s, path)
+    graft.sources.MaterializedAgg.refresh(s, path, st, 250.0)
+    graft.sources.GeoParquet.appendWithManifest(
+      p.filter(col("id") % 3 === 1), path, 250.0)
+    graft.sources.MaterializedAgg.refresh(s, path, st, 250.0)
+    graft.sources.GeoParquet.appendWithManifest(
+      p.filter(col("id") % 3 === 2), path, 250.0)
+    graft.sources.MaterializedAgg.refresh(s, path, st, 250.0)
+    graft.sources.MaterializedAgg.read(s, st).orderBy("bin_x", "bin_y")
+  }
+
+  val incrAggSql: String =
+    s"""WITH pts AS ($P)
+       |SELECT CAST(round(x/250.0)*250 AS BIGINT) AS bin_x,
+       |       CAST(round(y/250.0)*250 AS BIGINT) AS bin_y,
+       |       count(*) AS n, CAST(sum(id) AS BIGINT) AS sum_id,
+       |       min(z) AS z_min, max(z) AS z_max
+       |FROM pts GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+
+  // --- 61t. add-column schema evolution, read back through the manifest ---
+  /** Build a layout in the classic (id,x,y,z) shape, then append one
+    * batch that ADDS a column (event_type) and one that LACKS z — the
+    * ingest reality at 100 TB, where upstream producers change shape
+    * mid-corpus.  The `_schema` sidecar records the union; declared-
+    * schema reads null-fill what each file predates (no mergeSchema
+    * footer pass), the manifest stays fresh through both appends, and
+    * the read-back runs the PRUNED path.  The oracle states the
+    * contract directly: z is null for the z-less slice, event_type
+    * only for the slice that carried it.
+    */
+  def schemaEvolve(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("evolve").toString
+    val p = pts(s, dir)
+    graft.sources.GeoParquet.write(
+      p.filter(col("id") % 3 === 0).select("id", "x", "y", "z"), path, 250.0)
+    graft.sources.GeoParquet.writeManifest(s, path)
+    graft.sources.GeoParquet.appendWithManifest(
+      p.filter(col("id") % 3 === 1).select("id", "x", "y", "z", "event_type"),
+      path, 250.0)
+    graft.sources.GeoParquet.appendWithManifest(
+      p.filter(col("id") % 3 === 2).select("id", "x", "y"), path, 250.0)
+    graft.sources.GeoParquet.queryBoxViaManifest(s, path,
+        (-230.0, 480.0), (-470.0, 230.0))
+      .select("id", "z", "event_type")
+      .orderBy("id")
+  }
+
+  val schemaEvolveSql: String =
+    s"""WITH pts AS ($P)
+       |SELECT id,
+       |       CASE WHEN id % 3 = 2 THEN NULL ELSE z END AS z,
+       |       CASE WHEN id % 3 = 1 THEN event_type ELSE NULL END AS event_type
+       |FROM pts
+       |WHERE x >= -230 AND x < 480 AND y >= -470 AND y < 230
+       |ORDER BY id""".stripMargin
+
   // --- 61l. MERGE/upsert by key, read back through the manifest ---
   /** Write a layout, upsert a modified copy of every `id % 11 == 0`
     * row (z shifted by +1000 — same key, new value), and box-query
@@ -846,6 +916,8 @@ object GeoOps {
     "q_upsert_box"      -> (upsertBox _),
     "q_upsert_pos"      -> (upsertPosBox _),
     "q_upsert_keyed"    -> (upsertKeyedQ _),
+    "q_schema_evolve"   -> (schemaEvolve _),
+    "q_incr_agg"        -> (incrAgg _),
     "q_expire_box"      -> (expireBox _),
     "q_changes_since"   -> (changesSince _),
     "q_box_time"        -> (boxTime _),
@@ -878,6 +950,8 @@ object GeoOps {
     "q_upsert_box"      -> upsertBoxSql,
     "q_upsert_pos"      -> upsertPosBoxSql,
     "q_upsert_keyed"    -> upsertKeyedSql,
+    "q_schema_evolve"   -> schemaEvolveSql,
+    "q_incr_agg"        -> incrAggSql,
     "q_expire_box"      -> expireBoxSql,
     "q_changes_since"   -> changesSinceSql,
     "q_box_time"        -> boxTimeSql,

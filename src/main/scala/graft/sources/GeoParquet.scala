@@ -180,8 +180,25 @@ object GeoParquet {
     // in-flight, discard void) so the rebuilt manifest describes a
     // layout with no unresolved `_merge_staging` entries
     adoptStagedMerges(spark, path)
-    statsOf(spark.read.parquet(path), rootPathOf(spark, path),
-        readEpoch(spark, path))
+    // the rebuild is also the schema-evolution repair verb: a batch
+    // that landed through the plain-append fallback (stale-manifest
+    // degradation) may carry columns the `_schema` sidecar has never
+    // seen, and the declared-schema read below would hide them.  The
+    // rebuild already pays a full listing, so here — and only here —
+    // a mergeSchema footer pass is the right tool: reconcile the true
+    // file union into the sidecar before computing stats.
+    layoutSchema(spark, path).foreach { declared =>
+      val fileUnion = spark.read
+        .option("recursiveFileLookup", "true").option("mergeSchema", "true")
+        .parquet(path).schema
+      val unseen = fileUnion.fields
+        .filterNot(f => declared.fieldNames.contains(f.name))
+      if (unseen.nonEmpty)
+        writeSchemaFile(spark, path, org.apache.spark.sql.types.StructType(
+          declared.fields ++ unseen.map(_.copy(nullable = true))))
+    }
+    statsOf(readerFor(spark, path, flat = false).parquet(path),
+        rootPathOf(spark, path), readEpoch(spark, path))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_manifest")
     // record the layout epoch the manifest describes — the O(1)
@@ -216,10 +233,10 @@ object GeoParquet {
     finally in.close()
   }
 
-  private def writeEpochFile(spark: SparkSession, file: String, epoch: Long): Unit =
+  private[sources] def writeEpochFile(spark: SparkSession, file: String, epoch: Long): Unit =
     writeTextFile(spark, file, epoch.toString)
 
-  private def readEpochFile(spark: SparkSession, file: String): Long = {
+  private[sources] def readEpochFile(spark: SparkSession, file: String): Long = {
     val fs = fsOf(spark, file)
     val p = new org.apache.hadoop.fs.Path(file)
     if (!fs.exists(p)) 0L
@@ -234,6 +251,50 @@ object GeoParquet {
   /** Current epoch of the layout at `path` (0 for a fresh write). */
   def readEpoch(spark: SparkSession, path: String): Long =
     readEpochFile(spark, s"$path/_epoch")
+
+  // --- declared schema: add-column evolution -------------------------
+  // A layout whose append batches have not all carried the same
+  // columns records its UNION schema in a one-file `_schema` sidecar
+  // (StructType JSON, written by appendWithManifest the first time a
+  // batch widens or narrows the column set).  Readers then supply that
+  // schema EXPLICITLY instead of inferring from a parquet footer:
+  // by-name resolution null-fills any column a file predates — the
+  // Iceberg add-column model — with no `mergeSchema` footer storm (at
+  // 100 TB "read every footer to learn the schema" is a metadata scan
+  // of millions of objects; one sidecar read is O(1)).  Layouts that
+  // never evolve have no sidecar and read exactly as before.
+
+  /** The layout's declared read schema, when evolution has recorded
+    * one (bin partition columns included). */
+  def layoutSchema(spark: SparkSession, path: String): Option[org.apache.spark.sql.types.StructType] = {
+    val f = s"$path/_schema"
+    if (!fsOf(spark, f).exists(new org.apache.hadoop.fs.Path(f))) None
+    else Some(org.apache.spark.sql.types.DataType.fromJson(
+      readTextFile(spark, f)).asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  private def writeSchemaFile(spark: SparkSession, path: String,
+                              s: org.apache.spark.sql.types.StructType): Unit =
+    writeTextFile(spark, s"$path/_schema", s.json)
+
+  private val BinCols = Seq("bin_x", "bin_y")
+
+  /** `s` without the bin partition columns — the shape of the data
+    * FILES themselves, which is what explicit file-list and
+    * recursiveFileLookup reads see (no directory-derived columns). */
+  private def dataSchemaOf(s: org.apache.spark.sql.types.StructType) =
+    org.apache.spark.sql.types.StructType(
+      s.fields.filterNot(f => BinCols.contains(f.name)))
+
+  /** spark.read with the declared schema applied when the layout has
+    * one.  `flat = true` for file-list/recursive reads (partition
+    * directories contribute no columns there); `flat = false` for
+    * partition-discovering reads of the layout root. */
+  private def readerFor(spark: SparkSession, path: String, flat: Boolean) =
+    layoutSchema(spark, path) match {
+      case Some(s) => spark.read.schema(if (flat) dataSchemaOf(s) else s)
+      case None    => spark.read
+    }
 
   private def bumpEpoch(spark: SparkSession, path: String): Unit =
     writeEpochFile(spark, s"$path/_epoch", readEpoch(spark, path) + 1)
@@ -473,7 +534,7 @@ object GeoParquet {
   def deleteWhere(spark: SparkSession, path: String,
                   cond: org.apache.spark.sql.Column): Unit = {
     val root = rootPathOf(spark, path)
-    val doomed = spark.read.parquet(path).filter(cond)
+    val doomed = readerFor(spark, path, flat = false).parquet(path).filter(cond)
       .select(relativeTo(root)(col("_metadata.file_path")).as("file"),
         col("_metadata.row_index").as("pos"))
     if (!doomed.isEmpty)
@@ -556,7 +617,7 @@ object GeoParquet {
       .join(broadcast(keys), col("k").between(col("k0"), col("k1")), "leftsemi")
       .select("file").collect().map(r => s"$path/${r.getString(0)}")
     val doomed = files.headOption.map { _ =>
-      spark.read.parquet(files.toIndexedSeq: _*)
+      readerFor(spark, path, flat = true).parquet(files.toIndexedSeq: _*)
         .select(col(keyCol),
           relativeTo(root)(col("_metadata.file_path")).as("file"),
           col("_metadata.row_index").as("pos"))
@@ -589,7 +650,7 @@ object GeoParquet {
     val spark = df.sparkSession
     adoptStagedMerges(spark, path) // heal any crashed predecessor
     val root = rootPathOf(spark, path)
-    val doomed = spark.read.parquet(path)
+    val doomed = readerFor(spark, path, flat = false).parquet(path)
       .select(col(keyCol),
         relativeTo(root)(col("_metadata.file_path")).as("file"),
         col("_metadata.row_index").as("pos"))
@@ -666,7 +727,8 @@ object GeoParquet {
         // correctness over pruning (recursiveFileLookup also disables
         // partition inference, so appended bin_x=… files read with the
         // flat schema)
-        spark.read.option("recursiveFileLookup", "true").parquet(path)
+        readerFor(spark, path, flat = true)
+          .option("recursiveFileLookup", "true").parquet(path)
           .filter(boxFilter)
       else {
         val files = spark.read.parquet(s"$path/_manifest")
@@ -674,9 +736,9 @@ object GeoParquet {
                   col("y1") >= yr._1 && col("y0") < yr._2)
           .select("file").collect().map(r => s"$path/${r.getString(0)}")
         if (files.isEmpty)
-          spark.read.parquet(path).filter(lit(false))
+          readerFor(spark, path, flat = false).parquet(path).filter(lit(false))
         else
-          spark.read.parquet(files.toIndexedSeq: _*).filter(boxFilter)
+          readerFor(spark, path, flat = true).parquet(files.toIndexedSeq: _*).filter(boxFilter)
       }
     // pending deletes ride every read path (a post-delete writeManifest
     // could make the manifest look fresh while tombstones are pending)
@@ -703,10 +765,12 @@ object GeoParquet {
     // tombstones the count comes from a merged scan (correct, unpruned)
     if (hasPendingDeletes(spark, path))
       return minusTombstones(spark, path,
-        spark.read.option("recursiveFileLookup", "true").parquet(path)
+        readerFor(spark, path, flat = true)
+          .option("recursiveFileLookup", "true").parquet(path)
           .filter(boxFilter)).agg(count("*").as("n"))
     if (!manifestFresh(spark, path, verify))
-      return spark.read.option("recursiveFileLookup", "true").parquet(path)
+      return readerFor(spark, path, flat = true)
+          .option("recursiveFileLookup", "true").parquet(path)
         .filter(boxFilter).agg(count("*").as("n"))
     val m = spark.read.parquet(s"$path/_manifest")
     val intersects = col("x1") >= xr._1 && col("x0") < xr._2 &&
@@ -720,7 +784,7 @@ object GeoParquet {
     if (boundaryFiles.isEmpty) interior
     else
       interior.union(
-        spark.read.parquet(boundaryFiles.toIndexedSeq: _*)
+        readerFor(spark, path, flat = true).parquet(boundaryFiles.toIndexedSeq: _*)
           .filter(boxFilter).agg(count("*").as("n")))
         .agg(sum("n").as("n"))
   }
@@ -766,7 +830,7 @@ object GeoParquet {
     if (boundaryFiles.isEmpty) interior
     else
       interior.union(
-        aggOf(spark.read.parquet(boundaryFiles.toIndexedSeq: _*)
+        aggOf(readerFor(spark, path, flat = true).parquet(boundaryFiles.toIndexedSeq: _*)
           .filter(boxFilter)))
         .agg(sum("n").as("n"), min("zmin").as("zmin"), max("zmax").as("zmax"))
   }
@@ -810,8 +874,8 @@ object GeoParquet {
     val boxFilter =
       col("x") >= xr._1 && col("x") < xr._2 &&
         col("y") >= yr._1 && col("y") < yr._2
-    if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
-    else spark.read.parquet(files.toIndexedSeq: _*).filter(boxFilter)
+    if (files.isEmpty) readerFor(spark, path, flat = false).parquet(path).filter(lit(false))
+    else readerFor(spark, path, flat = true).parquet(files.toIndexedSeq: _*).filter(boxFilter)
   }
 
   /** Snapshot inventory (the Iceberg snapshots-table analog): one row
@@ -847,8 +911,8 @@ object GeoParquet {
     val files = spark.read.parquet(s"$path/_manifest")
       .filter(col("epoch") > sinceEpoch)
       .select("file").collect().map(r => s"$path/${r.getString(0)}")
-    if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
-    else spark.read.parquet(files.toIndexedSeq: _*)
+    if (files.isEmpty) readerFor(spark, path, flat = false).parquet(path).filter(lit(false))
+    else readerFor(spark, path, flat = true).parquet(files.toIndexedSeq: _*)
   }
 
   /** Maintenance sweep for crash leftovers (the VACUUM analog): the
@@ -907,7 +971,8 @@ object GeoParquet {
         col("t") >= tr._1 && col("t") < tr._2
     val raw =
       if (!manifestFresh(spark, path, verify))
-        spark.read.option("recursiveFileLookup", "true").parquet(path)
+        readerFor(spark, path, flat = true)
+          .option("recursiveFileLookup", "true").parquet(path)
           .filter(rowFilter)
       else {
         val m = spark.read.parquet(s"$path/_manifest")
@@ -919,8 +984,8 @@ object GeoParquet {
           else boxHit // pre-time manifest: envelope pruning only
         val files = m.filter(hit)
           .select("file").collect().map(r => s"$path/${r.getString(0)}")
-        if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
-        else spark.read.parquet(files.toIndexedSeq: _*).filter(rowFilter)
+        if (files.isEmpty) readerFor(spark, path, flat = false).parquet(path).filter(lit(false))
+        else readerFor(spark, path, flat = true).parquet(files.toIndexedSeq: _*).filter(rowFilter)
       }
     minusTombstones(spark, path, raw)
   }
@@ -965,7 +1030,8 @@ object GeoParquet {
       // is sound — correctness over pruning, exactly as in
       // [[queryBoxViaManifest]]
       return minusTombstones(spark, path,
-        spark.read.option("recursiveFileLookup", "true").parquet(path)
+        readerFor(spark, path, flat = true)
+          .option("recursiveFileLookup", "true").parquet(path)
           .filter(boxFilter))
     // key-column discovery goes through the manifest (one file's
     // schema), NOT a full-layout listing — `base` below is only built
@@ -974,7 +1040,7 @@ object GeoParquet {
       throw new IllegalArgumentException(
         s"$path carries no curve key column (${CurveKeyCols.mkString("/")}); " +
           "write it with writeZOrdered/writeHilbertClustered"))
-    lazy val base = spark.read.parquet(path)
+    lazy val base = readerFor(spark, path, flat = false).parquet(path)
     val curve = if (keyCol == "zkey") CurveRanges.Z else CurveRanges.H
     // cells intersecting the half-open box (cellOf = floor(v/δ)); the
     // top edge is a superset cell — the exact boxFilter re-trims it
@@ -997,7 +1063,7 @@ object GeoParquet {
           val files = m.filter(hit).select("file").collect()
             .map(r => s"$path/${r.getString(0)}")
           if (files.isEmpty) return base.filter(lit(false))
-          spark.read.parquet(files.toIndexedSeq: _*)
+          readerFor(spark, path, flat = true).parquet(files.toIndexedSeq: _*)
         }
       }
     minusTombstones(spark, path, src.filter(keyFilter && boxFilter))
@@ -1067,6 +1133,34 @@ object GeoParquet {
         readEpochFile(spark, s"$path/_manifest_epoch")) {
       append(df, path, delta, mergeDir); return
     }
+    // --- add-column evolution: batches need not all look alike -------
+    // Record the union schema BEFORE anything stages: a declared
+    // column with no data behind it reads as nulls, so a crash
+    // between the sidecar write and the commit is harmless.  Type
+    // CHANGES are refused outright — by-name resolution cannot relate
+    // two types, and a silent cast is the corruption class the r7
+    // advice flagged on upsertKeyed.
+    val declared = layoutSchema(spark, path)
+      .getOrElse(spark.read.parquet(path).schema)
+    df.schema.fields.foreach { b =>
+      declared.fields.find(_.name == b.name).foreach { f =>
+        require(f.dataType == b.dataType,
+          s"schema evolution cannot change column ${f.name}: " +
+            s"${f.dataType.simpleString} -> ${b.dataType.simpleString}; " +
+            "add a new column instead")
+      }
+    }
+    val addedCols = df.schema.fields
+      .filterNot(f => declared.fieldNames.contains(f.name))
+    val batchNarrows = dataSchemaOf(declared).fields
+      .exists(f => !df.schema.fieldNames.contains(f.name))
+    if (addedCols.nonEmpty ||
+        (batchNarrows && layoutSchema(spark, path).isEmpty))
+      // widening appends the new fields (nullable — old files lack
+      // them); a narrowing batch on a sidecar-less layout pins the
+      // full schema so inference can never pick the narrow footer
+      writeSchemaFile(spark, path, org.apache.spark.sql.types.StructType(
+        declared.fields ++ addedCols.map(_.copy(nullable = true))))
     if (df.isEmpty) {
       // a 0-row stage has no files to harvest; a merge with an empty
       // insert set commits trivially (its deletes go live now)
@@ -1137,7 +1231,19 @@ object GeoParquet {
       writeTextFile(spark, s"$d/_landed", "1")
       adoptStage(spark, path, d)
     }
-    stats.coalesce(1).write.mode("append").parquet(s"$path/_manifest")
+    // align the batch's stats to the EXISTING manifest schema: under
+    // schema evolution a batch may lack a stats-bearing column (its
+    // z0/z1 land as null — sound, because its rows read as z-null and
+    // every stats prune mirrors a row predicate on the same column)
+    // or carry a new one (dropped here; a writeManifest rebuild picks
+    // it up).  Mixed-schema manifest part files would make sidecar
+    // reads footer-order-dependent, which pruning must never be.
+    val mSchema = spark.read.parquet(s"$path/_manifest").schema
+    val aligned = stats.select(mSchema.fields.map { f =>
+      if (stats.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+    aligned.coalesce(1).write.mode("append").parquet(s"$path/_manifest")
     writeEpochFile(spark, s"$path/_manifest_epoch", newEpoch)
   }
 
@@ -1226,7 +1332,8 @@ object GeoParquet {
   def compactCurve(spark: SparkSession, path: String, nFiles: Int): Unit = {
     adoptStagedMerges(spark, path) // as compact(): resolve before the swap
     // compaction is where merge-on-read deletes become physical
-    val df = minusTombstones(spark, path, spark.read.parquet(path))
+    val df = minusTombstones(spark, path,
+      readerFor(spark, path, flat = false).parquet(path))
     val keyCol = CurveKeyCols.find(df.columns.contains).getOrElse(
       throw new IllegalArgumentException(
         s"$path is not curve-clustered (${CurveKeyCols.mkString("/")} absent)"))
@@ -1262,6 +1369,13 @@ object GeoParquet {
     if (fs.exists(markers))
       require(fs.rename(markers, new org.apache.hadoop.fs.Path(tmp, "_batches")),
         s"marker carry failed for $path")
+    // the declared schema survives the swap: the rewrite emitted every
+    // declared column (null-filled where evolution predated the data),
+    // so the sidecar stays true of the compacted files
+    val schemaF = new org.apache.hadoop.fs.Path(path, "_schema")
+    if (fs.exists(schemaF))
+      require(fs.rename(schemaF, new org.apache.hadoop.fs.Path(tmp, "_schema")),
+        s"schema carry failed for $path")
     val aside = new org.apache.hadoop.fs.Path(path + ".pre-compact")
     fs.delete(aside, true) // leftover from an older compaction
     require(fs.rename(dst, aside), s"old-aside rename failed for $path")
@@ -1348,7 +1462,7 @@ object GeoParquet {
   }
 
   def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    readerFor(spark, path, flat = false).parquet(path)
 
   /** Bin-granular box query — the reader-side of query_xy_box.  The
     * bin predicates are partition filters: Spark prunes non-matching
