@@ -44,6 +44,14 @@ object Bench {
           os.getProcessCpuTime / 1e9
         case _ => -1.0
       }
+    // the warmup pass just pegged the machine and is still in the
+    // 1-min EWMA — let it decay so loadavg_start measures the
+    // machine, not this process's own warmup (bench_regress uses
+    // min(start, end), so one clean sample of the two suffices; the
+    // settle is untimed, ~1/6 of a full run, and skippable for local
+    // iteration via SPARK_GRAFT_LOAD_SETTLE=0)
+    Thread.sleep(
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_SETTLE", "60").toLong * 1000L)
     val loadStart = loadAvg()
     val cpuStart = procCpuSec()
     val wallStart = System.nanoTime()
@@ -70,10 +78,20 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
     val wallSec = (System.nanoTime() - wallStart) / 1e9
-    val benchCores = (procCpuSec() - cpuStart) / wallSec
+    val cpuEnd = procCpuSec()
+    // -1 (not 0) when either CPU sample is unavailable: bench_regress
+    // must see "no telemetry" rather than "the bench used 0 cores"
+    // (which would count the bench's own load as external)
+    val benchCores =
+      if (cpuStart < 0 || cpuEnd < 0) -1.0 else (cpuEnd - cpuStart) / wallSec
+    // cpus goes into JSON as a NUMBER; SPARK_GRAFT_CPUS may be any
+    // valid Spark master token (e.g. "*"), which must not produce
+    // unparseable JSON
+    val cpusNum = scala.util.Try(cpus.trim.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors)
     val load =
       s"""{"loadavg_start":$loadStart,"loadavg_end":${loadAvg()},""" +
-        s""""bench_cores":$benchCores,"wall_s":$wallSec,"cpus":$cpus}"""
+        s""""bench_cores":$benchCores,"wall_s":$wallSec,"cpus":$cpusNum}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"load":$load,"sf":"$sfDir"}"""
     println(json)

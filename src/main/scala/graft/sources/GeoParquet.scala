@@ -180,23 +180,27 @@ object GeoParquet {
     // in-flight, discard void) so the rebuilt manifest describes a
     // layout with no unresolved `_merge_staging` entries
     adoptStagedMerges(spark, path)
-    // the rebuild is also the schema-evolution repair verb: a batch
-    // that landed through the plain-append fallback (stale-manifest
-    // degradation) may carry columns the `_schema` sidecar has never
-    // seen, and the declared-schema read below would hide them.  The
-    // rebuild already pays a full listing, so here — and only here —
-    // a mergeSchema footer pass is the right tool: reconcile the true
-    // file union into the sidecar before computing stats.
-    layoutSchema(spark, path).foreach { declared =>
-      val fileUnion = spark.read
-        .option("recursiveFileLookup", "true").option("mergeSchema", "true")
-        .parquet(path).schema
-      val unseen = fileUnion.fields
-        .filterNot(f => declared.fieldNames.contains(f.name))
-      if (unseen.nonEmpty)
-        writeSchemaFile(spark, path, org.apache.spark.sql.types.StructType(
-          declared.fields ++ unseen.map(_.copy(nullable = true))))
-    }
+    // the rebuild is also the schema-evolution record/repair verb: a
+    // batch that landed through the plain-append fallback
+    // (stale-manifest degradation) may carry columns no reader can
+    // currently see — including a FIRST evolution on a layout with no
+    // `_schema` sidecar yet, where single-footer inference is
+    // nondeterministic about the new column.  The rebuild already
+    // pays a full layout pass, so here — and only here — a
+    // mergeSchema footer sweep is the right tool: reconcile declared
+    // ∪ file-union ∪ partition columns and ALWAYS record it (a
+    // homogeneous layout gets a sidecar identical to inference — no
+    // behavior change; a heterogeneous one becomes deterministic).
+    val fullInferred = spark.read.parquet(path).schema // partition-aware
+    val flatUnion = spark.read
+      .option("recursiveFileLookup", "true").option("mergeSchema", "true")
+      .parquet(path).schema
+    val base = layoutSchema(spark, path).getOrElse(fullInferred)
+    val unseen = (flatUnion.fields ++ fullInferred.fields)
+      .filterNot(f => base.fieldNames.contains(f.name))
+      .distinctBy(_.name)
+    writeSchemaFile(spark, path, org.apache.spark.sql.types.StructType(
+      base.fields ++ unseen.map(_.copy(nullable = true))))
     statsOf(readerFor(spark, path, flat = false).parquet(path),
         rootPathOf(spark, path), readEpoch(spark, path))
       .coalesce(1)
@@ -294,6 +298,21 @@ object GeoParquet {
     layoutSchema(spark, path) match {
       case Some(s) => spark.read.schema(if (flat) dataSchemaOf(s) else s)
       case None    => spark.read
+    }
+
+  /** Data schema from ONE manifest-named file's footer (the bin-layout
+    * analog of [[curveKeyColOf]]): O(1) instead of a layout listing —
+    * schema discovery on the per-append hot path must not scale with
+    * layout size.  Falls back to the directory read when the manifest
+    * is empty or the named file was compacted away. */
+  private def manifestHeadSchema(spark: SparkSession, path: String) =
+    spark.read.parquet(s"$path/_manifest").select("file").head(1) match {
+      case Array(r) =>
+        val f = s"$path/${r.getString(0)}"
+        if (fsOf(spark, f).exists(new org.apache.hadoop.fs.Path(f)))
+          spark.read.parquet(f).schema
+        else dataSchemaOf(spark.read.parquet(path).schema)
+      case _ => dataSchemaOf(spark.read.parquet(path).schema)
     }
 
   private def bumpEpoch(spark: SparkSession, path: String): Unit =
@@ -397,8 +416,9 @@ object GeoParquet {
 
   // --- staged-merge lifecycle --------------------------------------
   // A stage's deletes are LIVE iff the paired append's data files
-  // actually landed; the on-disk markers (written by commitStaged)
-  // encode how far the append got:
+  // actually landed; the on-disk markers (written by commitStaged
+  // and by append's degraded-path merge arm) encode how far the
+  // append got:
   //   _landed            — renames completed; deletes are live.
   //   _tmp → missing dir — renames completed (the tmp directory is
   //                        deleted only after the rename loop), the
@@ -1077,18 +1097,39 @@ object GeoParquet {
     */
   def append(df: DataFrame, path: String, delta: Double,
              mergeDir: Option[String] = None): Unit = {
-    df.withColumn("bin_x", GeoOps.binOf(col("x"), delta))
+    val spark = df.sparkSession
+    // stale-FIRST, mirroring appendWithManifest's step 1: from here a
+    // pre-existing manifest reads as stale, so a crash anywhere below
+    // degrades reads to the correct unpruned fallback.  (The old
+    // bump-last order had the inverse window: data committed, epoch
+    // not yet bumped, manifest still "fresh" — pruned reads silently
+    // missing the landed batch.  Half-written job output stays
+    // invisible under `_temporary`, which every reader ignores, so
+    // bumping early never exposes partial data.)
+    bumpEpoch(spark, path)
+    val binned = df
+      .withColumn("bin_x", GeoOps.binOf(col("x"), delta))
       .withColumn("bin_y", GeoOps.binOf(col("y"), delta))
-      .write.mode("append")
-      .partitionBy("bin_x", "bin_y")
-      .parquet(path)
-    mergeDir.foreach { d =>
-      writeTextFile(df.sparkSession, s"$d/_landed", "1")
-      adoptStage(df.sparkSession, path, d)
+    mergeDir match {
+      case Some(d) =>
+        // degraded-path MERGE commit: the no-duplicate-window
+        // invariant must survive the fallback too, so the batch goes
+        // through the SAME journal the manifested path uses — stage,
+        // journal (_tmp), rename in, mark landed, adopt.  A direct
+        // write would re-open the crash window this protocol closed:
+        // dying between the job commit and the _landed marker leaves
+        // a landed batch with a stage the heal classifies VOID, and
+        // the discarded deletes mean permanent duplicate keys.
+        val tmp = path + ".staging-" +
+          java.util.UUID.randomUUID().toString.take(8)
+        binned.write.mode("overwrite").partitionBy("bin_x", "bin_y").parquet(tmp)
+        writeTextFile(spark, s"$d/_tmp", tmp)
+        moveStagedFiles(spark, path, tmp)
+        writeTextFile(spark, s"$d/_landed", "1")
+        adoptStage(spark, path, d)
+      case None =>
+        binned.write.mode("append").partitionBy("bin_x", "bin_y").parquet(path)
     }
-    // any manifest written before this batch is now stale — O(1)
-    // signal to queryBoxViaManifest/queryBoxCurve
-    bumpEpoch(df.sparkSession, path)
   }
 
   /** Append a batch AND incrementally maintain the manifest — the
@@ -1139,11 +1180,16 @@ object GeoParquet {
     // between the sidecar write and the commit is harmless.  Type
     // CHANGES are refused outright — by-name resolution cannot relate
     // two types, and a silent cast is the corruption class the r7
-    // advice flagged on upsertKeyed.
-    val declared = layoutSchema(spark, path)
-      .getOrElse(spark.read.parquet(path).schema)
+    // advice flagged on upsertKeyed.  Schema DISCOVERY on this hot
+    // path is one sidecar read or one manifest-named footer — never a
+    // layout listing: per-append cost must stay O(batch), and an
+    // InMemoryFileIndex over the layout is the O(files) object-store
+    // walk the curve paths already refuse (curveKeyColOf).
+    val sidecar = layoutSchema(spark, path)
+    val declaredData = sidecar.map(dataSchemaOf)
+      .getOrElse(manifestHeadSchema(spark, path))
     df.schema.fields.foreach { b =>
-      declared.fields.find(_.name == b.name).foreach { f =>
+      declaredData.fields.find(_.name == b.name).foreach { f =>
         require(f.dataType == b.dataType,
           s"schema evolution cannot change column ${f.name}: " +
             s"${f.dataType.simpleString} -> ${b.dataType.simpleString}; " +
@@ -1151,16 +1197,20 @@ object GeoParquet {
       }
     }
     val addedCols = df.schema.fields
-      .filterNot(f => declared.fieldNames.contains(f.name))
-    val batchNarrows = dataSchemaOf(declared).fields
+      .filterNot(f => declaredData.fieldNames.contains(f.name) ||
+        BinCols.contains(f.name))
+    val batchNarrows = declaredData.fields
       .exists(f => !df.schema.fieldNames.contains(f.name))
-    if (addedCols.nonEmpty ||
-        (batchNarrows && layoutSchema(spark, path).isEmpty))
+    if (addedCols.nonEmpty || (batchNarrows && sidecar.isEmpty)) {
       // widening appends the new fields (nullable — old files lack
       // them); a narrowing batch on a sidecar-less layout pins the
-      // full schema so inference can never pick the narrow footer
+      // full schema so inference can never pick the narrow footer.
+      // Only THIS rare branch pays a partition-aware directory read
+      // (once per evolution event, to capture the bin columns).
+      val full = sidecar.getOrElse(spark.read.parquet(path).schema)
       writeSchemaFile(spark, path, org.apache.spark.sql.types.StructType(
-        declared.fields ++ addedCols.map(_.copy(nullable = true))))
+        full.fields ++ addedCols.map(_.copy(nullable = true))))
+    }
     if (df.isEmpty) {
       // a 0-row stage has no files to harvest; a merge with an empty
       // insert set commits trivially (its deletes go live now)
@@ -1365,17 +1415,21 @@ object GeoParquet {
   private def swapInPlace(spark: SparkSession, path: String, tmp: String): Unit = {
     val fs = fsOf(spark, path)
     val dst = new org.apache.hadoop.fs.Path(path)
-    val markers = new org.apache.hadoop.fs.Path(path, "_batches")
-    if (fs.exists(markers))
-      require(fs.rename(markers, new org.apache.hadoop.fs.Path(tmp, "_batches")),
-        s"marker carry failed for $path")
-    // the declared schema survives the swap: the rewrite emitted every
-    // declared column (null-filled where evolution predated the data),
-    // so the sidecar stays true of the compacted files
-    val schemaF = new org.apache.hadoop.fs.Path(path, "_schema")
-    if (fs.exists(schemaF))
-      require(fs.rename(schemaF, new org.apache.hadoop.fs.Path(tmp, "_schema")),
-        s"schema carry failed for $path")
+    // carried sidecars are COPIED into tmp, never moved out of the
+    // live tree: a crash after a move but before the swap would leave
+    // the still-live layout without its sidecar (a restarted stream
+    // re-appending committed batches; declared-schema reads degrading
+    // to footer inference) — and vacuum would then delete the only
+    // copy along with the stranded .compact sibling.  The originals
+    // ride to the retired aside directory and vanish with it.
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq("_batches", "_schema").foreach { name =>
+      val src = new org.apache.hadoop.fs.Path(path, name)
+      if (fs.exists(src))
+        require(org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+            new org.apache.hadoop.fs.Path(tmp, name), false, conf),
+          s"$name carry failed for $path")
+    }
     val aside = new org.apache.hadoop.fs.Path(path + ".pre-compact")
     fs.delete(aside, true) // leftover from an older compaction
     require(fs.rename(dst, aside), s"old-aside rename failed for $path")

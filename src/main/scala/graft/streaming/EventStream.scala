@@ -270,36 +270,39 @@ object EventStream {
   /** Streaming document-frequency state for the near-dup pipeline —
     * Dedup.dfCappedApprox's sketch face composed with streaming
     * ingest (the reason that operator uses a count-min sketch at
-    * all): each micro-batch of documents appends its shingles to the
-    * corpus store and MERGES its own CMS into the persisted
-    * corpus-wide sketch (counters are additive, Sketches.cmsMerge) —
-    * one scan per batch, no corpus re-count, state d·w counters
-    * regardless of vocabulary.  Because summed per-batch counters are
-    * BIT-IDENTICAL to the counters cmsBuild computes over the whole
-    * corpus in one pass, [[dfCappedShinglesFromState]] reproduces the
-    * batch pipeline's kept-set exactly — proven by spec.
+    * all): each micro-batch of documents lands its shingles AND its
+    * own d·w count-min sketch under a batchId-keyed directory — one
+    * scan per batch, no corpus re-count, and at-least-once replays
+    * are idempotent overwrites of the same keys.  Because summed
+    * per-batch counters are BIT-IDENTICAL to the counters cmsBuild
+    * computes over the whole corpus in one pass (Sketches.cmsMerge —
+    * counters are additive), [[dfCappedShinglesFromState]] reproduces
+    * the batch pipeline's kept-set exactly, including across a
+    * restart-replay — both proven by spec.
     */
   def ingestShingleDfState(docs: DataFrame, stateDir: String,
-                           d: Int = 4, w: Int = 8192): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream.outputMode("append")
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+                           d: Int = 4, w: Int = 8192,
+                           checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    checkpoint.foldLeft(docs.writeStream)(
+        (ws, c) => ws.option("checkpointLocation", c))
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
-          val spark = batch.sparkSession
           val sh = graft.operators.Dedup.shinglesOf(batch)
             .localCheckpoint() // one shingle pass feeds store AND sketch
-          sh.write.mode("append").parquet(s"$stateDir/shingles")
-          val bs = graft.operators.Sketches.cmsBuild(sh, "gh", d, w)
-          val cmsPath = new org.apache.hadoop.fs.Path(s"$stateDir/_cms")
-          val fs = cmsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val merged =
-            if (fs.exists(cmsPath))
-              graft.operators.Sketches.cmsMerge(
-                Seq(spark.read.parquet(cmsPath.toString), bs))
-            else bs
-          // pin BEFORE the overwrite — the merge reads the very
-          // directory it replaces
-          merged.localCheckpoint()
-            .coalesce(1).write.mode("overwrite").parquet(cmsPath.toString)
+          // PER-BATCH state keyed by batchId makes replays IDEMPOTENT:
+          // foreachBatch is at-least-once, and a replayed batch
+          // overwrites its own shingle partition and its own
+          // per-batch sketch — nothing is appended twice or merged
+          // twice, and there is no cross-store ordering window (a
+          // crash between the two writes re-lands both on replay).
+          // The sibling parquet sinks guard replays with `_batches`
+          // markers; here the state itself can be replay-keyed.
+          sh.write.mode("overwrite")
+            .parquet(s"$stateDir/shingles/batch-$batchId")
+          graft.operators.Sketches.cmsBuild(sh, "gh", d, w)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$stateDir/_cms/batch-$batchId")
         }
       }
       .start()
@@ -315,8 +318,14 @@ object EventStream {
                                 stateDir: String,
                                 dfCap: Int = graft.operators.Dedup.DfCap,
                                 d: Int = 4, w: Int = 8192): DataFrame = {
-    val sh = spark.read.parquet(s"$stateDir/shingles")
-    val sk = spark.read.parquet(s"$stateDir/_cms")
+    val sh = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$stateDir/shingles")
+    // summing the per-batch sketches IS the corpus sketch (counters
+    // are additive) — merged at read over d·w-sized frames, kilobytes
+    // per batch regardless of corpus size
+    val sk = graft.operators.Sketches.cmsMerge(Seq(
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$stateDir/_cms")))
     val hot = graft.operators.Sketches.cmsEstimate(sk, sh, "gh", d, w)
       .filter(col("est") > dfCap)
       .select("gh")

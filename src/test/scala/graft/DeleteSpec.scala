@@ -317,6 +317,37 @@ class DeleteSpec extends SparkSpec {
     assert(GeoParquet.manifestFresh(spark, dir, verify = false))
   }
 
+  test("degraded-path MERGE (stale manifest) commits through the journal") {
+    // upsertPositional on a stale manifest routes its append through
+    // the plain-append fallback — which previously direct-wrote the
+    // data and only THEN marked the stage landed, so a crash between
+    // job commit and marker voided a landed merge (permanent
+    // duplicate keys).  The fallback now stages + journals exactly
+    // like commitStaged; end-to-end the MERGE contract must hold and
+    // no unresolved stage or staging sibling may remain.
+    val dir = java.nio.file.Files.createTempDirectory("mdeg").toString
+    GeoParquet.write(p, dir, 250.0)
+    GeoParquet.writeManifest(spark, dir)
+    // stale the manifest: a plain append lands outside it
+    GeoParquet.append(
+      Seq((900001L, 5.0, 5.0, 0.0)).toDF("id", "x", "y", "z"), dir, 250.0)
+    assert(!GeoParquet.manifestFresh(spark, dir, verify = false))
+    GeoParquet.upsertPositional(
+      p.filter($"id" % 11 === 0).withColumn("z", $"z" + 333.0),
+      dir, "id", 250.0)
+    val r = GeoParquet.readMerged(spark, dir).select("id", "x", "y", "z")
+    val expect = p.withColumn("z",
+        when($"id" % 11 === 0, $"z" + 333.0).otherwise($"z"))
+      .unionByName(Seq((900001L, 5.0, 5.0, 0.0)).toDF("id", "x", "y", "z"))
+    assert(r.exceptAll(expect).count() == 0 && expect.exceptAll(r).count() == 0)
+    // the merge resolved its own stage and cleaned its staging sibling
+    val staging = new java.io.File(s"$dir/_merge_staging")
+    assert(!staging.exists() || staging.list().isEmpty)
+    val parent = new java.io.File(dir).getParentFile
+    assert(!parent.list().exists(_.startsWith(
+      new java.io.File(dir).getName + ".staging-")))
+  }
+
   test("upsertKeyed refuses non-integral key columns") {
     val dir = java.nio.file.Files.createTempDirectory("upstr").toString
     val base = p.select(concat(lit("k"), $"id").as("sid"), $"z")

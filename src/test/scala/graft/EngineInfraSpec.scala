@@ -251,6 +251,21 @@ class EngineInfraSpec extends SparkSpec {
     // and the cap bit: something was actually dropped
     val rawN = graft.operators.Dedup.shinglesOf(docs).count()
     assert(streamed.size < rawN, s"df cap dropped nothing (raw $rawN)")
+    // restart-REPLAY against the same state dir: foreachBatch is
+    // at-least-once, so re-running every batch must be a pure no-op —
+    // batchId-keyed overwrites, nothing appended or merged twice
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = EventStream.ingestShingleDfState(
+      mem2.toDF().toDF("doc_id", "text"), stateDir, d = 4, w = 512)
+    (0 until 3).foreach { b =>
+      mem2.addData(all.filter(_._1 % 3 == b).toIndexedSeq: _*)
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    val replayed = EventStream
+      .dfCappedShinglesFromState(spark, stateDir, dfCap = 10, d = 4, w = 512)
+      .select("doc_id", "gh").as[(Long, Long)].collect().toSet
+    assert(replayed == batch, "replay must not change the streamed state")
   }
 
   test("streaming geo-index builder bins events on the fly") {

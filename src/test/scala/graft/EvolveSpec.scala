@@ -92,6 +92,31 @@ class EvolveSpec extends SparkSpec {
     assert(after == Set((1L, None), (2L, None), (3L, None), (4L, Some("en"))))
   }
 
+  test("first evolution through the stale-manifest fallback: writeManifest records the sidecar") {
+    // finding-2 scenario: the manifest goes stale, then a WIDENING
+    // batch lands through the plain-append fallback — the evolution
+    // block never ran, so the sidecar (recorded unconditionally by
+    // writeManifest since the fix) predates the new column and
+    // declared-schema reads hide it.  The rebuild must reconcile the
+    // file union into the sidecar, making the column visible again.
+    val dir = freshLayout()
+    // stale the manifest, then land a widening batch via the fallback
+    GeoParquet.append(mk(Seq((9L, 60.0, 60.0, 9.0))), dir, 500.0)
+    GeoParquet.appendWithManifest(
+      Seq((10L, 70.0, 70.0, 10.0, "de")).toDF("id", "x", "y", "z", "lang"),
+      dir, 500.0) // stale manifest => plain-append fallback, no evolution block
+    val before = GeoParquet.layoutSchema(spark, dir)
+    assert(before.exists(!_.fieldNames.contains("lang")),
+      "sidecar must predate the fallback-landed column")
+    assert(!GeoParquet.readMerged(spark, dir).columns.contains("lang"))
+    GeoParquet.writeManifest(spark, dir)
+    val s = GeoParquet.layoutSchema(spark, dir)
+    assert(s.exists(_.fieldNames.contains("lang")))
+    val byId = GeoParquet.readMerged(spark, dir)
+      .select("id", "lang").as[(Long, Option[String])].collect().toMap
+    assert(byId(10L).contains("de") && byId(9L).isEmpty && byId(1L).isEmpty)
+  }
+
   test("writeManifest repairs a fallback append's unseen column into the sidecar") {
     val dir = freshLayout()
     GeoParquet.appendWithManifest(

@@ -43,14 +43,22 @@ def load(path):
 
 def external_load(load):
     """Cores of NON-bench work running alongside the timed pass, or
-    None when the run carries no telemetry (pre-r8 files)."""
+    None when the run carries no telemetry (pre-r8 files, or a JVM
+    that could not report process CPU — bench_cores is -1 then).
+
+    Uses the MIN of the two loadavg samples: sustained external load
+    (the r05/r07 contamination signature) shows in both, while the
+    bench's own transients show in at most one — warmup residue in
+    the start sample (also mitigated by the settle sleep), an
+    end-of-pass burst in the end sample.  max() would let either
+    transient fake a contamination verdict on a quiet machine."""
     if not load:
         return None
-    peak = max(load.get("loadavg_start", -1), load.get("loadavg_end", -1))
+    samples = [load.get("loadavg_start", -1), load.get("loadavg_end", -1)]
     cores = load.get("bench_cores", -1)
-    if peak < 0 or cores < 0:
+    if min(samples) < 0 or cores < 0:
         return None
-    return max(0.0, peak - cores)
+    return max(0.0, min(samples) - cores)
 
 
 def contaminated(load):
