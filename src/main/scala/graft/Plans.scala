@@ -100,6 +100,15 @@ object Plans {
     show("upsert_pos read-back (positional (file,row) anti-join on the pruned path)",
       operators.GeoOps.upsertPosBox(spark, sf),
       Seq("Join", "Exchange", "PushedFilters", "row_index"))
+    show("self_xover ((track,pass) pair key; same equi-join cell machinery)",
+      operators.Crossovers.selfCrossovers(spark, sf),
+      Seq("Join", "Exchange", "Window"))
+    show("xover_replay (pinned asOf file-list read; post-pin commits planned away)",
+      operators.Crossovers.xoverReplay(spark, sf),
+      Seq("Scan", "Join", "Exchange", "PushedFilters"))
+    show("fpb_glitch (predicate reaches the scan)",
+      operators.TrackOps.fpbGlitch(spark, sf),
+      Seq("Scan", "PushedFilters", "Filter ("))
     spark.stop()
   }
 }
