@@ -191,14 +191,16 @@ object GeoParquet {
     // ∪ file-union ∪ partition columns and ALWAYS record it (a
     // homogeneous layout gets a sidecar identical to inference — no
     // behavior change; a heterogeneous one becomes deterministic).
-    val fullInferred = spark.read.parquet(path).schema // partition-aware
     val flatUnion = spark.read
       .option("recursiveFileLookup", "true").option("mergeSchema", "true")
       .parquet(path).schema
-    val base = layoutSchema(spark, path).getOrElse(fullInferred)
-    val unseen = (flatUnion.fields ++ fullInferred.fields)
+    // the partition-aware read's only unique contribution is the bin
+    // columns — already in an existing sidecar, so pay that second
+    // listing only on first record
+    val base = layoutSchema(spark, path)
+      .getOrElse(spark.read.parquet(path).schema)
+    val unseen = flatUnion.fields
       .filterNot(f => base.fieldNames.contains(f.name))
-      .distinctBy(_.name)
     writeSchemaFile(spark, path, org.apache.spark.sql.types.StructType(
       base.fields ++ unseen.map(_.copy(nullable = true))))
     statsOf(readerFor(spark, path, flat = false).parquet(path),
