@@ -109,6 +109,9 @@ object Plans {
     show("fpb_glitch (predicate reaches the scan)",
       operators.TrackOps.fpbGlitch(spark, sf),
       Seq("Scan", "PushedFilters", "Filter ("))
+    show("id_probe (bloom-pruned file list; In pushed to the scan)",
+      operators.GeoOps.idProbe(spark, sf),
+      Seq("Scan", "PushedFilters", "Filter ("))
     spark.stop()
   }
 }

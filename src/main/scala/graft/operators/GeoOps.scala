@@ -662,6 +662,34 @@ object GeoOps {
        |  AND id % 7 <> 0
        |ORDER BY id""".stripMargin
 
+  // --- 61v. manifest id-filter point probe ---
+  /** Fetch points BY ID through the manifest's per-file membership
+    * filters (no box to prune on): the layout is grown in two commits
+    * so the probe must prune across both the base write and an
+    * appended batch's manifest rows; only might-contain files open,
+    * then the exact predicate.  The reference's "points by index"
+    * fetch (geo_index query → indexed read), made sound at 100 TB by
+    * never-false-negative position sets.
+    */
+  def idProbe(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("idprobe").toString
+    val p = pts(s, dir).select("id", "x", "y", "z")
+    graft.sources.GeoParquet.write(p.filter(col("id") % 2 === 0), path, 250.0)
+    graft.sources.GeoParquet.writeManifest(s, path)
+    graft.sources.GeoParquet.appendWithManifest(
+      p.filter(col("id") % 2 === 1), path, 250.0)
+    graft.sources.GeoParquet.queryIdsViaManifest(s, path,
+        Seq(10L, 501L, 1234L, 4321L, 7777L))
+      .select("id", "x", "y", "z")
+      .orderBy("id")
+  }
+
+  val idProbeSql: String =
+    s"""WITH pts AS ($P)
+       |SELECT id, x, y, z FROM pts
+       |WHERE id IN (10, 501, 1234, 4321, 7777)
+       |ORDER BY id""".stripMargin
+
   // --- 61u. incrementally-maintained per-bin aggregate (materialized view) ---
   /** Grow a layout in three commits, [[graft.sources.MaterializedAgg.refresh]]ing
     * the per-bin rollup after each — every refresh reads ONLY the
@@ -918,6 +946,7 @@ object GeoOps {
     "q_upsert_keyed"    -> (upsertKeyedQ _),
     "q_schema_evolve"   -> (schemaEvolve _),
     "q_incr_agg"        -> (incrAgg _),
+    "q_id_probe"        -> (idProbe _),
     "q_expire_box"      -> (expireBox _),
     "q_changes_since"   -> (changesSince _),
     "q_box_time"        -> (boxTime _),
@@ -952,6 +981,7 @@ object GeoOps {
     "q_upsert_keyed"    -> upsertKeyedSql,
     "q_schema_evolve"   -> schemaEvolveSql,
     "q_incr_agg"        -> incrAggSql,
+    "q_id_probe"        -> idProbeSql,
     "q_expire_box"      -> expireBoxSql,
     "q_changes_since"   -> changesSinceSql,
     "q_box_time"        -> boxTimeSql,

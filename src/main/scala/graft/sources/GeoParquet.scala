@@ -135,6 +135,33 @@ object GeoParquet {
     * MUST agree on this column set and order — `_manifest` part files
     * with diverging schemas would make reads sample-dependent.
     */
+  // --- per-file id membership filter (manifest Bloom) ----------------
+  // k deterministic hash positions of an id into an M-bit space; the
+  // per-file filter is the sorted SET of positions its ids touch
+  // (bounded at M ints ≈ 16 KB worst case — a saturated filter prunes
+  // nothing but stays small).  Position sets never false-negative, so
+  // pruning on them is sound; false positives just open extra files
+  // that the exact predicate then empties.  Sized for point-probe
+  // workloads over ingest-grained files (~10^5 rows/file); a file with
+  // ≫M distinct ids saturates gracefully.
+  private val BloomM = 4096L
+  private val BloomP = 2147483647L // 2^31-1: (id mod P)·a stays < 2^62,
+                                   // overflow-free under ANSI arithmetic
+  private val BloomHashes = Seq((1103515245L, 12345L),
+    (69069L, 362437L), (1664525L, 1013904223L))
+
+  /** The k bloom positions of a probe id — the Scala twin of the
+    * Column math below (identical integer ops, identical results). */
+  private[sources] def bloomPositionsOf(id: Long): Seq[Int] = {
+    val r = ((id % BloomP) + BloomP) % BloomP
+    BloomHashes.map { case (a, b) => ((r * a + b) % BloomM).toInt }
+  }
+
+  private def bloomPosCol(c: org.apache.spark.sql.Column) = {
+    val r = pmod(c, lit(BloomP))
+    BloomHashes.map { case (a, b) => ((r * a + b) % BloomM).cast("int") }
+  }
+
   private def manifestStatsAggs(df: DataFrame): Seq[org.apache.spark.sql.Column] = {
     val xy =
       if (df.columns.contains("x") && df.columns.contains("y"))
@@ -149,7 +176,15 @@ object GeoParquet {
     val time =
       if (df.columns.contains("t")) Seq(min("t").as("t0"), max("t").as("t1"))
       else Seq.empty
-    Seq(count("*").as("n_rows")) ++ xy ++ zv ++ key ++ time
+    // k collect_sets (each ≤ M ints), merged into one sorted set in
+    // statsOf's post-select — no explode, stays one aggregation pass
+    val bloom =
+      if (df.columns.contains("id"))
+        bloomPosCol(col("id").cast("long")).zipWithIndex.map { case (p, i) =>
+          collect_set(p).as(s"__bloom_$i")
+        }
+      else Seq.empty
+    Seq(count("*").as("n_rows")) ++ xy ++ zv ++ key ++ time ++ bloom
   }
 
   /** Per-file manifest rows of the layout/stage under `root`, with
@@ -162,7 +197,7 @@ object GeoParquet {
     */
   private def statsOf(df: DataFrame, root: String, epoch: Long): DataFrame = {
     val aggs = manifestStatsAggs(df)
-    df.groupBy(input_file_name().as("file"))
+    val raw = df.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
       // the ONE definition of file identity — manifest entries and
       // positional tombstones must agree on it, so both go through
@@ -172,6 +207,12 @@ object GeoParquet {
       // appends stamp increasing epochs, giving [[queryBoxAsOf]] its
       // snapshot axis for free (one BIGINT per manifest row)
       .withColumn("epoch", lit(epoch))
+    val parts = raw.columns.filter(_.startsWith("__bloom_"))
+    if (parts.isEmpty) raw
+    else raw
+      .withColumn("id_bloom", sort_array(
+        parts.map(col).reduce((a, b) => array_union(a, b))))
+      .drop(parts.toIndexedSeq: _*)
   }
 
   def writeManifest(spark: SparkSession, path: String): Unit = {
@@ -316,6 +357,48 @@ object GeoParquet {
         else dataSchemaOf(spark.read.parquet(path).schema)
       case _ => dataSchemaOf(spark.read.parquet(path).schema)
     }
+
+  /** Add-column evolution, shared by [[appendWithManifest]] and
+    * [[appendCurve]]: batches need not all look alike.  Record the
+    * union schema BEFORE anything stages — a declared column with no
+    * data behind it reads as nulls, so a crash between the sidecar
+    * write and the commit is harmless.  Type CHANGES are refused
+    * outright: by-name resolution cannot relate two types, and a
+    * silent cast is the corruption class the r7 advice flagged on
+    * upsertKeyed.  Schema DISCOVERY here is one sidecar read or one
+    * manifest-named footer — never a layout listing: per-append cost
+    * must stay O(batch) (an InMemoryFileIndex over the layout is the
+    * O(files) object-store walk curveKeyColOf already refuses).
+    */
+  private def recordEvolution(spark: SparkSession, path: String,
+                              df: DataFrame): Unit = {
+    val sidecar = layoutSchema(spark, path)
+    val declaredData = sidecar.map(dataSchemaOf)
+      .getOrElse(manifestHeadSchema(spark, path))
+    df.schema.fields.foreach { b =>
+      declaredData.fields.find(_.name == b.name).foreach { f =>
+        require(f.dataType == b.dataType,
+          s"schema evolution cannot change column ${f.name}: " +
+            s"${f.dataType.simpleString} -> ${b.dataType.simpleString}; " +
+            "add a new column instead")
+      }
+    }
+    val addedCols = df.schema.fields
+      .filterNot(f => declaredData.fieldNames.contains(f.name) ||
+        BinCols.contains(f.name))
+    val batchNarrows = declaredData.fields
+      .exists(f => !df.schema.fieldNames.contains(f.name))
+    if (addedCols.nonEmpty || (batchNarrows && sidecar.isEmpty)) {
+      // widening appends the new fields (nullable — old files lack
+      // them); a narrowing batch on a sidecar-less layout pins the
+      // full schema so inference can never pick the narrow footer.
+      // Only THIS rare branch pays a partition-aware directory read
+      // (once per evolution event, to capture the bin columns).
+      val full = sidecar.getOrElse(spark.read.parquet(path).schema)
+      writeSchemaFile(spark, path, org.apache.spark.sql.types.StructType(
+        full.fields ++ addedCols.map(_.copy(nullable = true))))
+    }
+  }
 
   private def bumpEpoch(spark: SparkSession, path: String): Unit =
     writeEpochFile(spark, s"$path/_epoch", readEpoch(spark, path) + 1)
@@ -811,6 +894,48 @@ object GeoParquet {
         .agg(sum("n").as("n"))
   }
 
+  /** Point-id probe planned through the manifest's per-file id
+    * filters: only files whose position-set filter might contain one
+    * of the probe ids are opened.  The filter never false-negatives
+    * (positions are deterministic), so the pruning is sound; false
+    * positives just open extra files the exact predicate then
+    * empties.  This is the no-box lookup the envelope stats cannot
+    * serve — "fetch these points by index" against 100 TB touches
+    * manifest kilobytes plus the files that might hold the ids.
+    * Stale manifest, or one predating id filters ⇒ correct unpruned
+    * scan, exactly as the box readers degrade.
+    */
+  def queryIdsViaManifest(spark: SparkSession, path: String,
+                          ids: Seq[Long],
+                          verify: Boolean = false): DataFrame = {
+    val probe = col("id").isin(ids: _*)
+    def fallback = readerFor(spark, path, flat = true)
+      .option("recursiveFileLookup", "true").parquet(path).filter(probe)
+    val raw =
+      if (!manifestFresh(spark, path, verify)) fallback
+      else {
+        val m = spark.read.parquet(s"$path/_manifest")
+        if (!m.columns.contains("id_bloom")) fallback
+        else {
+          val posSets = ids.map(bloomPositionsOf)
+          val files = m.select("file", "id_bloom").collect().filter { r =>
+            // a null filter (schema-aligned row from a bloom-less
+            // batch) is "unknown" — must open
+            r.isNullAt(1) || {
+              val bloom = r.getSeq[Int](1).toSet
+              posSets.exists(_.forall(bloom.contains))
+            }
+          }.map(r => s"$path/${r.getString(0)}")
+          if (files.isEmpty)
+            readerFor(spark, path, flat = false).parquet(path).filter(lit(false))
+          else
+            readerFor(spark, path, flat = true)
+              .parquet(files.toIndexedSeq: _*).filter(probe)
+        }
+      }
+    minusTombstones(spark, path, raw)
+  }
+
   /** Box MIN/MAX/COUNT answered (mostly) from the manifest — the
     * aggregate-pushdown face of the same sidecar (what Iceberg/Trino
     * do with manifest stats): a file whose envelope lies fully inside
@@ -1176,43 +1301,7 @@ object GeoParquet {
         readEpochFile(spark, s"$path/_manifest_epoch")) {
       append(df, path, delta, mergeDir); return
     }
-    // --- add-column evolution: batches need not all look alike -------
-    // Record the union schema BEFORE anything stages: a declared
-    // column with no data behind it reads as nulls, so a crash
-    // between the sidecar write and the commit is harmless.  Type
-    // CHANGES are refused outright — by-name resolution cannot relate
-    // two types, and a silent cast is the corruption class the r7
-    // advice flagged on upsertKeyed.  Schema DISCOVERY on this hot
-    // path is one sidecar read or one manifest-named footer — never a
-    // layout listing: per-append cost must stay O(batch), and an
-    // InMemoryFileIndex over the layout is the O(files) object-store
-    // walk the curve paths already refuse (curveKeyColOf).
-    val sidecar = layoutSchema(spark, path)
-    val declaredData = sidecar.map(dataSchemaOf)
-      .getOrElse(manifestHeadSchema(spark, path))
-    df.schema.fields.foreach { b =>
-      declaredData.fields.find(_.name == b.name).foreach { f =>
-        require(f.dataType == b.dataType,
-          s"schema evolution cannot change column ${f.name}: " +
-            s"${f.dataType.simpleString} -> ${b.dataType.simpleString}; " +
-            "add a new column instead")
-      }
-    }
-    val addedCols = df.schema.fields
-      .filterNot(f => declaredData.fieldNames.contains(f.name) ||
-        BinCols.contains(f.name))
-    val batchNarrows = declaredData.fields
-      .exists(f => !df.schema.fieldNames.contains(f.name))
-    if (addedCols.nonEmpty || (batchNarrows && sidecar.isEmpty)) {
-      // widening appends the new fields (nullable — old files lack
-      // them); a narrowing batch on a sidecar-less layout pins the
-      // full schema so inference can never pick the narrow footer.
-      // Only THIS rare branch pays a partition-aware directory read
-      // (once per evolution event, to capture the bin columns).
-      val full = sidecar.getOrElse(spark.read.parquet(path).schema)
-      writeSchemaFile(spark, path, org.apache.spark.sql.types.StructType(
-        full.fields ++ addedCols.map(_.copy(nullable = true))))
-    }
+    recordEvolution(spark, path, df)
     if (df.isEmpty) {
       // a 0-row stage has no files to harvest; a merge with an empty
       // insert set commits trivially (its deletes go live now)
@@ -1338,6 +1427,12 @@ object GeoParquet {
       s"$path: manifest is stale (a prior append crashed mid-commit or " +
         "an out-of-band write bumped the epoch); run writeManifest to " +
         "rebuild it before appending incrementally")
+    // curve layouts evolve exactly like bin layouts: the declared
+    // schema lives in the same sidecar and every curve reader already
+    // goes through it (the key column is recomputed below, so its
+    // absence from the incoming batch is immaterial — the staged
+    // files always carry it)
+    recordEvolution(spark, path, df)
     if (df.isEmpty) {
       // 0-row stage: nothing to harvest; an empty-insert merge
       // commits trivially (its deletes go live now)

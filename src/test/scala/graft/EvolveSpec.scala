@@ -92,6 +92,29 @@ class EvolveSpec extends SparkSpec {
     assert(after == Set((1L, None), (2L, None), (3L, None), (4L, Some("en"))))
   }
 
+  test("curve layouts evolve too: appendCurve widens, BIGMIN reads serve the union") {
+    val dir = java.nio.file.Files.createTempDirectory("evolve_c").toString
+    GeoParquet.writeZOrdered(mk(Seq(
+      (1L, 10.0, 10.0, 1.0), (2L, 510.0, 510.0, 2.0))), dir, 50.0, 2)
+    GeoParquet.writeManifest(spark, dir)
+    GeoParquet.appendCurve(
+      Seq((3L, 20.0, 20.0, 3.0, "en")).toDF("id", "x", "y", "z", "lang"),
+      dir, 50.0)
+    assert(GeoParquet.layoutSchema(spark, dir)
+      .exists(_.fieldNames.contains("lang")))
+    // the pruned curve read path serves the union schema with nulls
+    // for files predating the column
+    val got = GeoParquet.queryBoxCurve(spark, dir, (0.0, 600.0), (0.0, 600.0), 50.0)
+      .select("id", "lang").as[(Long, Option[String])].collect().toSet
+    assert(got == Set((1L, None), (2L, None), (3L, Some("en"))))
+    // type change refuses on the curve path too
+    val e = intercept[IllegalArgumentException] {
+      GeoParquet.appendCurve(
+        Seq((4L, 30.0, 30.0, "bad")).toDF("id", "x", "y", "z"), dir, 50.0)
+    }
+    assert(e.getMessage.contains("cannot change column z"))
+  }
+
   test("first evolution through the stale-manifest fallback: writeManifest records the sidecar") {
     // finding-2 scenario: the manifest goes stale, then a WIDENING
     // batch lands through the plain-append fallback — the evolution

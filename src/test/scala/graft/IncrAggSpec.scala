@@ -67,6 +67,26 @@ class IncrAggSpec extends SparkSpec {
     assert(total == 5L) // 6 rows minus the deleted one
   }
 
+  test("curve layouts compose: appendCurve batches merge incrementally too") {
+    // the refresh rides the manifest's epoch axis, which appendCurve
+    // maintains exactly like appendWithManifest — so the materialized
+    // view works unchanged over a z-ordered layout
+    val dir = java.nio.file.Files.createTempDirectory("incragg3_l").toString
+    val st = java.nio.file.Files.createTempDirectory("incragg3_s").toString
+    GeoParquet.writeZOrdered(mk(Seq(
+      (1L, 10.0, 10.0, 1.0), (2L, 510.0, 10.0, 2.0))), dir, 500.0, 2)
+    GeoParquet.writeManifest(spark, dir)
+    MaterializedAgg.refresh(spark, dir, st, 500.0)
+    GeoParquet.appendCurve(mk(Seq(
+      (3L, 20.0, 20.0, 3.0), (4L, 20.0, 520.0, 4.0))), dir, 500.0)
+    val oldest = GeoParquet.snapshots(spark, dir)
+      .agg(min("epoch")).head().getLong(0)
+    assert(oldest <= GeoParquet.readEpoch(spark, dir) - 1) // incremental reachable
+    MaterializedAgg.refresh(spark, dir, st, 500.0)
+    assert(stateSet(st) == scratchSet(dir))
+    assert(MaterializedAgg.read(spark, st).agg(sum("n")).head().getLong(0) == 4L)
+  }
+
   test("incremental path is exercised: post-refresh appends merge without rescanning") {
     val dir = java.nio.file.Files.createTempDirectory("incragg2_l").toString
     val st = java.nio.file.Files.createTempDirectory("incragg2_s").toString
