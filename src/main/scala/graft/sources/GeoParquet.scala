@@ -755,7 +755,28 @@ object GeoParquet {
     val spark = df.sparkSession
     adoptStagedMerges(spark, path) // heal any crashed predecessor
     val root = rootPathOf(spark, path)
-    val doomed = readerFor(spark, path, flat = false).parquet(path)
+    // the old copies' position lookup is the merge's only
+    // layout-sized scan — prune it through the manifest id-filters
+    // when they can answer (integral id keys; filters never
+    // false-negative, so the pruned scan sees every old copy).  A
+    // 0.1%-of-corpus merge batch then opens the files that might
+    // hold its keys instead of the corpus.
+    val bloomable = keyCol == "id" && (df.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    })
+    val src = (if (bloomable)
+        bloomCandidateFiles(spark, path, df.select(keyCol)) else None) match {
+      case Some(files) if files.isEmpty =>
+        readerFor(spark, path, flat = false).parquet(path).filter(lit(false))
+      case Some(files) =>
+        readerFor(spark, path, flat = true).parquet(files: _*)
+      case None => readerFor(spark, path, flat = false).parquet(path)
+    }
+    val doomed = src
       .select(col(keyCol),
         relativeTo(root)(col("_metadata.file_path")).as("file"),
         col("_metadata.row_index").as("pos"))
@@ -892,6 +913,32 @@ object GeoParquet {
         readerFor(spark, path, flat = true).parquet(boundaryFiles.toIndexedSeq: _*)
           .filter(boxFilter).agg(count("*").as("n")))
         .agg(sum("n").as("n"))
+  }
+
+  /** Files that might contain any of the long keys in `keys` (single
+    * column), answered from the manifest id-filters as a DISTRIBUTED
+    * probe: the kilobyte-scale manifest broadcasts against the
+    * batch's keys, so a merge batch of any size prunes without
+    * collecting keys on the driver.  None when the manifest cannot
+    * answer (stale, or built before id filters); rows with null
+    * filters are always included — unknown must open.  Never
+    * false-negative, so callers may scan only the returned files.
+    */
+  private[graft] def bloomCandidateFiles(spark: SparkSession, path: String,
+                                         keys: DataFrame): Option[Seq[String]] = {
+    if (!manifestFresh(spark, path, verify = false)) return None
+    val m = spark.read.parquet(s"$path/_manifest")
+    if (!m.columns.contains("id_bloom")) return None
+    val k = keys.toDF("k").select(col("k").cast("long").as("k")).distinct()
+    val cond = bloomPosCol(col("k"))
+      .map(p => array_contains(col("id_bloom"), p)).reduce(_ && _)
+    val hit = k.join(
+        broadcast(m.filter(col("id_bloom").isNotNull).select("file", "id_bloom")),
+        cond, "inner")
+      .select("file").distinct().collect().map(_.getString(0))
+    val unknown = m.filter(col("id_bloom").isNull)
+      .select("file").collect().map(_.getString(0))
+    Some((hit ++ unknown).toIndexedSeq.map(f => s"$path/$f"))
   }
 
   /** Point-id probe planned through the manifest's per-file id

@@ -36,6 +36,27 @@ class IdProbeSpec extends SparkSpec {
       s"expected bloom pruning, opened $opened of $nFiles")
   }
 
+  test("bloom candidates prune the upsert position lookup, MERGE stays exact") {
+    val dir = java.nio.file.Files.createTempDirectory("idp3").toString
+    GeoParquet.write(p, dir, 250.0)
+    GeoParquet.writeManifest(spark, dir)
+    val nFiles = spark.read.parquet(s"$dir/_manifest").count()
+    // the distributed probe answers, and answers selectively
+    val cand = GeoParquet.bloomCandidateFiles(spark, dir,
+      Seq(10L, 501L).toDF("id"))
+    assert(cand.isDefined)
+    assert(cand.get.nonEmpty && cand.get.size < nFiles,
+      s"expected selective candidates, got ${cand.map(_.size)} of $nFiles")
+    // and the MERGE riding it keeps the exactly-once contract
+    GeoParquet.upsertPositional(
+      p.filter($"id" % 13 === 0).withColumn("z", $"z" + 500.0),
+      dir, "id", 250.0)
+    val r = GeoParquet.readMerged(spark, dir).select("id", "x", "y", "z")
+    val expect = p.withColumn("z",
+      when($"id" % 13 === 0, $"z" + 500.0).otherwise($"z"))
+    assert(r.exceptAll(expect).count() == 0 && expect.exceptAll(r).count() == 0)
+  }
+
   test("appended batches carry filters; deletes subtract; stale manifest degrades") {
     val dir = java.nio.file.Files.createTempDirectory("idp2").toString
     GeoParquet.write(p.filter($"id" % 2 === 0), dir, 250.0)
