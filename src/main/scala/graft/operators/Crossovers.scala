@@ -197,7 +197,12 @@ object Crossovers {
             verify = false),
           s"$path: archive manifest is stale — no sound snapshot to " +
             "serve; run writeManifest (resets history) first")
-        val oldest = m0.agg(min("epoch")).head().getLong(0)
+        // min over an EMPTY manifest is null — refuse with the
+        // history message rather than NPE
+        val oldestRow = m0.agg(min("epoch")).head()
+        require(!oldestRow.isNullAt(0),
+          s"$path: archive manifest is empty — no snapshot history")
+        val oldest = oldestRow.getLong(0)
         require(e >= oldest,
           s"$path: archive history before epoch $oldest was compacted " +
             s"away (requested $e)")

@@ -675,6 +675,9 @@ object GeoOps {
     val path = java.nio.file.Files.createTempDirectory("idprobe").toString
     val p = pts(s, dir).select("id", "x", "y", "z")
     graft.sources.GeoParquet.write(p.filter(col("id") % 2 === 0), path, 250.0)
+    // membership filters are opt-in: only declared layouts pay the
+    // per-stats collect_set, and only they serve pruned point probes
+    graft.sources.GeoParquet.declareFilterCols(s, path, Seq("id"))
     graft.sources.GeoParquet.writeManifest(s, path)
     graft.sources.GeoParquet.appendWithManifest(
       p.filter(col("id") % 2 === 1), path, 250.0)
@@ -688,6 +691,38 @@ object GeoOps {
     s"""WITH pts AS ($P)
        |SELECT id, x, y, z FROM pts
        |WHERE id IN (10, 501, 1234, 4321, 7777)
+       |ORDER BY id""".stripMargin
+
+  // --- 61w. multi-column manifest membership probe ---
+  /** Point probe on TWO declared filter columns at once (id AND
+    * user): the layout maintains a membership filter per declared
+    * column on the same manifest sidecar, candidate file sets
+    * intersect (a file opens only if it might hold a probed id AND a
+    * probed user), and the probe keys arrive as FRAMES — the shape a
+    * 100 TB "fetch these users' flagged points" lookup has, with
+    * both the manifest filters and the key batches staying
+    * distributed end to end.
+    */
+  def multiProbe(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("multiprobe").toString
+    val p = pts(s, dir).select("id", "user_id", "x", "y", "z")
+    graft.sources.GeoParquet.write(p.filter(col("id") % 2 === 0), path, 250.0)
+    graft.sources.GeoParquet.declareFilterCols(s, path, Seq("id", "user_id"))
+    graft.sources.GeoParquet.writeManifest(s, path)
+    graft.sources.GeoParquet.appendWithManifest(
+      p.filter(col("id") % 2 === 1), path, 250.0)
+    val idKeys = p.select("id").filter(col("id") % 97 === 0)
+    val userKeys = p.select("user_id").filter(col("user_id") % 5 === 0).distinct()
+    graft.sources.GeoParquet.queryKeysViaManifest(s, path,
+        Seq("id" -> idKeys, "user_id" -> userKeys))
+      .select("id", "user_id", "x", "y", "z")
+      .orderBy("id")
+  }
+
+  val multiProbeSql: String =
+    s"""WITH pts AS ($P)
+       |SELECT id, user_id, x, y, z FROM pts
+       |WHERE id % 97 = 0 AND user_id % 5 = 0
        |ORDER BY id""".stripMargin
 
   // --- 61u. incrementally-maintained per-bin aggregate (materialized view) ---
@@ -947,6 +982,7 @@ object GeoOps {
     "q_schema_evolve"   -> (schemaEvolve _),
     "q_incr_agg"        -> (incrAgg _),
     "q_id_probe"        -> (idProbe _),
+    "q_multi_probe"     -> (multiProbe _),
     "q_expire_box"      -> (expireBox _),
     "q_changes_since"   -> (changesSince _),
     "q_box_time"        -> (boxTime _),
@@ -982,6 +1018,7 @@ object GeoOps {
     "q_schema_evolve"   -> schemaEvolveSql,
     "q_incr_agg"        -> incrAggSql,
     "q_id_probe"        -> idProbeSql,
+    "q_multi_probe"     -> multiProbeSql,
     "q_expire_box"      -> expireBoxSql,
     "q_changes_since"   -> changesSinceSql,
     "q_box_time"        -> boxTimeSql,

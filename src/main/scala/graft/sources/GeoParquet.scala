@@ -135,26 +135,41 @@ object GeoParquet {
     * MUST agree on this column set and order — `_manifest` part files
     * with diverging schemas would make reads sample-dependent.
     */
-  // --- per-file id membership filter (manifest Bloom) ----------------
-  // k deterministic hash positions of an id into an M-bit space; the
-  // per-file filter is the sorted SET of positions its ids touch
+  // --- per-file key membership filters (manifest Bloom) --------------
+  // k deterministic hash positions of a key into an M-bit space; the
+  // per-file filter is the sorted SET of positions its keys touch
   // (bounded at M ints ≈ 16 KB worst case — a saturated filter prunes
   // nothing but stays small).  Position sets never false-negative, so
   // pruning on them is sound; false positives just open extra files
   // that the exact predicate then empties.  Sized for point-probe
   // workloads over ingest-grained files (~10^5 rows/file); a file with
-  // ≫M distinct ids saturates gracefully.
+  // ≫M distinct keys saturates gracefully.
+  //
+  // OPT-IN per layout: computing the position sets taxes every stats
+  // pass (a collect_set per file per column), so a layout pays it
+  // only for the columns it DECLARES via [[declareFilterCols]] —
+  // a layout that will never see a point probe writes plain manifests
+  // at the pre-filter cost.  Any column type works: integral keys
+  // hash by value (a probe may pass int where the layout holds long),
+  // everything else through xxhash64 of the canonical string form.
   private val BloomM = 4096L
-  private val BloomP = 2147483647L // 2^31-1: (id mod P)·a stays < 2^62,
+  private val BloomP = 2147483647L // 2^31-1: (key mod P)·a stays < 2^62,
                                    // overflow-free under ANSI arithmetic
   private val BloomHashes = Seq((1103515245L, 12345L),
     (69069L, 362437L), (1664525L, 1013904223L))
 
-  /** The k bloom positions of a probe id — the Scala twin of the
-    * Column math below (identical integer ops, identical results). */
-  private[sources] def bloomPositionsOf(id: Long): Seq[Int] = {
-    val r = ((id % BloomP) + BloomP) % BloomP
-    BloomHashes.map { case (a, b) => ((r * a + b) % BloomM).toInt }
+  /** Canonical long form of a key for bloom hashing: integral types
+    * by VALUE (so int/long probes of the same key agree), everything
+    * else via xxhash64 of the string form.  Writer and prober must
+    * class types identically for positions to line up.
+    */
+  private def bloomKeyCol(c: org.apache.spark.sql.Column,
+                          dt: org.apache.spark.sql.types.DataType) = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => c.cast("long")
+      case _ => xxhash64(c.cast("string"))
+    }
   }
 
   private def bloomPosCol(c: org.apache.spark.sql.Column) = {
@@ -162,7 +177,32 @@ object GeoParquet {
     BloomHashes.map { case (a, b) => ((r * a + b) % BloomM).cast("int") }
   }
 
-  private def manifestStatsAggs(df: DataFrame): Seq[org.apache.spark.sql.Column] = {
+  /** Declare the columns this layout maintains membership filters
+    * for.  Takes effect at the next [[writeManifest]] (a rebuild) —
+    * incremental appends before that compute the positions but the
+    * existing manifest schema drops them, so probes degrade to full
+    * scans until the rebuild records the new column.  Declaring no
+    * columns (the default for every layout) keeps stats passes free
+    * of the collect_set tax.
+    */
+  def declareFilterCols(spark: SparkSession, path: String,
+                        cols: Seq[String]): Unit =
+    writeTextFile(spark, s"$path/_filtercols", cols.mkString("\n"))
+
+  /** The declared filter columns of a layout (empty = undeclared). */
+  private[graft] def filterColsOf(spark: SparkSession,
+                                  path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_filtercols")
+    if (!fsOf(spark, path).exists(p)) Seq.empty
+    else readTextFile(spark, p.toString).split("\n").toSeq
+      .map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Manifest column holding `c`'s membership filter. */
+  private def bloomColName(c: String) = s"${c}_bloom"
+
+  private def manifestStatsAggs(df: DataFrame,
+      filterCols: Seq[String]): Seq[org.apache.spark.sql.Column] = {
     val xy =
       if (df.columns.contains("x") && df.columns.contains("y"))
         Seq(min("x").as("x0"), max("x").as("x1"),
@@ -176,14 +216,17 @@ object GeoParquet {
     val time =
       if (df.columns.contains("t")) Seq(min("t").as("t0"), max("t").as("t1"))
       else Seq.empty
-    // k collect_sets (each ≤ M ints), merged into one sorted set in
-    // statsOf's post-select — no explode, stays one aggregation pass
-    val bloom =
-      if (df.columns.contains("id"))
-        bloomPosCol(col("id").cast("long")).zipWithIndex.map { case (p, i) =>
-          collect_set(p).as(s"__bloom_$i")
+    // per DECLARED column: k collect_sets (each ≤ M ints), merged
+    // into one sorted set in statsOf's post-select — no explode,
+    // stays one aggregation pass.  A declared column the batch lacks
+    // (schema evolution) contributes nothing — its aligned manifest
+    // row reads null = "unknown, must open".
+    val bloom = filterCols.filter(df.columns.contains).flatMap { c =>
+      bloomPosCol(bloomKeyCol(col(c), df.schema(c).dataType))
+        .zipWithIndex.map { case (p, i) =>
+          collect_set(p).as(s"__bloom_${c}__$i")
         }
-      else Seq.empty
+    }
     Seq(count("*").as("n_rows")) ++ xy ++ zv ++ key ++ time ++ bloom
   }
 
@@ -195,8 +238,9 @@ object GeoParquet {
     * containing a quote must not break the plan), distributed (a
     * 100 TB layout has millions of manifest rows).
     */
-  private def statsOf(df: DataFrame, root: String, epoch: Long): DataFrame = {
-    val aggs = manifestStatsAggs(df)
+  private def statsOf(df: DataFrame, root: String, epoch: Long,
+                      filterCols: Seq[String] = Seq.empty): DataFrame = {
+    val aggs = manifestStatsAggs(df, filterCols)
     val raw = df.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
       // the ONE definition of file identity — manifest entries and
@@ -207,12 +251,14 @@ object GeoParquet {
       // appends stamp increasing epochs, giving [[queryBoxAsOf]] its
       // snapshot axis for free (one BIGINT per manifest row)
       .withColumn("epoch", lit(epoch))
-    val parts = raw.columns.filter(_.startsWith("__bloom_"))
-    if (parts.isEmpty) raw
-    else raw
-      .withColumn("id_bloom", sort_array(
-        parts.map(col).reduce((a, b) => array_union(a, b))))
-      .drop(parts.toIndexedSeq: _*)
+    filterCols.foldLeft(raw) { (acc, c) =>
+      val parts = acc.columns.filter(_.startsWith(s"__bloom_${c}__"))
+      if (parts.isEmpty) acc
+      else acc
+        .withColumn(bloomColName(c), sort_array(
+          parts.map(col).reduce((a, b) => array_union(a, b))))
+        .drop(parts.toIndexedSeq: _*)
+    }
   }
 
   def writeManifest(spark: SparkSession, path: String): Unit = {
@@ -245,7 +291,8 @@ object GeoParquet {
     writeSchemaFile(spark, path, org.apache.spark.sql.types.StructType(
       base.fields ++ unseen.map(_.copy(nullable = true))))
     statsOf(readerFor(spark, path, flat = false).parquet(path),
-        rootPathOf(spark, path), readEpoch(spark, path))
+        rootPathOf(spark, path), readEpoch(spark, path),
+        filterColsOf(spark, path))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_manifest")
     // record the layout epoch the manifest describes — the O(1)
@@ -476,6 +523,15 @@ object GeoParquet {
     * crash before the renames finish leaves the stage void (old rows
     * stay — the merge simply didn't happen), and no unrelated append
     * can make a void stage look live.
+    *
+    * In-flight stages are deliberately NOT surfaced (see
+    * [[commitStaged]]'s crash-window note): a live writer mid-rename
+    * and a crashed one look identical on disk, so counting their
+    * deletes as live would hide old copies during every healthy
+    * merge's write phase.  The cost is a bounded post-crash
+    * duplicate window — rename-loop-sized — that the next
+    * [[adoptStagedMerges]] (any writer, compaction, or
+    * writeManifest) closes by rolling the append forward.
     */
   def pendingPositional(spark: SparkSession, path: String): Option[DataFrame] = {
     val fs = fsOf(spark, path)
@@ -702,22 +758,39 @@ object GeoParquet {
   def upsertKeyed(df: DataFrame, path: String, keyCol: String,
                   nFiles: Int = 1): Unit = {
     val spark = df.sparkSession
-    // integral keys ONLY: the manifest's [k0,k1] are the key min/max
-    // and the prune below casts to long — a non-integral key (e.g. a
-    // string id) would cast to NULL, match no files, and silently
-    // leave the old copies alive next to the appended replacements
-    require(df.schema(keyCol).dataType match {
+    // integral and STRING keys: the manifest's [k0,k1] are the key
+    // min/max of each file's zkey run, and the range prune below
+    // compares in the key's own ordering — longs numerically,
+    // strings lexicographically (Spark's min/max and `between` agree
+    // on UTF8 binary order, so the prune is sound for the real CDC
+    // key shapes: ints, UUIDs, composite string keys).  Other types
+    // (float keys, binary) have no reliable total order across the
+    // stats/compare pair — refuse rather than silently mismatch.
+    val integralKey = df.schema(keyCol).dataType match {
       case org.apache.spark.sql.types.ByteType |
            org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.IntegerType |
            org.apache.spark.sql.types.LongType => true
-      case _ => false
-    }, s"upsertKeyed requires an integral key column; " +
-      s"'$keyCol' is ${df.schema(keyCol).dataType.simpleString} — " +
-      "hash or dictionary-encode non-integral keys first")
+      case org.apache.spark.sql.types.StringType => false
+      case other => throw new IllegalArgumentException(
+        s"upsertKeyed requires an integral or string key column; " +
+          s"'$keyCol' is ${other.simpleString} — " +
+          "hash or dictionary-encode other key types first")
+    }
     adoptStagedMerges(spark, path) // heal any crashed predecessor
+    // fail BEFORE staging anything: a stale manifest would prune the
+    // doomed-address lookup against missing files (wrong old-copy
+    // set) and appendCurve's continuity guard aborts the merge later
+    // anyway — but by then a void _merge_staging directory is left
+    // for the next heal to sweep.  Same message, no orphaned stage.
+    require(manifestFresh(spark, path, verify = false),
+      s"$path: manifest is stale (an append crashed mid-commit or an " +
+        "out-of-band write bumped the epoch); run writeManifest " +
+        "before merging")
     val root = rootPathOf(spark, path)
-    val keys = df.select(col(keyCol).cast("long").as("k")).distinct()
+    val keys = df.select(
+      (if (integralKey) col(keyCol).cast("long") else col(keyCol)).as("k"))
+      .distinct()
     val files = spark.read.parquet(s"$path/_manifest")
       .join(broadcast(keys), col("k").between(col("k0"), col("k1")), "leftsemi")
       .select("file").collect().map(r => s"$path/${r.getString(0)}")
@@ -756,20 +829,16 @@ object GeoParquet {
     adoptStagedMerges(spark, path) // heal any crashed predecessor
     val root = rootPathOf(spark, path)
     // the old copies' position lookup is the merge's only
-    // layout-sized scan — prune it through the manifest id-filters
-    // when they can answer (integral id keys; filters never
+    // layout-sized scan — prune it through the manifest membership
+    // filters when the layout DECLARED the key column (filters never
     // false-negative, so the pruned scan sees every old copy).  A
     // 0.1%-of-corpus merge batch then opens the files that might
-    // hold its keys instead of the corpus.
-    val bloomable = keyCol == "id" && (df.schema(keyCol).dataType match {
-      case org.apache.spark.sql.types.ByteType |
-           org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.LongType => true
-      case _ => false
-    })
+    // hold its keys instead of the corpus; undeclared layouts pay
+    // the full lookup but skip the per-append stats tax.
+    val bloomable = filterColsOf(spark, path).contains(keyCol)
     val src = (if (bloomable)
-        bloomCandidateFiles(spark, path, df.select(keyCol)) else None) match {
+        bloomCandidateFiles(spark, path, df.select(keyCol), keyCol)
+      else None) match {
       case Some(files) if files.isEmpty =>
         readerFor(spark, path, flat = false).parquet(path).filter(lit(false))
       case Some(files) =>
@@ -915,72 +984,94 @@ object GeoParquet {
         .agg(sum("n").as("n"))
   }
 
-  /** Files that might contain any of the long keys in `keys` (single
-    * column), answered from the manifest id-filters as a DISTRIBUTED
-    * probe: the kilobyte-scale manifest broadcasts against the
-    * batch's keys, so a merge batch of any size prunes without
-    * collecting keys on the driver.  None when the manifest cannot
-    * answer (stale, or built before id filters); rows with null
-    * filters are always included — unknown must open.  Never
-    * false-negative, so callers may scan only the returned files.
+  /** Files that might contain any of the keys in `keys` (single
+    * column, any type — hashed exactly as the writer hashed the
+    * layout column), answered from the manifest membership filters as
+    * a DISTRIBUTED probe: the kilobyte-scale manifest broadcasts
+    * against the batch's keys, so a probe/merge batch of any size
+    * prunes without EITHER side's filter arrays ever landing on the
+    * driver — only matching file NAMES are collected.  None when the
+    * manifest cannot answer (stale, or `keyCol` undeclared when it
+    * was built); rows with null filters are always included — unknown
+    * must open.  Never false-negative, so callers may scan only the
+    * returned files.
     */
   private[graft] def bloomCandidateFiles(spark: SparkSession, path: String,
-                                         keys: DataFrame): Option[Seq[String]] = {
+                                         keys: DataFrame,
+                                         keyCol: String = "id")
+      : Option[Seq[String]] = {
     if (!manifestFresh(spark, path, verify = false)) return None
     val m = spark.read.parquet(s"$path/_manifest")
-    if (!m.columns.contains("id_bloom")) return None
-    val k = keys.toDF("k").select(col("k").cast("long").as("k")).distinct()
+    val bc = bloomColName(keyCol)
+    if (!m.columns.contains(bc)) return None
+    val kt = keys.schema.fields.head.dataType
+    val k = keys.toDF("k")
+      .select(bloomKeyCol(col("k"), kt).as("k")).distinct()
     val cond = bloomPosCol(col("k"))
-      .map(p => array_contains(col("id_bloom"), p)).reduce(_ && _)
+      .map(p => array_contains(col(bc), p)).reduce(_ && _)
     val hit = k.join(
-        broadcast(m.filter(col("id_bloom").isNotNull).select("file", "id_bloom")),
+        broadcast(m.filter(col(bc).isNotNull).select(col("file"), col(bc))),
         cond, "inner")
       .select("file").distinct().collect().map(_.getString(0))
-    val unknown = m.filter(col("id_bloom").isNull)
+    val unknown = m.filter(col(bc).isNull)
       .select("file").collect().map(_.getString(0))
     Some((hit ++ unknown).toIndexedSeq.map(f => s"$path/$f"))
   }
 
-  /** Point-id probe planned through the manifest's per-file id
-    * filters: only files whose position-set filter might contain one
-    * of the probe ids are opened.  The filter never false-negatives
-    * (positions are deterministic), so the pruning is sound; false
-    * positives just open extra files the exact predicate then
-    * empties.  This is the no-box lookup the envelope stats cannot
-    * serve — "fetch these points by index" against 100 TB touches
-    * manifest kilobytes plus the files that might hold the ids.
-    * Stale manifest, or one predating id filters ⇒ correct unpruned
-    * scan, exactly as the box readers degrade.
+  /** Point probe on one or more DECLARED filter columns, planned
+    * through the manifest's per-file membership filters: only files
+    * that might contain a probed key in EVERY probed column are
+    * opened (candidate sets intersect — a file must pass each
+    * column's filter).  The filters never false-negative, so the
+    * pruning is sound; false positives just open extra files the
+    * exact predicate then empties.  This is the no-box lookup the
+    * envelope stats cannot serve — "fetch these points by index"
+    * against 100 TB touches manifest kilobytes plus the files that
+    * might hold the keys, and the probe is DISTRIBUTED end to end:
+    * the filter arrays stay in executors ([[bloomCandidateFiles]]),
+    * the driver sees file names only.  Stale manifest ⇒ correct
+    * unpruned scan; a probed column the manifest has no filter for
+    * simply doesn't prune (its candidate set is the universe).
     */
-  def queryIdsViaManifest(spark: SparkSession, path: String,
-                          ids: Seq[Long],
-                          verify: Boolean = false): DataFrame = {
-    val probe = col("id").isin(ids: _*)
+  def queryKeysViaManifest(spark: SparkSession, path: String,
+                           probes: Seq[(String, DataFrame)],
+                           verify: Boolean = false): DataFrame = {
+    require(probes.nonEmpty, "queryKeysViaManifest needs at least one probe")
+    // exact per-column membership: broadcast semi-joins against the
+    // (small) probe key frames — the row-level twin of isin, shaped
+    // for probe frames of any size
+    def exact(df: DataFrame) = probes.foldLeft(df) { case (d, (c, ks)) =>
+      d.join(broadcast(ks.toDF(c).distinct()), Seq(c), "leftsemi")
+    }
     def fallback = readerFor(spark, path, flat = true)
-      .option("recursiveFileLookup", "true").parquet(path).filter(probe)
+      .option("recursiveFileLookup", "true").parquet(path)
     val raw =
       if (!manifestFresh(spark, path, verify)) fallback
       else {
-        val m = spark.read.parquet(s"$path/_manifest")
-        if (!m.columns.contains("id_bloom")) fallback
+        val sets = probes.flatMap { case (c, ks) =>
+          bloomCandidateFiles(spark, path, ks, c)
+        }
+        if (sets.isEmpty) fallback // no probed column has a filter
         else {
-          val posSets = ids.map(bloomPositionsOf)
-          val files = m.select("file", "id_bloom").collect().filter { r =>
-            // a null filter (schema-aligned row from a bloom-less
-            // batch) is "unknown" — must open
-            r.isNullAt(1) || {
-              val bloom = r.getSeq[Int](1).toSet
-              posSets.exists(_.forall(bloom.contains))
-            }
-          }.map(r => s"$path/${r.getString(0)}")
+          val files = sets.map(_.toSet).reduce(_ intersect _)
           if (files.isEmpty)
             readerFor(spark, path, flat = false).parquet(path).filter(lit(false))
           else
             readerFor(spark, path, flat = true)
-              .parquet(files.toIndexedSeq: _*).filter(probe)
+              .parquet(files.toIndexedSeq: _*)
         }
       }
-    minusTombstones(spark, path, raw)
+    // tombstones subtract on the raw scan (it still carries
+    // `_metadata`), the exact membership joins come after
+    exact(minusTombstones(spark, path, raw))
+  }
+
+  /** [[queryKeysViaManifest]] on the layout's `id` column. */
+  def queryIdsViaManifest(spark: SparkSession, path: String,
+                          ids: Seq[Long],
+                          verify: Boolean = false): DataFrame = {
+    import spark.implicits._
+    queryKeysViaManifest(spark, path, Seq("id" -> ids.toDF("id")), verify)
   }
 
   /** Box MIN/MAX/COUNT answered (mostly) from the manifest — the
@@ -1056,7 +1147,12 @@ object GeoParquet {
         "fallback; run writeManifest (which resets history to the " +
         "current epoch) first")
     val m = spark.read.parquet(s"$path/_manifest")
-    val oldest = m.agg(min("epoch")).head().getLong(0)
+    // min over an EMPTY manifest is null — refuse with the history
+    // message rather than NPE (a zero-file layout has no snapshots)
+    val oldestRow = m.agg(min("epoch")).head()
+    require(!oldestRow.isNullAt(0),
+      s"$path: manifest is empty — no snapshot history to serve")
+    val oldest = oldestRow.getLong(0)
     require(asOfEpoch >= oldest,
       s"$path: history before epoch $oldest was compacted away " +
         s"(requested $asOfEpoch)")
@@ -1367,7 +1463,8 @@ object GeoParquet {
     // per-file stats over the STAGED batch only, root-relative — the
     // relative path is identical after the rename below; materialized
     // (localCheckpoint) BEFORE the files move away
-    val stats = statsOf(spark.read.parquet(tmp), rootPathOf(spark, tmp), newEpoch)
+    val stats = statsOf(spark.read.parquet(tmp), rootPathOf(spark, tmp),
+        newEpoch, filterColsOf(spark, path))
       .localCheckpoint()
     commitStaged(spark, path, tmp, stats, newEpoch, mergeDir)
   }
@@ -1403,11 +1500,26 @@ object GeoParquet {
     * the DATA landing rather than any epoch mark: the `_tmp` journal
     * is written before the renames (so a crash mid-rename is
     * detectable and the heal can roll the append forward), and the
-    * `_landed` marker + adoption follow immediately after — from the
-    * instant the last file renames in, readers subtract the old
-    * copies, so no duplicate window exists and a crash anywhere can
-    * only delay adoption, never void a landed merge or adopt an
+    * `_landed` marker + adoption follow immediately after.  A crash
+    * can only delay adoption, never void a landed merge or adopt an
     * unlanded one.
+    *
+    * CRASH/CONCURRENCY WINDOW, stated honestly: the rename loop is
+    * not atomic.  Between the FIRST batch file renaming in and the
+    * `_landed` marker, a reader sees some replacement rows next to
+    * ALL old copies — a duplicate window bounded by the rename loop
+    * (O(batch files) metadata ops, not the append's write time).  In
+    * healthy operation the window closes when `_landed` lands; if
+    * the writer dies inside it, the stage reads as in-flight and the
+    * duplicates PERSIST until the next writer/compaction/
+    * [[writeManifest]] runs [[adoptStagedMerges]], which rolls the
+    * append forward and adopts the deletes.  (Readers must not heal
+    * it themselves: while the writer is alive and mid-rename, its
+    * stage is indistinguishable from a crashed one, and counting
+    * in-flight deletes as live would hide the old copies during
+    * every NORMAL merge's write phase — a far longer inconsistency
+    * than the rename loop.)  Exactly-once through a crash therefore
+    * means: run a repair verb before trusting a post-crash read.
     */
   private def commitStaged(spark: SparkSession, path: String, tmp: String,
                            stats: DataFrame, newEpoch: Long,
@@ -1512,7 +1624,8 @@ object GeoParquet {
     keyed.repartitionByRange(nFiles, col(keyCol))
       .sortWithinPartitions(keyCol)
       .write.mode("overwrite").parquet(tmp)
-    val stats = statsOf(spark.read.parquet(tmp), rootPathOf(spark, tmp), newEpoch)
+    val stats = statsOf(spark.read.parquet(tmp), rootPathOf(spark, tmp),
+        newEpoch, filterColsOf(spark, path))
       .localCheckpoint() // materialize BEFORE the files move away
     commitStaged(spark, path, tmp, stats, newEpoch, mergeDir)
   }

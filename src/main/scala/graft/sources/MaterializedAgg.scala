@@ -82,10 +82,13 @@ object MaterializedAgg {
         // compaction stamps every manifest row with the current epoch;
         // if history no longer reaches back to `last`, the "changes
         // since last" set would be the whole layout — merging it would
-        // double-count, so recompute instead
+        // double-count, so recompute instead.  An EMPTY manifest
+        // (zero files) has no history at all — min(epoch) is null —
+        // which is the same "unreachable" answer: recompute (over
+        // nothing; the rollup comes out empty, correctly).
         val oldest = GeoParquet.snapshots(spark, layoutDir)
-          .agg(min("epoch")).head().getLong(0)
-        oldest <= last
+          .agg(min("epoch")).head()
+        !oldest.isNullAt(0) && oldest.getLong(0) <= last
       }
     val next =
       if (incrementalOk)

@@ -348,16 +348,45 @@ class DeleteSpec extends SparkSpec {
       new java.io.File(dir).getName + ".staging-")))
   }
 
-  test("upsertKeyed refuses non-integral key columns") {
+  test("upsertKeyed: string keys merge exactly, lookup prunes lexicographically") {
     val dir = java.nio.file.Files.createTempDirectory("upstr").toString
-    val base = p.select(concat(lit("k"), $"id").as("sid"), $"z")
-    GeoParquet.writeKeyed(base, dir, "sid", nFiles = 2)
-    // a string key casts to NULL in the manifest range prune — the old
-    // protocol silently kept both copies; now it refuses up front
+    // zero-padded string keys — the UUID/composite-key CDC shape
+    val base = p.select(
+      concat(lit("K"), lpad($"id".cast("string"), 8, "0")).as("sid"), $"z")
+    GeoParquet.writeKeyed(base, dir, "sid", nFiles = 8)
+    // manifest k0/k1 carry the string ranges
+    val m = spark.read.parquet(s"$dir/_manifest")
+    assert(m.schema("k0").dataType ==
+      org.apache.spark.sql.types.StringType)
+    // update a narrow lexicographic band
+    val band = base.filter($"sid" >= "K00000100" && $"sid" < "K00000300")
+      .withColumn("z", $"z" + 1.0)
+    val nBand = band.count()
+    assert(nBand > 0)
+    GeoParquet.upsertKeyed(band, dir, "sid", nFiles = 1)
+    val r = GeoParquet.readMerged(spark, dir).select("sid", "z")
+    val expect = base.withColumn("z",
+      when($"sid" >= "K00000100" && $"sid" < "K00000300", $"z" + 1.0)
+        .otherwise($"z"))
+    assert(r.exceptAll(expect).count() == 0 && expect.exceptAll(r).count() == 0)
+    // pruning evidence: the tombstoned positions live in a strict
+    // subset of the files — opened files ⊂ key-overlapping files,
+    // proven the same way as the integral-key case
+    val total = spark.read.parquet(s"$dir/_manifest").count()
+    val touched = spark.read.parquet(s"$dir/_tombstones_pos")
+      .select("file").distinct().count()
+    assert(touched < total, s"lookup touched $touched of $total files")
+    assert(spark.read.parquet(s"$dir/_tombstones_pos").count() == nBand)
+  }
+
+  test("upsertKeyed refuses unordered key types (float keys)") {
+    val dir = java.nio.file.Files.createTempDirectory("upflt").toString
+    val base = p.select(($"id" + 0.5).as("fid"), $"z")
+    GeoParquet.writeKeyed(base, dir, "fid", nFiles = 2)
     val ex = intercept[IllegalArgumentException] {
-      GeoParquet.upsertKeyed(base.limit(5), dir, "sid")
+      GeoParquet.upsertKeyed(base.limit(5), dir, "fid")
     }
-    assert(ex.getMessage.contains("integral"))
+    assert(ex.getMessage.contains("integral or string"))
   }
 
   test("vacuum: removes crash debris, resolves merge stages, spares the layout") {
