@@ -177,6 +177,27 @@ final case class PointFrame(df: DataFrame, delta: Double = 100.0) {
       .filter(col("latitude").between(latR._1, latR._2) &&
               col("longitude").between(lonR._1, lonR._2)))
 
+  /** geo_index.query_latlon with a real CRS, as ONE call
+    * (geo_index.py:328-342): each probe (lat, lon) is forward-
+    * projected, snapped to its bin center (`round(x/δ)·δ`, the
+    * reference's xb/yb), and every point in a matched bin returns —
+    * the reference's bin-set semantics, not an exact lat/lon box
+    * filter.  The probe list is query-sized, so the bin set
+    * broadcasts; the point side stays wherever its layout put it.
+    */
+  def queryLatLon(epsg: Int, probes: Seq[(Double, Double)]): PointFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (px, py) = graft.operators.Projections.forward(
+      col("latitude"), col("longitude"), epsg)
+    val bins = probes.toDF("latitude", "longitude")
+      .select(GeoOps.binOf(px, delta).as("__qbx"),
+              GeoOps.binOf(py, delta).as("__qby"))
+      .distinct()
+    copy(df = df.join(broadcast(bins),
+      binX === col("__qbx") && binY === col("__qby"), "leftsemi"))
+  }
+
   /** point_data.size */
   def size: Long = df.count()
 }

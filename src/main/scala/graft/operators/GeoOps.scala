@@ -591,6 +591,34 @@ object GeoOps {
   private val TimeSliceT1 = 1704844800000L // 2024-01-10
   private val TimeSliceT2 = 1705708800000L // 2024-01-20
 
+  // --- 61x. TIME-major curve layout: secondary clustering on t ---
+  /** One SHUFFLED write (worst case for batch-implied time locality:
+    * every naive file would span the whole month) lands t-disjoint,
+    * zkey-sorted-within files via [[graft.sources.GeoParquet.writeTimeCurve]];
+    * the recent-window read then opens exactly the files whose t-run
+    * overlaps the window — the time analog of BIGMIN file pruning,
+    * where [[boxTime]] relies on ingest batches happening to be
+    * time-bounded.  Oracle: the plain box+time filter; the
+    * fewer-files-than-envelope-plan proof is TimeCurveSpec.
+    */
+  def timeCurve(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("timecurve").toString
+    val p = pts(s, dir).select("id", "x", "y", "z", "t")
+    graft.sources.GeoParquet.writeTimeCurve(p, path, 250.0, nFiles = 16)
+    graft.sources.GeoParquet.writeManifest(s, path)
+    graft.sources.GeoParquet.queryBoxTimeViaManifest(s, path,
+        (-300.0, 300.0), (-300.0, 300.0), (1705000000000L, 1705200000000L))
+      .select("id", "x", "y", "z", "t")
+      .orderBy("id")
+  }
+
+  val timeCurveSql: String =
+    s"""WITH pts AS ($P)
+       |SELECT id, x, y, z, t FROM pts
+       |WHERE x >= -300 AND x < 300 AND y >= -300 AND y < 300
+       |  AND t >= 1705000000000 AND t < 1705200000000
+       |ORDER BY id""".stripMargin
+
   def boxTime(s: SparkSession, dir: String): DataFrame = {
     val path = java.nio.file.Files.createTempDirectory("boxtime").toString
     val p = pts(s, dir).select("id", "x", "y", "z", "t")
@@ -691,6 +719,34 @@ object GeoOps {
     s"""WITH pts AS ($P)
        |SELECT id, x, y, z FROM pts
        |WHERE id IN (10, 501, 1234, 4321, 7777)
+       |ORDER BY id""".stripMargin
+
+  // --- 24c. query_latlon: one-call lat/lon probe through a real CRS ---
+  /** geo_index.query_latlon (geo_index.py:328-342) as a single
+    * surface: probe (lat, lon) points forward-project through
+    * EPSG:3031 (libm accuracy), snap to their δ=250 bin centers, and
+    * the frame returns every point in a matched bin.  The oracle pins
+    * the matched BIN SET as literals computed independently (same
+    * Snyder formulas, separate implementation) — probes sit ≥5 m
+    * from any bin boundary, so the sub-micrometer libm spread between
+    * engines cannot flip an assignment; the row set then hash-proves
+    * the snap + bin semi-join end to end.
+    */
+  def queryLatLonQ(s: SparkSession, dir: String): DataFrame =
+    graft.PointFrame(pts(s, dir), 250.0)
+      .queryLatLon(3031, Seq(
+        (-89.994, 30.0), (-89.9955, 135.0),
+        (-89.9975, -60.0), (-89.993, -150.0)))
+      .df
+      .select("id", "x", "y", "z")
+      .orderBy("id")
+
+  val queryLatLonSql: String =
+    s"""WITH pts AS ($P)
+       |SELECT id, x, y, z FROM pts
+       |WHERE (CAST(round(x/250.0)*250 AS BIGINT),
+       |       CAST(round(y/250.0)*250 AS BIGINT)) IN
+       |      ((250, 500), (250, -250), (-250, 250), (-500, -750))
        |ORDER BY id""".stripMargin
 
   // --- 61w. multi-column manifest membership probe ---
@@ -904,6 +960,34 @@ object GeoOps {
        |       CASE WHEN id >= 1000 AND id < 3000 THEN z + 250.0 ELSE z END AS z
        |FROM pts ORDER BY id""".stripMargin
 
+  // --- 61s. STRING-key MERGE against a key-clustered target ---
+  /** [[upsertKeyedQ]] with the real CDC key shape — a zero-padded
+    * string id (UUID/composite-key stand-in): the manifest's [k0,k1]
+    * become lexicographic string ranges and the doomed-address
+    * lookup prunes on them, so a narrow key band touches only its
+    * own files.  The hash-match against the CASE oracle proves the
+    * string merge is exactly-once end to end.
+    */
+  def upsertStr(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("upstr").toString
+    val p = pts(s, dir).select(
+      concat(lit("K"), lpad(col("id").cast("string"), 8, "0")).as("sid"),
+      col("z"))
+    graft.sources.GeoParquet.writeKeyed(p, path, "sid", nFiles = 8)
+    graft.sources.GeoParquet.upsertKeyed(
+      p.filter(col("sid") >= "K00001000" && col("sid") < "K00003000")
+        .withColumn("z", col("z") + 250.0), path, "sid")
+    graft.sources.GeoParquet.readMerged(s, path)
+      .select("sid", "z")
+      .orderBy("sid")
+  }
+
+  val upsertStrSql: String =
+    s"""WITH pts AS ($P)
+       |SELECT 'K' || lpad(CAST(id AS VARCHAR), 8, '0') AS sid,
+       |       CASE WHEN id >= 1000 AND id < 3000 THEN z + 250.0 ELSE z END AS z
+       |FROM pts ORDER BY sid""".stripMargin
+
   // --- 61r. incremental consumption: only the batches since a checkpoint ---
   /** Seed (ids ≡ 0 mod 3) at epoch 0, append two batches (epochs 1,
     * 2), then read the changes since epoch 0 — exactly the two
@@ -979,13 +1063,16 @@ object GeoOps {
     "q_upsert_box"      -> (upsertBox _),
     "q_upsert_pos"      -> (upsertPosBox _),
     "q_upsert_keyed"    -> (upsertKeyedQ _),
+    "q_upsert_str"      -> (upsertStr _),
     "q_schema_evolve"   -> (schemaEvolve _),
     "q_incr_agg"        -> (incrAgg _),
     "q_id_probe"        -> (idProbe _),
     "q_multi_probe"     -> (multiProbe _),
+    "q_query_latlon"    -> (queryLatLonQ _),
     "q_expire_box"      -> (expireBox _),
     "q_changes_since"   -> (changesSince _),
     "q_box_time"        -> (boxTime _),
+    "q_time_curve"      -> (timeCurve _),
     "q_geoindex_build"  -> (geoindexBuild _),
     "q_index_merge"     -> (indexMerge _),
     "q_geo_query_box"   -> (geoQueryBox _),
@@ -1015,13 +1102,16 @@ object GeoOps {
     "q_upsert_box"      -> upsertBoxSql,
     "q_upsert_pos"      -> upsertPosBoxSql,
     "q_upsert_keyed"    -> upsertKeyedSql,
+    "q_upsert_str"      -> upsertStrSql,
     "q_schema_evolve"   -> schemaEvolveSql,
     "q_incr_agg"        -> incrAggSql,
     "q_id_probe"        -> idProbeSql,
     "q_multi_probe"     -> multiProbeSql,
+    "q_query_latlon"    -> queryLatLonSql,
     "q_expire_box"      -> expireBoxSql,
     "q_changes_since"   -> changesSinceSql,
     "q_box_time"        -> boxTimeSql,
+    "q_time_curve"      -> timeCurveSql,
     "q_geoindex_build"  -> geoindexBuildSql,
     "q_index_merge"     -> indexMergeSql,
     "q_geo_query_box"   -> geoQueryBoxSql,

@@ -66,6 +66,34 @@ object GeoParquet {
       // straddles a curve jump, the key intervals never do
       .write.mode("overwrite").parquet(path)
 
+  /** TIME-major curve layout for time-majority workloads: files are
+    * range-partitioned on `t` first (so their [t0,t1] manifest
+    * envelopes are DISJOINT — envelope pruning over disjoint ranges
+    * is exact, the time analog of what BIGMIN intervals do for
+    * boxes), and rows inside each file are sorted on the z-order key
+    * (so a box predicate still prunes row groups on the persisted
+    * key's min/max).  A recent-window query through
+    * [[queryBoxTimeViaManifest]] then opens exactly the files whose
+    * t-run overlaps the window, instead of every file that happens
+    * to contain a straggler row — under a [[writeZOrdered]] layout a
+    * shuffled ingest scatters each time instant across ALL files and
+    * the t envelopes prune nothing.  The trade is deliberate:
+    * file-level k0/k1 ranges widen (each t-run spans the whole box
+    * extent), so pure-box queries fall back to row-group pruning —
+    * pick this layout when the dominant axis is time, exactly as you
+    * pick writeZOrdered when it is space.
+    */
+  def writeTimeCurve(df: DataFrame, path: String, delta: Double,
+                     nFiles: Int): Unit = {
+    require(df.columns.contains("t"),
+      "writeTimeCurve needs an epoch-ms `t` column")
+    df.withColumn("zkey", graft.functions.ZOrder.zkey(
+        GeoOps.cellOf(col("x"), delta), GeoOps.cellOf(col("y"), delta)))
+      .repartitionByRange(nFiles, col("t"), col("zkey"))
+      .sortWithinPartitions("zkey")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Curve-key columns a layout may carry (see writeZOrdered /
     * writeHilbertClustered); the manifest records their per-file
     * min/max as k0/k1 when present, enabling file-level BIGMIN

@@ -50,6 +50,21 @@ class ApiSpec extends SparkSpec {
     assert(sub.size > 0 && sub.size < d.count())
   }
 
+  test("queryLatLon(epsg): probe points return exactly their bins' points") {
+    val pf = PointFrame(graft.core.Tables.eventsPoints(spark, sf), 250.0)
+    // (-89.994, 30°) projects to EPSG:3031 (325.96, 564.58) → bin (250, 500)
+    val got = pf.queryLatLon(3031, Seq((-89.994, 30.0))).df
+    val expect = pf.df.filter(
+      graft.operators.GeoOps.binOf($"x", 250.0) === 250L &&
+      graft.operators.GeoOps.binOf($"y", 250.0) === 500L)
+    assert(got.count() == expect.count() && got.count() > 0)
+    assert(got.select("id").exceptAll(expect.select("id")).count() == 0)
+    // round-trip consistency: inverse-projecting the matched points
+    // keeps them in the probe's polar neighborhood
+    val back = PointFrame(got, 250.0).withLatLon(3031).df
+    assert(back.filter($"latitude" > -89.9 || $"latitude" < -90.0).count() == 0)
+  }
+
   test("union concatenates point frames (point_data.from_list)") {
     val pf = PointFrame(graft.core.Tables.eventsPoints(spark, sf))
     val a = pf.where($"user_id" % 2 === 0)
