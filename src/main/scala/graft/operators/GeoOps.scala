@@ -591,6 +591,41 @@ object GeoOps {
   private val TimeSliceT1 = 1704844800000L // 2024-01-10
   private val TimeSliceT2 = 1705708800000L // 2024-01-20
 
+  // --- 61y. scoped curve compaction under pressure ---
+  /** Grow a curve layout with overlap pressure concentrated in one
+    * key region (narrow-band appends), then
+    * [[graft.sources.GeoParquet.compactCurveScoped]] rewrites ONLY
+    * the pressured component and the BIGMIN box read runs against
+    * the partially-compacted layout.  Untouched-files-byte-identical
+    * and crash-heal proofs are ScopedCompactSpec; the oracle proves
+    * the read after a partial rewrite is still exactly the filter.
+    */
+  def scopedCompact(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("scompq").toString
+    val p = pts(s, dir).select("id", "x", "y", "z")
+    graft.sources.GeoParquet.writeZOrdered(
+      p.filter(col("id") % 8 === 0), path, 250.0, nFiles = 4)
+    graft.sources.GeoParquet.writeManifest(s, path)
+    (1 to 6).foreach { i =>
+      graft.sources.GeoParquet.appendCurve(
+        p.filter(col("id") % 8 === i && col("x") >= 0 && col("x") < 250.0),
+        path, 250.0)
+    }
+    graft.sources.GeoParquet.compactCurveScoped(s, path,
+      filesPerRun = 8, maxOverlap = 4)
+    graft.sources.GeoParquet.queryBoxCurve(s, path,
+        (-230.0, 480.0), (-470.0, 230.0), 250.0)
+      .select("id", "x", "y", "z")
+      .orderBy("id")
+  }
+
+  val scopedCompactSql: String =
+    s"""WITH pts AS ($P)
+       |SELECT id, x, y, z FROM pts
+       |WHERE x >= -230 AND x < 480 AND y >= -470 AND y < 230
+       |  AND (id % 8 = 0 OR (id % 8 <= 6 AND x >= 0 AND x < 250))
+       |ORDER BY id""".stripMargin
+
   // --- 61x. TIME-major curve layout: secondary clustering on t ---
   /** One SHUFFLED write (worst case for batch-implied time locality:
     * every naive file would span the whole month) lands t-disjoint,
@@ -1073,6 +1108,7 @@ object GeoOps {
     "q_changes_since"   -> (changesSince _),
     "q_box_time"        -> (boxTime _),
     "q_time_curve"      -> (timeCurve _),
+    "q_scoped_compact"  -> (scopedCompact _),
     "q_geoindex_build"  -> (geoindexBuild _),
     "q_index_merge"     -> (indexMerge _),
     "q_geo_query_box"   -> (geoQueryBox _),
@@ -1112,6 +1148,7 @@ object GeoOps {
     "q_changes_since"   -> changesSinceSql,
     "q_box_time"        -> boxTimeSql,
     "q_time_curve"      -> timeCurveSql,
+    "q_scoped_compact"  -> scopedCompactSql,
     "q_geoindex_build"  -> geoindexBuildSql,
     "q_index_merge"     -> indexMergeSql,
     "q_geo_query_box"   -> geoQueryBoxSql,

@@ -293,8 +293,11 @@ object GeoParquet {
     // a manifest rebuild is the layout's repair verb — resolve any
     // crash-stranded merge stages first (adopt landed, roll forward
     // in-flight, discard void) so the rebuilt manifest describes a
-    // layout with no unresolved `_merge_staging` entries
+    // layout with no unresolved `_merge_staging` entries; likewise
+    // roll forward a crashed scoped compaction (rebuild=false — this
+    // very rebuild is the heal's manifest step)
     adoptStagedMerges(spark, path)
+    healCompactStage(spark, path, rebuild = false)
     // the rebuild is also the schema-evolution record/repair verb: a
     // batch that landed through the plain-append fallback
     // (stale-manifest degradation) may carry columns no reader can
@@ -1749,6 +1752,171 @@ object GeoParquet {
     val pressure = maxDepth > maxOverlap
     if (pressure) compactCurve(spark, path, nFiles)
     pressure
+  }
+
+  // --- scoped curve compaction -------------------------------------
+  // [[compactCurve]] rewrites the WHOLE layout; at 100 TB compaction
+  // must be scoped to where overlap pressure actually is.  The scope
+  // is chosen from the manifest alone (connected components of
+  // overlapping [k0,k1] intervals whose sweep depth exceeds the
+  // bound), only those files are rewritten, and every untouched file
+  // stays byte-identical on disk.  The commit is journaled
+  // (`_compact_staging/<id>`): the staged rewrite is COMPLETE before
+  // the `_commit` marker lands, so healing is always roll-forward —
+  // finish the renames, rebuild the manifest.  Readers during the
+  // stage see the old snapshot (manifest untouched); inside the
+  // bounded rename window an explicit-file-list read can fail LOUDLY
+  // on a moved file (exactly swapInPlace's briefly-absent-root
+  // stance) but can never silently lose or duplicate rows, because
+  // the manifest flips to the new file set in one write and any
+  // stale-manifest fallback scan runs against the completed move.
+  // As with [[compactCurve]], history resets: every surviving
+  // manifest row is re-stamped with the new epoch, so a pre-compact
+  // [[queryBoxAsOf]] refuses instead of serving a snapshot whose
+  // scope files no longer exist.
+
+  /** Roll forward (or discard) a crashed scoped compaction.  A stage
+    * without `_commit` changed nothing — drop it.  A committed stage
+    * rolls FORWARD: staged data files move in (skip the ones already
+    * there), doomed originals are deleted (skip the ones already
+    * gone — their rows live in the staged rewrite, which is complete
+    * before `_commit` ever lands), the journal is dropped, and —
+    * unless the caller is about to — the manifest is rebuilt at a
+    * bumped epoch.
+    */
+  def healCompactStage(spark: SparkSession, path: String,
+                       rebuild: Boolean = true): Unit = {
+    val fs = fsOf(spark, path)
+    val root = new org.apache.hadoop.fs.Path(s"$path/_compact_staging")
+    if (!fs.exists(root)) return
+    var rolled = false
+    fs.listStatus(root).filter(_.isDirectory).foreach { st =>
+      val d = st.getPath
+      if (!fs.exists(new org.apache.hadoop.fs.Path(d, "_commit")))
+        fs.delete(d, true) // void: the rewrite never committed
+      else {
+        rolled = true
+        listDataFiles(spark, s"$d/data").foreach { abs =>
+          val name = new org.apache.hadoop.fs.Path(abs).getName
+          val dst = new org.apache.hadoop.fs.Path(s"$path/$name")
+          if (!fs.exists(dst))
+            require(fs.rename(new org.apache.hadoop.fs.Path(abs), dst),
+              s"compact heal move-in failed for $name")
+        }
+        readTextFile(spark, s"$d/_doomed").split("\n")
+          .map(_.trim).filter(_.nonEmpty).foreach { rel =>
+          val src = new org.apache.hadoop.fs.Path(s"$path/$rel")
+          if (fs.exists(src)) fs.delete(src, false)
+        }
+        fs.delete(d, true)
+      }
+    }
+    if (rolled && rebuild) {
+      writeEpochFile(spark, s"$path/_epoch", readEpoch(spark, path) + 1)
+      writeManifest(spark, path)
+    }
+  }
+
+  /** Compact ONLY the overlap-pressured key ranges of a curve
+    * layout: manifest intervals are swept into connected overlap
+    * components, components deeper than `maxOverlap` are rewritten
+    * (their rows re-range-partitioned into `ceil(size/filesPerRun)`
+    * non-overlapping sorted files, pending deletes applied), and
+    * everything else is left byte-for-byte alone.  Returns the
+    * number of files rewritten (0 = no pressure anywhere).
+    */
+  def compactCurveScoped(spark: SparkSession, path: String,
+                         filesPerRun: Int = 4,
+                         maxOverlap: Int = 4): Int = {
+    adoptStagedMerges(spark, path)
+    healCompactStage(spark, path) // resolve a crashed predecessor
+    require(manifestFresh(spark, path, verify = false),
+      s"$path: manifest is stale; run writeManifest before a scoped " +
+        "compact — the scope is chosen from manifest key ranges")
+    val m = spark.read.parquet(s"$path/_manifest")
+    require(m.columns.contains("k0"),
+      s"$path is not curve-clustered (no key ranges in its manifest)")
+    val rows = m.select("file", "k0", "k1").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(r => (r._2, r._3))
+    // connected components of interval overlap + sweep depth each
+    val doomed = Seq.newBuilder[String]
+    var comp = List.empty[(String, Long, Long)]
+    var compMax = Long.MinValue
+    def flush(): Unit = if (comp.nonEmpty) {
+      val ends = comp.map(_._3).sorted.toArray
+      var depth = 0; var maxDepth = 0; var e = 0
+      comp.sortBy(_._2).foreach { case (_, lo, _) =>
+        while (e < ends.length && ends(e) < lo) { depth -= 1; e += 1 }
+        depth += 1; maxDepth = maxDepth.max(depth)
+      }
+      if (maxDepth > maxOverlap) doomed ++= comp.map(_._1)
+      comp = Nil; compMax = Long.MinValue
+    }
+    rows.foreach { r =>
+      if (comp.nonEmpty && r._2 > compMax) flush()
+      comp ::= r; compMax = compMax.max(r._3)
+    }
+    flush()
+    val scope = doomed.result()
+    if (scope.isEmpty) return 0
+    val keyCol = curveKeyColOf(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path is not curve-clustered (${CurveKeyCols.mkString("/")} absent)"))
+    // stage the complete rewrite BEFORE any visible change
+    val stage = s"$path/_compact_staging/" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val scopeDf = minusTombstones(spark, path,
+      readerFor(spark, path, flat = true)
+        .parquet(scope.map(f => s"$path/$f"): _*))
+    val nOut = math.max(1, (scope.size + filesPerRun - 1) / filesPerRun)
+    scopeDf.repartitionByRange(nOut, col(keyCol))
+      .sortWithinPartitions(keyCol)
+      .write.parquet(s"$stage/data")
+    writeTextFile(spark, s"$stage/_doomed", scope.mkString("\n"))
+    val newEpoch = readEpoch(spark, path) + 1
+    val newStats = statsOf(spark.read.parquet(s"$stage/data"),
+        rootPathOf(spark, s"$stage/data"), newEpoch,
+        filterColsOf(spark, path))
+      .localCheckpoint() // pin BEFORE the files move
+    // COMMIT POINT: from here the heal always rolls forward
+    writeTextFile(spark, s"$stage/_commit", "1")
+    val fs = fsOf(spark, path)
+    listDataFiles(spark, s"$stage/data").foreach { abs =>
+      val name = new org.apache.hadoop.fs.Path(abs).getName
+      require(fs.rename(new org.apache.hadoop.fs.Path(abs),
+          new org.apache.hadoop.fs.Path(s"$path/$name")),
+        s"scoped-compact move-in failed for $name")
+    }
+    scope.foreach { rel =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$rel"), false)
+    }
+    // one-write manifest flip: untouched rows re-stamped (history
+    // resets, as in compactCurve) + the staged stats; no data scan.
+    // The scope is subtracted as an anti-join, not an isin literal —
+    // a big layout's scope list should not become a giant predicate
+    val scopeFrame = {
+      import spark.implicits._
+      scope.toDF("file")
+    }
+    val survivors = m.join(broadcast(scopeFrame), Seq("file"), "left_anti")
+      .withColumn("epoch", lit(newEpoch))
+    val aligned = newStats.select(m.schema.fields.map { f =>
+      if (newStats.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+    survivors.unionByName(aligned)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_manifest.next")
+    // parquet overwrite of the live manifest is non-atomic; swap via
+    // rename so a crash leaves either the old or the new sidecar
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_manifest"), true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/_manifest.next"),
+        new org.apache.hadoop.fs.Path(s"$path/_manifest")),
+      s"scoped-compact manifest swap failed for $path")
+    writeEpochFile(spark, s"$path/_epoch", newEpoch)
+    writeEpochFile(spark, s"$path/_manifest_epoch", newEpoch)
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    scope.size
   }
 
   /** Compact the layout in place: streaming appends leave one small
