@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.GeoOps
+import graft.sources.{QfitSource, SourceRegistry}
+
+/** File-type dispatch registry ([[SourceRegistry]]): one call builds
+  * a merged geo-index from MIXED source kinds (csv + parquet + Qfit
+  * binary), obeying the `from_list` merge law; saved indexes are
+  * adopted without a point scan; unknown kinds refuse loudly.
+  */
+class SourceRegistrySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mk(lo: Int, hi: Int) = (lo until hi).map { i =>
+    (i.toLong, (i % 50) * 40.0 - 1000.0, (i / 50) * 40.0 - 1000.0,
+      i * 0.5, i.toLong * 1000)
+  }.toDF("id", "x", "y", "z", "t")
+
+  test("one merged index from mixed csv/parquet/qfit inputs obeys the from_list law") {
+    val base = java.nio.file.Files.createTempDirectory("sreg").toString
+    mk(0, 300).write.option("header", "true").csv(s"$base/pts_csv")
+    mk(300, 600).write.parquet(s"$base/pts_parquet")
+    // southern-hemisphere Qfit records (EPSG:3031's domain)
+    QfitSource.writeFile(
+      java.nio.file.Paths.get(s"$base/flight.qi"),
+      (0 until 100).map { i =>
+        Array(i * 1000, -70000000 - i * 1000, (i % 90) * 100000,
+          1000000 + i * 500, 1, 2, 3, 4, 5, 6, 7, 8)
+      })
+    val files = Seq(
+      "csv" -> s"$base/pts_csv",
+      "parquet" -> s"$base/pts_parquet",
+      "qfit" -> s"$base/flight.qi")
+    val merged = SourceRegistry.indexListForFiles(spark, files, delta = 500.0)
+    // from_list law: merge(index(read(f_i))) == index(∪ read(f_i))
+    val union = files.zipWithIndex.map { case ((k, p), i) =>
+      SourceRegistry.readAs(spark, k, p).withColumn("src", lit(i))
+    }.reduce(_ unionByName _)
+    val expect = union
+      .select(GeoOps.binOf(col("x"), 500.0).as("bin_x"),
+        GeoOps.binOf(col("y"), 500.0).as("bin_y"), col("id"), col("src"))
+      .groupBy("bin_x", "bin_y")
+      .agg(count("*").as("n_points"),
+        min("id").as("id_min"), max("id").as("id_max"),
+        countDistinct("src").as("n_sources"))
+    assert(merged.exceptAll(expect).count() == 0 &&
+      expect.exceptAll(merged).count() == 0)
+    // all three kinds actually contributed
+    assert(union.select("src").distinct().count() == 3)
+    assert(merged.agg(sum("n_points")).head().getLong(0) == 700L)
+  }
+
+  test("a saved geoindex is adopted bin-for-bin, no point scan") {
+    val base = java.nio.file.Files.createTempDirectory("sreg2").toString
+    mk(0, 200).write.parquet(s"$base/a")
+    mk(200, 500).write.parquet(s"$base/b")
+    // pre-build source b's partial index and SAVE it
+    SourceRegistry.forFile(spark, "parquet", s"$base/b", 500.0)
+      .write.parquet(s"$base/b_index")
+    val viaIndex = SourceRegistry.indexListForFiles(spark, Seq(
+      "parquet" -> s"$base/a",
+      SourceRegistry.IndexKind -> s"$base/b_index"), 500.0)
+    val direct = SourceRegistry.indexListForFiles(spark, Seq(
+      "parquet" -> s"$base/a", "parquet" -> s"$base/b"), 500.0)
+    assert(viaIndex.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(viaIndex).count() == 0)
+    // the adoption read touches only the saved index's files
+    val opened = SourceRegistry.forFile(
+      spark, SourceRegistry.IndexKind, s"$base/b_index", 500.0).inputFiles
+    assert(opened.nonEmpty && opened.forall(_.contains("b_index")))
+  }
+
+  test("an unregistered kind refuses with the known-kind list") {
+    val e = intercept[IllegalArgumentException] {
+      SourceRegistry.readAs(spark, "hdf5", "/nowhere")
+    }
+    assert(e.getMessage.contains("unregistered") &&
+      e.getMessage.contains("qfit"))
+  }
+}
