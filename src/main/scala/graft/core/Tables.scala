@@ -27,7 +27,13 @@ object Tables {
     */
   private def tsMillis(df: DataFrame) = df.schema("ts").dataType match {
     case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
-    case _                                   => unix_millis(col("ts"))
+    // TIMESTAMP_NTZ (isAdjustedToUTC=false) carries a wall clock; the
+    // DuckDB oracle's epoch_ms(ts) treats that wall clock as UTC, and
+    // every session here pins spark.sql.session.timeZone=UTC, so the
+    // NTZ→LTZ cast reproduces the oracle's epoch exactly.
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      unix_millis(col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    case _ => unix_millis(col("ts"))
   }
 
   /** events → point cloud (geo_index.py / point_data.py domain).

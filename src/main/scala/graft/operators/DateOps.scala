@@ -132,12 +132,25 @@ object DateOps {
     * are dropped (inner join), as reference interp returns NaN
     * outside coverage.
     */
-  def gridInterp(s: SparkSession, dir: String): DataFrame = {
+  def gridInterp(s: SparkSession, dir: String): DataFrame =
+    bilinearOnGrid(demGrid(s, dir), s, dir)
+
+  /** The δ=100 cell-mean DEM grid (exact integer-cents means). */
+  private[operators] def demGrid(s: SparkSession, dir: String): DataFrame = {
     val d = 100.0
-    val grid = Tables.eventsPoints(s, dir)
+    Tables.eventsPoints(s, dir)
       .groupBy((floor(col("x") / d) * d.toLong).cast("long").as("gx"),
                (floor(col("y") / d) * d.toLong).cast("long").as("gy"))
       .agg((sum(round(col("z") * 100).cast("long")) / 100.0 / count("*")).as("gz"))
+  }
+
+  /** Bilinear sampling of deterministic lineitem-derived probes on a
+    * `(gx, gy, gz)` grid — shared by the parquet-grid and GeoTIFF
+    * paths (the GRID source differs; the math must not).
+    */
+  private[operators] def bilinearOnGrid(grid: DataFrame, s: SparkSession,
+                                        dir: String): DataFrame = {
+    val d = 100.0
     val probes = Tables.t(s, dir, "lineitem")
       .select(col("l_orderkey").as("pid"),
         ((col("l_orderkey") * 31 % 3600) / lit(2.0) - 880.0).as("px"),

@@ -7,12 +7,13 @@ import graft.core.Tables
 /** Raster products over grid tables — the write-back half of the
   * reference's mapData (mapData.py:125-196: `normalize`, `toRGB`,
   * `to_geotif`).  A raster here is a grid DataFrame `(gx, gy, gz)`
-  * (see PointSources.rasterize); the GeoTIFF byte-stream itself is
-  * out of scope (no GDAL in a Spark executor), but the full product
-  * pipeline — block-average, normalize to [0,1], quantize to 8-bit
-  * gray — is pure column math, and [[graft.sources.RasterSink]]
-  * persists the result as CRS-tagged, tile-partitioned parquet that a
-  * GDAL edge job can format-convert from.
+  * (see PointSources.rasterize); the full product pipeline —
+  * block-average, normalize to [0,1], quantize to 8-bit gray — is
+  * pure column math.  Persistence is either CRS-tagged tiled parquet
+  * ([[graft.sources.RasterSink]]) or REAL GeoTIFF granules
+  * ([[graft.sources.GeoTiff]] — self-contained TIFF 6.0 codec, no
+  * GDAL needed); [[geotiffDem]] proves the `.tif` round-trip is
+  * lossless by pushing the DEM-interp oracle query through it.
   */
 object RasterOps {
 
@@ -61,9 +62,27 @@ object RasterOps {
        |  CASE WHEN isnan(gz) OR gz = zmin THEN 0 ELSE 1 END::BIGINT AS alpha
        |FROM n ORDER BY gx, gy""".stripMargin
 
+  /** 23g. `to_geotif` → `from_geotif` → interp, end-to-end through
+    * REAL `.tif` bytes (mapData.py:125/39): the δ=100 DEM grid is
+    * written as float64 GeoTIFF tiles (encoded on executors), read
+    * back through the binaryFile source, and bilinearly sampled at
+    * the standard probe points.  The oracle is the plain parquet-grid
+    * interp SQL — a hash match proves the GeoTIFF round-trip is
+    * BIT-LOSSLESS, not merely approximately right.
+    */
+  def geotiffDem(s: SparkSession, dir: String): DataFrame = {
+    val grid = DateOps.demGrid(s, dir)
+    val out = java.nio.file.Files.createTempDirectory("geotifdem").toString
+    graft.sources.GeoTiff.writeTiles(grid, out, epsg = 3031,
+      delta = 100.0, tileSize = 1600.0)
+    DateOps.bilinearOnGrid(graft.sources.GeoTiff.readGrid(s, out), s, dir)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_raster_rgb" -> (rasterRgb _))
+    "q_raster_rgb" -> (rasterRgb _),
+    "q_geotiff_dem" -> (geotiffDem _))
 
   val oracles: Map[String, String] = Map(
-    "q_raster_rgb" -> rasterRgbSql)
+    "q_raster_rgb" -> rasterRgbSql,
+    "q_geotiff_dem" -> DateOps.gridInterpSql)
 }

@@ -1,0 +1,644 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.{Deflater, Inflater}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Real GeoTIFF file IO — the byte-level half of the reference's
+  * `mapData.from_geotif` / `to_geotif` (mapData.py:39-94, 125-158),
+  * which the reference delegates to GDAL.  No GDAL exists in a Spark
+  * executor, so this is a self-contained classic-TIFF 6.0 + GeoTIFF
+  * codec for the DEM subset the reference actually uses:
+  *
+  *   - reader: little- or big-endian classic TIFF; striped or tiled;
+  *     Compression None(1)/LZW(5)/Deflate(8, 32946); horizontal
+  *     predictor(2); samples u8/i8/u16/i16/u32/i32/f32/f64, chunky
+  *     planar config, any band count; georeferencing from
+  *     ModelPixelScale(33550) + ModelTiepoint(33922), CRS from
+  *     GeoKeyDirectory(34735), nodata from GDAL_NODATA(42113).
+  *   - writer: little-endian float64 (lossless for our grid tables)
+  *     or float32, None/LZW/Deflate, striped or 16×-tiled, NaN
+  *     nodata — the same header layout `gdal.GetDriverByName('GTiff')`
+  *     emits for `to_geotif` (mapData.py:138: LZW default).
+  *
+  * Scale shape: one `.tif` is one raster TILE (bounded — the same
+  * E*_N* tiling RasterSink uses), so encode/decode run entirely on
+  * executors: writes via [[writeTiles]]'s `mapPartitions`, reads via
+  * the `binaryFile` source + `flatMap` ([[read]]) — a 10⁶-granule
+  * archive decodes embarrassingly parallel, one file per task unit,
+  * nothing raster-sized ever on the driver.
+  */
+object GeoTiff {
+
+  /** Georeferencing: `originX/originY` is the OUTER corner of pixel
+    * (0,0) (GDAL's GT[0]/GT[3]); pixel centers are
+    * `x(c) = originX + (c+0.5)·sx`, `y(r) = originY − (r+0.5)·sy`
+    * (mapData.py:56-59).
+    */
+  final case class Georef(epsg: Int, sx: Double, sy: Double,
+                          originX: Double, originY: Double)
+
+  /** A decoded raster: `samples(band)(r*nx+c)`, row 0 = max y. */
+  final case class Decoded(nx: Int, ny: Int, bands: Int, ref: Georef,
+                           nodata: Option[Double],
+                           samples: Array[Array[Double]]) {
+    def xCenter(c: Int): Double = ref.originX + (c + 0.5) * ref.sx
+    def yCenter(r: Int): Double = ref.originY - (r + 0.5) * ref.sy
+  }
+
+  // ---------------------------------------------------------------- write
+
+  private val TagWidth = 256
+  private val TagLength = 257
+  private val TagBits = 258
+  private val TagCompression = 259
+  private val TagPhotometric = 262
+  private val TagStripOffsets = 273
+  private val TagSamplesPerPixel = 277
+  private val TagRowsPerStrip = 278
+  private val TagStripByteCounts = 279
+  private val TagPlanarConfig = 284
+  private val TagPredictor = 317
+  private val TagTileWidth = 322
+  private val TagTileLength = 323
+  private val TagTileOffsets = 324
+  private val TagTileByteCounts = 325
+  private val TagSampleFormat = 339
+  private val TagModelPixelScale = 33550
+  private val TagModelTiepoint = 33922
+  private val TagGeoKeyDirectory = 34735
+  private val TagGdalNodata = 42113
+
+  private val TShort = 3
+  private val TLong = 4
+  private val TDouble = 12
+  private val TAscii = 2
+
+  private def deflate(b: Array[Byte]): Array[Byte] = {
+    val d = new Deflater(Deflater.DEFAULT_COMPRESSION)
+    d.setInput(b); d.finish()
+    val out = new java.io.ByteArrayOutputStream(b.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end(); out.toByteArray
+  }
+
+  private def inflate(b: Array[Byte], expected: Int): Array[Byte] = {
+    val inf = new Inflater()
+    inf.setInput(b)
+    val out = new Array[Byte](expected)
+    var off = 0
+    while (off < expected && !inf.finished()) {
+      val n = inf.inflate(out, off, expected - off)
+      if (n == 0 && inf.needsInput())
+        throw new IllegalArgumentException("truncated deflate stream in TIFF strip")
+      off += n
+    }
+    inf.end(); out
+  }
+
+  /** TIFF-variant LZW (TIFF 6.0 §13): MSB-first codes, ClearCode 256,
+    * EOI 257, code width bumps one code EARLY (at table size 510/
+    * 1022/2046), table reset at 4094.
+    */
+  private[sources] def lzwEncode(src: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(src.length / 2 + 64)
+    var bitBuf = 0L; var bitCnt = 0
+    var codeBits = 9
+    def put(code: Int): Unit = {
+      bitBuf = (bitBuf << codeBits) | code; bitCnt += codeBits
+      while (bitCnt >= 8) { out.write(((bitBuf >> (bitCnt - 8)) & 0xff).toInt); bitCnt -= 8 }
+    }
+    val dict = new java.util.HashMap[String, Integer]()
+    def reset(): Unit = { dict.clear(); codeBits = 9 }
+    var nextCode = 258
+    put(256); reset()
+    var cur = new StringBuilder
+    var i = 0
+    while (i < src.length) {
+      val ch = (src(i) & 0xff).toChar
+      val ext = cur.toString + ch
+      val hit = if (ext.length == 1) ext.charAt(0).toInt < 256 else dict.containsKey(ext)
+      if (hit) cur = new StringBuilder(ext)
+      else {
+        val s = cur.toString
+        put(if (s.length == 1) s.charAt(0).toInt else dict.get(s))
+        dict.put(ext, nextCode); nextCode += 1
+        if (nextCode == (1 << codeBits) - 1 && codeBits < 12) codeBits += 1
+        else if (nextCode >= 4094) { put(256); reset(); nextCode = 258 }
+        cur = new StringBuilder(ch.toString)
+      }
+      i += 1
+    }
+    if (cur.nonEmpty) {
+      val s = cur.toString
+      put(if (s.length == 1) s.charAt(0).toInt else dict.get(s))
+    }
+    put(257)
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  private[sources] def lzwDecode(src: Array[Byte], expected: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(expected)
+    var bitPos = 0
+    def next(bits: Int): Int = {
+      if ((bitPos + bits) > src.length * 8) return 257 // ran off the end → treat as EOI
+      var v = 0; var n = bits
+      while (n > 0) {
+        val byteI = bitPos >> 3; val bitI = bitPos & 7
+        val take = math.min(8 - bitI, n)
+        val chunk = ((src(byteI) & 0xff) >> (8 - bitI - take)) & ((1 << take) - 1)
+        v = (v << take) | chunk
+        bitPos += take; n -= take
+      }
+      v
+    }
+    val dict = new Array[Array[Byte]](4096)
+    var dictSize = 0; var codeBits = 9
+    def reset(): Unit = {
+      var j = 0
+      while (j < 256) { dict(j) = Array(j.toByte); j += 1 }
+      dictSize = 258; codeBits = 9
+    }
+    reset()
+    var prev: Array[Byte] = null
+    var done = false
+    while (!done) {
+      val code = next(codeBits)
+      if (code == 257) done = true
+      else if (code == 256) { reset(); prev = null }
+      else {
+        val entry: Array[Byte] =
+          if (code < dictSize && dict(code) != null) dict(code)
+          else if (code == dictSize && prev != null) prev :+ prev(0)
+          else throw new IllegalArgumentException(s"corrupt LZW stream: code $code size $dictSize")
+        out.write(entry)
+        if (prev != null && dictSize < 4096) {
+          dict(dictSize) = prev :+ entry(0); dictSize += 1
+          // the decoder's table is one entry behind the encoder's, so
+          // it widens at 510/1022/2046 where the encoder widens at
+          // 511/1023/2047 (TIFF 6.0 §13 early change)
+          if (dictSize == (1 << codeBits) - 2 && codeBits < 12) codeBits += 1
+        }
+        prev = entry
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Encode a dense raster (`bandsData(b)(r*nx+c)`, row 0 = max y) as
+    * a little-endian GeoTIFF.  `bits` 64 (lossless doubles) or 32;
+    * `compression` "none" | "deflate" | "lzw"; `tiled` writes 16×16
+    * tiles instead of strips (both for read-path parity coverage).
+    */
+  def encode(bandsData: Array[Array[Double]], nx: Int, ny: Int, ref: Georef,
+             bits: Int = 64, compression: String = "deflate",
+             rowsPerStrip: Int = 0, tiled: Boolean = false): Array[Byte] = {
+    require(bandsData.nonEmpty && bandsData.forall(_.length == nx * ny),
+      s"band data must be ${nx}x$ny dense")
+    require(bits == 32 || bits == 64, "float32/float64 samples only")
+    val nb = bandsData.length
+    val bytesPer = bits / 8
+    val compCode = compression match {
+      case "none" => 1; case "lzw" => 5; case "deflate" => 8
+      case other => throw new IllegalArgumentException(s"unknown compression '$other'")
+    }
+    def pack(r0: Int, rows: Int, c0: Int, cols: Int): Array[Byte] = {
+      val bb = ByteBuffer.allocate(rows * cols * nb * bytesPer).order(ByteOrder.LITTLE_ENDIAN)
+      var r = r0
+      while (r < r0 + rows) {
+        var c = c0
+        while (c < c0 + cols) {
+          var b = 0
+          while (b < nb) {
+            // tiles pad past the image edge with zeros
+            val v = if (r < ny && c < nx) bandsData(b)(r * nx + c) else 0.0
+            if (bits == 64) bb.putDouble(v) else bb.putFloat(v.toFloat)
+            b += 1
+          }
+          c += 1
+        }
+        r += 1
+      }
+      bb.array()
+    }
+    def compress(raw: Array[Byte]): Array[Byte] = compCode match {
+      case 1 => raw; case 5 => lzwEncode(raw); case 8 => deflate(raw)
+    }
+
+    // chunks: strips (full-width row bands) or 16x16-aligned tiles
+    val tileW = 16; val tileH = 16
+    val (chunks, rps, tilesAcross) =
+      if (tiled) {
+        val ta = (nx + tileW - 1) / tileW
+        val td = (ny + tileH - 1) / tileH
+        val cs = for (ty <- 0 until td; tx <- 0 until ta)
+          yield compress(pack(ty * tileH, tileH, tx * tileW, tileW))
+        (cs.toVector, 0, ta)
+      } else {
+        val r = if (rowsPerStrip > 0) rowsPerStrip
+          else math.max(1, (8 << 20) / math.max(1, nx * nb * bytesPer))
+        val cs = (0 until ny by r)
+          .map(r0 => compress(pack(r0, math.min(r, ny - r0), 0, nx))).toVector
+        (cs, r, 0)
+      }
+
+    // layout: header(8) | chunk data | out-of-line values | IFD
+    val dataStart = 8
+    val chunkOffsets = chunks.scanLeft(dataStart.toLong)(_ + _.length).init
+    val afterData = chunkOffsets.last + chunks.last.length
+
+    final case class Entry(tag: Int, typ: Int, count: Int, payload: Array[Byte])
+    def shorts(vs: Int*): Array[Byte] = {
+      val bb = ByteBuffer.allocate(vs.length * 2).order(ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(v => bb.putShort(v.toShort)); bb.array()
+    }
+    def longs(vs: Long*): Array[Byte] = {
+      val bb = ByteBuffer.allocate(vs.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(v => bb.putInt(v.toInt)); bb.array()
+    }
+    def doubles(vs: Double*): Array[Byte] = {
+      val bb = ByteBuffer.allocate(vs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(bb.putDouble); bb.array()
+    }
+    val geoKeys = shorts(
+      1, 1, 0, 3, // version, rev 1.0, 3 keys follow
+      1024, 0, 1, 1, // GTModelTypeGeoKey = projected
+      1025, 0, 1, 1, // GTRasterTypeGeoKey = PixelIsArea
+      3072, 0, 1, ref.epsg) // ProjectedCSTypeGeoKey
+    val nodataAscii = "nan\u0000".getBytes("US-ASCII")
+    val entries = Vector(
+      Entry(TagWidth, TLong, 1, longs(nx)),
+      Entry(TagLength, TLong, 1, longs(ny)),
+      Entry(TagBits, TShort, nb, shorts(Seq.fill(nb)(bits): _*)),
+      Entry(TagCompression, TShort, 1, shorts(compCode)),
+      Entry(TagPhotometric, TShort, 1, shorts(1))) ++
+      (if (tiled) Vector(
+        Entry(TagTileWidth, TShort, 1, shorts(tileW)),
+        Entry(TagTileLength, TShort, 1, shorts(tileH)),
+        Entry(TagTileOffsets, TLong, chunks.length, longs(chunkOffsets: _*)),
+        Entry(TagTileByteCounts, TLong, chunks.length, longs(chunks.map(_.length.toLong): _*)))
+      else Vector(
+        Entry(TagStripOffsets, TLong, chunks.length, longs(chunkOffsets: _*)),
+        Entry(TagRowsPerStrip, TLong, 1, longs(rps)),
+        Entry(TagStripByteCounts, TLong, chunks.length, longs(chunks.map(_.length.toLong): _*)))) ++
+      Vector(
+        Entry(TagSamplesPerPixel, TShort, 1, shorts(nb)),
+        Entry(TagPlanarConfig, TShort, 1, shorts(1)),
+        Entry(TagSampleFormat, TShort, nb, shorts(Seq.fill(nb)(3): _*)),
+        Entry(TagModelPixelScale, TDouble, 3, doubles(ref.sx, ref.sy, 0.0)),
+        Entry(TagModelTiepoint, TDouble, 6,
+          doubles(0.0, 0.0, 0.0, ref.originX, ref.originY, 0.0)),
+        Entry(TagGeoKeyDirectory, TShort, 16, geoKeys),
+        Entry(TagGdalNodata, TAscii, nodataAscii.length, nodataAscii))
+    val sorted = entries.sortBy(_.tag)
+
+    // out-of-line payloads (>4 bytes) follow the chunk data
+    var auxOff = afterData
+    val aux = new java.io.ByteArrayOutputStream()
+    val valueFields: Vector[Array[Byte]] = sorted.map { e =>
+      if (e.payload.length <= 4) java.util.Arrays.copyOf(e.payload, 4)
+      else {
+        if (auxOff % 2 == 1) { aux.write(0); auxOff += 1 } // word-align
+        val f = longs(auxOff); auxOff += e.payload.length; aux.write(e.payload); f
+      }
+    }
+    val ifdOff = auxOff
+    val out = new java.io.ByteArrayOutputStream(ifdOff.toInt + sorted.length * 12 + 32)
+    val hdr = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    hdr.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOff.toInt)
+    out.write(hdr.array())
+    chunks.foreach(out.write)
+    out.write(aux.toByteArray)
+    val ifd = ByteBuffer.allocate(2 + sorted.length * 12 + 4).order(ByteOrder.LITTLE_ENDIAN)
+    ifd.putShort(sorted.length.toShort)
+    sorted.zip(valueFields).foreach { case (e, vf) =>
+      ifd.putShort(e.tag.toShort).putShort(e.typ.toShort).putInt(e.count).put(vf)
+    }
+    ifd.putInt(0)
+    out.write(ifd.array())
+    out.toByteArray
+  }
+
+  // ---------------------------------------------------------------- read
+
+  private final case class Field(typ: Int, count: Int, raw: Array[Byte], order: ByteOrder) {
+    private def buf = ByteBuffer.wrap(raw).order(order)
+    def longs: Array[Long] = {
+      val b = buf
+      typ match {
+        case 1 | 6 | 7 => raw.take(count).map(v => (v & 0xff).toLong)
+        case 3 | 8     => Array.tabulate(count)(i => (b.getShort(i * 2) & 0xffff).toLong)
+        case 4 | 9     => Array.tabulate(count)(i => b.getInt(i * 4) & 0xffffffffL)
+        case other => throw new IllegalArgumentException(s"TIFF field type $other not integral")
+      }
+    }
+    def doubles: Array[Double] = typ match {
+      case 11 => val b = buf; Array.tabulate(count)(i => b.getFloat(i * 4).toDouble)
+      case 12 => val b = buf; Array.tabulate(count)(i => b.getDouble(i * 8))
+      case _  => longs.map(_.toDouble)
+    }
+    def ascii: String = new String(raw, 0, count, "US-ASCII").takeWhile(_ != '\u0000').trim
+  }
+
+  private def typeSize(t: Int): Int = t match {
+    case 1 | 2 | 6 | 7 => 1; case 3 | 8 => 2; case 4 | 9 | 11 => 4
+    case 5 | 10 | 12 => 8
+    case other => throw new IllegalArgumentException(s"unknown TIFF field type $other")
+  }
+
+  def decode(bytes: Array[Byte]): Decoded = {
+    require(bytes.length > 8, "not a TIFF: too short")
+    val order = (bytes(0), bytes(1)) match {
+      case ('I', 'I') => ByteOrder.LITTLE_ENDIAN
+      case ('M', 'M') => ByteOrder.BIG_ENDIAN
+      case _ => throw new IllegalArgumentException("not a TIFF: bad byte-order mark")
+    }
+    val bb = ByteBuffer.wrap(bytes).order(order)
+    val magic = bb.getShort(2) & 0xffff
+    if (magic == 43) throw new IllegalArgumentException(
+      "BigTIFF not supported (classic TIFF only — split the raster into tiles)")
+    require(magic == 42, s"not a TIFF: magic $magic")
+    val ifdOff = bb.getInt(4) & 0xffffffffL
+    val nEntries = bb.getShort(ifdOff.toInt) & 0xffff
+    val fields: Map[Int, Field] = (0 until nEntries).map { i =>
+      val e = ifdOff.toInt + 2 + i * 12
+      val tag = bb.getShort(e) & 0xffff
+      val typ = bb.getShort(e + 2) & 0xffff
+      val count = bb.getInt(e + 4)
+      val size = typeSize(typ) * count
+      val raw =
+        if (size <= 4) java.util.Arrays.copyOfRange(bytes, e + 8, e + 12)
+        else {
+          val off = bb.getInt(e + 8)
+          java.util.Arrays.copyOfRange(bytes, off, off + size)
+        }
+      tag -> Field(typ, count, raw, order)
+    }.toMap
+
+    def longOpt(tag: Int): Option[Long] = fields.get(tag).map(_.longs.head)
+    def longReq(tag: Int, what: String): Long =
+      longOpt(tag).getOrElse(throw new IllegalArgumentException(s"TIFF missing $what (tag $tag)"))
+
+    val nx = longReq(TagWidth, "ImageWidth").toInt
+    val ny = longReq(TagLength, "ImageLength").toInt
+    val nb = longOpt(TagSamplesPerPixel).getOrElse(1L).toInt
+    val bitsArr = fields.get(TagBits).map(_.longs).getOrElse(Array(1L))
+    require(bitsArr.distinct.length == 1, "mixed per-band BitsPerSample not supported")
+    val bits = bitsArr.head.toInt
+    val fmt = fields.get(TagSampleFormat).map(_.longs.head).getOrElse(1L).toInt
+    val comp = longOpt(TagCompression).getOrElse(1L).toInt
+    val predictor = longOpt(TagPredictor).getOrElse(1L).toInt
+    val planar = longOpt(TagPlanarConfig).getOrElse(1L).toInt
+    require(planar == 1 || nb == 1,
+      s"PlanarConfiguration=$planar unsupported (chunky only)")
+    require(predictor == 1 || predictor == 2,
+      s"TIFF predictor $predictor unsupported (none/horizontal only)")
+    require(!(predictor == 2 && fmt == 3),
+      "horizontal predictor over float samples is not meaningful")
+    val bytesPer = bits / 8
+    require(Set(8, 16, 32, 64)(bits), s"BitsPerSample $bits unsupported")
+
+    def decompress(chunk: Array[Byte], expected: Int): Array[Byte] = comp match {
+      case 1 => chunk
+      case 5 => lzwDecode(chunk, expected)
+      case 8 | 32946 => inflate(chunk, expected)
+      case other => throw new IllegalArgumentException(
+        s"TIFF compression $other unsupported (none/LZW/deflate)")
+    }
+    def undiff(row: Array[Byte], cols: Int): Unit =
+      if (predictor == 2) {
+        // horizontal differencing per row, per band, byte-width samples
+        var c = 1
+        while (c < cols) {
+          var b = 0
+          while (b < nb) {
+            val i = (c * nb + b) * bytesPer
+            val p = ((c - 1) * nb + b) * bytesPer
+            // accumulate little-endian integer of bytesPer bytes
+            var v = 0L; var pv = 0L; var k = 0
+            while (k < bytesPer) {
+              v |= (row(i + k) & 0xffL) << (8 * k)
+              pv |= (row(p + k) & 0xffL) << (8 * k)
+              k += 1
+            }
+            val s = v + pv
+            k = 0
+            while (k < bytesPer) { row(i + k) = ((s >> (8 * k)) & 0xff).toByte; k += 1 }
+            b += 1
+          }
+          c += 1
+        }
+      }
+    def sampleAt(buf: ByteBuffer, idx: Int): Double = (bits, fmt) match {
+      case (8, 1)  => (buf.get(idx) & 0xff).toDouble
+      case (8, 2)  => buf.get(idx).toDouble
+      case (16, 1) => (buf.getShort(idx * 2) & 0xffff).toDouble
+      case (16, 2) => buf.getShort(idx * 2).toDouble
+      case (32, 1) => (buf.getInt(idx * 4) & 0xffffffffL).toDouble
+      case (32, 2) => buf.getInt(idx * 4).toDouble
+      case (32, 3) => buf.getFloat(idx * 4).toDouble
+      case (64, 3) => buf.getDouble(idx * 8)
+      case other => throw new IllegalArgumentException(
+        s"sample (bits, format) $other unsupported")
+    }
+
+    val samples = Array.fill(nb)(new Array[Double](nx * ny))
+    if (fields.contains(TagTileOffsets)) {
+      val tw = longReq(TagTileWidth, "TileWidth").toInt
+      val tl = longReq(TagTileLength, "TileLength").toInt
+      val offs = fields(TagTileOffsets).longs
+      val cnts = fields(TagTileByteCounts).longs
+      val tilesAcross = (nx + tw - 1) / tw
+      offs.indices.foreach { t =>
+        val raw = decompress(
+          java.util.Arrays.copyOfRange(bytes, offs(t).toInt, (offs(t) + cnts(t)).toInt),
+          tw * tl * nb * bytesPer)
+        val tx = t % tilesAcross; val ty = t / tilesAcross
+        var tr = 0
+        while (tr < tl) {
+          val r = ty * tl + tr
+          if (r < ny) {
+            val row = java.util.Arrays.copyOfRange(
+              raw, tr * tw * nb * bytesPer, (tr + 1) * tw * nb * bytesPer)
+            undiff(row, tw)
+            val rb = ByteBuffer.wrap(row).order(order)
+            var tc = 0
+            while (tc < tw) {
+              val c = tx * tw + tc
+              if (c < nx) {
+                var b = 0
+                while (b < nb) {
+                  samples(b)(r * nx + c) = sampleAt(rb, tc * nb + b); b += 1
+                }
+              }
+              tc += 1
+            }
+          }
+          tr += 1
+        }
+      }
+    } else {
+      val offs = fields.getOrElse(TagStripOffsets,
+        throw new IllegalArgumentException("TIFF missing StripOffsets")).longs
+      val cnts = fields(TagStripByteCounts).longs
+      val rps = longOpt(TagRowsPerStrip).getOrElse(ny.toLong).toInt
+      offs.indices.foreach { s =>
+        val r0 = s * rps
+        val rows = math.min(rps, ny - r0)
+        val raw = decompress(
+          java.util.Arrays.copyOfRange(bytes, offs(s).toInt, (offs(s) + cnts(s)).toInt),
+          rows * nx * nb * bytesPer)
+        var rr = 0
+        while (rr < rows) {
+          val row = java.util.Arrays.copyOfRange(
+            raw, rr * nx * nb * bytesPer, (rr + 1) * nx * nb * bytesPer)
+          undiff(row, nx)
+          val rb = ByteBuffer.wrap(row).order(order)
+          val r = r0 + rr
+          var c = 0
+          while (c < nx) {
+            var b = 0
+            while (b < nb) { samples(b)(r * nx + c) = sampleAt(rb, c * nb + b); b += 1 }
+            c += 1
+          }
+          rr += 1
+        }
+      }
+    }
+
+    val scale = fields.getOrElse(TagModelPixelScale, throw new IllegalArgumentException(
+      "TIFF has no ModelPixelScale — not a GeoTIFF")).doubles
+    val tie = fields.getOrElse(TagModelTiepoint, throw new IllegalArgumentException(
+      "TIFF has no ModelTiepoint — not a GeoTIFF")).doubles
+    val (sx, sy) = (scale(0), scale(1))
+    // tiepoint (i, j, k, X, Y, Z): raster point (i,j) sits at model (X,Y)
+    val originX = tie(3) - tie(0) * sx
+    val originY = tie(4) + tie(1) * sy
+    val epsg = fields.get(TagGeoKeyDirectory).map(_.longs).map { keys =>
+      val entries = keys.drop(4).grouped(4).toSeq
+      def key(id: Int): Option[Int] = entries.collectFirst {
+        case Array(k, loc, _, v) if k == id && loc == 0 => v.toInt
+      }
+      key(3072).orElse(key(2048)).getOrElse(0)
+    }.getOrElse(0)
+    val nodata = fields.get(TagGdalNodata).map(_.ascii).flatMap { s =>
+      // GDAL writes lowercase "nan"; Double.parseDouble wants "NaN"
+      if (s.equalsIgnoreCase("nan")) Some(Double.NaN)
+      else try Some(s.toDouble) catch { case _: NumberFormatException => None }
+    }
+    Decoded(nx, ny, nb, Georef(epsg, sx, sy, originX, originY), nodata, samples)
+  }
+
+  // ------------------------------------------------------- Spark surface
+
+  /** One decoded raster cell (pixel-center coordinates). */
+  final case class TifCell(file: String, band: Int, x: Double, y: Double, v: Double)
+
+  /** Summary row for one written tile file. */
+  final case class TileWritten(file: String, tile_e: Long, tile_n: Long,
+                               cells: Long, bytes: Long)
+
+  /** `from_geotif` (mapData.py:39-94) over a DIRECTORY of granules:
+    * each `.tif` decodes on an executor via the binaryFile source —
+    * the per-file work is embarrassingly parallel.  `bounds`
+    * (`((x0,x1),(y0,y1))`) and `skip` follow the reference exactly:
+    * pixel-center window selection (mapData.py:60-62), then every
+    * skip-th row/column OF THE WINDOW (mapData.py:70-79); cells equal
+    * to the file's nodata (or non-finite) are dropped, the table form
+    * of the reference's nodata→NaN masking (mapData.py:81-84).
+    */
+  def read(spark: SparkSession, dir: String,
+           bounds: Option[((Double, Double), (Double, Double))] = None,
+           skip: Int = 1): Dataset[TifCell] = {
+    import spark.implicits._
+    require(skip >= 1, "skip must be >= 1")
+    spark.read.format("binaryFile").option("pathGlobFilter", "*.tif").load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, content) => cellsOf(path, content, bounds, skip) }
+  }
+
+  private def cellsOf(path: String, content: Array[Byte],
+                      bounds: Option[((Double, Double), (Double, Double))],
+                      skip: Int): Iterator[TifCell] = {
+    val d = decode(content)
+    val cols0 = (0 until d.nx).filter { c =>
+      bounds.forall { case ((x0, x1), _) => val x = d.xCenter(c); x >= x0 && x <= x1 }
+    }
+    val rows0 = (0 until d.ny).filter { r =>
+      bounds.forall { case (_, (y0, y1)) => val y = d.yCenter(r); y >= y0 && y <= y1 }
+    }
+    val cols = cols0.grouped(skip).map(_.head).toArray
+    val rows = rows0.grouped(skip).map(_.head).toArray
+    val bad = d.nodata.getOrElse(Double.NaN)
+    for {
+      b <- Iterator.range(0, d.bands)
+      r <- rows.iterator
+      c <- cols.iterator
+      v = d.samples(b)(r * d.nx + c)
+      if !v.isNaN && !(v == bad)
+    } yield TifCell(path, b, d.xCenter(c), d.yCenter(r), v)
+  }
+
+  /** Read a single-band granule directory back as the engine's grid
+    * table `(gx, gy, gz)` — the inverse of [[writeTiles]] (cell nodes
+    * are the pixel centers; lossless for float64 granules).
+    */
+  def readGrid(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir).toDF()
+      .filter(col("band") === 0)
+      .select(round(col("x")).cast("long").as("gx"),
+              round(col("y")).cast("long").as("gy"),
+              col("v").as("gz"))
+
+  /** `to_geotif` (mapData.py:125-158) for a distributed grid: the
+    * grid table `(gx, gy, gz)` lands as one float64 GeoTIFF per
+    * `tileSize`-sized tile, encoded ON THE EXECUTORS (repartition by
+    * tile key → mapPartitions; a tile is bounded, the whole raster is
+    * not).  Pixel centers sit exactly on the grid nodes, so a
+    * float64 write→read round-trip is bit-exact.  Returns one
+    * summary row per file (manifest-sized).
+    */
+  def writeTiles(grid: DataFrame, dir: String, epsg: Int, delta: Double,
+                 tileSize: Double, compression: String = "deflate"): Seq[TileWritten] = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val written = grid
+      .select(col("gx").cast("double").as("gx"), col("gy").cast("double").as("gy"),
+              col("gz").cast("double").as("gz"))
+      .withColumn("tile_e", (floor(col("gx") / tileSize) * tileSize).cast("long"))
+      .withColumn("tile_n", (floor(col("gy") / tileSize) * tileSize).cast("long"))
+      .repartition(col("tile_e"), col("tile_n"))
+      .as[(Double, Double, Double, Long, Long)]
+      .mapPartitions { it =>
+        it.toSeq.groupBy(t => (t._4, t._5)).iterator.map { case ((e, n), cells) =>
+          val gxs = cells.map(_._1); val gys = cells.map(_._2)
+          val (minX, maxX) = (gxs.min, gxs.max)
+          val (minY, maxY) = (gys.min, gys.max)
+          val nx = math.round((maxX - minX) / delta).toInt + 1
+          val ny = math.round((maxY - minY) / delta).toInt + 1
+          val arr = Array.fill(nx * ny)(Double.NaN)
+          cells.foreach { case (gx, gy, gz, _, _) =>
+            val c = math.round((gx - minX) / delta).toInt
+            val r = math.round((maxY - gy) / delta).toInt
+            arr(r * nx + c) = gz
+          }
+          val ref = Georef(epsg, delta, delta, minX - delta / 2, maxY + delta / 2)
+          val bytes = encode(Array(arr), nx, ny, ref, bits = 64,
+            compression = compression)
+          val file = s"$dir/E${e}_N${n}.tif"
+          java.nio.file.Files.write(java.nio.file.Paths.get(file), bytes)
+          TileWritten(file, e, n, cells.size.toLong, bytes.length.toLong)
+        }
+      }
+      .collect().toSeq
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "raster.json"),
+      s"""{"epsg":$epsg,"delta":$delta,"tile_size":$tileSize}""")
+    written
+  }
+}

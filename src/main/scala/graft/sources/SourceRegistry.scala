@@ -48,8 +48,18 @@ object SourceRegistry {
     */
   val IndexKind = "geoindex"
 
+  /** Raster-bearing kind: a directory of real GeoTIFF granules read
+    * as points, cell-center = point (the reference's DEM arm,
+    * geo_index.py:269-274 via read_DEM).  Each granule decodes on an
+    * executor ([[GeoTiff.read]]); the synthetic id is the cell's
+    * (gx, gy) packed into one long — deterministic, unique per cell
+    * for |coord| < 2²⁰, which is what the bin rollup's id_min/id_max
+    * stats need.
+    */
+  val DemKind = "geotiff_dem"
+
   def kinds: Seq[String] =
-    (xyReaders.keys ++ latlonReaders.keys ++ Seq(IndexKind)).toSeq.sorted
+    (xyReaders.keys ++ latlonReaders.keys ++ Seq(IndexKind, DemKind)).toSeq.sorted
 
   /** Read any registered POINT kind into the canonical
     * `(id, x, y, z, t)` schema.  For lat/lon formats `id` is the
@@ -60,6 +70,11 @@ object SourceRegistry {
   def readAs(spark: SparkSession, kind: String, path: String,
              epsg: Int = 3031): DataFrame = kind match {
     case k if xyReaders.contains(k) => xyReaders(k)(spark, path)
+    case DemKind =>
+      GeoTiff.readGrid(spark, path).select(
+        ((col("gx") + 1048576L) * 2097152L + (col("gy") + 1048576L)).as("id"),
+        col("gx").cast("double").as("x"), col("gy").cast("double").as("y"),
+        col("gz").as("z"), lit(null).cast("long").as("t"))
     case k if latlonReaders.contains(k) =>
       val d = latlonReaders(k)(spark, path)
       val (px, py) =

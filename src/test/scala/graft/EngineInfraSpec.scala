@@ -384,8 +384,16 @@ class EngineInfraSpec extends SparkSpec {
     val stream = spark.readStream.schema(static.schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sf)
-    // ts arrives as long nanos under the legacy flag → event-time col
-    val events = stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // ts may arrive as long nanos (legacy flag), TIMESTAMP_NTZ, or
+    // TIMESTAMP depending on the parquet annotation → event-time col
+    val events = static.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        stream.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => stream
+    }
     val q = EventStream.windowedCounts(events, "1 hour", "15 minutes")
       .writeStream.format("memory").queryName("file_stream_counts")
       .outputMode("append")

@@ -71,6 +71,29 @@ class SourceRegistrySpec extends SparkSpec {
     assert(opened.nonEmpty && opened.forall(_.contains("b_index")))
   }
 
+  test("the DEM arm indexes real GeoTIFF granules, merged with point kinds") {
+    val base = java.nio.file.Files.createTempDirectory("sreg3").toString
+    // a DEM: 20x20 cells at δ=100 written as REAL .tif granules
+    val grid = (0 until 400).map { i =>
+      ((i % 20) * 100L - 1000L, (i / 20) * 100L - 1000L, i * 0.25)
+    }.toDF("gx", "gy", "gz")
+    graft.sources.GeoTiff.writeTiles(grid, s"$base/dem", epsg = 3031,
+      delta = 100.0, tileSize = 1000.0)
+    mk(0, 100).write.parquet(s"$base/pts")
+    val merged = SourceRegistry.indexListForFiles(spark, Seq(
+      SourceRegistry.DemKind -> s"$base/dem",
+      "parquet" -> s"$base/pts"), delta = 500.0)
+    // DEM cells land as points at their cell centers
+    val demPts = SourceRegistry.readAs(spark, SourceRegistry.DemKind, s"$base/dem")
+    assert(demPts.count() == 400L)
+    assert(demPts.select("id").distinct().count() == 400L) // packed id unique
+    assert(merged.agg(sum("n_points")).head().getLong(0) == 500L)
+    // z survives the granule round-trip
+    val z = demPts.filter(col("x") === -1000.0 && col("y") === -1000.0)
+      .select("z").head().getDouble(0)
+    assert(z == 0.0)
+  }
+
   test("an unregistered kind refuses with the known-kind list") {
     val e = intercept[IllegalArgumentException] {
       SourceRegistry.readAs(spark, "hdf5", "/nowhere")
