@@ -12,12 +12,23 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_QUERIES: comma-separated subset filter, for scaling
+    // runs on datasets that only materialize some tables (e.g. the
+    // derived sf1 replica benches the iterative + layout queries, not
+    // all 121)
+    val benchQueries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      sys.env.get("SPARK_GRAFT_QUERIES") match {
+        case Some(list) =>
+          val keep = list.split(",").map(_.trim).toSet
+          SparkEntry.queries.filter { case (k, _) => keep(k) }
+        case None => SparkEntry.queries
+      }
     // untimed warmup: one full pass over every query (JMH-style).
     // Round-2 data showed the one-query warmup left a 20-40 s JIT/
     // codegen tax smeared over whichever queries ran early (same build
     // measured 58-96 s single-shot vs 35 s steady-state) — the timed
     // pass below measures the engine, not the JVM's compile queue.
-    SparkEntry.queries.foreach { case (_, fn) =>
+    benchQueries.foreach { case (_, fn) =>
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case _: Throwable => () }
       graft.core.CacheBag.releaseAll()
@@ -55,7 +66,7 @@ object Bench {
     val loadStart = loadAvg()
     val cpuStart = procCpuSec()
     val wallStart = System.nanoTime()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = benchQueries.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         // noop sink: count() would let Catalyst elide the projection

@@ -112,6 +112,22 @@ object Plans {
     show("id_probe (bloom-pruned file list; In pushed to the scan)",
       operators.GeoOps.idProbe(spark, sf),
       Seq("Scan", "PushedFilters", "Filter ("))
+    show("multi_probe ((id,user) filter intersection; file list pre-pruned)",
+      operators.GeoOps.multiProbe(spark, sf),
+      Seq("Scan", "PushedFilters", "Filter ("))
+    show("upsert_str read-back (lexicographic [k0,k1] prune, string keys)",
+      operators.GeoOps.upsertStr(spark, sf),
+      Seq("Scan", "PushedFilters", "Filter ("))
+    show("query_latlon (projected probes -> bin-set semi-join)",
+      operators.GeoOps.queryLatLonQ(spark, sf), joiny)
+    show("time_curve (t-major layout: disjoint [t0,t1] file runs)",
+      operators.GeoOps.timeCurve(spark, sf),
+      Seq("Scan", "PushedFilters", "Filter ("))
+    show("scoped_compact read-back (BIGMIN ranges on the partly-rewritten layout)",
+      operators.GeoOps.scopedCompact(spark, sf),
+      Seq("Scan", "PushedFilters", "Filter ("))
+    show("geotiff_dem (binaryFile granule decode -> broadcast bilinear)",
+      operators.RasterOps.geotiffDem(spark, sf), joiny)
     spark.stop()
   }
 }
