@@ -103,7 +103,7 @@ object GeoTiff {
     * EOI 257, code width bumps one code EARLY (at table size 510/
     * 1022/2046), table reset at 4094.
     */
-  private[sources] def lzwEncode(src: Array[Byte]): Array[Byte] = {
+  private[graft] def lzwEncode(src: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(src.length / 2 + 64)
     var bitBuf = 0L; var bitCnt = 0
     var codeBits = 9
@@ -141,7 +141,27 @@ object GeoTiff {
     out.toByteArray
   }
 
-  private[sources] def lzwDecode(src: Array[Byte], expected: Int): Array[Byte] = {
+  /** Decode accepting BOTH code-width schedules: the TIFF 6.0 spec /
+    * libtiff / GDAL "early change" (decoder widens at table size
+    * 510/1022/2046), and the JDK (JAI-derived) TIFF plugin's late
+    * change (one code later) — a real-world deviation its own files
+    * exhibit.  A stream decoded under the wrong schedule desyncs at
+    * the first width boundary and either throws or yields the wrong
+    * byte count, so try spec-conformant first, then fall back.
+    */
+  private[graft] def lzwDecode(src: Array[Byte], expected: Int): Array[Byte] = {
+    def tryWith(off: Int): Array[Byte] = {
+      val a = lzwDecodeProbe(src, expected, off)
+      if (a.length != expected) throw new IllegalArgumentException(
+        s"LZW decode length ${a.length} != expected $expected")
+      a
+    }
+    try tryWith(0)
+    catch { case _: IllegalArgumentException => tryWith(1) }
+  }
+
+  private[graft] def lzwDecodeProbe(src: Array[Byte], expected: Int,
+                                      bumpOffset: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(expected)
     var bitPos = 0
     def next(bits: Int): Int = {
@@ -181,7 +201,7 @@ object GeoTiff {
           // the decoder's table is one entry behind the encoder's, so
           // it widens at 510/1022/2046 where the encoder widens at
           // 511/1023/2047 (TIFF 6.0 §13 early change)
-          if (dictSize == (1 << codeBits) - 2 && codeBits < 12) codeBits += 1
+          if (dictSize == (1 << codeBits) - 2 + bumpOffset && codeBits < 12) codeBits += 1
         }
         prev = entry
       }
@@ -350,7 +370,16 @@ object GeoTiff {
     case other => throw new IllegalArgumentException(s"unknown TIFF field type $other")
   }
 
-  def decode(bytes: Array[Byte]): Decoded = {
+  def decode(bytes: Array[Byte]): Decoded = decodeWith(bytes, requireGeo = true)
+
+  /** Decode a plain (not necessarily geo-referenced) TIFF — the
+    * interop surface: files from other writers may lack the GeoTIFF
+    * tags, in which case a unit georef (pixel centers at c+0.5 /
+    * ny−r−0.5, epsg 0) is substituted.
+    */
+  def decodeRaster(bytes: Array[Byte]): Decoded = decodeWith(bytes, requireGeo = false)
+
+  private def decodeWith(bytes: Array[Byte], requireGeo: Boolean): Decoded = {
     require(bytes.length > 8, "not a TIFF: too short")
     val order = (bytes(0), bytes(1)) match {
       case ('I', 'I') => ByteOrder.LITTLE_ENDIAN
@@ -510,14 +539,16 @@ object GeoTiff {
       }
     }
 
-    val scale = fields.getOrElse(TagModelPixelScale, throw new IllegalArgumentException(
-      "TIFF has no ModelPixelScale — not a GeoTIFF")).doubles
-    val tie = fields.getOrElse(TagModelTiepoint, throw new IllegalArgumentException(
-      "TIFF has no ModelTiepoint — not a GeoTIFF")).doubles
-    val (sx, sy) = (scale(0), scale(1))
+    val scaleOpt = fields.get(TagModelPixelScale).map(_.doubles)
+    val tieOpt = fields.get(TagModelTiepoint).map(_.doubles)
+    if (requireGeo && (scaleOpt.isEmpty || tieOpt.isEmpty))
+      throw new IllegalArgumentException(
+        "TIFF has no ModelPixelScale/ModelTiepoint — not a GeoTIFF " +
+          "(use decodeRaster for plain TIFFs)")
+    val (sx, sy) = scaleOpt.map(s => (s(0), s(1))).getOrElse((1.0, 1.0))
     // tiepoint (i, j, k, X, Y, Z): raster point (i,j) sits at model (X,Y)
-    val originX = tie(3) - tie(0) * sx
-    val originY = tie(4) + tie(1) * sy
+    val originX = tieOpt.map(t => t(3) - t(0) * sx).getOrElse(0.0)
+    val originY = tieOpt.map(t => t(4) + t(1) * sy).getOrElse(ny.toDouble)
     val epsg = fields.get(TagGeoKeyDirectory).map(_.longs).map { keys =>
       val entries = keys.drop(4).grouped(4).toSeq
       def key(id: Int): Option[Int] = entries.collectFirst {
