@@ -100,8 +100,13 @@ object GeoTiff {
   }
 
   /** TIFF-variant LZW (TIFF 6.0 §13): MSB-first codes, ClearCode 256,
-    * EOI 257, code width bumps one code EARLY (at table size 510/
-    * 1022/2046), table reset at 4094.
+    * EOI 257.  The width/reset schedule mirrors the DECODER's table,
+    * which runs one entry behind the encoder's: we widen only after
+    * assigning entry 511/1023/2047 (the decoder widens after ITS
+    * entry 510/1022/2046, so the first wider code we emit is exactly
+    * the first one it reads wider) and emit ClearCode after assigning
+    * entry 4094 — the schedule libtiff/GDAL and the JDK TIFF plugin
+    * decode, proven by GeoTiffInteropSpec's reset-scale JDK decode.
     */
   private[graft] def lzwEncode(src: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(src.length / 2 + 64)
@@ -114,6 +119,12 @@ object GeoTiff {
     val dict = new java.util.HashMap[String, Integer]()
     def reset(): Unit = { dict.clear(); codeBits = 9 }
     var nextCode = 258
+    // advance the decoder-mirrored table state by one entry
+    def grow(): Unit = {
+      nextCode += 1
+      if (nextCode == 4095) { put(256); reset(); nextCode = 258 }
+      else if (nextCode == (1 << codeBits) && codeBits < 12) codeBits += 1
+    }
     put(256); reset()
     var cur = new StringBuilder
     var i = 0
@@ -125,9 +136,8 @@ object GeoTiff {
       else {
         val s = cur.toString
         put(if (s.length == 1) s.charAt(0).toInt else dict.get(s))
-        dict.put(ext, nextCode); nextCode += 1
-        if (nextCode == (1 << codeBits) - 1 && codeBits < 12) codeBits += 1
-        else if (nextCode >= 4094) { put(256); reset(); nextCode = 258 }
+        dict.put(ext, nextCode)
+        grow()
         cur = new StringBuilder(ch.toString)
       }
       i += 1
@@ -135,19 +145,23 @@ object GeoTiff {
     if (cur.nonEmpty) {
       val s = cur.toString
       put(if (s.length == 1) s.charAt(0).toInt else dict.get(s))
+      // phantom grow (libtiff LZWPostEncode): the decoder adds one
+      // more entry after reading this final code and may widen before
+      // it reads EOI — keep EOI's width in lockstep
+      grow()
     }
     put(257)
     if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
     out.toByteArray
   }
 
-  /** Decode accepting BOTH code-width schedules: the TIFF 6.0 spec /
-    * libtiff / GDAL "early change" (decoder widens at table size
-    * 510/1022/2046), and the JDK (JAI-derived) TIFF plugin's late
-    * change (one code later) — a real-world deviation its own files
-    * exhibit.  A stream decoded under the wrong schedule desyncs at
-    * the first width boundary and either throws or yields the wrong
-    * byte count, so try spec-conformant first, then fall back.
+  /** Decode with the conformant TIFF 6.0 / libtiff / JDK width
+    * schedule first (decoder widens after adding entry 510/1022/2046
+    * — one entry behind the encoder's 511/1023/2047), falling back to
+    * a one-entry-earlier schedule for streams from non-conformant
+    * writers (graft ≤ r9's own encoder was one such).  A stream
+    * decoded under the wrong schedule desyncs at the first width
+    * boundary and either throws or yields the wrong byte count.
     */
   private[graft] def lzwDecode(src: Array[Byte], expected: Int): Array[Byte] = {
     def tryWith(off: Int): Array[Byte] = {
@@ -157,7 +171,7 @@ object GeoTiff {
       a
     }
     try tryWith(0)
-    catch { case _: IllegalArgumentException => tryWith(1) }
+    catch { case _: IllegalArgumentException => tryWith(-1) }
   }
 
   private[graft] def lzwDecodeProbe(src: Array[Byte], expected: Int,
@@ -199,9 +213,10 @@ object GeoTiff {
         if (prev != null && dictSize < 4096) {
           dict(dictSize) = prev :+ entry(0); dictSize += 1
           // the decoder's table is one entry behind the encoder's, so
-          // it widens at 510/1022/2046 where the encoder widens at
+          // it widens after adding entry 510/1022/2046 (table size
+          // 511/1023/2047) where the encoder widens after assigning
           // 511/1023/2047 (TIFF 6.0 §13 early change)
-          if (dictSize == (1 << codeBits) - 2 + bumpOffset && codeBits < 12) codeBits += 1
+          if (dictSize == (1 << codeBits) - 1 + bumpOffset && codeBits < 12) codeBits += 1
         }
         prev = entry
       }
