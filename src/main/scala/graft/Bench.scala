@@ -19,7 +19,16 @@ object Bench {
     val benchQueries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
       sys.env.get("SPARK_GRAFT_QUERIES") match {
         case Some(list) =>
-          val keep = list.split(",").map(_.trim).toSet
+          val keep = list.split(",").map(_.trim).filter(_.nonEmpty).toSet
+          val unknown = keep -- SparkEntry.queries.keySet
+          // a typo'd subset must fail loudly, not silently bench fewer
+          // queries and report success (it would quietly invalidate
+          // scaling rows like the sf1 baseline)
+          if (unknown.nonEmpty) {
+            System.err.println(
+              s"[bench] unknown SPARK_GRAFT_QUERIES entries: ${unknown.toSeq.sorted.mkString(",")}")
+            sys.exit(2)
+          }
           SparkEntry.queries.filter { case (k, _) => keep(k) }
         case None => SparkEntry.queries
       }

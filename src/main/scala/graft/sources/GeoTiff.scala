@@ -18,10 +18,12 @@ import org.apache.spark.sql.functions._
   *     planar config, any band count; georeferencing from
   *     ModelPixelScale(33550) + ModelTiepoint(33922), CRS from
   *     GeoKeyDirectory(34735), nodata from GDAL_NODATA(42113).
-  *   - writer: little-endian float64 (lossless for our grid tables)
-  *     or float32, None/LZW/Deflate, striped or 16×-tiled, NaN
-  *     nodata — the same header layout `gdal.GetDriverByName('GTiff')`
-  *     emits for `to_geotif` (mapData.py:138: LZW default).
+  *   - writer: little- or big-endian; float64 (lossless for our grid
+  *     tables) / float32, or u8/u16/u32 integer samples with optional
+  *     horizontal predictor(2); None/LZW/Deflate; striped or
+  *     16×-tiled; NaN nodata for floats — the same header layout
+  *     `gdal.GetDriverByName('GTiff')` emits for `to_geotif`
+  *     (mapData.py:138: LZW default).
   *
   * Scale shape: one `.tif` is one raster TILE (bounded — the same
   * E*_N* tiling RasterSink uses), so encode/decode run entirely on
@@ -96,7 +98,55 @@ object GeoTiff {
         throw new IllegalArgumentException("truncated deflate stream in TIFF strip")
       off += n
     }
-    inf.end(); out
+    inf.end()
+    if (off < expected) throw new IllegalArgumentException(
+      s"deflate stream ended at $off of $expected bytes in TIFF strip")
+    out
+  }
+
+  /** Undo horizontal differencing (predictor 2) in place for one row:
+    * sample values accumulate left-to-right per band, modulo the
+    * sample width.  Multi-byte samples are assembled in the FILE's
+    * byte order — carry propagation differs under byte-swap, so using
+    * the wrong order decodes big-endian 16/32-bit data silently wrong.
+    */
+  private def undiffRow(row: Array[Byte], off: Int, cols: Int, nb: Int,
+                        bytesPer: Int, order: ByteOrder): Unit =
+    predRow(row, off, cols, nb, bytesPer, order, add = true)
+
+  /** Apply horizontal differencing (predictor 2) in place for one row
+    * — the encoder-side inverse of [[undiffRow]]; runs right-to-left
+    * so each sample diffs against the original left neighbor.
+    */
+  private def diffRow(row: Array[Byte], off: Int, cols: Int, nb: Int,
+                      bytesPer: Int, order: ByteOrder): Unit =
+    predRow(row, off, cols, nb, bytesPer, order, add = false)
+
+  private def predRow(row: Array[Byte], off: Int, cols: Int, nb: Int,
+                      bytesPer: Int, order: ByteOrder, add: Boolean): Unit = {
+    val be = order == ByteOrder.BIG_ENDIAN
+    @inline def shift(k: Int): Int = if (be) 8 * (bytesPer - 1 - k) else 8 * k
+    @inline def get(at: Int): Long = {
+      var v = 0L; var k = 0
+      while (k < bytesPer) { v |= (row(at + k) & 0xffL) << shift(k); k += 1 }
+      v
+    }
+    @inline def set(at: Int, v: Long): Unit = {
+      var k = 0
+      while (k < bytesPer) { row(at + k) = ((v >> shift(k)) & 0xff).toByte; k += 1 }
+    }
+    var c = if (add) 1 else cols - 1
+    while (if (add) c < cols else c >= 1) {
+      var b = 0
+      while (b < nb) {
+        val i = off + (c * nb + b) * bytesPer
+        val p = off + ((c - 1) * nb + b) * bytesPer
+        val v = get(i); val pv = get(p)
+        set(i, if (add) v + pv else v - pv)
+        b += 1
+      }
+      c += (if (add) 1 else -1)
+    }
   }
 
   /** TIFF-variant LZW (TIFF 6.0 §13): MSB-first codes, ClearCode 256,
@@ -225,24 +275,42 @@ object GeoTiff {
   }
 
   /** Encode a dense raster (`bandsData(b)(r*nx+c)`, row 0 = max y) as
-    * a little-endian GeoTIFF.  `bits` 64 (lossless doubles) or 32;
-    * `compression` "none" | "deflate" | "lzw"; `tiled` writes 16×16
-    * tiles instead of strips (both for read-path parity coverage).
+    * a GeoTIFF.  `sampleFormat` 3 (IEEE float, `bits` 32/64 — the
+    * lossless default for our grid tables) or 1/2 (unsigned/signed
+    * int, `bits` 8/16/32, values rounded); `compression` "none" |
+    * "deflate" | "lzw"; `predictor` 2 applies TIFF horizontal
+    * differencing before compression (integer formats only — cuts
+    * file size on smooth DEMs, and is what GDAL emits by default for
+    * integer rasters); `bigEndian` writes an `MM` file; `tiled`
+    * writes 16×16 tiles instead of strips (all combinations for
+    * read-path parity coverage).
     */
   def encode(bandsData: Array[Array[Double]], nx: Int, ny: Int, ref: Georef,
              bits: Int = 64, compression: String = "deflate",
-             rowsPerStrip: Int = 0, tiled: Boolean = false): Array[Byte] = {
+             rowsPerStrip: Int = 0, tiled: Boolean = false,
+             sampleFormat: Int = 3, predictor: Int = 1,
+             bigEndian: Boolean = false): Array[Byte] = {
     require(bandsData.nonEmpty && bandsData.forall(_.length == nx * ny),
       s"band data must be ${nx}x$ny dense")
-    require(bits == 32 || bits == 64, "float32/float64 samples only")
+    require(sampleFormat == 1 || sampleFormat == 2 || sampleFormat == 3,
+      s"SampleFormat $sampleFormat unsupported (uint/int/float)")
+    if (sampleFormat == 3)
+      require(bits == 32 || bits == 64, "float samples are 32- or 64-bit")
+    else
+      require(bits == 8 || bits == 16 || bits == 32, "int samples are 8/16/32-bit")
+    require(predictor == 1 || predictor == 2,
+      s"predictor $predictor unsupported (none/horizontal)")
+    require(!(predictor == 2 && sampleFormat == 3),
+      "horizontal predictor over float samples is not meaningful")
     val nb = bandsData.length
     val bytesPer = bits / 8
+    val order = if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
     val compCode = compression match {
       case "none" => 1; case "lzw" => 5; case "deflate" => 8
       case other => throw new IllegalArgumentException(s"unknown compression '$other'")
     }
     def pack(r0: Int, rows: Int, c0: Int, cols: Int): Array[Byte] = {
-      val bb = ByteBuffer.allocate(rows * cols * nb * bytesPer).order(ByteOrder.LITTLE_ENDIAN)
+      val bb = ByteBuffer.allocate(rows * cols * nb * bytesPer).order(order)
       var r = r0
       while (r < r0 + rows) {
         var c = c0
@@ -251,14 +319,25 @@ object GeoTiff {
           while (b < nb) {
             // tiles pad past the image edge with zeros
             val v = if (r < ny && c < nx) bandsData(b)(r * nx + c) else 0.0
-            if (bits == 64) bb.putDouble(v) else bb.putFloat(v.toFloat)
+            (bits, sampleFormat) match {
+              case (64, 3) => bb.putDouble(v)
+              case (32, 3) => bb.putFloat(v.toFloat)
+              case (8, _)  => bb.put((math.round(v) & 0xffL).toByte)
+              case (16, _) => bb.putShort((math.round(v) & 0xffffL).toShort)
+              case (32, _) => bb.putInt(math.round(v).toInt)
+            }
             b += 1
           }
           c += 1
         }
         r += 1
       }
-      bb.array()
+      val raw = bb.array()
+      if (predictor == 2) {
+        var rr = 0
+        while (rr < rows) { diffRow(raw, rr * cols * nb * bytesPer, cols, nb, bytesPer, order); rr += 1 }
+      }
+      raw
     }
     def compress(raw: Array[Byte]): Array[Byte] = compCode match {
       case 1 => raw; case 5 => lzwEncode(raw); case 8 => deflate(raw)
@@ -288,15 +367,15 @@ object GeoTiff {
 
     final case class Entry(tag: Int, typ: Int, count: Int, payload: Array[Byte])
     def shorts(vs: Int*): Array[Byte] = {
-      val bb = ByteBuffer.allocate(vs.length * 2).order(ByteOrder.LITTLE_ENDIAN)
+      val bb = ByteBuffer.allocate(vs.length * 2).order(order)
       vs.foreach(v => bb.putShort(v.toShort)); bb.array()
     }
     def longs(vs: Long*): Array[Byte] = {
-      val bb = ByteBuffer.allocate(vs.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+      val bb = ByteBuffer.allocate(vs.length * 4).order(order)
       vs.foreach(v => bb.putInt(v.toInt)); bb.array()
     }
     def doubles(vs: Double*): Array[Byte] = {
-      val bb = ByteBuffer.allocate(vs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      val bb = ByteBuffer.allocate(vs.length * 8).order(order)
       vs.foreach(bb.putDouble); bb.array()
     }
     val geoKeys = shorts(
@@ -320,15 +399,20 @@ object GeoTiff {
         Entry(TagStripOffsets, TLong, chunks.length, longs(chunkOffsets: _*)),
         Entry(TagRowsPerStrip, TLong, 1, longs(rps)),
         Entry(TagStripByteCounts, TLong, chunks.length, longs(chunks.map(_.length.toLong): _*)))) ++
+      (if (predictor == 2) Vector(Entry(TagPredictor, TShort, 1, shorts(2)))
+       else Vector.empty) ++
       Vector(
         Entry(TagSamplesPerPixel, TShort, 1, shorts(nb)),
         Entry(TagPlanarConfig, TShort, 1, shorts(1)),
-        Entry(TagSampleFormat, TShort, nb, shorts(Seq.fill(nb)(3): _*)),
+        Entry(TagSampleFormat, TShort, nb, shorts(Seq.fill(nb)(sampleFormat): _*)),
         Entry(TagModelPixelScale, TDouble, 3, doubles(ref.sx, ref.sy, 0.0)),
         Entry(TagModelTiepoint, TDouble, 6,
           doubles(0.0, 0.0, 0.0, ref.originX, ref.originY, 0.0)),
-        Entry(TagGeoKeyDirectory, TShort, 16, geoKeys),
-        Entry(TagGdalNodata, TAscii, nodataAscii.length, nodataAscii))
+        Entry(TagGeoKeyDirectory, TShort, 16, geoKeys)) ++
+      // "nan" nodata only makes sense for float samples
+      (if (sampleFormat == 3)
+        Vector(Entry(TagGdalNodata, TAscii, nodataAscii.length, nodataAscii))
+       else Vector.empty)
     val sorted = entries.sortBy(_.tag)
 
     // out-of-line payloads (>4 bytes) follow the chunk data
@@ -343,12 +427,13 @@ object GeoTiff {
     }
     val ifdOff = auxOff
     val out = new java.io.ByteArrayOutputStream(ifdOff.toInt + sorted.length * 12 + 32)
-    val hdr = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
-    hdr.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOff.toInt)
+    val hdr = ByteBuffer.allocate(8).order(order)
+    val bom = if (bigEndian) 'M'.toByte else 'I'.toByte
+    hdr.put(bom).put(bom).putShort(42).putInt(ifdOff.toInt)
     out.write(hdr.array())
     chunks.foreach(out.write)
     out.write(aux.toByteArray)
-    val ifd = ByteBuffer.allocate(2 + sorted.length * 12 + 4).order(ByteOrder.LITTLE_ENDIAN)
+    val ifd = ByteBuffer.allocate(2 + sorted.length * 12 + 4).order(order)
     ifd.putShort(sorted.length.toShort)
     sorted.zip(valueFields).foreach { case (e, vf) =>
       ifd.putShort(e.tag.toShort).putShort(e.typ.toShort).putInt(e.count).put(vf)
@@ -454,29 +539,8 @@ object GeoTiff {
         s"TIFF compression $other unsupported (none/LZW/deflate)")
     }
     def undiff(row: Array[Byte], cols: Int): Unit =
-      if (predictor == 2) {
-        // horizontal differencing per row, per band, byte-width samples
-        var c = 1
-        while (c < cols) {
-          var b = 0
-          while (b < nb) {
-            val i = (c * nb + b) * bytesPer
-            val p = ((c - 1) * nb + b) * bytesPer
-            // accumulate little-endian integer of bytesPer bytes
-            var v = 0L; var pv = 0L; var k = 0
-            while (k < bytesPer) {
-              v |= (row(i + k) & 0xffL) << (8 * k)
-              pv |= (row(p + k) & 0xffL) << (8 * k)
-              k += 1
-            }
-            val s = v + pv
-            k = 0
-            while (k < bytesPer) { row(i + k) = ((s >> (8 * k)) & 0xff).toByte; k += 1 }
-            b += 1
-          }
-          c += 1
-        }
-      }
+      if (predictor == 2)
+        undiffRow(row, 0, cols, nb, bytesPer, order)
     def sampleAt(buf: ByteBuffer, idx: Int): Double = (bits, fmt) match {
       case (8, 1)  => (buf.get(idx) & 0xff).toDouble
       case (8, 2)  => buf.get(idx).toDouble
@@ -647,13 +711,21 @@ object GeoTiff {
     * tile key → mapPartitions; a tile is bounded, the whole raster is
     * not).  Pixel centers sit exactly on the grid nodes, so a
     * float64 write→read round-trip is bit-exact.  Returns one
-    * summary row per file (manifest-sized).
+    * summary row per file (manifest-sized).  Tiles are written
+    * through the Hadoop FileSystem API resolved from `dir`'s scheme
+    * with the session's Hadoop conf broadcast to the executors, so
+    * the same call works on local paths (tests) and on a shared
+    * store (hdfs:///dfs-mounted paths) where driver and executors
+    * do NOT share a local disk.
     */
   def writeTiles(grid: DataFrame, dir: String, epsg: Int, delta: Double,
                  tileSize: Double, compression: String = "deflate"): Seq[TileWritten] = {
     val spark = grid.sparkSession
     import spark.implicits._
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val hconf = spark.sparkContext.broadcast(
+      new SerHadoopConf(spark.sparkContext.hadoopConfiguration))
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(dirPath)
     val written = grid
       .select(col("gx").cast("double").as("gx"), col("gy").cast("double").as("gy"),
               col("gz").cast("double").as("gz"))
@@ -678,13 +750,38 @@ object GeoTiff {
           val bytes = encode(Array(arr), nx, ny, ref, bits = 64,
             compression = compression)
           val file = s"$dir/E${e}_N${n}.tif"
-          java.nio.file.Files.write(java.nio.file.Paths.get(file), bytes)
+          val p = new org.apache.hadoop.fs.Path(file)
+          val fs = p.getFileSystem(hconf.value.conf)
+          val os = fs.create(p, true)
+          try os.write(bytes) finally os.close()
           TileWritten(file, e, n, cells.size.toLong, bytes.length.toLong)
         }
       }
       .collect().toSeq
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "raster.json"),
-      s"""{"epsg":$epsg,"delta":$delta,"tile_size":$tileSize}""")
+    val metaPath = new org.apache.hadoop.fs.Path(dir, "raster.json")
+    val mfs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mos = mfs.create(metaPath, true)
+    try mos.write(
+      s"""{"epsg":$epsg,"delta":$delta,"tile_size":$tileSize}""".getBytes("UTF-8"))
+    finally mos.close()
     written
+  }
+}
+
+/** Java-serializable carrier for a Hadoop `Configuration` (which is
+  * `Writable`, not `Serializable`) so executors resolve the same
+  * FileSystem the driver would — the standard broadcast-conf idiom.
+  */
+private[sources] final class SerHadoopConf(
+    @transient private var c: org.apache.hadoop.conf.Configuration)
+  extends Serializable {
+  def conf: org.apache.hadoop.conf.Configuration = c
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject(); c.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    c = new org.apache.hadoop.conf.Configuration(false)
+    c.readFields(in)
   }
 }

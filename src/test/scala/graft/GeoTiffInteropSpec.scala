@@ -83,6 +83,48 @@ class GeoTiffInteropSpec extends AnyFunSuite {
     }
   }
 
+  test("our predictor-2 integer writes decode in the JDK reader (LE/BE, striped/tiled, LZW/Deflate)") {
+    // the JDK TIFF plugin only decodes the horizontal predictor for
+    // 8-bit samples, so the third-party check runs on uint8; the
+    // 16-bit BE carry path is pinned by the hand-assembled case in
+    // GeoTiffSpec plus the own-decode matrix below
+    val (nx, ny) = (37, 23)
+    val band8 = Array.tabulate(nx * ny)(i => (((i % nx) * 5 + (i / nx) * 3 + (i * 7) % 5) % 256).toDouble)
+    val ref = Georef(3031, 25.0, 25.0, 0.0, ny * 25.0)
+    val cases = Seq(
+      ("lzw", false, false), ("deflate", false, false), // LE striped
+      ("deflate", true, false),                         // BE striped
+      ("lzw", false, true), ("lzw", true, true))        // tiled, both orders
+    for ((comp, be, tiled) <- cases) {
+      val mine = GeoTiff.encode(Array(band8), nx, ny, ref, bits = 8,
+        compression = comp, tiled = tiled, sampleFormat = 1, predictor = 2,
+        bigEndian = be)
+      val d = GeoTiff.decode(mine)
+      assert(d.samples(0).sameElements(band8), s"own decode comp=$comp be=$be tiled=$tiled")
+      val img = ImageIO.read(new ByteArrayInputStream(mine))
+      assert(img != null, s"JDK could not parse comp=$comp be=$be tiled=$tiled")
+      for (r <- 0 until ny; c <- 0 until nx)
+        assert(img.getRaster.getSampleDouble(c, r, 0) == band8(r * nx + c),
+          s"comp=$comp be=$be tiled=$tiled sample ($r,$c)")
+    }
+    // 16-bit predictor-2 with byte carries, both orders, own decode
+    val band16 = Array.tabulate(nx * ny)(i => ((i * 257) % 65536).toDouble)
+    for (be <- Seq(false, true)) {
+      val mine = GeoTiff.encode(Array(band16), nx, ny, ref, bits = 16,
+        compression = "lzw", sampleFormat = 1, predictor = 2, bigEndian = be)
+      assert(GeoTiff.decode(mine).samples(0).sameElements(band16), s"16-bit be=$be")
+    }
+  }
+
+  test("predictor-2 shrinks a smooth int DEM vs predictor-none") {
+    val (nx, ny) = (128, 64)
+    val band = Array.tabulate(nx * ny)(i => ((i % nx) * 3 + (i / nx) * 2 + 1000).toDouble)
+    val ref = Georef(3031, 10.0, 10.0, 0.0, ny * 10.0)
+    def size(pred: Int) = GeoTiff.encode(Array(band), nx, ny, ref, bits = 16,
+      compression = "lzw", sampleFormat = 1, predictor = pred).length
+    assert(size(2) < size(1), s"predictor-2 ${size(2)} should beat none ${size(1)}")
+  }
+
   test("our LZW stream survives a JDK decode at dictionary-reset scale") {
     // >4094 dictionary entries forces at least one mid-stream table
     // reset — the hardest LZW corner (encoder and both decoders must

@@ -82,6 +82,36 @@ class GeoTiffSpec extends SparkSpec {
     assert(d.ref.sx == 100.0 && d.ref.originX == -50.0 && d.ref.epsg == 0)
   }
 
+  test("hand-assembled big-endian 16-bit predictor-2 strip decodes with BE carry semantics") {
+    // 3x2 uint16, diffs chosen to force carries across the byte
+    // boundary: row1 values 4096,3840,4352 → diffs 4096,-256,512;
+    // row2 values 1,65535,0 → diffs 1,65534,1 (mod 2^16).  A decoder
+    // that accumulates the bytes little-endian (ignoring the file's
+    // MM order) yields 3841/4353 instead of 3840/4352.
+    import java.nio.{ByteBuffer, ByteOrder}
+    val diffs = Array(0x1000, 0xFF00, 0x0200, 0x0001, 0xFFFE, 0x0001)
+    val bb = ByteBuffer.allocate(320).order(ByteOrder.BIG_ENDIAN)
+    bb.put('M'.toByte).put('M'.toByte).putShort(42).putInt(20) // IFD at 20
+    bb.position(8); diffs.foreach(v => bb.putShort(v.toShort)) // strip at 8, 12 bytes
+    bb.position(20)
+    val entries = Seq( // (tag, type, count, value)
+      (256, 3, 1, 3), (257, 3, 1, 2), (258, 3, 1, 16), (259, 3, 1, 1),
+      (262, 3, 1, 1), (273, 4, 1, 8), (277, 3, 1, 1), (278, 4, 1, 2),
+      (279, 4, 1, 12), (284, 3, 1, 1), (317, 3, 1, 2), (339, 3, 1, 1),
+      (33550, 12, 3, 240), (33922, 12, 6, 264))
+    bb.putShort(entries.length.toShort)
+    entries.foreach { case (tag, typ, count, v) =>
+      bb.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
+      if (typ == 3) { bb.putShort(v.toShort); bb.putShort(0) } else bb.putInt(v)
+    }
+    bb.putInt(0) // next IFD
+    bb.position(240); Seq(100.0, 100.0, 0.0).foreach(bb.putDouble)
+    bb.position(264); Seq(0.0, 0.0, 0.0, -50.0, 1250.0, 0.0).foreach(bb.putDouble)
+    val d = GeoTiff.decode(bb.array())
+    assert(d.nx == 3 && d.ny == 2)
+    assert(d.samples(0).toSeq == Seq(4096.0, 3840.0, 4352.0, 1.0, 65535.0, 0.0))
+  }
+
   test("refusals are loud: BigTIFF and non-TIFF input") {
     val ok = GeoTiff.encode(Array(sampleBand(2, 2)((r, c) => 1.0)), 2, 2, ref)
     val big = ok.clone(); big(2) = 43 // magic 43 = BigTIFF
