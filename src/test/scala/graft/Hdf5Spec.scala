@@ -1,0 +1,114 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Hdf5
+import graft.sources.Hdf5.{NumAttr, StrAttr}
+
+/** Byte-level coverage for the self-contained HDF5 codec.  The
+  * cross-implementation evidence is the REAL libhdf5-written granule
+  * shipped inside the reference repo (surfmask_20180608_001_01.h5 —
+  * superblock v0, v1 object headers with continuations, symbol-table
+  * groups, chunked+deflate datasets, array attributes): a reader
+  * that only round-tripped its own writer could not open it.
+  */
+class Hdf5Spec extends AnyFunSuite {
+
+  private val RealFile = "/root/reference/surfmask_20180608_001_01.h5"
+
+  test("writer→reader round-trips groups, layouts, filters, dtypes") {
+    val n = 1000
+    val ds = Array.tabulate(n)(i => i * 1.5 - 3.0)
+    val ls = Array.tabulate(n)(i => i.toLong * 1234567 - 42)
+    val is = Array.tabulate(n)(i => i * 31 - 7)
+    val w = new Hdf5.Writer
+    w.group("/g1/land_ice_segments")
+    w.doubles("/g1/land_ice_segments/h_li", ds)                        // contiguous
+    w.doubles("/g1/land_ice_segments/lat", ds, chunkRows = 300, gzip = 6) // chunked+gzip (edge chunk)
+    w.doubles("/g1/land_ice_segments/lon", ds, chunkRows = 250, gzip = 6, shuffle = true)
+    w.longs("/g1/land_ice_segments/seg", ls, chunkRows = 256, gzip = 4, fletcher = true)
+    w.ints("/g1/counts", is)
+    w.doubles("/grid", Array.tabulate(60)(_.toDouble), dims = Seq(6, 10))
+    val r = new Hdf5.Reader(w.toBytes)
+    assert(r.groups.toSet.intersect(Set("/g1", "/g1/land_ice_segments")) ==
+      Set("/g1", "/g1/land_ice_segments"))
+    assert(r.datasets.toSet == Set("/g1/land_ice_segments/h_li",
+      "/g1/land_ice_segments/lat", "/g1/land_ice_segments/lon",
+      "/g1/land_ice_segments/seg", "/g1/counts", "/grid"))
+    assert(r.readDoubles("/g1/land_ice_segments/h_li").sameElements(ds))
+    assert(r.readDoubles("/g1/land_ice_segments/lat").sameElements(ds))
+    assert(r.readDoubles("/g1/land_ice_segments/lon").sameElements(ds))
+    assert(r.readLongs("/g1/land_ice_segments/seg").sameElements(ls))
+    assert(r.readLongs("/g1/counts").sameElements(is.map(_.toLong)))
+    assert(r.dims("/grid").toSeq == Seq(6L, 10L))
+    assert(r.readDoubles("/grid").sameElements(Array.tabulate(60)(_.toDouble)))
+  }
+
+  test("attributes round-trip: scalar/array numerics and strings") {
+    val w = new Hdf5.Writer
+    w.group("/index")
+    w.attrD("/index", "delta", 1000.0)
+    w.attrD("/index", "frac", 0.25)
+    w.attrL("/index", "n_files", 3L)
+    w.attrS("/index", "SRS_proj4", "+proj=stere +lat_0=-90 +lat_ts=-71")
+    w.attr("/index", "lat0", NumAttr(Array(-90.0, -70.0, -50.0), Array(-90L, -70L, -50L)))
+    w.attr("/index", "names", StrAttr(Array("tile_a", "tile_bb", "tile_ccc")))
+    w.attrS("", "root_note", "hello")
+    w.doubles("/index/z", Array(1.0, 2.0))
+    w.attrD("/index/z", "_FillValue", -9999.0)
+    val r = new Hdf5.Reader(w.toBytes)
+    val a = r.attrs("/index")
+    assert(a("delta").asInstanceOf[NumAttr].doubles.head == 1000.0)
+    assert(a("frac").asInstanceOf[NumAttr].doubles.head == 0.25)
+    assert(a("n_files").asInstanceOf[NumAttr].longs.head == 3L)
+    assert(a("SRS_proj4").asInstanceOf[StrAttr].strings.head ==
+      "+proj=stere +lat_0=-90 +lat_ts=-71")
+    assert(a("lat0").asInstanceOf[NumAttr].doubles.toSeq == Seq(-90.0, -70.0, -50.0))
+    assert(a("names").asInstanceOf[StrAttr].strings.toSeq ==
+      Seq("tile_a", "tile_bb", "tile_ccc"))
+    assert(r.attrs("")("root_note").asInstanceOf[StrAttr].strings.head == "hello")
+    assert(r.attrs("/index/z")("_FillValue").asInstanceOf[NumAttr].doubles.head == -9999.0)
+  }
+
+  test("group with hundreds of entries survives the multi-SNOD B-tree") {
+    val w = new Hdf5.Writer
+    (0 until 500).foreach { i =>
+      w.doubles(f"/bins/bin_$i%04d/z", Array(i.toDouble))
+    }
+    val r = new Hdf5.Reader(w.toBytes)
+    val bins = r.groups.filter(g => g.startsWith("/bins/")).toSeq
+    assert(bins.size == 500)
+    assert(r.readDoubles("/bins/bin_0123/z").head == 123.0)
+    assert(r.readDoubles("/bins/bin_0499/z").head == 499.0)
+  }
+
+  test("REAL libhdf5 granule: structure, attrs, chunked+deflate tiles") {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(RealFile))
+    val r = new Hdf5.Reader(bytes)
+    val tiles = r.datasets.filter(_.startsWith("/tile_"))
+    assert(tiles.size == 162, s"expected the full 9x18 tile grid, got ${tiles.size}")
+    // TILE_INDEX group attrs drive read_surfmask.py:150-160
+    val ti = r.attrs("/TILE_INDEX")
+    val nlat = ti("N_LAT").asInstanceOf[NumAttr].longs
+    assert(nlat.length == 162 && nlat.forall(_ == 400L))
+    assert(ti("N_LON").asInstanceOf[NumAttr].longs.forall(_ == 400L))
+    assert(ti("LAT0").asInstanceOf[NumAttr].doubles.length == 162)
+    val names = ti("NAME").asInstanceOf[StrAttr].strings
+    assert(names.length == 162 && names.forall(_.startsWith("tile_")))
+    assert(names.toSet == tiles.map(_.stripPrefix("/")).toSet)
+    // chunked + deflate decode, pinned against an independent python
+    // walk of the same bytes (land-bit fractions)
+    val info = r.datasetInfo("/tile_90S000E")
+    assert(info.dims.toSeq == Seq(400L, 400L))
+    assert(info.filters.exists(_._1 == 1), "mask tiles are deflate-compressed")
+    def landFrac(p: String): Double = {
+      val v = r.readLongs(p)
+      v.count(x => (x & 1L) == 1L).toDouble / v.length
+    }
+    assert(landFrac("/tile_90S000E") == 1.0) // Antarctica: all land bit
+    assert(math.abs(landFrac("/tile_70N020E") - 0.136) < 0.002)
+    assert(math.abs(landFrac("/tile_30N000E") - 0.743) < 0.002)
+    // root attrs (v1 header continuation path)
+    assert(r.attrs("").contains("ShortName"))
+  }
+}
