@@ -18,7 +18,7 @@ object SparkEntry {
       Relational.queries ++ DateOps.queries ++ TextOps.queries ++
       Dedup.queries ++ Similarity.queries ++ Projections.queries ++
       RasterOps.queries ++ Components.queries ++ TemporalJoins.queries ++
-      CorpusOps.queries ++ Bpe.queries
+      CorpusOps.queries ++ Bpe.queries ++ H5Ops.queries
 
   /** DuckDB-equivalent SQL per query key (driver correctness gate). */
   def oracleSql: Map[String, String] =
@@ -26,5 +26,5 @@ object SparkEntry {
       Relational.oracles ++ DateOps.oracles ++ TextOps.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Projections.oracles ++
       RasterOps.oracles ++ Components.oracles ++ TemporalJoins.oracles ++
-      CorpusOps.oracles ++ Bpe.oracles
+      CorpusOps.oracles ++ Bpe.oracles ++ H5Ops.oracles
 }

@@ -1,0 +1,276 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Hdf5.{NumAttr, StrAttr}
+
+/** ATL06 granule IO over the self-contained HDF5 codec — the Spark
+  * face of the reference's primary point format (ATL06_data.py:92
+  * `from_file`: per-beam groups `gt{1..3}{l,r}/land_ice_segments`
+  * holding parallel 1-D arrays).
+  *
+  * Scale shape: one granule = one `.h5` file = one ICESat-2 pass —
+  * bounded by construction (~1e5 segments), so granules encode in
+  * `mapPartitions` after a repartition on the granule key and decode
+  * through the `binaryFile` source, one file per task unit; a
+  * 10⁶-granule archive is embarrassingly parallel and nothing
+  * granule-sized ever reaches the driver.
+  */
+object Atl06H5 {
+
+  /** One land-ice segment as read back from a granule. */
+  final case class Seg(file: String, beam_pair: Int, lr: Int, segment_id: Long,
+                       latitude: Double, longitude: Double, h_li: Double,
+                       delta_time: Double)
+
+  private def beamGroup(pair: Int, lr: Int): String =
+    s"gt$pair${if (lr == 0) "l" else "r"}"
+
+  /** Encode one granule.  Beam assignment follows the reference's
+    * fixed six-beam structure (ATL06_data.py:96 `gt%d%s`); the field
+    * set is the reference's default-dict core (ATL06_data.py:77:
+    * latitude, longitude, h_li, delta_time + segment ids).  Datasets
+    * deliberately span the codec's layout matrix: chunked+deflate,
+    * chunked+shuffle+deflate, chunked+deflate+fletcher32, contiguous.
+    */
+  def granuleBytes(recs: Seq[(Long, Double, Double, Double, Double)],
+                   rgt: Long): Array[Byte] = {
+    val w = new Hdf5.Writer
+    w.attrL("", "rgt", rgt)
+    w.longs("/orbit_info/rgt", Array(rgt))
+    w.longs("/orbit_info/orbit_number", Array(rgt * 14 + 1))
+    for (pair <- 1 to 3; lr <- 0 to 1) {
+      val beam = recs.filter { case (id, _, _, _, _) =>
+        ((id % 6) / 2).toInt + 1 == pair && (id % 2).toInt == lr
+      }.sortBy(_._1)
+      val g = s"/${beamGroup(pair, lr)}/land_ice_segments"
+      val n = beam.size
+      val rows = math.max(512, (n + 63) / 64)
+      w.longs(s"$g/segment_id", beam.map(_._1).toArray, chunkRows = rows, gzip = 6)
+      w.doubles(s"$g/latitude", beam.map(_._2).toArray, chunkRows = rows, gzip = 6,
+        shuffle = true)
+      w.doubles(s"$g/longitude", beam.map(_._3).toArray, chunkRows = rows, gzip = 6)
+      w.doubles(s"$g/h_li", beam.map(_._4).toArray)
+      w.doubles(s"$g/delta_time", beam.map(_._5).toArray, chunkRows = rows,
+        gzip = 6, fletcher = true)
+      w.attrD(s"$g/h_li", "_FillValue", 3.4028234663852886e38)
+    }
+    w.toBytes
+  }
+
+  /** Decode one granule's beams (ATL06_data.py:107-171 reads the same
+    * parallel arrays per beam and column-binds them).
+    */
+  def decode(file: String, bytes: Array[Byte]): Iterator[Seg] = {
+    val r = new Hdf5.Reader(bytes)
+    val ds = r.datasets.toSet
+    (for (pair <- 1 to 3; lr <- 0 to 1) yield {
+      val g = s"/${beamGroup(pair, lr)}/land_ice_segments"
+      if (!ds.contains(s"$g/segment_id")) Iterator.empty
+      else {
+        val ids = r.readLongs(s"$g/segment_id")
+        val lat = r.readDoubles(s"$g/latitude")
+        val lon = r.readDoubles(s"$g/longitude")
+        val h = r.readDoubles(s"$g/h_li")
+        val dt = r.readDoubles(s"$g/delta_time")
+        ids.indices.iterator.map(i =>
+          Seg(file, pair, lr, ids(i), lat(i), lon(i), h(i), dt(i)))
+      }
+    }).iterator.flatten
+  }
+
+  /** Write points as ATL06-shaped granules, one file per `gran` key,
+    * encoded on executors and written through the Hadoop FileSystem
+    * API.  Input columns: gran, id, latitude, longitude, h_li,
+    * delta_time.
+    */
+  def writeGranules(points: DataFrame, dir: String): Unit = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val hconf = spark.sparkContext.broadcast(
+      new SerHadoopConf(spark.sparkContext.hadoopConfiguration))
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(dirPath)
+    points
+      .select(col("gran").cast("long"), col("id").cast("long"),
+        col("latitude").cast("double"), col("longitude").cast("double"),
+        col("h_li").cast("double"), col("delta_time").cast("double"))
+      .repartition(col("gran"))
+      .as[(Long, Long, Double, Double, Double, Double)]
+      .mapPartitions { it =>
+        it.toSeq.groupBy(_._1).iterator.map { case (gran, rows) =>
+          val bytes = granuleBytes(
+            rows.map(r => (r._2, r._3, r._4, r._5, r._6)), gran)
+          val p = new org.apache.hadoop.fs.Path(f"$dir/ATL06_gran$gran%04d.h5")
+          val fs = p.getFileSystem(hconf.value.conf)
+          val os = fs.create(p, true)
+          try os.write(bytes) finally os.close()
+          gran
+        }
+      }
+      .write.format("noop").mode("overwrite").save()
+  }
+
+  /** Read a directory of granules back as the segment table. */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").option("pathGlobFilter", "*.h5").load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, c) => decode(p, c) }
+      .toDF()
+  }
+
+  /** Registry adapter: the lat/lon-bearing reader contract
+    * (rec_idx, latitude, longitude, elevation, rel_time_s).
+    */
+  def readForRegistry(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir).select(
+      col("segment_id").as("rec_idx"), col("latitude"), col("longitude"),
+      col("h_li").as("elevation"), col("delta_time").as("rel_time_s"))
+}
+
+/** The reference's saved-index file format (geo_index.py:205-229
+  * `to_file`): an `index` group whose attrs carry `delta`,
+  * `SRS_proj4`, `dir_root`, `n_files` and per-file `file_N`/`type_N`,
+  * and one subgroup per bin (named from the bin center, `x_y`)
+  * holding the parallel run arrays `file_num`, `offset_start`,
+  * `offset_end`.  [[adopt]] is the `for_file('h5_geoindex')` arm
+  * (geo_index.py:275-289): the saved bins are taken over WITHOUT a
+  * point scan.
+  */
+object GeoIndexH5 {
+
+  final case class Run(bin_x: Long, bin_y: Long, file_num: Long,
+                       offset_start: Long, offset_end: Long)
+
+  /** Build the reference-shaped index file from a run table
+    * `(bin_x, bin_y, run_start, run_end)`.  An index is
+    * manifest-sized (bins × runs, no point data), so the build
+    * collects the run table — the same O(index) driver footprint as
+    * the reference's in-memory geo_index dict — and the result is a
+    * single `.h5` exactly like `to_file`'s.
+    */
+  def write(runs: DataFrame, delta: Double, srsProj4: String, dirRoot: String,
+            files: Seq[(String, String)], path: String): Unit = {
+    val collected = runs
+      .select(col("bin_x").cast("long"), col("bin_y").cast("long"),
+        coalesce(col("file_num"), lit(0L)).cast("long"),
+        col("run_start").cast("long"), col("run_end").cast("long"))
+      .collect()
+      .map(r => Run(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val w = new Hdf5.Writer
+    w.group("/index")
+    w.attrD("/index", "delta", delta)
+    w.attrS("/index", "SRS_proj4", srsProj4)
+    w.attrS("/index", "dir_root", dirRoot)
+    w.attrL("/index", "n_files", files.size.toLong)
+    files.zipWithIndex.foreach { case ((f, t), i) =>
+      w.attrS("/index", s"file_$i", f)
+      w.attrS("/index", s"type_$i", t)
+    }
+    collected.groupBy(r => (r.bin_x, r.bin_y)).toSeq.sortBy(_._1).foreach {
+      case ((bx, by), rs0) =>
+        val rs = rs0.sortBy(_.offset_start)
+        val g = s"/index/${bx}_$by"
+        w.longs(s"$g/file_num", rs.map(_.file_num))
+        w.longs(s"$g/offset_start", rs.map(_.offset_start))
+        w.longs(s"$g/offset_end", rs.map(_.offset_end))
+    }
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val os = fs.create(p, true)
+    try os.write(w.toBytes) finally os.close()
+  }
+
+  /** Explode a saved index file into its run table, decoded on an
+    * executor via the binaryFile source (reference files name bins
+    * with float-formatted centers — both `400` and `400.0` parse).
+    */
+  def readRuns(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap { bytes =>
+        val r = new Hdf5.Reader(bytes)
+        r.groups.filter(g => g.startsWith("/index/") && g.count(_ == '/') == 2)
+          .iterator.flatMap { g =>
+            val name = g.stripPrefix("/index/")
+            val sep = name.lastIndexOf('_')
+            val bx = math.round(name.substring(0, sep).toDouble)
+            val by = math.round(name.substring(sep + 1).toDouble)
+            val fn = r.readLongs(s"$g/file_num")
+            val s0 = r.readLongs(s"$g/offset_start")
+            val s1 = r.readLongs(s"$g/offset_end")
+            fn.indices.map(i => Run(bx, by, fn(i), s0(i), s1(i)))
+          }
+      }
+      .toDF()
+  }
+
+  /** `for_file('h5_geoindex')`: adopt the saved bins as a partial
+    * index (registry schema) with NO point scan — `n_points` from the
+    * run extents, min/max ids from the runs.
+    */
+  def adopt(spark: SparkSession, path: String): DataFrame =
+    readRuns(spark, path)
+      .groupBy("bin_x", "bin_y")
+      .agg((sum(col("offset_end") - col("offset_start") + 1)).cast("long").as("n_points"),
+        min("offset_start").as("id_min"), max("offset_end").as("id_max"))
+
+  def attrs(spark: SparkSession, path: String): Map[String, String] = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    new Hdf5.Reader(bytes).attrs("/index").collect {
+      case (k, StrAttr(ss)) => k -> ss.headOption.getOrElse("")
+      case (k, NumAttr(ds, _)) => k -> ds.headOption.map(_.toString).getOrElse("")
+    }.toMap
+  }
+}
+
+/** The reference's tiled global mask granule (read_surfmask.py:150:
+  * `TILE_INDEX` attrs LAT0/LON0/…/NAME place each 400×400 tile on
+  * the 0.05° grid; bit 0 of `surf_type` is the land flag).  One
+  * granule decodes per executor task via binaryFile; each cell
+  * becomes a (lat, lon, surf_type, land) row.
+  */
+object Surfmask {
+
+  final case class Cell(tile: String, lat: Double, lon: Double,
+                        surf_type: Long, land: Int)
+
+  def read(spark: SparkSession, path: String, stride: Int = 1): DataFrame = {
+    import spark.implicits._
+    require(stride >= 1, "stride must be >= 1")
+    spark.read.format("binaryFile").option("pathGlobFilter", "*.h5").load(path)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap { bytes =>
+        val r = new Hdf5.Reader(bytes)
+        val ti = r.attrs("/TILE_INDEX")
+        val names = ti("NAME").asInstanceOf[StrAttr].strings
+        val lat0 = ti("LAT0").asInstanceOf[NumAttr].doubles
+        val lon0 = ti("LON0").asInstanceOf[NumAttr].doubles
+        val latS = ti("LAT_SCALE").asInstanceOf[NumAttr].doubles
+        val lonS = ti("LON_SCALE").asInstanceOf[NumAttr].doubles
+        val nLat = ti("N_LAT").asInstanceOf[NumAttr].longs
+        val nLon = ti("N_LON").asInstanceOf[NumAttr].longs
+        names.indices.iterator.flatMap { i =>
+          val nm = names(i)
+          if (!r.datasets.contains(s"/$nm")) Iterator.empty
+          else {
+            val v = r.readLongs(s"/$nm")
+            val (ny, nx) = (nLat(i).toInt, nLon(i).toInt)
+            for {
+              rr <- Iterator.range(0, ny, stride)
+              cc <- Iterator.range(0, nx, stride)
+            } yield {
+              val st = v(rr * nx + cc)
+              Cell(nm, lat0(i) + rr * latS(i), lon0(i) + cc * lonS(i),
+                st, (st & 1L).toInt)
+            }
+          }
+        }
+      }
+      .toDF()
+  }
+}

@@ -36,15 +36,21 @@ object SourceRegistry {
     "orc" -> (PointSources.readOrc _))
 
   /** Kinds whose records carry lat/lon, projected at read
-    * (the reference's `from_latlon` arm, geo_index.py:262-268).
+    * (the reference's `from_latlon` arm, geo_index.py:262-268; the
+    * `atl06_h5` kind is the reference's PRIMARY format — real `.h5`
+    * beam-group granules decoded by the self-contained codec,
+    * geo_index.py:240-249 ATL06 arm).
     */
   private val latlonReaders: Map[String, Reader] = Map(
     "qfit" -> (QfitSource.read _),
-    "qfit_waveform" -> (QfitSource.readWaveform _))
+    "qfit_waveform" -> (QfitSource.readWaveform _),
+    "atl06_h5" -> (Atl06H5.readForRegistry _))
 
   /** Index-bearing kind: a saved partial index adopted bin-for-bin,
     * no point scan (the reference's `h5_geoindex` arm,
-    * geo_index.py:275-289).
+    * geo_index.py:275-289).  A `.h5` path opens the reference's
+    * actual index-file layout ([[GeoIndexH5.adopt]]); anything else
+    * is a graft-written parquet partial index.
     */
   val IndexKind = "geoindex"
 
@@ -107,6 +113,10 @@ object SourceRegistry {
     */
   def forFile(spark: SparkSession, kind: String, path: String,
               delta: Double, epsg: Int = 3031): DataFrame = kind match {
+    case IndexKind if path.endsWith(".h5") =>
+      GeoIndexH5.adopt(spark, path)
+        .select(col("bin_x"), col("bin_y"), col("n_points"),
+          col("id_min"), col("id_max"))
     case IndexKind =>
       spark.read.parquet(path)
         .select(col("bin_x"), col("bin_y"), col("n_points"),

@@ -94,6 +94,79 @@ class SourceRegistrySpec extends SparkSpec {
     assert(z == 0.0)
   }
 
+  test("real ATL06 .h5 granules index like any point kind (codec-backed)") {
+    val base = java.nio.file.Files.createTempDirectory("sreg4").toString
+    // southern-hemisphere granule content (EPSG:3031's domain)
+    val gran = (600 until 1000).map { i =>
+      (i % 3, i.toLong, -70.0 - (i % 50) * 0.01, (i % 100) * 0.5,
+        i * 0.5, i * 1.0)
+    }.toDF("gran", "id", "latitude", "longitude", "h_li", "delta_time")
+    graft.sources.Atl06H5.writeGranules(gran, s"$base/granules")
+    val pts = SourceRegistry.readAs(spark, "atl06_h5", s"$base/granules")
+    assert(pts.count() == 400L)
+    assert(pts.select("id").distinct().count() == 400L) // segment ids carry through
+    // z survives the .h5 cycle exactly
+    assert(pts.filter(col("id") === 700L).select("z").head().getDouble(0) == 350.0)
+    // and the kind participates in a mixed merge with every other arm
+    mk(0, 300).write.option("header", "true").csv(s"$base/pts_csv")
+    val grid = (0 until 100).map { i =>
+      ((i % 10) * 100L - 500L, (i / 10) * 100L - 500L, i * 1.0)
+    }.toDF("gx", "gy", "gz")
+    graft.sources.GeoTiff.writeTiles(grid, s"$base/dem", epsg = 3031,
+      delta = 100.0, tileSize = 1000.0)
+    val files = Seq(
+      "csv" -> s"$base/pts_csv",
+      "atl06_h5" -> s"$base/granules",
+      SourceRegistry.DemKind -> s"$base/dem")
+    val merged = SourceRegistry.indexListForFiles(spark, files, delta = 500.0)
+    val union = files.zipWithIndex.map { case ((k, p), i) =>
+      SourceRegistry.readAs(spark, k, p).withColumn("src", lit(i))
+    }.reduce(_ unionByName _)
+    val expect = union
+      .select(GeoOps.binOf(col("x"), 500.0).as("bin_x"),
+        GeoOps.binOf(col("y"), 500.0).as("bin_y"), col("id"), col("src"))
+      .groupBy("bin_x", "bin_y")
+      .agg(count("*").as("n_points"),
+        min("id").as("id_min"), max("id").as("id_max"),
+        countDistinct("src").as("n_sources"))
+    // the from_list law holds across heterogeneous id spaces (packed
+    // DEM cell ids, ATL06 segment ids, csv row ids)
+    assert(merged.exceptAll(expect).count() == 0 &&
+      expect.exceptAll(merged).count() == 0)
+    assert(merged.agg(sum("n_points")).head().getLong(0) == 800L)
+  }
+
+  test("a reference-shaped .h5 geoindex is adopted bin-for-bin, no point scan") {
+    val base = java.nio.file.Files.createTempDirectory("sreg5").toString
+    val pts = mk(0, 500)
+    // exact per-bin runs (gaps-and-islands over consecutive ids) in
+    // the reference's to_file layout (geo_index.py:205-229)
+    val binned = pts.select(GeoOps.binOf(col("x"), 500.0).as("bin_x"),
+      GeoOps.binOf(col("y"), 500.0).as("bin_y"), col("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bin_x", "bin_y").orderBy("id")
+    val runs = binned
+      .withColumn("island", col("id") - row_number().over(w))
+      .groupBy("bin_x", "bin_y", "island")
+      .agg(min("id").as("run_start"), max("id").as("run_end"))
+      .drop("island").withColumn("file_num", lit(0L))
+    graft.sources.GeoIndexH5.write(runs, 500.0, "+proj=stere +lat_0=-90",
+      "/data", Seq(("pts.parquet", "ATL06")), s"$base/index.h5")
+    // registry adoption == the direct point-scan index, bin for bin
+    val adopted = SourceRegistry.forFile(
+      spark, SourceRegistry.IndexKind, s"$base/index.h5", 500.0)
+    val direct = SourceRegistry.indexOf(pts, 500.0)
+    assert(adopted.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(adopted).count() == 0)
+    // and only the .h5 is opened — no point files
+    val opened = adopted.inputFiles
+    assert(opened.nonEmpty && opened.forall(_.endsWith("index.h5")))
+    // index attrs carry the reference's metadata surface
+    val at = graft.sources.GeoIndexH5.attrs(spark, s"$base/index.h5")
+    assert(at("SRS_proj4") == "+proj=stere +lat_0=-90" &&
+      at("file_0") == "pts.parquet" && at("type_0") == "ATL06")
+  }
+
   test("an unregistered kind refuses with the known-kind list") {
     val e = intercept[IllegalArgumentException] {
       SourceRegistry.readAs(spark, "hdf5", "/nowhere")
