@@ -205,6 +205,15 @@ object GeoParquet {
     BloomHashes.map { case (a, b) => ((r * a + b) % BloomM).cast("int") }
   }
 
+  /** Scala twin of [[bloomPosCol]] — MUST stay bit-identical to it
+    * (probe positions computed driver-side from a metadata-sized key
+    * list meet write-side positions computed by the column form).
+    */
+  private def bloomPositions(key: Long): Seq[Int] = {
+    val r = ((key % BloomP) + BloomP) % BloomP
+    BloomHashes.map { case (a, b) => ((r * a + b) % BloomM).toInt }
+  }
+
   /** Declare the columns this layout maintains membership filters
     * for.  Takes effect at the next [[writeManifest]] (a rebuild) —
     * incremental appends before that compute the positions but the
@@ -282,10 +291,18 @@ object GeoParquet {
     filterCols.foldLeft(raw) { (acc, c) =>
       val parts = acc.columns.filter(_.startsWith(s"__bloom_${c}__"))
       if (parts.isEmpty) acc
-      else acc
-        .withColumn(bloomColName(c), sort_array(
-          parts.map(col).reduce((a, b) => array_union(a, b))))
-        .drop(parts.toIndexedSeq: _*)
+      else {
+        val merged = sort_array(
+          parts.map(col).reduce((a, b) => array_union(a, b)))
+        // a filter that covers (nearly) the whole position space
+        // can't prune anything — store NULL ("unknown, must open")
+        // instead, so saturated files cost the probe zero join work
+        // and the manifest zero bytes
+        acc.withColumn(bloomColName(c),
+            when(size(merged) >= lit((BloomM * 15 / 16).toInt), lit(null))
+              .otherwise(merged))
+          .drop(parts.toIndexedSeq: _*)
+      }
     }
   }
 
@@ -1038,11 +1055,35 @@ object GeoParquet {
     val kt = keys.schema.fields.head.dataType
     val k = keys.toDF("k")
       .select(bloomKeyCol(col("k"), kt).as("k")).distinct()
-    val cond = bloomPosCol(col("k"))
-      .map(p => array_contains(col(bc), p)).reduce(_ && _)
-    val hit = k.join(
-        broadcast(m.filter(col(bc).isNotNull).select(col("file"), col(bc))),
-        cond, "inner")
+    val nHashes = BloomHashes.length
+    // pruning only carries information while the PROBE's positions
+    // undercover the space: once |keys|·k approaches BloomM the
+    // probed positions blanket every filter and the candidate set is
+    // the universe — skip the computation instead of paying for it
+    // (a >BloomM/2k-key batch lookup is a scan, not a point probe)
+    val maxKeys = (BloomM / (2 * nHashes)).toInt
+    val collected = k.limit(maxKeys + 1).collect().map(_.getLong(0))
+    if (collected.length > maxKeys) return None
+    // the surviving key set is metadata-sized (≤ BloomM/2k values —
+    // the same class as the file-name lists this function returns),
+    // so its positions are computed here and shipped as a literal
+    // frame; the per-file filter ARRAYS never leave the executors.
+    // The candidate test is an equi-join on hash position, NOT
+    // array_contains over the merged arrays: the theta-join form
+    // cost keys × files × |array| element compares, which at 10×
+    // data turned the manifest-sized probe into the query's dominant
+    // term (ProbeSplit r10: 25 s at sf1).
+    import m.sparkSession.implicits._
+    val kpos = collected.zipWithIndex.flatMap { case (key, ki) =>
+      bloomPositions(key).map(pos => (ki, pos))
+    }.toSeq.toDF("ki", "pos")
+    val mExp = m.filter(col(bc).isNotNull)
+      .select(col("file"), explode(col(bc)).as("pos"))
+    // a file is a candidate iff ALL k of some key's positions appear
+    // in its filter ((file, pos) rows are distinct, so count == k)
+    val hit = mExp.join(broadcast(kpos), Seq("pos"))
+      .groupBy(col("file"), col("ki")).agg(count(lit(1)).as("np"))
+      .filter(col("np") === nHashes)
       .select("file").distinct().collect().map(_.getString(0))
     val unknown = m.filter(col(bc).isNull)
       .select("file").collect().map(_.getString(0))
@@ -1825,21 +1866,18 @@ object GeoParquet {
     * everything else is left byte-for-byte alone.  Returns the
     * number of files rewritten (0 = no pressure anywhere).
     */
-  def compactCurveScoped(spark: SparkSession, path: String,
-                         filesPerRun: Int = 4,
-                         maxOverlap: Int = 4): Int = {
-    adoptStagedMerges(spark, path)
-    healCompactStage(spark, path) // resolve a crashed predecessor
-    require(manifestFresh(spark, path, verify = false),
-      s"$path: manifest is stale; run writeManifest before a scoped " +
-        "compact — the scope is chosen from manifest key ranges")
-    val m = spark.read.parquet(s"$path/_manifest")
-    require(m.columns.contains("k0"),
-      s"$path is not curve-clustered (no key ranges in its manifest)")
-    val rows = m.select("file", "k0", "k1").collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      .sortBy(r => (r._2, r._3))
-    // connected components of interval overlap + sweep depth each
+  /** The scoped compaction's PLANNING step, pure and driver-side:
+    * connected components of key-interval overlap (one sorted sweep)
+    * with a max-overlap-depth test per component; returns the files
+    * of every component deeper than `maxOverlap`.  Cost is
+    * O(F log F) time and O(F) heap in the MANIFEST row count — the
+    * same metadata class as Spark's own file listing, independent of
+    * data volume (PlanGuardSpec pins 10⁵ manifest rows to well under
+    * a second and a few MB of tuples).
+    */
+  private[graft] def planCompactScope(rows0: Array[(String, Long, Long)],
+                                      maxOverlap: Int): Seq[String] = {
+    val rows = rows0.sortBy(r => (r._2, r._3))
     val doomed = Seq.newBuilder[String]
     var comp = List.empty[(String, Long, Long)]
     var compMax = Long.MinValue
@@ -1858,7 +1896,23 @@ object GeoParquet {
       comp ::= r; compMax = compMax.max(r._3)
     }
     flush()
-    val scope = doomed.result()
+    doomed.result()
+  }
+
+  def compactCurveScoped(spark: SparkSession, path: String,
+                         filesPerRun: Int = 4,
+                         maxOverlap: Int = 4): Int = {
+    adoptStagedMerges(spark, path)
+    healCompactStage(spark, path) // resolve a crashed predecessor
+    require(manifestFresh(spark, path, verify = false),
+      s"$path: manifest is stale; run writeManifest before a scoped " +
+        "compact — the scope is chosen from manifest key ranges")
+    val m = spark.read.parquet(s"$path/_manifest")
+    require(m.columns.contains("k0"),
+      s"$path is not curve-clustered (no key ranges in its manifest)")
+    val rows = m.select("file", "k0", "k1").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val scope = planCompactScope(rows, maxOverlap)
     if (scope.isEmpty) return 0
     val keyCol = curveKeyColOf(spark, path).getOrElse(
       throw new IllegalArgumentException(

@@ -51,4 +51,32 @@ class PlanGuardSpec extends SparkSpec {
     }
     assert(over.isEmpty, s"plan regressions:\n${over.mkString("\n")}")
   }
+
+  test("scoped-compact planning is sub-second and heap-bounded at 1e5 manifest rows") {
+    // a 100k-file manifest: 10k components of 10 overlapping runs
+    // each (every component exceeds maxOverlap=4), interleaved with
+    // wide gaps — the worst realistic interval-sweep shape
+    val rows = Array.tabulate(100000) { i =>
+      val comp = i / 10; val j = i % 10
+      (f"part-$i%06d", comp * 10000L + j * 10L, comp * 10000L + j * 10L + 500L)
+    }
+    // shuffle deterministically: planning must not assume sorted input
+    val jumbled = rows.indices.map(i =>
+      rows(((i.toLong * 48271L) % rows.length).toInt)).toArray
+    val t0 = System.nanoTime()
+    val scope = graft.sources.GeoParquet.planCompactScope(jumbled, maxOverlap = 4)
+    val tSec = (System.nanoTime() - t0) / 1e9
+    assert(scope.size == 100000, s"all files are in >4-deep components, got ${scope.size}")
+    assert(tSec < 1.0, s"planning took $tSec s for 1e5 manifest rows")
+    // and the depth threshold really gates: disjoint runs plan nothing
+    val disjoint = Array.tabulate(100000)(i => (s"f$i", i * 1000L, i * 1000L + 10L))
+    assert(graft.sources.GeoParquet.planCompactScope(disjoint, 4).isEmpty)
+    // correctness corner: two components, only the deep one doomed
+    val mixed = Array(
+      ("a", 0L, 100L), ("b", 10L, 110L), ("c", 20L, 120L),
+      ("d", 30L, 130L), ("e", 40L, 140L), // depth 5 > 4
+      ("x", 10000L, 10100L), ("y", 10200L, 10300L)) // depth 1
+    assert(graft.sources.GeoParquet.planCompactScope(mixed, 4).toSet ==
+      Set("a", "b", "c", "d", "e"))
+  }
 }
