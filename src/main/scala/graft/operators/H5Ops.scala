@@ -97,11 +97,27 @@ object H5Ops {
        |       min(s) AS id_min, max(e) AS id_max
        |FROM r GROUP BY 1,2 ORDER BY 1,2""".stripMargin
 
+  /** 66f. `mapData.from_h5` raster cycle (mapData.py:96-123): the
+    * δ=100 DEM grid lands as HDF5 raster tiles (1-D x/y axes + 2-D z
+    * per granule, executor-encoded), reads back through the
+    * contiguous-slab path, and feeds the standard bilinear probes.
+    * Same oracle as the plain-parquet and GeoTIFF DEM paths — a hash
+    * match proves the `.h5` raster container is bit-lossless too.
+    */
+  def h5Dem(s: SparkSession, dir: String): DataFrame = {
+    val grid = DateOps.demGrid(s, dir)
+    val out = java.nio.file.Files.createTempDirectory("h5dem").toString
+    graft.sources.RasterH5.writeTiles(grid, out, tileSize = 1600.0)
+    DateOps.bilinearOnGrid(graft.sources.RasterH5.readGrid(s, out), s, dir)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_atl06_h5" -> (atl06Roundtrip _),
-    "q_h5_index" -> (h5IndexRoundtrip _))
+    "q_h5_index" -> (h5IndexRoundtrip _),
+    "q_h5_dem" -> (h5Dem _))
 
   val oracles: Map[String, String] = Map(
     "q_atl06_h5" -> atl06RoundtripSql,
-    "q_h5_index" -> h5IndexRoundtripSql)
+    "q_h5_index" -> h5IndexRoundtripSql,
+    "q_h5_dem" -> DateOps.gridInterpSql)
 }

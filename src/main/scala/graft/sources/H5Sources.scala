@@ -131,6 +131,95 @@ object Atl06H5 {
       col("h_li").as("elevation"), col("delta_time").as("rel_time_s"))
 }
 
+/** ATL11 granule IO — the reference's second HDF5 point format
+  * (geo_index.py:245-255 `for_file('ATL11')`): per-beam-pair groups
+  * `pt{1..3}` each holding a `corrected_h` group of parallel arrays
+  * (the reference's field dict reads latitude/longitude from it).
+  * Same granule-per-task scale shape as [[Atl06H5]].
+  */
+object Atl11H5 {
+
+  final case class Pt(file: String, beam_pair: Int, ref_pt: Long,
+                      latitude: Double, longitude: Double, h_corr: Double,
+                      delta_time: Double)
+
+  def granuleBytes(recs: Seq[(Long, Double, Double, Double, Double)]): Array[Byte] = {
+    val w = new Hdf5.Writer
+    for (pair <- 1 to 3) {
+      val beam = recs.filter { case (id, _, _, _, _) => id % 3 == pair - 1 }
+        .sortBy(_._1)
+      val g = s"/pt$pair/corrected_h"
+      val rows = math.max(512, (beam.size + 63) / 64)
+      w.longs(s"$g/ref_pt", beam.map(_._1).toArray, chunkRows = rows, gzip = 6)
+      w.doubles(s"$g/latitude", beam.map(_._2).toArray, chunkRows = rows, gzip = 6)
+      w.doubles(s"$g/longitude", beam.map(_._3).toArray, chunkRows = rows, gzip = 6)
+      w.doubles(s"$g/h_corr", beam.map(_._4).toArray, chunkRows = rows, gzip = 6,
+        shuffle = true)
+      w.doubles(s"$g/delta_time", beam.map(_._5).toArray)
+    }
+    w.toBytes
+  }
+
+  def decode(file: String, bytes: Array[Byte]): Iterator[Pt] = {
+    val r = new Hdf5.Reader(bytes)
+    val ds = r.datasets.toSet
+    (for (pair <- 1 to 3) yield {
+      val g = s"/pt$pair/corrected_h"
+      if (!ds.contains(s"$g/ref_pt")) Iterator.empty
+      else {
+        val ids = r.readLongs(s"$g/ref_pt")
+        val lat = r.readDoubles(s"$g/latitude")
+        val lon = r.readDoubles(s"$g/longitude")
+        val h = r.readDoubles(s"$g/h_corr")
+        val dt = r.readDoubles(s"$g/delta_time")
+        ids.indices.iterator.map(i =>
+          Pt(file, pair, ids(i), lat(i), lon(i), h(i), dt(i)))
+      }
+    }).iterator.flatten
+  }
+
+  /** Input columns: gran, id, latitude, longitude, h_corr, delta_time. */
+  def writeGranules(points: DataFrame, dir: String): Unit = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val hconf = spark.sparkContext.broadcast(
+      new SerHadoopConf(spark.sparkContext.hadoopConfiguration))
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(dirPath)
+    points
+      .select(col("gran").cast("long"), col("id").cast("long"),
+        col("latitude").cast("double"), col("longitude").cast("double"),
+        col("h_corr").cast("double"), col("delta_time").cast("double"))
+      .repartition(col("gran"))
+      .as[(Long, Long, Double, Double, Double, Double)]
+      .mapPartitions { it =>
+        it.toSeq.groupBy(_._1).iterator.map { case (gran, rows) =>
+          val bytes = granuleBytes(rows.map(r => (r._2, r._3, r._4, r._5, r._6)))
+          val p = new org.apache.hadoop.fs.Path(f"$dir/ATL11_gran$gran%04d.h5")
+          val fs = p.getFileSystem(hconf.value.conf)
+          val os = fs.create(p, true)
+          try os.write(bytes) finally os.close()
+          gran
+        }
+      }
+      .write.format("noop").mode("overwrite").save()
+  }
+
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").option("pathGlobFilter", "*.h5").load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, c) => decode(p, c) }
+      .toDF()
+  }
+
+  def readForRegistry(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir).select(
+      col("ref_pt").as("rec_idx"), col("latitude"), col("longitude"),
+      col("h_corr").as("elevation"), col("delta_time").as("rel_time_s"))
+}
+
 /** The reference's saved-index file format (geo_index.py:205-229
   * `to_file`): an `index` group whose attrs carry `delta`,
   * `SRS_proj4`, `dir_root`, `n_files` and per-file `file_N`/`type_N`,
@@ -225,6 +314,59 @@ object GeoIndexH5 {
       case (k, StrAttr(ss)) => k -> ss.headOption.getOrElse("")
       case (k, NumAttr(ds, _)) => k -> ds.headOption.map(_.toString).getOrElse("")
     }.toMap
+  }
+}
+
+/** The reference's `indexed_h5` family (geo_index.py:289-315
+  * `for_file('indexed_h5')`): a data file carrying its own spatial
+  * inventory.  Three sub-shapes, all adopted WITHOUT scanning point
+  * datasets: an `INDEX` group with `bin_x`/`bin_y` centers plus a
+  * 2×N `bin_index` of first/last row offsets; an `INDEX` group with
+  * centers only (offsets unknown — the reference's
+  * `fake_offset_val=-1`); or no index at all, just `{x}E_{y}N` bin
+  * groups whose names carry the centers.
+  */
+object IndexedH5 {
+
+  final case class BinRow(bin_x: Long, bin_y: Long, n_points: Option[Long],
+                          id_min: Long, id_max: Long)
+
+  private val BinRe = "(.*)E_(.*)N".r
+
+  def adopt(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap { bytes =>
+        val r = new Hdf5.Reader(bytes)
+        val ds = r.datasets.toSet
+        if (ds.contains("/INDEX/bin_x")) {
+          val bx = r.readDoubles("/INDEX/bin_x")
+          val by = r.readDoubles("/INDEX/bin_y")
+          if (ds.contains("/INDEX/bin_index")) {
+            // 2×N row-major: row 0 = first offsets, row 1 = last
+            val fl = r.readLongs("/INDEX/bin_index")
+            val n = fl.length / 2
+            (0 until n).iterator.map { i =>
+              BinRow(math.round(bx(i)), math.round(by(i)),
+                Some(fl(n + i) - fl(i) + 1), fl(i), fl(n + i))
+            }
+          } else
+            bx.indices.iterator.map(i =>
+              BinRow(math.round(bx(i)), math.round(by(i)), None, -1L, -1L))
+        } else
+          // bare bin groups: "{x}E_{y}N" names carry the centers
+          r.groups.iterator.collect {
+            case g if BinRe.pattern.matcher(g.stripPrefix("/")).matches() &&
+              !g.stripPrefix("/").contains("/") =>
+              val BinRe(xs, ys) = g.stripPrefix("/")
+              BinRow(math.round(xs.toDouble), math.round(ys.toDouble),
+                None, -1L, -1L)
+          }
+      }
+      .toDF()
+      .select(col("bin_x"), col("bin_y"), col("n_points"),
+        col("id_min"), col("id_max"))
   }
 }
 

@@ -44,7 +44,8 @@ object SourceRegistry {
   private val latlonReaders: Map[String, Reader] = Map(
     "qfit" -> (QfitSource.read _),
     "qfit_waveform" -> (QfitSource.readWaveform _),
-    "atl06_h5" -> (Atl06H5.readForRegistry _))
+    "atl06_h5" -> (Atl06H5.readForRegistry _),
+    "atl11_h5" -> (Atl11H5.readForRegistry _))
 
   /** Index-bearing kind: a saved partial index adopted bin-for-bin,
     * no point scan (the reference's `h5_geoindex` arm,
@@ -65,7 +66,8 @@ object SourceRegistry {
   val DemKind = "geotiff_dem"
 
   def kinds: Seq[String] =
-    (xyReaders.keys ++ latlonReaders.keys ++ Seq(IndexKind, DemKind)).toSeq.sorted
+    (xyReaders.keys ++ latlonReaders.keys ++
+      Seq(IndexKind, DemKind, "indexed_h5")).toSeq.sorted
 
   /** Read any registered POINT kind into the canonical
     * `(id, x, y, z, t)` schema.  For lat/lon formats `id` is the
@@ -117,6 +119,12 @@ object SourceRegistry {
       GeoIndexH5.adopt(spark, path)
         .select(col("bin_x"), col("bin_y"), col("n_points"),
           col("id_min"), col("id_max"))
+    case "indexed_h5" =>
+      // self-indexed data files (geo_index.py:289-315) — centers
+      // (and offsets when the file carries them) adopted directly;
+      // bins without offsets contribute null n_points, which the
+      // merge's sum skips (the reference's fake_offset_val=-1)
+      IndexedH5.adopt(spark, path)
     case IndexKind =>
       spark.read.parquet(path)
         .select(col("bin_x"), col("bin_y"), col("n_points"),

@@ -167,6 +167,47 @@ class SourceRegistrySpec extends SparkSpec {
       at("file_0") == "pts.parquet" && at("type_0") == "ATL06")
   }
 
+  test("indexed_h5 adopts all three reference sub-shapes without a point scan") {
+    import graft.sources.Hdf5
+    val base = java.nio.file.Files.createTempDirectory("sreg6").toString
+    // shape 1: INDEX with bin_index (first/last row offsets, 2xN)
+    val w1 = new Hdf5.Writer
+    w1.doubles("/INDEX/bin_x", Array(0.0, 500.0, 1000.0))
+    w1.doubles("/INDEX/bin_y", Array(-500.0, 0.0, 500.0))
+    w1.longs("/INDEX/bin_index",
+      Array(0L, 40L, 100L, 39L, 99L, 179L), dims = Seq(2, 3))
+    w1.doubles("/h", Array.tabulate(180)(_.toDouble))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$base/full.h5"), w1.toBytes)
+    val a1 = SourceRegistry.forFile(spark, "indexed_h5", s"$base/full.h5", 500.0)
+    val rows1 = a1.orderBy("bin_x").collect()
+    assert(rows1.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq == Seq(
+      (0L, -500L, 40L, 0L, 39L), (500L, 0L, 60L, 40L, 99L),
+      (1000L, 500L, 80L, 100L, 179L)))
+    // shape 2: INDEX with centers only → fake offsets (null n_points)
+    val w2 = new Hdf5.Writer
+    w2.doubles("/INDEX/bin_x", Array(0.0, 500.0))
+    w2.doubles("/INDEX/bin_y", Array(0.0, 500.0))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$base/bare.h5"), w2.toBytes)
+    val a2 = SourceRegistry.forFile(spark, "indexed_h5", s"$base/bare.h5", 500.0)
+    assert(a2.count() == 2 && a2.filter(col("n_points").isNull).count() == 2)
+    // shape 3: no INDEX, just {x}E_{y}N bin groups
+    val w3 = new Hdf5.Writer
+    w3.doubles("/1000E_-500N/h", Array(1.0))
+    w3.doubles("/-500E_0N/h", Array(2.0))
+    w3.doubles("/not_a_bin/h", Array(3.0))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$base/groups.h5"), w3.toBytes)
+    val a3 = SourceRegistry.forFile(spark, "indexed_h5", s"$base/groups.h5", 500.0)
+    assert(a3.select("bin_x", "bin_y").collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSet == Set((1000L, -500L), (-500L, 0L)))
+    // and a shape-1 file participates in a mixed merge (null-free)
+    val merged = SourceRegistry.indexListForFiles(spark, Seq(
+      "indexed_h5" -> s"$base/full.h5",
+      "parquet" -> { mk(0, 100).write.parquet(s"$base/pts"); s"$base/pts" }),
+      500.0)
+    assert(merged.agg(sum("n_points")).head().getLong(0) == 280L)
+  }
+
   test("an unregistered kind refuses with the known-kind list") {
     val e = intercept[IllegalArgumentException] {
       SourceRegistry.readAs(spark, "hdf5", "/nowhere")
