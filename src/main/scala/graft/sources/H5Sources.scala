@@ -315,6 +315,31 @@ object GeoIndexH5 {
       case (k, NumAttr(ds, _)) => k -> ds.headOption.map(_.toString).getOrElse("")
     }.toMap
   }
+
+  /** `change_root` (geo_index.py:193-204, the repair fix_dir_root.py
+    * scripts by hand): every `file_N` attr is re-based — absolutized
+    * against the OLD `dir_root`, then the NEW root stripped wherever
+    * it occurs — and `dir_root` becomes the new root.  The index file
+    * is manifest-sized, so the rewrite is a read → transform →
+    * rewrite of one small file; the bins and runs are byte-preserved.
+    */
+  def changeRoot(spark: SparkSession, path: String, newRoot: String): Unit = {
+    val at = attrs(spark, path)
+    val oldRoot = at.getOrElse("dir_root", "").replace("//", "/")
+    val nr = newRoot.replace("//", "/")
+    val n = at.get("n_files").map(_.toDouble.toInt).getOrElse(0)
+    val files = (0 until n).map { i =>
+      val f = at.getOrElse(s"file_$i", "")
+      ((oldRoot + f).replace(nr, ""), at.getOrElse(s"type_$i", ""))
+    }
+    val runs = readRuns(spark, path)
+      .withColumnRenamed("offset_start", "run_start")
+      .withColumnRenamed("offset_end", "run_end")
+      .select("bin_x", "bin_y", "file_num", "run_start", "run_end")
+      .localCheckpoint() // materialize BEFORE the overwrite below
+    write(runs, at.get("delta").map(_.toDouble).getOrElse(0.0),
+      at.getOrElse("SRS_proj4", ""), nr, files, path)
+  }
 }
 
 /** The reference's `indexed_h5` family (geo_index.py:289-315

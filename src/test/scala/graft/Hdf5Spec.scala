@@ -108,7 +108,16 @@ class Hdf5Spec extends AnyFunSuite {
     assert(landFrac("/tile_90S000E") == 1.0) // Antarctica: all land bit
     assert(math.abs(landFrac("/tile_70N020E") - 0.136) < 0.002)
     assert(math.abs(landFrac("/tile_30N000E") - 0.743) < 0.002)
-    // root attrs (v1 header continuation path)
-    assert(r.attrs("").contains("ShortName"))
+    // root attrs (v1 header continuation path) include VARIABLE-length
+    // strings resolved through the global heap — values pinned by an
+    // independent python walk of the same bytes
+    val root = r.attrs("")
+    assert(root("ShortName").asInstanceOf[StrAttr].strings.head == "ANC12-01")
+    assert(root("NAME").asInstanceOf[StrAttr].strings.head ==
+      "surfmask_20180608_001_01.h5")
+    assert(root("ProductionDateTime").asInstanceOf[StrAttr].strings.head ==
+      "2018-06-08T19:56:37")
+    // and a fixed-length (class 3) string attr from the same header
+    assert(root("contributor_role").asInstanceOf[StrAttr].strings.head.nonEmpty)
   }
 }

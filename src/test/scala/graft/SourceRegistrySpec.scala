@@ -167,6 +167,42 @@ class SourceRegistrySpec extends SparkSpec {
       at("file_0") == "pts.parquet" && at("type_0") == "ATL06")
   }
 
+  test("change_root re-bases file_N attrs like geo_index.py:193-204, bins intact") {
+    val base = java.nio.file.Files.createTempDirectory("sreg7").toString
+    val pts = mk(0, 200)
+    val binned = pts.select(GeoOps.binOf(col("x"), 500.0).as("bin_x"),
+      GeoOps.binOf(col("y"), 500.0).as("bin_y"), col("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bin_x", "bin_y").orderBy("id")
+    val runs = binned.withColumn("island", col("id") - row_number().over(w))
+      .groupBy("bin_x", "bin_y", "island")
+      .agg(min("id").as("run_start"), max("id").as("run_end"))
+      .drop("island").withColumn("file_num", lit(0L))
+    val files = Seq(("/glas/f1.h5", "ATL06"), ("/glas/sub/f2.h5", "ATL06"))
+    graft.sources.GeoIndexH5.write(runs, 500.0, "+proj=stere", "/Data",
+      files, s"$base/a.h5")
+    graft.sources.GeoIndexH5.write(runs, 500.0, "+proj=stere", "/Data",
+      files, s"$base/b.h5")
+    val before = graft.sources.GeoIndexH5.adopt(spark, s"$base/a.h5")
+      .orderBy("bin_x", "bin_y").collect().toSeq
+    // case 1 — new root NOT contained in the absolutized paths:
+    // files become absolute (old_root + file), dir_root flips
+    graft.sources.GeoIndexH5.changeRoot(spark, s"$base/a.h5", "/mnt")
+    val a1 = graft.sources.GeoIndexH5.attrs(spark, s"$base/a.h5")
+    assert(a1("dir_root") == "/mnt" && a1("file_0") == "/Data/glas/f1.h5" &&
+      a1("type_0") == "ATL06")
+    // case 2 — new root contained: the prefix strips, paths become
+    // relative to the new root (geo_index.py:199-201 replace)
+    graft.sources.GeoIndexH5.changeRoot(spark, s"$base/b.h5", "/Data/glas")
+    val a2 = graft.sources.GeoIndexH5.attrs(spark, s"$base/b.h5")
+    assert(a2("dir_root") == "/Data/glas" && a2("file_0") == "/f1.h5" &&
+      a2("file_1") == "/sub/f2.h5" && a2("type_1") == "ATL06")
+    // the bins and run statistics are untouched by the rewrite
+    val after = graft.sources.GeoIndexH5.adopt(spark, s"$base/a.h5")
+      .orderBy("bin_x", "bin_y").collect().toSeq
+    assert(after == before)
+  }
+
   test("indexed_h5 adopts all three reference sub-shapes without a point scan") {
     import graft.sources.Hdf5
     val base = java.nio.file.Files.createTempDirectory("sreg6").toString
