@@ -309,7 +309,14 @@ object GeoIndexH5 {
         min("offset_start").as("id_min"), max("offset_end").as("id_max"))
 
   def attrs(spark: SparkSession, path: String): Map[String, String] = {
-    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    // Hadoop-FS read (scheme-aware, like write) — an index file is
+    // manifest-sized, so a driver-side read is metadata, not data
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val len = fs.getFileStatus(p).getLen.toInt
+    val bytes = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(bytes) finally in.close()
     new Hdf5.Reader(bytes).attrs("/index").collect {
       case (k, StrAttr(ss)) => k -> ss.headOption.getOrElse("")
       case (k, NumAttr(ds, _)) => k -> ds.headOption.map(_.toString).getOrElse("")
