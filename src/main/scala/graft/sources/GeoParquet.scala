@@ -1062,7 +1062,11 @@ object GeoParquet {
     // the universe — skip the computation instead of paying for it
     // (a >BloomM/2k-key batch lookup is a scan, not a point probe)
     val maxKeys = (BloomM / (2 * nHashes)).toInt
-    val collected = k.limit(maxKeys + 1).collect().map(_.getLong(0))
+    // null probe keys can never match an exact semi-join — drop them
+    // before collecting (a nullable key column would otherwise NPE
+    // the driver-side getLong)
+    val collected =
+      k.filter(col("k").isNotNull).limit(maxKeys + 1).collect().map(_.getLong(0))
     if (collected.length > maxKeys) return None
     // the surviving key set is metadata-sized (≤ BloomM/2k values —
     // the same class as the file-name lists this function returns),

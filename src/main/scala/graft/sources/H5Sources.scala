@@ -268,7 +268,10 @@ object GeoIndexH5 {
         w.longs(s"$g/offset_end", rs.map(_.offset_end))
     }
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    // resolve the FS from the session's hadoopConfiguration (as
+    // attrs/readRuns do) so spark.hadoop.* settings — s3a creds,
+    // defaultFS overrides — govern writes and reads symmetrically
+    val fs = p.getFileSystem(runs.sparkSession.sparkContext.hadoopConfiguration)
     val os = fs.create(p, true)
     try os.write(w.toBytes) finally os.close()
   }
@@ -325,9 +328,13 @@ object GeoIndexH5 {
 
   /** `change_root` (geo_index.py:193-204, the repair fix_dir_root.py
     * scripts by hand): every `file_N` attr is re-based — absolutized
-    * against the OLD `dir_root`, then the NEW root stripped wherever
-    * it occurs — and `dir_root` becomes the new root.  The index file
-    * is manifest-sized, so the rewrite is a read → transform →
+    * against the OLD `dir_root`, then the NEW root stripped as a
+    * leading PREFIX — and `dir_root` becomes the new root.  The
+    * reference's str.replace strips the root wherever it occurs,
+    * which corrupts paths whose FILENAME happens to contain the root
+    * string; an anchored strip is identical on every layout the
+    * reference handles and correct on that corner too.  The index
+    * file is manifest-sized, so the rewrite is a read → transform →
     * rewrite of one small file; the bins and runs are byte-preserved.
     */
   def changeRoot(spark: SparkSession, path: String, newRoot: String): Unit = {
@@ -337,7 +344,9 @@ object GeoIndexH5 {
     val n = at.get("n_files").map(_.toDouble.toInt).getOrElse(0)
     val files = (0 until n).map { i =>
       val f = at.getOrElse(s"file_$i", "")
-      ((oldRoot + f).replace(nr, ""), at.getOrElse(s"type_$i", ""))
+      val abs = oldRoot + f
+      val rebased = if (nr.nonEmpty && abs.startsWith(nr)) abs.substring(nr.length) else abs
+      (rebased, at.getOrElse(s"type_$i", ""))
     }
     val runs = readRuns(spark, path)
       .withColumnRenamed("offset_start", "run_start")

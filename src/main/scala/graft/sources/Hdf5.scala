@@ -599,22 +599,41 @@ object Hdf5 {
     }
   }
 
-  /** HDF5's fletcher32 (H5_checksum_fletcher32): big-endian 16-bit
-    * words, sums mod 65535, odd trailing byte high-aligned.
+  /** HDF5's fletcher32, replicated bit-for-bit from libhdf5's
+    * H5_checksum_fletcher32 (H5checksum.c): big-endian 16-bit words,
+    * uint32 accumulators (wrap emulated with a 0xffffffff mask),
+    * 360-word inner blocks with a one's-complement fold per block,
+    * odd trailing byte high-aligned, double final fold.  The fold —
+    * not `% 65535` — matters: a sum that is a nonzero multiple of
+    * 65535 folds to 0xffff, never 0, so using `%` here would reject
+    * ~2^-15 of genuine libhdf5-written fletcher chunks (and libhdf5
+    * would symmetrically reject ours).
     */
   private[sources] def fletcher32(data: Array[Byte]): Long = {
     var sum1 = 0L; var sum2 = 0L
-    var i = 0
-    val pairs = data.length / 2
-    while (i < pairs) {
-      sum1 += ((data(2 * i) & 0xffL) << 8) | (data(2 * i + 1) & 0xffL)
-      sum2 += sum1
-      if ((i & 0x3ff) == 0x3ff) { sum1 %= 65535; sum2 %= 65535 }
-      i += 1
+    var off = 0
+    var len = data.length / 2
+    while (len > 0) {
+      var tlen = if (len > 360) 360 else len
+      len -= tlen
+      while (tlen > 0) {
+        sum1 = (sum1 + (((data(off) & 0xffL) << 8) | (data(off + 1) & 0xffL))) & 0xffffffffL
+        off += 2
+        sum2 = (sum2 + sum1) & 0xffffffffL
+        tlen -= 1
+      }
+      sum1 = (sum1 & 0xffff) + (sum1 >>> 16)
+      sum2 = (sum2 & 0xffff) + (sum2 >>> 16)
     }
-    if (data.length % 2 == 1) { sum1 += (data(data.length - 1) & 0xffL) << 8; sum2 += sum1 }
-    sum1 %= 65535; sum2 %= 65535
-    (sum2 << 16) | sum1
+    if (data.length % 2 == 1) {
+      sum1 = (sum1 + ((data(data.length - 1) & 0xffL) << 8)) & 0xffffffffL
+      sum2 = (sum2 + sum1) & 0xffffffffL
+      sum1 = (sum1 & 0xffff) + (sum1 >>> 16)
+      sum2 = (sum2 & 0xffff) + (sum2 >>> 16)
+    }
+    sum1 = (sum1 & 0xffff) + (sum1 >>> 16)
+    sum2 = (sum2 & 0xffff) + (sum2 >>> 16)
+    ((sum2 << 16) | sum1) & 0xffffffffL
   }
 
   // ------------------------------------------------------------- writer

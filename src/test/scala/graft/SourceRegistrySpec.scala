@@ -201,6 +201,14 @@ class SourceRegistrySpec extends SparkSpec {
     val after = graft.sources.GeoIndexH5.adopt(spark, s"$base/a.h5")
       .orderBy("bin_x", "bin_y").collect().toSeq
     assert(after == before)
+    // case 3 — the root string RECURS inside a path segment: only
+    // the leading prefix strips (the reference's str.replace would
+    // delete the inner occurrence and corrupt the filename)
+    graft.sources.GeoIndexH5.write(runs, 500.0, "+proj=stere", "/Data",
+      Seq(("/glas/backup/Data/f3.h5", "ATL06")), s"$base/c.h5")
+    graft.sources.GeoIndexH5.changeRoot(spark, s"$base/c.h5", "/Data")
+    val a3 = graft.sources.GeoIndexH5.attrs(spark, s"$base/c.h5")
+    assert(a3("dir_root") == "/Data" && a3("file_0") == "/glas/backup/Data/f3.h5")
   }
 
   test("indexed_h5 adopts all three reference sub-shapes without a point scan") {
