@@ -109,6 +109,12 @@ object Crossovers {
   def crossovers(s: SparkSession, dir: String): DataFrame =
     crossoversOfSegments(segments(s, dir), lit(true))
 
+  /** Crossover search over any (track, seq, x, y, z, t) frame —
+    * the composable entry the `.h5` pipeline query drives.
+    */
+  def crossoversOf(tracks: DataFrame): DataFrame =
+    crossoversOfSegments(segmentsOf(tracks), lit(true))
+
   /** Incremental crossovers — the reference's operational loop
     * (run_tile_updates: cross new granules against the tile store)
     * as a pruned join: only crossings INVOLVING a new track are

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.sources.{Atl06H5, GeoIndexH5}
+import graft.sources.{Atl06H5, Atl11H5, GeoIndexH5, IndexedH5}
 
 /** HDF5-format closure queries: the reference's primary container
   * (every reader in PointDatabase opens `.h5` through h5py) pushed
@@ -111,13 +111,254 @@ object H5Ops {
     DateOps.bilinearOnGrid(graft.sources.RasterH5.readGrid(s, out), s, dir)
   }
 
+  /** 66h. Run-sliced box query THROUGH a saved `.h5` index — the
+    * reference's core read path end-to-end (geo_index.py:494-572
+    * get_data_for_geo_index: a query yields per-file
+    * `[offset_start, offset_end]` runs, and ATL06_data.py:130 reads
+    * ONLY those array slices).  The events points become four ATL06
+    * granules; a positional geo index (offsets = element positions
+    * within each granule:beam, the reference's `file:pair`
+    * convention) is saved in the reference's index-file layout; a
+    * box query matches bins → runs → [[Atl06H5.readRuns]], which
+    * opens only matched files and inflates only chunks overlapping
+    * the runs.  The oracle recomputes the box membership straight
+    * from parquet, so the hash match proves index adoption, run
+    * arithmetic, and sliced chunk decode compose bit-exactly.
+    */
+  def h5RunRead(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("h5run").toString
+    val pts = Tables.eventsPoints(s, dir)
+    Atl06H5.writeGranules(pts.select(
+      (col("id") % 4).as("gran"), col("id"),
+      (col("y") / 100000.0).as("latitude"),
+      (col("x") / 100000.0).as("longitude"),
+      col("z").as("h_li"),
+      (col("t") / 1000.0).as("delta_time")), out)
+    // positional index: offsets are each point's POSITION within its
+    // (granule, beam) arrays — beam arrays are id-sorted at write
+    val withBeam = pts.select(col("id"), col("x"), col("y"),
+      (col("id") % 4).as("gran"),
+      (((col("id") % 6) / 2).cast("long") + 1).as("pair"),
+      (col("id") % 2).cast("long").as("lr"))
+    val wPos = Window.partitionBy("gran", "pair", "lr").orderBy("id")
+    val positioned = withBeam
+      .withColumn("pos", (row_number().over(wPos) - 1).cast("long"))
+      .withColumn("bin_x", GeoOps.binOf(col("x"), 400.0))
+      .withColumn("bin_y", GeoOps.binOf(col("y"), 400.0))
+      .withColumn("file_num",
+        col("gran") * 6 + (col("pair") - 1) * 2 + col("lr"))
+    val wRun = Window.partitionBy("file_num", "bin_x", "bin_y").orderBy("pos")
+    val runs = positioned
+      .withColumn("island", col("pos") - row_number().over(wRun))
+      .groupBy("bin_x", "bin_y", "file_num", "island")
+      .agg(min("pos").as("run_start"), max("pos").as("run_end"))
+      .drop("island")
+    val granFiles = (0 to 3).map(g => f"ATL06_gran$g%04d.h5")
+    val beams = for (p <- 1 to 3; lr <- Seq("l", "r")) yield s"gt$p$lr"
+    val fileEntries =
+      for (g <- 0 to 3; b <- beams) yield (s"${granFiles(g)}:$b", "ATL06")
+    val idxPath = s"$out/index.h5"
+    GeoIndexH5.write(runs, 400.0, "+proj=stere +lat_0=-90", "/data",
+      fileEntries, idxPath)
+    // --- the query: box → matched bins → per-file:beam runs
+    val (x0, x1, y0, y1) = (-400L, 400L, 0L, 800L)
+    val matched = GeoIndexH5.readRuns(s, idxPath)
+      .filter(col("bin_x").between(x0, x1) && col("bin_y").between(y0, y1))
+      .select("file_num", "offset_start", "offset_end")
+      .collect() // index runs are manifest-sized (the reference holds
+                 // the same dict in memory, geo_index.py:407-438)
+    val runsByFile: Map[String, Map[String, Seq[(Long, Long)]]] = matched
+      .map(r => (r.getLong(0).toInt, (r.getLong(1), r.getLong(2))))
+      .groupBy { case (fn, _) => granFiles(fn / 6) }
+      .map { case (f, rs) =>
+        f -> rs.groupBy { case (fn, _) => beams(fn % 6) }
+          .map { case (b, brs) => b -> brs.map(_._2).sortBy(_._1).toSeq }
+      }
+    Atl06H5.readRuns(s, out, runsByFile)
+      .select(col("segment_id").as("id"), col("latitude"), col("longitude"),
+        col("h_li"), col("delta_time"))
+      .orderBy("id")
+  }
+
+  val h5RunReadSql: String =
+    s"""WITH pts AS ($P),
+       |b AS (SELECT id, y/100000.0 AS latitude, x/100000.0 AS longitude,
+       |             z AS h_li, t/1000.0 AS delta_time,
+       |             CAST(round(x/400.0)*400 AS BIGINT) AS bin_x,
+       |             CAST(round(y/400.0)*400 AS BIGINT) AS bin_y
+       |      FROM pts)
+       |SELECT id, latitude, longitude, h_li, delta_time FROM b
+       |WHERE bin_x BETWEEN -400 AND 400 AND bin_y BETWEEN 0 AND 800
+       |ORDER BY id""".stripMargin
+
+  /** 66e promoted to the oracle gate: ATL11 granule cycle
+    * (geo_index.py:245-255, the `pt{1..3}/corrected_h` parallel
+    * arrays) — write on executors, decode through binaryFile, hash
+    * against the parquet recomputation.
+    */
+  def atl11Roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("atl11h5").toString
+    Atl11H5.writeGranules(Tables.eventsPoints(s, dir).select(
+      (col("id") % 2).as("gran"), col("id"),
+      (col("y") / 100000.0).as("latitude"),
+      (col("x") / 100000.0).as("longitude"),
+      col("z").as("h_corr"),
+      (col("t") / 1000.0).as("delta_time")), out)
+    Atl11H5.read(s, out).select(
+      col("ref_pt").as("id"),
+      col("beam_pair").cast("long").as("beam_pair"),
+      col("latitude"), col("longitude"), col("h_corr"), col("delta_time"))
+      .orderBy("id")
+  }
+
+  val atl11RoundtripSql: String =
+    s"""WITH pts AS ($P)
+       |SELECT id, CAST(id % 3 + 1 AS BIGINT) AS beam_pair,
+       |       y/100000.0 AS latitude, x/100000.0 AS longitude,
+       |       z AS h_corr, t/1000.0 AS delta_time
+       |FROM pts ORDER BY id""".stripMargin
+
+  /** 66g promoted: `indexed_h5` self-index cycle (geo_index.py:289-315
+    * `for_file('indexed_h5')`) — the per-bin first/last ROW offsets of
+    * a bin-sorted file land in the `INDEX/bin_index` 2×N layout and
+    * adopt back without a point scan; the oracle recomputes the same
+    * offsets with a window over the bin-sorted order.
+    */
+  def indexedH5Roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val binned = Tables.eventsPoints(s, dir).select(
+      GeoOps.binOf(col("x"), 400).as("bin_x"),
+      GeoOps.binOf(col("y"), 400).as("bin_y"), col("id"))
+    val wAll = Window.orderBy("bin_x", "bin_y", "id")
+    val stats = binned
+      .withColumn("off", (row_number().over(wAll) - 1).cast("long"))
+      .groupBy("bin_x", "bin_y")
+      .agg(min("off").as("first"), max("off").as("last"))
+      .orderBy("bin_x", "bin_y")
+      .collect() // bins only — manifest-sized, like the reference's
+                 // in-memory INDEX datasets
+    val w = new graft.sources.Hdf5.Writer
+    w.doubles("/INDEX/bin_x", stats.map(_.getLong(0).toDouble))
+    w.doubles("/INDEX/bin_y", stats.map(_.getLong(1).toDouble))
+    w.longs("/INDEX/bin_index",
+      stats.map(_.getLong(2)) ++ stats.map(_.getLong(3)),
+      dims = Seq(2L, stats.length.toLong))
+    val path = java.nio.file.Files.createTempDirectory("ixh5").toString + "/pts.h5"
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), w.toBytes)
+    IndexedH5.adopt(s, path)
+      .select(col("bin_x"), col("bin_y"), col("n_points"),
+        col("id_min").as("first"), col("id_max").as("last"))
+      .orderBy("bin_x", "bin_y")
+  }
+
+  val indexedH5RoundtripSql: String =
+    s"""WITH pts AS ($P),
+       |b AS (SELECT CAST(round(x/400.0)*400 AS BIGINT) AS bin_x,
+       |             CAST(round(y/400.0)*400 AS BIGINT) AS bin_y, id
+       |      FROM pts),
+       |o AS (SELECT bin_x, bin_y,
+       |             row_number() OVER (ORDER BY bin_x, bin_y, id) - 1 AS off
+       |      FROM b)
+       |SELECT bin_x, bin_y,
+       |       CAST(max(off) - min(off) + 1 AS BIGINT) AS n_points,
+       |       min(off) AS first, max(off) AS last
+       |FROM o GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+
+  /** 66h-compose: the reference's PRODUCTION loop over genuine `.h5`
+    * inputs, end to end (run_tile_updates + cross_ATL06_tile.py:45-87
+    * + geo_index.py:679): track points land as ATL06 granules (one
+    * track per granule:beam, the `file:pair` convention); a
+    * positional geo index is saved and queried; the matched runs
+    * drive a SLICED granule read; the recovered tracks feed the
+    * crossover search; the crossings persist through the write_xovers
+    * tile sink and read back tile-pruned.  The oracle recomputes the
+    * crossings straight from parquet, so the hash match proves the
+    * container layer composes with the analytic layer bit-exactly.
+    */
+  def h5Pipeline(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("h5pipe").toString
+    val tr = Tables.eventsTracks(s, dir)
+    // one track = one (granule, beam): sid ≡ track (mod 6) pins the
+    // beam, sid increases with seq so beam arrays stay track-ordered
+    val enc = tr.select(
+      (col("track") / 6).cast("long").as("gran"),
+      (col("seq") * 6 + col("track") % 6).as("id"),
+      col("y").as("latitude"), col("x").as("longitude"),
+      col("z").as("h_li"), col("t").cast("double").as("delta_time"))
+    Atl06H5.writeGranules(enc, out)
+    // positional run index over the track bins (pos = seq-1 within
+    // each beam), saved in the reference's index-file layout
+    val positioned = tr.select(
+      (col("track") / 6).cast("long").as("gran"),
+      (col("track") % 6).as("beam6"),
+      (col("seq") - 1).as("pos"),
+      GeoOps.binOf(col("x"), 400.0).as("bin_x"),
+      GeoOps.binOf(col("y"), 400.0).as("bin_y"))
+      .withColumn("file_num", col("gran") * 6 + col("beam6"))
+    val wRun = Window.partitionBy("file_num", "bin_x", "bin_y").orderBy("pos")
+    val runs = positioned
+      .withColumn("island", col("pos") - row_number().over(wRun))
+      .groupBy("bin_x", "bin_y", "file_num", "island")
+      .agg(min("pos").as("run_start"), max("pos").as("run_end"))
+      .drop("island")
+    val granFiles = (0 to 1).map(g => f"ATL06_gran$g%04d.h5")
+    val beams = for (p <- 1 to 3; lr <- Seq("l", "r")) yield s"gt$p$lr"
+    val fileEntries =
+      for (g <- 0 to 1; b <- beams) yield (s"${granFiles(g)}:$b", "ATL06")
+    val idxPath = s"$out/index.h5"
+    GeoIndexH5.write(runs, 400.0, "+proj=stere +lat_0=-90", "/data",
+      fileEntries, idxPath)
+    // query the index (full-domain box here; q_h5_run_read pins the
+    // pruned-box case) → per-file:beam runs → sliced decode
+    val matched = GeoIndexH5.readRuns(s, idxPath)
+      .select("file_num", "offset_start", "offset_end").collect()
+    val runsByFile = matched
+      .map(r => (r.getLong(0).toInt, (r.getLong(1), r.getLong(2))))
+      .groupBy { case (fn, _) => granFiles(fn / 6) }
+      .map { case (f, rs) =>
+        f -> rs.groupBy { case (fn, _) => beams(fn % 6) }
+          .map { case (b, brs) => b -> brs.map(_._2).sortBy(_._1).toSeq }
+      }
+    val segs = Atl06H5.readRuns(s, out, runsByFile)
+    // recover (track, seq) from the id ≡ track (mod 6) encoding
+    val tracks = segs.select(
+      (regexp_extract(col("file"), "ATL06_gran(\\d+)", 1).cast("long") * 6 +
+        col("segment_id") % 6).as("track"),
+      (col("segment_id") / 6).cast("long").as("seq"),
+      col("longitude").as("x"), col("latitude").as("y"),
+      col("h_li").as("z"), col("delta_time").as("t"))
+    val xo = Crossovers.crossoversOf(tracks)
+    val sink = s"$out/xovers"
+    Crossovers.writeXovers(xo, sink)
+    // tile-pruned read-back (the partition predicate prunes files)
+    Crossovers.readXovers(s, sink)
+      .filter(col("tile_e").between(0L, 100000L) &&
+        col("tile_n").between(-100000L, 100000L))
+      .select("track_a", "track_b", "seq_a", "seq_b", "xc", "yc", "dh")
+      .orderBy("track_a", "track_b", "seq_a", "seq_b")
+  }
+
+  val h5PipelineSql: String =
+    s"""WITH xo AS (${Crossovers.crossoversSql})
+       |SELECT track_a, track_b, seq_a, seq_b, xc, yc, dh FROM xo
+       |WHERE floor(xc/500.0)*500 BETWEEN 0 AND 100000
+       |  AND floor(yc/500.0)*500 BETWEEN -100000 AND 100000
+       |ORDER BY track_a, track_b, seq_a, seq_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_atl06_h5" -> (atl06Roundtrip _),
     "q_h5_index" -> (h5IndexRoundtrip _),
-    "q_h5_dem" -> (h5Dem _))
+    "q_h5_dem" -> (h5Dem _),
+    "q_h5_run_read" -> (h5RunRead _),
+    "q_atl11_h5" -> (atl11Roundtrip _),
+    "q_indexed_h5" -> (indexedH5Roundtrip _),
+    "q_h5_pipeline" -> (h5Pipeline _))
 
   val oracles: Map[String, String] = Map(
     "q_atl06_h5" -> atl06RoundtripSql,
     "q_h5_index" -> h5IndexRoundtripSql,
-    "q_h5_dem" -> DateOps.gridInterpSql)
+    "q_h5_dem" -> DateOps.gridInterpSql,
+    "q_h5_run_read" -> h5RunReadSql,
+    "q_atl11_h5" -> atl11RoundtripSql,
+    "q_indexed_h5" -> indexedH5RoundtripSql,
+    "q_h5_pipeline" -> h5PipelineSql)
 }

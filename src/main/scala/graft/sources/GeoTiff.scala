@@ -732,9 +732,10 @@ object GeoTiff {
       .withColumn("tile_e", (floor(col("gx") / tileSize) * tileSize).cast("long"))
       .withColumn("tile_n", (floor(col("gy") / tileSize) * tileSize).cast("long"))
       .repartition(col("tile_e"), col("tile_n"))
+      .sortWithinPartitions("tile_e", "tile_n")
       .as[(Double, Double, Double, Long, Long)]
       .mapPartitions { it =>
-        it.toSeq.groupBy(t => (t._4, t._5)).iterator.map { case ((e, n), cells) =>
+        GranuleGroups.byKey(it)(t => (t._4, t._5)).map { case ((e, n), cells) =>
           val gxs = cells.map(_._1); val gys = cells.map(_._2)
           val (minX, maxX) = (gxs.min, gxs.max)
           val (minY, maxY) = (gys.min, gys.max)

@@ -59,21 +59,62 @@ object Atl06H5 {
     w.toBytes
   }
 
+  /** The reference's default field set (ATL06_data.py:77). */
+  val AllFields: Set[String] = Set("latitude", "longitude", "h_li", "delta_time")
+
   /** Decode one granule's beams (ATL06_data.py:107-171 reads the same
     * parallel arrays per beam and column-binds them).
+    *
+    * `runsByBeam` is the reference's `index_range` read path
+    * (get_data_for_geo_index, geo_index.py:537-541: each matched
+    * `[offset_start, offset_end]` run slices the beam's arrays): when
+    * given, ONLY the element runs listed for each beam group (e.g.
+    * `gt2l`) decode — and via [[Hdf5.Reader.readRawRuns]] only the
+    * CHUNKS overlapping those runs inflate.  Beams absent from the
+    * map yield nothing; runs are inclusive, sorted, disjoint.
+    *
+    * `fields` is the reference's `field_dict` subsetting
+    * (ATL06_data.py:27-47): datasets not requested are never decoded
+    * — their columns come back NaN.  `segment_id` always reads (it
+    * is the record identity).
     */
-  def decode(file: String, bytes: Array[Byte]): Iterator[Seg] = {
-    val r = new Hdf5.Reader(bytes)
+  def decode(file: String, bytes: Array[Byte],
+             runsByBeam: Option[Map[String, Seq[(Long, Long)]]] = None,
+             fields: Option[Set[String]] = None): Iterator[Seg] =
+    decodeWith(file, new Hdf5.Reader(bytes), runsByBeam, fields)
+
+  /** [[decode]] over a caller-supplied Reader — lets specs observe
+    * `Reader.chunksDecoded` to prove slicing/subsetting skips work.
+    */
+  def decodeWith(file: String, r: Hdf5.Reader,
+                 runsByBeam: Option[Map[String, Seq[(Long, Long)]]],
+                 fields: Option[Set[String]]): Iterator[Seg] = {
     val ds = r.datasets.toSet
+    val want = fields.getOrElse(AllFields)
     (for (pair <- 1 to 3; lr <- 0 to 1) yield {
-      val g = s"/${beamGroup(pair, lr)}/land_ice_segments"
-      if (!ds.contains(s"$g/segment_id")) Iterator.empty
+      val bg = beamGroup(pair, lr)
+      val g = s"/$bg/land_ice_segments"
+      val runs = runsByBeam match {
+        case Some(m) => m.get(bg) match {
+          case Some(rs) if rs.nonEmpty => Some(rs)
+          case _ => None // beam not matched by the query — skip it
+        }
+        case None => Some(Seq.empty) // no slicing: whole beam
+      }
+      if (!ds.contains(s"$g/segment_id") || runs.isEmpty) Iterator.empty
       else {
-        val ids = r.readLongs(s"$g/segment_id")
-        val lat = r.readDoubles(s"$g/latitude")
-        val lon = r.readDoubles(s"$g/longitude")
-        val h = r.readDoubles(s"$g/h_li")
-        val dt = r.readDoubles(s"$g/delta_time")
+        val rs = runs.get
+        def dbls(name: String, n: Int): Array[Double] =
+          if (!want(name)) Array.fill(n)(Double.NaN)
+          else if (rs.nonEmpty) r.readDoublesRuns(s"$g/$name", rs)
+          else r.readDoubles(s"$g/$name")
+        val ids =
+          if (rs.nonEmpty) r.readLongsRuns(s"$g/segment_id", rs)
+          else r.readLongs(s"$g/segment_id")
+        val lat = dbls("latitude", ids.length)
+        val lon = dbls("longitude", ids.length)
+        val h = dbls("h_li", ids.length)
+        val dt = dbls("delta_time", ids.length)
         ids.indices.iterator.map(i =>
           Seg(file, pair, lr, ids(i), lat(i), lon(i), h(i), dt(i)))
       }
@@ -97,9 +138,12 @@ object Atl06H5 {
         col("latitude").cast("double"), col("longitude").cast("double"),
         col("h_li").cast("double"), col("delta_time").cast("double"))
       .repartition(col("gran"))
+      .sortWithinPartitions("gran", "id")
       .as[(Long, Long, Double, Double, Double, Double)]
       .mapPartitions { it =>
-        it.toSeq.groupBy(_._1).iterator.map { case (gran, rows) =>
+        // sorted input + streaming groups: one granule on the heap at
+        // a time, however many granules hash into this partition
+        GranuleGroups.byKey(it)(_._1).map { case (gran, rows) =>
           val bytes = granuleBytes(
             rows.map(r => (r._2, r._3, r._4, r._5, r._6)), gran)
           val p = new org.apache.hadoop.fs.Path(f"$dir/ATL06_gran$gran%04d.h5")
@@ -119,6 +163,36 @@ object Atl06H5 {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (p, c) => decode(p, c) }
+      .toDF()
+  }
+
+  /** Run-sliced granule read — the reference's core query read path
+    * (get_data_for_geo_index, geo_index.py:494-572): `runsByFile`
+    * maps granule file NAME → beam group (`gt2l`) → inclusive
+    * `[offset_start, offset_end]` element runs, exactly the shape a
+    * matched geo index yields.  Only the listed files open, only the
+    * listed beams decode, and only the chunks overlapping the runs
+    * inflate.  The run map is index-derived (manifest-sized — the
+    * reference holds the same dict in memory); it broadcasts, and the
+    * per-granule decode stays an executor-side task unit.
+    */
+  def readRuns(spark: SparkSession, dir: String,
+               runsByFile: Map[String, Map[String, Seq[(Long, Long)]]],
+               fields: Option[Set[String]] = None): DataFrame = {
+    import spark.implicits._
+    if (runsByFile.isEmpty) return spark.emptyDataset[Seg].toDF()
+    val bc = spark.sparkContext.broadcast(runsByFile)
+    val paths = runsByFile.keys.map(f => s"$dir/$f").toSeq
+    spark.read.format("binaryFile").load(paths: _*)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, c) =>
+        val name = p.substring(p.lastIndexOf('/') + 1)
+        bc.value.get(name) match {
+          case Some(byBeam) => decode(p, c, Some(byBeam), fields)
+          case None => Iterator.empty
+        }
+      }
       .toDF()
   }
 
@@ -160,18 +234,46 @@ object Atl11H5 {
     w.toBytes
   }
 
-  def decode(file: String, bytes: Array[Byte]): Iterator[Pt] = {
-    val r = new Hdf5.Reader(bytes)
+  val AllFields: Set[String] = Set("latitude", "longitude", "h_corr", "delta_time")
+
+  /** Decode, with the same `index_range` run-slicing and field_dict
+    * subsetting as [[Atl06H5.decode]] (the reference's ATL11 arm,
+    * geo_index.py:542-548, slices `pt{pair}` groups identically).
+    * `runsByGroup` keys are `pt1`/`pt2`/`pt3`.
+    */
+  def decode(file: String, bytes: Array[Byte],
+             runsByGroup: Option[Map[String, Seq[(Long, Long)]]] = None,
+             fields: Option[Set[String]] = None): Iterator[Pt] =
+    decodeWith(file, new Hdf5.Reader(bytes), runsByGroup, fields)
+
+  def decodeWith(file: String, r: Hdf5.Reader,
+                 runsByGroup: Option[Map[String, Seq[(Long, Long)]]],
+                 fields: Option[Set[String]]): Iterator[Pt] = {
     val ds = r.datasets.toSet
+    val want = fields.getOrElse(AllFields)
     (for (pair <- 1 to 3) yield {
       val g = s"/pt$pair/corrected_h"
-      if (!ds.contains(s"$g/ref_pt")) Iterator.empty
+      val runs = runsByGroup match {
+        case Some(m) => m.get(s"pt$pair") match {
+          case Some(rs) if rs.nonEmpty => Some(rs)
+          case _ => None
+        }
+        case None => Some(Seq.empty)
+      }
+      if (!ds.contains(s"$g/ref_pt") || runs.isEmpty) Iterator.empty
       else {
-        val ids = r.readLongs(s"$g/ref_pt")
-        val lat = r.readDoubles(s"$g/latitude")
-        val lon = r.readDoubles(s"$g/longitude")
-        val h = r.readDoubles(s"$g/h_corr")
-        val dt = r.readDoubles(s"$g/delta_time")
+        val rs = runs.get
+        def dbls(name: String, n: Int): Array[Double] =
+          if (!want(name)) Array.fill(n)(Double.NaN)
+          else if (rs.nonEmpty) r.readDoublesRuns(s"$g/$name", rs)
+          else r.readDoubles(s"$g/$name")
+        val ids =
+          if (rs.nonEmpty) r.readLongsRuns(s"$g/ref_pt", rs)
+          else r.readLongs(s"$g/ref_pt")
+        val lat = dbls("latitude", ids.length)
+        val lon = dbls("longitude", ids.length)
+        val h = dbls("h_corr", ids.length)
+        val dt = dbls("delta_time", ids.length)
         ids.indices.iterator.map(i =>
           Pt(file, pair, ids(i), lat(i), lon(i), h(i), dt(i)))
       }
@@ -191,9 +293,10 @@ object Atl11H5 {
         col("latitude").cast("double"), col("longitude").cast("double"),
         col("h_corr").cast("double"), col("delta_time").cast("double"))
       .repartition(col("gran"))
+      .sortWithinPartitions("gran", "id")
       .as[(Long, Long, Double, Double, Double, Double)]
       .mapPartitions { it =>
-        it.toSeq.groupBy(_._1).iterator.map { case (gran, rows) =>
+        GranuleGroups.byKey(it)(_._1).map { case (gran, rows) =>
           val bytes = granuleBytes(rows.map(r => (r._2, r._3, r._4, r._5, r._6)))
           val p = new org.apache.hadoop.fs.Path(f"$dir/ATL11_gran$gran%04d.h5")
           val fs = p.getFileSystem(hconf.value.conf)
@@ -211,6 +314,29 @@ object Atl11H5 {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (p, c) => decode(p, c) }
+      .toDF()
+  }
+
+  /** Run-sliced read, shape-identical to [[Atl06H5.readRuns]] with
+    * `pt{1..3}` group keys.
+    */
+  def readRuns(spark: SparkSession, dir: String,
+               runsByFile: Map[String, Map[String, Seq[(Long, Long)]]],
+               fields: Option[Set[String]] = None): DataFrame = {
+    import spark.implicits._
+    if (runsByFile.isEmpty) return spark.emptyDataset[Pt].toDF()
+    val bc = spark.sparkContext.broadcast(runsByFile)
+    val paths = runsByFile.keys.map(f => s"$dir/$f").toSeq
+    spark.read.format("binaryFile").load(paths: _*)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, c) =>
+        val name = p.substring(p.lastIndexOf('/') + 1)
+        bc.value.get(name) match {
+          case Some(byGroup) => decode(p, c, Some(byGroup), fields)
+          case None => Iterator.empty
+        }
+      }
       .toDF()
   }
 

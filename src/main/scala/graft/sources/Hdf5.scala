@@ -381,6 +381,12 @@ object Hdf5 {
     private def u0(a: Array[Byte], off: Int): Long =
       (a(off) & 0xffL) | (a(off + 1) & 0xffL) << 8 | (a(off + 2) & 0xffL) << 16 | (a(off + 3) & 0xffL) << 24
 
+    /** Chunks run through the filter pipeline so far — spec
+      * instrumentation proving sliced reads decode ≪ whole-file.
+      */
+    def chunksDecoded: Int = nChunksDecoded
+    private var nChunksDecoded = 0
+
     /** Raw element bytes for the whole dataset, row-major, in the
       * FILE's element byte order.
       */
@@ -438,6 +444,7 @@ object Hdf5 {
           val child = uo(p + keySize)
           if (lvl > 0) walkBt(child)
           else {
+            nChunksDecoded += 1
             val raw = applyFilters(
               java.util.Arrays.copyOfRange(b, child.toInt, child.toInt + stored),
               info, mask, expected)
@@ -477,6 +484,133 @@ object Hdf5 {
     }
 
     def dims(path: String): Array[Long] = datasetInfo(path).dims
+
+    /** Run-sliced read of a 1-D dataset: decode ONLY the chunks that
+      * overlap the requested element runs — the byte-level mechanism
+      * under the reference's `index_range` reads (qfit_data.py:84
+      * `h5_f[field][i0:i1]`, ATL06_data.py:130, geo_index.py:494-572
+      * get_data_for_geo_index), where a granule query touches the
+      * few matched `[offset_start, offset_end]` slices, never the
+      * whole file.  `runs` are INCLUSIVE `[start, end]` element
+      * ranges, sorted ascending and disjoint; the result is their
+      * concatenation in run order.  The chunk B-tree is pruned at
+      * internal nodes by its keys, so both decompression AND node
+      * walking are proportional to the matched runs, not the file.
+      */
+    def readRawRuns(info: DatasetInfo, runs: Seq[(Long, Long)]): Array[Byte] = {
+      require(info.dims.length == 1,
+        s"run-sliced read needs a 1-D dataset; '${info.path}' has rank ${info.dims.length}")
+      val nRuns = runs.size
+      val starts = new Array[Long](nRuns)
+      val ends = new Array[Long](nRuns)
+      val pref = new Array[Long](nRuns + 1)
+      var i = 0
+      runs.foreach { case (s, e) =>
+        require(s >= 0 && e >= s && e < info.dims(0),
+          s"run [$s,$e] out of bounds for '${info.path}' (n=${info.dims(0)})")
+        require(i == 0 || s > ends(i - 1),
+          s"runs must be sorted and disjoint at [$s,$e]")
+        starts(i) = s; ends(i) = e; pref(i + 1) = pref(i) + (e - s + 1); i += 1
+      }
+      val esz = info.dtype.size
+      val total = pref(nRuns) * esz
+      require(total <= Int.MaxValue - 8, s"sliced read of ${info.path} too large for one buffer")
+      val out = new Array[Byte](total.toInt)
+      info.fill.foreach(f => fillBytes(out, f))
+      // first run whose end reaches `cs`, by binary search on run ends
+      def firstRunFrom(cs: Long): Int = {
+        var lo = 0; var hi = nRuns
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (ends(mid) < cs) lo = mid + 1 else hi = mid
+        }
+        lo
+      }
+      info.layoutClass match {
+        case 0 =>
+          val src = info.compact.get
+          var r = 0
+          while (r < nRuns) {
+            System.arraycopy(src, (starts(r) * esz).toInt, out, (pref(r) * esz).toInt,
+              ((ends(r) - starts(r) + 1) * esz).toInt)
+            r += 1
+          }
+        case 1 =>
+          if (!undef(info.dataAddr)) {
+            var r = 0
+            while (r < nRuns) {
+              System.arraycopy(b, (info.dataAddr + starts(r) * esz).toInt,
+                out, (pref(r) * esz).toInt,
+                ((ends(r) - starts(r) + 1) * esz).toInt)
+              r += 1
+            }
+          }
+        case 2 =>
+          if (!undef(info.btreeAddr) && nRuns > 0) {
+            val cd = info.chunkDims
+            require(cd.length == 2, s"chunk rank ${cd.length} vs dataspace rank 1")
+            val rows = cd(0).toLong
+            val expected = (rows * esz).toInt
+            val keySize = 8 + 8L * 2
+            val runMin = starts(0); val runMax = ends(nRuns - 1)
+            def walkBt(addr: Long): Unit = {
+              require(b(addr.toInt) == 'T' && b(addr.toInt + 1) == 'R', s"bad chunk btree at $addr")
+              val lvl = b(addr.toInt + 5) & 0xff
+              val n = u(addr + 6, 2).toInt
+              var p = addr + 8 + 2L * offSize
+              var k = 0
+              while (k < n) {
+                val cs = u(p + 8, 8) // key: first-dim chunk offset
+                val child = uo(p + keySize)
+                if (lvl > 0) {
+                  // subtree holds chunks with offsets in [cs, nextKey.cs)
+                  val csNext =
+                    if (k < n - 1) u(p + keySize + offSize + 8, 8) else Long.MaxValue
+                  if (csNext > runMin && cs <= runMax) {
+                    val r0 = firstRunFrom(cs)
+                    if (r0 < nRuns && starts(r0) < csNext) walkBt(child)
+                  }
+                } else {
+                  val ce = cs + rows - 1
+                  val r0 = firstRunFrom(cs)
+                  if (cs <= runMax && r0 < nRuns && starts(r0) <= ce) {
+                    nChunksDecoded += 1
+                    val stored = u(p, 4).toInt
+                    val mask = u(p + 4, 4).toInt
+                    val raw = applyFilters(
+                      java.util.Arrays.copyOfRange(b, child.toInt, child.toInt + stored),
+                      info, mask, expected)
+                    var r = r0
+                    while (r < nRuns && starts(r) <= ce) {
+                      val lo = math.max(cs, starts(r))
+                      val hi = math.min(ce, ends(r))
+                      if (hi >= lo)
+                        System.arraycopy(raw, ((lo - cs) * esz).toInt,
+                          out, ((pref(r) + (lo - starts(r))) * esz).toInt,
+                          ((hi - lo + 1) * esz).toInt)
+                      r += 1
+                    }
+                  }
+                }
+                p += keySize + offSize
+                k += 1
+              }
+            }
+            walkBt(info.btreeAddr)
+          }
+      }
+      out
+    }
+
+    def readDoublesRuns(path: String, runs: Seq[(Long, Long)]): Array[Double] = {
+      val info = datasetInfo(path)
+      toDoubles(readRawRuns(info, runs), info.dtype)
+    }
+
+    def readLongsRuns(path: String, runs: Seq[(Long, Long)]): Array[Long] = {
+      val info = datasetInfo(path)
+      toLongs(readRawRuns(info, runs), info.dtype)
+    }
 
     def readDoubles(path: String): Array[Double] = {
       val info = datasetInfo(path)

@@ -138,3 +138,226 @@ object QfitSource {
     } finally out.close()
   }
 }
+
+/** The ATM1B `.h5` arm of the Qfit family (qfit_data.py:62-94
+  * `read_from_file`): parallel 1-D arrays — `latitude`/`longitude`/
+  * `elevation` at the ROOT plus `instrument_parameters/{azimuth,
+  * rel_time}` in the plain format, or `footprint/{latitude,longitude,
+  * elevation}` + `time/seconds_of_day` in the waveform format — with
+  * the granule date-time parsed from the FILENAME
+  * (`ATM1B.*_YYYYMMDD_HHMMSS.*.h5`, qfit_data.py:65) and
+  * `days_J2K = rel_time/86400 + t0` (:92-94).  `index_range` reads
+  * slice the arrays positionally (qfit_data.py:84
+  * `h5_f[field][i0:i1]`) — here that is a run-sliced chunk decode.
+  * Same granule-per-task scale shape as [[Atl06H5]].
+  */
+object QfitH5 {
+
+  final case class Rec(file: String, rec_idx: Long, latitude: Double,
+                       longitude: Double, elevation: Double, azimuth: Double,
+                       rel_time_s: Double, days_j2k: Double)
+
+  final case class WRec(file: String, rec_idx: Long, latitude: Double,
+                        longitude: Double, elevation: Double,
+                        seconds_of_day: Double, days_j2k: Double)
+
+  private val DateRe =
+    raw"ATM1B.*_(\d\d\d\d)(\d\d)(\d\d)_(\d\d)(\d\d)(\d\d).*\.h5".r.unanchored
+
+  /** Fractional days since 2000-01-01T00:00 from the filename
+    * (qfit_data.py:65-75).  The waveform format uses the DATE only
+    * (t0 at midnight, :72); the plain format folds in H:M:S (:74).
+    */
+  private[sources] def t0Days(name: String, dateOnly: Boolean): Double =
+    name match {
+      case DateRe(y, mo, d, h, mi, s) =>
+        val epoch = java.time.LocalDateTime.of(2000, 1, 1, 0, 0, 0)
+        val t =
+          if (dateOnly) java.time.LocalDateTime.of(y.toInt, mo.toInt, d.toInt, 0, 0, 0)
+          else java.time.LocalDateTime.of(y.toInt, mo.toInt, d.toInt,
+            h.toInt, mi.toInt, s.toInt)
+        java.time.Duration.between(epoch, t).getSeconds / 86400.0
+      case _ => throw new IllegalArgumentException(
+        s"no ATM1B date-time in Qfit granule name '$name'")
+    }
+
+  val AllFields: Set[String] = Set("latitude", "longitude", "elevation",
+    "azimuth", "rel_time")
+
+  /** Encode a plain-format granule: root parallel arrays + the
+    * `instrument_parameters` group, chunked+deflate like real ATM1B
+    * products.  recs = (latitude, longitude, elevation, azimuth,
+    * rel_time_s).
+    */
+  def granuleBytes(recs: Seq[(Double, Double, Double, Double, Double)]): Array[Byte] = {
+    val w = new Hdf5.Writer
+    val rows = math.max(512, (recs.size + 63) / 64)
+    w.doubles("/latitude", recs.map(_._1).toArray, chunkRows = rows, gzip = 6)
+    w.doubles("/longitude", recs.map(_._2).toArray, chunkRows = rows, gzip = 6)
+    w.doubles("/elevation", recs.map(_._3).toArray, chunkRows = rows, gzip = 6,
+      shuffle = true)
+    w.doubles("/instrument_parameters/azimuth", recs.map(_._4).toArray,
+      chunkRows = rows, gzip = 6)
+    w.doubles("/instrument_parameters/rel_time", recs.map(_._5).toArray,
+      chunkRows = rows, gzip = 6)
+    w.toBytes
+  }
+
+  /** Encode a waveform-format granule (`footprint` + `time` groups).
+    * recs = (latitude, longitude, elevation, seconds_of_day).
+    */
+  def waveformGranuleBytes(recs: Seq[(Double, Double, Double, Double)]): Array[Byte] = {
+    val w = new Hdf5.Writer
+    val rows = math.max(512, (recs.size + 63) / 64)
+    w.doubles("/footprint/latitude", recs.map(_._1).toArray, chunkRows = rows, gzip = 6)
+    w.doubles("/footprint/longitude", recs.map(_._2).toArray, chunkRows = rows, gzip = 6)
+    w.doubles("/footprint/elevation", recs.map(_._3).toArray, chunkRows = rows, gzip = 6)
+    w.doubles("/time/seconds_of_day", recs.map(_._4).toArray, chunkRows = rows, gzip = 6)
+    w.toBytes
+  }
+
+  /** Decode a plain-format granule, with the same run-slicing and
+    * field subsetting contract as [[Atl06H5.decode]].  `rec_idx` is
+    * the element's POSITION in the file's arrays (the reference's
+    * per-file offsets, which is what its geo indexes store for
+    * ATM_Qfit files).
+    */
+  def decode(file: String, bytes: Array[Byte],
+             runs: Option[Seq[(Long, Long)]] = None,
+             fields: Option[Set[String]] = None): Iterator[Rec] = {
+    val r = new Hdf5.Reader(bytes)
+    val want = fields.getOrElse(AllFields)
+    val name = file.substring(file.lastIndexOf('/') + 1)
+    val t0 = t0Days(name, dateOnly = false)
+    val rs = runs.getOrElse(Seq.empty)
+    val n =
+      if (rs.nonEmpty) rs.map { case (s, e) => e - s + 1 }.sum.toInt
+      else r.dims("/latitude")(0).toInt
+    def dbls(path: String, key: String): Array[Double] =
+      if (!want(key)) Array.fill(n)(Double.NaN)
+      else if (rs.nonEmpty) r.readDoublesRuns(path, rs)
+      else r.readDoubles(path)
+    val idx: Array[Long] =
+      if (rs.nonEmpty) rs.iterator.flatMap { case (s, e) => s to e }.toArray
+      else Array.tabulate(n)(_.toLong)
+    val lat = dbls("/latitude", "latitude")
+    val lon = dbls("/longitude", "longitude")
+    val elev = dbls("/elevation", "elevation")
+    val az = dbls("/instrument_parameters/azimuth", "azimuth")
+    val rt = dbls("/instrument_parameters/rel_time", "rel_time")
+    idx.indices.iterator.map { i =>
+      Rec(file, idx(i), lat(i), lon(i), elev(i), az(i), rt(i),
+        rt(i) / 86400.0 + t0)
+    }
+  }
+
+  /** Decode a waveform-format granule (qfit_data.py:25,95:
+    * `days_J2K = t0.days + seconds_of_day/86400`, t0 at midnight).
+    */
+  def decodeWaveform(file: String, bytes: Array[Byte],
+                     runs: Option[Seq[(Long, Long)]] = None): Iterator[WRec] = {
+    val r = new Hdf5.Reader(bytes)
+    val name = file.substring(file.lastIndexOf('/') + 1)
+    val t0 = t0Days(name, dateOnly = true)
+    val rs = runs.getOrElse(Seq.empty)
+    def dbls(path: String): Array[Double] =
+      if (rs.nonEmpty) r.readDoublesRuns(path, rs) else r.readDoubles(path)
+    val idx: Array[Long] =
+      if (rs.nonEmpty) rs.iterator.flatMap { case (s, e) => s to e }.toArray
+      else Array.tabulate(r.dims("/footprint/latitude")(0).toInt)(_.toLong)
+    val lat = dbls("/footprint/latitude")
+    val lon = dbls("/footprint/longitude")
+    val elev = dbls("/footprint/elevation")
+    val sod = dbls("/time/seconds_of_day")
+    idx.indices.iterator.map { i =>
+      WRec(file, idx(i), lat(i), lon(i), elev(i), sod(i), t0 + sod(i) / 86400.0)
+    }
+  }
+
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").option("pathGlobFilter", "*.h5").load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, c) => decode(p, c) }
+      .toDF()
+  }
+
+  def readWaveform(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").option("pathGlobFilter", "*.h5").load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, c) => decodeWaveform(p, c) }
+      .toDF()
+  }
+
+  /** Run-sliced read — `runsByFile` maps granule file NAME to its
+    * inclusive element runs, the ATM_Qfit arm of
+    * get_data_for_geo_index (geo_index.py:549-552).
+    */
+  def readRuns(spark: SparkSession, dir: String,
+               runsByFile: Map[String, Seq[(Long, Long)]],
+               fields: Option[Set[String]] = None): DataFrame = {
+    import spark.implicits._
+    if (runsByFile.isEmpty) return spark.emptyDataset[Rec].toDF()
+    val bc = spark.sparkContext.broadcast(runsByFile)
+    val paths = runsByFile.keys.map(f => s"$dir/$f").toSeq
+    spark.read.format("binaryFile").load(paths: _*)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, c) =>
+        val name = p.substring(p.lastIndexOf('/') + 1)
+        bc.value.get(name) match {
+          case Some(rs) => decode(p, c, Some(rs), fields)
+          case None => Iterator.empty
+        }
+      }
+      .toDF()
+  }
+
+  /** Write points as plain-format ATM1B granules, one file per `gran`
+    * key; the filename carries the reference's regex-dated pattern
+    * with the granule hour.  Input columns: gran, latitude,
+    * longitude, elevation, azimuth, rel_time_s.
+    */
+  def writeGranules(points: DataFrame, dir: String,
+                    date: String = "20190315"): Unit = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val hconf = spark.sparkContext.broadcast(
+      new SerHadoopConf(spark.sparkContext.hadoopConfiguration))
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(dirPath)
+    points
+      .select(col("gran").cast("long"), col("latitude").cast("double"),
+        col("longitude").cast("double"), col("elevation").cast("double"),
+        col("azimuth").cast("double"), col("rel_time_s").cast("double"))
+      .repartition(col("gran"))
+      .sortWithinPartitions("gran", "rel_time_s")
+      .as[(Long, Double, Double, Double, Double, Double)]
+      .mapPartitions { it =>
+        GranuleGroups.byKey(it)(_._1).map { case (gran, rows) =>
+          val bytes = granuleBytes(rows.map(r => (r._2, r._3, r._4, r._5, r._6)))
+          val p = new org.apache.hadoop.fs.Path(
+            f"$dir/ATM1B_${date}_${gran % 24}%02d0000_g$gran.h5")
+          val fs = p.getFileSystem(hconf.value.conf)
+          val os = fs.create(p, true)
+          try os.write(bytes) finally os.close()
+          gran
+        }
+      }
+      .write.format("noop").mode("overwrite").save()
+  }
+
+  /** Registry adapter (lat/lon reader contract). */
+  def readForRegistry(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir).select(
+      col("rec_idx"), col("latitude"), col("longitude"),
+      col("elevation"), col("rel_time_s"))
+
+  def readWaveformForRegistry(spark: SparkSession, dir: String): DataFrame =
+    readWaveform(spark, dir).select(
+      col("rec_idx"), col("latitude"), col("longitude"),
+      col("elevation"), col("seconds_of_day"))
+}

@@ -55,9 +55,10 @@ object RasterH5 {
       .withColumn("tile_e", (floor(col("gx") / tileSize) * tileSize).cast("long"))
       .withColumn("tile_n", (floor(col("gy") / tileSize) * tileSize).cast("long"))
       .repartition(col("tile_e"), col("tile_n"))
+      .sortWithinPartitions("tile_e", "tile_n")
       .as[(Double, Double, Double, Long, Long)]
       .mapPartitions { it =>
-        it.toSeq.groupBy(t => (t._4, t._5)).iterator.map { case ((e, n), cells) =>
+        GranuleGroups.byKey(it)(t => (t._4, t._5)).map { case ((e, n), cells) =>
           val bytes = granuleBytes(cells.map(c => (c._1, c._2, c._3)), group)
           val p = new org.apache.hadoop.fs.Path(s"$dir/E${e}_N$n.h5")
           val fs = p.getFileSystem(hconf.value.conf)

@@ -44,6 +44,8 @@ object SourceRegistry {
   private val latlonReaders: Map[String, Reader] = Map(
     "qfit" -> (QfitSource.read _),
     "qfit_waveform" -> (QfitSource.readWaveform _),
+    "qfit_h5" -> (QfitH5.readForRegistry _),
+    "qfit_waveform_h5" -> (QfitH5.readWaveformForRegistry _),
     "atl06_h5" -> (Atl06H5.readForRegistry _),
     "atl11_h5" -> (Atl11H5.readForRegistry _))
 

@@ -44,6 +44,54 @@ class Hdf5Spec extends AnyFunSuite {
     assert(r.readDoubles("/grid").sameElements(Array.tabulate(60)(_.toDouble)))
   }
 
+  test("run-sliced reads return exact slices and decode only overlapping chunks") {
+    val n = 20000
+    val ds = Array.tabulate(n)(i => i * 0.25 - 100.0)
+    val ls = Array.tabulate(n)(i => i.toLong * 7 - 3)
+    val w = new Hdf5.Writer
+    w.doubles("/chunked", ds, chunkRows = 512, gzip = 6, shuffle = true) // 40 chunks
+    w.longs("/chunked_l", ls, chunkRows = 512, gzip = 4, fletcher = true)
+    w.doubles("/contig", ds)
+    val bytes = w.toBytes
+
+    // multiple disjoint runs, including two runs inside ONE chunk
+    // (positions 100-120 and 300-350 both live in chunk 0) and a run
+    // crossing a chunk boundary (1000-1100 spans chunks 1-2)
+    val runs = Seq((100L, 120L), (300L, 350L), (1000L, 1100L), (9999L, 10050L))
+    val expect = runs.flatMap { case (s, e) => (s to e).map(i => ds(i.toInt)) }.toArray
+    val expectL = runs.flatMap { case (s, e) => (s to e).map(i => ls(i.toInt)) }.toArray
+
+    val r1 = new Hdf5.Reader(bytes)
+    assert(r1.readDoublesRuns("/chunked", runs).sameElements(expect))
+    // chunks touched: #0 (both sub-runs — decoded ONCE), #1 and #2
+    // (the 1000-1100 run crosses their boundary at 1024), and #19
+    // (9999-10050 sits inside [9728,10240)) — 4 of 40
+    assert(r1.chunksDecoded == 4, s"decoded ${r1.chunksDecoded} chunks, expected 4")
+
+    val r2 = new Hdf5.Reader(bytes)
+    assert(r2.readLongsRuns("/chunked_l", runs).sameElements(expectL))
+    assert(r2.chunksDecoded == 4)
+
+    // contiguous layout slices without touching the chunk machinery
+    val r3 = new Hdf5.Reader(bytes)
+    assert(r3.readDoublesRuns("/contig", runs).sameElements(expect))
+    assert(r3.chunksDecoded == 0)
+
+    // whole-dataset read for scale contrast: all 40 chunks decode
+    val r4 = new Hdf5.Reader(bytes)
+    assert(r4.readDoubles("/chunked").sameElements(ds))
+    assert(r4.chunksDecoded == 40)
+
+    // out-of-order / overlapping runs refuse loudly
+    val r5 = new Hdf5.Reader(bytes)
+    intercept[IllegalArgumentException] {
+      r5.readDoublesRuns("/chunked", Seq((100L, 200L), (150L, 250L)))
+    }
+    intercept[IllegalArgumentException] {
+      r5.readDoublesRuns("/chunked", Seq((0L, n.toLong))) // past the end
+    }
+  }
+
   test("attributes round-trip: scalar/array numerics and strings") {
     val w = new Hdf5.Writer
     w.group("/index")
