@@ -263,6 +263,73 @@ object H5Ops {
        |       min(off) AS first, max(off) AS last
        |FROM o GROUP BY 1,2 ORDER BY 1,2""".stripMargin
 
+  /** 66i. Sliced point-DATA read out of a self-indexed file — the
+    * reference's `read_indexed_h5_file` bin_index arm end to end
+    * (geo_index.py:289-299 build → :612-629 read): the events points
+    * land bin-sorted in one contiguous-dataset file with an
+    * `INDEX/bin_index` 2×N offset table; a box query matches bins
+    * through the ADOPTED index; the matched `[first,last]` runs
+    * slice the field datasets (only overlapping chunks inflate).
+    * The oracle recomputes the box membership straight from parquet.
+    */
+  def indexedH5Read(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("ixh5rd").toString
+    val pts = Tables.eventsPoints(s, dir).select(
+      lit(0L).as("gran"), col("id").as("ord"), col("x"), col("y"),
+      col("z"), (col("t") / 1000.0).as("time"))
+    IndexedH5.writeIndexed(pts, out, delta = 400.0)
+    val path = s"$out/indexed_0000.h5"
+    val (x0, x1, y0, y1) = (-400L, 400L, 0L, 800L)
+    val runs = IndexedH5.adopt(s, path)
+      .filter(col("bin_x").between(x0, x1) && col("bin_y").between(y0, y1))
+      .select("id_min", "id_max")
+      .collect() // matched bins only — manifest-sized, like the
+                 // reference's in-memory INDEX
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    IndexedH5.readData(s, path, Seq("x", "y", "z", "time"), runs = runs)
+      .select(col("x"), col("y"), col("z"), col("time").as("tsec"))
+  }
+
+  val indexedH5ReadSql: String =
+    s"""WITH pts AS ($P)
+       |SELECT x, y, z, t/1000.0 AS tsec FROM pts
+       |WHERE CAST(round(x/400.0)*400 AS BIGINT) BETWEEN -400 AND 400
+       |  AND CAST(round(y/400.0)*400 AS BIGINT) BETWEEN 0 AND 800""".stripMargin
+
+  /** 66j. The matlab-written indexed_h5 arm (geo_index.py:318-326
+    * adoption, :570 read with km bin names, :630-642 per-bin
+    * datasets): a distinct-bin file whose group names carry km
+    * centers over meter coordinates, with half the fields field-major
+    * and half bin-major to pin BOTH of the reference's lookup probes.
+    * Adoption goes through the registry kind
+    * `indexed_h5_from_matlab`; the matched centers drive the per-bin
+    * read with the /1000 naming.
+    */
+  def matlabH5Read(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("mlh5").toString
+    val pts = Tables.eventsPoints(s, dir).select(
+      lit(0L).as("gran"), col("id").as("ord"), col("x"), col("y"),
+      col("z"), (col("t") / 1000.0).as("time"))
+    IndexedH5.writeBinGroups(pts, out, delta = 1000.0, kmNames = true)
+    val path = s"$out/bins_0000.h5"
+    val (x0, x1, y0, y1) = (-1000L, 0L, 0L, 1000L)
+    val bins = graft.sources.SourceRegistry
+      .forFile(s, "indexed_h5_from_matlab", path, delta = 1000.0)
+      .filter(col("bin_x").between(x0, x1) && col("bin_y").between(y0, y1))
+      .select("bin_x", "bin_y")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    IndexedH5.readData(s, path, Seq("x", "y", "z", "time"),
+      bins = bins, fromMatlab = true)
+      .select(col("x"), col("y"), col("z"), col("time").as("tsec"))
+  }
+
+  val matlabH5ReadSql: String =
+    s"""WITH pts AS ($P)
+       |SELECT x, y, z, t/1000.0 AS tsec FROM pts
+       |WHERE CAST(round(x/1000.0)*1000 AS BIGINT) BETWEEN -1000 AND 0
+       |  AND CAST(round(y/1000.0)*1000 AS BIGINT) BETWEEN 0 AND 1000""".stripMargin
+
   /** 66h-compose: the reference's PRODUCTION loop over genuine `.h5`
     * inputs, end to end (run_tile_updates + cross_ATL06_tile.py:45-87
     * + geo_index.py:679): track points land as ATL06 granules (one
@@ -351,6 +418,8 @@ object H5Ops {
     "q_h5_run_read" -> (h5RunRead _),
     "q_atl11_h5" -> (atl11Roundtrip _),
     "q_indexed_h5" -> (indexedH5Roundtrip _),
+    "q_indexed_h5_read" -> (indexedH5Read _),
+    "q_matlab_h5" -> (matlabH5Read _),
     "q_h5_pipeline" -> (h5Pipeline _))
 
   val oracles: Map[String, String] = Map(
@@ -360,5 +429,7 @@ object H5Ops {
     "q_h5_run_read" -> h5RunReadSql,
     "q_atl11_h5" -> atl11RoundtripSql,
     "q_indexed_h5" -> indexedH5RoundtripSql,
+    "q_indexed_h5_read" -> indexedH5ReadSql,
+    "q_matlab_h5" -> matlabH5ReadSql,
     "q_h5_pipeline" -> h5PipelineSql)
 }

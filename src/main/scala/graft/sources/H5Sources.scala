@@ -1,7 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
 
 import graft.sources.Hdf5.{NumAttr, StrAttr}
 
@@ -534,6 +535,200 @@ object IndexedH5 {
       .toDF()
       .select(col("bin_x"), col("bin_y"), col("n_points"),
         col("id_min"), col("id_max"))
+  }
+
+  /** The matlab-written variant (geo_index.py:318-326
+    * `for_file('indexed_h5_from_matlab')`): adoption reads the
+    * `INDEX` centers ONLY and never trusts offsets — the reference
+    * passes `fake_offset_val=-1` unconditionally, even when a
+    * `bin_index` dataset happens to exist.
+    */
+  def adoptMatlab(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap { bytes =>
+        val r = new Hdf5.Reader(bytes)
+        val bx = r.readDoubles("/INDEX/bin_x")
+        val by = r.readDoubles("/INDEX/bin_y")
+        bx.indices.iterator.map(i =>
+          BinRow(math.round(bx(i)), math.round(by(i)), None, -1L, -1L))
+      }
+      .toDF()
+      .select(col("bin_x"), col("bin_y"), col("n_points"),
+        col("id_min"), col("id_max"))
+  }
+
+  /** Point DATA out of a self-indexed file — the reference's
+    * `read_indexed_h5_file` (geo_index.py:605-665), both arms:
+    *
+    *  - `runs` (the `bin_index` shape, :612-629): inclusive
+    *    `[first,last]` row runs sliced out of contiguous whole-file
+    *    datasets.  The chunk B-tree prunes, so only chunks
+    *    overlapping the runs inflate — the `.h5` analog of the
+    *    parquet side's manifest pruning.
+    *  - `bins` (the distinct-bin shape, :630-642): per-bin lookups
+    *    against `{x}E_{y}N` names, trying the field-major layout
+    *    (`h5f[field][bin]`) then the bin-major one
+    *    (`h5f[bin][field]`) per field, exactly the reference's
+    *    probe order.  `fromMatlab` applies the matlab arm's km
+    *    naming (geo_index.py:570 `result['x']/1000`).
+    *
+    * Fields absent from a file yield null columns (the reference's
+    * `blank_fields`).  One file = one task unit via binaryFile; the
+    * run/bin lists are index-derived and manifest-sized, so they ride
+    * the closure.
+    */
+  def readData(spark: SparkSession, path: String, fields: Seq[String],
+               runs: Seq[(Long, Long)] = Seq.empty,
+               bins: Seq[(Long, Long)] = Seq.empty,
+               fromMatlab: Boolean = false): DataFrame = {
+    require(runs.isEmpty != bins.isEmpty,
+      "exactly one of runs (bin_index shape) or bins (distinct-bin shape)")
+    val schema = StructType(StructField("file", StringType, nullable = false) +:
+      fields.map(f => StructField(f, DoubleType, nullable = true)))
+    val sortedRuns = runs.sortBy(_._1)
+    val binNames = bins.map { case (bx, by) =>
+      if (fromMatlab) s"${bx / 1000}E_${by / 1000}N" else s"${bx}E_${by}N"
+    }
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])](
+        Encoders.tuple(Encoders.STRING, Encoders.BINARY))
+      .flatMap { case (p, bytes) =>
+        val name = p.substring(p.lastIndexOf('/') + 1)
+        val r = new Hdf5.Reader(bytes)
+        val have = r.datasets.toSet
+        val cols: Seq[Option[Array[Double]]] =
+          if (sortedRuns.nonEmpty)
+            fields.map { f =>
+              if (have.contains(s"/$f"))
+                Some(r.readDoublesRuns(s"/$f", sortedRuns))
+              else None
+            }
+          else
+            fields.map { f =>
+              val parts = binNames.map { bn =>
+                if (have.contains(s"/$f/$bn")) Some(r.readDoubles(s"/$f/$bn"))
+                else if (have.contains(s"/$bn/$f")) Some(r.readDoubles(s"/$bn/$f"))
+                else None
+              }
+              if (parts.forall(_.isEmpty)) None
+              else Some(Array.concat(parts.map(_.getOrElse(Array.empty[Double])): _*))
+            }
+        val n = cols.flatten.headOption.map(_.length).getOrElse(0)
+        Iterator.range(0, n).map { i =>
+          Row.fromSeq(name +: cols.map {
+            case Some(a) => java.lang.Double.valueOf(a(i))
+            case None => null
+          })
+        }
+      }(Encoders.row(schema))
+  }
+
+  /** Write the `bin_index` shape the reference indexes
+    * (geo_index.py:289-299): whole-file contiguous field datasets
+    * sorted by (bin, order), plus the `INDEX` group with centers and
+    * the 2×N first/last row offsets.  One file per `gran` key,
+    * encoded executor-side (the streaming-group writer pattern);
+    * chunked+deflate datasets so [[readData]]'s run slicing has
+    * chunks to prune.
+    */
+  def writeIndexed(points: DataFrame, dir: String, delta: Double,
+                   fields: Seq[String] = Seq("x", "y", "z", "time")): Unit = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val hconf = spark.sparkContext.broadcast(
+      new SerHadoopConf(spark.sparkContext.hadoopConfiguration))
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(dirPath)
+    val arr = array(fields.map(f => col(f).cast("double")): _*)
+    points
+      .select(col("gran").cast("long"),
+        graft.operators.GeoOps.binOf(col("x"), delta).as("bin_x"),
+        graft.operators.GeoOps.binOf(col("y"), delta).as("bin_y"),
+        col("ord").cast("long"), arr.as("vals"))
+      .repartition(col("gran"))
+      .sortWithinPartitions("gran", "bin_x", "bin_y", "ord")
+      .as[(Long, Long, Long, Long, Seq[Double])]
+      .mapPartitions { it =>
+        GranuleGroups.byKey(it)(_._1).map { case (gran, rows) =>
+          val w = new Hdf5.Writer
+          fields.zipWithIndex.foreach { case (f, fi) =>
+            w.doubles(s"/$f", rows.map(_._5(fi)).toArray,
+              chunkRows = 512, gzip = 6, shuffle = true)
+          }
+          // per-bin first/last over the (bin-sorted) row order
+          val binsOrdered = rows.map(r => (r._2, r._3)).zipWithIndex
+            .groupBy(_._1).toSeq.sortBy(_._1)
+            .map { case (b, g) =>
+              (b, g.map(_._2.toLong).min, g.map(_._2.toLong).max)
+            }
+          w.doubles("/INDEX/bin_x", binsOrdered.map(_._1._1.toDouble).toArray)
+          w.doubles("/INDEX/bin_y", binsOrdered.map(_._1._2.toDouble).toArray)
+          w.longs("/INDEX/bin_index",
+            (binsOrdered.map(_._2) ++ binsOrdered.map(_._3)).toArray,
+            dims = Seq(2L, binsOrdered.length.toLong))
+          val p = new org.apache.hadoop.fs.Path(f"$dir/indexed_$gran%04d.h5")
+          val fs = p.getFileSystem(hconf.value.conf)
+          val os = fs.create(p, true)
+          try os.write(w.toBytes) finally os.close()
+          gran
+        }
+      }
+      .write.format("noop").mode("overwrite").save()
+  }
+
+  /** Write the distinct-bin shape (geo_index.py:300-315): per-bin
+    * datasets under `{x}E_{y}N` names.  To pin BOTH of the
+    * reference's lookup arms, the first half of `fields` lands
+    * field-major (`/{field}/{bin}`) and the rest bin-major
+    * (`/{bin}/{field}`); `kmNames` writes matlab-convention km bin
+    * names over meter centers.  The `INDEX` group carries centers
+    * only — offsets are meaningless for this shape (the reference's
+    * `fake_offset_val=-1`).
+    */
+  def writeBinGroups(points: DataFrame, dir: String, delta: Double,
+                     fields: Seq[String] = Seq("x", "y", "z", "time"),
+                     kmNames: Boolean = false): Unit = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val hconf = spark.sparkContext.broadcast(
+      new SerHadoopConf(spark.sparkContext.hadoopConfiguration))
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(dirPath)
+    val arr = array(fields.map(f => col(f).cast("double")): _*)
+    val nMajor = (fields.size + 1) / 2
+    points
+      .select(col("gran").cast("long"),
+        graft.operators.GeoOps.binOf(col("x"), delta).as("bin_x"),
+        graft.operators.GeoOps.binOf(col("y"), delta).as("bin_y"),
+        col("ord").cast("long"), arr.as("vals"))
+      .repartition(col("gran"))
+      .sortWithinPartitions("gran", "bin_x", "bin_y", "ord")
+      .as[(Long, Long, Long, Long, Seq[Double])]
+      .mapPartitions { it =>
+        GranuleGroups.byKey(it)(_._1).map { case (gran, rows) =>
+          val w = new Hdf5.Writer
+          val binsOrdered = GranuleGroups.byKey(rows.iterator)(r => (r._2, r._3)).toSeq
+          binsOrdered.foreach { case ((bx, by), brs) =>
+            val bn = if (kmNames) s"${bx / 1000}E_${by / 1000}N"
+                     else s"${bx}E_${by}N"
+            fields.zipWithIndex.foreach { case (f, fi) =>
+              val path = if (fi < nMajor) s"/$f/$bn" else s"/$bn/$f"
+              w.doubles(path, brs.map(_._5(fi)).toArray)
+            }
+          }
+          w.doubles("/INDEX/bin_x", binsOrdered.map(_._1._1.toDouble).toArray)
+          w.doubles("/INDEX/bin_y", binsOrdered.map(_._1._2.toDouble).toArray)
+          val p = new org.apache.hadoop.fs.Path(f"$dir/bins_$gran%04d.h5")
+          val fs = p.getFileSystem(hconf.value.conf)
+          val os = fs.create(p, true)
+          try os.write(w.toBytes) finally os.close()
+          gran
+        }
+      }
+      .write.format("noop").mode("overwrite").save()
   }
 }
 

@@ -69,7 +69,8 @@ object SourceRegistry {
 
   def kinds: Seq[String] =
     (xyReaders.keys ++ latlonReaders.keys ++
-      Seq(IndexKind, DemKind, "indexed_h5")).toSeq.sorted
+      Seq(IndexKind, DemKind, "indexed_h5",
+        "indexed_h5_from_matlab")).toSeq.sorted
 
   /** Read any registered POINT kind into the canonical
     * `(id, x, y, z, t)` schema.  For lat/lon formats `id` is the
@@ -127,6 +128,10 @@ object SourceRegistry {
       // bins without offsets contribute null n_points, which the
       // merge's sum skips (the reference's fake_offset_val=-1)
       IndexedH5.adopt(spark, path)
+    case "indexed_h5_from_matlab" =>
+      // matlab-written self-indexed files (geo_index.py:318-326) —
+      // centers only, offsets never trusted (fake_offset_val=-1)
+      IndexedH5.adoptMatlab(spark, path)
     case IndexKind =>
       spark.read.parquet(path)
         .select(col("bin_x"), col("bin_y"), col("n_points"),

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Hdf5, IndexedH5, SourceRegistry}
+
+/** Point-data reads out of self-indexed `.h5` files — the reference's
+  * `read_indexed_h5_file` (geo_index.py:605-665), both arms, plus the
+  * matlab adoption variant (geo_index.py:318-326) and its km bin
+  * naming (geo_index.py:570).
+  */
+class IndexedH5ReadSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic point cloud over a few delta=400 bins
+  private def pts(n: Int) = (0 until n).map { i =>
+    (0L, i.toLong, (i * 7919 % 2000) - 1000.0, (i * 104729 % 2000) - 1000.0,
+      100.0 + i * 0.25, i * 0.5)
+  }.toDF("gran", "ord", "x", "y", "z", "time")
+
+  test("bin_index arm: adopted runs slice the contiguous datasets exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("ixread").toString
+    IndexedH5.writeIndexed(pts(5000), dir, delta = 400.0)
+    val path = s"$dir/indexed_0000.h5"
+    val idx = IndexedH5.adopt(spark, path)
+    // every bin carries offsets, and they tile [0, n) without overlap
+    val rows = idx.orderBy("id_min").collect()
+    assert(rows.forall(!_.isNullAt(2)))
+    assert(rows.head.getLong(3) == 0L)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(3) == a.getLong(4) + 1)
+    case _ => }
+    // a two-bin query through the adopted index == direct filter
+    val picked = rows.take(2).map(r => (r.getLong(3), r.getLong(4))).toSeq
+    val got = IndexedH5.readData(spark, path, Seq("x", "y", "z", "time"),
+      runs = picked)
+      .select("x", "y", "z", "time").as[(Double, Double, Double, Double)]
+      .collect().toSet
+    val pickedBins = rows.take(2).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = pts(5000)
+      .select(col("x"), col("y"), col("z"), col("time"),
+        graft.operators.GeoOps.binOf(col("x"), 400.0).as("bx"),
+        graft.operators.GeoOps.binOf(col("y"), 400.0).as("by"))
+      .as[(Double, Double, Double, Double, Long, Long)]
+      .collect()
+      .filter(t => pickedBins((t._5, t._6)))
+      .map(t => (t._1, t._2, t._3, t._4)).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("bin_index arm: sliced read inflates only run-overlapping chunks") {
+    val dir = java.nio.file.Files.createTempDirectory("ixchunk").toString
+    IndexedH5.writeIndexed(pts(20000), dir, delta = 400.0)
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/indexed_0000.h5"))
+    val rFull = new Hdf5.Reader(bytes)
+    rFull.readDoubles("/x"); rFull.readDoubles("/y")
+    val rSliced = new Hdf5.Reader(bytes)
+    rSliced.readDoublesRuns("/x", Seq((100L, 300L)))
+    rSliced.readDoublesRuns("/y", Seq((100L, 300L)))
+    assert(rSliced.chunksDecoded > 0 &&
+      rSliced.chunksDecoded < rFull.chunksDecoded / 4,
+      s"sliced=${rSliced.chunksDecoded} full=${rFull.chunksDecoded}")
+  }
+
+  test("distinct-bin arm: field-major and bin-major lookups both resolve; absent field is null") {
+    val dir = java.nio.file.Files.createTempDirectory("bingrp").toString
+    IndexedH5.writeBinGroups(pts(800), dir, delta = 400.0)
+    val path = s"$dir/bins_0000.h5"
+    // writeBinGroups puts x,y field-major and z,time bin-major
+    val r = new Hdf5.Reader(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)))
+    val ds = r.datasets.toSet
+    assert(ds.exists(p => p.startsWith("/x/") && p.endsWith("N")))
+    assert(ds.exists(p => p.matches("/-?\\d+E_-?\\d+N/z")))
+    val bins = IndexedH5.adopt(spark, path)
+      .select("bin_x", "bin_y").as[(Long, Long)].collect().toSeq.sorted.take(3)
+    val got = IndexedH5.readData(spark, path,
+      Seq("x", "y", "z", "time", "nope"), bins = bins)
+    assert(got.filter(col("nope").isNotNull).count() == 0)
+    val gotSet = got.select("x", "y", "z", "time")
+      .as[(Double, Double, Double, Double)].collect().toSet
+    val binSet = bins.toSet
+    val want = pts(800)
+      .select(col("x"), col("y"), col("z"), col("time"),
+        graft.operators.GeoOps.binOf(col("x"), 400.0).as("bx"),
+        graft.operators.GeoOps.binOf(col("y"), 400.0).as("by"))
+      .as[(Double, Double, Double, Double, Long, Long)]
+      .collect().filter(t => binSet((t._5, t._6)))
+      .map(t => (t._1, t._2, t._3, t._4)).toSet
+    assert(gotSet == want && gotSet.nonEmpty)
+  }
+
+  test("matlab arm: km bin names resolve through /1000, adoption ignores offsets") {
+    val dir = java.nio.file.Files.createTempDirectory("mlgrp").toString
+    IndexedH5.writeBinGroups(pts(800), dir, delta = 1000.0, kmNames = true)
+    val path = s"$dir/bins_0000.h5"
+    val r = new Hdf5.Reader(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)))
+    // group names are km (|coord| <= 1), not meters
+    val binGroups = r.datasets.filter(_.matches("/x/-?\\d+E_-?\\d+N"))
+    assert(binGroups.nonEmpty && binGroups.forall { p =>
+      val m = "/x/(-?\\d+)E_(-?\\d+)N".r.findFirstMatchIn(p).get
+      math.abs(m.group(1).toLong) <= 1 && math.abs(m.group(2).toLong) <= 1
+    })
+    val adopted = SourceRegistry.forFile(
+      spark, "indexed_h5_from_matlab", path, delta = 1000.0)
+    assert(adopted.filter(col("n_points").isNotNull).count() == 0)
+    val bins = adopted.select("bin_x", "bin_y").as[(Long, Long)]
+      .collect().toSeq
+    val got = IndexedH5.readData(spark, path, Seq("x", "y", "z"),
+      bins = bins, fromMatlab = true)
+      .select("x", "y", "z").as[(Double, Double, Double)].collect().toSet
+    val want = pts(800).select("x", "y", "z")
+      .as[(Double, Double, Double)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("adoptMatlab never trusts bin_index even when present") {
+    val w = new Hdf5.Writer
+    w.doubles("/INDEX/bin_x", Array(0.0, 1000.0))
+    w.doubles("/INDEX/bin_y", Array(0.0, -1000.0))
+    w.longs("/INDEX/bin_index", Array(0L, 10L, 9L, 19L), dims = Seq(2L, 2L))
+    val p = java.nio.file.Files.createTempDirectory("mladopt").toString + "/m.h5"
+    java.nio.file.Files.write(java.nio.file.Paths.get(p), w.toBytes)
+    val a = IndexedH5.adoptMatlab(spark, p).orderBy("bin_x").collect()
+    assert(a.length == 2 && a.forall(_.isNullAt(2)) &&
+      a.forall(r => r.getLong(3) == -1L && r.getLong(4) == -1L))
+    // while plain indexed_h5 adoption DOES read the offsets
+    val b = IndexedH5.adopt(spark, p).orderBy("bin_x").collect()
+    assert(b.forall(!_.isNullAt(2)) && b.map(_.getLong(3)).toSet == Set(0L, 10L))
+  }
+
+  test("registry lists the matlab kind") {
+    assert(SourceRegistry.kinds.contains("indexed_h5_from_matlab"))
+  }
+}
