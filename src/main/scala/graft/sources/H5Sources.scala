@@ -654,9 +654,12 @@ object IndexedH5 {
       .mapPartitions { it =>
         GranuleGroups.byKey(it)(_._1).map { case (gran, rows) =>
           val w = new Hdf5.Writer
+          // chunk count must fit the writer's B-tree capacity at any
+          // granule size (the Atl06 sizing rule)
+          val chunkRows = math.max(512, (rows.size + 63) / 64)
           fields.zipWithIndex.foreach { case (f, fi) =>
             w.doubles(s"/$f", rows.map(_._5(fi)).toArray,
-              chunkRows = 512, gzip = 6, shuffle = true)
+              chunkRows = chunkRows, gzip = 6, shuffle = true)
           }
           // per-bin first/last over the (bin-sorted) row order
           val binsOrdered = rows.map(r => (r._2, r._3)).zipWithIndex

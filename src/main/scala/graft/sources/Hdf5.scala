@@ -1073,7 +1073,6 @@ object Hdf5 {
 
       def writeGroup(path: String): Long = {
         val kids = childrenOf(path)
-        require(kids.size <= 2 * InternalK * 2 * LeafK, s"group $path too large")
         val kidAddrs = kids.map { k =>
           val a = nodes(k) match {
             case d: Ds => writeDataset(k, d)
@@ -1115,20 +1114,41 @@ object Hdf5 {
           while (buf.size < padTo) buf.write(0)
           a
         }
-        // group B-tree: level-0 node over the SNODs
-        align8()
-        val btAddr = buf.size.toLong
-        buf.write('T'); buf.write('R'); buf.write('E'); buf.write('E')
-        wU(0, 1); wU(0, 1); wU(snodAddrs.size, 2)
-        wU(-1L, 8); wU(-1L, 8)
-        wU(0, 8) // key0: ""
-        snodAddrs.zip(groupsOfSyms).foreach { case (sa, syms) =>
-          wU(sa, 8)
-          wU(syms.last._2, 8) // key: heap offset of the child's last name
+        // group B-tree over the SNODs, multi-level when one node's 2K
+        // fan-out can't hold them all (reference-shaped index files
+        // carry one subgroup per bin — groups grow with the index,
+        // so capacity must not be a constant).  Levels build
+        // bottom-up; nodes at each level are written consecutively so
+        // sibling pointers are known up front.
+        val nodeCap = 24 + (2 * InternalK + 1) * 8 + 2 * InternalK * 8
+        var level = 0
+        // (child address, key = heap offset of the subtree's last name)
+        var entries: Seq[(Long, Long)] =
+          snodAddrs.zip(groupsOfSyms).map { case (sa, syms) => (sa, syms.last._2) }
+        var btAddr = -1L
+        while (btAddr < 0) {
+          val grps = entries.grouped(2 * InternalK).toSeq
+          align8()
+          val base = buf.size.toLong
+          val nodeAddrs = grps.indices.map(i => base + i.toLong * nodeCap)
+          grps.zipWithIndex.foreach { case (g, i) =>
+            buf.write('T'); buf.write('R'); buf.write('E'); buf.write('E')
+            wU(0, 1); wU(level, 1); wU(g.size, 2)
+            wU(if (i == 0) -1L else nodeAddrs(i - 1), 8)
+            wU(if (i == grps.size - 1) -1L else nodeAddrs(i + 1), 8)
+            // key0: "" for the leftmost node; later nodes inherit the
+            // previous node's last key as their lower bound
+            wU(if (i == 0) 0L else grps(i - 1).last._2, 8)
+            g.foreach { case (child, key) => wU(child, 8); wU(key, 8) }
+            val padTo = nodeAddrs(i) + nodeCap
+            while (buf.size < padTo) buf.write(0)
+          }
+          if (grps.size == 1) btAddr = nodeAddrs(0)
+          else {
+            entries = nodeAddrs.zip(grps).map { case (a, g) => (a, g.last._2) }
+            level += 1
+          }
         }
-        val cap = 24 + (2 * InternalK + 1) * 8 + 2 * InternalK * 8
-        val padTo = btAddr + cap
-        while (buf.size < padTo) buf.write(0)
         // symbol table message + attrs
         val stm = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
           .putLong(btAddr).putLong(heapAddr).array()

@@ -391,6 +391,29 @@ class Hdf5Spec extends AnyFunSuite {
     assert(r.readDoubles("/bins/bin_0499/z").head == 499.0)
   }
 
+  test("group past one node's 2K*2K capacity gets a multi-LEVEL B-tree, walk-clean") {
+    // 4096 = 2*InternalK SNOD children × 2*LeafK symbols is the most
+    // ONE level-0 node addresses; 4500 forces a level-1 root (the
+    // shape a reference index file with one subgroup per bin reaches)
+    val w = new Hdf5.Writer
+    (0 until 4500).foreach { i => w.doubles(f"/bins/b$i%05d/z", Array(i.toDouble)) }
+    val bytes = w.toBytes
+    val r = new Hdf5.Reader(bytes)
+    assert(r.groups.count(_.startsWith("/bins/")) == 4500)
+    assert(r.readDoubles("/bins/b04321/z").head == 4321.0)
+    // the /bins group's B-tree root must be level ≥ 1: find the TREE
+    // node whose entry count × SNOD capacity cannot cover 4500
+    var i = 0; var sawInternal = false
+    while (i < bytes.length - 8 && !sawInternal) {
+      if (bytes(i) == 'T' && bytes(i + 1) == 'R' && bytes(i + 2) == 'E' &&
+        bytes(i + 3) == 'E' && bytes(i + 4) == 0 && (bytes(i + 5) & 0xff) >= 1)
+        sawInternal = true
+      i += 1
+    }
+    assert(sawInternal, "no internal (level>=1) group B-tree node written")
+    conformanceWalk(bytes)
+  }
+
   test("REAL libhdf5 granule: structure, attrs, chunked+deflate tiles") {
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(RealFile))
     val r = new Hdf5.Reader(bytes)
