@@ -864,23 +864,41 @@ object Hdf5 {
       attr(path, name, StrAttr(Array(v)))
 
     // B-tree capacities (must agree with the superblock K fields)
-    private val LeafK = 64      // 128 symbols per SNOD
+    // libhdf5's defaults (H5Pset_sym_k): leaf K=4 → 8 symbols per
+    // SNOD, internal K=16 → 32 children per node.  SNODs allocate at
+    // full 2K capacity, so a large leaf K makes every SMALL group pay
+    // kilobytes of padding — a many-bin index file (one 3-dataset
+    // subgroup per bin) bloats 16×.  Large groups instead grow the
+    // multi-level B-tree, exactly as libhdf5 does.
+    private val LeafK = 4       // 8 symbols per SNOD
     private val InternalK = 16  // 32 children per group btree node
     private val IstoreCap = 64  // chunk-btree capacity at libhdf5's default K=32
 
     def toBytes: Array[Byte] = {
       val buf = new java.io.ByteArrayOutputStream(1 << 20)
-      def align8(): Unit = while (buf.size % 8 != 0) buf.write(0)
+      val zeroBlock = new Array[Byte](8192)
+      // capacity padding in bulk: per-byte write(0) loops made the
+      // encode of a many-group file write-bound on padding alone
+      def padUpTo(target: Long): Unit = {
+        var n = (target - buf.size).toInt
+        while (n > 0) { val k = math.min(n, zeroBlock.length); buf.write(zeroBlock, 0, k); n -= k }
+      }
+      def align8(): Unit = padUpTo((buf.size + 7L) / 8 * 8)
       def wU(v: Long, n: Int): Unit = { var k = 0; while (k < n) { buf.write(((v >> (8 * k)) & 0xff).toInt); k += 1 } }
 
       buf.write(new Array[Byte](96)) // superblock placeholder
       val addrOf = scala.collection.mutable.HashMap.empty[String, Long]
 
-      def childrenOf(path: String): Seq[String] = {
-        val prefix = if (path.isEmpty) "/" else path + "/"
-        nodes.keys.filter(k => k.nonEmpty && k.startsWith(prefix) &&
-          !k.substring(prefix.length).contains("/")).toSeq.sorted
-      }
+      // children indexed once up front: a per-group scan of ALL nodes
+      // would make encoding quadratic in the node count, which a
+      // many-bin index file (one subgroup per bin) turns into hours
+      val childIndex: Map[String, Seq[String]] = nodes.keys
+        .filter(_.nonEmpty)
+        .toSeq
+        .groupBy(k => k.substring(0, k.lastIndexOf('/')))
+        .map { case (parent, ks) => parent -> ks.sorted }
+      def childrenOf(path: String): Seq[String] =
+        childIndex.getOrElse(path, Seq.empty)
 
       def dtypeMsg(dt: Dtype): Array[Byte] = {
         val bb = ByteBuffer.allocate(if (dt.cls == 1) 8 + 12 else 8 + 4).order(ByteOrder.LITTLE_ENDIAN)
@@ -1047,7 +1065,7 @@ object Hdf5 {
           wU(0, 4); wU(0, 4); wU(n, 8); wU(0, 8) // final key
           val cap = 24 + (IstoreCap + 1) * keySize + IstoreCap * 8
           var padTo = btAddr + cap
-          while (buf.size < padTo) buf.write(0)
+          padUpTo(padTo)
           val bb = ByteBuffer.allocate(3 + 8 + 8).order(ByteOrder.LITTLE_ENDIAN)
           bb.put(3.toByte).put(2.toByte).put(2.toByte).putLong(btAddr)
             .putInt(d.chunkRows).putInt(esz)
@@ -1111,7 +1129,7 @@ object Hdf5 {
           }
           val cap = 8 + 2 * LeafK * 40
           val padTo = a + cap
-          while (buf.size < padTo) buf.write(0)
+          padUpTo(padTo)
           a
         }
         // group B-tree over the SNODs, multi-level when one node's 2K
@@ -1141,7 +1159,7 @@ object Hdf5 {
             wU(if (i == 0) 0L else grps(i - 1).last._2, 8)
             g.foreach { case (child, key) => wU(child, 8); wU(key, 8) }
             val padTo = nodeAddrs(i) + nodeCap
-            while (buf.size < padTo) buf.write(0)
+            padUpTo(padTo)
           }
           if (grps.size == 1) btAddr = nodeAddrs(0)
           else {
