@@ -228,14 +228,20 @@ object H5Ops {
     val binned = Tables.eventsPoints(s, dir).select(
       GeoOps.binOf(col("x"), 400).as("bin_x"),
       GeoOps.binOf(col("y"), 400).as("bin_y"), col("id"))
-    val wAll = Window.orderBy("bin_x", "bin_y", "id")
-    val stats = binned
-      .withColumn("off", (row_number().over(wAll) - 1).cast("long"))
+    // per-bin first/last offsets in the bin-sorted order are a prefix
+    // sum over bin COUNTS — no corpus-sized single-partition window,
+    // just a distributed count and a manifest-sized driver fold (the
+    // reference holds the same INDEX datasets in memory)
+    val counts = binned
       .groupBy("bin_x", "bin_y")
-      .agg(min("off").as("first"), max("off").as("last"))
+      .agg(count("*").as("n"))
       .orderBy("bin_x", "bin_y")
-      .collect() // bins only — manifest-sized, like the reference's
-                 // in-memory INDEX datasets
+      .collect()
+    var off = 0L
+    val stats = counts.map { r =>
+      val first = off; off += r.getLong(2)
+      org.apache.spark.sql.Row(r.getLong(0), r.getLong(1), first, off - 1)
+    }
     val w = new graft.sources.Hdf5.Writer
     w.doubles("/INDEX/bin_x", stats.map(_.getLong(0).toDouble))
     w.doubles("/INDEX/bin_y", stats.map(_.getLong(1).toDouble))
