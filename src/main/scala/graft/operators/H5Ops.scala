@@ -336,6 +336,134 @@ object H5Ops {
        |WHERE CAST(round(x/1000.0)*1000 AS BIGINT) BETWEEN -1000 AND 0
        |  AND CAST(round(y/1000.0)*1000 AS BIGINT) BETWEEN 0 AND 1000""".stripMargin
 
+  /** 45d promoted: Qfit ATM1B `.h5` granule cycle (qfit_data.py:62-94
+    * — root parallel arrays + `instrument_parameters` group, with the
+    * filename-regex date folded into `days_J2K`, :65-75).  Three
+    * granules write executor-side with hour-coded names; the decode
+    * recovers every field plus the derived time axis, hashed against
+    * a pure-SQL recomputation (epoch arithmetic reproduces t0Days).
+    */
+  def qfitH5Roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("qfith5").toString
+    graft.sources.QfitH5.writeGranules(Tables.eventsPoints(s, dir).select(
+      (col("id") % 3).as("gran"),
+      (col("y") / 100000.0).as("latitude"),
+      (col("x") / 100000.0).as("longitude"),
+      col("z").as("elevation"),
+      (col("id") % 360).cast("double").as("azimuth"),
+      (col("id") * 0.05).as("rel_time_s")), out)
+    graft.sources.QfitH5.read(s, out).select(
+      regexp_extract(col("file"), "_g(\\d+)\\.h5", 1).cast("long").as("gran"),
+      col("rec_idx"), col("latitude"), col("longitude"), col("elevation"),
+      col("azimuth"), col("rel_time_s"), col("days_j2k"))
+  }
+
+  val qfitH5RoundtripSql: String =
+    s"""WITH pts AS ($P)
+       |SELECT id % 3 AS gran,
+       |       row_number() OVER (PARTITION BY id % 3 ORDER BY id) - 1 AS rec_idx,
+       |       y/100000.0 AS latitude, x/100000.0 AS longitude,
+       |       z AS elevation, CAST(id % 360 AS DOUBLE) AS azimuth,
+       |       id * (0.05::DOUBLE) AS rel_time_s,
+       |       (epoch(TIMESTAMP '2019-03-15 00:00:00')
+       |        - epoch(TIMESTAMP '2000-01-01 00:00:00'))/86400.0
+       |         + (id % 3)/24.0 + id * (0.05::DOUBLE)/86400.0 AS days_j2k
+       |FROM pts""".stripMargin
+
+  /** The reference's production index build, end to end
+    * (index_AA_ATL06.py): STAGE 1 writes one `.h5` geo-index file per
+    * granule; STAGE 2 builds the master index by ADOPTING those index
+    * files (`index_list_for_files(h5_list, 'h5_geoindex', …)`) — bins
+    * only, no point rescan.  The oracle recomputes each granule's
+    * rollup from raw parquet and merges, so the hash match pins the
+    * whole two-stage hierarchy.
+    */
+  def masterIndex(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("masteridx").toString
+    val p = Tables.eventsPoints(s, dir).select(
+      (col("id") % 3).as("gran"),
+      GeoOps.binOf(col("x"), 400).as("bin_x"),
+      GeoOps.binOf(col("y"), 400).as("bin_y"), col("id"))
+    val idxFiles = (0 to 2).map { g =>
+      val w = Window.partitionBy("bin_x", "bin_y").orderBy("id")
+      val runs = p.filter(col("gran") === g)
+        .withColumn("island", col("id") - row_number().over(w))
+        .groupBy("bin_x", "bin_y", "island")
+        .agg(min("id").as("run_start"), max("id").as("run_end"))
+        .drop("island")
+        .withColumn("file_num", lit(g.toLong))
+      val path = s"$out/granule_$g.h5"
+      GeoIndexH5.write(runs, 400.0, "+proj=stere +lat_0=-90", "/data",
+        Seq((f"ATL06_gran$g%04d.h5", "ATL06")), path)
+      ("geoindex", path)
+    }
+    graft.sources.SourceRegistry.indexListForFiles(s, idxFiles, 400.0)
+      .orderBy("bin_x", "bin_y")
+  }
+
+  val masterIndexSql: String =
+    s"""WITH pts AS ($P),
+       |b AS (SELECT id % 3 AS gran,
+       |             CAST(round(x/400.0)*400 AS BIGINT) AS bin_x,
+       |             CAST(round(y/400.0)*400 AS BIGINT) AS bin_y, id
+       |      FROM pts),
+       |g AS (SELECT gran, bin_x, bin_y, count(*) AS np,
+       |             min(id) AS lo, max(id) AS hi
+       |      FROM b GROUP BY 1,2,3)
+       |SELECT bin_x, bin_y, CAST(sum(np) AS BIGINT) AS n_points,
+       |       min(lo) AS id_min, max(hi) AS id_max,
+       |       count(*) AS n_sources
+       |FROM g GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+
+  /** `index_list_for_files` over a MIXED archive (geo_index.py:679-698
+    * dispatching per-file readers by type): the same point set split
+    * across four kinds — parquet, csv, orc, and a self-indexed `.h5`
+    * (adopted, never scanned) — indexed per file and merged under the
+    * `from_list` law.  The indexed_h5 member contributes ROW offsets
+    * as its id stats (exactly the reference's offset semantics for
+    * that kind); the oracle mirrors that per-kind difference.
+    */
+  def mixedIndex(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("mixedidx").toString
+    val pts = Tables.eventsPoints(s, dir)
+      .select(col("id"), col("x"), col("y"), col("z"), col("t"))
+    pts.filter(col("id") % 4 === 0).write.parquet(s"$out/part0.parquet")
+    pts.filter(col("id") % 4 === 1)
+      .write.option("header", "true").csv(s"$out/part1.csv")
+    pts.filter(col("id") % 4 === 2).write.orc(s"$out/part2.orc")
+    IndexedH5.writeIndexed(pts.filter(col("id") % 4 === 3).select(
+      lit(0L).as("gran"), col("id").as("ord"), col("x"), col("y"),
+      col("z"), (col("t") / 1000.0).as("time")), s"$out/p3", delta = 400.0)
+    val files = Seq(
+      ("parquet", s"$out/part0.parquet"),
+      ("csv", s"$out/part1.csv"),
+      ("orc", s"$out/part2.orc"),
+      ("indexed_h5", s"$out/p3/indexed_0000.h5"))
+    graft.sources.SourceRegistry.indexListForFiles(s, files, 400.0)
+      .orderBy("bin_x", "bin_y")
+  }
+
+  val mixedIndexSql: String =
+    s"""WITH pts AS ($P),
+       |b AS (SELECT id % 4 AS kind,
+       |             CAST(round(x/400.0)*400 AS BIGINT) AS bin_x,
+       |             CAST(round(y/400.0)*400 AS BIGINT) AS bin_y, id
+       |      FROM pts),
+       |o AS (SELECT bin_x, bin_y,
+       |             row_number() OVER (ORDER BY bin_x, bin_y, id) - 1 AS off
+       |      FROM b WHERE kind = 3),
+       |g AS (SELECT kind, bin_x, bin_y, count(*) AS np,
+       |             min(id) AS lo, max(id) AS hi
+       |      FROM b WHERE kind < 3 GROUP BY 1,2,3
+       |      UNION ALL
+       |      SELECT 3 AS kind, bin_x, bin_y, count(*) AS np,
+       |             min(off) AS lo, max(off) AS hi
+       |      FROM o GROUP BY 2,3)
+       |SELECT bin_x, bin_y, CAST(sum(np) AS BIGINT) AS n_points,
+       |       min(lo) AS id_min, max(hi) AS id_max,
+       |       count(*) AS n_sources
+       |FROM g GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+
   /** 66h-compose: the reference's PRODUCTION loop over genuine `.h5`
     * inputs, end to end (run_tile_updates + cross_ATL06_tile.py:45-87
     * + geo_index.py:679): track points land as ATL06 granules (one
@@ -426,6 +554,9 @@ object H5Ops {
     "q_indexed_h5" -> (indexedH5Roundtrip _),
     "q_indexed_h5_read" -> (indexedH5Read _),
     "q_matlab_h5" -> (matlabH5Read _),
+    "q_qfit_h5" -> (qfitH5Roundtrip _),
+    "q_master_index" -> (masterIndex _),
+    "q_mixed_index" -> (mixedIndex _),
     "q_h5_pipeline" -> (h5Pipeline _))
 
   val oracles: Map[String, String] = Map(
@@ -437,5 +568,8 @@ object H5Ops {
     "q_indexed_h5" -> indexedH5RoundtripSql,
     "q_indexed_h5_read" -> indexedH5ReadSql,
     "q_matlab_h5" -> matlabH5ReadSql,
+    "q_qfit_h5" -> qfitH5RoundtripSql,
+    "q_master_index" -> masterIndexSql,
+    "q_mixed_index" -> mixedIndexSql,
     "q_h5_pipeline" -> h5PipelineSql)
 }
