@@ -49,31 +49,19 @@ object PipeSplit {
       GeoOps.binOf(col("x"), 400.0).as("bin_x"),
       GeoOps.binOf(col("y"), 400.0).as("bin_y"))
       .withColumn("file_num", col("gran") * 6 + col("beam6"))
-    val wRun = Window.partitionBy("file_num", "bin_x", "bin_y").orderBy("pos")
-    val runs = positioned
-      .withColumn("island", col("pos") - row_number().over(wRun))
-      .groupBy("bin_x", "bin_y", "file_num", "island")
-      .agg(min("pos").as("run_start"), max("pos").as("run_end"))
-      .drop("island")
+    val runs = graft.operators.H5Ops.islandRuns(positioned)
     val nRuns = timed("run computation")(runs.count())
     println(s"[pipesplit] runs=$nRuns")
-    val granFiles = (0 to 1).map(g => f"ATL06_gran$g%04d.h5")
-    val beams = for (p <- 1 to 3; lr <- Seq("l", "r")) yield s"gt$p$lr"
     val fileEntries =
-      for (g <- 0 to 1; b <- beams) yield (s"${granFiles(g)}:$b", "ATL06")
+      for (g <- 0 to 1; b <- graft.operators.H5Ops.beams)
+        yield (s"${graft.operators.H5Ops.granFile(g)}:$b", "ATL06")
     val idxPath = s"$out/index.h5"
     timed("index-file write")(GeoIndexH5.write(
       runs, 400.0, "+proj=stere +lat_0=-90", "/data", fileEntries, idxPath))
     val matched = timed("index read+collect")(GeoIndexH5.readRuns(spark, idxPath)
       .select("file_num", "offset_start", "offset_end").collect())
-    val runsByFile = matched
-      .map(r => (r.getLong(0).toInt, (r.getLong(1), r.getLong(2))))
-      .groupBy { case (fn, _) => granFiles(fn / 6) }
-      .map { case (f, rs) =>
-        f -> rs.groupBy { case (fn, _) => beams(fn % 6) }
-          .map { case (b, brs) => b -> brs.map(_._2).sortBy(_._1).toSeq }
-      }
-    val segs = Atl06H5.readRuns(spark, out, runsByFile)
+    val segs = Atl06H5.readRuns(spark, out,
+      graft.operators.H5Ops.assembleRuns(matched))
     val tracks = segs.select(
       (regexp_extract(col("file"), "ATL06_gran(\\d+)", 1).cast("long") * 6 +
         col("segment_id") % 6).as("track"),

@@ -18,6 +18,38 @@ object H5Ops {
 
   private val P = Tables.eventsPointsSql
 
+  // --- positional-run scaffolding shared by the run-read and
+  // pipeline queries (and the PipeSplit diagnostic): the reference's
+  // `file:pair` convention maps file_num = gran*6 + beam index
+  private[graft] val beams: Seq[String] =
+    for (p <- 1 to 3; lr <- Seq("l", "r")) yield s"gt$p$lr"
+
+  private[graft] def granFile(g: Int): String = f"ATL06_gran$g%04d.h5"
+
+  /** Gaps-and-islands offset runs over per-(file_num, bin) element
+    * positions — the run table a positional geo index stores.
+    */
+  private[graft] def islandRuns(positioned: DataFrame): DataFrame = {
+    val wRun = Window.partitionBy("file_num", "bin_x", "bin_y").orderBy("pos")
+    positioned
+      .withColumn("island", col("pos") - row_number().over(wRun))
+      .groupBy("bin_x", "bin_y", "file_num", "island")
+      .agg(min("pos").as("run_start"), max("pos").as("run_end"))
+      .drop("island")
+  }
+
+  /** Matched `(file_num, offset_start, offset_end)` index rows → the
+    * file → beam → sorted-runs map [[Atl06H5.readRuns]] takes.
+    */
+  private[graft] def assembleRuns(matched: Array[org.apache.spark.sql.Row])
+      : Map[String, Map[String, Seq[(Long, Long)]]] =
+    matched.map(r => (r.getLong(0).toInt, (r.getLong(1), r.getLong(2))))
+      .groupBy { case (fn, _) => granFile(fn / 6) }
+      .map { case (f, rs) =>
+        f -> rs.groupBy { case (fn, _) => beams(fn % 6) }
+          .map { case (b, brs) => b -> brs.map(_._2).sortBy(_._1).toSeq }
+      }
+
   /** 66b. ATL06 granule cycle (ATL06_data.py:92-171): the events
     * points become four ATL06-shaped granules — six
     * `gt{1..3}{l,r}/land_ice_segments` beam groups of parallel
@@ -147,16 +179,9 @@ object H5Ops {
       .withColumn("bin_y", GeoOps.binOf(col("y"), 400.0))
       .withColumn("file_num",
         col("gran") * 6 + (col("pair") - 1) * 2 + col("lr"))
-    val wRun = Window.partitionBy("file_num", "bin_x", "bin_y").orderBy("pos")
-    val runs = positioned
-      .withColumn("island", col("pos") - row_number().over(wRun))
-      .groupBy("bin_x", "bin_y", "file_num", "island")
-      .agg(min("pos").as("run_start"), max("pos").as("run_end"))
-      .drop("island")
-    val granFiles = (0 to 3).map(g => f"ATL06_gran$g%04d.h5")
-    val beams = for (p <- 1 to 3; lr <- Seq("l", "r")) yield s"gt$p$lr"
+    val runs = islandRuns(positioned)
     val fileEntries =
-      for (g <- 0 to 3; b <- beams) yield (s"${granFiles(g)}:$b", "ATL06")
+      for (g <- 0 to 3; b <- beams) yield (s"${granFile(g)}:$b", "ATL06")
     val idxPath = s"$out/index.h5"
     GeoIndexH5.write(runs, 400.0, "+proj=stere +lat_0=-90", "/data",
       fileEntries, idxPath)
@@ -167,14 +192,7 @@ object H5Ops {
       .select("file_num", "offset_start", "offset_end")
       .collect() // index runs are manifest-sized (the reference holds
                  // the same dict in memory, geo_index.py:407-438)
-    val runsByFile: Map[String, Map[String, Seq[(Long, Long)]]] = matched
-      .map(r => (r.getLong(0).toInt, (r.getLong(1), r.getLong(2))))
-      .groupBy { case (fn, _) => granFiles(fn / 6) }
-      .map { case (f, rs) =>
-        f -> rs.groupBy { case (fn, _) => beams(fn % 6) }
-          .map { case (b, brs) => b -> brs.map(_._2).sortBy(_._1).toSeq }
-      }
-    Atl06H5.readRuns(s, out, runsByFile)
+    Atl06H5.readRuns(s, out, assembleRuns(matched))
       .select(col("segment_id").as("id"), col("latitude"), col("longitude"),
         col("h_li"), col("delta_time"))
       .orderBy("id")
@@ -495,16 +513,9 @@ object H5Ops {
       GeoOps.binOf(col("x"), 400.0).as("bin_x"),
       GeoOps.binOf(col("y"), 400.0).as("bin_y"))
       .withColumn("file_num", col("gran") * 6 + col("beam6"))
-    val wRun = Window.partitionBy("file_num", "bin_x", "bin_y").orderBy("pos")
-    val runs = positioned
-      .withColumn("island", col("pos") - row_number().over(wRun))
-      .groupBy("bin_x", "bin_y", "file_num", "island")
-      .agg(min("pos").as("run_start"), max("pos").as("run_end"))
-      .drop("island")
-    val granFiles = (0 to 1).map(g => f"ATL06_gran$g%04d.h5")
-    val beams = for (p <- 1 to 3; lr <- Seq("l", "r")) yield s"gt$p$lr"
+    val runs = islandRuns(positioned)
     val fileEntries =
-      for (g <- 0 to 1; b <- beams) yield (s"${granFiles(g)}:$b", "ATL06")
+      for (g <- 0 to 1; b <- beams) yield (s"${granFile(g)}:$b", "ATL06")
     val idxPath = s"$out/index.h5"
     GeoIndexH5.write(runs, 400.0, "+proj=stere +lat_0=-90", "/data",
       fileEntries, idxPath)
@@ -512,14 +523,7 @@ object H5Ops {
     // pruned-box case) → per-file:beam runs → sliced decode
     val matched = GeoIndexH5.readRuns(s, idxPath)
       .select("file_num", "offset_start", "offset_end").collect()
-    val runsByFile = matched
-      .map(r => (r.getLong(0).toInt, (r.getLong(1), r.getLong(2))))
-      .groupBy { case (fn, _) => granFiles(fn / 6) }
-      .map { case (f, rs) =>
-        f -> rs.groupBy { case (fn, _) => beams(fn % 6) }
-          .map { case (b, brs) => b -> brs.map(_._2).sortBy(_._1).toSeq }
-      }
-    val segs = Atl06H5.readRuns(s, out, runsByFile)
+    val segs = Atl06H5.readRuns(s, out, assembleRuns(matched))
     // recover (track, seq) from the id ≡ track (mod 6) encoding
     val tracks = segs.select(
       (regexp_extract(col("file"), "ATL06_gran(\\d+)", 1).cast("long") * 6 +

@@ -47,7 +47,7 @@ object Atl06H5 {
       }.sortBy(_._1)
       val g = s"/${beamGroup(pair, lr)}/land_ice_segments"
       val n = beam.size
-      val rows = math.max(512, (n + 63) / 64)
+      val rows = Hdf5.chunkRowsFor(n)
       w.longs(s"$g/segment_id", beam.map(_._1).toArray, chunkRows = rows, gzip = 6)
       w.doubles(s"$g/latitude", beam.map(_._2).toArray, chunkRows = rows, gzip = 6,
         shuffle = true)
@@ -224,7 +224,7 @@ object Atl11H5 {
       val beam = recs.filter { case (id, _, _, _, _) => id % 3 == pair - 1 }
         .sortBy(_._1)
       val g = s"/pt$pair/corrected_h"
-      val rows = math.max(512, (beam.size + 63) / 64)
+      val rows = Hdf5.chunkRowsFor(beam.size)
       w.longs(s"$g/ref_pt", beam.map(_._1).toArray, chunkRows = rows, gzip = 6)
       w.doubles(s"$g/latitude", beam.map(_._2).toArray, chunkRows = rows, gzip = 6)
       w.doubles(s"$g/longitude", beam.map(_._3).toArray, chunkRows = rows, gzip = 6)
@@ -599,30 +599,33 @@ object IndexedH5 {
         val name = p.substring(p.lastIndexOf('/') + 1)
         val r = new Hdf5.Reader(bytes)
         val have = r.datasets.toSet
-        val cols: Seq[Option[Array[Double]]] =
-          if (sortedRuns.nonEmpty)
-            fields.map { f =>
-              if (have.contains(s"/$f"))
-                Some(r.readDoublesRuns(s"/$f", sortedRuns))
-              else None
-            }
-          else
-            fields.map { f =>
-              val parts = binNames.map { bn =>
-                if (have.contains(s"/$f/$bn")) Some(r.readDoubles(s"/$f/$bn"))
-                else if (have.contains(s"/$bn/$f")) Some(r.readDoubles(s"/$bn/$f"))
-                else None
-              }
-              if (parts.forall(_.isEmpty)) None
-              else Some(Array.concat(parts.map(_.getOrElse(Array.empty[Double])): _*))
-            }
-        val n = cols.flatten.headOption.map(_.length).getOrElse(0)
-        Iterator.range(0, n).map { i =>
-          Row.fromSeq(name +: cols.map {
-            case Some(a) => java.lang.Double.valueOf(a(i))
-            case None => null
-          })
+        def rowsOf(cols: Seq[Option[Array[Double]]]): Iterator[Row] = {
+          val n = cols.flatten.headOption.map(_.length).getOrElse(0)
+          Iterator.range(0, n).map { i =>
+            Row.fromSeq(name +: cols.map {
+              case Some(a) => java.lang.Double.valueOf(a(i))
+              case None => null
+            })
+          }
         }
+        if (sortedRuns.nonEmpty)
+          rowsOf(fields.map { f =>
+            if (have.contains(s"/$f"))
+              Some(r.readDoublesRuns(s"/$f", sortedRuns))
+            else None
+          })
+        else
+          // per-BIN row assembly: a field present for some bins but
+          // absent for others must not shift later bins' values onto
+          // earlier rows — each bin zips only its own arrays, and a
+          // missing (field, bin) pair yields nulls for that bin alone
+          binNames.iterator.flatMap { bn =>
+            rowsOf(fields.map { f =>
+              if (have.contains(s"/$f/$bn")) Some(r.readDoubles(s"/$f/$bn"))
+              else if (have.contains(s"/$bn/$f")) Some(r.readDoubles(s"/$bn/$f"))
+              else None
+            })
+          }
       }(Encoders.row(schema))
   }
 
@@ -656,7 +659,7 @@ object IndexedH5 {
           val w = new Hdf5.Writer
           // chunk count must fit the writer's B-tree capacity at any
           // granule size (the Atl06 sizing rule)
-          val chunkRows = math.max(512, (rows.size + 63) / 64)
+          val chunkRows = Hdf5.chunkRowsFor(rows.size)
           fields.zipWithIndex.foreach { case (f, fi) =>
             w.doubles(s"/$f", rows.map(_._5(fi)).toArray,
               chunkRows = chunkRows, gzip = 6, shuffle = true)

@@ -772,10 +772,18 @@ object Hdf5 {
 
   // ------------------------------------------------------------- writer
 
+  /** Chunk row count that keeps an n-element 1-D dataset within the
+    * writer's 64-chunk B-tree capacity (with a 512-row floor) — the
+    * one sizing rule every granule writer must share.
+    */
+  def chunkRowsFor(n: Int): Int = math.max(512, (n + 63) / 64)
+
   /** Minimal classic-format writer (superblock v0, v1 object headers,
-    * symbol-table groups).  Capacity: ≤ 4096 entries per group
-    * (32 SNODs × 128 symbols), ≤ 64 chunks per chunked dataset — a
-    * granule writer, not a warehouse; the lakehouse substrate stays
+    * symbol-table groups).  Groups are unbounded — the group B-tree
+    * grows levels as needed at libhdf5's default K values (leaf 4 =
+    * 8 symbols per SNOD, internal 16 = 32 children per node); chunked
+    * datasets hold ≤ 64 chunks (size chunks with [[chunkRowsFor]]).
+    * A granule writer, not a warehouse; the lakehouse substrate stays
     * parquet (GeoParquet).  Node allocations are padded to the B-tree
     * capacities implied by the superblock's K values so strict
     * readers that size nodes from K never read past EOF.
@@ -1145,7 +1153,11 @@ object Hdf5 {
           snodAddrs.zip(groupsOfSyms).map { case (sa, syms) => (sa, syms.last._2) }
         var btAddr = -1L
         while (btAddr < 0) {
-          val grps = entries.grouped(2 * InternalK).toSeq
+          // a childless group still gets one 0-entry level-0 node
+          // (grouped() of an empty seq yields NO groups — without the
+          // fallback this loop would never terminate)
+          val grps0 = entries.grouped(2 * InternalK).toSeq
+          val grps = if (grps0.isEmpty) Seq(Seq.empty[(Long, Long)]) else grps0
           align8()
           val base = buf.size.toLong
           val nodeAddrs = grps.indices.map(i => base + i.toLong * nodeCap)

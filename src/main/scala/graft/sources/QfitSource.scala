@@ -191,7 +191,7 @@ object QfitH5 {
     */
   def granuleBytes(recs: Seq[(Double, Double, Double, Double, Double)]): Array[Byte] = {
     val w = new Hdf5.Writer
-    val rows = math.max(512, (recs.size + 63) / 64)
+    val rows = Hdf5.chunkRowsFor(recs.size)
     w.doubles("/latitude", recs.map(_._1).toArray, chunkRows = rows, gzip = 6)
     w.doubles("/longitude", recs.map(_._2).toArray, chunkRows = rows, gzip = 6)
     w.doubles("/elevation", recs.map(_._3).toArray, chunkRows = rows, gzip = 6,
@@ -208,7 +208,7 @@ object QfitH5 {
     */
   def waveformGranuleBytes(recs: Seq[(Double, Double, Double, Double)]): Array[Byte] = {
     val w = new Hdf5.Writer
-    val rows = math.max(512, (recs.size + 63) / 64)
+    val rows = Hdf5.chunkRowsFor(recs.size)
     w.doubles("/footprint/latitude", recs.map(_._1).toArray, chunkRows = rows, gzip = 6)
     w.doubles("/footprint/longitude", recs.map(_._2).toArray, chunkRows = rows, gzip = 6)
     w.doubles("/footprint/elevation", recs.map(_._3).toArray, chunkRows = rows, gzip = 6)

@@ -391,6 +391,21 @@ class Hdf5Spec extends AnyFunSuite {
     assert(r.readDoubles("/bins/bin_0499/z").head == 499.0)
   }
 
+  test("childless group encodes a 0-entry B-tree node and round-trips") {
+    // regression: the multi-level rewrite spun forever on an empty
+    // group (grouped() of an empty seq yields no node groups) — the
+    // exact shape GeoIndexH5.write produces for an index with no runs
+    val w = new Hdf5.Writer
+    w.group("/index")
+    w.attrD("/index", "delta", 400.0)
+    w.doubles("/other", Array(1.0, 2.0))
+    val bytes = w.toBytes
+    val r = new Hdf5.Reader(bytes)
+    assert(r.groups.contains("/index"))
+    assert(r.attrs("/index")("delta").asInstanceOf[Hdf5.NumAttr].doubles.head == 400.0)
+    conformanceWalk(bytes)
+  }
+
   test("group past one node's 2K*2K capacity gets a multi-LEVEL B-tree, walk-clean") {
     // 4096 = 2*InternalK SNOD children × 2*LeafK symbols is the most
     // ONE level-0 node addresses; 4500 forces a level-1 root (the

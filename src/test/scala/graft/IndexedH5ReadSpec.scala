@@ -116,6 +116,24 @@ class IndexedH5ReadSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("field present for only SOME bins stays per-bin aligned (nulls, no shift)") {
+    // /x has both bins but /z exists only for the second — the first
+    // bin's rows must carry null z, never the second bin's values
+    val w = new Hdf5.Writer
+    w.doubles("/x/0E_0N", Array(1.0, 2.0))
+    w.doubles("/x/400E_0N", Array(10.0, 20.0))
+    w.doubles("/400E_0N/z", Array(7.0, 8.0))
+    val p = java.nio.file.Files.createTempDirectory("ragged").toString + "/r.h5"
+    java.nio.file.Files.write(java.nio.file.Paths.get(p), w.toBytes)
+    val got = IndexedH5.readData(spark, p, Seq("x", "z"),
+      bins = Seq((0L, 0L), (400L, 0L)))
+      .select("x", "z").collect()
+      .map(r => (r.getDouble(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toSet
+    assert(got == Set((1.0, None), (2.0, None),
+      (10.0, Some(7.0)), (20.0, Some(8.0))))
+  }
+
   test("adoptMatlab never trusts bin_index even when present") {
     val w = new Hdf5.Writer
     w.doubles("/INDEX/bin_x", Array(0.0, 1000.0))
