@@ -124,6 +124,66 @@ object EventStream {
       }
       .start()
 
+  /** Streaming `.h5` GRANULE ingest — the reference's production
+    * index build (index_AA_ATL06.py: per-granule partial index →
+    * master merge) run as a CONTINUOUS process.  Granules ARRIVE in a
+    * watched directory (`readStream` over the binaryFile source, so
+    * discovery is incremental and each file decodes once, on an
+    * executor); every micro-batch appends the new granules' points to
+    * a GeoParquet layout and their per-file bin rollups to a partial-
+    * index table.  The merged view of that table is `from_list`
+    * ([[graft.operators.GeoOps.mergeIndexes]]), and the `geoindex`
+    * registry kind adopts it directly — queries never rescan points.
+    *
+    * Scale shape: per batch the work is (new granules) × (decode +
+    * bin rollup), never a re-read of the archive; the index append is
+    * bin-count-sized.  Restart semantics match [[ingestGeoParquet]]:
+    * `_batches/` markers make foreachBatch replays no-ops.
+    */
+  def ingestGranules(spark: org.apache.spark.sql.SparkSession,
+                     watchDir: String, pointsPath: String, indexPath: String,
+                     delta: Double, checkpoint: String, epsg: Int = 3031)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.types._
+    val binaryFileSchema = StructType(Seq(
+      StructField("path", StringType), StructField("modificationTime", TimestampType),
+      StructField("length", LongType), StructField("content", BinaryType)))
+    spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", "*.h5")
+      .load(watchDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        val marker = new org.apache.hadoop.fs.Path(s"$indexPath/_batches/$batchId")
+        val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker)) {
+          // the registry's canonical point contract for the atl06_h5
+          // kind (SourceRegistry.readAs): id = segment id, x/y via
+          // the registry CRS, t in ms
+          val (px, py) = graft.operators.Projections.forward(
+            col("latitude"), col("longitude"), epsg)
+          val pts = batch.select(col("path"), col("content"))
+            .as[(String, Array[Byte])]
+            .flatMap { case (p, c) => graft.sources.Atl06H5.decode(p, c) }
+            .select(col("segment_id").as("id"), px.as("x"), py.as("y"),
+              col("h_li").as("z"),
+              (col("delta_time") * 1000).cast("long").as("t"))
+          if (!pts.isEmpty) {
+            graft.sources.GeoParquet.append(pts, pointsPath, delta)
+            graft.sources.SourceRegistry.indexOf(pts, delta)
+              .write.mode("append").parquet(indexPath)
+          }
+          fs.mkdirs(marker.getParent)
+          fs.create(marker, true).close()
+        }
+      }
+      .start()
+  }
+
   /** Streaming ingest into a CURVE-clustered layout
     * (GeoParquet.writeZOrdered/writeHilbertClustered): every
     * micro-batch lands as internally-key-sorted files via

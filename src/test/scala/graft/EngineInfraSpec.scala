@@ -164,6 +164,40 @@ class EngineInfraSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/data/_batches").list().nonEmpty)
   }
 
+  test("streaming granule ingest: arriving .h5 files extend the layout and partial index") {
+    import graft.sources.{Atl06H5, SourceRegistry}
+    val dir = Files.createTempDirectory("gran_ingest")
+    val watch = s"$dir/arrivals"
+    new java.io.File(watch).mkdirs()
+    def granule(g: Long, ids: Seq[Long]): Array[Byte] =
+      Atl06H5.granuleBytes(
+        ids.map(i => (i, -70.0 - i * 1e-4, 45.0 + i * 1e-4, 100.0 + i, i * 0.1)), g)
+    def drop(name: String, b: Array[Byte]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$watch/$name"), b)
+    drop("ATL06_g0.h5", granule(0, 0L until 60L))
+    val q = EventStream.ingestGranules(spark, watch, s"$dir/data", s"$dir/idx",
+      400.0, s"$dir/ckpt")
+    q.processAllAvailable()
+    assert(GeoParquet.read(spark, s"$dir/data").count() == 60)
+    // a LATE-arriving granule extends both sides without a rescan
+    drop("ATL06_g1.h5", granule(1, 60L until 100L))
+    q.processAllAvailable()
+    q.stop()
+    assert(GeoParquet.read(spark, s"$dir/data").count() == 100)
+    // the partial-index table adopts through the registry and its
+    // from_list merge equals a direct rollup over ALL granules
+    val merged = graft.operators.GeoOps.mergeIndexes(Seq(
+      SourceRegistry.forFile(spark, "geoindex", s"$dir/idx", 400.0)))
+      .select("bin_x", "bin_y", "n_points", "id_min", "id_max")
+    val expected = SourceRegistry.indexOf(
+      SourceRegistry.readAs(spark, "atl06_h5", watch), 400.0)
+    assert(merged.as[(Long, Long, Long, Long, Long)].collect().toSet ==
+      expected.as[(Long, Long, Long, Long, Long)].collect().toSet)
+    assert(merged.count() > 0)
+    // batch markers recorded for replay idempotency
+    assert(new java.io.File(s"$dir/idx/_batches").list().nonEmpty)
+  }
+
   test("stream-static enrichment joins a broadcast dimension per batch") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long)]
