@@ -161,6 +161,16 @@ class SourceRegistrySpec extends SparkSpec {
     // and only the .h5 is opened — no point files
     val opened = adopted.inputFiles
     assert(opened.nonEmpty && opened.forall(_.endsWith("index.h5")))
+    // an index with ZERO runs (nothing matched the binned domain)
+    // still writes, adopts empty, and keeps its attrs readable —
+    // the caller shape of the writer's childless-group regression
+    val emptyPath = s"$base/empty.h5"
+    graft.sources.GeoIndexH5.write(runs.limit(0), 500.0,
+      "+proj=stere +lat_0=-90", "/data", Seq(("pts.parquet", "ATL06")),
+      emptyPath)
+    assert(SourceRegistry.forFile(
+      spark, SourceRegistry.IndexKind, emptyPath, 500.0).count() == 0)
+    assert(graft.sources.GeoIndexH5.attrs(spark, emptyPath)("delta") == "500.0")
     // index attrs carry the reference's metadata surface
     val at = graft.sources.GeoIndexH5.attrs(spark, s"$base/index.h5")
     assert(at("SRS_proj4") == "+proj=stere +lat_0=-90" &&
