@@ -207,6 +207,17 @@ object PointFrame {
   def fromGeoParquet(spark: SparkSession, path: String, delta: Double = 100.0): PointFrame =
     PointFrame(graft.sources.GeoParquet.read(spark, path), delta)
 
+  /** `point_data().from_file(file, format)` for any registry kind —
+    * csv/json/parquet/orc, the Qfit binaries, and the real `.h5`
+    * granule formats (atl06_h5, atl11_h5, qfit_h5, …), all landing in
+    * the canonical (id, x, y, z, t) schema with lat/lon kinds
+    * projected through the registry CRS.
+    */
+  def fromSource(spark: SparkSession, kind: String, path: String,
+                 delta: Double = 100.0, epsg: Int = 3031): PointFrame =
+    PointFrame(
+      graft.sources.SourceRegistry.readAs(spark, kind, path, epsg), delta)
+
   /** Open a layout with pending deletes subtracted (merge-on-read). */
   def fromGeoParquetMerged(spark: SparkSession, path: String,
                            delta: Double = 100.0): PointFrame =

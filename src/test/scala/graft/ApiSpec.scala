@@ -93,6 +93,26 @@ class ApiSpec extends SparkSpec {
     assert(grid.agg(sum("n")).as[Long].head() == pts.count())
   }
 
+  test("fromSource opens any registry kind as a PointFrame (incl. .h5 granules)") {
+    val dir = java.nio.file.Files.createTempDirectory("pf_src").toString
+    val recs = (0 until 48).map { i =>
+      (i.toLong, -70.0 - i * 1e-4, 45.0 + i * 1e-4, 100.0 + i, i * 0.1)
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/ATL06_g0.h5"),
+      graft.sources.Atl06H5.granuleBytes(recs, rgt = 1))
+    val pf = PointFrame.fromSource(spark, "atl06_h5", dir, delta = 400.0)
+    assert(pf.df.columns.toSeq == Seq("id", "x", "y", "z", "t"))
+    assert(pf.size == 48)
+    // same rows as the registry read the queries build on
+    val direct = graft.sources.SourceRegistry.readAs(spark, "atl06_h5", dir)
+    assert(pf.df.exceptAll(direct).count() == 0)
+    // a projected frame composes with the query surface immediately:
+    // the index rollup accounts for every point
+    assert(pf.geoIndex().df.agg(org.apache.spark.sql.functions.sum("n_points"))
+      .head.getLong(0) == 48)
+  }
+
   test("PointFrame mutation surface: deleteWhere, upsertInto, merged/asOf opens") {
     val dir = java.nio.file.Files.createTempDirectory("pfmut").toString
     val pts = graft.core.Tables.eventsPoints(spark, sf).select("id", "x", "y", "z")
