@@ -207,11 +207,14 @@ object PointFrame {
   def fromGeoParquet(spark: SparkSession, path: String, delta: Double = 100.0): PointFrame =
     PointFrame(graft.sources.GeoParquet.read(spark, path), delta)
 
-  /** `point_data().from_file(file, format)` for any registry kind —
-    * csv/json/parquet/orc, the Qfit binaries, and the real `.h5`
+  /** `point_data().from_file(file, format)` for any POINT-readable
+    * registry kind (`SourceRegistry.pointKinds`) — csv/json/parquet/
+    * orc, the Qfit binaries, the GeoTIFF DEM arm, and the real `.h5`
     * granule formats (atl06_h5, atl11_h5, qfit_h5, …), all landing in
     * the canonical (id, x, y, z, t) schema with lat/lon kinds
-    * projected through the registry CRS.
+    * projected through the registry CRS.  Index/adoption kinds
+    * (`geoindex`, `indexed_h5`, `indexed_h5_from_matlab`) are not
+    * point sources; pass them to `SourceRegistry.forFile` instead.
     */
   def fromSource(spark: SparkSession, kind: String, path: String,
                  delta: Double = 100.0, epsg: Int = 3031): PointFrame =

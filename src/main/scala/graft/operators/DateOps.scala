@@ -57,7 +57,14 @@ object DateOps {
         lit(2000.0) +
           datediff(make_date(col("yy"), col("mm"), col("dd")), lit("2000-01-01").cast("date"))
             / lit(365.25))
-      .select("doc_id", "fname", "yy", "mm", "dd", "wv_year")
+      // WV_MatlabDate (WV_date.py:22-29): matlab datenum = days since the
+      // proleptic 0000-00-00 epoch = days-since-0001-01-01 + 367.  All three
+      // engines (java.time, DuckDB, Python date) use proleptic Gregorian, so
+      // the datediff composes exactly.
+      .withColumn("wv_matlab",
+        (datediff(make_date(col("yy"), col("mm"), col("dd")),
+          lit("0001-01-01").cast("date")) + lit(367)).cast("double"))
+      .select("doc_id", "fname", "yy", "mm", "dd", "wv_year", "wv_matlab")
       .orderBy("doc_id")
   }
 
@@ -76,7 +83,8 @@ object DateOps {
       |    CAST(regexp_extract(fname, '_(2\d\d\d)(\d\d)(\d\d)_', 3) AS INTEGER) AS dd
       |  FROM f)
       |SELECT doc_id, fname, yy, mm, dd,
-      |  2000.0 + date_diff('day', DATE '2000-01-01', make_date(yy, mm, dd))/365.25 AS wv_year
+      |  2000.0 + date_diff('day', DATE '2000-01-01', make_date(yy, mm, dd))/365.25 AS wv_year,
+      |  CAST(date_diff('day', DATE '0001-01-01', make_date(yy, mm, dd)) + 367 AS DOUBLE) AS wv_matlab
       |FROM e ORDER BY doc_id""".stripMargin
 
   // --- 24. get_xy: lat/lon → polar stereographic (point_data.py:135-160) ---

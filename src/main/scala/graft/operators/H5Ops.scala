@@ -409,7 +409,11 @@ object H5Ops {
         .groupBy("bin_x", "bin_y", "island")
         .agg(min("id").as("run_start"), max("id").as("run_end"))
         .drop("island")
-        .withColumn("file_num", lit(g.toLong))
+        // file_num is an index into THIS file's attribute list, which holds
+        // exactly one entry (file_0); the granule identity lives in that
+        // attr.  The reference's stage-1 per-granule indexes likewise
+        // number files relative to their own list.
+        .withColumn("file_num", lit(0L))
       val path = s"$out/granule_$g.h5"
       GeoIndexH5.write(runs, 400.0, "+proj=stere +lat_0=-90", "/data",
         Seq((f"ATL06_gran$g%04d.h5", "ATL06")), path)

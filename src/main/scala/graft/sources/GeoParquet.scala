@@ -326,26 +326,34 @@ object GeoParquet {
     // ∪ file-union ∪ partition columns and ALWAYS record it (a
     // homogeneous layout gets a sidecar identical to inference — no
     // behavior change; a heterogeneous one becomes deterministic).
-    val flatUnion = spark.read
-      .option("recursiveFileLookup", "true").option("mergeSchema", "true")
-      .parquet(path).schema
-    // the partition-aware read's only unique contribution is the bin
-    // columns — already in an existing sidecar, so pay that second
-    // listing only on first record
-    val base = layoutSchema(spark, path)
-      .getOrElse(spark.read.parquet(path).schema)
-    val unseen = flatUnion.fields
-      .filterNot(f => base.fieldNames.contains(f.name))
-    writeSchemaFile(spark, path, org.apache.spark.sql.types.StructType(
-      base.fields ++ unseen.map(_.copy(nullable = true))))
-    statsOf(readerFor(spark, path, flat = false).parquet(path),
-        rootPathOf(spark, path), readEpoch(spark, path),
-        filterColsOf(spark, path))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/_manifest")
-    // record the layout epoch the manifest describes — the O(1)
-    // staleness handshake with append()
-    writeEpochFile(spark, s"$path/_manifest_epoch", readEpoch(spark, path))
+    // the whole rebuild — schema reconcile, stats scan, stamp — is
+    // one locked commit: a concurrent append must not interleave its
+    // stats between the overwrite and the epoch snapshot (its rows
+    // would vanish from a "fresh" manifest), a concurrent widener's
+    // sidecar must not be clobbered by a stale-read union, and two
+    // rebuilds must not share `_manifest`'s _temporary tree
+    CommitLock.withLock(spark, path) {
+      val flatUnion = spark.read
+        .option("recursiveFileLookup", "true").option("mergeSchema", "true")
+        .parquet(path).schema
+      // the partition-aware read's only unique contribution is the bin
+      // columns — already in an existing sidecar, so pay that second
+      // listing only on first record
+      val base = layoutSchema(spark, path)
+        .getOrElse(spark.read.parquet(path).schema)
+      val unseen = flatUnion.fields
+        .filterNot(f => base.fieldNames.contains(f.name))
+      writeSchemaFile(spark, path, org.apache.spark.sql.types.StructType(
+        base.fields ++ unseen.map(_.copy(nullable = true))))
+      statsOf(readerFor(spark, path, flat = false).parquet(path),
+          rootPathOf(spark, path), readEpoch(spark, path),
+          filterColsOf(spark, path))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/_manifest")
+      // record the layout epoch the manifest describes — the O(1)
+      // staleness handshake with append()
+      writeEpochFile(spark, s"$path/_manifest_epoch", readEpoch(spark, path))
+    }
   }
 
   // --- layout epoch: O(1) staleness signal ---------------------------
@@ -361,10 +369,39 @@ object GeoParquet {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Atomic one-file text write: sidecars like `_epoch` are read
+    * UNLOCKED by every reader, so a truncate-then-write (hadoop
+    * create(overwrite)) exposes a torn empty file mid-write.  The
+    * `file` scheme writes a temp sibling and ATOMIC_MOVEs it over
+    * (readers see old or new, never empty); other schemes temp+rename
+    * (HDFS rename is atomic; the delete-first fallback's brief
+    * absence window reads as epoch 0 ⇒ stale ⇒ the safe fallback).
+    */
   private def writeTextFile(spark: SparkSession, file: String, text: String): Unit = {
     val fs = fsOf(spark, file)
-    val out = fs.create(new org.apache.hadoop.fs.Path(file), true)
-    try out.write(text.getBytes("UTF-8")) finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(file)
+    if (fs.getScheme == "file") {
+      val p = java.nio.file.Paths.get(dst.toUri.getPath)
+      java.nio.file.Files.createDirectories(p.getParent)
+      val tmp = p.resolveSibling(p.getFileName.toString + ".tmp-" +
+        java.util.UUID.randomUUID().toString.take(8))
+      java.nio.file.Files.write(tmp, text.getBytes("UTF-8"))
+      // a stale hadoop checksum sibling would fail future reads of
+      // content that no longer matches it
+      java.nio.file.Files.deleteIfExists(
+        p.resolveSibling("." + p.getFileName.toString + ".crc"))
+      java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      val tmp = new org.apache.hadoop.fs.Path(file + ".tmp-" +
+        java.util.UUID.randomUUID().toString.take(8))
+      val out = fs.create(tmp, true)
+      try out.write(text.getBytes("UTF-8")) finally out.close()
+      if (!fs.rename(tmp, dst)) {
+        fs.delete(dst, false)
+        require(fs.rename(tmp, dst), s"atomic text write failed for $file")
+      }
+    }
   }
 
   private def readTextFile(spark: SparkSession, file: String): String = {
@@ -536,14 +573,40 @@ object GeoParquet {
   def deleteIds(ids: DataFrame, path: String): Unit = {
     require(ids.columns.length == 1,
       s"tombstone frame must be a single key column, got ${ids.columns.toSeq}")
-    if (ids.isEmpty) return
-    ids.write.mode("append").parquet(s"$path/_tombstones")
+    val pinned = ids.localCheckpoint() // compute outside the lock
+    if (pinned.isEmpty) return
+    // the sidecar append itself is locked: two concurrent deleters
+    // must not share the directory's _temporary tree, and a
+    // compactor's validate step needs tombstone additions to be
+    // all-or-nothing against its state snapshot
+    CommitLock.withLock(ids.sparkSession, path) {
+      pinned.write.mode("append").parquet(s"$path/_tombstones")
+    }
     // NO epoch bump: nothing the manifest asserts about files changed.
     // Every reader subtracts tombstones after its own pruning, the
     // row-count shortcuts and snapshot reads check hasPendingDeletes
     // explicitly — bumping would only degrade pruned reads to full
     // scans and kill in-flight appendCurve streams on the continuity
-    // guard, buying no correctness.
+    // guard, buying no correctness.  Compactors instead validate the
+    // TOMBSTONE STATE ([[tombstoneState]]) under the lock, so a
+    // delete landing mid-compaction forces the compactor to retry
+    // rather than silently discarding it with the rewritten files.
+  }
+
+  /** Fingerprint of the layout's delete sidecars — the part of a
+    * compactor's read snapshot the epoch does NOT cover (deletes
+    * deliberately never bump it).  A compactor validates this under
+    * the commit lock before swapping: a tombstone file that appeared
+    * since its read means rows it rewrote should have died — retry
+    * against the new state instead of resurrecting them.
+    */
+  private def tombstoneState(spark: SparkSession, path: String): Set[String] = {
+    val fs = fsOf(spark, path)
+    Seq("_tombstones", "_tombstones_pos").flatMap { side =>
+      val p = new org.apache.hadoop.fs.Path(s"$path/$side")
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.map(st => s"$side/${st.getPath.getName}")
+    }.toSet
   }
 
   /** The pending tombstone keys, if any. */
@@ -676,17 +739,33 @@ object GeoParquet {
     * call any time under the store's single-writer assumption (a
     * stage can only be in flight if its writer is dead).
     */
-  def adoptStagedMerges(spark: SparkSession, path: String): Unit = {
-    val fs = fsOf(spark, path)
-    stagedMergeDirs(spark, path).foreach { d =>
-      stageStatusOf(spark, d) match {
-        case StageLanded => adoptStage(spark, path, d)
-        case StageInFlight(tmp) =>
-          moveStagedFiles(spark, path, tmp) // finish the dead append's renames
-          writeTextFile(spark, s"$d/_landed", "1")
-          adoptStage(spark, path, d)
-        case StageVoid =>
-          fs.delete(new org.apache.hadoop.fs.Path(d), true)
+  def adoptStagedMerges(spark: SparkSession, path: String,
+                        voidSweepAgeMs: Long = CommitLock.leaseMs): Unit = {
+    if (stagedMergeDirs(spark, path).isEmpty) return // fast path, no lock
+    // Under the commit lock, a _tmp-bearing (in-flight) stage cannot
+    // belong to a live writer — writers journal _tmp and rename only
+    // while HOLDING the lock — so roll-forward is safe.  A VOID stage
+    // might belong to a live writer between staging its deletes and
+    // acquiring the lock, so void stages are only swept once they are
+    // older than the commit lease (a swept-anyway slow writer fails
+    // loudly at requireStageIntact instead of losing its deletes).
+    // Pass `voidSweepAgeMs = 0` when the staging writer is known dead
+    // (a post-crash repair on a quiesced layout).
+    CommitLock.withLock(spark, path) {
+      val fs = fsOf(spark, path)
+      stagedMergeDirs(spark, path).foreach { d =>
+        stageStatusOf(spark, d) match {
+          case StageLanded => adoptStage(spark, path, d)
+          case StageInFlight(tmp) =>
+            moveStagedFiles(spark, path, tmp) // finish the dead append's renames
+            writeTextFile(spark, s"$d/_landed", "1")
+            adoptStage(spark, path, d)
+          case StageVoid =>
+            val dp = new org.apache.hadoop.fs.Path(d)
+            val age = System.currentTimeMillis() -
+              fs.getFileStatus(dp).getModificationTime
+            if (age > voidSweepAgeMs) fs.delete(dp, true)
+        }
       }
     }
   }
@@ -746,8 +825,11 @@ object GeoParquet {
     val doomed = readerFor(spark, path, flat = false).parquet(path).filter(cond)
       .select(relativeTo(root)(col("_metadata.file_path")).as("file"),
         col("_metadata.row_index").as("pos"))
+      .localCheckpoint() // the layout scan happens outside the lock
     if (!doomed.isEmpty)
-      doomed.write.mode("append").parquet(s"$path/_tombstones_pos")
+      CommitLock.withLock(spark, path) {
+        doomed.write.mode("append").parquet(s"$path/_tombstones_pos")
+      }
   }
 
   /** [[read]] with pending deletes subtracted. */
@@ -1292,20 +1374,29 @@ object GeoParquet {
     * the live tree, the sidecars, or anything it cannot positively
     * identify as this layout's debris.
     */
-  def vacuum(spark: SparkSession, path: String): Unit = {
+  def vacuum(spark: SparkSession, path: String,
+             staleAgeMs: Long = CommitLock.leaseMs): Unit = {
     adoptStagedMerges(spark, path)
-    val fs = fsOf(spark, path)
-    val p = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
-    val parent = p.getParent
-    val base = p.getName
-    if (parent != null && fs.exists(parent))
-      fs.listStatus(parent).foreach { st =>
-        val n = st.getPath.getName
-        if (n != base &&
-            (n.startsWith(base + ".staging-") ||
-              n == base + ".pre-compact" || n == base + ".compact"))
-          fs.delete(st.getPath, true)
-      }
+    // a `.staging-`/`.compact` sibling younger than the commit lease
+    // may belong to a LIVE writer staging its batch (stage runs
+    // outside the lock by design) — sweep only older strays, or pass
+    // `staleAgeMs = 0` on a quiesced layout
+    CommitLock.withLock(spark, path) {
+      val fs = fsOf(spark, path)
+      val p = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
+      val parent = p.getParent
+      val base = p.getName
+      if (parent != null && fs.exists(parent))
+        fs.listStatus(parent).foreach { st =>
+          val n = st.getPath.getName
+          val old = System.currentTimeMillis() -
+            st.getModificationTime > staleAgeMs
+          if (n != base && old &&
+              (n.startsWith(base + ".staging-") ||
+                n == base + ".pre-compact" || n == base + ".compact"))
+            fs.delete(st.getPath, true)
+        }
+    }
   }
 
   /** Retention: positional-delete every row older than `cutoffMs`
@@ -1444,38 +1535,57 @@ object GeoParquet {
   def append(df: DataFrame, path: String, delta: Double,
              mergeDir: Option[String] = None): Unit = {
     val spark = df.sparkSession
-    // stale-FIRST, mirroring appendWithManifest's step 1: from here a
-    // pre-existing manifest reads as stale, so a crash anywhere below
-    // degrades reads to the correct unpruned fallback.  (The old
-    // bump-last order had the inverse window: data committed, epoch
-    // not yet bumped, manifest still "fresh" — pruned reads silently
-    // missing the landed batch.  Half-written job output stays
-    // invisible under `_temporary`, which every reader ignores, so
-    // bumping early never exposes partial data.)
-    bumpEpoch(spark, path)
     val binned = df
       .withColumn("bin_x", GeoOps.binOf(col("x"), delta))
       .withColumn("bin_y", GeoOps.binOf(col("y"), delta))
-    mergeDir match {
-      case Some(d) =>
-        // degraded-path MERGE commit: the no-duplicate-window
-        // invariant must survive the fallback too, so the batch goes
-        // through the SAME journal the manifested path uses — stage,
-        // journal (_tmp), rename in, mark landed, adopt.  A direct
-        // write would re-open the crash window this protocol closed:
-        // dying between the job commit and the _landed marker leaves
-        // a landed batch with a stage the heal classifies VOID, and
-        // the discarded deletes mean permanent duplicate keys.
-        val tmp = path + ".staging-" +
-          java.util.UUID.randomUUID().toString.take(8)
-        binned.write.mode("overwrite").partitionBy("bin_x", "bin_y").parquet(tmp)
-        writeTextFile(spark, s"$d/_tmp", tmp)
-        moveStagedFiles(spark, path, tmp)
-        writeTextFile(spark, s"$d/_landed", "1")
-        adoptStage(spark, path, d)
-      case None =>
-        binned.write.mode("append").partitionBy("bin_x", "bin_y").parquet(path)
+    // EVERY append stages to an invisible sibling, then commits under
+    // the layout's CommitLock: concurrent jobs must never share a
+    // live directory's `_temporary` tree (FileOutputCommitter races),
+    // and the epoch read-modify-write must serialize for unique
+    // per-commit epochs.  The epoch bumps FIRST inside the lock —
+    // from there a pre-existing manifest reads as stale, so a crash
+    // mid-rename degrades reads to the correct unpruned fallback
+    // (a crash mid-STAGE leaves the layout untouched entirely).
+    val tmp = path + ".staging-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    binned.write.mode("overwrite").partitionBy("bin_x", "bin_y").parquet(tmp)
+    CommitLock.withLock(spark, path) {
+      bumpEpoch(spark, path)
+      mergeDir match {
+        case Some(d) =>
+          // degraded-path MERGE commit: the no-duplicate-window
+          // invariant must survive the fallback too, so the batch
+          // goes through the SAME journal the manifested path uses —
+          // journal (_tmp), rename in, mark landed, adopt.  A direct
+          // write would re-open the crash window this protocol
+          // closed: dying between the job commit and the _landed
+          // marker leaves a landed batch with a stage the heal
+          // classifies VOID, and the discarded deletes mean
+          // permanent duplicate keys.
+          requireStageIntact(spark, d)
+          writeTextFile(spark, s"$d/_tmp", tmp)
+          moveStagedFiles(spark, path, tmp)
+          writeTextFile(spark, s"$d/_landed", "1")
+          adoptStage(spark, path, d)
+        case None =>
+          moveStagedFiles(spark, path, tmp)
+      }
     }
+  }
+
+  /** A merge writer slower than the commit lease can have its young
+    * VOID-looking stage swept by a concurrent healer; landing its
+    * batch anyway would silently drop the staged deletes (permanent
+    * duplicates).  Fail the append loudly instead — the batch is
+    * still in its own staging dir and the whole merge can re-run.
+    */
+  private def requireStageIntact(spark: SparkSession, d: String): Unit = {
+    val fs = fsOf(spark, d)
+    val p = new org.apache.hadoop.fs.Path(d)
+    require(fs.exists(p) &&
+        fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")),
+      s"merge stage $d was swept (writer exceeded CommitLock.leaseMs?) — " +
+        "aborting the append; re-run the merge")
   }
 
   /** Append a batch AND incrementally maintain the manifest — the
@@ -1520,18 +1630,20 @@ object GeoParquet {
         readEpochFile(spark, s"$path/_manifest_epoch")) {
       append(df, path, delta, mergeDir); return
     }
-    recordEvolution(spark, path, df)
     if (df.isEmpty) {
       // a 0-row stage has no files to harvest; a merge with an empty
       // insert set commits trivially (its deletes go live now)
-      mergeDir.foreach { d =>
-        writeTextFile(spark, s"$d/_landed", "1")
-        adoptStage(spark, path, d)
+      CommitLock.withLock(spark, path) {
+        mergeDir.foreach { d =>
+          writeTextFile(spark, s"$d/_landed", "1")
+          adoptStage(spark, path, d)
+        }
       }
       return
     }
-    val newEpoch = readEpoch(spark, path) + 1
-    writeEpochFile(spark, s"$path/_epoch", newEpoch) // stale until step 4
+    // stage + stats OUTSIDE the lock (the batch-sized work); the
+    // commit epoch is claimed under the lock, so the stats carry a
+    // placeholder re-stamped at commit time
     val tmp = path + ".staging-" + java.util.UUID.randomUUID().toString.take(8)
     df.withColumn("bin_x", GeoOps.binOf(col("x"), delta))
       .withColumn("bin_y", GeoOps.binOf(col("y"), delta))
@@ -1540,9 +1652,36 @@ object GeoParquet {
     // relative path is identical after the rename below; materialized
     // (localCheckpoint) BEFORE the files move away
     val stats = statsOf(spark.read.parquet(tmp), rootPathOf(spark, tmp),
-        newEpoch, filterColsOf(spark, path))
+        0L, filterColsOf(spark, path))
       .localCheckpoint()
-    commitStaged(spark, path, tmp, stats, newEpoch, mergeDir)
+    CommitLock.withLock(spark, path) {
+      // evolution records serialize here: concurrent wideners each
+      // see the other's sidecar and the union accumulates
+      recordEvolution(spark, path, df)
+      if (readEpoch(spark, path) !=
+          readEpochFile(spark, s"$path/_manifest_epoch")) {
+        // a concurrent committer broke continuity after our check —
+        // land the batch WITHOUT stats (manifest stays stale, reads
+        // fall back; writeManifest repairs), exactly the crashed-
+        // predecessor degradation.  Nothing is lost, nothing is
+        // marked fresh over a hole.
+        bumpEpoch(spark, path)
+        mergeDir.foreach { d =>
+          requireStageIntact(spark, d)
+          writeTextFile(spark, s"$d/_tmp", tmp)
+        }
+        moveStagedFiles(spark, path, tmp)
+        mergeDir.foreach { d =>
+          writeTextFile(spark, s"$d/_landed", "1")
+          adoptStage(spark, path, d)
+        }
+      } else {
+        val newEpoch = readEpoch(spark, path) + 1
+        writeEpochFile(spark, s"$path/_epoch", newEpoch) // stale until step 4
+        commitStaged(spark, path, tmp,
+          stats.withColumn("epoch", lit(newEpoch)), newEpoch, mergeDir)
+      }
+    }
   }
 
   /** Move every staged data file under `tmp` into the layout
@@ -1600,7 +1739,10 @@ object GeoParquet {
   private def commitStaged(spark: SparkSession, path: String, tmp: String,
                            stats: DataFrame, newEpoch: Long,
                            mergeDir: Option[String] = None): Unit = {
-    mergeDir.foreach(d => writeTextFile(spark, s"$d/_tmp", tmp))
+    mergeDir.foreach { d =>
+      requireStageIntact(spark, d)
+      writeTextFile(spark, s"$d/_tmp", tmp)
+    }
     moveStagedFiles(spark, path, tmp)
     // COMMIT POINT for a merge: the batch is fully in the layout
     mergeDir.foreach { d =>
@@ -1662,18 +1804,14 @@ object GeoParquet {
       s"$path: manifest is stale (a prior append crashed mid-commit or " +
         "an out-of-band write bumped the epoch); run writeManifest to " +
         "rebuild it before appending incrementally")
-    // curve layouts evolve exactly like bin layouts: the declared
-    // schema lives in the same sidecar and every curve reader already
-    // goes through it (the key column is recomputed below, so its
-    // absence from the incoming batch is immaterial — the staged
-    // files always carry it)
-    recordEvolution(spark, path, df)
     if (df.isEmpty) {
       // 0-row stage: nothing to harvest; an empty-insert merge
       // commits trivially (its deletes go live now)
-      mergeDir.foreach { d =>
-        writeTextFile(spark, s"$d/_landed", "1")
-        adoptStage(spark, path, d)
+      CommitLock.withLock(spark, path) {
+        mergeDir.foreach { d =>
+          writeTextFile(spark, s"$d/_landed", "1")
+          adoptStage(spark, path, d)
+        }
       }
       return
     }
@@ -1694,16 +1832,47 @@ object GeoParquet {
       else
         df.withColumn("hkey", graft.functions.Hilbert.dkey(
           GeoOps.cellOf(col("x"), delta), GeoOps.cellOf(col("y"), delta)))
-    val newEpoch = readEpoch(spark, path) + 1
-    writeEpochFile(spark, s"$path/_epoch", newEpoch) // stale until commit
+    // stage + stats outside the lock; epoch claimed at commit time
     val tmp = path + ".staging-" + java.util.UUID.randomUUID().toString.take(8)
     keyed.repartitionByRange(nFiles, col(keyCol))
       .sortWithinPartitions(keyCol)
       .write.mode("overwrite").parquet(tmp)
     val stats = statsOf(spark.read.parquet(tmp), rootPathOf(spark, tmp),
-        newEpoch, filterColsOf(spark, path))
+        0L, filterColsOf(spark, path))
       .localCheckpoint() // materialize BEFORE the files move away
-    commitStaged(spark, path, tmp, stats, newEpoch, mergeDir)
+    CommitLock.withLock(spark, path) {
+      // curve layouts evolve exactly like bin layouts: the declared
+      // schema lives in the same sidecar and every curve reader
+      // already goes through it (the key column is recomputed above,
+      // so its absence from the incoming batch is immaterial — the
+      // staged files always carry it).  Serialized here so concurrent
+      // wideners accumulate instead of last-write-wins.
+      recordEvolution(spark, path, df)
+      if (readEpoch(spark, path) !=
+          readEpochFile(spark, s"$path/_manifest_epoch")) {
+        // a concurrent committer intervened after the start guard:
+        // land the batch WITHOUT stats — the manifest reads stale and
+        // every curve reader falls back to the unpruned recursive
+        // scan until writeManifest; nothing lost, nothing fresh-over-
+        // a-hole.  (The staged files carry the key column, so they
+        // rejoin pruned reads at the next manifest rebuild.)
+        bumpEpoch(spark, path)
+        mergeDir.foreach { d =>
+          requireStageIntact(spark, d)
+          writeTextFile(spark, s"$d/_tmp", tmp)
+        }
+        moveStagedFiles(spark, path, tmp)
+        mergeDir.foreach { d =>
+          writeTextFile(spark, s"$d/_landed", "1")
+          adoptStage(spark, path, d)
+        }
+      } else {
+        val newEpoch = readEpoch(spark, path) + 1
+        writeEpochFile(spark, s"$path/_epoch", newEpoch) // stale until commit
+        commitStaged(spark, path, tmp,
+          stats.withColumn("epoch", lit(newEpoch)), newEpoch, mergeDir)
+      }
+    }
   }
 
   /** [[compact]] for curve-clustered layouts: [[appendCurve]] leaves
@@ -1714,22 +1883,47 @@ object GeoParquet {
     */
   def compactCurve(spark: SparkSession, path: String, nFiles: Int): Unit = {
     adoptStagedMerges(spark, path) // as compact(): resolve before the swap
-    // compaction is where merge-on-read deletes become physical
-    val df = minusTombstones(spark, path,
-      readerFor(spark, path, flat = false).parquet(path))
-    val keyCol = CurveKeyCols.find(df.columns.contains).getOrElse(
-      throw new IllegalArgumentException(
-        s"$path is not curve-clustered (${CurveKeyCols.mkString("/")} absent)"))
-    val tmp = path + ".compact"
-    val epochBefore = readEpoch(spark, path)
-    df.repartitionByRange(nFiles, col(keyCol))
-      .sortWithinPartitions(keyCol)
-      .write.mode("overwrite").parquet(tmp) // materializes before the swap
-    swapInPlace(spark, path, tmp)
-    // the swap dropped the sidecars — restore-and-bump the epoch so a
-    // pre-compaction manifest read elsewhere can never look fresh,
-    // then rebuild the manifest for this epoch
-    writeEpochFile(spark, s"$path/_epoch", epochBefore + 1)
+    // optimistic commit, exactly as [[compact]]: rewrite unlocked,
+    // validate (epoch + tombstone state) under the lock, loser
+    // retries — an appendCurve batch or a deleteWhere landing during
+    // the rewrite must never vanish with the retired directory
+    var attempts = 0
+    var done = false
+    while (!done) {
+      val epochBefore = readEpoch(spark, path)
+      val tombsBefore = tombstoneState(spark, path)
+      // compaction is where merge-on-read deletes become physical
+      val df = minusTombstones(spark, path,
+        readerFor(spark, path, flat = false).parquet(path))
+      val keyCol = CurveKeyCols.find(df.columns.contains).getOrElse(
+        throw new IllegalArgumentException(
+          s"$path is not curve-clustered (${CurveKeyCols.mkString("/")} absent)"))
+      val tmp = path + ".compact"
+      df.repartitionByRange(nFiles, col(keyCol))
+        .sortWithinPartitions(keyCol)
+        .write.mode("overwrite").parquet(tmp) // materializes before the swap
+      // seed the bumped epoch into tmp: a pre-compaction manifest
+      // read elsewhere can never look fresh, and the swapped-in root
+      // is never visible at epoch 0
+      writeEpochFile(spark, s"$tmp/_epoch", epochBefore + 1)
+      done = CommitLock.withLock(spark, path) {
+        val clean = readEpoch(spark, path) == epochBefore &&
+          tombstoneState(spark, path) == tombsBefore
+        if (clean) swapInPlace(spark, path, tmp)
+        clean
+      }
+      if (!done) {
+        fsOf(spark, path).delete(new org.apache.hadoop.fs.Path(tmp), true)
+        attempts += 1
+        require(attempts < 8,
+          s"compactCurve($path): lost the commit race $attempts times — " +
+            "pause the writers or schedule compaction off-peak")
+        adoptStagedMerges(spark, path)
+      }
+    }
+    // rebuild the manifest for the new epoch (its own locked commit;
+    // an append slipping between the swap and this rebuild sees a
+    // stale manifest and degrades safely)
     writeManifest(spark, path)
   }
 
@@ -1756,7 +1950,11 @@ object GeoParquet {
     // copy along with the stranded .compact sibling.  The originals
     // ride to the retired aside directory and vanish with it.
     val conf = spark.sparkContext.hadoopConfiguration
-    Seq("_batches", "_schema").foreach { name =>
+    // `_commits` rides along so the caller's held lock file survives
+    // the swap — otherwise the instant the new root lands, a waiting
+    // writer could acquire a fresh lock while the swapper still
+    // believes it holds one
+    Seq("_batches", "_schema", "_commits").foreach { name =>
       val src = new org.apache.hadoop.fs.Path(path, name)
       if (fs.exists(src))
         require(org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
@@ -1830,36 +2028,48 @@ object GeoParquet {
     * bumped epoch.
     */
   def healCompactStage(spark: SparkSession, path: String,
-                       rebuild: Boolean = true): Unit = {
+                       rebuild: Boolean = true,
+                       voidSweepAgeMs: Long = CommitLock.leaseMs): Unit = {
     val fs = fsOf(spark, path)
     val root = new org.apache.hadoop.fs.Path(s"$path/_compact_staging")
     if (!fs.exists(root)) return
-    var rolled = false
-    fs.listStatus(root).filter(_.isDirectory).foreach { st =>
-      val d = st.getPath
-      if (!fs.exists(new org.apache.hadoop.fs.Path(d, "_commit")))
-        fs.delete(d, true) // void: the rewrite never committed
-      else {
-        rolled = true
-        listDataFiles(spark, s"$d/data").foreach { abs =>
-          val name = new org.apache.hadoop.fs.Path(abs).getName
-          val dst = new org.apache.hadoop.fs.Path(s"$path/$name")
-          if (!fs.exists(dst))
-            require(fs.rename(new org.apache.hadoop.fs.Path(abs), dst),
-              s"compact heal move-in failed for $name")
+    // Locked: a `_commit`-bearing stage's move-in must not interleave
+    // with other committers (the scoped compactor itself commits
+    // under this lock, so such a stage here is genuinely crashed).
+    // An UNCOMMITTED stage may be a LIVE compactor's rewrite in
+    // progress — sweep it only past the commit lease, or at
+    // `voidSweepAgeMs = 0` when the compactor is known dead.
+    val rolled = CommitLock.withLock(spark, path) {
+      var any = false
+      fs.listStatus(root).filter(_.isDirectory).foreach { st =>
+        val d = st.getPath
+        if (!fs.exists(new org.apache.hadoop.fs.Path(d, "_commit"))) {
+          val age = System.currentTimeMillis() -
+            fs.getFileStatus(d).getModificationTime
+          if (age > voidSweepAgeMs)
+            fs.delete(d, true) // void: the rewrite never committed
+        } else {
+          any = true
+          listDataFiles(spark, s"$d/data").foreach { abs =>
+            val name = new org.apache.hadoop.fs.Path(abs).getName
+            val dst = new org.apache.hadoop.fs.Path(s"$path/$name")
+            if (!fs.exists(dst))
+              require(fs.rename(new org.apache.hadoop.fs.Path(abs), dst),
+                s"compact heal move-in failed for $name")
+          }
+          readTextFile(spark, s"$d/_doomed").split("\n")
+            .map(_.trim).filter(_.nonEmpty).foreach { rel =>
+            val src = new org.apache.hadoop.fs.Path(s"$path/$rel")
+            if (fs.exists(src)) fs.delete(src, false)
+          }
+          fs.delete(d, true)
         }
-        readTextFile(spark, s"$d/_doomed").split("\n")
-          .map(_.trim).filter(_.nonEmpty).foreach { rel =>
-          val src = new org.apache.hadoop.fs.Path(s"$path/$rel")
-          if (fs.exists(src)) fs.delete(src, false)
-        }
-        fs.delete(d, true)
       }
+      if (any)
+        writeEpochFile(spark, s"$path/_epoch", readEpoch(spark, path) + 1)
+      any
     }
-    if (rolled && rebuild) {
-      writeEpochFile(spark, s"$path/_epoch", readEpoch(spark, path) + 1)
-      writeManifest(spark, path)
-    }
+    if (rolled && rebuild) writeManifest(spark, path)
   }
 
   /** Compact ONLY the overlap-pressured key ranges of a curve
@@ -1908,73 +2118,97 @@ object GeoParquet {
                          maxOverlap: Int = 4): Int = {
     adoptStagedMerges(spark, path)
     healCompactStage(spark, path) // resolve a crashed predecessor
-    require(manifestFresh(spark, path, verify = false),
-      s"$path: manifest is stale; run writeManifest before a scoped " +
-        "compact — the scope is chosen from manifest key ranges")
-    val m = spark.read.parquet(s"$path/_manifest")
-    require(m.columns.contains("k0"),
-      s"$path is not curve-clustered (no key ranges in its manifest)")
-    val rows = m.select("file", "k0", "k1").collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    val scope = planCompactScope(rows, maxOverlap)
-    if (scope.isEmpty) return 0
-    val keyCol = curveKeyColOf(spark, path).getOrElse(
-      throw new IllegalArgumentException(
-        s"$path is not curve-clustered (${CurveKeyCols.mkString("/")} absent)"))
-    // stage the complete rewrite BEFORE any visible change
-    val stage = s"$path/_compact_staging/" +
-      java.util.UUID.randomUUID().toString.take(8)
-    val scopeDf = minusTombstones(spark, path,
-      readerFor(spark, path, flat = true)
-        .parquet(scope.map(f => s"$path/$f"): _*))
-    val nOut = math.max(1, (scope.size + filesPerRun - 1) / filesPerRun)
-    scopeDf.repartitionByRange(nOut, col(keyCol))
-      .sortWithinPartitions(keyCol)
-      .write.parquet(s"$stage/data")
-    writeTextFile(spark, s"$stage/_doomed", scope.mkString("\n"))
-    val newEpoch = readEpoch(spark, path) + 1
-    val newStats = statsOf(spark.read.parquet(s"$stage/data"),
-        rootPathOf(spark, s"$stage/data"), newEpoch,
-        filterColsOf(spark, path))
-      .localCheckpoint() // pin BEFORE the files move
-    // COMMIT POINT: from here the heal always rolls forward
-    writeTextFile(spark, s"$stage/_commit", "1")
-    val fs = fsOf(spark, path)
-    listDataFiles(spark, s"$stage/data").foreach { abs =>
-      val name = new org.apache.hadoop.fs.Path(abs).getName
-      require(fs.rename(new org.apache.hadoop.fs.Path(abs),
-          new org.apache.hadoop.fs.Path(s"$path/$name")),
-        s"scoped-compact move-in failed for $name")
+    var attempts = 0
+    while (true) {
+      require(manifestFresh(spark, path, verify = false),
+        s"$path: manifest is stale; run writeManifest before a scoped " +
+          "compact — the scope is chosen from manifest key ranges")
+      // optimistic snapshot: scope + rewrite run unlocked against the
+      // state at this epoch; the commit below validates under the
+      // lock and a beaten compactor re-plans from the new manifest
+      val epochBefore = readEpoch(spark, path)
+      val tombsBefore = tombstoneState(spark, path)
+      val m = spark.read.parquet(s"$path/_manifest")
+      require(m.columns.contains("k0"),
+        s"$path is not curve-clustered (no key ranges in its manifest)")
+      val rows = m.select("file", "k0", "k1").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val scope = planCompactScope(rows, maxOverlap)
+      if (scope.isEmpty) return 0
+      val keyCol = curveKeyColOf(spark, path).getOrElse(
+        throw new IllegalArgumentException(
+          s"$path is not curve-clustered (${CurveKeyCols.mkString("/")} absent)"))
+      // stage the complete rewrite BEFORE any visible change
+      val stage = s"$path/_compact_staging/" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val scopeDf = minusTombstones(spark, path,
+        readerFor(spark, path, flat = true)
+          .parquet(scope.map(f => s"$path/$f"): _*))
+      val nOut = math.max(1, (scope.size + filesPerRun - 1) / filesPerRun)
+      scopeDf.repartitionByRange(nOut, col(keyCol))
+        .sortWithinPartitions(keyCol)
+        .write.parquet(s"$stage/data")
+      writeTextFile(spark, s"$stage/_doomed", scope.mkString("\n"))
+      val newEpoch = epochBefore + 1
+      val newStats = statsOf(spark.read.parquet(s"$stage/data"),
+          rootPathOf(spark, s"$stage/data"), newEpoch,
+          filterColsOf(spark, path))
+        .localCheckpoint() // pin BEFORE the files move
+      val won = CommitLock.withLock(spark, path) {
+        val clean = readEpoch(spark, path) == epochBefore &&
+          tombstoneState(spark, path) == tombsBefore
+        if (clean) {
+          // COMMIT POINT: from here the heal always rolls forward
+          writeTextFile(spark, s"$stage/_commit", "1")
+          val fs = fsOf(spark, path)
+          listDataFiles(spark, s"$stage/data").foreach { abs =>
+            val name = new org.apache.hadoop.fs.Path(abs).getName
+            require(fs.rename(new org.apache.hadoop.fs.Path(abs),
+                new org.apache.hadoop.fs.Path(s"$path/$name")),
+              s"scoped-compact move-in failed for $name")
+          }
+          scope.foreach { rel =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$path/$rel"), false)
+          }
+          // one-write manifest flip: untouched rows re-stamped (history
+          // resets, as in compactCurve) + the staged stats; no data scan.
+          // The scope is subtracted as an anti-join, not an isin literal —
+          // a big layout's scope list should not become a giant predicate
+          val scopeFrame = {
+            import spark.implicits._
+            scope.toDF("file")
+          }
+          val survivors = m.join(broadcast(scopeFrame), Seq("file"), "left_anti")
+            .withColumn("epoch", lit(newEpoch))
+          val aligned = newStats.select(m.schema.fields.map { f =>
+            if (newStats.columns.contains(f.name)) col(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }.toIndexedSeq: _*)
+          survivors.unionByName(aligned)
+            .coalesce(1).write.mode("overwrite").parquet(s"$path/_manifest.next")
+          // parquet overwrite of the live manifest is non-atomic; swap via
+          // rename so a crash leaves either the old or the new sidecar
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/_manifest"), true)
+          require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/_manifest.next"),
+              new org.apache.hadoop.fs.Path(s"$path/_manifest")),
+            s"scoped-compact manifest swap failed for $path")
+          writeEpochFile(spark, s"$path/_epoch", newEpoch)
+          writeEpochFile(spark, s"$path/_manifest_epoch", newEpoch)
+          fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+        }
+        clean
+      }
+      if (won) return scope.size
+      // beaten by a concurrent commit: drop the uncommitted stage and
+      // re-plan — the new state may not even have overlap pressure
+      fsOf(spark, path).delete(new org.apache.hadoop.fs.Path(stage), true)
+      attempts += 1
+      require(attempts < 8,
+        s"compactCurveScoped($path): lost the commit race $attempts " +
+          "times — pause the writers or schedule compaction off-peak")
+      adoptStagedMerges(spark, path)
     }
-    scope.foreach { rel =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$rel"), false)
-    }
-    // one-write manifest flip: untouched rows re-stamped (history
-    // resets, as in compactCurve) + the staged stats; no data scan.
-    // The scope is subtracted as an anti-join, not an isin literal —
-    // a big layout's scope list should not become a giant predicate
-    val scopeFrame = {
-      import spark.implicits._
-      scope.toDF("file")
-    }
-    val survivors = m.join(broadcast(scopeFrame), Seq("file"), "left_anti")
-      .withColumn("epoch", lit(newEpoch))
-    val aligned = newStats.select(m.schema.fields.map { f =>
-      if (newStats.columns.contains(f.name)) col(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
-    }.toIndexedSeq: _*)
-    survivors.unionByName(aligned)
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/_manifest.next")
-    // parquet overwrite of the live manifest is non-atomic; swap via
-    // rename so a crash leaves either the old or the new sidecar
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_manifest"), true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/_manifest.next"),
-        new org.apache.hadoop.fs.Path(s"$path/_manifest")),
-      s"scoped-compact manifest swap failed for $path")
-    writeEpochFile(spark, s"$path/_epoch", newEpoch)
-    writeEpochFile(spark, s"$path/_manifest_epoch", newEpoch)
-    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-    scope.size
+    0 // unreachable
   }
 
   /** Compact the layout in place: streaming appends leave one small
@@ -1989,19 +2223,45 @@ object GeoParquet {
     // read and a crashed mid-append stage rolled forward NOW — after
     // the swap the staged batch's sibling directory would be orphaned
     adoptStagedMerges(spark, path)
-    val tmp = path + ".compact"
-    val epochBefore = readEpoch(spark, path)
-    // merged read: compaction applies pending deletes physically; the
-    // swap leaves `_tombstones` behind in the retired directory
-    readMerged(spark, path)
-      .repartition(col("bin_x"), col("bin_y"))
-      .sortWithinPartitions("bin_x", "bin_y", "x", "y")
-      .write.mode("overwrite").partitionBy("bin_x", "bin_y").parquet(tmp)
-    swapInPlace(spark, path, tmp)
-    // compaction rewrites every data file — a pre-compaction manifest
-    // must read as stale (the swap dropped the old _epoch sidecar, so
-    // restore-and-bump in one write)
-    writeEpochFile(spark, s"$path/_epoch", epochBefore + 1)
+    // OPTIMISTIC commit: the layout-sized rewrite runs unlocked
+    // against a snapshot (epoch + tombstone sidecar state); the swap
+    // validates both under the commit lock and the loser retries
+    // against the new state.  Without the check, a batch appended (or
+    // a tombstone landed) between the read and the swap would vanish
+    // with the retired directory — the lost-commit race this protocol
+    // exists to close.
+    var attempts = 0
+    var done = false
+    while (!done) {
+      val epochBefore = readEpoch(spark, path)
+      val tombsBefore = tombstoneState(spark, path)
+      val tmp = path + ".compact"
+      // merged read: compaction applies pending deletes physically;
+      // the swap leaves `_tombstones` behind in the retired directory
+      readMerged(spark, path)
+        .repartition(col("bin_x"), col("bin_y"))
+        .sortWithinPartitions("bin_x", "bin_y", "x", "y")
+        .write.mode("overwrite").partitionBy("bin_x", "bin_y").parquet(tmp)
+      // compaction rewrites every data file — a pre-compaction
+      // manifest must read as stale, and the swapped-in root must
+      // never be visible with epoch 0, so the bumped epoch is seeded
+      // INTO tmp before the swap
+      writeEpochFile(spark, s"$tmp/_epoch", epochBefore + 1)
+      done = CommitLock.withLock(spark, path) {
+        val clean = readEpoch(spark, path) == epochBefore &&
+          tombstoneState(spark, path) == tombsBefore
+        if (clean) swapInPlace(spark, path, tmp)
+        clean
+      }
+      if (!done) {
+        fsOf(spark, path).delete(new org.apache.hadoop.fs.Path(tmp), true)
+        attempts += 1
+        require(attempts < 8,
+          s"compact($path): lost the commit race $attempts times — " +
+            "pause the writers or schedule compaction off-peak")
+        adoptStagedMerges(spark, path) // the interloper may have staged
+      }
+    }
   }
 
   /** Run [[compact]] only when some bin holds more than

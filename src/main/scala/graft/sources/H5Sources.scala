@@ -79,10 +79,18 @@ object Atl06H5 {
     * — their columns come back NaN.  `segment_id` always reads (it
     * is the record identity).
     */
+  /** Granule decodes since JVM start — a test observable (local mode
+    * shares the JVM) proving streaming batches decode each granule
+    * exactly once ([[graft.streaming.EventStream.ingestGranules]]).
+    */
+  val decodeCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def decode(file: String, bytes: Array[Byte],
              runsByBeam: Option[Map[String, Seq[(Long, Long)]]] = None,
-             fields: Option[Set[String]] = None): Iterator[Seg] =
+             fields: Option[Set[String]] = None): Iterator[Seg] = {
+    decodeCount.incrementAndGet()
     decodeWith(file, new Hdf5.Reader(bytes), runsByBeam, fields)
+  }
 
   /** [[decode]] over a caller-supplied Reader — lets specs observe
     * `Reader.chunksDecoded` to prove slicing/subsetting skips work.
@@ -599,8 +607,16 @@ object IndexedH5 {
         val name = p.substring(p.lastIndexOf('/') + 1)
         val r = new Hdf5.Reader(bytes)
         val have = r.datasets.toSet
-        def rowsOf(cols: Seq[Option[Array[Double]]]): Iterator[Row] = {
-          val n = cols.flatten.headOption.map(_.length).getOrElse(0)
+        def rowsOf(where: String, cols: Seq[Option[Array[Double]]]): Iterator[Row] = {
+          // a ragged (malformed) file must surface as a named error, not
+          // an executor-side AIOOBE mid-iterator — the reference
+          // concatenates fields independently and would silently misalign
+          val lens = fields.zip(cols).collect { case (f, Some(a)) => (f, a.length) }
+          if (lens.map(_._2).distinct.length > 1)
+            throw new IllegalStateException(
+              s"ragged field lengths in $name at $where: " +
+                lens.map { case (f, n) => s"$f=$n" }.mkString(", "))
+          val n = lens.headOption.map(_._2).getOrElse(0)
           Iterator.range(0, n).map { i =>
             Row.fromSeq(name +: cols.map {
               case Some(a) => java.lang.Double.valueOf(a(i))
@@ -609,7 +625,7 @@ object IndexedH5 {
           }
         }
         if (sortedRuns.nonEmpty)
-          rowsOf(fields.map { f =>
+          rowsOf("runs", fields.map { f =>
             if (have.contains(s"/$f"))
               Some(r.readDoublesRuns(s"/$f", sortedRuns))
             else None
@@ -620,7 +636,7 @@ object IndexedH5 {
           // earlier rows — each bin zips only its own arrays, and a
           // missing (field, bin) pair yields nulls for that bin alone
           binNames.iterator.flatMap { bn =>
-            rowsOf(fields.map { f =>
+            rowsOf(s"bin $bn", fields.map { f =>
               if (have.contains(s"/$f/$bn")) Some(r.readDoubles(s"/$f/$bn"))
               else if (have.contains(s"/$bn/$f")) Some(r.readDoubles(s"/$bn/$f"))
               else None

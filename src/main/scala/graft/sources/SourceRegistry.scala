@@ -72,6 +72,14 @@ object SourceRegistry {
       Seq(IndexKind, DemKind, "indexed_h5",
         "indexed_h5_from_matlab")).toSeq.sorted
 
+  /** The subset of [[kinds]] that [[readAs]] can open as POINT data.
+    * The remainder (`geoindex`, `indexed_h5`, `indexed_h5_from_matlab`)
+    * are index/adoption kinds reachable only through [[forFile]] /
+    * [[indexListForFiles]].
+    */
+  def pointKinds: Seq[String] =
+    (xyReaders.keys ++ latlonReaders.keys ++ Seq(DemKind)).toSeq.sorted
+
   /** Read any registered POINT kind into the canonical
     * `(id, x, y, z, t)` schema.  For lat/lon formats `id` is the
     * record index within its file (the reference's per-file offsets;
@@ -96,6 +104,10 @@ object SourceRegistry {
       d.select(col("rec_idx").as("id"), px.as("x"), py.as("y"),
         col("elevation").as("z"),
         (tCol * 1000).cast("long").as("t"))
+    case k @ (IndexKind | "indexed_h5" | "indexed_h5_from_matlab") =>
+      throw new IllegalArgumentException(
+        s"'$k' is an index/adoption kind, not a point source — use " +
+          s"forFile/indexListForFiles (point kinds: ${pointKinds.mkString(", ")})")
     case other => throw new IllegalArgumentException(
       s"unregistered source kind '$other' (known: ${kinds.mkString(", ")})")
   }

@@ -172,11 +172,17 @@ object EventStream {
             .select(col("segment_id").as("id"), px.as("x"), py.as("y"),
               col("h_li").as("z"),
               (col("delta_time") * 1000).cast("long").as("t"))
-          if (!pts.isEmpty) {
-            graft.sources.GeoParquet.append(pts, pointsPath, delta)
-            graft.sources.SourceRegistry.indexOf(pts, delta)
-              .write.mode("append").parquet(indexPath)
-          }
+          // one decode per batch: count() materializes every partition
+          // into the cache, so the emptiness check, the point append,
+          // and the index rollup share a single pass over the granules
+          pts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            if (pts.count() > 0) {
+              graft.sources.GeoParquet.append(pts, pointsPath, delta)
+              graft.sources.SourceRegistry.indexOf(pts, delta)
+                .write.mode("append").parquet(indexPath)
+            }
+          } finally pts.unpersist(blocking = false)
           fs.mkdirs(marker.getParent)
           fs.create(marker, true).close()
         }

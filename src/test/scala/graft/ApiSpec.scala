@@ -113,6 +113,29 @@ class ApiSpec extends SparkSpec {
       .head.getLong(0) == 48)
   }
 
+  test("the advertised registry surface matches what readAs dispatches") {
+    import graft.sources.SourceRegistry
+    // pointKinds ⊂ kinds, and every non-point kind raises the scoped
+    // index/adoption error (not a misleading 'unregistered')
+    assert(SourceRegistry.pointKinds.toSet.subsetOf(SourceRegistry.kinds.toSet))
+    val indexKinds = SourceRegistry.kinds.toSet -- SourceRegistry.pointKinds.toSet
+    assert(indexKinds ==
+      Set("geoindex", "indexed_h5", "indexed_h5_from_matlab"))
+    indexKinds.foreach { k =>
+      val e = intercept[IllegalArgumentException] {
+        PointFrame.fromSource(spark, k, "/nonexistent")
+      }
+      assert(e.getMessage.contains("index/adoption kind"), s"kind $k: ${e.getMessage}")
+      assert(e.getMessage.contains("forFile"), s"kind $k lacks the redirect hint")
+    }
+    // a genuinely unknown kind names itself and the known list
+    val unknown = intercept[IllegalArgumentException] {
+      PointFrame.fromSource(spark, "netcdf", "/nonexistent")
+    }
+    assert(unknown.getMessage.contains("netcdf") &&
+      unknown.getMessage.contains("atl06_h5"))
+  }
+
   test("PointFrame mutation surface: deleteWhere, upsertInto, merged/asOf opens") {
     val dir = java.nio.file.Files.createTempDirectory("pfmut").toString
     val pts = graft.core.Tables.eventsPoints(spark, sf).select("id", "x", "y", "z")

@@ -1,0 +1,206 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{CommitLock, GeoParquet}
+
+/** Two healthy writers racing on one layout: the commit protocol must
+  * serialize their metadata commits (unique epochs, no shared
+  * `_temporary` trees, no fresh-over-a-hole manifests) and the
+  * optimistic compactors must detect a beaten snapshot and retry —
+  * never dropping a committed batch or tombstone with the retired
+  * directory.  This is the cross-process writer+compactor race the
+  * streaming sinks make realistic (ingest + scheduled maintenance).
+  */
+class CommitContentionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def inThread[T](body: => T): (Thread, java.util.concurrent.atomic.AtomicReference[Throwable]) = {
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val t = new Thread(() =>
+      try body catch { case e: Throwable => err.set(e) })
+    t.start()
+    (t, err)
+  }
+
+  private def rethrow(e: java.util.concurrent.atomic.AtomicReference[Throwable]): Unit = {
+    val t = e.get(); if (t != null) throw t
+  }
+
+  private def batch(ids: Range): org.apache.spark.sql.DataFrame =
+    ids.map(i => (i.toLong, (i % 40) * 25.0, (i % 30) * 25.0, i * 1.0))
+      .toDF("id", "x", "y", "z")
+
+  test("the commit lock is a mutex: locked sections never overlap, and a stale lock is broken") {
+    val dir = java.nio.file.Files.createTempDirectory("lockmx").toString
+    val active = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxActive = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to 4).map { _ =>
+      inThread {
+        (1 to 5).foreach { _ =>
+          CommitLock.withLock(spark, dir) {
+            val a = active.incrementAndGet()
+            maxActive.updateAndGet(m => math.max(m, a))
+            Thread.sleep(15)
+            active.decrementAndGet()
+          }
+        }
+      }
+    }
+    threads.foreach(_._1.join(60000))
+    threads.foreach(t => rethrow(t._2))
+    assert(maxActive.get() == 1, s"lock overlap: ${maxActive.get()} holders")
+    // a crashed holder's lock (mtime past the lease) is broken by the
+    // next acquirer instead of deadlocking the layout
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(s"$dir/_commits/lock")
+    val out = fs.create(lock, true)
+    out.write("dead-writer".getBytes("UTF-8")); out.close()
+    fs.setTimes(lock, System.currentTimeMillis() - CommitLock.leaseMs - 60000, -1)
+    var ran = false
+    CommitLock.withLock(spark, dir) { ran = true }
+    assert(ran, "stale lock was not broken")
+  }
+
+  test("two interleaved appendWithManifest writers: unique epochs, nothing lost") {
+    val dir = java.nio.file.Files.createTempDirectory("contbin").toString
+    GeoParquet.write(batch(0 until 50), dir, 250.0)
+    GeoParquet.writeManifest(spark, dir)
+    val (t1, e1) = inThread {
+      (0 until 4).foreach { i =>
+        GeoParquet.appendWithManifest(
+          batch(1000 + i * 100 until 1000 + i * 100 + 40), dir, 250.0)
+      }
+    }
+    val (t2, e2) = inThread {
+      (0 until 4).foreach { i =>
+        GeoParquet.appendWithManifest(
+          batch(5000 + i * 100 until 5000 + i * 100 + 40), dir, 250.0)
+      }
+    }
+    t1.join(300000); t2.join(300000)
+    rethrow(e1); rethrow(e2)
+    // every batch's rows are present exactly once — no commit was lost
+    // to an interleaved rename or a shared _temporary tree
+    val ids = GeoParquet.read(spark, dir).select("id").as[Long].collect()
+    val want = (0L until 50L) ++
+      (0 until 4).flatMap(i => 1000L + i * 100 until 1040L + i * 100) ++
+      (0 until 4).flatMap(i => 5000L + i * 100 until 5040L + i * 100)
+    assert(ids.sorted.toSeq == want.sorted, "lost or duplicated batch rows")
+    // epochs serialized: eight commits = eight bumps.  An unlocked
+    // read-modify-write would lose updates under this interleaving
+    // (two writers reading N and both writing N+1).
+    assert(GeoParquet.readEpoch(spark, dir) == 8L,
+      s"epoch ${GeoParquet.readEpoch(spark, dir)} after 8 commits — " +
+        "lost update on the epoch RMW")
+    // the manifest is either fresh, or stale-and-repairable — never
+    // fresh over a hole: a pruned read after repair sees every row
+    if (!GeoParquet.manifestFresh(spark, dir, verify = false))
+      GeoParquet.writeManifest(spark, dir)
+    val pruned = GeoParquet.queryBoxViaManifest(spark, dir, (-1e9, 1e9), (-1e9, 1e9))
+    assert(pruned.count() == want.size)
+    // no stranded staging siblings
+    val parent = new java.io.File(dir).getParentFile
+    assert(!parent.list().exists(_.startsWith(
+      new java.io.File(dir).getName + ".staging-")))
+  }
+
+  test("appendCurve racing compactCurveScoped: losers retry, no committed file is lost") {
+    val dir = java.nio.file.Files.createTempDirectory("contcurve").toString
+    GeoParquet.writeZOrdered(batch(0 until 60), dir, 50.0, nFiles = 2)
+    GeoParquet.writeManifest(spark, dir)
+    val (t1, e1) = inThread {
+      (0 until 5).foreach { i =>
+        var landed = false
+        var tries = 0
+        while (!landed) {
+          try {
+            GeoParquet.appendCurve(
+              batch(2000 + i * 100 until 2000 + i * 100 + 30), dir, 50.0)
+            landed = true
+          } catch {
+            // the loser's contract: a stale-manifest refusal during a
+            // concurrent compactor's swap→rebuild window is transient
+            case _: IllegalArgumentException if tries < 50 =>
+              tries += 1; Thread.sleep(100)
+          }
+        }
+      }
+    }
+    val (t2, e2) = inThread {
+      (0 until 3).foreach { _ =>
+        try GeoParquet.compactCurveScoped(spark, dir, filesPerRun = 4,
+          maxOverlap = 1)
+        catch { // stale manifest mid-append commit: repair and go on
+          case _: IllegalArgumentException =>
+            GeoParquet.writeManifest(spark, dir)
+        }
+        Thread.sleep(50)
+      }
+    }
+    t1.join(300000); t2.join(300000)
+    rethrow(e1); rethrow(e2)
+    val want = ((0L until 60L) ++
+      (0 until 5).flatMap(i => 2000L + i * 100 until 2030L + i * 100)).sorted
+    // raw read first: every committed file survived the compactions
+    val raw = spark.read.option("recursiveFileLookup", "true").parquet(dir)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(raw == want, "a compaction swap dropped a committed batch")
+    // and the pruned curve read agrees after at most one repair
+    if (!GeoParquet.manifestFresh(spark, dir, verify = false))
+      GeoParquet.writeManifest(spark, dir)
+    val pruned = GeoParquet.queryBoxCurve(spark, dir, (-1e9, 1e9), (-1e9, 1e9), 50.0)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(pruned == want)
+  }
+
+  test("deleteWhere racing compact: the tombstone is never resurrected by the swap") {
+    val dir = java.nio.file.Files.createTempDirectory("contdel").toString
+    GeoParquet.write(batch(0 until 400), dir, 250.0)
+    GeoParquet.writeManifest(spark, dir)
+    val (t1, e1) = inThread {
+      (0 until 3).foreach(_ => GeoParquet.compact(spark, dir))
+    }
+    val (t2, e2) = inThread {
+      (0 until 4).foreach { i =>
+        GeoParquet.deleteWhere(spark, dir, col("id") % 40 === i)
+        Thread.sleep(30)
+      }
+    }
+    t1.join(300000); t2.join(300000)
+    rethrow(e1); rethrow(e2)
+    // every delete holds: either still pending (subtracted at read) or
+    // applied physically by a compaction that SAW it — a compactor
+    // that read before the delete landed must have lost its race
+    val got = GeoParquet.readMerged(spark, dir).select("id").as[Long].collect()
+    val want = (0L until 400L).filterNot(id => (0 until 4).contains((id % 40).toInt))
+    assert(got.sorted.toSeq == want.sorted, "a tombstone vanished with the swap")
+  }
+
+  test("two concurrent positional upserts on disjoint keys: one copy per key, both updates live") {
+    val dir = java.nio.file.Files.createTempDirectory("contup").toString
+    GeoParquet.write(batch(0 until 200), dir, 250.0)
+    GeoParquet.writeManifest(spark, dir)
+    val (t1, e1) = inThread {
+      GeoParquet.upsertPositional(
+        batch(0 until 50).withColumn("z", $"z" + 10000.0), dir, "id", 250.0)
+    }
+    val (t2, e2) = inThread {
+      GeoParquet.upsertPositional(
+        batch(100 until 150).withColumn("z", $"z" + 20000.0), dir, "id", 250.0)
+    }
+    t1.join(300000); t2.join(300000)
+    rethrow(e1); rethrow(e2)
+    val r = GeoParquet.readMerged(spark, dir).select("id", "z")
+      .as[(Long, Double)].collect()
+    assert(r.length == 200, s"${r.length} rows — duplicate or lost keys")
+    assert(r.map(_._1).distinct.length == 200)
+    r.foreach { case (id, z) =>
+      val expect =
+        if (id < 50) id + 10000.0
+        else if (id >= 100 && id < 150) id + 20000.0
+        else id * 1.0
+      assert(z == expect, s"id=$id z=$z expected $expect")
+    }
+  }
+}

@@ -241,8 +241,9 @@ class DeleteSpec extends SparkSpec {
     GeoParquet.appendWithManifest(p.filter($"id" % 2 === 1), dir, 250.0)
     assert(GeoParquet.readEpoch(spark, dir) >= 1L)
     assert(GeoParquet.readMerged(spark, dir).filter($"id" === v2).count() == 1)
-    // healing adopts the landed stage, discards the void one
-    GeoParquet.adoptStagedMerges(spark, dir)
+    // healing adopts the landed stage, discards the void one (the
+    // staging writer is known dead here, so sweep without the lease)
+    GeoParquet.adoptStagedMerges(spark, dir, voidSweepAgeMs = 0L)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_merge_staging/landed")))
@@ -269,7 +270,7 @@ class DeleteSpec extends SparkSpec {
       (GeoParquet.readEpoch(spark, dir) + 1).toString.getBytes("UTF-8"))
     // every committed row is still readable — the stage is void
     assert(GeoParquet.readMerged(spark, dir).count() == p.count())
-    GeoParquet.adoptStagedMerges(spark, dir)
+    GeoParquet.adoptStagedMerges(spark, dir, voidSweepAgeMs = 0L)
     assert(GeoParquet.readMerged(spark, dir).count() == p.count())
     assert(!new java.io.File(s"$dir/_tombstones_pos").exists())
   }
@@ -401,7 +402,7 @@ class DeleteSpec extends SparkSpec {
     }
     // and an unrelated sibling vacuum must NOT touch
     fs.mkdirs(new org.apache.hadoop.fs.Path(dir + "_other"))
-    GeoParquet.vacuum(spark, dir)
+    GeoParquet.vacuum(spark, dir, staleAgeMs = 0L)
     Seq(".staging-dead1", ".pre-compact", ".compact").foreach { sfx =>
       assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + sfx)), sfx)
     }

@@ -175,15 +175,22 @@ class EngineInfraSpec extends SparkSpec {
     def drop(name: String, b: Array[Byte]): Unit =
       java.nio.file.Files.write(java.nio.file.Paths.get(s"$watch/$name"), b)
     drop("ATL06_g0.h5", granule(0, 0L until 60L))
+    val decodesBefore = Atl06H5.decodeCount.get()
     val q = EventStream.ingestGranules(spark, watch, s"$dir/data", s"$dir/idx",
       400.0, s"$dir/ckpt")
     q.processAllAvailable()
     assert(GeoParquet.read(spark, s"$dir/data").count() == 60)
+    // the batch's emptiness check, point append, and index rollup all
+    // ride ONE cached pass — each granule decodes exactly once
+    assert(Atl06H5.decodeCount.get() - decodesBefore == 1,
+      "granule decoded more than once per micro-batch")
     // a LATE-arriving granule extends both sides without a rescan
     drop("ATL06_g1.h5", granule(1, 60L until 100L))
     q.processAllAvailable()
     q.stop()
     assert(GeoParquet.read(spark, s"$dir/data").count() == 100)
+    assert(Atl06H5.decodeCount.get() - decodesBefore == 2,
+      "late batch re-decoded earlier granules")
     // the partial-index table adopts through the registry and its
     // from_list merge equals a direct rollup over ALL granules
     val merged = graft.operators.GeoOps.mergeIndexes(Seq(

@@ -114,7 +114,7 @@ class ScopedCompactSpec extends SparkSpec {
       m.mkString("\n").getBytes)
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$stage/_commit"),
       "1".getBytes)
-    GeoParquet.healCompactStage(spark, dir)
+    GeoParquet.healCompactStage(spark, dir, voidSweepAgeMs = 0L)
     assert(!new java.io.File(s"$dir/_compact_staging/testcrash").exists())
     assert(GeoParquet.manifestFresh(spark, dir, verify = true))
     val got = GeoParquet.readMerged(spark, dir).select("id", "x", "y", "z")
@@ -126,7 +126,7 @@ class ScopedCompactSpec extends SparkSpec {
     new java.io.File(s"$stage2").mkdirs()
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$stage2/_doomed"),
       "nothing".getBytes)
-    GeoParquet.healCompactStage(spark, dir)
+    GeoParquet.healCompactStage(spark, dir, voidSweepAgeMs = 0L)
     assert(!new java.io.File(stage2).exists())
     val got2 = GeoParquet.readMerged(spark, dir).select("id", "x", "y", "z")
     assert(got2.exceptAll(expect).count() == 0 &&
