@@ -577,6 +577,29 @@ object GeoOps {
       .countBoxViaManifest(s, path, (-200.0, 200.0), (-200.0, 200.0))
   }
 
+  /** 61z: the SQL/catalog face — `spark.sql` over a manifested layout
+    * through the DataSourceV2 provider (`format("graft")`,
+    * [[graft.sources.v2.GraftSource]]).  The scan's file planning is
+    * the same manifest envelope pruning queryBoxViaManifest does, so
+    * this query opens only box-intersecting files, from plain SQL.
+    */
+  def sqlBox(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("sqlbox").toString
+    graft.sources.GeoParquet.write(
+      pts(s, dir).select("id", "x", "y", "z"), path, 250.0)
+    graft.sources.GeoParquet.writeManifest(s, path)
+    s.read.format("graft").load(path).createOrReplaceTempView("graft_sql_box")
+    s.sql("""SELECT id, x, y, z FROM graft_sql_box
+            |WHERE x >= -500 AND x < 500 AND y >= -500 AND y < 500
+            |ORDER BY id""".stripMargin)
+  }
+
+  val sqlBoxSql: String =
+    s"""WITH pts AS ($P)
+       |SELECT id, x, y, z FROM pts
+       |WHERE x >= -500 AND x < 500 AND y >= -500 AND y < 500
+       |ORDER BY id""".stripMargin
+
   val countBoxSql: String =
     s"""WITH pts AS ($P)
        |SELECT count(*) AS n FROM pts
@@ -1092,6 +1115,7 @@ object GeoOps {
     "q_curve_query"     -> (curveQuery _),
     "q_curve_query_h"   -> (curveQueryH _),
     "q_count_box"       -> (countBox _),
+    "q_sql_box"         -> (sqlBox _),
     "q_minmax_box"      -> (minmaxBox _),
     "q_snapshot_box"    -> (snapshotBox _),
     "q_delete_box"      -> (deleteBox _),
@@ -1132,6 +1156,7 @@ object GeoOps {
     "q_curve_query"     -> curveQuerySql,
     "q_curve_query_h"   -> curveQueryHSql,
     "q_count_box"       -> countBoxSql,
+    "q_sql_box"         -> sqlBoxSql,
     "q_minmax_box"      -> minmaxBoxSql,
     "q_snapshot_box"    -> snapshotBoxSql,
     "q_delete_box"      -> deleteBoxSql,

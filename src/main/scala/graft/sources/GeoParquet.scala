@@ -1040,6 +1040,44 @@ object GeoParquet {
       })
   }
 
+  /** The layout's DATA-file schema (bin partition columns excluded —
+    * the shape flat file-list reads see), for the SQL face: declared
+    * sidecar first, then one manifest-named footer, then inference.
+    */
+  private[graft] def dataSchemaFor(spark: SparkSession, path: String)
+      : org.apache.spark.sql.types.StructType =
+    layoutSchema(spark, path).map(dataSchemaOf).getOrElse {
+      if (fsOf(spark, path)
+          .exists(new org.apache.hadoop.fs.Path(s"$path/_manifest")))
+        manifestHeadSchema(spark, path)
+      else dataSchemaOf(spark.read.parquet(path).schema)
+    }
+
+  /** File planning for the SQL face ([[graft.sources.v2.GraftSource]]):
+    * the same manifest envelope pruning [[queryBoxViaManifest]] does,
+    * generalized to per-column [lo,hi] bounds over any stats pair the
+    * manifest carries (x/y/z/t).  Null stats mean "unknown, must
+    * open"; a stale manifest degrades to the full recursive listing —
+    * correctness over pruning, as on every read path.
+    */
+  private[graft] def planFilesFor(spark: SparkSession, path: String,
+                                  bounds: Seq[(String, Double, Double)])
+      : Seq[String] = {
+    if (!manifestFresh(spark, path, verify = false))
+      return listDataFiles(spark, path)
+    val m = spark.read.parquet(s"$path/_manifest")
+    val cond = bounds
+      .filter { case (c, _, _) =>
+        m.columns.contains(s"${c}0") && m.columns.contains(s"${c}1") }
+      .map { case (c, lo, hi) =>
+        (col(s"${c}1").isNull || col(s"${c}1") >= lo) &&
+          (col(s"${c}0").isNull || col(s"${c}0") <= hi)
+      }
+      .foldLeft(lit(true))(_ && _)
+    m.filter(cond).select("file").collect()
+      .map(r => s"$path/${r.getString(0)}").toSeq
+  }
+
   def queryBoxViaManifest(spark: SparkSession, path: String,
                           xr: (Double, Double), yr: (Double, Double),
                           verify: Boolean = false): DataFrame = {

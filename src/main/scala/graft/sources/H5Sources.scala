@@ -520,12 +520,29 @@ object IndexedH5 {
           val bx = r.readDoubles("/INDEX/bin_x")
           val by = r.readDoubles("/INDEX/bin_y")
           if (ds.contains("/INDEX/bin_index")) {
-            // 2×N row-major: row 0 = first offsets, row 1 = last
+            // 2×N row-major: row 0 = first offsets, row 1 = last.
+            // ON-DISK END CONVENTION, decided deliberately: graft
+            // writes INCLUSIVE [first,last] (writeIndexed), which its
+            // own readData round-trips.  The reference ecosystem's
+            // producers store EXCLUSIVE ends (read_indexed_h5_file
+            // slices h5f[field][i0:i1], geo_index.py:617-629 — note
+            // the reference's own from_xy computes inclusive lasts,
+            // so the reference is internally off-by-one; graft is
+            // not).  Adoption normalizes: when the max end equals a
+            // data dataset's ROW COUNT the file is exclusive-end and
+            // ends shift down by one; max end == rows-1 is graft's
+            // inclusive convention.  A foreign exclusive file whose
+            // bins stop short of the last row is indistinguishable
+            // and reads one extra row per bin — re-index to repair.
             val fl = r.readLongs("/INDEX/bin_index")
             val n = fl.length / 2
+            val rows = ds.find(d => !d.startsWith("/INDEX"))
+              .map(d => r.dims(d).product)
+            val maxEnd = if (n == 0) -1L else (0 until n).map(i => fl(n + i)).max
+            val endAdj = if (rows.contains(maxEnd)) 1L else 0L
             (0 until n).iterator.map { i =>
               BinRow(math.round(bx(i)), math.round(by(i)),
-                Some(fl(n + i) - fl(i) + 1), fl(i), fl(n + i))
+                Some(fl(n + i) - endAdj - fl(i) + 1), fl(i), fl(n + i) - endAdj)
             }
           } else
             bx.indices.iterator.map(i =>
@@ -648,7 +665,10 @@ object IndexedH5 {
   /** Write the `bin_index` shape the reference indexes
     * (geo_index.py:289-299): whole-file contiguous field datasets
     * sorted by (bin, order), plus the `INDEX` group with centers and
-    * the 2×N first/last row offsets.  One file per `gran` key,
+    * the 2×N first/last row offsets — INCLUSIVE [first,last], the
+    * convention [[readData]] round-trips and [[adopt]] detects
+    * (foreign exclusive-end files normalize on adoption; see the
+    * convention note there).  One file per `gran` key,
     * encoded executor-side (the streaming-group writer pattern);
     * chunked+deflate datasets so [[readData]]'s run slicing has
     * chunks to prune.

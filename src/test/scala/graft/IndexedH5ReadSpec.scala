@@ -152,4 +152,41 @@ class IndexedH5ReadSpec extends SparkSpec {
   test("registry lists the matlab kind") {
     assert(SourceRegistry.kinds.contains("indexed_h5_from_matlab"))
   }
+
+  test("adoption normalizes a reference-convention (exclusive-end) bin_index") {
+    // the reference's consumers slice h5f[field][i0:i1] Python-style
+    // (geo_index.py:617-629), so files from that ecosystem store
+    // exclusive ends; graft stores inclusive.  The tell: an exclusive
+    // file's max end equals the data row count.  Both conventions
+    // must adopt to the same run set — one row per point, none
+    // dropped, none double-read.
+    val n = 20
+    val xs = (0 until n).map(i => if (i < 10) 100.0 else 900.0).toArray
+    def fileWith(ends: Array[Long]): String = {
+      val w = new Hdf5.Writer
+      w.doubles("/x", xs)
+      w.doubles("/y", Array.fill(n)(100.0))
+      w.doubles("/time", (0 until n).map(_.toDouble).toArray)
+      w.doubles("/INDEX/bin_x", Array(0.0, 1000.0))
+      w.doubles("/INDEX/bin_y", Array(0.0, 0.0))
+      w.longs("/INDEX/bin_index", Array(0L, 10L) ++ ends, dims = Seq(2L, 2L))
+      val p = java.nio.file.Files.createTempDirectory("conv").toString + "/f.h5"
+      java.nio.file.Files.write(java.nio.file.Paths.get(p), w.toBytes)
+      p
+    }
+    val inclusive = fileWith(Array(9L, 19L))   // graft convention
+    val exclusive = fileWith(Array(10L, 20L))  // reference convention
+    val a = IndexedH5.adopt(spark, inclusive).orderBy("bin_x")
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val b = IndexedH5.adopt(spark, exclusive).orderBy("bin_x")
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(a == Seq((10L, 0L, 9L), (10L, 10L, 19L)))
+    assert(b == a, s"exclusive-end file adopted differently: $b")
+    // and the normalized runs read EVERY row exactly once from the
+    // foreign file — the interop the off-by-one would break
+    val got = IndexedH5.readData(spark, exclusive, Seq("x", "time"),
+      runs = Seq((0L, 9L), (10L, 19L)))
+      .select("time").as[Double].collect().sorted.toSeq
+    assert(got == (0 until n).map(_.toDouble))
+  }
 }

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.GeoParquet
+import graft.sources.v2.GraftSource
+
+/** The DataSourceV2 SQL face (`format("graft")`): plain `spark.sql`
+  * over manifested layouts with the same file-level pruning the API
+  * readers do — including two-layout joins no hand-plumbed DataFrame
+  * composition is needed for.
+  */
+class SqlFaceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def layout(n: Int, spread: Double): String = {
+    val dir = java.nio.file.Files.createTempDirectory("sqlface").toString
+    val pts = (0 until n).map { i =>
+      (i.toLong, (i % 50) * spread, (i % 37) * spread, i * 1.0)
+    }.toDF("id", "x", "y", "z")
+    GeoParquet.write(pts, dir, 250.0)
+    GeoParquet.writeManifest(spark, dir)
+    dir
+  }
+
+  // layout-relative suffix: bin-partitioned part files share a
+  // basename across bin dirs, so the directory part matters
+  private def names(dir: String, files: Iterable[String]): Set[String] = {
+    val tail = dir.substring(dir.lastIndexOf('/') + 1)
+    files.map { f =>
+      val i = f.indexOf(tail)
+      if (i >= 0) f.substring(i + tail.length + 1) else f
+    }.toSet
+  }
+
+  test("a SQL box query opens exactly the API path's file set") {
+    val dir = layout(4000, 25.0)
+    spark.read.format("graft").load(dir).createOrReplaceTempView("sface")
+    val sql = spark.sql(
+      "SELECT id, x, y, z FROM sface WHERE x >= 0 AND x < 400 AND y >= 0 AND y < 400")
+    val api = GeoParquet.queryBoxViaManifest(spark, dir, (0.0, 400.0), (0.0, 400.0))
+    // same rows
+    assert(sql.exceptAll(api).count() == 0 && api.exceptAll(sql).count() == 0)
+    assert(sql.count() > 0)
+    // same FILES: the DSv2 scan planned exactly what the API opened
+    sql.collect() // force planInputPartitions
+    val planned = names(dir, GraftSource.lastPlannedFiles.get(dir))
+    val apiFiles = names(dir, api.inputFiles.toSeq)
+    assert(planned == apiFiles, s"SQL face planned $planned, API opened $apiFiles")
+    // and it genuinely pruned: strictly fewer than the full layout
+    val total = names(dir, spark.read.parquet(dir).inputFiles.toSeq)
+    assert(planned.size < total.size,
+      s"no pruning: ${planned.size} of ${total.size}")
+  }
+
+  test("spark.sql joins two layouts in one query, pruned on both sides") {
+    val a = layout(3000, 25.0)
+    val b = layout(3000, 40.0)
+    spark.read.format("graft").load(a).createOrReplaceTempView("lay_a")
+    spark.read.format("graft").load(b).createOrReplaceTempView("lay_b")
+    val joined = spark.sql(
+      """SELECT a.id, a.z AS za, b.z AS zb
+        |FROM lay_a a JOIN lay_b b ON a.id = b.id
+        |WHERE a.x >= 0 AND a.x < 300 AND a.y >= 0 AND a.y < 300
+        |  AND b.x >= 0 AND b.x < 300 AND b.y >= 0 AND b.y < 300
+        |ORDER BY a.id""".stripMargin)
+    val want = GeoParquet.queryBoxViaManifest(spark, a, (0.0, 300.0), (0.0, 300.0))
+      .select($"id", $"z".as("za"))
+      .join(GeoParquet.queryBoxViaManifest(spark, b, (0.0, 300.0), (0.0, 300.0))
+        .select($"id", $"z".as("zb")), Seq("id"))
+      .orderBy("id")
+    assert(joined.collect().toSeq == want.collect().toSeq)
+    assert(joined.count() > 0)
+    // both sides pruned below their full file counts
+    Seq(a, b).foreach { p =>
+      val planned = GraftSource.lastPlannedFiles.get(p)
+      val total = spark.read.parquet(p).inputFiles.length
+      assert(planned.size < total, s"$p: ${planned.size} of $total")
+    }
+  }
+
+  test("schema-evolution columns the file predates read as null through SQL") {
+    val dir = layout(500, 25.0)
+    GeoParquet.appendWithManifest(
+      Seq((900001L, 10.0, 10.0, 1.0, 42.0)).toDF("id", "x", "y", "z", "w"),
+      dir, 250.0)
+    spark.read.format("graft").load(dir).createOrReplaceTempView("sevolve")
+    val r = spark.sql("SELECT id, w FROM sevolve WHERE id = 900001 OR id = 1")
+      .collect().map(x => (x.getLong(0), if (x.isNullAt(1)) None else Some(x.getDouble(1))))
+      .toMap
+    assert(r(900001L).contains(42.0))
+    assert(r(1L).isEmpty, "pre-evolution row must read the new column as null")
+  }
+
+  test("pending merge-on-read deletes refuse loudly (the face cannot subtract)") {
+    val dir = layout(500, 25.0)
+    GeoParquet.deleteWhere(spark, dir, col("id") === 7)
+    spark.read.format("graft").load(dir).createOrReplaceTempView("sdel")
+    val e = intercept[Throwable] {
+      spark.sql("SELECT count(*) FROM sdel").collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else t.getMessage +: chain(t.getCause)
+    assert(chain(e).exists(m => m != null && m.contains("pending merge-on-read")),
+      s"unexpected error: ${chain(e)}")
+  }
+}
