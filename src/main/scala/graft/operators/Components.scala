@@ -111,9 +111,9 @@ object Components {
     * not be).
     */
   private def clustersSqlOf(pairsBody: String, edgeSelect: String): String =
-    s"""WITH RECURSIVE pairs AS ($pairsBody),
-       |e0 AS ($edgeSelect),
-       |e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+    s"""WITH RECURSIVE pairs AS MATERIALIZED ($pairsBody),
+       |e0 AS MATERIALIZED ($edgeSelect),
+       |e AS MATERIALIZED (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
        |reach(node, r) AS (
        |  SELECT u, v FROM e
        |  UNION
