@@ -600,6 +600,34 @@ object GeoOps {
        |WHERE x >= -500 AND x < 500 AND y >= -500 AND y < 500
        |ORDER BY id""".stripMargin
 
+  /** 61z2: aggregate pushdown through the SQL face — the SQL twin of
+    * `q_count_box`/`q_minmax_box`: COUNT/MIN/MAX with a box filter
+    * push into the DSv2 scan ([[graft.sources.v2.GraftAggScan]]),
+    * interior files answer from the manifest stats unopened (their
+    * `cn` non-null counts prove every row passes), and only
+    * boundary-straddling files are scanned.  The oracle is the plain
+    * aggregate, so a containment off-by-one (strict bounds, null
+    * handling) hash-mismatches.
+    */
+  def sqlAgg(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("sqlagg").toString
+    graft.sources.GeoParquet.write(
+      pts(s, dir).select("id", "x", "y", "z"), path, 250.0)
+    graft.sources.GeoParquet.writeManifest(s, path)
+    s.read.format("graft").load(path).createOrReplaceTempView("graft_sql_agg")
+    s.sql("""SELECT count(*) AS n, count(z) AS nz,
+            |       min(z) AS z_min, max(z) AS z_max
+            |FROM graft_sql_agg
+            |WHERE x >= -200 AND x < 200 AND y >= -200 AND y < 200""".stripMargin)
+  }
+
+  val sqlAggSql: String =
+    s"""WITH pts AS ($P)
+       |SELECT count(*) AS n, count(z) AS nz,
+       |       min(z) AS z_min, max(z) AS z_max
+       |FROM pts
+       |WHERE x >= -200 AND x < 200 AND y >= -200 AND y < 200""".stripMargin
+
   val countBoxSql: String =
     s"""WITH pts AS ($P)
        |SELECT count(*) AS n FROM pts
@@ -1116,6 +1144,7 @@ object GeoOps {
     "q_curve_query_h"   -> (curveQueryH _),
     "q_count_box"       -> (countBox _),
     "q_sql_box"         -> (sqlBox _),
+    "q_sql_agg"         -> (sqlAgg _),
     "q_minmax_box"      -> (minmaxBox _),
     "q_snapshot_box"    -> (snapshotBox _),
     "q_delete_box"      -> (deleteBox _),
@@ -1157,6 +1186,7 @@ object GeoOps {
     "q_curve_query_h"   -> curveQueryHSql,
     "q_count_box"       -> countBoxSql,
     "q_sql_box"         -> sqlBoxSql,
+    "q_sql_agg"         -> sqlAggSql,
     "q_minmax_box"      -> minmaxBoxSql,
     "q_snapshot_box"    -> snapshotBoxSql,
     "q_delete_box"      -> deleteBoxSql,

@@ -240,18 +240,27 @@ object GeoParquet {
 
   private def manifestStatsAggs(df: DataFrame,
       filterCols: Seq[String]): Seq[org.apache.spark.sql.Column] = {
+    // min/max ignore nulls, so an envelope alone cannot prove "every
+    // row in this file passes a predicate on c" — a null c row fails
+    // any comparison.  The per-column NON-NULL count closes that gap
+    // (cn == n_rows ⇔ no nulls), which is what lets the SQL face
+    // answer COUNT/MIN/MAX for interior files without opening them
+    // ([[graft.sources.v2.GraftSource]] aggregate pushdown); it also
+    // answers COUNT(c) exactly.  One long per column per file.
     val xy =
       if (df.columns.contains("x") && df.columns.contains("y"))
-        Seq(min("x").as("x0"), max("x").as("x1"),
-          min("y").as("y0"), max("y").as("y1"))
+        Seq(min("x").as("x0"), max("x").as("x1"), count("x").as("xn"),
+          min("y").as("y0"), max("y").as("y1"), count("y").as("yn"))
       else Seq.empty // key-only layouts (e.g. segment archives) skip envelopes
     val zv =
-      if (df.columns.contains("z")) Seq(min("z").as("z0"), max("z").as("z1"))
+      if (df.columns.contains("z"))
+        Seq(min("z").as("z0"), max("z").as("z1"), count("z").as("zn"))
       else Seq.empty
     val key = CurveKeyCols.find(df.columns.contains).toSeq.flatMap(k =>
       Seq(min(k).as("k0"), max(k).as("k1")))
     val time =
-      if (df.columns.contains("t")) Seq(min("t").as("t0"), max("t").as("t1"))
+      if (df.columns.contains("t"))
+        Seq(min("t").as("t0"), max("t").as("t1"), count("t").as("tn"))
       else Seq.empty
     // per DECLARED column: k collect_sets (each ≤ M ints), merged
     // into one sorted set in statsOf's post-select — no explode,
@@ -1039,6 +1048,17 @@ object GeoParquet {
         listDataFiles(spark, path).toSet == known
       })
   }
+
+  /** The manifest sidecar as a DataFrame iff it is FRESH (epoch
+    * snapshot matches the layout) — the SQL face's aggregate planner
+    * consults the stats rows themselves, not just file names.  None
+    * on stale/missing: callers must degrade to unpruned scanning.
+    */
+  private[graft] def freshManifest(spark: SparkSession,
+                                   path: String): Option[DataFrame] =
+    if (manifestFresh(spark, path, verify = false))
+      Some(spark.read.parquet(s"$path/_manifest"))
+    else None
 
   /** The layout's DATA-file schema (bin partition columns excluded —
     * the shape flat file-list reads see), for the SQL face: declared

@@ -7,10 +7,11 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform, Expression => VExpression}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.sources.GeoParquet
@@ -25,11 +26,25 @@ import graft.sources.GeoParquet
   *
   * Scale shape: planning touches the manifest sidecar only (file
   * names reach the driver, never data); each pruned file is one
-  * input partition (granule-sized by the writers' batch sizing);
-  * unsupported or residual predicates are re-applied by Spark above
-  * the scan, so pruning is always a superset and never an answer.
+  * input partition (granule-sized by the writers' batch sizing).
+  * Numeric comparisons and null tests are handled EXACTLY at the
+  * source (Kleene three-valued evaluation in the record reader, the
+  * same rows Spark's own Filter would keep), so Spark plans no
+  * re-filter above the scan; anything else stays residual and Spark
+  * re-applies it — pruning is always a superset and never an answer.
   * A stale manifest degrades to the full recursive listing —
   * correctness over pruning, as on every API read path.
+  *
+  * Because the pushed filters are exact, global
+  * COUNT(*)/COUNT(c)/MIN/MAX aggregates push down too
+  * ([[SupportsPushDownAggregates]], partial mode): a file whose
+  * manifest envelope is strictly inside every filter interval — and
+  * provably null-free on the filtered columns (the `cn` non-null
+  * counts) — contributes its manifest stats WITHOUT being opened;
+  * only boundary-straddling files are scanned.  At 100 TB,
+  * `SELECT count(*), min(z) FROM layout WHERE box` then reads
+  * manifest kilobytes plus the box *perimeter*, the SQL twin of
+  * [[GeoParquet.countBoxViaManifest]]/`minMaxBoxViaManifest`.
   *
   * Deliberate v1 limits: read-only (writes go through the API's
   * locked commit protocol), no file splitting (a writer-sized file is
@@ -60,11 +75,19 @@ class GraftSource extends TableProvider with DataSourceRegister {
 }
 
 object GraftSource {
-  /** Last planned file set per layout path — a test/diagnostic hook
-    * (DSv2 scans do not surface `df.inputFiles`).
+  /** Last planned (opened) file set per layout path — a
+    * test/diagnostic hook (DSv2 scans do not surface
+    * `df.inputFiles`).  For aggregate scans this is the SCANNED set
+    * only; manifest-answered files never appear.
     */
   val lastPlannedFiles =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  /** Last aggregate-pushdown planning split per layout path:
+    * (files answered from the manifest unopened, files scanned).
+    */
+  val lastAggPlan =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
 }
 
 final class GraftTable(path: String, schema: StructType)
@@ -77,36 +100,243 @@ final class GraftTable(path: String, schema: StructType)
     new GraftScanBuilder(path, schema)
 }
 
+/** One pushed global aggregate output column. */
+private[v2] sealed trait AggCol extends Serializable
+private[v2] case object NRows extends AggCol                    // COUNT(*)
+private[v2] final case class NNonNull(c: String) extends AggCol // COUNT(c)
+private[v2] final case class MinC(c: String) extends AggCol
+private[v2] final case class MaxC(c: String) extends AggCol
+
 final class GraftScanBuilder(path: String, dataSchema: StructType)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
   private var required: StructType = dataSchema
-  private var filters: Array[Filter] = Array.empty
+  private var exact: Array[Filter] = Array.empty
+  private var residual: Array[Filter] = Array.empty
+  private var aggCols: Option[Seq[AggCol]] = None
 
-  /** All filters stay residual (Spark re-applies them above the scan
-    * — stats pruning is best-effort, exactly parquet's contract);
-    * the prunable bounds drive file/row-group skipping below.
+  /** Split the conjuncts: shapes the record reader evaluates EXACTLY
+    * (numeric comparisons + null tests in three-valued logic —
+    * [[ExactFilters.handles]]) are consumed at the source; the rest
+    * return as residual for Spark to re-apply.  Exact handling is
+    * what makes aggregate pushdown legal (Spark only pushes
+    * aggregates through a scan whose post-scan filter set is empty).
     */
   override def pushFilters(fs: Array[Filter]): Array[Filter] = {
-    filters = fs; fs
+    val (e, r) = fs.partition(ExactFilters.handles(_, dataSchema))
+    exact = e; residual = r
+    r
   }
-  override def pushedFilters(): Array[Filter] =
-    filters.filter(f => GraftScanBuilder.boundsOf(Array(f)).nonEmpty)
+  override def pushedFilters(): Array[Filter] = exact
 
   override def pruneColumns(s: StructType): Unit =
-    // keep the data-file field order; drop unrequested fields
-    required = StructType(dataSchema.fields.filter(f =>
-      s.fieldNames.contains(f.name)))
+    // keep the data-file field order; drop unrequested fields.
+    // (no-op under a pushed aggregation — the agg schema is not a
+    // column subset; Spark skips pruning then, this is belt+braces)
+    if (aggCols.isEmpty)
+      required = StructType(dataSchema.fields.filter(f =>
+        s.fieldNames.contains(f.name)))
 
-  override def build(): Scan =
-    new GraftScan(path, required, GraftScanBuilder.boundsOf(filters))
+  override def supportCompletePushDown(agg: Aggregation): Boolean = false
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (residual.nonEmpty || agg.groupByExpressions().nonEmpty) return false
+    def nameOf(e: VExpression): Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames().length == 1 =>
+        Some(nr.fieldNames()(0)).filter(dataSchema.fieldNames.contains)
+      case _ => None
+    }
+    def numeric(n: String): Boolean = dataSchema(n).dataType match {
+      case IntegerType | LongType | FloatType | DoubleType => true
+      case _ => false
+    }
+    // COUNT(c) only needs null-ness, so any decodable column serves;
+    // MIN/MAX need an ordered merge — v1 keeps that to numeric types
+    def decodable(n: String): Boolean = dataSchema(n).dataType match {
+      case IntegerType | LongType | FloatType | DoubleType |
+           BooleanType | StringType | BinaryType => true
+      case _ => false
+    }
+    val cols: Array[Option[AggCol]] = agg.aggregateExpressions().map {
+      case _: CountStar => Some(NRows)
+      case c: Count if !c.isDistinct => nameOf(c.column).filter(decodable).map(NNonNull)
+      case m: Min => nameOf(m.column).filter(numeric).map(MinC)
+      case m: Max => nameOf(m.column).filter(numeric).map(MaxC)
+      case _ => None
+    }
+    if (cols.contains(None)) false
+    else { aggCols = Some(cols.flatten.toSeq); true }
+  }
+
+  override def build(): Scan = aggCols match {
+    case Some(cs) =>
+      new GraftAggScan(path, dataSchema, cs, exact.toSeq)
+    case None =>
+      new GraftScan(path, dataSchema, required, exact.toSeq,
+        ExactFilters.boundsOf(exact ++ residual))
+  }
 }
 
-object GraftScanBuilder {
-  /** Conservative per-column [lo,hi] bounds from conjunctive v1
-    * filters — only shapes that can only NARROW the file set.
+/** Exact (Spark-semantics) evaluation of pushed v1 filters, plus the
+  * interval decomposition that drives file pruning and manifest
+  * containment proofs.
+  */
+private[v2] object ExactFilters {
+  import org.apache.spark.sql.sources._
+
+  /** Present-but-not-numeric marker returned by record lookups for
+    * columns only ever tested for null-ness.
     */
-  private[v2] def boundsOf(fs: Array[Filter]): Seq[(String, Double, Double)] = {
+  private[v2] object NonNullValue
+
+  private def numericType(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | FloatType | DoubleType => true
+    case _ => false
+  }
+
+  /** Can the record reader evaluate this filter tree exactly?
+    * Boolean combinations of numeric comparisons and null tests over
+    * top-level primitive columns; everything else stays residual.
+    */
+  def handles(f: Filter, schema: StructType): Boolean = f match {
+    case And(l, r) => handles(l, schema) && handles(r, schema)
+    case Or(l, r) => handles(l, schema) && handles(r, schema)
+    case Not(c) => handles(c, schema)
+    case IsNull(c) => schema.fieldNames.contains(c)
+    case IsNotNull(c) => schema.fieldNames.contains(c)
+    case EqualTo(c, v) => cmpOk(c, v, schema)
+    case GreaterThan(c, v) => cmpOk(c, v, schema)
+    case GreaterThanOrEqual(c, v) => cmpOk(c, v, schema)
+    case LessThan(c, v) => cmpOk(c, v, schema)
+    case LessThanOrEqual(c, v) => cmpOk(c, v, schema)
+    case _ => false
+  }
+  private def cmpOk(c: String, v: Any, schema: StructType): Boolean =
+    schema.fields.exists(f => f.name == c && numericType(f.dataType)) &&
+      v.isInstanceOf[java.lang.Number]
+
+  /** Spark's total order on doubles: NaN greater than everything,
+    * NaN == NaN, -0.0 == 0.0 (the nan-safe compare semantics Spark's
+    * comparisons and MIN/MAX use — a plain `java.lang.Double.compare`
+    * disagrees on BOTH special cases).
+    */
+  def nanSafeCompare(x: Double, y: Double): Int = {
+    val xn = java.lang.Double.isNaN(x)
+    val yn = java.lang.Double.isNaN(y)
+    if ((xn && yn) || (x == y)) 0
+    else if (xn) 1
+    else if (yn) -1
+    else if (x > y) 1 else -1
+  }
+
+  private def isIntegral(n: Any): Boolean = n match {
+    case _: java.lang.Long | _: java.lang.Integer |
+         _: java.lang.Short | _: java.lang.Byte => true
+    case _ => false
+  }
+
+  /** Exact comparison of two non-null numeric values.  Pushed-filter
+    * literals carry the COLUMN's type (Spark casts before pushing; a
+    * filter needing a column-side cast never reaches pushFilters), so
+    * integral×integral compares as Long — no double rounding past
+    * 2^53 — and fp×fp compares nan-safely.
+    */
+  def compare(a: Any, b: Any): Int =
+    if (isIntegral(a) && isIntegral(b))
+      java.lang.Long.compare(a.asInstanceOf[Number].longValue(),
+        b.asInstanceOf[Number].longValue())
+    else
+      nanSafeCompare(a.asInstanceOf[Number].doubleValue(),
+        b.asInstanceOf[Number].doubleValue())
+
+  /** Kleene three-valued evaluation; None = SQL NULL.  A row passes
+    * the pushed set iff every filter evaluates Some(true) — exactly
+    * the rows Spark's own Filter keeps, including under Not (where
+    * two-valued evaluation over nulls would differ).
+    */
+  def eval(f: Filter, value: String => Any): Option[Boolean] = f match {
+    case And(l, r) => (eval(l, value), eval(r, value)) match {
+      case (Some(false), _) | (_, Some(false)) => Some(false)
+      case (Some(true), Some(true)) => Some(true)
+      case _ => None
+    }
+    case Or(l, r) => (eval(l, value), eval(r, value)) match {
+      case (Some(true), _) | (_, Some(true)) => Some(true)
+      case (Some(false), Some(false)) => Some(false)
+      case _ => None
+    }
+    case Not(c) => eval(c, value).map(!_)
+    case IsNull(c) => Some(value(c) == null)
+    case IsNotNull(c) => Some(value(c) != null)
+    case EqualTo(c, v) => cmp(c, v, value)(_ == 0)
+    case GreaterThan(c, v) => cmp(c, v, value)(_ > 0)
+    case GreaterThanOrEqual(c, v) => cmp(c, v, value)(_ >= 0)
+    case LessThan(c, v) => cmp(c, v, value)(_ < 0)
+    case LessThanOrEqual(c, v) => cmp(c, v, value)(_ <= 0)
+    case other => throw new IllegalStateException(
+      s"graft SQL face: unhandled pushed filter $other")
+  }
+  private def cmp(c: String, lit: Any, value: String => Any)
+                 (p: Int => Boolean): Option[Boolean] = {
+    val v = value(c)
+    if (v == null || lit == null) None else Some(p(compare(v, lit)))
+  }
+
+  def referencedColumns(fs: Seq[Filter]): Seq[String] =
+    fs.flatMap(_.references).distinct
+
+  /** One column's conjunctive interval; `lo`/`hi` are the column's
+    * native boxed type or null for unbounded.  Comparison predicates
+    * are null-intolerant, so a row with a null value NEVER passes an
+    * interval-constrained column.
+    */
+  final case class Interval(col: String, lo: Any, loStrict: Boolean,
+                            hi: Any, hiStrict: Boolean)
+
+  /** Decompose a pushed-filter set into per-column intervals IFF it
+    * is a pure conjunction of comparisons / IsNotNull — the shape
+    * whose file-level containment an envelope can certify.  None for
+    * any other shape (Or / Not / IsNull): pruning then still rides
+    * the superset bounds, but no file is certified interior.
+    */
+  def intervalsOf(fs: Seq[Filter]): Option[Seq[Interval]] = {
+    def leaves(f: Filter): Seq[Filter] = f match {
+      case And(l, r) => leaves(l) ++ leaves(r)
+      case o => Seq(o)
+    }
+    val m = scala.collection.mutable.LinkedHashMap[String, Interval]()
+    def get(c: String) = m.getOrElseUpdate(c, Interval(c, null, false, null, false))
+    def lo(c: String, v: Any, strict: Boolean): Unit = {
+      val iv = get(c)
+      val tighter = iv.lo == null || compare(v, iv.lo) > 0 ||
+        (compare(v, iv.lo) == 0 && strict)
+      if (tighter) m(c) = iv.copy(lo = v, loStrict = strict)
+    }
+    def hi(c: String, v: Any, strict: Boolean): Unit = {
+      val iv = get(c)
+      val tighter = iv.hi == null || compare(v, iv.hi) < 0 ||
+        (compare(v, iv.hi) == 0 && strict)
+      if (tighter) m(c) = iv.copy(hi = v, hiStrict = strict)
+    }
+    fs.flatMap(leaves).foreach {
+      case IsNotNull(c) => get(c)
+      case EqualTo(c, v) => lo(c, v, strict = false); hi(c, v, strict = false)
+      case GreaterThan(c, v) => lo(c, v, strict = true)
+      case GreaterThanOrEqual(c, v) => lo(c, v, strict = false)
+      case LessThan(c, v) => hi(c, v, strict = true)
+      case LessThanOrEqual(c, v) => hi(c, v, strict = false)
+      case _ => return None
+    }
+    Some(m.values.toSeq)
+  }
+
+  /** Conservative per-column [lo,hi] doubles from conjunctive leaves
+    * of ANY filter set (exact or residual) — strictness dropped, so
+    * only a SUPERSET prune may ride these (manifest file skipping,
+    * parquet row-group skipping); exact row semantics come from
+    * [[eval]] / Spark's residual re-filter.
+    */
+  def boundsOf(fs: Array[Filter]): Seq[(String, Double, Double)] = {
     import org.apache.spark.sql.sources._
     def num(v: Any): Option[Double] = v match {
       case n: java.lang.Number => Some(n.doubleValue())
@@ -134,13 +364,14 @@ object GraftScanBuilder {
   }
 }
 
-final class GraftScan(path: String, required: StructType,
+final class GraftScan(path: String, dataSchema: StructType,
+                      required: StructType, exact: Seq[Filter],
                       bounds: Seq[(String, Double, Double)])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"GraftScan $path bounds=${bounds.mkString(",")}"
+    s"GraftScan $path filters=${exact.mkString(",")} bounds=${bounds.mkString(",")}"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
@@ -157,19 +388,20 @@ final class GraftScan(path: String, required: StructType,
     new GraftReaderFactory(
       new graft.sources.v2.SerConf(
         SparkSession.active.sparkContext.hadoopConfiguration),
-      required.json, bounds)
+      dataSchema.json, required.json, exact, bounds)
 }
 
 final case class GraftPartition(file: String) extends InputPartition
 
-final class GraftReaderFactory(conf: SerConf, requiredJson: String,
+final class GraftReaderFactory(conf: SerConf, dataJson: String,
+                               requiredJson: String, exact: Seq[Filter],
                                bounds: Seq[(String, Double, Double)])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new GroupRowReader(p.asInstanceOf[GraftPartition].file, conf,
-      org.apache.spark.sql.types.DataType.fromJson(requiredJson)
-        .asInstanceOf[StructType],
-      bounds)
+      DataType.fromJson(dataJson).asInstanceOf[StructType],
+      DataType.fromJson(requiredJson).asInstanceOf[StructType],
+      exact, bounds)
 }
 
 /** Java-serializable Hadoop `Configuration` carrier (it is `Writable`,
@@ -191,14 +423,15 @@ final class SerConf(@transient private var c: org.apache.hadoop.conf.Configurati
 
 /** One pruned data file decoded through parquet-mr's public record
   * API (`GroupReadSupport`): column projection via the requested-
-  * schema conf key, row-group + record skipping via a per-file
+  * schema conf key (widened to the pushed filters' columns — they
+  * may not be projected), row-group + record skipping via a per-file
   * `FilterPredicate` built against the footer's ACTUAL primitive
-  * types, schema-evolution fields the file predates read as null.
+  * types, EXACT row filtering via [[ExactFilters.eval]], and
+  * schema-evolution fields the file predates read as null.
   */
-final class GroupRowReader(file: String, ser: SerConf,
-                           required: StructType,
-                           bounds: Seq[(String, Double, Double)])
-    extends PartitionReader[InternalRow] {
+private[v2] abstract class GroupFileReader(file: String, ser: SerConf,
+    dataSchema: StructType, readFields: Array[StructField],
+    exact: Seq[Filter], bounds: Seq[(String, Double, Double)]) {
   import org.apache.parquet.example.data.Group
   import org.apache.parquet.filter2.compat.FilterCompat
   import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
@@ -211,20 +444,22 @@ final class GroupRowReader(file: String, ser: SerConf,
   private val conf = new org.apache.hadoop.conf.Configuration(ser.conf)
   private val hPath = new org.apache.hadoop.fs.Path(file)
 
-  private val fileSchema: MessageType = {
+  protected val fileSchema: MessageType = {
     val fr = ParquetFileReader.open(HadoopInputFile.fromPath(hPath, conf))
     try fr.getFooter.getFileMetaData.getSchema finally fr.close()
   }
 
-  // project to the required fields the file actually has; absent
-  // fields (schema evolution) null-fill at assembly
-  private val present: Array[Option[Type]] = required.fields.map { f =>
+  // project to the read fields the file actually has; absent fields
+  // (schema evolution) null-fill at assembly
+  protected val present: Array[Option[Type]] = readFields.map { f =>
     if (fileSchema.containsField(f.name))
       Some(fileSchema.getType(fileSchema.getFieldIndex(f.name)))
     else None
   }
   private val projection =
     new MessageType(fileSchema.getName, present.flatten.toList.asJava)
+  private val fieldIdx: Map[String, Int] =
+    readFields.map(_.name).zipWithIndex.toMap
 
   private def predicateFor: Option[FilterPredicate] = {
     val ps = bounds.flatMap { case (c, lo, hi) =>
@@ -238,7 +473,7 @@ final class GroupRowReader(file: String, ser: SerConf,
               FilterApi.ltEq(col, java.lang.Double.valueOf(hi))))
           case INT64 =>
             // floor/ceil keeps the record filter a SUPERSET of the
-            // exact bound; Spark's residual filter trims the rest
+            // exact bound; the exact evaluator trims the rest
             val col = FilterApi.longColumn(c)
             Some(FilterApi.and(
               FilterApi.gtEq(col, java.lang.Long.valueOf(
@@ -274,54 +509,357 @@ final class GroupRowReader(file: String, ser: SerConf,
     predicateFor.fold(b)(p => b.withFilter(FilterCompat.get(p))).build()
   }
 
-  private var current: Group = _
+  protected var current: Group = _
 
-  override def next(): Boolean = {
-    current = reader.read()
-    current != null
+  private val lookup: String => Any = name => valueAt(fieldIdx(name))
+
+  /** Advance to the next record that passes EVERY pushed filter
+    * (Some(true) under three-valued evaluation).
+    */
+  protected def advance(): Boolean = {
+    var g = reader.read()
+    while (g != null) {
+      current = g
+      if (exact.forall(f => ExactFilters.eval(f, lookup).contains(true)))
+        return true
+      g = reader.read()
+    }
+    current = null
+    false
   }
 
-  override def get(): InternalRow = {
-    val vals = new Array[Any](required.length)
-    var i = 0
-    while (i < required.length) {
-      val f = required.fields(i)
-      vals(i) = present(i) match {
-        case None => null
-        case Some(_) if current.getFieldRepetitionCount(f.name) == 0 => null
-        case Some(_) =>
-          import org.apache.spark.sql.types._
-          f.dataType match {
-            case LongType => fileLong(f.name)
-            case IntegerType => current.getInteger(f.name, 0)
-            case DoubleType => fileDouble(f.name)
-            case FloatType => current.getFloat(f.name, 0)
-            case BooleanType => current.getBoolean(f.name, 0)
-            case StringType =>
-              org.apache.spark.unsafe.types.UTF8String
-                .fromString(current.getString(f.name, 0))
-            case BinaryType => current.getBinary(f.name, 0).getBytes
-            case other => throw new UnsupportedOperationException(
-              s"graft SQL face: unsupported column type ${other.simpleString} " +
-                s"for ${f.name} — read this layout via the API")
-          }
-      }
-      i += 1
+  /** The current record's value for read-field `i`, as the column
+    * type's boxed Java value (numerics/booleans), UTF8String/bytes
+    * for strings/binary, null when absent or unset.  Non-numeric
+    * values surface only for projection and null tests — comparisons
+    * are restricted to numeric columns by [[ExactFilters.handles]].
+    */
+  protected def valueAt(i: Int): Any = {
+    val f = readFields(i)
+    present(i) match {
+      case None => null
+      case Some(_) if current.getFieldRepetitionCount(f.name) == 0 => null
+      case Some(_) =>
+        f.dataType match {
+          case LongType => fileLong(f.name)
+          case IntegerType => current.getInteger(f.name, 0)
+          case DoubleType => fileDouble(f.name)
+          case FloatType => current.getFloat(f.name, 0)
+          case BooleanType => current.getBoolean(f.name, 0)
+          case StringType =>
+            org.apache.spark.unsafe.types.UTF8String
+              .fromString(current.getString(f.name, 0))
+          case BinaryType => current.getBinary(f.name, 0).getBytes
+          case other => throw new UnsupportedOperationException(
+            s"graft SQL face: unsupported column type ${other.simpleString} " +
+              s"for ${f.name} — read this layout via the API")
+        }
     }
-    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
   }
 
   // a file written before a type widened stores the narrower physical
-  private def fileLong(name: String): Long =
+  private def fileLong(name: String): Any =
     fileSchema.getType(fileSchema.getFieldIndex(name)).asPrimitiveType().getPrimitiveTypeName match {
       case INT32 => current.getInteger(name, 0).toLong
       case _ => current.getLong(name, 0)
     }
-  private def fileDouble(name: String): Double =
+  private def fileDouble(name: String): Any =
     fileSchema.getType(fileSchema.getFieldIndex(name)).asPrimitiveType().getPrimitiveTypeName match {
       case FLOAT => current.getFloat(name, 0).toDouble
       case _ => current.getDouble(name, 0)
     }
 
-  override def close(): Unit = reader.close()
+  def close(): Unit = reader.close()
+}
+
+private[v2] object GroupFileReader {
+  /** The fields a reader must decode: the projection plus any pushed-
+    * filter column not already in it (filters may reference pruned
+    * columns — the output row still carries only `required`).
+    */
+  def readFieldsFor(dataSchema: StructType, required: StructType,
+                    exact: Seq[Filter]): Array[StructField] = {
+    val extra = ExactFilters.referencedColumns(exact)
+      .filterNot(required.fieldNames.contains)
+      .flatMap(n => dataSchema.fields.find(_.name == n))
+    required.fields ++ extra
+  }
+}
+
+final class GroupRowReader(file: String, ser: SerConf,
+                           dataSchema: StructType, required: StructType,
+                           exact: Seq[Filter],
+                           bounds: Seq[(String, Double, Double)])
+    extends GroupFileReader(file, ser, dataSchema,
+      GroupFileReader.readFieldsFor(dataSchema, required, exact),
+      exact, bounds)
+    with PartitionReader[InternalRow] {
+
+  override def next(): Boolean = advance()
+
+  override def get(): InternalRow = {
+    val vals = new Array[Any](required.length)
+    var i = 0
+    while (i < required.length) {
+      vals(i) = valueAt(i) // readFields start with `required`, in order
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+  }
+}
+
+// ---------------------------------------------------------------------
+// Aggregate pushdown
+// ---------------------------------------------------------------------
+
+/** Global COUNT(*)/COUNT(c)/MIN/MAX pushed into the scan (partial
+  * mode — Spark merges the per-partition rows).  Planning reads the
+  * manifest sidecar: a candidate file whose envelope is strictly
+  * inside every filter interval, with a proven-null-free value for
+  * each filtered column (`cn` == `n_rows`), has every row passing —
+  * so it contributes `n_rows` / `cn` / `c0` / `c1` WITHOUT being
+  * opened, exactly the perimeter-not-area shape of
+  * [[GeoParquet.countBoxViaManifest]].  Files that straddle a
+  * boundary (or predate the null-count stats) are scanned with the
+  * exact filters.  The one synthetic "manifest" partition always
+  * emits its row, so a zero-match query still yields COUNT 0 (sum
+  * over an empty scan would be SQL NULL).  Stale manifest ⇒ every
+  * file scans; pending deletes refuse as on the row path.
+  */
+final class GraftAggScan(path: String, dataSchema: StructType,
+                         aggCols: Seq[AggCol], exact: Seq[Filter])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = StructType(aggCols.map {
+    case NRows => StructField("count_star", LongType, nullable = false)
+    case NNonNull(c) => StructField(s"count_$c", LongType, nullable = false)
+    case MinC(c) => StructField(s"min_$c", dataSchema(c).dataType)
+    case MaxC(c) => StructField(s"max_$c", dataSchema(c).dataType)
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftAggScan $path aggs=${aggCols.mkString(",")} filters=${exact.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    require(!GeoParquet.hasPendingDeletes(spark, path),
+      s"$path has pending merge-on-read deletes — the SQL face cannot " +
+        "subtract them; run a compaction (or read via the API's " +
+        "readMerged) first")
+    val bounds = ExactFilters.boundsOf(exact.toArray)
+    val intervals = ExactFilters.intervalsOf(exact)
+
+    // meta partials accumulate across manifest-answered files
+    val meta: Array[Any] = aggCols.map {
+      case NRows | _: NNonNull => java.lang.Long.valueOf(0L): Any
+      case _ => null
+    }.toArray
+    def mergeMeta(vals: Seq[Any]): Unit = aggCols.indices.foreach { i =>
+      (aggCols(i), vals(i)) match {
+        case (NRows | _: NNonNull, v: java.lang.Long) =>
+          meta(i) = java.lang.Long.valueOf(meta(i).asInstanceOf[java.lang.Long] + v)
+        case (_: MinC, v) if v != null =>
+          if (meta(i) == null || ExactFilters.compare(v, meta(i)) < 0) meta(i) = v
+        case (_: MaxC, v) if v != null =>
+          if (meta(i) == null || ExactFilters.compare(v, meta(i)) > 0) meta(i) = v
+        case _ => ()
+      }
+    }
+
+    val scanFiles: Seq[String] = GeoParquet.freshManifest(spark, path) match {
+      case None =>
+        // stale/missing manifest: full listing, everything scans
+        val fs = GeoParquet.planFilesFor(spark, path, bounds)
+        GraftSource.lastAggPlan.put(path, (0, fs.size))
+        fs
+      case Some(m) =>
+        import org.apache.spark.sql.functions.{col, lit}
+        val intersect = bounds
+          .filter { case (c, _, _) =>
+            m.columns.contains(s"${c}0") && m.columns.contains(s"${c}1") }
+          .map { case (c, lo, hi) =>
+            (col(s"${c}1").isNull || col(s"${c}1") >= lo) &&
+              (col(s"${c}0").isNull || col(s"${c}0") <= hi)
+          }
+          .foldLeft(lit(true))(_ && _)
+        // candidate rows only, projected to the stat columns this
+        // plan consults (bloom arrays etc. stay behind) — the same
+        // metadata-sized driver footprint as the file-name planning
+        val statCols = (intervals.toSeq.flatten.map(_.col) ++ aggCols.collect {
+            case NNonNull(c) => c
+            case MinC(c) => c
+            case MaxC(c) => c
+          }).distinct
+          .flatMap(c => Seq(s"${c}0", s"${c}1", s"${c}n"))
+          .filter(m.columns.contains)
+        val rows = m.filter(intersect)
+          .select(("file" +: "n_rows" +: statCols).distinct.map(col): _*)
+          .collect()
+        val cols = if (rows.isEmpty) Map.empty[String, Int]
+          else rows.head.schema.fieldNames.zipWithIndex.toMap
+        def stat(r: org.apache.spark.sql.Row, name: String): Any =
+          cols.get(name).map(i => if (r.isNullAt(i)) null else r.get(i)).orNull
+
+        def contained(r: org.apache.spark.sql.Row, nRows: Long): Boolean =
+          intervals.exists(_.forall { iv =>
+            val c0 = stat(r, s"${iv.col}0"); val c1 = stat(r, s"${iv.col}1")
+            val cn = stat(r, s"${iv.col}n")
+            c0 != null && c1 != null &&
+              cn != null && cn.asInstanceOf[Long] == nRows && // no nulls in col
+              (iv.lo == null || {
+                val c = ExactFilters.compare(c0, iv.lo)
+                if (iv.loStrict) c > 0 else c >= 0
+              }) &&
+              (iv.hi == null || {
+                val c = ExactFilters.compare(c1, iv.hi)
+                if (iv.hiStrict) c < 0 else c <= 0
+              })
+          })
+
+        /** Every agg output this file can serve from stats, or None. */
+        def fromStats(r: org.apache.spark.sql.Row, nRows: Long): Option[Seq[Any]] = {
+          val vs = aggCols.map {
+            case NRows => Some(java.lang.Long.valueOf(nRows))
+            case NNonNull(c) => stat(r, s"${c}n") match {
+              case n: java.lang.Long => Some(n)
+              case _ => None
+            }
+            case MinC(c) => (stat(r, s"${c}n"), stat(r, s"${c}0")) match {
+              case (n: java.lang.Long, _) if n.longValue() == 0L => Some(null) // all null: no contribution
+              case (_: java.lang.Long, v) if v != null => Some(v)
+              case _ => None
+            }
+            case MaxC(c) => (stat(r, s"${c}n"), stat(r, s"${c}1")) match {
+              case (n: java.lang.Long, _) if n.longValue() == 0L => Some(null)
+              case (_: java.lang.Long, v) if v != null => Some(v)
+              case _ => None
+            }
+          }
+          if (vs.contains(None)) None else Some(vs.map(_.get))
+        }
+
+        val toScan = Seq.newBuilder[String]
+        var answered = 0
+        rows.foreach { r =>
+          val nRows = r.getLong(cols("n_rows"))
+          val served =
+            if (contained(r, nRows)) fromStats(r, nRows) else None
+          served match {
+            case Some(vals) => mergeMeta(vals); answered += 1
+            case None => toScan += s"$path/${r.getString(cols("file"))}"
+          }
+        }
+        val scans = toScan.result()
+        GraftSource.lastAggPlan.put(path, (answered, scans.size))
+        scans
+    }
+    GraftSource.lastPlannedFiles.put(path, scanFiles)
+    (GraftAggMetaPartition(meta) +:
+      scanFiles.map(f => GraftPartition(f): InputPartition)).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftAggReaderFactory(
+      new SerConf(SparkSession.active.sparkContext.hadoopConfiguration),
+      dataSchema.json, aggCols, exact,
+      ExactFilters.boundsOf(exact.toArray))
+}
+
+/** Partials already answered from the manifest at planning time —
+  * values ride the partition (metadata-sized: one row).
+  */
+final case class GraftAggMetaPartition(values: Array[Any]) extends InputPartition
+
+final class GraftAggReaderFactory(conf: SerConf, dataJson: String,
+                                  aggCols: Seq[AggCol], exact: Seq[Filter],
+                                  bounds: Seq[(String, Double, Double)])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case GraftAggMetaPartition(vals) => new SingleRowReader(vals)
+      case GraftPartition(f) =>
+        new GroupAggReader(f, conf,
+          DataType.fromJson(dataJson).asInstanceOf[StructType],
+          aggCols, exact, bounds)
+    }
+}
+
+final class SingleRowReader(vals: Array[Any])
+    extends PartitionReader[InternalRow] {
+  private var done = false
+  override def next(): Boolean = { val r = !done; done = true; r }
+  override def get(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+  override def close(): Unit = ()
+}
+
+private[v2] object GroupAggReader {
+  /** The data columns whose VALUES the fold needs (count(*) needs
+    * none), first in the reader's field order.
+    */
+  def valueCols(aggCols: Seq[AggCol]): Seq[String] = aggCols.collect {
+    case NNonNull(c) => c
+    case MinC(c) => c
+    case MaxC(c) => c
+  }.distinct
+
+  def readFieldsFor(dataSchema: StructType, aggCols: Seq[AggCol],
+                    exact: Seq[Filter]): Array[StructField] =
+    GroupFileReader.readFieldsFor(dataSchema,
+      StructType(valueCols(aggCols)
+        .flatMap(n => dataSchema.fields.find(_.name == n))),
+      exact)
+}
+
+/** Scan one boundary file, fold the exact-filtered rows into ONE
+  * partial-aggregate row.  Merge order for MIN/MAX uses the same
+  * nan-safe comparison as Spark's aggregates and the manifest stats.
+  */
+final class GroupAggReader(file: String, ser: SerConf,
+                           dataSchema: StructType, aggCols: Seq[AggCol],
+                           exact: Seq[Filter],
+                           bounds: Seq[(String, Double, Double)])
+    extends GroupFileReader(file, ser, dataSchema,
+      GroupAggReader.readFieldsFor(dataSchema, aggCols, exact),
+      exact, bounds)
+    with PartitionReader[InternalRow] {
+
+  private val valueIdx: Map[String, Int] =
+    GroupAggReader.valueCols(aggCols).zipWithIndex.toMap
+
+  private var done = false
+  private val acc: Array[Any] = aggCols.map {
+    case NRows | _: NNonNull => java.lang.Long.valueOf(0L): Any
+    case _ => null
+  }.toArray
+
+  override def next(): Boolean = {
+    if (done) return false
+    while (advance()) {
+      var i = 0
+      while (i < aggCols.length) {
+        aggCols(i) match {
+          case NRows =>
+            acc(i) = java.lang.Long.valueOf(acc(i).asInstanceOf[java.lang.Long] + 1L)
+          case NNonNull(c) =>
+            if (valueAt(valueIdx(c)) != null)
+              acc(i) = java.lang.Long.valueOf(acc(i).asInstanceOf[java.lang.Long] + 1L)
+          case MinC(c) =>
+            val v = valueAt(valueIdx(c))
+            if (v != null && (acc(i) == null || ExactFilters.compare(v, acc(i)) < 0))
+              acc(i) = v
+          case MaxC(c) =>
+            val v = valueAt(valueIdx(c))
+            if (v != null && (acc(i) == null || ExactFilters.compare(v, acc(i)) > 0))
+              acc(i) = v
+        }
+        i += 1
+      }
+    }
+    done = true
+    true
+  }
+
+  override def get(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(acc)
 }

@@ -1,0 +1,237 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+import graft.sources.GeoParquet
+import graft.sources.v2.{GraftAggScan, GraftScan, GraftSource}
+
+/** Aggregate pushdown through the SQL face: global
+  * COUNT(*)/COUNT(c)/MIN/MAX with fully-pushed numeric filters are
+  * answered from the manifest for interior files (the `cn` non-null
+  * counts prove every row passes) and scanned only on the box
+  * perimeter — the SQL twin of countBoxViaManifest /
+  * minMaxBoxViaManifest.  Exactness is pinned against the same
+  * aggregation computed by Spark over a plain parquet read,
+  * including nulls, NaN ordering, strict bounds, and the
+  * graceful-degradation paths (Or-shaped filters, stale manifests).
+  */
+class SqlAggPushdownSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Bin-partitioned layout over a 50×37-cell point lattice. */
+  private def layout(n: Int, spread: Double): String = {
+    val dir = java.nio.file.Files.createTempDirectory("sqlagg").toString
+    val pts = (0 until n).map { i =>
+      (i.toLong, (i % 50) * spread, (i % 37) * spread, i * 1.0)
+    }.toDF("id", "x", "y", "z")
+    GeoParquet.write(pts, dir, 250.0)
+    GeoParquet.writeManifest(spark, dir)
+    dir
+  }
+
+  private def face(dir: String, view: String): Unit =
+    spark.read.format("graft").load(dir).createOrReplaceTempView(view)
+
+  /** All physical nodes, descending through AQE wrappers (an
+    * aggregate query's executedPlan is an AdaptiveSparkPlanExec leaf
+    * until unwrapped).
+    */
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] =
+    p.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allNodes(a.executedPlan)
+      case n => Seq(n)
+    }.flatten
+
+  private def scanOf(df: DataFrame) =
+    allNodes(df.queryExecution.executedPlan).collectFirst {
+      case b: BatchScanExec => b.scan
+    }.getOrElse(fail("no BatchScanExec in plan"))
+
+  private def truth(dir: String): DataFrame =
+    spark.read.parquet(dir).select("id", "x", "y", "z")
+
+  test("box COUNT/MIN/MAX push down and answer interior files from the manifest") {
+    val dir = layout(4000, 25.0)
+    face(dir, "agg1")
+    val sql = spark.sql(
+      """SELECT count(*) AS n, count(z) AS nz, min(z) AS zmin, max(z) AS zmax
+        |FROM agg1 WHERE x >= 0 AND x < 400 AND y >= 0 AND y < 400""".stripMargin)
+    assert(scanOf(sql).isInstanceOf[GraftAggScan], "aggregate was not pushed")
+    val want = truth(dir)
+      .filter($"x" >= 0 && $"x" < 400 && $"y" >= 0 && $"y" < 400)
+      .agg(count("*").as("n"), count("z").as("nz"),
+        min("z").as("zmin"), max("z").as("zmax"))
+    assert(sql.collect().toSeq == want.collect().toSeq)
+    val (answered, scanned) = GraftSource.lastAggPlan.get(dir)
+    assert(answered > 0, "no file was answered from the manifest")
+    val total = spark.read.parquet(dir).inputFiles.length
+    assert(answered + scanned <= total)
+    assert(scanned < total, s"no pruning: scanned $scanned of $total")
+  }
+
+  test("a zero-match box still answers COUNT 0, not NULL") {
+    val dir = layout(500, 25.0)
+    face(dir, "agg0")
+    val r = spark.sql(
+      """SELECT count(*) AS n, min(z) AS zmin
+        |FROM agg0 WHERE x >= 1e6 AND y >= 1e6""".stripMargin).collect()(0)
+    assert(r.getLong(0) == 0L)
+    assert(r.isNullAt(1))
+  }
+
+  test("null values block containment proofs but never the answer") {
+    val dir = layout(1000, 25.0)
+    // a batch with null z INSIDE the box: its file must not be
+    // manifest-answered for count(z)/min(z) unless provably null-free
+    val extra = Seq(
+      (900001L, 10.0, 10.0, Option.empty[Double]),
+      (900002L, 11.0, 11.0, Some(-1e9)),
+      (900003L, 12.0, 12.0, Option.empty[Double])
+    ).toDF("id", "x", "y", "z")
+    GeoParquet.appendWithManifest(extra, dir, 250.0)
+    face(dir, "aggn")
+    val sql = spark.sql(
+      """SELECT count(*) AS n, count(z) AS nz, min(z) AS zmin
+        |FROM aggn WHERE x >= 0 AND x < 400 AND y >= 0 AND y < 400""".stripMargin)
+    assert(scanOf(sql).isInstanceOf[GraftAggScan])
+    val want = truth(dir)
+      .filter($"x" >= 0 && $"x" < 400 && $"y" >= 0 && $"y" < 400)
+      .agg(count("*").as("n"), count("z").as("nz"), min("z").as("zmin"))
+    assert(sql.collect().toSeq == want.collect().toSeq)
+  }
+
+  test("a null-valued FILTER column turns containment off for its file") {
+    val dir = layout(1000, 25.0)
+    // null x rides a file whose x-envelope would otherwise be interior
+    val extra = Seq(
+      (910001L, Some(10.0), 10.0, 5.0),
+      (910002L, Option.empty[Double], 11.0, 6.0)
+    ).toDF("id", "x", "y", "z")
+    GeoParquet.appendWithManifest(extra, dir, 250.0)
+    face(dir, "aggfn")
+    val sql = spark.sql(
+      "SELECT count(*) AS n FROM aggfn WHERE x >= 0 AND x < 400")
+    val want = truth(dir).filter($"x" >= 0 && $"x" < 400)
+      .agg(count("*").as("n"))
+    assert(sql.collect().toSeq == want.collect().toSeq)
+  }
+
+  test("NaN orders greatest in pushed MAX, matching Spark") {
+    val dir = layout(500, 25.0)
+    val extra = Seq(
+      (920001L, 10.0, 10.0, Double.NaN),
+      (920002L, 11.0, 11.0, 123.0)
+    ).toDF("id", "x", "y", "z")
+    GeoParquet.appendWithManifest(extra, dir, 250.0)
+    face(dir, "aggnan")
+    val sql = spark.sql(
+      "SELECT min(z) AS zmin, max(z) AS zmax FROM aggnan WHERE x >= 0 AND x < 400")
+    val want = truth(dir).filter($"x" >= 0 && $"x" < 400)
+      .agg(min("z").as("zmin"), max("z").as("zmax"))
+    assert(sql.collect().toSeq == want.collect().toSeq)
+    assert(sql.collect()(0).getDouble(1).isNaN, "NaN must win MAX")
+  }
+
+  test("strict bounds stay exact through pushdown") {
+    val dir = layout(2000, 25.0)
+    face(dir, "aggs")
+    truth(dir).createOrReplaceTempView("aggs_raw")
+    // 25.0 and 400.0 are exact lattice values — off-by-strictness
+    // would change the count
+    for (sqlTxt <- Seq(
+      "SELECT count(*) AS n FROM aggs WHERE x > 25.0 AND x < 400.0",
+      "SELECT count(*) AS n FROM aggs WHERE x >= 25.0 AND x <= 400.0",
+      "SELECT count(*) AS n FROM aggs WHERE x > 25.0 AND y <= 300.0 AND y > 0.0")) {
+      val got = spark.sql(sqlTxt).collect()(0).getLong(0)
+      val want = spark.sql(sqlTxt.replace("FROM aggs", "FROM aggs_raw")).collect()(0).getLong(0)
+      assert(got == want, sqlTxt)
+      assert(got > 0, s"degenerate test: $sqlTxt")
+    }
+  }
+
+  test("Or-shaped filters fall back to a row scan, results unchanged") {
+    val dir = layout(1500, 25.0)
+    face(dir, "aggor")
+    val sql = spark.sql(
+      "SELECT count(*) AS n FROM aggor WHERE x < 100 OR y < 100")
+    // Or keeps the filter exact-pushable but blocks interval
+    // containment — aggregation still pushes, nothing is
+    // manifest-answered, every candidate file scans
+    val want = truth(dir).filter($"x" < 100 || $"y" < 100)
+      .agg(count("*").as("n"))
+    assert(sql.collect().toSeq == want.collect().toSeq)
+  }
+
+  test("residual (non-numeric) predicates disable agg pushdown, not correctness") {
+    val dir = java.nio.file.Files.createTempDirectory("sqlaggstr").toString
+    val pts = (0 until 600).map { i =>
+      (i.toLong, (i % 50) * 25.0, (i % 37) * 25.0, i * 1.0,
+        if (i % 3 == 0) "keep" else "drop")
+    }.toDF("id", "x", "y", "z", "tag")
+    GeoParquet.write(pts, dir, 250.0)
+    GeoParquet.writeManifest(spark, dir)
+    face(dir, "aggres")
+    val sql = spark.sql(
+      "SELECT count(*) AS n FROM aggres WHERE x >= 0 AND tag = 'keep'")
+    assert(!scanOf(sql).isInstanceOf[GraftAggScan],
+      "string equality is residual; aggregates must not push over it")
+    assert(scanOf(sql).isInstanceOf[GraftScan])
+    val want = spark.read.parquet(dir)
+      .filter($"x" >= 0 && $"tag" === "keep").agg(count("*").as("n"))
+    assert(sql.collect().toSeq == want.collect().toSeq)
+  }
+
+  test("a stale manifest degrades to scanning every file, still exact") {
+    val dir = layout(800, 25.0)
+    // plain append bumps the epoch without manifest stats → stale
+    GeoParquet.append(
+      Seq((930001L, 10.0, 10.0, 7.0)).toDF("id", "x", "y", "z"), dir, 250.0)
+    face(dir, "aggstale")
+    val sql = spark.sql(
+      "SELECT count(*) AS n, max(z) AS zmax FROM aggstale WHERE x >= 0 AND x < 400")
+    assert(scanOf(sql).isInstanceOf[GraftAggScan])
+    val want = spark.read.option("recursiveFileLookup", "true").parquet(dir)
+      .filter($"x" >= 0 && $"x" < 400)
+      .agg(count("*").as("n"), max("z").as("zmax"))
+    assert(sql.collect().toSeq == want.collect().toSeq)
+    val (answered, _) = GraftSource.lastAggPlan.get(dir)
+    assert(answered == 0, "stale manifest must answer nothing")
+  }
+
+  test("fully-pushed numeric filters leave no Filter node above the scan") {
+    val dir = layout(1000, 25.0)
+    face(dir, "aggplan")
+    val q = spark.sql(
+      "SELECT id, z FROM aggplan WHERE x >= 0 AND x < 300 AND y >= 0 AND y < 300")
+    val hasFilter = allNodes(q.queryExecution.executedPlan).exists {
+      case _: org.apache.spark.sql.execution.FilterExec => true
+      case _ => false
+    }
+    assert(!hasFilter, "numeric filters are exact at the source — " +
+      "Spark must not re-apply them:\n" + q.queryExecution.executedPlan)
+    // and the rows are exactly the predicate's
+    val want = truth(dir)
+      .filter($"x" >= 0 && $"x" < 300 && $"y" >= 0 && $"y" < 300)
+      .select("id", "z")
+    assert(q.exceptAll(want).count() == 0 && want.exceptAll(q).count() == 0)
+    assert(q.count() > 0)
+  }
+
+  test("filters on pruned-away columns still apply exactly") {
+    val dir = layout(1000, 25.0)
+    face(dir, "aggproj")
+    // x/y filtered but only id projected — the reader must decode
+    // the filter columns anyway
+    val q = spark.sql(
+      "SELECT id FROM aggproj WHERE x >= 100 AND x < 200 AND y >= 100 AND y < 200")
+    val want = truth(dir)
+      .filter($"x" >= 100 && $"x" < 200 && $"y" >= 100 && $"y" < 200)
+      .select("id")
+    assert(q.exceptAll(want).count() == 0 && want.exceptAll(q).count() == 0)
+    assert(q.count() > 0)
+  }
+}
