@@ -628,6 +628,33 @@ object GeoOps {
        |FROM pts
        |WHERE x >= -200 AND x < 200 AND y >= -200 AND y < 200""".stripMargin
 
+  /** 61z3: the SQL-face WRITE path end to end — the layout starts
+    * with the even ids, the odd half arrives through
+    * `df.write.format("graft").mode("append")` (which routes into
+    * the locked [[graft.sources.GeoParquet.appendWithManifest]]
+    * commit), and a pruned SQL box read serves the union.  The
+    * oracle is the plain box select over ALL points, so rows lost by
+    * the insert path — or a manifest it staled — hash-mismatch.
+    */
+  def sqlWrite(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("sqlwriteq").toString
+    val p = pts(s, dir).select("id", "x", "y", "z")
+    graft.sources.GeoParquet.write(p.filter(col("id") % 2 === 0), path, 250.0)
+    graft.sources.GeoParquet.writeManifest(s, path)
+    p.filter(col("id") % 2 === 1)
+      .write.format("graft").mode("append").save(path)
+    s.read.format("graft").load(path).createOrReplaceTempView("graft_sql_write")
+    s.sql("""SELECT id, x, y, z FROM graft_sql_write
+            |WHERE x >= -300 AND x < 300 AND y >= -300 AND y < 300
+            |ORDER BY id""".stripMargin)
+  }
+
+  val sqlWriteSql: String =
+    s"""WITH pts AS ($P)
+       |SELECT id, x, y, z FROM pts
+       |WHERE x >= -300 AND x < 300 AND y >= -300 AND y < 300
+       |ORDER BY id""".stripMargin
+
   val countBoxSql: String =
     s"""WITH pts AS ($P)
        |SELECT count(*) AS n FROM pts
@@ -1145,6 +1172,7 @@ object GeoOps {
     "q_count_box"       -> (countBox _),
     "q_sql_box"         -> (sqlBox _),
     "q_sql_agg"         -> (sqlAgg _),
+    "q_sql_write"       -> (sqlWrite _),
     "q_minmax_box"      -> (minmaxBox _),
     "q_snapshot_box"    -> (snapshotBox _),
     "q_delete_box"      -> (deleteBox _),
@@ -1187,6 +1215,7 @@ object GeoOps {
     "q_count_box"       -> countBoxSql,
     "q_sql_box"         -> sqlBoxSql,
     "q_sql_agg"         -> sqlAggSql,
+    "q_sql_write"       -> sqlWriteSql,
     "q_minmax_box"      -> minmaxBoxSql,
     "q_snapshot_box"    -> snapshotBoxSql,
     "q_delete_box"      -> deleteBoxSql,

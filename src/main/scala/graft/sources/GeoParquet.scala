@@ -22,7 +22,7 @@ object GeoParquet {
   /** Write a point DataFrame (must have x, y columns) as a
     * bin-partitioned layout with δ-spaced bins.
     */
-  def write(df: DataFrame, path: String, delta: Double): Unit =
+  def write(df: DataFrame, path: String, delta: Double): Unit = {
     df.withColumn("bin_x", GeoOps.binOf(col("x"), delta))
       .withColumn("bin_y", GeoOps.binOf(col("y"), delta))
       .repartition(col("bin_x"), col("bin_y"))
@@ -30,6 +30,27 @@ object GeoParquet {
       .write.mode("overwrite")
       .partitionBy("bin_x", "bin_y")
       .parquet(path)
+    recordDelta(df.sparkSession, path, delta)
+  }
+
+  /** Record the layout's bin size as a sidecar (AFTER the data write
+    * — overwrite mode wipes the directory), so appenders that did not
+    * create the layout — the SQL-face writer above all — need not be
+    * told it out of band.  [[deltaOf]] reads it back.
+    */
+  private def recordDelta(spark: SparkSession, path: String,
+                          delta: Double): Unit =
+    writeTextFile(spark, s"$path/_delta", delta.toString)
+
+  /** The recorded bin size of a layout (None for layouts written
+    * before the sidecar existed — callers must then be told).
+    */
+  def deltaOf(spark: SparkSession, path: String): Option[Double] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_delta")
+    if (fsOf(spark, path).exists(p))
+      Some(readTextFile(spark, p.toString).trim.toDouble)
+    else None
+  }
 
   /** Write points z-order-clustered: one global range partition on
     * the Morton key of the δ-cell, sorted within — every file (and
@@ -40,19 +61,23 @@ object GeoParquet {
     * at 100 TB you bin-partition coarsely (bounded directory count)
     * and z-order inside each partition.
     */
-  def writeZOrdered(df: DataFrame, path: String, delta: Double, nFiles: Int): Unit =
+  def writeZOrdered(df: DataFrame, path: String, delta: Double, nFiles: Int): Unit = {
     writeCurveClustered(df, path, nFiles, "zkey",
       d => d.withColumn("zkey",
         graft.functions.ZOrder.zkey(GeoOps.cellOf(col("x"), delta),
           GeoOps.cellOf(col("y"), delta))))
+    recordDelta(df.sparkSession, path, delta)
+  }
 
   /** [[writeZOrdered]] with the Hilbert index — strictly better chunk
     * locality (consecutive keys are Manhattan-adjacent cells).
     */
-  def writeHilbertClustered(df: DataFrame, path: String, delta: Double, nFiles: Int): Unit =
+  def writeHilbertClustered(df: DataFrame, path: String, delta: Double, nFiles: Int): Unit = {
     writeCurveClustered(df, path, nFiles, "hkey",
       d => d.withColumn("hkey", graft.functions.Hilbert.dkey(
         GeoOps.cellOf(col("x"), delta), GeoOps.cellOf(col("y"), delta))))
+    recordDelta(df.sparkSession, path, delta)
+  }
 
   private def writeCurveClustered(df: DataFrame, path: String, nFiles: Int,
                                   key: String, keyed: DataFrame => DataFrame): Unit =
@@ -92,6 +117,7 @@ object GeoParquet {
       .repartitionByRange(nFiles, col("t"), col("zkey"))
       .sortWithinPartitions("zkey")
       .write.mode("overwrite").parquet(path)
+    recordDelta(df.sparkSession, path, delta)
   }
 
   /** Curve-key columns a layout may carry (see writeZOrdered /
@@ -1059,6 +1085,17 @@ object GeoParquet {
     if (manifestFresh(spark, path, verify = false))
       Some(spark.read.parquet(s"$path/_manifest"))
     else None
+
+  /** Whether the layout is curve-clustered (its manifest records
+    * per-file key ranges) — the SQL-face writer's dispatch between
+    * [[appendCurve]] and [[appendWithManifest]].  Reads the sidecar
+    * regardless of freshness: a STALE curve layout must still route
+    * to appendCurve, whose own guard names the repair verb.
+    */
+  private[graft] def isCurveLayout(spark: SparkSession, path: String): Boolean =
+    fsOf(spark, path)
+      .exists(new org.apache.hadoop.fs.Path(s"$path/_manifest")) &&
+      spark.read.parquet(s"$path/_manifest").columns.contains("k0")
 
   /** The layout's DATA-file schema (bin partition columns excluded —
     * the shape flat file-list reads see), for the SQL face: declared

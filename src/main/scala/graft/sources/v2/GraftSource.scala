@@ -6,11 +6,12 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform, Expression => VExpression}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter, InsertableRelation}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -91,13 +92,64 @@ object GraftSource {
 }
 
 final class GraftTable(path: String, schema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft:$path"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    // append only — no TRUNCATE, so an overwrite save refuses in
+    // Spark's capability check before reaching us.  BATCH_WRITE
+    // routes DataFrameWriter.save onto the v2 plan; the write
+    // builder below then yields a V1Write bridge (V1_BATCH_WRITE),
+    // which the planner executes as AppendDataExecV1.
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(path, schema)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(path, info)
+}
+
+/** The write face: `df.write.format("graft").mode("append")` and SQL
+  * `INSERT INTO` route through the API's LOCKED commit protocol —
+  * [[GeoParquet.appendWithManifest]] for bin layouts,
+  * [[GeoParquet.appendCurve]] for curve layouts (dispatched on the
+  * manifest's key-range columns) — so a SQL writer racing an API
+  * writer or compactor is exactly the contention the CommitLock
+  * already serializes.  The distributed batch write itself is the
+  * append path's staged job; this V1 bridge only hands it the
+  * incoming DataFrame (the JDBC-connector pattern), adding no
+  * driver-side data movement.
+  *
+  * The bin size δ comes from the layout's `_delta` sidecar (recorded
+  * by every writer) or a `delta` write option; appends to pre-sidecar
+  * layouts must pass the option.  Append-only by design: overwrite
+  * rejects via missing TRUNCATE capability, and creating a NEW layout
+  * needs a first [[GeoParquet.write]]/`writeZOrdered` (schema
+  * inference has nothing to read on an empty path).
+  */
+final class GraftWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder {
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: org.apache.spark.sql.DataFrame,
+                            overwrite: Boolean): Unit = {
+          require(!overwrite,
+            s"graft:$path is append-only through the SQL face — " +
+              "compact/rewrite via the API instead")
+          val spark = data.sparkSession
+          val delta = Option(info.options.get("delta")).map(_.toDouble)
+            .orElse(GeoParquet.deltaOf(spark, path))
+            .getOrElse(throw new IllegalArgumentException(
+              s"$path records no bin size (pre-sidecar layout) — pass " +
+                ".option(\"delta\", <binSize>)"))
+          if (GeoParquet.isCurveLayout(spark, path))
+            GeoParquet.appendCurve(data, path, delta)
+          else
+            GeoParquet.appendWithManifest(data, path, delta)
+        }
+      }
+  }
 }
 
 /** One pushed global aggregate output column. */
