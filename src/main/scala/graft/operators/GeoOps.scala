@@ -655,6 +655,34 @@ object GeoOps {
        |WHERE x >= -300 AND x < 300 AND y >= -300 AND y < 300
        |ORDER BY id""".stripMargin
 
+  /** 61z4: time travel through the SQL face — the layout grows by an
+    * appendWithManifest commit, then `.option("snapshot", 0)` pins
+    * the read to the BASE commit from plain SQL (the queryBoxAsOf
+    * axis, `q_snapshot_box`'s twin).  The oracle is the even-id box
+    * select: a snapshot that leaks the appended half — or loses base
+    * files — hash-mismatches.
+    */
+  def sqlAsOf(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("sqlasof").toString
+    val p = pts(s, dir).select("id", "x", "y", "z")
+    graft.sources.GeoParquet.write(p.filter(col("id") % 2 === 0), path, 250.0)
+    graft.sources.GeoParquet.writeManifest(s, path)
+    graft.sources.GeoParquet.appendWithManifest(
+      p.filter(col("id") % 2 === 1), path, 250.0)
+    s.read.format("graft").option("snapshot", "0").load(path)
+      .createOrReplaceTempView("graft_sql_asof")
+    s.sql("""SELECT id, x, y, z FROM graft_sql_asof
+            |WHERE x >= -230 AND x < 480 AND y >= -470 AND y < 230
+            |ORDER BY id""".stripMargin)
+  }
+
+  val sqlAsOfSql: String =
+    s"""WITH pts AS ($P)
+       |SELECT id, x, y, z FROM pts
+       |WHERE x >= -230 AND x < 480 AND y >= -470 AND y < 230
+       |  AND id % 2 = 0
+       |ORDER BY id""".stripMargin
+
   val countBoxSql: String =
     s"""WITH pts AS ($P)
        |SELECT count(*) AS n FROM pts
@@ -1173,6 +1201,7 @@ object GeoOps {
     "q_sql_box"         -> (sqlBox _),
     "q_sql_agg"         -> (sqlAgg _),
     "q_sql_write"       -> (sqlWrite _),
+    "q_sql_asof"        -> (sqlAsOf _),
     "q_minmax_box"      -> (minmaxBox _),
     "q_snapshot_box"    -> (snapshotBox _),
     "q_delete_box"      -> (deleteBox _),
@@ -1216,6 +1245,7 @@ object GeoOps {
     "q_sql_box"         -> sqlBoxSql,
     "q_sql_agg"         -> sqlAggSql,
     "q_sql_write"       -> sqlWriteSql,
+    "q_sql_asof"        -> sqlAsOfSql,
     "q_minmax_box"      -> minmaxBoxSql,
     "q_snapshot_box"    -> snapshotBoxSql,
     "q_delete_box"      -> deleteBoxSql,

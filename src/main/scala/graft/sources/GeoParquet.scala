@@ -1123,7 +1123,17 @@ object GeoParquet {
     if (!manifestFresh(spark, path, verify = false))
       return listDataFiles(spark, path)
     val m = spark.read.parquet(s"$path/_manifest")
-    val cond = bounds
+    m.filter(manifestBoundsCond(m, bounds)).select("file").collect()
+      .map(r => s"$path/${r.getString(0)}").toSeq
+  }
+
+  /** Envelope-intersection condition over manifest rows for per-column
+    * [lo,hi] bounds — null stats mean "unknown, must open"; a bound on
+    * a column the manifest has no stats pair for prunes nothing.
+    */
+  private def manifestBoundsCond(m: DataFrame,
+      bounds: Seq[(String, Double, Double)]): org.apache.spark.sql.Column =
+    bounds
       .filter { case (c, _, _) =>
         m.columns.contains(s"${c}0") && m.columns.contains(s"${c}1") }
       .map { case (c, lo, hi) =>
@@ -1131,7 +1141,43 @@ object GeoParquet {
           (col(s"${c}0").isNull || col(s"${c}0") <= hi)
       }
       .foldLeft(lit(true))(_ && _)
-    m.filter(cond).select("file").collect()
+
+  /** [[planFilesFor]] AS OF a commit epoch — the SQL face's
+    * time-travel planner, with [[queryBoxAsOf]]'s soundness contract:
+    * a fresh manifest is REQUIRED (history has no listing fallback)
+    * and epochs compacted away refuse rather than under-answer.
+    * Pending-delete refusal is the calling scan's (as on every SQL-
+    * face read).
+    */
+  /** The manifest restricted to commits at or before `asOfEpoch`,
+    * with [[queryBoxAsOf]]'s soundness contract enforced: a fresh
+    * manifest is REQUIRED (history has no listing fallback) and
+    * epochs compacted away refuse rather than under-answer.
+    * Pending-delete refusal is the caller's (as on every read path).
+    */
+  private[graft] def manifestAsOf(spark: SparkSession, path: String,
+                                  asOfEpoch: Long): DataFrame = {
+    require(manifestFresh(spark, path, verify = false),
+      s"$path: manifest is stale — snapshot reads have no sound " +
+        "fallback; run writeManifest (which resets history to the " +
+        "current epoch) first")
+    val m = spark.read.parquet(s"$path/_manifest")
+    val oldestRow = m.agg(min("epoch")).head()
+    require(!oldestRow.isNullAt(0),
+      s"$path: manifest is empty — no snapshot history to serve")
+    require(asOfEpoch >= oldestRow.getLong(0),
+      s"$path: history before epoch ${oldestRow.getLong(0)} was " +
+        s"compacted away (requested $asOfEpoch)")
+    m.filter(col("epoch") <= asOfEpoch)
+  }
+
+  /** [[planFilesFor]] AS OF a commit epoch — the SQL face's
+    * time-travel planner over [[manifestAsOf]].
+    */
+  private[graft] def planFilesAsOf(spark: SparkSession, path: String,
+      bounds: Seq[(String, Double, Double)], asOfEpoch: Long): Seq[String] = {
+    val m = manifestAsOf(spark, path, asOfEpoch)
+    m.filter(manifestBoundsCond(m, bounds)).select("file").collect()
       .map(r => s"$path/${r.getString(0)}").toSeq
   }
 

@@ -104,7 +104,11 @@ final class GraftTable(path: String, schema: StructType)
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(path, schema)
+    // time travel: .option("snapshot", <epoch>) pins the read to the
+    // files committed at or before that epoch (the queryBoxAsOf
+    // axis), composing with pruning and aggregate pushdown
+    new GraftScanBuilder(path, schema,
+      Option(options.get("snapshot")).map(_.toLong))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(path, info)
 }
@@ -159,7 +163,8 @@ private[v2] final case class NNonNull(c: String) extends AggCol // COUNT(c)
 private[v2] final case class MinC(c: String) extends AggCol
 private[v2] final case class MaxC(c: String) extends AggCol
 
-final class GraftScanBuilder(path: String, dataSchema: StructType)
+final class GraftScanBuilder(path: String, dataSchema: StructType,
+                             snapshot: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
   private var required: StructType = dataSchema
@@ -222,10 +227,10 @@ final class GraftScanBuilder(path: String, dataSchema: StructType)
 
   override def build(): Scan = aggCols match {
     case Some(cs) =>
-      new GraftAggScan(path, dataSchema, cs, exact.toSeq)
+      new GraftAggScan(path, dataSchema, cs, exact.toSeq, snapshot)
     case None =>
       new GraftScan(path, dataSchema, required, exact.toSeq,
-        ExactFilters.boundsOf(exact ++ residual))
+        ExactFilters.boundsOf(exact ++ residual), snapshot)
   }
 }
 
@@ -418,12 +423,14 @@ private[v2] object ExactFilters {
 
 final class GraftScan(path: String, dataSchema: StructType,
                       required: StructType, exact: Seq[Filter],
-                      bounds: Seq[(String, Double, Double)])
+                      bounds: Seq[(String, Double, Double)],
+                      snapshot: Option[Long] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"GraftScan $path filters=${exact.mkString(",")} bounds=${bounds.mkString(",")}"
+    s"GraftScan $path filters=${exact.mkString(",")} bounds=${bounds.mkString(",")}" +
+      snapshot.fold("")(e => s" asOf=$e")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
@@ -431,7 +438,10 @@ final class GraftScan(path: String, dataSchema: StructType,
       s"$path has pending merge-on-read deletes — the SQL face cannot " +
         "subtract them; run a compaction (or read via the API's " +
         "readMerged) first")
-    val files = GeoParquet.planFilesFor(spark, path, bounds)
+    val files = snapshot match {
+      case Some(e) => GeoParquet.planFilesAsOf(spark, path, bounds, e)
+      case None => GeoParquet.planFilesFor(spark, path, bounds)
+    }
     GraftSource.lastPlannedFiles.put(path, files)
     files.map(f => GraftPartition(f): InputPartition).toArray
   }
@@ -679,7 +689,8 @@ final class GroupRowReader(file: String, ser: SerConf,
   * file scans; pending deletes refuse as on the row path.
   */
 final class GraftAggScan(path: String, dataSchema: StructType,
-                         aggCols: Seq[AggCol], exact: Seq[Filter])
+                         aggCols: Seq[AggCol], exact: Seq[Filter],
+                         snapshot: Option[Long] = None)
     extends Scan with Batch {
 
   override def readSchema(): StructType = StructType(aggCols.map {
@@ -690,7 +701,8 @@ final class GraftAggScan(path: String, dataSchema: StructType,
   })
   override def toBatch: Batch = this
   override def description(): String =
-    s"GraftAggScan $path aggs=${aggCols.mkString(",")} filters=${exact.mkString(",")}"
+    s"GraftAggScan $path aggs=${aggCols.mkString(",")} filters=${exact.mkString(",")}" +
+      snapshot.fold("")(e => s" asOf=$e")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
@@ -718,7 +730,15 @@ final class GraftAggScan(path: String, dataSchema: StructType,
       }
     }
 
-    val scanFiles: Seq[String] = GeoParquet.freshManifest(spark, path) match {
+    val scanFiles: Seq[String] = GeoParquet.freshManifest(spark, path)
+        .map(m0 => snapshot.fold(m0)(e =>
+          // manifestAsOf re-checks freshness + history intactness and
+          // REFUSES on stale — time travel has no listing fallback
+          GeoParquet.manifestAsOf(spark, path, e))) match {
+      case None if snapshot.isDefined =>
+        throw new IllegalArgumentException(
+          s"$path: manifest is stale — snapshot reads have no sound " +
+            "fallback; run writeManifest first")
       case None =>
         // stale/missing manifest: full listing, everything scans
         val fs = GeoParquet.planFilesFor(spark, path, bounds)

@@ -92,6 +92,40 @@ class SqlFaceSpec extends SparkSpec {
     assert(r(1L).isEmpty, "pre-evolution row must read the new column as null")
   }
 
+  test("snapshot option time-travels rows and aggregates alike") {
+    val dir = java.nio.file.Files.createTempDirectory("sqlsnap").toString
+    val p = (0 until 1200).map { i =>
+      (i.toLong, (i % 50) * 25.0, (i % 37) * 25.0, i * 1.0)
+    }.toDF("id", "x", "y", "z")
+    GeoParquet.write(p.filter($"id" % 2 === 0), dir, 250.0)
+    GeoParquet.writeManifest(spark, dir)
+    GeoParquet.appendWithManifest(p.filter($"id" % 2 === 1), dir, 250.0)
+    // current state sees both halves
+    spark.read.format("graft").load(dir).createOrReplaceTempView("snap_now")
+    assert(spark.sql("SELECT count(*) AS n FROM snap_now").collect()(0).getLong(0) == 1200)
+    // epoch 0 pins the base commit — rows AND pushed aggregates
+    spark.read.format("graft").option("snapshot", "0").load(dir)
+      .createOrReplaceTempView("snap_0")
+    val rows = spark.sql("SELECT id FROM snap_0 ORDER BY id").collect().map(_.getLong(0))
+    assert(rows.length == 600 && rows.forall(_ % 2 == 0))
+    assert(spark.sql("SELECT count(*) AS n FROM snap_0 WHERE x >= 0")
+      .collect()(0).getLong(0) == 600)
+    // ...and matches the API's snapshot read exactly
+    val api = GeoParquet.queryBoxAsOf(spark, dir, 0L, (-1e9, 1e9), (-1e9, 1e9))
+    assert(api.count() == 600)
+  }
+
+  test("snapshot over a stale manifest refuses — history has no fallback") {
+    val dir = layout(300, 25.0)
+    GeoParquet.append(
+      Seq((990001L, 1.0, 1.0, 1.0)).toDF("id", "x", "y", "z"), dir, 250.0)
+    val v = spark.read.format("graft").option("snapshot", "0").load(dir)
+    val e = intercept[Throwable] { v.count() }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else String.valueOf(t.getMessage) +: chain(t.getCause)
+    assert(chain(e).exists(_.contains("stale")), chain(e).mkString(" | "))
+  }
+
   test("pending merge-on-read deletes refuse loudly (the face cannot subtract)") {
     val dir = layout(500, 25.0)
     GeoParquet.deleteWhere(spark, dir, col("id") === 7)
