@@ -683,6 +683,32 @@ object GeoOps {
        |  AND id % 2 = 0
        |ORDER BY id""".stripMargin
 
+  /** 61z5: named-table SQL through the catalog plugin
+    * ([[graft.sources.v2.GraftCatalog]]) — the layout lands under a
+    * warehouse, the catalog maps `<cat>.<ns>.<tbl>` onto it, and the
+    * box query runs by NAME with the SQL face's pruning.  The oracle
+    * is the plain box select; resolution errors or a catalog that
+    * opened the wrong directory hash-mismatch.
+    */
+  def sqlCatalog(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("sqlcat").toString
+    graft.sources.GeoParquet.write(
+      pts(s, dir).select("id", "x", "y", "z"), s"$wh/geo/points", 250.0)
+    graft.sources.GeoParquet.writeManifest(s, s"$wh/geo/points")
+    s.conf.set("spark.sql.catalog.graft_gate",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_gate.warehouse", wh)
+    s.sql("""SELECT id, x, y, z FROM graft_gate.geo.points
+            |WHERE x >= -400 AND x < 400 AND y >= -400 AND y < 400
+            |ORDER BY id""".stripMargin)
+  }
+
+  val sqlCatalogSql: String =
+    s"""WITH pts AS ($P)
+       |SELECT id, x, y, z FROM pts
+       |WHERE x >= -400 AND x < 400 AND y >= -400 AND y < 400
+       |ORDER BY id""".stripMargin
+
   val countBoxSql: String =
     s"""WITH pts AS ($P)
        |SELECT count(*) AS n FROM pts
@@ -1202,6 +1228,7 @@ object GeoOps {
     "q_sql_agg"         -> (sqlAgg _),
     "q_sql_write"       -> (sqlWrite _),
     "q_sql_asof"        -> (sqlAsOf _),
+    "q_sql_catalog"     -> (sqlCatalog _),
     "q_minmax_box"      -> (minmaxBox _),
     "q_snapshot_box"    -> (snapshotBox _),
     "q_delete_box"      -> (deleteBox _),
@@ -1246,6 +1273,7 @@ object GeoOps {
     "q_sql_agg"         -> sqlAggSql,
     "q_sql_write"       -> sqlWriteSql,
     "q_sql_asof"        -> sqlAsOfSql,
+    "q_sql_catalog"     -> sqlCatalogSql,
     "q_minmax_box"      -> minmaxBoxSql,
     "q_snapshot_box"    -> snapshotBoxSql,
     "q_delete_box"      -> deleteBoxSql,

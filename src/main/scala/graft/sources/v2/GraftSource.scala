@@ -91,9 +91,11 @@ object GraftSource {
     new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
 }
 
-final class GraftTable(path: String, schema: StructType)
+final class GraftTable(path: String, schema: StructType,
+                       pinnedSnapshot: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite {
-  override def name(): String = s"graft:$path"
+  override def name(): String =
+    s"graft:$path" + pinnedSnapshot.fold("")(e => s"@$e")
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     // append only — no TRUNCATE, so an overwrite save refuses in
@@ -104,11 +106,12 @@ final class GraftTable(path: String, schema: StructType)
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    // time travel: .option("snapshot", <epoch>) pins the read to the
-    // files committed at or before that epoch (the queryBoxAsOf
-    // axis), composing with pruning and aggregate pushdown
+    // time travel: .option("snapshot", <epoch>) — or the catalog's
+    // VERSION AS OF pin — reads the files committed at or before
+    // that epoch (the queryBoxAsOf axis), composing with pruning and
+    // aggregate pushdown
     new GraftScanBuilder(path, schema,
-      Option(options.get("snapshot")).map(_.toLong))
+      pinnedSnapshot.orElse(Option(options.get("snapshot")).map(_.toLong)))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(path, info)
 }
