@@ -709,6 +709,43 @@ object GeoOps {
        |WHERE x >= -400 AND x < 400 AND y >= -400 AND y < 400
        |ORDER BY id""".stripMargin
 
+  /** 61z7: runtime (join-driven) file pruning — a selective
+    * broadcast-dim join over the SQL face, where Spark's dynamic
+    * pruning hands the dim's surviving keys to the scan
+    * ([[graft.sources.v2.GraftScan]].filter) and planning probes the
+    * manifest's membership filters: only might-contain files open.
+    * Pruning is files-only (the join re-checks rows), so the oracle —
+    * the equivalent two-table join — hash-matches whether or not the
+    * dynamic filter fires; the firing itself is pinned in
+    * SqlFaceSpec.
+    */
+  def sqlDimJoin(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("sqldpp").toString
+    val p = pts(s, dir).select("id", "x", "y", "z")
+    graft.sources.GeoParquet.write(p, path, 250.0)
+    graft.sources.GeoParquet.declareFilterCols(s, path, Seq("id"))
+    graft.sources.GeoParquet.writeManifest(s, path)
+    val dimDir = java.nio.file.Files.createTempDirectory("sqldppdim").toString
+    p.select(col("id")).filter(col("id") % 499 === 0)
+      .withColumn("pick", (col("id") % 998 === 0).cast("int"))
+      .write.mode("overwrite").parquet(dimDir)
+    s.read.parquet(dimDir).createOrReplaceTempView("graft_sql_dim")
+    s.read.format("graft").load(path).createOrReplaceTempView("graft_sql_fact")
+    s.sql("""SELECT f.id, f.x, f.y, f.z
+            |FROM graft_sql_fact f JOIN graft_sql_dim d ON f.id = d.id
+            |WHERE d.pick = 1
+            |ORDER BY f.id""".stripMargin)
+  }
+
+  val sqlDimJoinSql: String =
+    s"""WITH pts AS ($P),
+       |dim AS (SELECT id, CASE WHEN id % 998 = 0 THEN 1 ELSE 0 END AS pick
+       |        FROM pts WHERE id % 499 = 0)
+       |SELECT p.id, p.x, p.y, p.z
+       |FROM pts p JOIN dim d ON p.id = d.id
+       |WHERE d.pick = 1
+       |ORDER BY p.id""".stripMargin
+
   val countBoxSql: String =
     s"""WITH pts AS ($P)
        |SELECT count(*) AS n FROM pts
@@ -1229,6 +1266,7 @@ object GeoOps {
     "q_sql_write"       -> (sqlWrite _),
     "q_sql_asof"        -> (sqlAsOf _),
     "q_sql_catalog"     -> (sqlCatalog _),
+    "q_sql_dim_join"    -> (sqlDimJoin _),
     "q_minmax_box"      -> (minmaxBox _),
     "q_snapshot_box"    -> (snapshotBox _),
     "q_delete_box"      -> (deleteBox _),
@@ -1274,6 +1312,7 @@ object GeoOps {
     "q_sql_write"       -> sqlWriteSql,
     "q_sql_asof"        -> sqlAsOfSql,
     "q_sql_catalog"     -> sqlCatalogSql,
+    "q_sql_dim_join"    -> sqlDimJoinSql,
     "q_minmax_box"      -> minmaxBoxSql,
     "q_snapshot_box"    -> snapshotBoxSql,
     "q_delete_box"      -> deleteBoxSql,

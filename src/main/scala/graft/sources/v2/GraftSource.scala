@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, Transform, Expression => VExpression}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform, Expression => VExpression}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
@@ -89,6 +89,12 @@ object GraftSource {
     */
   val lastAggPlan =
     new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+
+  /** Last runtime (join-driven) filters delivered per layout path —
+    * a test/diagnostic hook for the dynamic-pruning path.
+    */
+  val lastRuntimeFilters =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Filter]]()
 }
 
 final class GraftTable(path: String, schema: StructType,
@@ -428,7 +434,33 @@ final class GraftScan(path: String, dataSchema: StructType,
                       required: StructType, exact: Seq[Filter],
                       bounds: Seq[(String, Double, Double)],
                       snapshot: Option[Long] = None)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsRuntimeFiltering {
+
+  /** Runtime (join-driven) filters, delivered by Spark's dynamic
+    * pruning after the build side executes — used for FILE pruning
+    * only (a superset never harms: the join re-checks every row), so
+    * a broadcast-dim join over a 100 TB layout opens only the files
+    * that might contain the dim's keys.
+    */
+  @volatile private var runtime: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[NamedReference] = {
+    val spark = SparkSession.active
+    // the two prunable shapes: declared membership-filter columns
+    // (manifest blooms) and envelope-stats columns — restricted to
+    // the scan's OUTPUT (Spark resolves these against the pruned
+    // projection; a join key is in the output by construction)
+    val stats = Seq("x", "y", "z", "t")
+    val declared = GeoParquet.filterColsOf(spark, path)
+    (declared ++ stats).distinct
+      .filter(required.fieldNames.contains)
+      .map(Expressions.column).toArray
+  }
+  override def filter(fs: Array[Filter]): Unit = {
+    runtime = fs
+    GraftSource.lastRuntimeFilters.put(path, fs.toSeq)
+  }
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -441,12 +473,40 @@ final class GraftScan(path: String, dataSchema: StructType,
       s"$path has pending merge-on-read deletes — the SQL face cannot " +
         "subtract them; run a compaction (or read via the API's " +
         "readMerged) first")
-    val files = snapshot match {
-      case Some(e) => GeoParquet.planFilesAsOf(spark, path, bounds, e)
-      case None => GeoParquet.planFilesFor(spark, path, bounds)
+    val rt = runtime
+    // runtime In-sets tighten the envelope bounds (min..max per
+    // column — superset, exactly what file pruning may use)...
+    val rtBounds = rt.toSeq.collect {
+      case org.apache.spark.sql.sources.In(c, vs)
+          if dataSchema.fieldNames.contains(c) &&
+            vs.nonEmpty && vs.forall(_.isInstanceOf[java.lang.Number]) =>
+        val ds = vs.map(_.asInstanceOf[java.lang.Number].doubleValue())
+        (c, ds.min, ds.max)
+    }
+    val base = snapshot match {
+      case Some(e) => GeoParquet.planFilesAsOf(spark, path, bounds ++ rtBounds, e)
+      case None => GeoParquet.planFilesFor(spark, path, bounds ++ rtBounds)
+    }
+    // ...and probe the manifest membership filters where declared:
+    // only files that might contain one of the join keys stay
+    val files = rt.foldLeft(base) {
+      case (acc, org.apache.spark.sql.sources.In(c, vs)) if acc.nonEmpty =>
+        GeoParquet.bloomCandidateFiles(spark, path, keysDf(spark, c, vs), c)
+          .map(cand => acc.filter(cand.toSet)).getOrElse(acc)
+      case (acc, _) => acc
     }
     GraftSource.lastPlannedFiles.put(path, files)
     files.map(f => GraftPartition(f): InputPartition).toArray
+  }
+
+  private def keysDf(spark: SparkSession, c: String,
+                     vs: Array[Any]): org.apache.spark.sql.DataFrame = {
+    val dt = dataSchema.fields.find(_.name == c).map(_.dataType)
+      .getOrElse(org.apache.spark.sql.types.StringType)
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        vs.filter(_ != null).map(org.apache.spark.sql.Row(_)).toSeq.asJava),
+      StructType(Seq(StructField(c, dt))))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

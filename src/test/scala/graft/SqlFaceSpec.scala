@@ -92,6 +92,45 @@ class SqlFaceSpec extends SparkSpec {
     assert(r(1L).isEmpty, "pre-evolution row must read the new column as null")
   }
 
+  test("a broadcast-dim join prunes layout files at runtime via the manifest blooms") {
+    val dir = java.nio.file.Files.createTempDirectory("sqldpp").toString
+    val pts = (0 until 6000).map { i =>
+      (i.toLong, (i % 50) * 25.0, (i % 37) * 25.0, i * 1.0)
+    }.toDF("id", "x", "y", "z")
+    GeoParquet.write(pts, dir, 250.0)
+    GeoParquet.declareFilterCols(spark, dir, Seq("id"))
+    GeoParquet.writeManifest(spark, dir)
+    val total = spark.read.parquet(dir).inputFiles.length
+    // a selective dim that stays a SOURCE (a local Seq would
+    // constant-fold into a LocalRelation and DPP sees no filter)
+    val dimDir = java.nio.file.Files.createTempDirectory("sqldppdim").toString
+    Seq((3L, 1, "a"), (4007L, 1, "b"), (5999L, 1, "c"), (17L, 0, "d"))
+      .toDF("id", "pick", "tag").write.mode("overwrite").parquet(dimDir)
+    spark.read.parquet(dimDir).createOrReplaceTempView("dim_rt")
+    spark.read.format("graft").load(dir).createOrReplaceTempView("lay_rt")
+    val before = Map(
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio" -> "50.0"
+    ).map { case (k, v) =>
+      val old = spark.conf.getOption(k); spark.conf.set(k, v); k -> old
+    }
+    try {
+      val q = spark.sql(
+        """SELECT l.id, l.z, d.tag
+          |FROM lay_rt l JOIN dim_rt d ON l.id = d.id
+          |WHERE d.pick = 1 ORDER BY l.id""".stripMargin)
+      val got = q.collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+      assert(got.toSeq == Seq((3L, 3.0, "a"), (4007L, 4007.0, "b"), (5999L, 5999.0, "c")))
+      val planned = GraftSource.lastPlannedFiles.get(dir).size
+      assert(planned < total,
+        s"runtime filter did not prune: opened $planned of $total files; " +
+          s"delivered filters: ${GraftSource.lastRuntimeFilters.get(dir)}")
+    } finally before.foreach { case (k, old) =>
+      old.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("snapshot option time-travels rows and aggregates alike") {
     val dir = java.nio.file.Files.createTempDirectory("sqlsnap").toString
     val p = (0 until 1200).map { i =>
