@@ -1131,7 +1131,7 @@ object GeoParquet {
     * [lo,hi] bounds — null stats mean "unknown, must open"; a bound on
     * a column the manifest has no stats pair for prunes nothing.
     */
-  private def manifestBoundsCond(m: DataFrame,
+  private[graft] def manifestBoundsCond(m: DataFrame,
       bounds: Seq[(String, Double, Double)]): org.apache.spark.sql.Column =
     bounds
       .filter { case (c, _, _) =>

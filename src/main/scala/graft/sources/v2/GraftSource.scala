@@ -434,7 +434,8 @@ final class GraftScan(path: String, dataSchema: StructType,
                       required: StructType, exact: Seq[Filter],
                       bounds: Seq[(String, Double, Double)],
                       snapshot: Option[Long] = None)
-    extends Scan with Batch with SupportsRuntimeFiltering {
+    extends Scan with Batch with SupportsRuntimeFiltering
+    with SupportsReportStatistics {
 
   /** Runtime (join-driven) filters, delivered by Spark's dynamic
     * pruning after the build side executes — used for FILE pruning
@@ -443,6 +444,39 @@ final class GraftScan(path: String, dataSchema: StructType,
     * that might contain the dim's keys.
     */
   @volatile private var runtime: Array[Filter] = Array.empty
+
+  /** Post-pushdown cardinality from the manifest: the n_rows sum over
+    * bounds-intersecting files (an upper bound on the filtered rows —
+    * exactly what a planner estimate should be).  Without this a DSv2
+    * scan reports `spark.sql.defaultSizeInBytes` (effectively ∞) and
+    * a kilobyte-sized layout never auto-broadcasts in a join; with it
+    * Catalyst picks broadcast vs shuffle from the layout's real
+    * size.  One manifest read at optimization time (metadata-scale);
+    * stale/missing manifests report unknown, restoring the
+    * conservative default.
+    */
+  override def estimateStatistics(): Statistics = {
+    val spark = SparkSession.active
+    val rows: Option[Long] =
+      try {
+        (snapshot match {
+          case Some(e) => Some(GeoParquet.manifestAsOf(spark, path, e))
+          case None => GeoParquet.freshManifest(spark, path)
+        }).map { m =>
+          import org.apache.spark.sql.functions.{coalesce, lit, sum}
+          m.filter(GeoParquet.manifestBoundsCond(m, bounds))
+            .agg(coalesce(sum("n_rows"), lit(0L))).head().getLong(0)
+        }
+      } catch { case _: Throwable => None }
+    val rowWidth = required.fields.map(_.dataType.defaultSize).sum + 8
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        rows.fold(java.util.OptionalLong.empty())(n =>
+          java.util.OptionalLong.of(math.max(1L, n * rowWidth)))
+      override def numRows(): java.util.OptionalLong =
+        rows.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+    }
+  }
 
   override def filterAttributes(): Array[NamedReference] = {
     val spark = SparkSession.active

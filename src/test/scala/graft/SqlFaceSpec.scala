@@ -131,6 +131,37 @@ class SqlFaceSpec extends SparkSpec {
     }
   }
 
+  test("manifest statistics make a small layout auto-broadcast, unhinted") {
+    val big = layout(6000, 25.0)
+    val dirSmall = java.nio.file.Files.createTempDirectory("sqlstat").toString
+    val small = (0 until 40).map { i =>
+      (i.toLong * 150, i * 1.0, i * 1.0, i * 2.0)
+    }.toDF("id", "x", "y", "z")
+    GeoParquet.write(small, dirSmall, 250.0)
+    GeoParquet.writeManifest(spark, dirSmall)
+    spark.read.format("graft").load(big).createOrReplaceTempView("stat_big")
+    spark.read.format("graft").load(dirSmall).createOrReplaceTempView("stat_small")
+    val q = spark.sql(
+      """SELECT b.id, b.z, s.z AS sz
+        |FROM stat_big b JOIN stat_small s ON b.id = s.id""".stripMargin)
+    // the join picks broadcast from the REPORTED stats — without
+    // estimateStatistics a DSv2 scan reads as defaultSizeInBytes (∞)
+    // and this would be a sort-merge join
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          nodes(a.executedPlan)
+        case n => Seq(n)
+      }.flatten
+    assert(nodes(q.queryExecution.executedPlan).exists {
+      case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => true
+      case _ => false
+    }, "small manifested layout did not broadcast:\n" +
+      q.queryExecution.executedPlan)
+    assert(q.count() > 0)
+  }
+
   test("snapshot option time-travels rows and aggregates alike") {
     val dir = java.nio.file.Files.createTempDirectory("sqlsnap").toString
     val p = (0 until 1200).map { i =>
