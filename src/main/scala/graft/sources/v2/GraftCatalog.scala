@@ -3,10 +3,13 @@ package graft.sources.v2
 import java.util
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.sources.GeoParquet
@@ -39,7 +42,8 @@ import graft.sources.GeoParquet
   * defer the error), DROP/RENAME/ALTER (destructive or rewriting —
   * the API's verbs own those lifecycles).
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -153,4 +157,126 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     throw new UnsupportedOperationException(
       s"graft catalog cannot RENAME $oldIdent — manifests are root-" +
         "relative, so moving the directory IS the rename; do it there")
+
+  // ---- maintenance procedures: CALL <cat>.system.<verb>(...) ----
+  // The lifecycle verbs the table surface deliberately refuses become
+  // EXPLICIT calls (the Iceberg procedure convention): a scheduler can
+  // drive compaction/retention/repair from SQL, and every verb still
+  // runs the API's locked/journaled protocol — the procedure layer
+  // adds addressing, never semantics.
+
+  /** `'ns.tbl'` (warehouse-relative) → layout path. */
+  private def layoutPathOf(table: String): String = {
+    val parts = table.split("\\.")
+    require(parts.length == 2,
+      s"procedure table argument must be '<namespace>.<table>': $table")
+    val p = pathOf(parts(0), parts(1)).toString
+    require(fs.exists(new org.apache.hadoop.fs.Path(p)),
+      s"no such layout under the warehouse: $table")
+    p
+  }
+
+  private def strArg(in: InternalRow, i: Int): String = in.getUTF8String(i).toString
+
+  private def proc(pname: String, desc: String,
+                   params: Seq[ProcedureParameter], out: StructType)
+                  (body: InternalRow => Seq[InternalRow]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = pname
+      override def description(): String = desc
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = pname
+          override def description(): String = desc
+          override def parameters(): Array[ProcedureParameter] = params.toArray
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): util.Iterator[Scan] = {
+            // NB: distinct name — `rows` inside the anon class would
+            // resolve to its own method (a scalac self-tail-call loop)
+            val produced = body(input).toArray
+            util.List.of[Scan](new LocalScan {
+              override def rows(): Array[InternalRow] = produced
+              override def readSchema(): StructType = out
+            }).iterator()
+          }
+        }
+    }
+
+  private def tableParam =
+    ProcedureParameter.in("table", StringType)
+      .comment("'<namespace>.<table>' under the warehouse").build()
+  private val statusSchema = StructType(Seq(
+    StructField("table", StringType), StructField("status", StringType),
+    StructField("epoch", LongType)))
+  private def statusRow(table: String, status: String, path: String)
+      : Seq[InternalRow] =
+    Seq(InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(table),
+      org.apache.spark.unsafe.types.UTF8String.fromString(status),
+      GeoParquet.readEpoch(SparkSession.active, path)))
+
+  private def procedures: Map[String, UnboundProcedure] = Map(
+    "rebuild_manifest" -> proc("rebuild_manifest",
+      "full manifest rebuild — the layout repair verb (also resolves " +
+        "crash-stranded merge/compact stages)",
+      Seq(tableParam), statusSchema) { in =>
+      val t = strArg(in, 0); val p = layoutPathOf(t)
+      GeoParquet.writeManifest(SparkSession.active, p)
+      statusRow(t, "rebuilt", p)
+    },
+    "compact" -> proc("compact",
+      "compact the layout: scoped overlap-component rewrite for curve " +
+        "layouts, full bin-merge rewrite otherwise (locked/journaled)",
+      Seq(tableParam), statusSchema) { in =>
+      val t = strArg(in, 0); val p = layoutPathOf(t)
+      val spark = SparkSession.active
+      if (GeoParquet.isCurveLayout(spark, p)) {
+        val n = GeoParquet.compactCurveScoped(spark, p)
+        statusRow(t, s"compacted $n component(s)", p)
+      } else {
+        GeoParquet.compact(spark, p)
+        statusRow(t, "compacted", p)
+      }
+    },
+    "vacuum" -> proc("vacuum",
+      "sweep stale staging/compaction siblings older than the commit lease",
+      Seq(tableParam), statusSchema) { in =>
+      val t = strArg(in, 0); val p = layoutPathOf(t)
+      GeoParquet.vacuum(SparkSession.active, p)
+      statusRow(t, "vacuumed", p)
+    },
+    "expire" -> proc("expire",
+      "TTL retention: positional-delete rows with t older than cutoff_ms " +
+        "(merge-on-read; the next compaction reclaims space)",
+      Seq(tableParam,
+        ProcedureParameter.in("cutoff_ms", LongType)
+          .comment("epoch-ms cutoff; rows with t < cutoff_ms expire").build()),
+      statusSchema) { in =>
+      val t = strArg(in, 0); val p = layoutPathOf(t)
+      GeoParquet.expireOlderThan(SparkSession.active, p, in.getLong(1))
+      statusRow(t, "expired", p)
+    },
+    "snapshots" -> proc("snapshots",
+      "snapshot inventory: one row per commit epoch still in history",
+      Seq(tableParam), StructType(Seq(
+        StructField("epoch", LongType), StructField("n_files", LongType),
+        StructField("n_rows", LongType)))) { in =>
+      val p = layoutPathOf(strArg(in, 0))
+      GeoParquet.snapshots(SparkSession.active, p).collect().toSeq
+        .map(r => InternalRow(r.getLong(0), r.getLong(1), r.getLong(2)))
+    })
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"graft procedures live in the 'system' namespace: " +
+        s"CALL $catalogName.system.${ident.name()}(...)")
+    procedures.getOrElse(ident.name(),
+      throw new UnsupportedOperationException(
+        s"unknown procedure ${ident.name()} — available: " +
+          procedures.keys.toSeq.sorted.mkString(", ")))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      procedures.keys.toArray.sorted.map(Identifier.of(Array("system"), _))
+    else Array.empty
 }

@@ -88,6 +88,56 @@ class GraftCatalogSpec extends SparkSpec {
       .collect()(0).getLong(0) == 600)
   }
 
+  test("CALL system.rebuild_manifest repairs a staled layout from SQL") {
+    val dir = mkLayout("ops", "repair", 400)
+    // a plain append (no manifest maintenance) stales the sidecar
+    GeoParquet.append(pts(400, 450), dir, 250.0)
+    val r = spark.sql("CALL lake.system.rebuild_manifest('ops.repair')").collect()
+    assert(r.length == 1 && r(0).getString(1) == "rebuilt")
+    // pruned reads are back: a box read opens a strict subset again
+    spark.sql("SELECT id FROM lake.ops.repair WHERE x >= 0 AND x < 200 AND y >= 0 AND y < 200").collect()
+    assert(GraftSource.lastPlannedFiles.get(dir).size <
+      spark.read.parquet(dir).inputFiles.length)
+    assert(spark.sql("SELECT count(*) AS n FROM lake.ops.repair")
+      .collect()(0).getLong(0) == 450)
+  }
+
+  test("CALL system.expire + compact + vacuum run the retention lifecycle") {
+    val dir = mkLayout("ops", "ttl", 300)
+    // give rows a time axis: rebuild the layout with t
+    val withT = (0 until 300).map { i =>
+      (i.toLong, (i % 50) * 25.0, (i % 37) * 25.0, i * 1.0,
+        1700000000000L + i * 1000L)
+    }.toDF("id", "x", "y", "z", "t")
+    GeoParquet.write(withT, dir, 250.0)
+    GeoParquet.writeManifest(spark, dir)
+    val cutoff = 1700000000000L + 100 * 1000L
+    spark.sql(s"CALL lake.system.expire('ops.ttl', ${cutoff}L)").collect()
+    // merge-on-read deletes pending → compact reclaims, face readable again
+    spark.sql("CALL lake.system.compact('ops.ttl')").collect()
+    spark.sql("CALL lake.system.vacuum('ops.ttl')").collect()
+    assert(spark.sql("SELECT count(*) AS n FROM lake.ops.ttl")
+      .collect()(0).getLong(0) == 200)
+  }
+
+  test("CALL system.snapshots inventories commit history from SQL") {
+    val dir = mkLayout("ops", "hist2", 500)
+    GeoParquet.appendWithManifest(pts(500, 700), dir, 250.0)
+    val snaps = spark.sql("CALL lake.system.snapshots('ops.hist2')")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(snaps.map(_._2).sum == 700, snaps.mkString(","))
+    assert(snaps.length >= 2, "two commits must inventory two epochs")
+  }
+
+  test("unknown procedures name the available ones") {
+    val e = intercept[Throwable] {
+      spark.sql("CALL lake.system.optimize('ops.ttl')").collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else String.valueOf(t.getMessage) +: chain(t.getCause)
+    assert(chain(e).exists(_.contains("rebuild_manifest")), chain(e).mkString(" | "))
+  }
+
   test("unknown tables and refused verbs error helpfully") {
     intercept[Throwable] { spark.sql("SELECT * FROM lake.ice.nope").collect() }
     val e = intercept[Throwable] {
