@@ -128,6 +128,15 @@ object Plans {
       Seq("Scan", "PushedFilters", "Filter ("))
     show("geotiff_dem (binaryFile granule decode -> broadcast bilinear)",
       operators.RasterOps.geotiffDem(spark, sf), joiny)
+    show("sql_box (DSv2 face: exact pushed filters, NO re-filter above the scan)",
+      operators.GeoOps.sqlBox(spark, sf),
+      Seq("BatchScan", "GraftScan", "Filter (", "Exchange"))
+    show("sql_agg (aggregate pushdown: GraftAggScan partials + final merge)",
+      operators.GeoOps.sqlAgg(spark, sf),
+      Seq("BatchScan", "GraftAggScan", "HashAggregate", "Exchange"))
+    show("sql_dim_join (runtime In-filter reaches the DSv2 scan)",
+      operators.GeoOps.sqlDimJoin(spark, sf),
+      Seq("BatchScan", "GraftScan", "Join", "dynamicpruning", "RuntimeFilters"))
     spark.stop()
   }
 }

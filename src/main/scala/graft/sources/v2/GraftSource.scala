@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform, Expression => VExpression}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
@@ -99,9 +99,28 @@ object GraftSource {
 
 final class GraftTable(path: String, schema: StructType,
                        pinnedSnapshot: Option[Long] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
   override def name(): String =
     s"graft:$path" + pinnedSnapshot.fold("")(e => s"@$e")
+
+  /** `DELETE FROM` routes to the layout's merge-on-read tombstones
+    * ([[GeoParquet.deleteWhere]], locked) when every conjunct
+    * translates to a Column predicate.  The deletes are PENDING after
+    * this: API reads subtract them on the fly; the minimal SQL-face
+    * reader refuses until a compaction reclaims — the documented
+    * lifecycle is `DELETE FROM …` → `CALL <cat>.system.compact(…)`.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => GraftTable.columnOf(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(pinnedSnapshot.isEmpty, "cannot DELETE FROM a pinned snapshot")
+    val spark = SparkSession.active
+    val cond = filters.toSeq.flatMap(GraftTable.columnOf)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    GeoParquet.deleteWhere(spark, path, cond)
+  }
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     // append only — no TRUNCATE, so an overwrite save refuses in
@@ -120,6 +139,37 @@ final class GraftTable(path: String, schema: StructType,
       pinnedSnapshot.orElse(Option(options.get("snapshot")).map(_.toLong)))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(path, info)
+}
+
+object GraftTable {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.sources._
+
+  /** Translate a v1 Filter tree to a Column predicate, None when any
+    * node has no Column form — `canDeleteWhere` then refuses and the
+    * DELETE fails loudly instead of deleting the wrong rows.
+    */
+  private[v2] def columnOf(f: Filter): Option[Column] = f match {
+    case And(l, r) => for (a <- columnOf(l); b <- columnOf(r)) yield a && b
+    case Or(l, r) => for (a <- columnOf(l); b <- columnOf(r)) yield a || b
+    case Not(c) => columnOf(c).map(!_)
+    case EqualTo(c, v) => Some(col(c) === lit(v))
+    case EqualNullSafe(c, v) => Some(col(c) <=> lit(v))
+    case GreaterThan(c, v) => Some(col(c) > lit(v))
+    case GreaterThanOrEqual(c, v) => Some(col(c) >= lit(v))
+    case LessThan(c, v) => Some(col(c) < lit(v))
+    case LessThanOrEqual(c, v) => Some(col(c) <= lit(v))
+    case In(c, vs) => Some(col(c).isin(vs.toIndexedSeq: _*))
+    case IsNull(c) => Some(col(c).isNull)
+    case IsNotNull(c) => Some(col(c).isNotNull)
+    case StringStartsWith(c, v) => Some(col(c).startsWith(v))
+    case StringEndsWith(c, v) => Some(col(c).endsWith(v))
+    case StringContains(c, v) => Some(col(c).contains(v))
+    case AlwaysTrue() => Some(lit(true))
+    case AlwaysFalse() => Some(lit(false))
+    case _ => None
+  }
 }
 
 /** The write face: `df.write.format("graft").mode("append")` and SQL
