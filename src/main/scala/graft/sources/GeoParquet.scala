@@ -33,6 +33,32 @@ object GeoParquet {
     recordDelta(df.sparkSession, path, delta)
   }
 
+  /** Create an EMPTY bin layout: geometry (`_delta`) and declared
+    * schema (`_schema`, bin partition columns included) recorded with
+    * zero data files — the SQL DDL face's CREATE TABLE.  Readers see
+    * an empty table (no manifest, no files); the first append bins by
+    * the recorded δ, and a `writeManifest` after data lands restores
+    * pruned reads — the create→insert→rebuild lifecycle entirely
+    * from SQL.
+    */
+  def createLayout(spark: SparkSession, path: String,
+                   schema: org.apache.spark.sql.types.StructType,
+                   delta: Double): Unit = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    require(schema.fieldNames.contains("x") && schema.fieldNames.contains("y"),
+      "a bin layout needs x and y coordinate columns")
+    require(delta > 0, s"bin size must be positive: $delta")
+    val fs = fsOf(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    require(!fs.exists(p) || fs.listStatus(p).isEmpty,
+      s"$path already exists and is not empty")
+    fs.mkdirs(p)
+    recordDelta(spark, path, delta)
+    writeSchemaFile(spark, path, StructType(
+      dataSchemaOf(schema).fields.toSeq ++
+        Seq(StructField("bin_x", LongType), StructField("bin_y", LongType))))
+  }
+
   /** Record the layout's bin size as a sidecar (AFTER the data write
     * — overwrite mode wipes the directory), so appenders that did not
     * create the layout — the SQL-face writer above all — need not be

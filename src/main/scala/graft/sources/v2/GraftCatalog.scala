@@ -134,14 +134,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       Some(version.toLong))
   }
 
+  /** `CREATE TABLE <cat>.<ns>.<tbl> (cols…) USING graft
+    * TBLPROPERTIES('delta'='<binSize>')` — the geometry decision a
+    * layout needs is made EXPLICIT in the DDL: an empty bin layout
+    * lands (schema + δ sidecars, zero files), the first INSERT bins
+    * by the recorded δ, and `CALL system.rebuild_manifest` restores
+    * pruned reads — creation to maintenance entirely from SQL.
+    * Curve-clustered layouts stay API-created (their clustering is a
+    * write-path decision, not a property).
+    */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      s"graft catalog cannot CREATE TABLE $ident — a layout needs a " +
-        "geometry decision (bin size / curve clustering); create it with " +
-        "GeoParquet.write/writeZOrdered under the warehouse, then query " +
-        "it by name")
+                           properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      s"graft layouts own their partitioning (δ-binning) — declare the " +
+        "geometry decision as TBLPROPERTIES('delta'='<binSize>'), not " +
+        "PARTITIONED BY")
+    val delta = Option(properties.get("delta")).map(_.toDouble).getOrElse(
+      throw new UnsupportedOperationException(
+        s"CREATE TABLE $ident needs the layout's geometry decision: " +
+          "TBLPROPERTIES('delta'='<binSize>'); for curve-clustered " +
+          "layouts create with GeoParquet.writeZOrdered under the " +
+          "warehouse instead"))
+    require(ident.namespace().length == 1,
+      s"graft catalog tables are <namespace>.<table>: $ident")
+    fs.mkdirs(pathOf(ident.namespace()(0)))
+    val path = tablePath(ident)
+    GeoParquet.createLayout(SparkSession.active, path, schema, delta)
+    new GraftTable(path, GeoParquet.dataSchemaFor(SparkSession.active, path))
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(

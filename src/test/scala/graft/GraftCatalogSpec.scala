@@ -154,13 +154,35 @@ class GraftCatalogSpec extends SparkSpec {
     assert(chain(e).exists(_.contains("rebuild_manifest")), chain(e).mkString(" | "))
   }
 
+  test("CREATE TABLE → INSERT → rebuild_manifest → pruned SELECT, all from SQL") {
+    spark.sql(
+      """CREATE TABLE lake.ddl.fresh (id BIGINT, x DOUBLE, y DOUBLE, z DOUBLE)
+        |USING graft TBLPROPERTIES('delta'='250.0')""".stripMargin)
+    // empty table reads as empty, not as an error
+    assert(spark.sql("SELECT count(*) AS n FROM lake.ddl.fresh")
+      .collect()(0).getLong(0) == 0)
+    pts(0, 800).createOrReplaceTempView("ddl_src")
+    spark.sql("INSERT INTO lake.ddl.fresh SELECT id, x, y, z FROM ddl_src")
+    assert(spark.sql("SELECT count(*) AS n FROM lake.ddl.fresh")
+      .collect()(0).getLong(0) == 800)
+    spark.sql("CALL lake.system.rebuild_manifest('ddl.fresh')").collect()
+    val dir = s"$warehouse/ddl/fresh"
+    spark.sql("SELECT id FROM lake.ddl.fresh WHERE x >= 0 AND x < 200 AND y >= 0 AND y < 200").collect()
+    assert(GraftSource.lastPlannedFiles.get(dir).size <
+      spark.read.parquet(dir).inputFiles.length,
+      "post-rebuild reads must prune")
+    // the recorded δ drove the binning
+    assert(GeoParquet.deltaOf(spark, dir).contains(250.0))
+  }
+
   test("unknown tables and refused verbs error helpfully") {
     intercept[Throwable] { spark.sql("SELECT * FROM lake.ice.nope").collect() }
     val e = intercept[Throwable] {
       spark.sql("CREATE TABLE lake.ice.fresh (id BIGINT, x DOUBLE, y DOUBLE) USING graft")
     }
-    assert(String.valueOf(e.getMessage).contains("geometry") ||
-      (e.getCause != null && String.valueOf(e.getCause.getMessage).contains("geometry")))
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else String.valueOf(t.getMessage) +: chain(t.getCause)
+    assert(chain(e).exists(_.contains("geometry")), chain(e).mkString(" | "))
     intercept[Throwable] { spark.sql("DROP TABLE lake.ice.atl06") }
   }
 }
