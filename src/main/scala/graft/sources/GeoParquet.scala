@@ -59,6 +59,29 @@ object GeoParquet {
         Seq(StructField("bin_x", LongType), StructField("bin_y", LongType))))
   }
 
+  /** Explicit add-column evolution — the SQL face's `ALTER TABLE …
+    * ADD COLUMNS`.  Identical contract to the append-path
+    * [[recordEvolution]]: new columns append to the declared schema
+    * nullable (existing files lack them and read as nulls); duplicate
+    * names refuse.  Declaring AHEAD of data is the point: the next
+    * SELECT already carries the column, the next INSERT may populate
+    * it.  One sidecar read + write — never a data rewrite.
+    */
+  def addColumns(spark: SparkSession, path: String,
+                 cols: Seq[org.apache.spark.sql.types.StructField]): Unit = {
+    import org.apache.spark.sql.types.StructType
+    // sidecar-less (never-evolved) layouts pin their current full
+    // schema once, same one-time directory read recordEvolution pays
+    val full = layoutSchema(spark, path)
+      .getOrElse(spark.read.parquet(path).schema)
+    cols.foreach { c =>
+      require(!full.fieldNames.contains(c.name) && !BinCols.contains(c.name),
+        s"column ${c.name} already exists in the layout at $path")
+    }
+    writeSchemaFile(spark, path,
+      StructType(full.fields ++ cols.map(_.copy(nullable = true))))
+  }
+
   /** Record the layout's bin size as a sidecar (AFTER the data write
     * — overwrite mode wipes the directory), so appenders that did not
     * create the layout — the SQL-face writer above all — need not be

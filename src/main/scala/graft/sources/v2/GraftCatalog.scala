@@ -36,11 +36,13 @@ import graft.sources.GeoParquet
   * listing each (metadata-scale; the LAYOUTS are listed, never their
   * files).
   *
-  * Deliberately refused verbs: CREATE TABLE (a layout needs a
-  * geometry decision — bin size, curve, clustering — owned by
-  * [[GeoParquet.write]]/`writeZOrdered`; an empty CREATE would just
-  * defer the error), DROP/RENAME/ALTER (destructive or rewriting —
-  * the API's verbs own those lifecycles).
+  * DDL surface: CREATE TABLE declares a bin layout's geometry in the
+  * statement (`TBLPROPERTIES('delta'='<binSize>')` — [[createTable]]);
+  * ALTER TABLE ADD COLUMNS declares add-column evolution ahead of its
+  * data ([[alterTable]]).  Deliberately refused: DROP/RENAME
+  * (destructive — directory lifecycle stays a deliberate filesystem
+  * act, not SQL) and any ALTER that would rewrite data files (drops,
+  * renames, type changes — API-owned lifecycles).
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
     with ProcedureCatalog {
@@ -164,10 +166,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftTable(path, GeoParquet.dataSchemaFor(SparkSession.active, path))
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      s"graft catalog cannot ALTER $ident — schema evolution rides the " +
-        "append paths (recordEvolution) and layout rewrites are API verbs")
+  /** `ALTER TABLE <cat>.<ns>.<tbl> ADD COLUMNS (…)` — the one ALTER a
+    * layout supports without touching a data file: add-column
+    * evolution, the same sidecar contract the append path records
+    * implicitly ([[GeoParquet.addColumns]]).  Declared-but-unpopulated
+    * columns read as nulls immediately.  Every other change (drop,
+    * rename, type, position) would rewrite data files and refuses —
+    * those lifecycles stay API verbs.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          s"graft layouts are flat — cannot add nested column " +
+            a.fieldNames().mkString("."))
+        StructField(a.fieldNames()(0), a.dataType(), nullable = true)
+      case other =>
+        throw new UnsupportedOperationException(
+          s"graft catalog ALTER supports only ADD COLUMNS — $other " +
+            "would rewrite data files (drops/renames/type changes are " +
+            "API-owned lifecycles)")
+    }
+    val path = tablePath(ident)
+    GeoParquet.addColumns(SparkSession.active, path, adds)
+    new GraftTable(path, GeoParquet.dataSchemaFor(SparkSession.active, path))
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException(

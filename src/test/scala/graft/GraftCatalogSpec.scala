@@ -175,6 +175,37 @@ class GraftCatalogSpec extends SparkSpec {
     assert(GeoParquet.deltaOf(spark, dir).contains(250.0))
   }
 
+  test("ALTER TABLE ADD COLUMNS declares a column ahead of its data") {
+    spark.sql(
+      """CREATE TABLE lake.ddl.widen (id BIGINT, x DOUBLE, y DOUBLE, z DOUBLE)
+        |USING graft TBLPROPERTIES('delta'='250.0')""".stripMargin)
+    pts(0, 400).createOrReplaceTempView("alter_src")
+    spark.sql("INSERT INTO lake.ddl.widen SELECT id, x, y, z FROM alter_src")
+    spark.sql("ALTER TABLE lake.ddl.widen ADD COLUMNS (w DOUBLE)")
+    // declared-but-unpopulated reads as nulls, not as an error
+    val afterAlter = spark.sql("SELECT id, w FROM lake.ddl.widen").collect()
+    assert(afterAlter.length == 400 && afterAlter.forall(_.isNullAt(1)))
+    // the next INSERT populates it; earlier rows stay null
+    spark.sql(
+      "INSERT INTO lake.ddl.widen SELECT id + 1000, x, y, z, z * 2 AS w FROM alter_src")
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM lake.ddl.widen WHERE w IS NOT NULL")
+      .collect()(0).getLong(0) == 400)
+    assert(spark.sql("SELECT count(*) AS n FROM lake.ddl.widen")
+      .collect()(0).getLong(0) == 800)
+    // data-rewriting ALTERs refuse and point at the supported verb
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else String.valueOf(t.getMessage) +: chain(t.getCause)
+    val e = intercept[Throwable] {
+      spark.sql("ALTER TABLE lake.ddl.widen DROP COLUMN z")
+    }
+    assert(chain(e).exists(_.contains("ADD COLUMNS")), chain(e).mkString(" | "))
+    val dup = intercept[Throwable] {
+      spark.sql("ALTER TABLE lake.ddl.widen ADD COLUMNS (z DOUBLE)")
+    }
+    assert(chain(dup).exists(_.contains("already exists")), chain(dup).mkString(" | "))
+  }
+
   test("unknown tables and refused verbs error helpfully") {
     intercept[Throwable] { spark.sql("SELECT * FROM lake.ice.nope").collect() }
     val e = intercept[Throwable] {
