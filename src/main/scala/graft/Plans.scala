@@ -137,6 +137,29 @@ object Plans {
     show("sql_dim_join (runtime In-filter reaches the DSv2 scan)",
       operators.GeoOps.sqlDimJoin(spark, sf),
       Seq("BatchScan", "GraftScan", "Join", "dynamicpruning", "RuntimeFilters"))
+
+    // SQL mutations: the delta rewrite plan (row-address scan feeding
+    // WriteDelta) — EXPLAINed, not executed, on a throwaway layout
+    locally {
+      import spark.implicits._
+      val w = java.nio.file.Files.createTempDirectory("planswh").toString
+      spark.conf.set("spark.sql.catalog.plans",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.plans.warehouse", w)
+      val df = spark.range(2000).select($"id",
+        ($"id" % 50 * 25.0).as("x"), ($"id" % 37 * 25.0).as("y"),
+        $"id".cast("double").as("z"))
+      graft.sources.GeoParquet.write(df, s"$w/ns/t", 250.0)
+      graft.sources.GeoParquet.writeManifest(spark, s"$w/ns/t")
+      val plan = spark.sql(
+        "EXPLAIN FORMATTED UPDATE plans.ns.t SET z = z + 1 WHERE id % 10 = 0")
+        .collect()(0).getString(0)
+      println("==== sql_update (delta rewrite: row-address scan -> WriteDelta)")
+      plan.linesIterator
+        .filter(l => Seq("WriteDelta", "BatchScan", "GraftScan", "_gfile",
+          "Filter", "Project").exists(l.contains))
+        .take(16).foreach(println)
+    }
     spark.stop()
   }
 }

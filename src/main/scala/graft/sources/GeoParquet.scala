@@ -209,6 +209,57 @@ object GeoParquet {
       .makeQualified(p).toUri.getPath
   }
 
+  /** `abs` as a root-relative data-file path — the form manifest
+    * entries and positional tombstones use ([[relativeTo]]'s cut,
+    * for a single driver-side string).
+    */
+  private[graft] def relDataPath(spark: SparkSession, path: String,
+                                 abs: String): String = {
+    val root = rootPathOf(spark, path)
+    val i = abs.indexOf(root)
+    require(i >= 0, s"$abs is not under layout root $root")
+    abs.substring(i + root.length + 1)
+  }
+
+  /** Commit one SQL row-level mutation (UPDATE / MERGE / rewritten
+    * DELETE) from executor-staged parts: `deleteStaged` parquet files
+    * hold (file, pos) addresses of the doomed rows, `insertStaged`
+    * the replacement/new rows.  The commit is [[upsertPositional]]'s
+    * shape — stage the doomed addresses, then
+    * [[appendWithManifest]] the inserts with the stage threaded in,
+    * so the deletes go live atomically with the new rows (and a
+    * delete-only mutation commits through the same 0-row-append
+    * path).  Crash windows heal exactly as the API merge's do.
+    */
+  private[graft] def commitDelta(spark: SparkSession, path: String,
+                                 deleteStaged: Seq[String],
+                                 insertStaged: Seq[String],
+                                 delta: Double): Unit = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    adoptStagedMerges(spark, path) // heal any crashed predecessor
+    val mergeDir =
+      if (deleteStaged.isEmpty) None
+      else {
+        val doomed = spark.read
+          .schema(StructType(Seq(StructField("file", StringType),
+            StructField("pos", LongType))))
+          .parquet(deleteStaged: _*)
+          .localCheckpoint() // pin before the staging dir is vacated
+        if (doomed.isEmpty) None else Some(stageMerge(spark, path, doomed))
+      }
+    val ins =
+      if (insertStaged.isEmpty)
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          dataSchemaFor(spark, path))
+      else
+        // footer schema: every task wrote the same row shape; columns
+        // beyond the declared schema widen via recordEvolution inside
+        // the append
+        spark.read.parquet(insertStaged: _*)
+    appendWithManifest(ins, path, delta, mergeDir)
+  }
+
   /** File-level min/max manifest of a flat (curve-clustered) layout —
     * the Iceberg-manifest-lite for layouts without partition
     * directories: a tiny sidecar table (one row per data file) that a

@@ -1,0 +1,267 @@
+package graft.sources.v2
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.GeoParquet
+
+/** Delta-based (merge-on-read) SQL mutations for bin layouts:
+  * `UPDATE`, `MERGE INTO`, and any `DELETE FROM` whose condition the
+  * metadata path cannot translate, all through plain `spark.sql`.
+  *
+  * Spark's row-level rewrite reads the matched rows WITH their row
+  * addresses (the scan's `_gfile`/`_gpos` metadata columns — manifest
+  * file pruning applies, so a 0.1%-of-corpus mutation opens the files
+  * that might match, not the corpus), then hands each executor its
+  * share of deletes and replacement rows.  Executors stage both as
+  * flat parquet parts (the same parquet-mr record API the SQL-face
+  * reader uses, in reverse); the driver commit re-reads the staged
+  * parts as distributed DataFrames and routes them through
+  * [[GeoParquet.commitDelta]] — positional tombstones staged, inserts
+  * appended with manifest maintenance, all under the layout's
+  * CommitLock, atomically visible exactly as the API's
+  * `upsertPositional` is.  No data file is rewritten; row counts the
+  * mutation didn't touch cost nothing.
+  *
+  * After the commit the layout has PENDING positional deletes: API
+  * reads subtract them on the fly, the minimal SQL-face reader
+  * refuses until `CALL <cat>.system.compact` reclaims — the same
+  * pinned lifecycle as `DELETE FROM` (mutate → compact → SELECT).
+  *
+  * Concurrency: each commit serializes under the CommitLock, so files
+  * and manifests stay consistent under contention; two mutations
+  * matching the SAME row are last-write-duplicates (no
+  * serializable-conflict validation), as with two concurrent API
+  * merges.
+  */
+final class GraftRowLevelOperation(path: String, dataSchema: StructType,
+                                   cmd: RowLevelOperation.Command)
+    extends RowLevelOperation with SupportsDelta {
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"GraftDelta($cmd, $path)"
+
+  /** The row-level read is the ordinary SQL-face scan — Spark asks it
+    * for the row-address metadata columns via column pruning.
+    */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(path, dataSchema)
+
+  override def rowId(): Array[NamedReference] = Array(
+    Expressions.column(GraftSource.FileMetaCol),
+    Expressions.column(GraftSource.PosMetaCol))
+
+  /** Updates arrive as delete + reinsert pairs — exactly the
+    * positional-tombstone + append commit this store has.
+    */
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite =
+        new GraftDeltaWrite(path, info.schema())
+    }
+}
+
+/** The delta write: resolves the layout's bin size at build time
+  * (refusing non-bin layouts before any task runs) and stages under
+  * `_rlo_staging/<uuid>` — an underscore sidecar, invisible to every
+  * reader.
+  */
+final class GraftDeltaWrite(path: String, rowSchema: StructType)
+    extends DeltaWrite {
+  override def toBatch: DeltaBatchWrite = {
+    val spark = SparkSession.active
+    val delta = GeoParquet.deltaOf(spark, path).getOrElse(
+      throw new UnsupportedOperationException(
+        s"SQL row-level mutations need a bin layout with a recorded " +
+          s"bin size at $path — curve-clustered layouts mutate via the API"))
+    val staging = s"$path/_rlo_staging/" +
+      java.util.UUID.randomUUID().toString.take(8)
+    new GraftDeltaBatchWrite(path, staging, rowSchema.json, delta,
+      new SerConf(spark.sparkContext.hadoopConfiguration))
+  }
+}
+
+/** One staged part-pair per task attempt; only files named in COMMIT
+  * messages are adopted, so a lost task's orphans die with the
+  * staging directory.
+  */
+final case class GraftDeltaMessage(deleteFile: Option[String],
+                                   insertFile: Option[String],
+                                   deleted: Long, inserted: Long)
+    extends WriterCommitMessage
+
+final class GraftDeltaBatchWrite(path: String, staging: String,
+                                 rowSchemaJson: String, delta: Double,
+                                 ser: SerConf)
+    extends DeltaBatchWrite {
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DeltaWriterFactory =
+    new GraftDeltaWriterFactory(staging, rowSchemaJson, ser)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val msgs = messages.collect { case m: GraftDeltaMessage => m }
+    try GeoParquet.commitDelta(spark, path,
+      msgs.flatMap(_.deleteFile).toSeq, msgs.flatMap(_.insertFile).toSeq,
+      delta)
+    finally dropStaging()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    dropStaging()
+
+  private def dropStaging(): Unit = {
+    val p = new org.apache.hadoop.fs.Path(staging)
+    val fs = p.getFileSystem(ser.conf)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+}
+
+final class GraftDeltaWriterFactory(staging: String, rowSchemaJson: String,
+                                    ser: SerConf)
+    extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int,
+                            taskId: Long): DeltaWriter[InternalRow] =
+    new GraftDeltaWriter(staging, s"p$partitionId-t$taskId",
+      DataType.fromJson(rowSchemaJson).asInstanceOf[StructType], ser)
+}
+
+/** Executor-side stager: deletes become (file, pos) rows, inserts
+  * become data rows, each in its own flat parquet part written
+  * through parquet-mr's record API (the write mirror of the SQL
+  * face's [[GroupFileReader]]).  Parts open lazily — a delete-only
+  * task stages no insert file at all — and stay O(1) memory: rows
+  * stream through the parquet writer's own column buffers.
+  */
+final class GraftDeltaWriter(staging: String, suffix: String,
+                             rowSchema: StructType, ser: SerConf)
+    extends DeltaWriter[InternalRow] {
+  import org.apache.parquet.example.data.Group
+  import org.apache.parquet.example.data.simple.SimpleGroupFactory
+  import org.apache.parquet.hadoop.ParquetWriter
+  import org.apache.parquet.hadoop.example.ExampleParquetWriter
+  import org.apache.parquet.hadoop.metadata.CompressionCodecName
+  import org.apache.parquet.hadoop.util.HadoopOutputFile
+  import org.apache.parquet.io.api.Binary
+  import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types => PTypes}
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
+  // reinserted rows may carry preserved metadata columns — data
+  // fields are what lands in the layout
+  private val dataFields: Array[(StructField, Int)] =
+    rowSchema.fields.zipWithIndex
+      .filterNot { case (f, _) => GraftSource.MetaCols.contains(f.name) }
+
+  private def parquetFieldOf(f: StructField) = f.dataType match {
+    case LongType => PTypes.optional(INT64).named(f.name)
+    case IntegerType => PTypes.optional(INT32).named(f.name)
+    case DoubleType => PTypes.optional(DOUBLE).named(f.name)
+    case FloatType => PTypes.optional(FLOAT).named(f.name)
+    case BooleanType => PTypes.optional(BOOLEAN).named(f.name)
+    case StringType => PTypes.optional(BINARY)
+      .as(LogicalTypeAnnotation.stringType()).named(f.name)
+    case BinaryType => PTypes.optional(BINARY).named(f.name)
+    case other => throw new UnsupportedOperationException(
+      s"graft SQL mutations: unsupported column type " +
+        s"${other.simpleString} for ${f.name} — mutate via the API")
+  }
+
+  private val deleteSchema = new MessageType("graft_delete",
+    PTypes.optional(BINARY).as(LogicalTypeAnnotation.stringType())
+      .named("file"),
+    PTypes.optional(INT64).named("pos"))
+  private var delPath: Option[String] = None
+  private var insPath: Option[String] = None
+  private var delWriter: ParquetWriter[Group] = _
+  private var insWriter: ParquetWriter[Group] = _
+  private var delFactory: SimpleGroupFactory = _
+  private var insFactory: SimpleGroupFactory = _
+  private var nDel = 0L
+  private var nIns = 0L
+
+  private def open(file: String, schema: MessageType): ParquetWriter[Group] =
+    ExampleParquetWriter.builder(
+        HadoopOutputFile.fromPath(new org.apache.hadoop.fs.Path(file), ser.conf))
+      .withConf(ser.conf).withType(schema)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+
+  override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+    if (delWriter == null) {
+      val f = s"$staging/del-$suffix.parquet"
+      delWriter = open(f, deleteSchema)
+      delFactory = new SimpleGroupFactory(deleteSchema)
+      delPath = Some(f)
+    }
+    val g = delFactory.newGroup()
+    g.add("file", Binary.fromConstantByteArray(id.getUTF8String(0).getBytes))
+    g.add("pos", id.getLong(1))
+    delWriter.write(g)
+    nDel += 1
+  }
+
+  override def insert(row: InternalRow): Unit = {
+    if (insWriter == null) {
+      val f = s"$staging/ins-$suffix.parquet"
+      val schema = new MessageType("graft_insert",
+        dataFields.map { case (fld, _) => parquetFieldOf(fld) }: _*)
+      insWriter = open(f, schema)
+      insFactory = new SimpleGroupFactory(schema)
+      insPath = Some(f)
+    }
+    val g = insFactory.newGroup()
+    dataFields.foreach { case (f, i) =>
+      if (!row.isNullAt(i)) f.dataType match {
+        case LongType => g.add(f.name, row.getLong(i))
+        case IntegerType => g.add(f.name, row.getInt(i))
+        case DoubleType => g.add(f.name, row.getDouble(i))
+        case FloatType => g.add(f.name, row.getFloat(i))
+        case BooleanType => g.add(f.name, row.getBoolean(i))
+        case StringType => g.add(f.name,
+          Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
+        case BinaryType => g.add(f.name,
+          Binary.fromConstantByteArray(row.getBinary(i)))
+        case other => throw new UnsupportedOperationException(
+          s"unsupported ${other.simpleString} for ${f.name}")
+      }
+    }
+    insWriter.write(g)
+    nIns += 1
+  }
+
+  override def update(metadata: InternalRow, id: InternalRow,
+                      row: InternalRow): Unit = {
+    // unreachable with representUpdateAsDeleteAndInsert = true, but
+    // the decomposition is the same commit either way
+    delete(metadata, id)
+    insert(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    closeWriters()
+    GraftDeltaMessage(delPath, insPath, nDel, nIns)
+  }
+
+  override def abort(): Unit = {
+    closeWriters()
+    val fs = new org.apache.hadoop.fs.Path(staging).getFileSystem(ser.conf)
+    (delPath ++ insPath).foreach { f =>
+      fs.delete(new org.apache.hadoop.fs.Path(f), false)
+    }
+  }
+
+  override def close(): Unit = closeWriters()
+
+  private def closeWriters(): Unit = {
+    if (delWriter != null) { delWriter.close(); delWriter = null }
+    if (insWriter != null) { insWriter.close(); insWriter = null }
+  }
+}

@@ -6,11 +6,11 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform, Expression => VExpression}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperationBuilder, RowLevelOperationInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter, InsertableRelation}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -76,6 +76,22 @@ class GraftSource extends TableProvider with DataSourceRegister {
 }
 
 object GraftSource {
+  /** Row-address metadata columns — the SQL face's row ID for
+    * merge-on-read mutations: the root-relative data file plus the
+    * physical row position within it, exactly the
+    * `_tombstones_pos` (file, pos) addressing convention, so a
+    * DELETE/UPDATE/MERGE rewrite emits tombstones the API's
+    * [[graft.sources.GeoParquet.upsertPositional]] machinery can
+    * commit and the next compaction can apply.  Queryable directly
+    * too (`SELECT _gfile, _gpos FROM …`).
+    */
+  val FileMetaCol = "_gfile"
+  val PosMetaCol = "_gpos"
+  private[v2] val MetaCols: Set[String] = Set(FileMetaCol, PosMetaCol)
+  private[v2] val MetaFields: Seq[StructField] = Seq(
+    StructField(FileMetaCol, StringType, nullable = false),
+    StructField(PosMetaCol, LongType, nullable = false))
+
   /** Last planned (opened) file set per layout path — a
     * test/diagnostic hook (DSv2 scans do not surface
     * `df.inputFiles`).  For aggregate scans this is the SCANNED set
@@ -99,7 +115,40 @@ object GraftSource {
 
 final class GraftTable(path: String, schema: StructType,
                        pinnedSnapshot: Option[Long] = None)
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsMetadataColumns with SupportsRowLevelOperations {
+
+  /** The row-address metadata columns ([[GraftSource.FileMetaCol]]/
+    * [[GraftSource.PosMetaCol]]) — what the delta-based row-level
+    * operations use as their row ID, and queryable directly.
+    */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = GraftSource.FileMetaCol
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "root-relative data file (positional-tombstone address)"
+    },
+    new MetadataColumn {
+      override def name(): String = GraftSource.PosMetaCol
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment(): String = "physical row position in _gfile"
+    })
+
+  /** `UPDATE` / `MERGE INTO` / non-translatable `DELETE`: delta-based
+    * (merge-on-read) row-level operations.  Matched rows become
+    * positional tombstones and replacement rows append — the
+    * [[graft.sources.GeoParquet.upsertPositional]] commit shape,
+    * staged by executors and committed under the layout's lock.
+    */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(pinnedSnapshot.isEmpty,
+      s"cannot ${info.command()} a pinned snapshot of graft:$path")
+    () => new GraftRowLevelOperation(path, schema, info.command())
+  }
   override def name(): String =
     s"graft:$path" + pinnedSnapshot.fold("")(e => s"@$e")
 
@@ -246,12 +295,16 @@ final class GraftScanBuilder(path: String, dataSchema: StructType,
   override def pushedFilters(): Array[Filter] = exact
 
   override def pruneColumns(s: StructType): Unit =
-    // keep the data-file field order; drop unrequested fields.
+    // keep the data-file field order; drop unrequested fields.  The
+    // row-address metadata columns (requested by row-level rewrites
+    // and `SELECT _gfile, _gpos`) are not data fields — keep them
+    // appended, in their declared order.
     // (no-op under a pushed aggregation — the agg schema is not a
     // column subset; Spark skips pruning then, this is belt+braces)
     if (aggCols.isEmpty)
-      required = StructType(dataSchema.fields.filter(f =>
-        s.fieldNames.contains(f.name)))
+      required = StructType(
+        dataSchema.fields.filter(f => s.fieldNames.contains(f.name)) ++
+          GraftSource.MetaFields.filter(f => s.fieldNames.contains(f.name)))
 
   override def supportCompletePushDown(agg: Aggregation): Boolean = false
 
@@ -580,7 +633,13 @@ final class GraftScan(path: String, dataSchema: StructType,
       case (acc, _) => acc
     }
     GraftSource.lastPlannedFiles.put(path, files)
-    files.map(f => GraftPartition(f): InputPartition).toArray
+    // row-address mode needs each file's root-relative form (the
+    // tombstone convention) — resolved here, once, on the driver
+    val rels: Seq[String] =
+      if (rowIdMode) files.map(GeoParquet.relDataPath(spark, path, _))
+      else files.map(_ => "")
+    files.zip(rels)
+      .map { case (f, r) => GraftPartition(f, r): InputPartition }.toArray
   }
 
   private def keysDf(spark: SparkSession, c: String,
@@ -593,24 +652,41 @@ final class GraftScan(path: String, dataSchema: StructType,
       StructType(Seq(StructField(c, dt))))
   }
 
+  /** Row-address mode: the projection asks for `_gfile`/`_gpos`, so
+    * readers must assign physical row positions — which disables
+    * parquet-level record skipping (a skipped record would shift
+    * every later position); exact filters still drop rows AFTER
+    * their position is assigned, and file pruning is unaffected
+    * (removing a whole file shifts nothing).
+    */
+  private def rowIdMode: Boolean =
+    required.fieldNames.exists(GraftSource.MetaCols.contains)
+
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(
       new graft.sources.v2.SerConf(
         SparkSession.active.sparkContext.hadoopConfiguration),
-      dataSchema.json, required.json, exact, bounds)
+      dataSchema.json, required.json, exact, bounds, rowIdMode)
 }
 
-final case class GraftPartition(file: String) extends InputPartition
+final case class GraftPartition(file: String, relFile: String = "")
+    extends InputPartition
 
 final class GraftReaderFactory(conf: SerConf, dataJson: String,
                                requiredJson: String, exact: Seq[Filter],
-                               bounds: Seq[(String, Double, Double)])
+                               bounds: Seq[(String, Double, Double)],
+                               rowIdMode: Boolean = false)
     extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new GroupRowReader(p.asInstanceOf[GraftPartition].file, conf,
-      DataType.fromJson(dataJson).asInstanceOf[StructType],
-      DataType.fromJson(requiredJson).asInstanceOf[StructType],
-      exact, bounds)
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val gp = p.asInstanceOf[GraftPartition]
+    val dataSchema = DataType.fromJson(dataJson).asInstanceOf[StructType]
+    val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
+    if (rowIdMode)
+      new GroupRowIdReader(gp.relFile, gp.file, conf, dataSchema, required,
+        exact)
+    else
+      new GroupRowReader(gp.file, conf, dataSchema, required, exact, bounds)
+  }
 }
 
 /** Java-serializable Hadoop `Configuration` carrier (it is `Writable`,
@@ -720,6 +796,14 @@ private[v2] abstract class GroupFileReader(file: String, ser: SerConf,
 
   protected var current: Group = _
 
+  /** Physical index of `current` within the file, counting every
+    * record the reader surfaces.  Meaningful only when no parquet-
+    * level FilterPredicate skips records (`bounds` empty — the
+    * [[GroupRowIdReader]] contract); the bounded readers leave it
+    * unused.
+    */
+  protected var recordPos: Long = -1L
+
   private val lookup: String => Any = name => valueAt(fieldIdx(name))
 
   /** Advance to the next record that passes EVERY pushed filter
@@ -728,6 +812,7 @@ private[v2] abstract class GroupFileReader(file: String, ser: SerConf,
   protected def advance(): Boolean = {
     var g = reader.read()
     while (g != null) {
+      recordPos += 1
       current = g
       if (exact.forall(f => ExactFilters.eval(f, lookup).contains(true)))
         return true
@@ -811,6 +896,41 @@ final class GroupRowReader(file: String, ser: SerConf,
     var i = 0
     while (i < required.length) {
       vals(i) = valueAt(i) // readFields start with `required`, in order
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+  }
+}
+
+/** [[GroupRowReader]] in row-address mode: emits the
+  * `_gfile`/`_gpos` metadata columns alongside the data columns.
+  * Positions are physical row indexes, so the parquet-level record
+  * filter is disabled (`bounds` = empty — a skipped record would
+  * shift every later position); the pushed exact filters still apply,
+  * AFTER each record's position is assigned.  File pruning (which
+  * shifts nothing) happened at planning as usual.
+  */
+final class GroupRowIdReader(relFile: String, file: String, ser: SerConf,
+                             dataSchema: StructType, required: StructType,
+                             exact: Seq[Filter])
+    extends GroupFileReader(file, ser, dataSchema,
+      GroupFileReader.readFieldsFor(dataSchema, required, exact),
+      exact, Seq.empty)
+    with PartitionReader[InternalRow] {
+
+  private val rel = org.apache.spark.unsafe.types.UTF8String.fromString(relFile)
+
+  override def next(): Boolean = advance()
+
+  override def get(): InternalRow = {
+    val vals = new Array[Any](required.length)
+    var i = 0
+    while (i < required.length) {
+      vals(i) = required.fields(i).name match {
+        case GraftSource.FileMetaCol => rel
+        case GraftSource.PosMetaCol => recordPos
+        case _ => valueAt(i) // readFields start with `required`, in order
+      }
       i += 1
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
@@ -996,7 +1116,7 @@ final class GraftAggReaderFactory(conf: SerConf, dataJson: String,
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case GraftAggMetaPartition(vals) => new SingleRowReader(vals)
-      case GraftPartition(f) =>
+      case GraftPartition(f, _) =>
         new GroupAggReader(f, conf,
           DataType.fromJson(dataJson).asInstanceOf[StructType],
           aggCols, exact, bounds)
