@@ -746,6 +746,39 @@ object GeoOps {
        |WHERE d.pick = 1
        |ORDER BY p.id""".stripMargin
 
+  /** 61z13: SQL UPDATE through the delta rewrite, end to end — a
+    * layout of the table's points, `UPDATE … WHERE id % 7 = 0` via
+    * plain `spark.sql` (a condition the metadata-delete path cannot
+    * translate, so the row-level rewrite runs: row-address scan →
+    * executor-staged deltas → locked positional-tombstone + append
+    * commit), `CALL system.compact` to reclaim, then a box read back
+    * through the SQL face.  The oracle is the update as a CASE over
+    * the base table: a double-applied update, a resurrected old
+    * copy, or a lost untouched row all hash-mismatch.
+    */
+  def sqlUpdate(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("sqlupd").toString
+    graft.sources.GeoParquet.write(
+      pts(s, dir).select("id", "x", "y", "z"), s"$wh/geo/points", 250.0)
+    graft.sources.GeoParquet.writeManifest(s, s"$wh/geo/points")
+    s.conf.set("spark.sql.catalog.graft_mut",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_mut.warehouse", wh)
+    s.sql("UPDATE graft_mut.geo.points SET z = z + 1000000.0 WHERE id % 7 = 0")
+    s.sql("CALL graft_mut.system.compact('geo.points')").collect()
+    s.sql("""SELECT id, x, y, z FROM graft_mut.geo.points
+            |WHERE x >= -400 AND x < 400 AND y >= -400 AND y < 400
+            |ORDER BY id""".stripMargin)
+  }
+
+  val sqlUpdateSql: String =
+    s"""WITH pts AS ($P)
+       |SELECT id, x, y,
+       |       CASE WHEN id % 7 = 0 THEN z + (1000000.0::DOUBLE) ELSE z END AS z
+       |FROM pts
+       |WHERE x >= -400 AND x < 400 AND y >= -400 AND y < 400
+       |ORDER BY id""".stripMargin
+
   val countBoxSql: String =
     s"""WITH pts AS ($P)
        |SELECT count(*) AS n FROM pts
@@ -1267,6 +1300,7 @@ object GeoOps {
     "q_sql_asof"        -> (sqlAsOf _),
     "q_sql_catalog"     -> (sqlCatalog _),
     "q_sql_dim_join"    -> (sqlDimJoin _),
+    "q_sql_update"      -> (sqlUpdate _),
     "q_minmax_box"      -> (minmaxBox _),
     "q_snapshot_box"    -> (snapshotBox _),
     "q_delete_box"      -> (deleteBox _),
@@ -1313,6 +1347,7 @@ object GeoOps {
     "q_sql_asof"        -> sqlAsOfSql,
     "q_sql_catalog"     -> sqlCatalogSql,
     "q_sql_dim_join"    -> sqlDimJoinSql,
+    "q_sql_update"      -> sqlUpdateSql,
     "q_minmax_box"      -> minmaxBoxSql,
     "q_snapshot_box"    -> snapshotBoxSql,
     "q_delete_box"      -> deleteBoxSql,
