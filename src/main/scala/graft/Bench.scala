@@ -39,7 +39,9 @@ object Bench {
     // pass below measures the engine, not the JVM's compile queue.
     benchQueries.foreach { case (_, fn) =>
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        if (sys.env.contains("SPARK_GRAFT_DEBUG")) e.printStackTrace()
+      }
       graft.core.CacheBag.releaseAll()
     }
     // SPARK_GRAFT_REPS>1 reports the per-query MEDIAN of that many
@@ -83,7 +85,10 @@ object Bench {
         // plan and discards rows
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case _: Throwable => false }
+          catch { case e: Throwable =>
+            if (sys.env.contains("SPARK_GRAFT_DEBUG")) e.printStackTrace()
+            false
+          }
         // each query pays for its own materializations (no cross-query
         // cache credit), and cached blocks don't accumulate over the run
         graft.core.CacheBag.releaseAll()

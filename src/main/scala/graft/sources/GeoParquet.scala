@@ -2194,8 +2194,14 @@ object GeoParquet {
     // `_commits` rides along so the caller's held lock file survives
     // the swap — otherwise the instant the new root lands, a waiting
     // writer could acquire a fresh lock while the swapper still
-    // believes it holds one
-    Seq("_batches", "_schema", "_commits").foreach { name =>
+    // believes it holds one.  `_delta` and `_filtercols` are the
+    // layout's durable geometry declarations: losing them to a
+    // compaction would make every later sidecar-δ append — the SQL
+    // face's INSERT and row-level mutations above all — refuse, and
+    // silently stop membership-filter maintenance (the r12 bench
+    // caught exactly this on a second UPDATE after CALL compact).
+    Seq("_batches", "_schema", "_commits", "_delta", "_filtercols")
+      .foreach { name =>
       val src = new org.apache.hadoop.fs.Path(path, name)
       if (fs.exists(src))
         require(org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,

@@ -101,6 +101,28 @@ class SqlMutationSpec extends SparkSpec {
       .collect()(0).getLong(0) == 1700)
   }
 
+  test("layout geometry survives compaction: repeat mutate/insert cycles") {
+    val dir = mkLayout("again", 1200)
+    GeoParquet.declareFilterCols(spark, dir, Seq("id"))
+    spark.sql("UPDATE mut.ns.again SET z = z + 100000 WHERE id % 5 = 0")
+    spark.sql("CALL mut.system.compact('ns.again')").collect()
+    // the bin size and filter declaration must have ridden the swap —
+    // without them every later sidecar-δ write (SQL INSERT, a second
+    // UPDATE) refuses and membership-filter maintenance silently stops
+    assert(GeoParquet.deltaOf(spark, dir).contains(250.0))
+    assert(GeoParquet.filterColsOf(spark, dir) == Seq("id"))
+    spark.sql("UPDATE mut.ns.again SET z = z + 100000 WHERE id % 5 = 1")
+    spark.sql("CALL mut.system.compact('ns.again')").collect()
+    pts(1200, 1300).createOrReplaceTempView("again_src")
+    spark.sql("INSERT INTO mut.ns.again SELECT id, x, y, z FROM again_src")
+    assert(spark.sql("SELECT count(*) AS n FROM mut.ns.again")
+      .collect()(0).getLong(0) == 1300)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM mut.ns.again WHERE z >= 100000")
+      .collect()(0).getLong(0) ==
+      (0 until 1200).count(i => i % 5 == 0 || i % 5 == 1))
+  }
+
   test("non-translatable DELETE rewrites through the delta path") {
     val dir = mkLayout("del", 1000)
     // `id % 7 = 0` has no v1 Filter form — before row-level support
