@@ -123,6 +123,37 @@ class SqlMutationSpec extends SparkSpec {
       (0 until 1200).count(i => i % 5 == 0 || i % 5 == 1))
   }
 
+  test("two concurrent SQL UPDATEs on disjoint keys: both land, no row lost") {
+    val dir = mkLayout("race", 800)
+    def inThread(body: => Unit) = {
+      val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val t = new Thread(() => try body catch { case e: Throwable => err.set(e) })
+      t.start(); (t, err)
+    }
+    // each statement scans + stages outside the lock and commits under
+    // it — the writer-vs-writer contention CommitContentionSpec pins
+    // for the API merge, exercised through the SQL face end to end
+    val (t1, e1) = inThread {
+      spark.sql("UPDATE mut.ns.race SET z = z + 10000 WHERE id < 200")
+    }
+    val (t2, e2) = inThread {
+      spark.sql("UPDATE mut.ns.race SET z = z + 20000 WHERE id >= 600")
+    }
+    t1.join(300000); t2.join(300000)
+    Seq(e1, e2).foreach(e => if (e.get() != null) throw e.get())
+    val r = GeoParquet.readMerged(spark, dir)
+      .select("id", "z").as[(Long, Double)].collect()
+    assert(r.length == 800, s"${r.length} rows — duplicate or lost keys")
+    assert(r.map(_._1).distinct.length == 800)
+    r.foreach { case (id, z) =>
+      val expect =
+        if (id < 200) id + 10000.0
+        else if (id >= 600) id + 20000.0
+        else id * 1.0
+      assert(z == expect, s"id=$id z=$z expected $expect")
+    }
+  }
+
   test("non-translatable DELETE rewrites through the delta path") {
     val dir = mkLayout("del", 1000)
     // `id % 7 = 0` has no v1 Filter form — before row-level support
