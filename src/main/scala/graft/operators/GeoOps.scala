@@ -779,6 +779,39 @@ object GeoOps {
        |WHERE x >= -400 AND x < 400 AND y >= -400 AND y < 400
        |ORDER BY id""".stripMargin
 
+  /** 61z14: merge-on-read SQL — UPDATE then DELETE and read back with
+    * NO compaction anywhere: the SQL scan itself subtracts the
+    * pending positional tombstones (readers point-look-up their own
+    * file's doomed rows from the sidecar), and the DELETE's row-level
+    * scan already subtracts the UPDATE's — chained mutations compose.
+    * The oracle applies both mutations relationally; a resurrected
+    * old copy, a leaked doomed row, or a lost survivor
+    * hash-mismatches.
+    */
+  def sqlMor(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("sqlmor").toString
+    graft.sources.GeoParquet.write(
+      pts(s, dir).select("id", "x", "y", "z"), s"$wh/geo/points", 250.0)
+    graft.sources.GeoParquet.writeManifest(s, s"$wh/geo/points")
+    s.conf.set("spark.sql.catalog.graft_mor",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_mor.warehouse", wh)
+    s.sql("UPDATE graft_mor.geo.points SET z = z + 1000000.0 WHERE id % 7 = 0")
+    s.sql("DELETE FROM graft_mor.geo.points WHERE id % 11 = 3")
+    s.sql("""SELECT id, x, y, z FROM graft_mor.geo.points
+            |WHERE x >= -400 AND x < 400 AND y >= -400 AND y < 400
+            |ORDER BY id""".stripMargin)
+  }
+
+  val sqlMorSql: String =
+    s"""WITH pts AS ($P)
+       |SELECT id, x, y,
+       |       CASE WHEN id % 7 = 0 THEN z + (1000000.0::DOUBLE) ELSE z END AS z
+       |FROM pts
+       |WHERE id % 11 <> 3
+       |  AND x >= -400 AND x < 400 AND y >= -400 AND y < 400
+       |ORDER BY id""".stripMargin
+
   val countBoxSql: String =
     s"""WITH pts AS ($P)
        |SELECT count(*) AS n FROM pts
@@ -1301,6 +1334,7 @@ object GeoOps {
     "q_sql_catalog"     -> (sqlCatalog _),
     "q_sql_dim_join"    -> (sqlDimJoin _),
     "q_sql_update"      -> (sqlUpdate _),
+    "q_sql_mor"         -> (sqlMor _),
     "q_minmax_box"      -> (minmaxBox _),
     "q_snapshot_box"    -> (snapshotBox _),
     "q_delete_box"      -> (deleteBox _),
@@ -1348,6 +1382,7 @@ object GeoOps {
     "q_sql_catalog"     -> sqlCatalogSql,
     "q_sql_dim_join"    -> sqlDimJoinSql,
     "q_sql_update"      -> sqlUpdateSql,
+    "q_sql_mor"         -> sqlMorSql,
     "q_minmax_box"      -> minmaxBoxSql,
     "q_snapshot_box"    -> snapshotBoxSql,
     "q_delete_box"      -> deleteBoxSql,

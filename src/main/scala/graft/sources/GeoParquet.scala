@@ -792,6 +792,29 @@ object GeoParquet {
     parts.reduceOption(_ unionByName _)
   }
 
+  /** The parquet part files holding the layout's pending POSITIONAL
+    * deletes — `_tombstones_pos` plus landed-but-unadopted merge
+    * stages, the same union [[pendingPositional]] reads — as
+    * individual file paths a task-side reader can open directly (the
+    * SQL face's merge-on-read subtraction: each data-file reader
+    * point-looks-up its own doomed positions instead of the driver
+    * collecting every (file, pos) pair).
+    */
+  private[graft] def positionalDeleteFiles(spark: SparkSession,
+                                           path: String): Seq[String] = {
+    val fs = fsOf(spark, path)
+    def parquetsIn(dir: String): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).map(_.toUri.getPath)
+    }
+    parquetsIn(s"$path/_tombstones_pos") ++
+      stagedMergeDirs(spark, path)
+        .filter(d => stageStatusOf(spark, d) == StageLanded)
+        .flatMap(parquetsIn)
+  }
+
   private def stagedMergeDirs(spark: SparkSession,
                               path: String): Seq[String] = {
     val fs = fsOf(spark, path)

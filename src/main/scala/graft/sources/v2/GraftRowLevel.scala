@@ -28,10 +28,11 @@ import graft.sources.GeoParquet
   * `upsertPositional` is.  No data file is rewritten; row counts the
   * mutation didn't touch cost nothing.
   *
-  * After the commit the layout has PENDING positional deletes: API
-  * reads subtract them on the fly, the minimal SQL-face reader
-  * refuses until `CALL <cat>.system.compact` reclaims — the same
-  * pinned lifecycle as `DELETE FROM` (mutate → compact → SELECT).
+  * After the commit the layout has PENDING positional deletes, and
+  * every read path is merge-on-read: API reads and SQL scans both
+  * subtract them on the fly (read-your-writes with no compaction in
+  * between — chained mutations compose), and `CALL
+  * <cat>.system.compact` reclaims them physically when scheduled.
   *
   * Concurrency: each commit serializes under the CommitLock, so files
   * and manifests stay consistent under contention; two mutations

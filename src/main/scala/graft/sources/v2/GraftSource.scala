@@ -155,9 +155,10 @@ final class GraftTable(path: String, schema: StructType,
   /** `DELETE FROM` routes to the layout's merge-on-read tombstones
     * ([[GeoParquet.deleteWhere]], locked) when every conjunct
     * translates to a Column predicate.  The deletes are PENDING after
-    * this: API reads subtract them on the fly; the minimal SQL-face
-    * reader refuses until a compaction reclaims — the documented
-    * lifecycle is `DELETE FROM …` → `CALL <cat>.system.compact(…)`.
+    * this: API and SQL reads both subtract them on the fly (the SQL
+    * scan's positional merge-on-read), and `CALL
+    * <cat>.system.compact(…)` reclaims them physically when
+    * scheduled.
     */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(f => GraftTable.columnOf(f).isDefined)
@@ -310,6 +311,11 @@ final class GraftScanBuilder(path: String, dataSchema: StructType,
 
   override def pushAggregation(agg: Aggregation): Boolean = {
     if (residual.nonEmpty || agg.groupByExpressions().nonEmpty) return false
+    // pending positional deletes: manifest row counts cannot subtract
+    // them — refuse the pushdown so Spark aggregates over the row
+    // scan, whose readers do (merge-on-read consistency over speed)
+    if (GeoParquet.pendingPositional(SparkSession.active, path).nonEmpty)
+      return false
     def nameOf(e: VExpression): Option[String] = e match {
       case nr: NamedReference if nr.fieldNames().length == 1 =>
         Some(nr.fieldNames()(0)).filter(dataSchema.fieldNames.contains)
@@ -606,10 +612,29 @@ final class GraftScan(path: String, dataSchema: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
-    require(!GeoParquet.hasPendingDeletes(spark, path),
-      s"$path has pending merge-on-read deletes — the SQL face cannot " +
-        "subtract them; run a compaction (or read via the API's " +
-        "readMerged) first")
+    // merge-on-read: pending POSITIONAL deletes (what SQL mutations
+    // produce) subtract in the readers — only data files that appear
+    // in the tombstone sidecar pay the counting read.  Equality (key)
+    // tombstones are API-produced and key-shaped; the face keeps
+    // refusing those, as it does un-epoched deletes under time travel
+    // (a tombstone carries no epoch, so an AS OF read cannot place it).
+    require(GeoParquet.pendingTombstones(spark, path).isEmpty,
+      s"$path has pending equality (key) tombstones — the SQL face " +
+        "cannot subtract those; run a compaction (or read via the " +
+        "API's readMerged) first")
+    if (snapshot.isDefined)
+      require(!GeoParquet.hasPendingDeletes(spark, path),
+        s"$path has pending merge-on-read deletes — a snapshot read " +
+          "cannot place un-epoched deletes; run a compaction first")
+    // driver side sees only the DISTINCT doomed file names
+    // (manifest-scale); the (file, pos) pairs stay in the sidecar for
+    // task-side point lookup
+    val doomedFiles: Set[String] =
+      GeoParquet.pendingPositional(spark, path) match {
+        case Some(d) => d.select("file").distinct()
+          .collect().map(_.getString(0)).toSet
+        case None => Set.empty
+      }
     val rt = runtime
     // runtime In-sets tighten the envelope bounds (min..max per
     // column — superset, exactly what file pruning may use)...
@@ -633,13 +658,17 @@ final class GraftScan(path: String, dataSchema: StructType,
       case (acc, _) => acc
     }
     GraftSource.lastPlannedFiles.put(path, files)
-    // row-address mode needs each file's root-relative form (the
-    // tombstone convention) — resolved here, once, on the driver
+    // row-address mode and delete subtraction both need each file's
+    // root-relative form (the tombstone convention) — resolved here,
+    // once, on the driver
     val rels: Seq[String] =
-      if (rowIdMode) files.map(GeoParquet.relDataPath(spark, path, _))
+      if (rowIdMode || doomedFiles.nonEmpty)
+        files.map(GeoParquet.relDataPath(spark, path, _))
       else files.map(_ => "")
     files.zip(rels)
-      .map { case (f, r) => GraftPartition(f, r): InputPartition }.toArray
+      .map { case (f, r) =>
+        GraftPartition(f, r, doomedFiles.contains(r)): InputPartition
+      }.toArray
   }
 
   private def keysDf(spark: SparkSession, c: String,
@@ -662,28 +691,32 @@ final class GraftScan(path: String, dataSchema: StructType,
   private def rowIdMode: Boolean =
     required.fieldNames.exists(GraftSource.MetaCols.contains)
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = SparkSession.active
     new GraftReaderFactory(
-      new graft.sources.v2.SerConf(
-        SparkSession.active.sparkContext.hadoopConfiguration),
-      dataSchema.json, required.json, exact, bounds, rowIdMode)
+      new graft.sources.v2.SerConf(spark.sparkContext.hadoopConfiguration),
+      dataSchema.json, required.json, exact, bounds, rowIdMode,
+      GeoParquet.positionalDeleteFiles(spark, path))
+  }
 }
 
-final case class GraftPartition(file: String, relFile: String = "")
+final case class GraftPartition(file: String, relFile: String = "",
+                                hasDeletes: Boolean = false)
     extends InputPartition
 
 final class GraftReaderFactory(conf: SerConf, dataJson: String,
                                requiredJson: String, exact: Seq[Filter],
                                bounds: Seq[(String, Double, Double)],
-                               rowIdMode: Boolean = false)
+                               rowIdMode: Boolean = false,
+                               deleteFiles: Seq[String] = Seq.empty)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val gp = p.asInstanceOf[GraftPartition]
     val dataSchema = DataType.fromJson(dataJson).asInstanceOf[StructType]
     val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
-    if (rowIdMode)
+    if (rowIdMode || gp.hasDeletes)
       new GroupRowIdReader(gp.relFile, gp.file, conf, dataSchema, required,
-        exact)
+        exact, if (gp.hasDeletes) deleteFiles else Seq.empty)
     else
       new GroupRowReader(gp.file, conf, dataSchema, required, exact, bounds)
   }
@@ -903,16 +936,22 @@ final class GroupRowReader(file: String, ser: SerConf,
 }
 
 /** [[GroupRowReader]] in row-address mode: emits the
-  * `_gfile`/`_gpos` metadata columns alongside the data columns.
-  * Positions are physical row indexes, so the parquet-level record
-  * filter is disabled (`bounds` = empty — a skipped record would
-  * shift every later position); the pushed exact filters still apply,
-  * AFTER each record's position is assigned.  File pruning (which
-  * shifts nothing) happened at planning as usual.
+  * `_gfile`/`_gpos` metadata columns alongside the data columns, and
+  * SUBTRACTS this file's pending positional deletes when
+  * `deleteFiles` name tombstone parts (the SQL face's merge-on-read
+  * read: each reader point-looks-up its own doomed rows — file ==
+  * this file — from the kilobyte-scale sidecar parts, never a
+  * corpus-sized structure).  Positions are physical row indexes, so
+  * the parquet-level record filter is disabled (`bounds` = empty — a
+  * skipped record would shift every later position); the pushed
+  * exact filters still apply, AFTER each record's position is
+  * assigned.  File pruning (which shifts nothing) happened at
+  * planning as usual.
   */
 final class GroupRowIdReader(relFile: String, file: String, ser: SerConf,
                              dataSchema: StructType, required: StructType,
-                             exact: Seq[Filter])
+                             exact: Seq[Filter],
+                             deleteFiles: Seq[String] = Seq.empty)
     extends GroupFileReader(file, ser, dataSchema,
       GroupFileReader.readFieldsFor(dataSchema, required, exact),
       exact, Seq.empty)
@@ -920,7 +959,43 @@ final class GroupRowIdReader(relFile: String, file: String, ser: SerConf,
 
   private val rel = org.apache.spark.unsafe.types.UTF8String.fromString(relFile)
 
-  override def next(): Boolean = advance()
+  /** This file's doomed row positions, from the pending-delete parts. */
+  private val doomed: java.util.HashSet[java.lang.Long] = {
+    val s = new java.util.HashSet[java.lang.Long]()
+    if (deleteFiles.nonEmpty) {
+      import org.apache.parquet.example.data.Group
+      import org.apache.parquet.filter2.compat.FilterCompat
+      import org.apache.parquet.filter2.predicate.FilterApi
+      import org.apache.parquet.hadoop.ParquetReader
+      import org.apache.parquet.hadoop.example.GroupReadSupport
+      val pred = FilterCompat.get(FilterApi.eq(
+        FilterApi.binaryColumn("file"),
+        org.apache.parquet.io.api.Binary.fromString(relFile)))
+      deleteFiles.foreach { df =>
+        val r: ParquetReader[Group] = ParquetReader
+          .builder(new GroupReadSupport(),
+            new org.apache.hadoop.fs.Path(df))
+          .withConf(new org.apache.hadoop.conf.Configuration(ser.conf))
+          .withFilter(pred).build()
+        try {
+          var g = r.read()
+          while (g != null) {
+            if (g.getFieldRepetitionCount("file") > 0 &&
+                g.getString("file", 0) == relFile)
+              s.add(g.getLong("pos", 0))
+            g = r.read()
+          }
+        } finally r.close()
+      }
+    }
+    s
+  }
+
+  override def next(): Boolean = {
+    var ok = advance()
+    while (ok && !doomed.isEmpty && doomed.contains(recordPos)) ok = advance()
+    ok
+  }
 
   override def get(): InternalRow = {
     val vals = new Array[Any](required.length)
@@ -1116,7 +1191,7 @@ final class GraftAggReaderFactory(conf: SerConf, dataJson: String,
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case GraftAggMetaPartition(vals) => new SingleRowReader(vals)
-      case GraftPartition(f, _) =>
+      case GraftPartition(f, _, _) =>
         new GroupAggReader(f, conf,
           DataType.fromJson(dataJson).asInstanceOf[StructType],
           aggCols, exact, bounds)

@@ -129,15 +129,15 @@ class GraftCatalogSpec extends SparkSpec {
     assert(snaps.length >= 2, "two commits must inventory two epochs")
   }
 
-  test("DELETE FROM → CALL compact → SELECT is the SQL mutation lifecycle") {
+  test("DELETE FROM: merge-on-read everywhere, compact reclaims") {
     val dir = mkLayout("ops", "del", 400)
     spark.sql("DELETE FROM lake.ops.del WHERE id < 50 OR id >= 380")
     // deletes are merge-on-read: API reads subtract immediately...
     assert(GeoParquet.readMerged(spark, dir).count() == 330)
-    // ...the minimal SQL-face reader refuses until compaction
-    intercept[Throwable] {
-      spark.sql("SELECT count(*) FROM lake.ops.del").collect()
-    }
+    // ...and so do SQL reads (count(*) degrades from the manifest
+    // shortcut to the subtracting row scan)
+    assert(spark.sql("SELECT count(*) AS n FROM lake.ops.del")
+      .collect()(0).getLong(0) == 330)
     spark.sql("CALL lake.system.compact('ops.del')").collect()
     assert(spark.sql("SELECT count(*) AS n FROM lake.ops.del")
       .collect()(0).getLong(0) == 330)

@@ -196,16 +196,26 @@ class SqlFaceSpec extends SparkSpec {
     assert(chain(e).exists(_.contains("stale")), chain(e).mkString(" | "))
   }
 
-  test("pending merge-on-read deletes refuse loudly (the face cannot subtract)") {
+  test("pending positional deletes subtract in SQL reads; equality tombstones still refuse") {
     val dir = layout(500, 25.0)
     GeoParquet.deleteWhere(spark, dir, col("id") === 7)
     spark.read.format("graft").load(dir).createOrReplaceTempView("sdel")
+    // merge-on-read: the row scan subtracts, and count(*) degrades
+    // from the manifest shortcut to the subtracting scan — both agree
+    assert(spark.sql("SELECT count(*) AS n FROM sdel")
+      .collect()(0).getLong(0) == 499)
+    assert(spark.sql("SELECT count(*) AS n FROM sdel WHERE id = 7")
+      .collect()(0).getLong(0) == 0)
+    // equality (key) tombstones are API-shaped; the face keeps
+    // refusing those rather than guessing a join key
+    import spark.implicits._
+    GeoParquet.deleteIds(Seq(9L).toDF("id"), dir)
     val e = intercept[Throwable] {
-      spark.sql("SELECT count(*) FROM sdel").collect()
+      spark.sql("SELECT * FROM sdel").collect()
     }
     def chain(t: Throwable): Seq[String] =
       if (t == null) Seq.empty else t.getMessage +: chain(t.getCause)
-    assert(chain(e).exists(m => m != null && m.contains("pending merge-on-read")),
+    assert(chain(e).exists(m => m != null && m.contains("equality")),
       s"unexpected error: ${chain(e)}")
   }
 }

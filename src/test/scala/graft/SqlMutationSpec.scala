@@ -8,9 +8,10 @@ import graft.sources.v2.GraftCatalog
 /** Delta-based SQL mutations: UPDATE / MERGE INTO / rewritten DELETE
   * route matched rows into positional tombstones + appended
   * replacements (the upsertPositional commit shape), staged by
-  * executors and committed under the layout lock.  The pinned
-  * lifecycle matches DELETE FROM: mutate → `CALL system.compact` →
-  * SELECT; API reads subtract pending deletes immediately.
+  * executors and committed under the layout lock.  Reads are
+  * merge-on-read on every path — API and SQL subtract pending
+  * positional deletes immediately (no compact needed to read your
+  * writes); `CALL system.compact` reclaims when scheduled.
   */
 class SqlMutationSpec extends SparkSpec {
   import spark.implicits._
@@ -63,14 +64,15 @@ class SqlMutationSpec extends SparkSpec {
       $"z" === $"id".cast("double") + 100000).count() == 200)
     assert(api.filter($"id" % 10 =!= 0 &&
       $"z" === $"id".cast("double")).count() == 1800)
-    // the SQL face refuses until the deletes reclaim, as on DELETE FROM
-    val e = intercept[Throwable] {
-      spark.sql("SELECT count(*) FROM mut.ns.upd").collect()
-    }
-    def chain(t: Throwable): Seq[String] =
-      if (t == null) Seq.empty
-      else String.valueOf(t.getMessage) +: chain(t.getCause)
-    assert(chain(e).exists(_.contains("pending")), chain(e).mkString(" | "))
+    // SQL reads see it immediately too — merge-on-read subtraction in
+    // the readers (count(*) degrades from the manifest shortcut to the
+    // subtracting row scan, so it must AGREE, not refuse)
+    assert(spark.sql("SELECT count(*) AS n FROM mut.ns.upd")
+      .collect()(0).getLong(0) == 2000)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM mut.ns.upd WHERE z >= 100000")
+      .collect()(0).getLong(0) == 200)
+    // compaction reclaims; answers unchanged
     spark.sql("CALL mut.system.compact('ns.upd')").collect()
     assert(spark.sql(
       "SELECT count(*) AS n FROM mut.ns.upd WHERE z >= 100000")
@@ -121,6 +123,29 @@ class SqlMutationSpec extends SparkSpec {
       "SELECT count(*) AS n FROM mut.ns.again WHERE z >= 100000")
       .collect()(0).getLong(0) ==
       (0 until 1200).count(i => i % 5 == 0 || i % 5 == 1))
+  }
+
+  test("chained mutations without compaction: every read path subtracts") {
+    val dir = mkLayout("chain", 1000)
+    spark.sql("UPDATE mut.ns.chain SET z = z + 100000 WHERE id % 4 = 0")
+    // the second mutation's own row-address scan runs WITH pending
+    // deletes — it must subtract them or it would re-match dead rows
+    spark.sql("UPDATE mut.ns.chain SET z = z + 1000000 WHERE id % 4 = 2")
+    spark.sql("DELETE FROM mut.ns.chain WHERE id % 4 = 3")
+    // no compact anywhere: SELECT, count(*), and the API read agree
+    val r = spark.sql("SELECT id, z FROM mut.ns.chain ORDER BY id")
+      .as[(Long, Double)].collect()
+    assert(r.length == 750, s"${r.length} rows")
+    r.foreach { case (id, z) =>
+      val expect =
+        if (id % 4 == 0) id + 100000.0
+        else if (id % 4 == 2) id + 1000000.0
+        else id * 1.0
+      assert(id % 4 != 3 && z == expect, s"id=$id z=$z expected $expect")
+    }
+    assert(spark.sql("SELECT count(*) AS n FROM mut.ns.chain")
+      .collect()(0).getLong(0) == 750)
+    assert(GeoParquet.readMerged(spark, dir).count() == 750)
   }
 
   test("two concurrent SQL UPDATEs on disjoint keys: both land, no row lost") {
