@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 import graft.operators.GeoOps
 
 /** The parquet-native materialization of the reference's geo_index
@@ -815,6 +816,47 @@ object GeoParquet {
         .flatMap(parquetsIn)
   }
 
+  /** [[positionalDeleteFiles]] with each part's `file`-column footer
+    * min/max — [[tombstoneShaped]] writes parts range-partitioned on
+    * `file`, so the intervals are disjoint and the SQL planner hands
+    * a reader only the part(s) whose interval can contain its file
+    * (one footer read per part, on the driver, per scan).  Parts with
+    * unreadable stats get the full interval: every reader opens them
+    * (correct, unpruned).
+    */
+  private[graft] def positionalDeleteParts(spark: SparkSession, path: String)
+      : Seq[(String, String, String)] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    positionalDeleteFiles(spark, path).map { f =>
+      val range =
+        try {
+          val fr = ParquetFileReader.open(
+            HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f), conf))
+          try {
+            val schema = fr.getFooter.getFileMetaData.getSchema
+            val idx = schema.getFieldIndex("file")
+            val stats = fr.getFooter.getBlocks.asScala
+              .map(_.getColumns.asScala(idx).getStatistics)
+            if (stats.isEmpty ||
+                stats.exists(s => s == null || !s.hasNonNullValue)) None
+            else Some((
+              stats.map(_.genericGetMin
+                .asInstanceOf[org.apache.parquet.io.api.Binary]
+                .toStringUsingUTF8).min,
+              stats.map(_.genericGetMax
+                .asInstanceOf[org.apache.parquet.io.api.Binary]
+                .toStringUsingUTF8).max))
+          } finally fr.close()
+        } catch { case _: Throwable => None }
+      range match {
+        case Some((lo, hi)) => (f, lo, hi)
+        case None => (f, "", "\uffff")
+      }
+    }
+  }
+
   private def stagedMergeDirs(spark: SparkSession,
                               path: String): Seq[String] = {
     val fs = fsOf(spark, path)
@@ -860,11 +902,26 @@ object GeoParquet {
     * [[commitStaged]] as `mergeDir`, whose markers make the staged
     * deletes live exactly when the batch's files land).
     */
+  /** Shape a (file, pos) tombstone frame for writing: few parts (not
+    * one per upstream task), RANGE-partitioned and sorted on `file`,
+    * so each part's footer min/max names a disjoint file interval and
+    * a merge-on-read reader opens only the part(s) that can contain
+    * its file — without this, a mutation staged by k tasks writes k
+    * full-range parts and every reader pays k footer reads (the
+    * O(data files × parts) blowup the first q_sql_mor bench hit).
+    */
+  private def tombstoneShaped(doomed: DataFrame): DataFrame = {
+    val parts = math.max(1L,
+      math.min(32L, doomed.count() / 2000000L + 1L)).toInt
+    doomed.repartitionByRange(parts, col("file"), col("pos"))
+      .sortWithinPartitions("file", "pos")
+  }
+
   private def stageMerge(spark: SparkSession, path: String,
                          doomed: DataFrame): String = {
     val dir = s"$path/_merge_staging/" +
       java.util.UUID.randomUUID().toString.take(8)
-    doomed.write.mode("overwrite").parquet(dir)
+    tombstoneShaped(doomed).write.mode("overwrite").parquet(dir)
     dir
   }
 
@@ -986,7 +1043,8 @@ object GeoParquet {
       .localCheckpoint() // the layout scan happens outside the lock
     if (!doomed.isEmpty)
       CommitLock.withLock(spark, path) {
-        doomed.write.mode("append").parquet(s"$path/_tombstones_pos")
+        tombstoneShaped(doomed)
+          .write.mode("append").parquet(s"$path/_tombstones_pos")
       }
   }
 

@@ -696,7 +696,7 @@ final class GraftScan(path: String, dataSchema: StructType,
     new GraftReaderFactory(
       new graft.sources.v2.SerConf(spark.sparkContext.hadoopConfiguration),
       dataSchema.json, required.json, exact, bounds, rowIdMode,
-      GeoParquet.positionalDeleteFiles(spark, path))
+      GeoParquet.positionalDeleteParts(spark, path))
   }
 }
 
@@ -708,16 +708,26 @@ final class GraftReaderFactory(conf: SerConf, dataJson: String,
                                requiredJson: String, exact: Seq[Filter],
                                bounds: Seq[(String, Double, Double)],
                                rowIdMode: Boolean = false,
-                               deleteFiles: Seq[String] = Seq.empty)
+                               deleteParts: Seq[(String, String, String)] =
+                                 Seq.empty)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val gp = p.asInstanceOf[GraftPartition]
     val dataSchema = DataType.fromJson(dataJson).asInstanceOf[StructType]
     val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
-    if (rowIdMode || gp.hasDeletes)
+    if (rowIdMode || gp.hasDeletes) {
+      // only the tombstone parts whose file interval can contain THIS
+      // file — tombstoneShaped's range partitioning makes that ~one
+      // part per pending mutation, not every part
+      val parts =
+        if (gp.hasDeletes)
+          deleteParts.collect {
+            case (f, lo, hi) if lo <= gp.relFile && gp.relFile <= hi => f
+          }
+        else Seq.empty
       new GroupRowIdReader(gp.relFile, gp.file, conf, dataSchema, required,
-        exact, if (gp.hasDeletes) deleteFiles else Seq.empty)
-    else
+        exact, parts)
+    } else
       new GroupRowReader(gp.file, conf, dataSchema, required, exact, bounds)
   }
 }
