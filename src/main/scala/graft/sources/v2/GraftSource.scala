@@ -178,8 +178,14 @@ final class GraftTable(path: String, schema: StructType,
     // routes DataFrameWriter.save onto the v2 plan; the write
     // builder below then yields a V1Write bridge (V1_BATCH_WRITE),
     // which the planner executes as AppendDataExecV1.
+    // AUTOMATIC_SCHEMA_EVOLUTION: `MERGE WITH SCHEMA EVOLUTION`
+    // widens the target from the source — Spark routes the widening
+    // through the catalog's alterTable (our sidecar add-column), and
+    // the delta write's staged inserts carry the new column into the
+    // evolution-recording append.
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     // time travel: .option("snapshot", <epoch>) — or the catalog's
     // VERSION AS OF pin — reads the files committed at or before

@@ -148,6 +148,25 @@ class SqlMutationSpec extends SparkSpec {
     assert(GeoParquet.readMerged(spark, dir).count() == 750)
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION widens the target from the source") {
+    val dir = mkLayout("wide", 900)
+    pts(800, 1000).withColumn("grade", ($"id" % 5).cast("int"))
+      .createOrReplaceTempView("wide_src")
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO mut.ns.wide t
+        |USING wide_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // the new column landed via ALTER + evolution-recording append:
+    // matched/inserted rows carry it, pre-merge rows read as null
+    val r = spark.sql("SELECT id, grade FROM mut.ns.wide")
+      .as[(Long, Option[Int])].collect().toMap
+    assert(r.size == 1000)
+    (0L until 800L).foreach(id => assert(r(id).isEmpty, s"id=$id"))
+    (800L until 1000L).foreach(id =>
+      assert(r(id).contains((id % 5).toInt), s"id=$id got ${r(id)}"))
+  }
+
   test("two concurrent SQL UPDATEs on disjoint keys: both land, no row lost") {
     val dir = mkLayout("race", 800)
     def inThread(body: => Unit) = {
