@@ -172,6 +172,22 @@ final class GraftTable(path: String, schema: StructType,
     GeoParquet.deleteWhere(spark, path, cond)
   }
   override def schema(): StructType = schema
+
+  /** `DESCRIBE EXTENDED` observability: the layout's geometry and
+    * commit state as table properties (two tiny sidecar reads at
+    * resolution — the same cost class as the schema lookup).
+    */
+  override def properties(): util.Map[String, String] = {
+    val spark = SparkSession.active
+    val m = new util.HashMap[String, String]()
+    GeoParquet.deltaOf(spark, path)
+      .foreach(d => m.put("delta", d.toString))
+    try m.put("epoch", GeoParquet.readEpoch(spark, path).toString)
+    catch { case _: Throwable => () }
+    pinnedSnapshot.foreach(e => m.put("snapshot", e.toString))
+    m
+  }
+
   override def capabilities(): util.Set[TableCapability] =
     // append only — no TRUNCATE, so an overwrite save refuses in
     // Spark's capability check before reaching us.  BATCH_WRITE

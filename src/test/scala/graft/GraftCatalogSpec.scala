@@ -206,6 +206,15 @@ class GraftCatalogSpec extends SparkSpec {
     assert(chain(dup).exists(_.contains("already exists")), chain(dup).mkString(" | "))
   }
 
+  test("DESCRIBE EXTENDED surfaces the layout's geometry and epoch") {
+    mkLayout("ops", "desc", 300)
+    val props = spark.sql("DESCRIBE TABLE EXTENDED lake.ops.desc")
+      .filter("col_name = 'Table Properties'")
+      .collect().map(_.getString(1)).mkString
+    assert(props.contains("delta=250.0"), props)
+    assert(props.contains("epoch="), props)
+  }
+
   test("unknown tables and refused verbs error helpfully") {
     intercept[Throwable] { spark.sql("SELECT * FROM lake.ice.nope").collect() }
     val e = intercept[Throwable] {
