@@ -111,6 +111,14 @@ object GraftSource {
     */
   val lastRuntimeFilters =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Filter]]()
+
+  /** Last merge-on-read planning split per layout path: (planned
+    * files, files flagged for delete subtraction).  Only flagged
+    * files pay the counting read — a localized mutation must not tax
+    * the rest of the layout.
+    */
+  val lastMorPlan =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
 }
 
 final class GraftTable(path: String, schema: StructType,
@@ -687,10 +695,11 @@ final class GraftScan(path: String, dataSchema: StructType,
       if (rowIdMode || doomedFiles.nonEmpty)
         files.map(GeoParquet.relDataPath(spark, path, _))
       else files.map(_ => "")
-    files.zip(rels)
-      .map { case (f, r) =>
-        GraftPartition(f, r, doomedFiles.contains(r)): InputPartition
-      }.toArray
+    val parts = files.zip(rels)
+      .map { case (f, r) => GraftPartition(f, r, doomedFiles.contains(r)) }
+    GraftSource.lastMorPlan.put(path,
+      (parts.length, parts.count(_.hasDeletes)))
+    parts.map(p => p: InputPartition).toArray
   }
 
   private def keysDf(spark: SparkSession, c: String,

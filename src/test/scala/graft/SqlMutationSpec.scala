@@ -167,6 +167,24 @@ class SqlMutationSpec extends SparkSpec {
       assert(r(id).contains((id % 5).toInt), s"id=$id got ${r(id)}"))
   }
 
+  test("a localized mutation taxes only the files holding doomed rows") {
+    val dir = mkLayout("local", 2000)
+    spark.sql("UPDATE mut.ns.local SET z = z + 100000 WHERE x < 100")
+    // full-table read: only the files that actually contain doomed
+    // rows are flagged for the counting/subtracting reader — the rest
+    // of the layout keeps the bounded fast path
+    assert(spark.sql("SELECT count(*) AS n FROM mut.ns.local")
+      .collect()(0).getLong(0) == 2000)
+    val (planned, flagged) = graft.sources.v2.GraftSource.lastMorPlan.get(dir)
+    assert(flagged > 0 && flagged < planned,
+      s"flagged=$flagged planned=$planned")
+    // a box disjoint from the mutation pays NO subtraction at all
+    spark.sql("SELECT id FROM mut.ns.local WHERE x >= 500 AND y >= 0")
+      .collect()
+    val (p2, f2) = graft.sources.v2.GraftSource.lastMorPlan.get(dir)
+    assert(p2 > 0 && f2 == 0, s"flagged=$f2 planned=$p2")
+  }
+
   test("two concurrent SQL UPDATEs on disjoint keys: both land, no row lost") {
     val dir = mkLayout("race", 800)
     def inThread(body: => Unit) = {
