@@ -75,8 +75,8 @@ object CommitLock {
         if (System.currentTimeMillis() > deadline)
           throw new IllegalStateException(
             s"commit lock on $path not acquired within ${acquireTimeoutMs}ms " +
-              "(a healthy writer holds it, or raise CommitLock.leaseMs " +
-              "breakage is disabled)")
+              "(a healthy writer holds it; raise CommitLock.acquireTimeoutMs, " +
+              "or raise leaseMs if breakage was disabled)")
         Thread.sleep(25)
       }
     }
@@ -100,6 +100,11 @@ object CommitLock {
         java.nio.file.Files.write(p, token.getBytes("UTF-8"),
           java.nio.file.StandardOpenOption.CREATE_NEW,
           java.nio.file.StandardOpenOption.WRITE)
+        // a hadoop checksum sibling for DIFFERENT content (stranded by
+        // a ChecksumFileSystem copy of `_commits`, e.g. a compaction
+        // swap) would make every readToken of this lock throw — which
+        // reads as "held by nobody" and blocks all writers for a lease
+        dropCrcSibling(p)
         true
       } catch { case _: java.io.IOException => false }
     else
@@ -120,6 +125,23 @@ object CommitLock {
     } catch { case _: java.io.IOException => None }
 
   /** Break a lock whose holder exceeded the lease (presumed crashed).
+    *
+    * The break is a RENAME to a tombstone path derived from the
+    * observed (mtime, token) identity — never a delete — which closes
+    * the two-breakers race of a stat-then-delete: the losing breaker's
+    * rename fails either because the source is gone or because the
+    * deterministic tombstone destination already exists (someone
+    * already broke exactly that stale identity; a later re-created
+    * FRESH lock at the same path is therefore safe from the loser's
+    * delayed rename).  If a breaker's rename lands but the moved
+    * file's token is NOT the stale one it observed (the lock was
+    * released and re-taken between its stat and its rename), it broke
+    * a live lock by mistake and restores it; a failed restore throws —
+    * loud beats a silent double-hold.  Tombstones are deliberately
+    * LEFT IN PLACE (one tiny file per actual crash-break — they are
+    * what keeps late renames failing); [[GeoParquet.vacuum]]-style
+    * sweeps may remove old ones.
+    *
     * A live-but-paused holder resuming past its lease is the classic
     * fencing gap — deployments needing that guarantee should lower
     * job-side work or use an external lock service.
@@ -128,18 +150,83 @@ object CommitLock {
                            lock: org.apache.hadoop.fs.Path): Unit =
     try {
       val st = fs.getFileStatus(lock)
-      if (System.currentTimeMillis() - st.getModificationTime > leaseMs)
-        fs.delete(lock, false)
+      if (System.currentTimeMillis() - st.getModificationTime > leaseMs) {
+        // None = unreadable content (corrupt) — still break, verified
+        // by mtime instead of token (renames preserve mtime)
+        val observed = readToken(fs, lock)
+        val tomb = new org.apache.hadoop.fs.Path(lock.getParent,
+          s"lock.broken-${st.getModificationTime}-" +
+            observed.fold("x")(_.hashCode.toHexString))
+        if (renameNoReplace(fs, lock, tomb)) {
+          val sameLock = observed match {
+            case Some(t) => readToken(fs, tomb).contains(t)
+            case None =>
+              try fs.getFileStatus(tomb).getModificationTime ==
+                st.getModificationTime
+              catch { case _: java.io.IOException => false }
+          }
+          // raced: we moved a lock that was re-taken since our stat —
+          // put the live holder's lock back
+          if (!sameLock)
+            require(renameNoReplace(fs, tomb, lock),
+              s"commit-lock break race on $lock: broke a live lock and " +
+                "could not restore it — manual repair required")
+        }
+      }
     } catch { case _: java.io.IOException => () } // raced away — fine
+
+  /** Rename that NEVER clobbers an existing destination (the property
+    * the break protocol leans on).  Hadoop's FileSystem.rename
+    * contract is no-replace for files on HDFS, but the local
+    * RawLocalFileSystem delegates to java.io semantics where a rename
+    * over an existing file can succeed — so the `file` scheme goes
+    * through java.nio with no REPLACE_EXISTING option.
+    */
+  private def renameNoReplace(fs: org.apache.hadoop.fs.FileSystem,
+                              src: org.apache.hadoop.fs.Path,
+                              dst: org.apache.hadoop.fs.Path): Boolean =
+    if (fs.getScheme == "file")
+      try {
+        val s = java.nio.file.Paths.get(src.toUri.getPath)
+        val d = java.nio.file.Paths.get(dst.toUri.getPath)
+        java.nio.file.Files.move(s, d)
+        // hadoop checksum siblings don't ride a raw nio move; a crc
+        // left at either path would poison the next fs.open there
+        // (ChecksumFileSystem verifies content that no longer matches)
+        dropCrcSibling(s)
+        dropCrcSibling(d)
+        true
+      } catch { case _: java.io.IOException => false }
+    else
+      try !fs.exists(dst) && fs.rename(src, dst)
+      catch { case _: java.io.IOException => false }
+
+  private def dropCrcSibling(p: java.nio.file.Path): Unit =
+    try java.nio.file.Files.deleteIfExists(
+      p.resolveSibling("." + p.getFileName.toString + ".crc"))
+    catch { case _: java.io.IOException => () }
 
   private def release(spark: SparkSession, path: String,
                       token: String): Unit = {
     val fs = fsOf(spark, path)
     val lock = lockPath(path)
-    // delete only OUR lock: if the lease expired and someone broke and
-    // re-took it, their token is in the file and we must not unlock them
-    if (readToken(fs, lock).contains(token))
-      try fs.delete(lock, false)
-      catch { case _: java.io.IOException => () }
+    // release only OUR lock, atomically: a read-then-delete has the
+    // same window as the old break (lease expires mid-release, a new
+    // holder re-creates, our delayed delete unlocks THEM).  Rename the
+    // lock aside to a token-derived path first — a delayed rename
+    // after a break-and-retake fails on the already-occupied tombstone
+    // or moves a mismatching token that we restore.
+    val tomb = new org.apache.hadoop.fs.Path(lock.getParent,
+      s"lock.rel-${token.hashCode.toHexString}")
+    try {
+      if (renameNoReplace(fs, lock, tomb)) {
+        if (readToken(fs, tomb).contains(token))
+          fs.delete(tomb, false)
+        else // moved someone else's fresh lock (ours was lease-broken)
+          require(renameNoReplace(fs, tomb, lock),
+            s"commit-lock release race on $lock: displaced a live lock " +
+              "and could not restore it — manual repair required")
+      }
+    } catch { case _: java.io.IOException => () }
   }
 }

@@ -509,7 +509,24 @@ object IndexedH5 {
 
   private val BinRe = "(.*)E_(.*)N".r
 
-  def adopt(spark: SparkSession, path: String): DataFrame = {
+  /** End-convention of a foreign `bin_index`: `Auto` infers from the
+    * file (see the convention note below), `Inclusive`/`Exclusive`
+    * pin it explicitly — the escape hatch for the one genuinely
+    * ambiguous shape, a foreign EXCLUSIVE-end file whose bins stop
+    * short of the last data row (auto-inference reads it as
+    * inclusive, one extra row per bin; adoption logs a warning when
+    * it detects the ambiguity).
+    */
+  sealed trait EndConvention extends Serializable
+  case object Auto extends EndConvention
+  case object Inclusive extends EndConvention
+  case object Exclusive extends EndConvention
+
+  private lazy val log =
+    org.slf4j.LoggerFactory.getLogger("graft.sources.IndexedH5")
+
+  def adopt(spark: SparkSession, path: String,
+            ends: EndConvention = Auto): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile").load(path)
       .select(col("content")).as[Array[Byte]]
@@ -533,13 +550,25 @@ object IndexedH5 {
             // ends shift down by one; max end == rows-1 is graft's
             // inclusive convention.  A foreign exclusive file whose
             // bins stop short of the last row is indistinguishable
-            // and reads one extra row per bin — re-index to repair.
+            // under Auto — adoption WARNS on that ambiguous shape
+            // (maxEnd short of both markers) and callers who know
+            // their producer pin `ends = Inclusive/Exclusive`.
             val fl = r.readLongs("/INDEX/bin_index")
             val n = fl.length / 2
             val rows = ds.find(d => !d.startsWith("/INDEX"))
               .map(d => r.dims(d).product)
             val maxEnd = if (n == 0) -1L else (0 until n).map(i => fl(n + i)).max
-            val endAdj = if (rows.contains(maxEnd)) 1L else 0L
+            val endAdj = ends match {
+              case Inclusive => 0L
+              case Exclusive => 1L
+              case Auto =>
+                if (n > 0 && rows.exists(rc => maxEnd < rc - 1))
+                  log.warn(s"indexed_h5 adoption: max bin end $maxEnd stops " +
+                    s"short of the data (rows=${rows.get}) — end convention " +
+                    "is ambiguous, assuming graft-inclusive; pass " +
+                    "ends=Inclusive/Exclusive if this file's producer is known")
+                if (rows.contains(maxEnd)) 1L else 0L
+            }
             (0 until n).iterator.map { i =>
               BinRow(math.round(bx(i)), math.round(by(i)),
                 Some(fl(n + i) - endAdj - fl(i) + 1), fl(i), fl(n + i) - endAdj)

@@ -191,7 +191,7 @@ final class GraftTable(path: String, schema: StructType,
     GeoParquet.deltaOf(spark, path)
       .foreach(d => m.put("delta", d.toString))
     try m.put("epoch", GeoParquet.readEpoch(spark, path).toString)
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(_) => () }
     pinnedSnapshot.foreach(e => m.put("snapshot", e.toString))
     m
   }
@@ -543,7 +543,24 @@ private[v2] object ExactFilters {
     */
   def boundsOf(fs: Array[Filter]): Seq[(String, Double, Double)] = {
     import org.apache.spark.sql.sources._
-    def num(v: Any): Option[Double] = v match {
+    // integral literals beyond 2^53 round when narrowed to double —
+    // possibly PAST the true value, which would let the parquet
+    // floor/ceil predicate and the manifest envelope prune skip rows
+    // that satisfy the exact filter.  Widen integral conversions one
+    // ULP OUTWARD (down for lows, up for highs): bounds drive only
+    // superset prunes, so widening is always sound and exactness
+    // stays with [[eval]]'s Long-native compare.
+    def numLo(v: Any): Option[Double] = v match {
+      case n @ (_: java.lang.Long | _: java.lang.Integer |
+                _: java.lang.Short | _: java.lang.Byte) =>
+        Some(Math.nextDown(n.asInstanceOf[Number].doubleValue()))
+      case n: java.lang.Number => Some(n.doubleValue())
+      case _ => None
+    }
+    def numHi(v: Any): Option[Double] = v match {
+      case n @ (_: java.lang.Long | _: java.lang.Integer |
+                _: java.lang.Short | _: java.lang.Byte) =>
+        Some(Math.nextUp(n.asInstanceOf[Number].doubleValue()))
       case n: java.lang.Number => Some(n.doubleValue())
       case _ => None
     }
@@ -558,11 +575,12 @@ private[v2] object ExactFilters {
       perCol(c) = (math.max(l0, lo), math.min(h0, hi))
     }
     fs.flatMap(leaves).foreach {
-      case GreaterThan(c, v) => num(v).foreach(x => tighten(c, x, Double.PositiveInfinity))
-      case GreaterThanOrEqual(c, v) => num(v).foreach(x => tighten(c, x, Double.PositiveInfinity))
-      case LessThan(c, v) => num(v).foreach(x => tighten(c, Double.NegativeInfinity, x))
-      case LessThanOrEqual(c, v) => num(v).foreach(x => tighten(c, Double.NegativeInfinity, x))
-      case EqualTo(c, v) => num(v).foreach(x => tighten(c, x, x))
+      case GreaterThan(c, v) => numLo(v).foreach(x => tighten(c, x, Double.PositiveInfinity))
+      case GreaterThanOrEqual(c, v) => numLo(v).foreach(x => tighten(c, x, Double.PositiveInfinity))
+      case LessThan(c, v) => numHi(v).foreach(x => tighten(c, Double.NegativeInfinity, x))
+      case LessThanOrEqual(c, v) => numHi(v).foreach(x => tighten(c, Double.NegativeInfinity, x))
+      case EqualTo(c, v) =>
+        for (lo <- numLo(v); hi <- numHi(v)) tighten(c, lo, hi)
       case _ => ()
     }
     perCol.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) }
@@ -606,7 +624,7 @@ final class GraftScan(path: String, dataSchema: StructType,
           m.filter(GeoParquet.manifestBoundsCond(m, bounds))
             .agg(coalesce(sum("n_rows"), lit(0L))).head().getLong(0)
         }
-      } catch { case _: Throwable => None }
+      } catch { case scala.util.control.NonFatal(_) => None }
     val rowWidth = required.fields.map(_.dataType.defaultSize).sum + 8
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =

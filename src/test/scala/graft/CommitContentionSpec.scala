@@ -60,6 +60,53 @@ class CommitContentionSpec extends SparkSpec {
     var ran = false
     CommitLock.withLock(spark, dir) { ran = true }
     assert(ran, "stale lock was not broken")
+    // the break RENAMED the stale lock to a deterministic tombstone
+    // (never a delete): the tombstone occupying its (mtime, token)-
+    // derived path is what makes a second breaker's delayed rename
+    // fail instead of unseating the winner's re-created fresh lock
+    val tombs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/_commits"))
+      .map(_.getPath.getName).filter(_.startsWith("lock.broken-"))
+    assert(tombs.nonEmpty, "stale lock was deleted, not tombstoned")
+  }
+
+  test("a lease-broken holder's release leaves the breaker's lock intact") {
+    // the ADVICE race, other side: holder A exceeds its lease inside
+    // the locked section, B breaks and acquires; A's release must not
+    // unlock B (read-then-delete would, in its stat window)
+    val dir = java.nio.file.Files.createTempDirectory("lockrel").toString
+    val oldLease = CommitLock.leaseMs
+    CommitLock.leaseMs = 300
+    try {
+      val aHolding = new java.util.concurrent.CountDownLatch(1)
+      val bHolds = new java.util.concurrent.CountDownLatch(1)
+      val aReleased = new java.util.concurrent.CountDownLatch(1)
+      val (ta, ea) = inThread {
+        CommitLock.withLock(spark, dir) {
+          aHolding.countDown()
+          // stay inside past the lease until B has broken in
+          assert(bHolds.await(60, java.util.concurrent.TimeUnit.SECONDS))
+        } // A's release runs here, against B's fresh lock
+        aReleased.countDown()
+      }
+      assert(aHolding.await(60, java.util.concurrent.TimeUnit.SECONDS))
+      Thread.sleep(400) // A's lease expires
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val lock = new org.apache.hadoop.fs.Path(s"$dir/_commits/lock")
+      val (tb, eb) = inThread {
+        CommitLock.withLock(spark, dir) { // breaks A's stale lock
+          bHolds.countDown()
+          assert(aReleased.await(60, java.util.concurrent.TimeUnit.SECONDS))
+          // A has fully released; B still holds — the lock file must
+          // still be there (A restored it after seeing B's token)
+          assert(fs.exists(lock),
+            "the lease-broken holder's release removed the breaker's lock")
+        }
+      }
+      ta.join(60000); tb.join(60000)
+      rethrow(ea); rethrow(eb)
+      assert(!fs.exists(lock), "B's own release did not clear its lock")
+    } finally CommitLock.leaseMs = oldLease
   }
 
   test("two interleaved appendWithManifest writers: unique epochs, nothing lost") {

@@ -188,5 +188,26 @@ class IndexedH5ReadSpec extends SparkSpec {
       runs = Seq((0L, 9L), (10L, 19L)))
       .select("time").as[Double].collect().sorted.toSeq
     assert(got == (0 until n).map(_.toDouble))
+    // the AMBIGUOUS shape — a foreign exclusive file whose bins stop
+    // short of the last data row — is indistinguishable under Auto
+    // (adoption warns and assumes inclusive); the explicit flag is
+    // the escape hatch and must override the inference both ways
+    val short = fileWith(Array(10L, 18L)) // exclusive ends, 2 tail rows unindexed
+    val auto = IndexedH5.adopt(spark, short).orderBy("bin_x")
+      .collect().map(r => (r.getLong(3), r.getLong(4))).toSeq
+    assert(auto == Seq((0L, 10L), (10L, 18L))) // read as inclusive: one extra row/bin
+    val pinned = IndexedH5.adopt(spark, short, ends = IndexedH5.Exclusive)
+      .orderBy("bin_x")
+      .collect().map(r => (r.getLong(3), r.getLong(4))).toSeq
+    assert(pinned == Seq((0L, 9L), (10L, 17L)),
+      s"explicit Exclusive did not override inference: $pinned")
+    // and Inclusive pins the graft convention even when the max end
+    // happens to equal the row count (a graft file whose last bin
+    // ends exactly at rows-1 can't occur with end==rows, so this is
+    // the foreign-producer override surface only)
+    val pinnedIncl = IndexedH5.adopt(spark, exclusive, ends = IndexedH5.Inclusive)
+      .orderBy("bin_x")
+      .collect().map(r => (r.getLong(3), r.getLong(4))).toSeq
+    assert(pinnedIncl == Seq((0L, 10L), (10L, 20L)))
   }
 }
