@@ -812,10 +812,151 @@ object GeoOps {
        |  AND x >= -400 AND x < 400 AND y >= -400 AND y < 400
        |ORDER BY id""".stripMargin
 
+  /** 61z17: time travel COMPOSES with pending merge-on-read deletes —
+    * the layout takes an UPDATE (delete+insert, epoch 2) and a DELETE
+    * (epoch 3) with NOTHING compacted, then reads back `VERSION AS
+    * OF` every mutation boundary in one query.  Positional tombstone
+    * parts carry their commit epoch in the adopted part name, so the
+    * epoch-1 read serves rows that are ALREADY DEAD in the present
+    * (its snapshot predates both mutations), epoch 2 sees the update
+    * but not the delete, epoch 3 sees both — the Iceberg
+    * sequence-number contract, previously a refusal.  The oracle
+    * replays each era relationally; a snapshot that leaks a later
+    * delete — or subtracts one too early — hash-mismatches.
+    */
+  def sqlAsOfMor(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("sqlamor").toString
+    val p = pts(s, dir).select("id", "x", "y", "z")
+    graft.sources.GeoParquet.write(
+      p.filter(col("id") % 2 === 0), s"$wh/geo/points", 250.0)
+    graft.sources.GeoParquet.writeManifest(s, s"$wh/geo/points")     // epoch 0
+    graft.sources.GeoParquet.appendWithManifest(
+      p.filter(col("id") % 2 === 1), s"$wh/geo/points", 250.0)      // epoch 1
+    s.conf.set("spark.sql.catalog.graft_amor",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_amor.warehouse", wh)
+    s.sql("UPDATE graft_amor.geo.points SET z = z + 1000000.0 WHERE id % 7 = 0") // 2
+    s.sql("DELETE FROM graft_amor.geo.points WHERE id % 11 = 3")                 // 3
+    s.sql("""SELECT 1 AS era, id, x, y, z
+            |FROM graft_amor.geo.points VERSION AS OF 1
+            |WHERE x >= -400 AND x < 400 AND y >= -400 AND y < 400
+            |UNION ALL
+            |SELECT 2 AS era, id, x, y, z
+            |FROM graft_amor.geo.points VERSION AS OF 2
+            |WHERE x >= -400 AND x < 400 AND y >= -400 AND y < 400
+            |UNION ALL
+            |SELECT 3 AS era, id, x, y, z
+            |FROM graft_amor.geo.points VERSION AS OF 3
+            |WHERE x >= -400 AND x < 400 AND y >= -400 AND y < 400
+            |ORDER BY era, id""".stripMargin)
+  }
+
+  val sqlAsOfMorSql: String =
+    s"""WITH pts AS ($P),
+       |upd AS (SELECT id, x, y,
+       |               CASE WHEN id % 7 = 0 THEN z + (1000000.0::DOUBLE)
+       |                    ELSE z END AS z
+       |        FROM pts)
+       |SELECT 1 AS era, id, x, y, z FROM pts
+       |WHERE x >= -400 AND x < 400 AND y >= -400 AND y < 400
+       |UNION ALL
+       |SELECT 2 AS era, id, x, y, z FROM upd
+       |WHERE x >= -400 AND x < 400 AND y >= -400 AND y < 400
+       |UNION ALL
+       |SELECT 3 AS era, id, x, y, z FROM upd
+       |WHERE id % 11 <> 3
+       |  AND x >= -400 AND x < 400 AND y >= -400 AND y < 400
+       |ORDER BY era, id""".stripMargin
+
   val countBoxSql: String =
     s"""WITH pts AS ($P)
        |SELECT count(*) AS n FROM pts
        |WHERE x >= -200 AND x < 200 AND y >= -200 AND y < 200""".stripMargin
+
+  /** 61z19: MOR-aware COUNT pushdown — counts stay manifest-answered
+    * UNDER pending merge-on-read deletes: the planner subtracts each
+    * contained file's doomed-position count from its manifest stats
+    * (interior files never open; one tiny (file,n) agg over the
+    * tombstone parts) and boundary scans skip doomed positions.
+    * Previously any pending delete degraded every aggregate to the
+    * full subtracting row scan.  The query ASSERTS the plan shape
+    * (manifest-answered files > 0 while deletes are pending) and the
+    * oracle pins the value — a count that misses a subtraction, or
+    * double-subtracts, hash-mismatches.
+    */
+  def sqlMorCount(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("sqlmrc").toString
+    val path = s"$wh/geo/points"
+    graft.sources.GeoParquet.write(
+      pts(s, dir).select("id", "x", "y", "z"), path, 250.0)
+    graft.sources.GeoParquet.writeManifest(s, path)
+    s.conf.set("spark.sql.catalog.graft_mrc",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_mrc.warehouse", wh)
+    s.sql("UPDATE graft_mrc.geo.points SET z = z + 1000000.0 WHERE id % 7 = 0")
+    s.sql("DELETE FROM graft_mrc.geo.points WHERE id % 11 = 3")
+    val df = s.sql(
+      """SELECT count(*) AS n, count(z) AS n_z FROM graft_mrc.geo.points
+        |WHERE x >= -10000000.0 AND x < 10000000.0
+        |  AND y >= -10000000.0 AND y < 10000000.0""".stripMargin)
+    df.collect() // force planning + execution for the shape assertions
+    require(graft.sources.GeoParquet.pendingPositional(s, path).nonEmpty,
+      "gate setup broken: the deletes were unexpectedly compacted away")
+    val plan = graft.sources.v2.GraftSource.lastAggPlan.get(path)
+    require(plan != null && plan._1 > 0,
+      s"MOR count pushdown did not serve files from the manifest: $plan")
+    df
+  }
+
+  val sqlMorCountSql: String =
+    s"""WITH pts AS ($P)
+       |SELECT count(*) AS n, count(z) AS n_z FROM pts
+       |WHERE id % 11 <> 3
+       |  AND x >= -10000000.0 AND x < 10000000.0
+       |  AND y >= -10000000.0 AND y < 10000000.0""".stripMargin
+
+  private val streamGateSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Streaming read of a graft layout, end to end: the layout grows
+    * by three commits (a base write + two incremental appends — the
+    * epochs ARE the changelog), then
+    * `spark.readStream.format("graft")` consumes it through the DSv2
+    * micro-batch source ([[graft.sources.v2.GraftMicroBatchStream]])
+    * into a streaming aggregation.  The oracle is the same aggregate
+    * over the same rows computed relationally: a micro-batch that
+    * re-delivers a commit, drops one, or tears a file hash-
+    * mismatches.  (Offsets are commit epochs; planning touches the
+    * manifest only — one epoch-range filter per batch.)
+    */
+  def streamRead(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("gstreamq").toString
+    val p = pts(s, dir).select("id", "x", "y", "z")
+    graft.sources.GeoParquet.write(p.filter(col("id") % 3 === 0), path, 250.0)
+    graft.sources.GeoParquet.writeManifest(s, path)
+    graft.sources.GeoParquet.appendWithManifest(
+      p.filter(col("id") % 3 === 1), path, 250.0)
+    graft.sources.GeoParquet.appendWithManifest(
+      p.filter(col("id") % 3 === 2), path, 250.0)
+    val name = s"graft_stream_gate_${streamGateSeq.incrementAndGet()}"
+    val q = s.readStream.format("graft").load(path)
+      .groupBy((col("id") % 10).as("bucket"))
+      // fixed-point sum: the streaming state merges partials in
+      // batch order, so a double sum is order-sensitive at the last
+      // ulp — integer milli-units make the aggregate exact
+      .agg(count("*").cast("long").as("n"),
+        sum((col("z") * 1000).cast("long")).as("sum_z_milli"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name).orderBy("bucket")
+  }
+
+  val streamReadSql: String =
+    s"""WITH pts AS ($P)
+       |SELECT id % 10 AS bucket, count(*) AS n,
+       |       CAST(sum(CAST(trunc(z * 1000) AS BIGINT)) AS BIGINT) AS sum_z_milli
+       |FROM pts GROUP BY 1 ORDER BY 1""".stripMargin
 
   // --- 61h. time-pruned box query over an ingest-grown layout: the
   // layout is built as three time-sliced appendWithManifest batches
@@ -1335,6 +1476,9 @@ object GeoOps {
     "q_sql_dim_join"    -> (sqlDimJoin _),
     "q_sql_update"      -> (sqlUpdate _),
     "q_sql_mor"         -> (sqlMor _),
+    "q_sql_asof_mor"    -> (sqlAsOfMor _),
+    "q_stream_read"     -> (streamRead _),
+    "q_sql_mor_count"   -> (sqlMorCount _),
     "q_minmax_box"      -> (minmaxBox _),
     "q_snapshot_box"    -> (snapshotBox _),
     "q_delete_box"      -> (deleteBox _),
@@ -1383,6 +1527,9 @@ object GeoOps {
     "q_sql_dim_join"    -> sqlDimJoinSql,
     "q_sql_update"      -> sqlUpdateSql,
     "q_sql_mor"         -> sqlMorSql,
+    "q_sql_asof_mor"    -> sqlAsOfMorSql,
+    "q_stream_read"     -> streamReadSql,
+    "q_sql_mor_count"   -> sqlMorCountSql,
     "q_minmax_box"      -> minmaxBoxSql,
     "q_snapshot_box"    -> snapshotBoxSql,
     "q_delete_box"      -> deleteBoxSql,

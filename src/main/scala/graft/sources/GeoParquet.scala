@@ -442,6 +442,92 @@ object GeoParquet {
     }
   }
 
+  // --- changelog floor: the streaming/incremental position contract ---
+  // A manifest REBUILD (writeManifest) and a compaction both re-stamp
+  // every surviving row with the current epoch — history resets, and
+  // an incremental consumer positioned before the reset can no longer
+  // tell re-stamped old rows from new ones.  The `_changelog` sidecar
+  // records each reset: its floor epoch, the era it replaced
+  // (prevFloor) and that era's last data epoch (prevMax), and whether
+  // the reset was PRESERVING — i.e. it introduced no rows that were
+  // absent from the pre-reset manifest (a fresh-manifest re-stamp or
+  // a clean compaction; deletes don't matter to an appends-only
+  // changelog, rows joining from a STALE manifest's unmanifested
+  // files do).  A consumer checkpointed in the replaced era may FAST-
+  // FORWARD across a preserving reset iff it had consumed through
+  // prevMax — everything re-stamped at the floor is then a row it
+  // already saw; anything else must restart, loudly.
+
+  /** One `_changelog` reset record — see the section note above. */
+  final case class ChangelogFloor(floor: Long, prevFloor: Long,
+                                  prevMax: Long, preserved: Boolean)
+
+  /** The layout's current changelog floor.  Legacy layouts (no
+    * `_changelog` yet) derive the floor from the oldest surviving
+    * manifest epoch, with no fast-forward era.
+    */
+  private[graft] def changelogFloor(spark: SparkSession,
+                                    path: String): ChangelogFloor = {
+    val f = s"$path/_changelog"
+    if (fsOf(spark, path).exists(new org.apache.hadoop.fs.Path(f))) {
+      val parts = readTextFile(spark, f).split("\\s+")
+      ChangelogFloor(parts(0).toLong, parts(1).toLong, parts(2).toLong,
+        parts(3) == "1")
+    } else {
+      val m = s"$path/_manifest"
+      val floor =
+        if (!fsOf(spark, path).exists(new org.apache.hadoop.fs.Path(m))) 0L
+        else spark.read.parquet(m).agg(min("epoch")).head() match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0)
+        }
+      ChangelogFloor(floor, -1L, -1L, preserved = false)
+    }
+  }
+
+  private def writeChangelogFloor(spark: SparkSession, path: String,
+                                  c: ChangelogFloor): Unit =
+    writeTextFile(spark, s"$path/_changelog",
+      s"${c.floor} ${c.prevFloor} ${c.prevMax} ${if (c.preserved) 1 else 0}")
+
+  /** A compactor's note to the writeManifest that follows it: the
+    * rewrite landed at `epoch`, it was `preserved` (started from a
+    * FRESH manifest — nothing unmanifested joined), and the era it
+    * retired had floor `prevFloor` / last data epoch `prevMax`
+    * (readable only BEFORE the swap discards the old manifest).
+    */
+  private def writeRewriteHint(spark: SparkSession, path: String,
+                               epoch: Long, preserved: Boolean,
+                               prevFloor: Long, prevMax: Long): Unit =
+    writeTextFile(spark, s"$path/_rewrite_hint",
+      s"$epoch ${if (preserved) 1 else 0} $prevFloor $prevMax")
+
+  private def takeRewriteHint(spark: SparkSession, path: String)
+      : Option[(Long, Boolean, Long, Long)] = {
+    val f = s"$path/_rewrite_hint"
+    val fs = fsOf(spark, path)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(f))) None
+    else {
+      val parts = readTextFile(spark, f).split("\\s+")
+      fs.delete(new org.apache.hadoop.fs.Path(f), false)
+      Some((parts(0).toLong, parts(1) == "1", parts(2).toLong,
+        parts(3).toLong))
+    }
+  }
+
+  /** The last data epoch a manifest describes (0 when absent/empty) —
+    * the caught-up threshold a fast-forwarding consumer must have
+    * reached.
+    */
+  private def manifestMaxEpoch(spark: SparkSession, path: String): Long = {
+    val m = s"$path/_manifest"
+    if (!fsOf(spark, path).exists(new org.apache.hadoop.fs.Path(m))) 0L
+    else spark.read.parquet(m).agg(max("epoch")).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+  }
+
   def writeManifest(spark: SparkSession, path: String): Unit = {
     // a manifest rebuild is the layout's repair verb — resolve any
     // crash-stranded merge stages first (adopt landed, roll forward
@@ -469,6 +555,32 @@ object GeoParquet {
     // sidecar must not be clobbered by a stale-read union, and two
     // rebuilds must not share `_manifest`'s _temporary tree
     CommitLock.withLock(spark, path) {
+      // changelog bookkeeping, BEFORE the old manifest is replaced:
+      // this rebuild re-stamps every row at the current epoch — a
+      // history reset the `_changelog` record describes for
+      // streaming/incremental consumers (see the section note above)
+      val prevRecord = changelogFloor(spark, path)
+      val prevMax = manifestMaxEpoch(spark, path)
+      val freshAtEntry = manifestFresh(spark, path, verify = false)
+      val hint = takeRewriteHint(spark, path)
+      val newFloor = readEpoch(spark, path)
+      val record =
+        if (freshAtEntry)
+          // pure re-stamp of a fully-described layout
+          if (prevRecord.floor == newFloor) prevRecord // idempotent rebuild
+          else ChangelogFloor(newFloor, prevRecord.floor, prevMax,
+            preserved = true)
+        else hint match {
+          // a compaction's note: the rewrite landed at exactly this
+          // epoch and nothing unmanifested joined it
+          case Some((he, hp, hf, hm)) if he == newFloor =>
+            ChangelogFloor(newFloor, hf, hm, preserved = hp)
+          case _ =>
+            // stale rebuild: unmanifested rows join the floor —
+            // consumers cannot fast-forward over them
+            ChangelogFloor(newFloor, prevRecord.floor, prevMax,
+              preserved = false)
+        }
       val flatUnion = spark.read
         .option("recursiveFileLookup", "true").option("mergeSchema", "true")
         .parquet(path).schema
@@ -489,6 +601,7 @@ object GeoParquet {
       // record the layout epoch the manifest describes — the O(1)
       // staleness handshake with append()
       writeEpochFile(spark, s"$path/_manifest_epoch", readEpoch(spark, path))
+      writeChangelogFloor(spark, path, record)
     }
   }
 
@@ -566,6 +679,19 @@ object GeoParquet {
   /** Current epoch of the layout at `path` (0 for a fresh write). */
   def readEpoch(spark: SparkSession, path: String): Long =
     readEpochFile(spark, s"$path/_epoch")
+
+  /** The manifest's DESCRIBED prefix: every commit at-or-before this
+    * epoch has its rows fully in the sidecar (`_manifest_epoch`, the
+    * freshness snapshot).  None when no manifest exists.  The
+    * streaming source advances through this, never through `_epoch` —
+    * a mid-commit or degraded append keeps `_epoch` ahead, and those
+    * rows are not soundly readable by epoch yet.
+    */
+  private[graft] def describedEpoch(spark: SparkSession,
+                                    path: String): Option[Long] =
+    if (!fsOf(spark, path)
+        .exists(new org.apache.hadoop.fs.Path(s"$path/_manifest"))) None
+    else Some(readEpochFile(spark, s"$path/_manifest_epoch"))
 
   // --- declared schema: add-column evolution -------------------------
   // A layout whose append batches have not all carried the same
@@ -690,6 +816,47 @@ object GeoParquet {
     walk(new org.apache.hadoop.fs.Path(path))
     out.result()
   }
+
+  /** Does the layout hold ANY data file?  Early-exit walk (first hit
+    * wins) — the DROP TABLE emptiness check must not pay a full
+    * listing on the table it refuses to drop.
+    */
+  private[graft] def hasAnyDataFile(spark: SparkSession,
+                                    path: String): Boolean = {
+    val fs = fsOf(spark, path)
+    def walk(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.listStatus(p).exists { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".") &&
+          (if (st.isDirectory) walk(st.getPath) else n.endsWith(".parquet"))
+      }
+    fs.exists(new org.apache.hadoop.fs.Path(path)) &&
+      walk(new org.apache.hadoop.fs.Path(path))
+  }
+
+  /** Remove the layout directory AND its crash-debris siblings
+    * (`.staging-*` / `.pre-compact` / `.compact` — the vacuum
+    * patterns) — the destructive half of DROP TABLE PURGE.  Takes the
+    * commit lock first so a mid-commit writer is never pulled out
+    * from under its rename loop; the lock vanishes with the
+    * directory, which is the point — there is nothing left to hold.
+    */
+  private[graft] def dropLayout(spark: SparkSession, path: String): Unit =
+    CommitLock.withLock(spark, path) {
+      val fs = fsOf(spark, path)
+      val p = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
+      val parent = p.getParent
+      val base = p.getName
+      if (parent != null && fs.exists(parent))
+        fs.listStatus(parent).foreach { st =>
+          val n = st.getPath.getName
+          if (n != base &&
+              (n.startsWith(base + ".staging-") ||
+                n == base + ".pre-compact" || n == base + ".compact"))
+            fs.delete(st.getPath, true)
+        }
+      fs.delete(p, true)
+    }
 
   // --- merge-on-read deletes (tombstones) ---------------------------
   // At 100 TB a dedup drop-list or a GDPR purge cannot rewrite the
@@ -825,11 +992,28 @@ object GeoParquet {
     * (correct, unpruned).
     */
   private[graft] def positionalDeleteParts(spark: SparkSession, path: String)
-      : Seq[(String, String, String)] = {
+      : Seq[(String, String, String)] =
+    positionalDeletePartsEpoch(spark, path).map(p => (p._1, p._2, p._3))
+
+  /** [[positionalDeleteParts]] plus each part's delete-commit epoch
+    * ([[tombstonePartEpoch]] from the adopted name; None = crash-
+    * healed/legacy/still-staged — not placeable on the snapshot
+    * axis).  The AS OF read paths subtract exactly the parts with
+    * epoch ≤ the pinned epoch and REFUSE when an un-epoched part is
+    * pending (compact first), instead of refusing on any pending
+    * delete.
+    */
+  private[graft] def positionalDeletePartsEpoch(spark: SparkSession,
+      path: String): Seq[(String, String, String, Option[Long])] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val conf = spark.sparkContext.hadoopConfiguration
     positionalDeleteFiles(spark, path).map { f =>
+      // a part still sitting in a landed-but-unadopted merge stage has
+      // no adopted (epoch-stamped) name yet — epoch unknown by design
+      val epoch =
+        if (f.contains("/_merge_staging/")) None
+        else tombstonePartEpoch(new org.apache.hadoop.fs.Path(f).getName)
       val range =
         try {
           val fr = ParquetFileReader.open(
@@ -849,10 +1033,10 @@ object GeoParquet {
                 .asInstanceOf[org.apache.parquet.io.api.Binary]
                 .toStringUsingUTF8).max))
           } finally fr.close()
-        } catch { case _: Throwable => None }
+        } catch { case scala.util.control.NonFatal(_) => None }
       range match {
-        case Some((lo, hi)) => (f, lo, hi)
-        case None => (f, "", "\uffff")
+        case Some((lo, hi)) => (f, lo, hi, epoch)
+        case None => (f, "", "\uffff", epoch)
       }
     }
   }
@@ -925,17 +1109,45 @@ object GeoParquet {
     dir
   }
 
+  // --- tombstone commit epochs --------------------------------------
+  // Each positional-tombstone PART carries the epoch its delete
+  // committed at, encoded in the part's file NAME (`e<epoch>-…`): no
+  // schema change, no rewrite — adoption renames are metadata ops
+  // anyway.  This is what lets time travel COMPOSE with merge-on-read:
+  // an AS OF read subtracts exactly the parts with epoch ≤ the pinned
+  // epoch and ignores later deletes, instead of refusing outright.
+  // Parts WITHOUT the prefix (crash-healed adoptions, where the
+  // paired append's true epoch is unknowable after the fact, and
+  // legacy sidecars) cannot be placed on the snapshot axis — AS OF
+  // reads refuse on those exactly as before; current-state readers
+  // subtract them all regardless of name.
+
+  private val TombstoneEpochRe = "^e(\\d+)-.*".r
+
+  /** The commit epoch encoded in a tombstone part's file name, if any. */
+  private[graft] def tombstonePartEpoch(name: String): Option[Long] =
+    name match {
+      case TombstoneEpochRe(e) => Some(e.toLong)
+      case _ => None
+    }
+
   /** Move one resolved stage's addresses into `_tombstones_pos` and
     * drop the stage directory — the final step of a merge commit and
-    * of [[adoptStagedMerges]] healing.
+    * of [[adoptStagedMerges]] healing.  `epoch` = the commit epoch
+    * the deletes became visible at, stamped into the part names;
+    * None (the crash-heal path, where the landed append's epoch is
+    * no longer knowable) leaves the parts un-epoched and AS OF reads
+    * refusing until a compaction clears them.
     */
-  private def adoptStage(spark: SparkSession, path: String, d: String): Unit = {
+  private def adoptStage(spark: SparkSession, path: String, d: String,
+                         epoch: Option[Long]): Unit = {
     val fs = fsOf(spark, path)
     val dp = new org.apache.hadoop.fs.Path(d)
+    val prefix = epoch.fold("")(e => s"e$e-")
     fs.listStatus(dp).filter(_.getPath.getName.endsWith(".parquet"))
       .foreach { f =>
         val dst = new org.apache.hadoop.fs.Path(
-          s"$path/_tombstones_pos/${f.getPath.getName}")
+          s"$path/_tombstones_pos/$prefix${f.getPath.getName}")
         fs.mkdirs(dst.getParent)
         require(fs.rename(f.getPath, dst),
           s"staged-merge adoption rename failed for ${f.getPath}")
@@ -970,11 +1182,14 @@ object GeoParquet {
       val fs = fsOf(spark, path)
       stagedMergeDirs(spark, path).foreach { d =>
         stageStatusOf(spark, d) match {
-          case StageLanded => adoptStage(spark, path, d)
+          // heal path: the landed append's true epoch is unknowable
+          // after the fact — adopt UN-epoched (AS OF reads refuse
+          // until compaction; current-state reads subtract as always)
+          case StageLanded => adoptStage(spark, path, d, None)
           case StageInFlight(tmp) =>
             moveStagedFiles(spark, path, tmp) // finish the dead append's renames
             writeTextFile(spark, s"$d/_landed", "1")
-            adoptStage(spark, path, d)
+            adoptStage(spark, path, d, None)
           case StageVoid =>
             val dp = new org.apache.hadoop.fs.Path(d)
             val age = System.currentTimeMillis() -
@@ -1024,15 +1239,37 @@ object GeoParquet {
     }
   }
 
+  /** Claim a commit epoch for a DELETE-ONLY commit, under the lock:
+    * `_epoch` advances (the delete becomes a first-class point on the
+    * snapshot axis — AS OF reads at-or-after it subtract, before it
+    * don't), and `_manifest_epoch` advances IN LOCKSTEP when — and
+    * only when — the manifest was fresh: nothing the manifest asserts
+    * about FILES changed, so freshness must survive a delete (pruned
+    * reads keep pruning), while an already-stale manifest stays
+    * stale.  A reader racing between the two writes sees epoch ahead
+    * of the snapshot — stale — and takes the correct unpruned
+    * fallback, the same crash-ordering story as the append path.
+    */
+  private def claimDeleteEpoch(spark: SparkSession, path: String): Long = {
+    val wasFresh = manifestFresh(spark, path, verify = false)
+    val newEpoch = readEpoch(spark, path) + 1
+    writeEpochFile(spark, s"$path/_epoch", newEpoch)
+    if (wasFresh)
+      writeEpochFile(spark, s"$path/_manifest_epoch", newEpoch)
+    newEpoch
+  }
+
   /** DELETE FROM … WHERE as positional tombstones: the matching rows'
-    * (file, row) addresses are harvested in one scan and appended to
+    * (file, row) addresses are harvested in one scan and committed to
     * the `_tombstones_pos` sidecar — no data file rewritten, and
     * because positions identify physical rows (not keys), envelope
     * pruning and the manifest stay VALID: pruned reads keep pruning
     * (the subtraction rides them), only row-count shortcuts degrade
-    * (they check [[hasPendingDeletes]] explicitly).  The epoch is
-    * deliberately NOT bumped — nothing the manifest asserts about
-    * files has changed.
+    * (they check [[hasPendingDeletes]] explicitly).  The delete
+    * claims its OWN commit epoch ([[claimDeleteEpoch]] — manifest
+    * freshness survives) and its parts carry it in their names, so
+    * snapshot reads COMPOSE with the pending delete: AS OF an epoch
+    * before it serves the pre-delete rows, at-or-after subtracts.
     */
   def deleteWhere(spark: SparkSession, path: String,
                   cond: org.apache.spark.sql.Column): Unit = {
@@ -1043,8 +1280,14 @@ object GeoParquet {
       .localCheckpoint() // the layout scan happens outside the lock
     if (!doomed.isEmpty)
       CommitLock.withLock(spark, path) {
-        tombstoneShaped(doomed)
-          .write.mode("append").parquet(s"$path/_tombstones_pos")
+        // stage invisibly (dot-dir: parquet dir reads skip it), then
+        // rename the parts in under their epoch-stamped names — the
+        // same adopt move the merge path uses
+        val stage = s"$path/_tombstones_pos/.stage-" +
+          java.util.UUID.randomUUID().toString.take(8)
+        tombstoneShaped(doomed).write.mode("overwrite").parquet(stage)
+        val e = claimDeleteEpoch(spark, path)
+        adoptStage(spark, path, stage, Some(e))
       }
   }
 
@@ -1619,9 +1862,20 @@ object GeoParquet {
   def queryBoxAsOf(spark: SparkSession, path: String, asOfEpoch: Long,
                    xr: (Double, Double), yr: (Double, Double),
                    verify: Boolean = false): DataFrame = {
-    require(!hasPendingDeletes(spark, path),
-      s"$path has pending deletes — tombstones carry no epoch, so no " +
-        "historical snapshot is reconstructible; compact first")
+    // POSITIONAL deletes carry their commit epoch in the part name —
+    // the snapshot subtracts exactly the deletes at-or-before the
+    // pinned epoch and ignores later ones (time travel composes with
+    // merge-on-read).  Equality tombstones and un-epoched parts
+    // (crash-healed adoptions) still refuse: they cannot be placed on
+    // the snapshot axis.
+    require(pendingTombstones(spark, path).isEmpty,
+      s"$path has pending equality (key) tombstones — those carry no " +
+        "epoch, so no historical snapshot is reconstructible; compact first")
+    val deleteParts = positionalDeletePartsEpoch(spark, path)
+    require(deleteParts.forall(_._4.isDefined),
+      s"$path has pending positional deletes without a recorded commit " +
+        "epoch (crash-healed or pre-epoch sidecars) — no historical " +
+        "snapshot is reconstructible; compact first")
     require(manifestFresh(spark, path, verify),
       s"$path: manifest is stale — snapshot reads have no sound " +
         "fallback; run writeManifest (which resets history to the " +
@@ -1644,8 +1898,34 @@ object GeoParquet {
     val boxFilter =
       col("x") >= xr._1 && col("x") < xr._2 &&
         col("y") >= yr._1 && col("y") < yr._2
-    if (files.isEmpty) readerFor(spark, path, flat = false).parquet(path).filter(lit(false))
-    else readerFor(spark, path, flat = true).parquet(files.toIndexedSeq: _*).filter(boxFilter)
+    val raw =
+      if (files.isEmpty)
+        readerFor(spark, path, flat = false).parquet(path).filter(lit(false))
+      else
+        readerFor(spark, path, flat = true)
+          .parquet(files.toIndexedSeq: _*).filter(boxFilter)
+    // subtract ONLY the deletes visible at the pinned epoch
+    val dead = deleteParts.filter(_._4.exists(_ <= asOfEpoch)).map(_._1)
+    if (dead.isEmpty || files.isEmpty) raw
+    else minusPositionalParts(spark, path, raw, dead)
+  }
+
+  /** `df` minus the positional tombstones held in the given PART
+    * files — the epoch-sliced subtraction the AS OF paths use
+    * ([[minusTombstones]]' positional arm restricted to the parts
+    * committed at-or-before the pinned epoch).  `df` must derive
+    * directly from a parquet scan of this layout.
+    */
+  private def minusPositionalParts(spark: SparkSession, path: String,
+                                   df: DataFrame,
+                                   partFiles: Seq[String]): DataFrame = {
+    val root = rootPathOf(spark, path)
+    val ts = spark.read.parquet(partFiles: _*).select(
+      col("file").as("__file"), col("pos").as("__pos"))
+    df.withColumn("__file", relativeTo(root)(col("_metadata.file_path")))
+      .withColumn("__pos", col("_metadata.row_index"))
+      .join(ts, Seq("__file", "__pos"), "left_anti")
+      .drop("__file", "__pos")
   }
 
   /** Snapshot inventory (the Iceberg snapshots-table analog): one row
@@ -1888,7 +2168,7 @@ object GeoParquet {
           writeTextFile(spark, s"$d/_tmp", tmp)
           moveStagedFiles(spark, path, tmp)
           writeTextFile(spark, s"$d/_landed", "1")
-          adoptStage(spark, path, d)
+          adoptStage(spark, path, d, Some(readEpoch(spark, path)))
         case None =>
           moveStagedFiles(spark, path, tmp)
       }
@@ -1954,11 +2234,15 @@ object GeoParquet {
     }
     if (df.isEmpty) {
       // a 0-row stage has no files to harvest; a merge with an empty
-      // insert set commits trivially (its deletes go live now)
+      // insert set commits trivially (its deletes go live now) — at
+      // its OWN epoch, advanced in lockstep with `_manifest_epoch`
+      // (nothing the manifest asserts about files changed, so
+      // freshness survives; see deleteWhere)
       CommitLock.withLock(spark, path) {
         mergeDir.foreach { d =>
           writeTextFile(spark, s"$d/_landed", "1")
-          adoptStage(spark, path, d)
+          val e = claimDeleteEpoch(spark, path)
+          adoptStage(spark, path, d, Some(e))
         }
       }
       return
@@ -1995,7 +2279,7 @@ object GeoParquet {
         moveStagedFiles(spark, path, tmp)
         mergeDir.foreach { d =>
           writeTextFile(spark, s"$d/_landed", "1")
-          adoptStage(spark, path, d)
+          adoptStage(spark, path, d, Some(readEpoch(spark, path)))
         }
       } else {
         val newEpoch = readEpoch(spark, path) + 1
@@ -2066,10 +2350,12 @@ object GeoParquet {
       writeTextFile(spark, s"$d/_tmp", tmp)
     }
     moveStagedFiles(spark, path, tmp)
-    // COMMIT POINT for a merge: the batch is fully in the layout
+    // COMMIT POINT for a merge: the batch is fully in the layout; the
+    // staged deletes carry the SAME epoch as the batch's manifest
+    // rows — delete and replacement flip together on the AS OF axis
     mergeDir.foreach { d =>
       writeTextFile(spark, s"$d/_landed", "1")
-      adoptStage(spark, path, d)
+      adoptStage(spark, path, d, Some(newEpoch))
     }
     // align the batch's stats to the EXISTING manifest schema: under
     // schema evolution a batch may lack a stats-bearing column (its
@@ -2128,11 +2414,12 @@ object GeoParquet {
         "rebuild it before appending incrementally")
     if (df.isEmpty) {
       // 0-row stage: nothing to harvest; an empty-insert merge
-      // commits trivially (its deletes go live now)
+      // commits trivially (its deletes go live now) at its own epoch
       CommitLock.withLock(spark, path) {
         mergeDir.foreach { d =>
           writeTextFile(spark, s"$d/_landed", "1")
-          adoptStage(spark, path, d)
+          val e = claimDeleteEpoch(spark, path)
+          adoptStage(spark, path, d, Some(e))
         }
       }
       return
@@ -2186,7 +2473,7 @@ object GeoParquet {
         moveStagedFiles(spark, path, tmp)
         mergeDir.foreach { d =>
           writeTextFile(spark, s"$d/_landed", "1")
-          adoptStage(spark, path, d)
+          adoptStage(spark, path, d, Some(readEpoch(spark, path)))
         }
       } else {
         val newEpoch = readEpoch(spark, path) + 1
@@ -2214,6 +2501,11 @@ object GeoParquet {
     while (!done) {
       val epochBefore = readEpoch(spark, path)
       val tombsBefore = tombstoneState(spark, path)
+      // changelog bookkeeping, exactly as [[compact]]: preserving iff
+      // the rewrite started from a fresh manifest
+      val fresh0 = manifestFresh(spark, path, verify = false)
+      val prevFloor0 = changelogFloor(spark, path).floor
+      val prevMax0 = manifestMaxEpoch(spark, path)
       // compaction is where merge-on-read deletes become physical
       val df = minusTombstones(spark, path,
         readerFor(spark, path, flat = false).parquet(path))
@@ -2231,7 +2523,11 @@ object GeoParquet {
       done = CommitLock.withLock(spark, path) {
         val clean = readEpoch(spark, path) == epochBefore &&
           tombstoneState(spark, path) == tombsBefore
-        if (clean) swapInPlace(spark, path, tmp)
+        if (clean) {
+          swapInPlace(spark, path, tmp)
+          writeRewriteHint(spark, path, epochBefore + 1, fresh0,
+            prevFloor0, prevMax0)
+        }
         clean
       }
       if (!done) {
@@ -2456,6 +2752,9 @@ object GeoParquet {
       // lock and a beaten compactor re-plans from the new manifest
       val epochBefore = readEpoch(spark, path)
       val tombsBefore = tombstoneState(spark, path)
+      // changelog era being retired — read BEFORE the in-place flip
+      val prevFloor0 = changelogFloor(spark, path).floor
+      val prevMax0 = manifestMaxEpoch(spark, path)
       val m = spark.read.parquet(s"$path/_manifest")
       require(m.columns.contains("k0"),
         s"$path is not curve-clustered (no key ranges in its manifest)")
@@ -2522,6 +2821,11 @@ object GeoParquet {
             s"scoped-compact manifest swap failed for $path")
           writeEpochFile(spark, s"$path/_epoch", newEpoch)
           writeEpochFile(spark, s"$path/_manifest_epoch", newEpoch)
+          // every surviving row was re-stamped at newEpoch — a
+          // history reset, ALWAYS preserving here (a fresh manifest
+          // was required at entry, so nothing unmanifested joined)
+          writeChangelogFloor(spark, path,
+            ChangelogFloor(newEpoch, prevFloor0, prevMax0, preserved = true))
           fs.delete(new org.apache.hadoop.fs.Path(stage), true)
         }
         clean
@@ -2563,6 +2867,15 @@ object GeoParquet {
     while (!done) {
       val epochBefore = readEpoch(spark, path)
       val tombsBefore = tombstoneState(spark, path)
+      // changelog bookkeeping for the writeManifest that follows a
+      // compaction: the rewrite is PRESERVING iff it started from a
+      // fresh manifest (every row it re-stamps was already described —
+      // a caught-up incremental consumer can fast-forward across it);
+      // the retired era's floor/last-data-epoch ride the hint because
+      // the old manifest leaves with the swapped-aside directory
+      val fresh0 = manifestFresh(spark, path, verify = false)
+      val prevFloor0 = changelogFloor(spark, path).floor
+      val prevMax0 = manifestMaxEpoch(spark, path)
       val tmp = path + ".compact"
       // merged read: compaction applies pending deletes physically;
       // the swap leaves `_tombstones` behind in the retired directory
@@ -2578,7 +2891,11 @@ object GeoParquet {
       done = CommitLock.withLock(spark, path) {
         val clean = readEpoch(spark, path) == epochBefore &&
           tombstoneState(spark, path) == tombsBefore
-        if (clean) swapInPlace(spark, path, tmp)
+        if (clean) {
+          swapInPlace(spark, path, tmp)
+          writeRewriteHint(spark, path, epochBefore + 1, fresh0,
+            prevFloor0, prevMax0)
+        }
         clean
       }
       if (!done) {

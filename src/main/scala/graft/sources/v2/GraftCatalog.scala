@@ -39,10 +39,12 @@ import graft.sources.GeoParquet
   * DDL surface: CREATE TABLE declares a bin layout's geometry in the
   * statement (`TBLPROPERTIES('delta'='<binSize>')` — [[createTable]]);
   * ALTER TABLE ADD COLUMNS declares add-column evolution ahead of its
-  * data ([[alterTable]]).  Deliberately refused: DROP/RENAME
-  * (destructive — directory lifecycle stays a deliberate filesystem
-  * act, not SQL) and any ALTER that would rewrite data files (drops,
-  * renames, type changes — API-owned lifecycles).
+  * data ([[alterTable]]); DROP TABLE retires an EMPTY layout and
+  * `DROP TABLE … PURGE` deletes data deliberately ([[dropTable]] /
+  * [[purgeTable]]).  Deliberately refused: RENAME (manifests are
+  * root-relative — moving the directory IS the rename) and any ALTER
+  * that would rewrite data files (drops, renames, type changes —
+  * API-owned lifecycles).
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
     with ProcedureCatalog {
@@ -193,10 +195,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftTable(path, GeoParquet.dataSchemaFor(SparkSession.active, path))
   }
 
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException(
-      s"graft catalog cannot DROP $ident — deleting a layout is a " +
-        "filesystem-lifecycle operation, done deliberately outside SQL")
+  /** `DROP TABLE` — the retirement half of the 61z11 SQL lifecycle
+    * (a scheduler that created and populated a table from SQL can now
+    * retire it from SQL).  A plain DROP removes only an EMPTY layout
+    * (sidecars, zero data files — the CREATE TABLE shape); a layout
+    * holding data refuses and names `DROP TABLE … PURGE`, which
+    * removes the directory and its crash-debris siblings under the
+    * commit lock.  The refusal is deliberate friction, not a
+    * capability gap: an empty-or-explicit contract in front of a
+    * 100 TB `rm -r`.
+    */
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!tableExists(ident)) return false
+    val path = tablePath(ident)
+    val spark = SparkSession.active
+    if (GeoParquet.hasAnyDataFile(spark, path))
+      throw new UnsupportedOperationException(
+        s"$ident holds data — DROP TABLE removes only empty layouts; " +
+          "use DROP TABLE " + ident.toString + " PURGE to delete the " +
+          "data deliberately")
+    GeoParquet.dropLayout(spark, path)
+    true
+  }
+
+  /** `DROP TABLE … PURGE`: delete the layout, data and all, plus its
+    * crash-debris siblings — locked, so a mid-commit writer is never
+    * pulled out from under its rename loop.
+    */
+  override def purgeTable(ident: Identifier): Boolean = {
+    if (!tableExists(ident)) return false
+    GeoParquet.dropLayout(SparkSession.active, tablePath(ident))
+    true
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(

@@ -207,7 +207,10 @@ final class GraftTable(path: String, schema: StructType,
     // through the catalog's alterTable (our sidecar add-column), and
     // the delta write's staged inserts carry the new column into the
     // evolution-recording append.
+    // MICRO_BATCH_READ: spark.readStream.format("graft") serves the
+    // commit-epoch changelog as micro-batches ([[GraftMicroBatchStream]])
     util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
       TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -341,11 +344,6 @@ final class GraftScanBuilder(path: String, dataSchema: StructType,
 
   override def pushAggregation(agg: Aggregation): Boolean = {
     if (residual.nonEmpty || agg.groupByExpressions().nonEmpty) return false
-    // pending positional deletes: manifest row counts cannot subtract
-    // them — refuse the pushdown so Spark aggregates over the row
-    // scan, whose readers do (merge-on-read consistency over speed)
-    if (GeoParquet.pendingPositional(SparkSession.active, path).nonEmpty)
-      return false
     def nameOf(e: VExpression): Option[String] = e match {
       case nr: NamedReference if nr.fieldNames().length == 1 =>
         Some(nr.fieldNames()(0)).filter(dataSchema.fieldNames.contains)
@@ -369,8 +367,27 @@ final class GraftScanBuilder(path: String, dataSchema: StructType,
       case m: Max => nameOf(m.column).filter(numeric).map(MaxC)
       case _ => None
     }
-    if (cols.contains(None)) false
-    else { aggCols = Some(cols.flatten.toSeq); true }
+    if (cols.contains(None)) return false
+    val parsed = cols.flatten.toSeq
+    // pending POSITIONAL deletes no longer force full degradation:
+    // COUNTs still push down — the planner subtracts each contained
+    // file's doomed-position count from its manifest stats and the
+    // boundary scans skip doomed positions ([[GraftAggScan]]).  MIN/
+    // MAX cannot subtract (a doomed row might BE the extremum) and a
+    // snapshot slices deletes by epoch on the row path only — both
+    // refuse, as does any equality (key) tombstone state.
+    val spark = SparkSession.active
+    if (GeoParquet.pendingPositional(spark, path).nonEmpty) {
+      val countsOnly = parsed.forall {
+        case NRows | _: NNonNull => true
+        case _ => false
+      }
+      if (!countsOnly || snapshot.isDefined ||
+          GeoParquet.pendingTombstones(spark, path).nonEmpty)
+        return false
+    }
+    aggCols = Some(parsed)
+    true
   }
 
   override def build(): Scan = aggCols match {
@@ -654,6 +671,13 @@ final class GraftScan(path: String, dataSchema: StructType,
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(snapshot.isEmpty,
+      s"graft:$path — a pinned snapshot is a point in time; it cannot " +
+        "be streamed (drop the snapshot option / VERSION AS OF)")
+    new GraftMicroBatchStream(path, dataSchema, required, exact, bounds)
+  }
   override def description(): String =
     s"GraftScan $path filters=${exact.mkString(",")} bounds=${bounds.mkString(",")}" +
       snapshot.fold("")(e => s" asOf=$e")
@@ -664,25 +688,29 @@ final class GraftScan(path: String, dataSchema: StructType,
     // produce) subtract in the readers — only data files that appear
     // in the tombstone sidecar pay the counting read.  Equality (key)
     // tombstones are API-produced and key-shaped; the face keeps
-    // refusing those, as it does un-epoched deletes under time travel
-    // (a tombstone carries no epoch, so an AS OF read cannot place it).
+    // refusing those.  Under time travel, positional parts carry
+    // their commit epoch in the adopted part name, so a snapshot
+    // subtracts exactly the deletes at-or-before the pinned epoch —
+    // only UN-epoched parts (crash-healed adoptions) still refuse.
     require(GeoParquet.pendingTombstones(spark, path).isEmpty,
       s"$path has pending equality (key) tombstones — the SQL face " +
         "cannot subtract those; run a compaction (or read via the " +
         "API's readMerged) first")
     if (snapshot.isDefined)
-      require(!GeoParquet.hasPendingDeletes(spark, path),
-        s"$path has pending merge-on-read deletes — a snapshot read " +
-          "cannot place un-epoched deletes; run a compaction first")
+      require(GeoParquet.positionalDeletePartsEpoch(spark, path)
+          .forall(_._4.isDefined),
+        s"$path has pending merge-on-read deletes without a recorded " +
+          "commit epoch (crash-healed) — a snapshot read cannot place " +
+          "them; run a compaction first")
     // driver side sees only the DISTINCT doomed file names
     // (manifest-scale); the (file, pos) pairs stay in the sidecar for
-    // task-side point lookup
+    // task-side point lookup.  For a snapshot, only the parts at-or-
+    // before the pinned epoch count.
+    val activeParts = activeDeleteParts(spark)
     val doomedFiles: Set[String] =
-      GeoParquet.pendingPositional(spark, path) match {
-        case Some(d) => d.select("file").distinct()
-          .collect().map(_.getString(0)).toSet
-        case None => Set.empty
-      }
+      if (activeParts.isEmpty) Set.empty
+      else spark.read.parquet(activeParts.map(_._1): _*)
+        .select("file").distinct().collect().map(_.getString(0)).toSet
     val rt = runtime
     // runtime In-sets tighten the envelope bounds (min..max per
     // column — superset, exactly what file pruning may use)...
@@ -740,12 +768,25 @@ final class GraftScan(path: String, dataSchema: StructType,
   private def rowIdMode: Boolean =
     required.fieldNames.exists(GraftSource.MetaCols.contains)
 
+  /** The tombstone parts this scan subtracts: all pending parts for a
+    * current-state read, only those committed at-or-before the pinned
+    * epoch for a snapshot (part epochs ride the adopted file names).
+    */
+  private def activeDeleteParts(spark: SparkSession)
+      : Seq[(String, String, String)] = {
+    val parts = GeoParquet.positionalDeletePartsEpoch(spark, path)
+    (snapshot match {
+      case Some(e) => parts.filter(_._4.exists(_ <= e))
+      case None => parts
+    }).map(p => (p._1, p._2, p._3))
+  }
+
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active
     new GraftReaderFactory(
       new graft.sources.v2.SerConf(spark.sparkContext.hadoopConfiguration),
       dataSchema.json, required.json, exact, bounds, rowIdMode,
-      GeoParquet.positionalDeleteParts(spark, path))
+      activeDeleteParts(spark))
   }
 }
 
@@ -1019,7 +1060,41 @@ final class GroupRowIdReader(relFile: String, file: String, ser: SerConf,
   private val rel = org.apache.spark.unsafe.types.UTF8String.fromString(relFile)
 
   /** This file's doomed row positions, from the pending-delete parts. */
-  private val doomed: java.util.HashSet[java.lang.Long] = {
+  private val doomed: java.util.HashSet[java.lang.Long] =
+    DoomedPositions.load(relFile, deleteFiles, ser)
+
+  override def next(): Boolean = {
+    var ok = advance()
+    while (ok && !doomed.isEmpty && doomed.contains(recordPos)) ok = advance()
+    ok
+  }
+
+  override def get(): InternalRow = {
+    val vals = new Array[Any](required.length)
+    var i = 0
+    while (i < required.length) {
+      vals(i) = required.fields(i).name match {
+        case GraftSource.FileMetaCol => rel
+        case GraftSource.PosMetaCol => recordPos
+        case _ => valueAt(i) // readFields start with `required`, in order
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+  }
+}
+
+/** Task-side point lookup of ONE data file's doomed row positions
+  * from the pending positional-delete parts — shared by the
+  * merge-on-read row reader and the subtracting aggregate reader.
+  * The parts are range-partitioned + sorted on `file`, and the
+  * planner hands each reader only the part(s) whose footer interval
+  * can contain its file, so this reads ~one kilobyte-scale part per
+  * pending mutation (parquet-mr record filter `file == rel`).
+  */
+private[v2] object DoomedPositions {
+  def load(relFile: String, deleteFiles: Seq[String],
+           ser: SerConf): java.util.HashSet[java.lang.Long] = {
     val s = new java.util.HashSet[java.lang.Long]()
     if (deleteFiles.nonEmpty) {
       import org.apache.parquet.example.data.Group
@@ -1048,26 +1123,6 @@ final class GroupRowIdReader(relFile: String, file: String, ser: SerConf,
       }
     }
     s
-  }
-
-  override def next(): Boolean = {
-    var ok = advance()
-    while (ok && !doomed.isEmpty && doomed.contains(recordPos)) ok = advance()
-    ok
-  }
-
-  override def get(): InternalRow = {
-    val vals = new Array[Any](required.length)
-    var i = 0
-    while (i < required.length) {
-      vals(i) = required.fields(i).name match {
-        case GraftSource.FileMetaCol => rel
-        case GraftSource.PosMetaCol => recordPos
-        case _ => valueAt(i) // readFields start with `required`, in order
-      }
-      i += 1
-    }
-    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
   }
 }
 
@@ -1107,10 +1162,28 @@ final class GraftAggScan(path: String, dataSchema: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
-    require(!GeoParquet.hasPendingDeletes(spark, path),
-      s"$path has pending merge-on-read deletes — the SQL face cannot " +
-        "subtract them; run a compaction (or read via the API's " +
-        "readMerged) first")
+    require(GeoParquet.pendingTombstones(spark, path).isEmpty,
+      s"$path has pending equality (key) tombstones — the SQL face " +
+        "cannot subtract those; run a compaction (or read via the " +
+        "API's readMerged) first")
+    val deleteParts = GeoParquet.positionalDeleteParts(spark, path)
+    require(snapshot.isEmpty || deleteParts.isEmpty,
+      s"$path has pending merge-on-read deletes — a snapshot aggregate " +
+        "cannot place them; run a compaction first")
+    // per-file doomed-position counts: one small agg over the
+    // tombstone parts — one (file, n) row per MUTATED file, the
+    // metadata-scale price of keeping interior files unopened under
+    // pending deletes.  A contained, provably-null-free file then
+    // serves `n_rows - doomed` / `cn - doomed` without being opened
+    // (every doomed row passed the filters and was non-null, because
+    // EVERY row did); boundary files scan with the doomed positions
+    // skipped.  The pushdown is counts-only under deletes (the
+    // builder refuses MIN/MAX — a doomed row might be the extremum).
+    val doomedCounts: Map[String, Long] =
+      if (deleteParts.isEmpty) Map.empty
+      else spark.read.parquet(deleteParts.map(_._1): _*)
+        .groupBy("file").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
     val bounds = ExactFilters.boundsOf(exact.toArray)
     val intervals = ExactFilters.intervalsOf(exact)
 
@@ -1131,7 +1204,7 @@ final class GraftAggScan(path: String, dataSchema: StructType,
       }
     }
 
-    val scanFiles: Seq[String] = GeoParquet.freshManifest(spark, path)
+    val scanFiles: Seq[(String, String)] = GeoParquet.freshManifest(spark, path)
         .map(m0 => snapshot.fold(m0)(e =>
           // manifestAsOf re-checks freshness + history intactness and
           // REFUSES on stale — time travel has no listing fallback
@@ -1144,7 +1217,7 @@ final class GraftAggScan(path: String, dataSchema: StructType,
         // stale/missing manifest: full listing, everything scans
         val fs = GeoParquet.planFilesFor(spark, path, bounds)
         GraftSource.lastAggPlan.put(path, (0, fs.size))
-        fs
+        fs.map(f => (f, GeoParquet.relDataPath(spark, path, f)))
       case Some(m) =>
         import org.apache.spark.sql.functions.{col, lit}
         val intersect = bounds
@@ -1189,20 +1262,28 @@ final class GraftAggScan(path: String, dataSchema: StructType,
               })
           })
 
-        /** Every agg output this file can serve from stats, or None. */
-        def fromStats(r: org.apache.spark.sql.Row, nRows: Long): Option[Seq[Any]] = {
+        /** Every agg output this file can serve from stats (its
+          * `doomed` pending-delete positions subtracted), or None.
+          */
+        def fromStats(r: org.apache.spark.sql.Row, nRows: Long,
+                      doomed: Long): Option[Seq[Any]] = {
           val vs = aggCols.map {
-            case NRows => Some(java.lang.Long.valueOf(nRows))
+            case NRows => Some(java.lang.Long.valueOf(nRows - doomed))
             case NNonNull(c) => stat(r, s"${c}n") match {
-              case n: java.lang.Long => Some(n)
-              case _ => None
+              case n: java.lang.Long if doomed == 0L => Some(n)
+              case n: java.lang.Long if n.longValue() == nRows =>
+                // null-free column: every doomed row was counted
+                Some(java.lang.Long.valueOf(n.longValue() - doomed))
+              case _ => None // nullable + doomed: which rows died is unknowable from stats
             }
             case MinC(c) => (stat(r, s"${c}n"), stat(r, s"${c}0")) match {
+              case _ if doomed > 0L => None // a doomed row might be the extremum
               case (n: java.lang.Long, _) if n.longValue() == 0L => Some(null) // all null: no contribution
               case (_: java.lang.Long, v) if v != null => Some(v)
               case _ => None
             }
             case MaxC(c) => (stat(r, s"${c}n"), stat(r, s"${c}1")) match {
+              case _ if doomed > 0L => None
               case (n: java.lang.Long, _) if n.longValue() == 0L => Some(null)
               case (_: java.lang.Long, v) if v != null => Some(v)
               case _ => None
@@ -1211,31 +1292,38 @@ final class GraftAggScan(path: String, dataSchema: StructType,
           if (vs.contains(None)) None else Some(vs.map(_.get))
         }
 
-        val toScan = Seq.newBuilder[String]
+        val toScan = Seq.newBuilder[(String, String)]
         var answered = 0
         rows.foreach { r =>
+          val rel = r.getString(cols("file"))
           val nRows = r.getLong(cols("n_rows"))
+          val doomed = doomedCounts.getOrElse(rel, 0L)
           val served =
-            if (contained(r, nRows)) fromStats(r, nRows) else None
+            if (contained(r, nRows)) fromStats(r, nRows, doomed) else None
           served match {
             case Some(vals) => mergeMeta(vals); answered += 1
-            case None => toScan += s"$path/${r.getString(cols("file"))}"
+            case None => toScan += ((s"$path/$rel", rel))
           }
         }
         val scans = toScan.result()
         GraftSource.lastAggPlan.put(path, (answered, scans.size))
         scans
     }
-    GraftSource.lastPlannedFiles.put(path, scanFiles)
+    GraftSource.lastPlannedFiles.put(path, scanFiles.map(_._1))
     (GraftAggMetaPartition(meta) +:
-      scanFiles.map(f => GraftPartition(f): InputPartition)).toArray
+      scanFiles.map { case (abs, rel) =>
+        GraftPartition(abs, rel, doomedCounts.contains(rel)): InputPartition
+      }).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = SparkSession.active
     new GraftAggReaderFactory(
-      new SerConf(SparkSession.active.sparkContext.hadoopConfiguration),
+      new SerConf(spark.sparkContext.hadoopConfiguration),
       dataSchema.json, aggCols, exact,
-      ExactFilters.boundsOf(exact.toArray))
+      ExactFilters.boundsOf(exact.toArray),
+      GeoParquet.positionalDeleteParts(spark, path))
+  }
 }
 
 /** Partials already answered from the manifest at planning time —
@@ -1245,15 +1333,25 @@ final case class GraftAggMetaPartition(values: Array[Any]) extends InputPartitio
 
 final class GraftAggReaderFactory(conf: SerConf, dataJson: String,
                                   aggCols: Seq[AggCol], exact: Seq[Filter],
-                                  bounds: Seq[(String, Double, Double)])
+                                  bounds: Seq[(String, Double, Double)],
+                                  deleteParts: Seq[(String, String, String)] =
+                                    Seq.empty)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case GraftAggMetaPartition(vals) => new SingleRowReader(vals)
-      case GraftPartition(f, _, _) =>
+      case GraftPartition(f, rel, hasDeletes) =>
+        // same interval pruning as the row path: only the tombstone
+        // part(s) that can contain THIS file reach the reader
+        val parts =
+          if (hasDeletes)
+            deleteParts.collect {
+              case (pf, lo, hi) if lo <= rel && rel <= hi => pf
+            }
+          else Seq.empty
         new GroupAggReader(f, conf,
           DataType.fromJson(dataJson).asInstanceOf[StructType],
-          aggCols, exact, bounds)
+          aggCols, exact, bounds, rel, parts)
     }
 }
 
@@ -1287,18 +1385,28 @@ private[v2] object GroupAggReader {
 /** Scan one boundary file, fold the exact-filtered rows into ONE
   * partial-aggregate row.  Merge order for MIN/MAX uses the same
   * nan-safe comparison as Spark's aggregates and the manifest stats.
+  * With pending deletes (`deleteFiles` non-empty) the fold SKIPS this
+  * file's doomed positions — which requires physical positions, so
+  * the parquet record filter is disabled for exactly those files
+  * (bounds = empty, as in [[GroupRowIdReader]]); clean files keep
+  * row-group skipping.
   */
 final class GroupAggReader(file: String, ser: SerConf,
                            dataSchema: StructType, aggCols: Seq[AggCol],
                            exact: Seq[Filter],
-                           bounds: Seq[(String, Double, Double)])
+                           bounds: Seq[(String, Double, Double)],
+                           relFile: String = "",
+                           deleteFiles: Seq[String] = Seq.empty)
     extends GroupFileReader(file, ser, dataSchema,
       GroupAggReader.readFieldsFor(dataSchema, aggCols, exact),
-      exact, bounds)
+      exact, if (deleteFiles.isEmpty) bounds else Seq.empty)
     with PartitionReader[InternalRow] {
 
   private val valueIdx: Map[String, Int] =
     GroupAggReader.valueCols(aggCols).zipWithIndex.toMap
+
+  private val doomed: java.util.HashSet[java.lang.Long] =
+    DoomedPositions.load(relFile, deleteFiles, ser)
 
   private var done = false
   private val acc: Array[Any] = aggCols.map {
@@ -1309,6 +1417,14 @@ final class GroupAggReader(file: String, ser: SerConf,
   override def next(): Boolean = {
     if (done) return false
     while (advance()) {
+      if (doomed.isEmpty || !doomed.contains(recordPos)) foldCurrent()
+    }
+    done = true
+    true
+  }
+
+  private def foldCurrent(): Unit = {
+    {
       var i = 0
       while (i < aggCols.length) {
         aggCols(i) match {
@@ -1329,8 +1445,6 @@ final class GroupAggReader(file: String, ser: SerConf,
         i += 1
       }
     }
-    done = true
-    true
   }
 
   override def get(): InternalRow =

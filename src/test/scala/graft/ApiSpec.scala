@@ -151,11 +151,21 @@ class ApiSpec extends SparkSpec {
     assert(merged.count() == pts.filter($"id" % 10 =!= 1).count())
     assert(merged.filter($"id" % 10 === 0 && $"z" < 100.0).count() ==
       pts.filter($"id" % 10 === 0 && $"z" + 100.0 < 100.0).count())
-    // snapshot open refuses under pending deletes — the facade
-    // surfaces the same contract as the source API
-    intercept[IllegalArgumentException] {
-      PointFrame.fromGeoParquetAsOf(spark, dir, 0L)
-    }
+    // snapshot opens COMPOSE with the pending merge-on-read deletes
+    // (tombstone parts carry their commit epoch): AS OF 0 — before
+    // both mutations — serves the untouched original corpus, and
+    // AS OF the current epoch agrees with the merged present
+    val asOf0 = PointFrame.fromGeoParquetAsOf(spark, dir, 0L).df
+      .select("id", "x", "y", "z")
+    assert(asOf0.exceptAll(pts).count() == 0 &&
+      pts.exceptAll(asOf0).count() == 0,
+      "AS OF 0 under pending deletes is not the pre-mutation corpus")
+    val now = graft.sources.GeoParquet.readEpoch(spark, dir)
+    val asOfNow = PointFrame.fromGeoParquetAsOf(spark, dir, now).df
+      .select("id", "x", "y", "z")
+    assert(asOfNow.exceptAll(merged.select("id", "x", "y", "z")).count() == 0 &&
+      merged.select("id", "x", "y", "z").exceptAll(asOfNow).count() == 0,
+      "AS OF the current epoch disagrees with the merged read")
   }
 
   test("native expressions are callable from SQL after extension registration") {

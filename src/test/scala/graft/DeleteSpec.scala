@@ -128,9 +128,13 @@ class DeleteSpec extends SparkSpec {
     GeoParquet.writeManifest(spark, dir)
     val e0 = GeoParquet.readEpoch(spark, dir)
     GeoParquet.deleteWhere(spark, dir, col("id") % 6 === 0)
-    // positions identify physical rows — nothing the manifest asserts
-    // changed, so NO epoch bump and pruned reads stay pruned
-    assert(GeoParquet.readEpoch(spark, dir) == e0)
+    // the delete claims its OWN commit epoch (it is a point on the
+    // snapshot axis now) — but `_manifest_epoch` advances in
+    // lockstep, so the manifest STAYS FRESH and pruned reads keep
+    // pruning: nothing the manifest asserts about files changed
+    assert(GeoParquet.readEpoch(spark, dir) == e0 + 1)
+    assert(GeoParquet.manifestFresh(spark, dir, verify = false),
+      "a positional delete must not stale the manifest")
     val xr = (0.0, 200.0); val yr = (0.0, 200.0)
     val got = GeoParquet.queryBoxViaManifest(spark, dir, xr, yr)
     val want = p.filter($"x" >= 0 && $"x" < 200 && $"y" >= 0 && $"y" < 200 &&
@@ -140,10 +144,17 @@ class DeleteSpec extends SparkSpec {
     // row-count shortcuts cannot subtract from manifest rows: degrade, correct
     val n = GeoParquet.countBoxViaManifest(spark, dir, (-1e9, 1e9), (-1e9, 1e9))
     assert(n.as[Long].head() == p.filter($"id" % 6 =!= 0).count())
-    // snapshots refuse under pending deletes of either kind
-    intercept[IllegalArgumentException] {
-      GeoParquet.queryBoxAsOf(spark, dir, e0, (-1e9, 1e9), (-1e9, 1e9))
-    }
+    // snapshots COMPOSE with the pending positional delete: AS OF the
+    // pre-delete epoch serves every row (the tombstones' epoch is
+    // later — they must NOT subtract), AS OF the delete's own epoch
+    // subtracts them
+    assert(GeoParquet.queryBoxAsOf(spark, dir, e0, (-1e9, 1e9), (-1e9, 1e9))
+      .count() == p.count(),
+      "AS OF before the delete must serve the pre-delete rows")
+    val postDelete = GeoParquet.queryBoxAsOf(spark, dir, e0 + 1,
+      (-1e9, 1e9), (-1e9, 1e9))
+    assert(postDelete.count() == p.filter($"id" % 6 =!= 0).count())
+    assert(postDelete.filter($"id" % 6 === 0).count() == 0)
     // compaction applies and clears the positional sidecar too
     GeoParquet.compact(spark, dir)
     assert(GeoParquet.pendingPositional(spark, dir).isEmpty)

@@ -223,6 +223,36 @@ class GraftCatalogSpec extends SparkSpec {
     def chain(t: Throwable): Seq[String] =
       if (t == null) Seq.empty else String.valueOf(t.getMessage) +: chain(t.getCause)
     assert(chain(e).exists(_.contains("geometry")), chain(e).mkString(" | "))
-    intercept[Throwable] { spark.sql("DROP TABLE lake.ice.atl06") }
+  }
+
+  test("DROP TABLE lifecycle: refuse non-empty, PURGE deletes data + debris, empty drops plain") {
+    val dir = mkLayout("ice", "droppable", 600)
+    // crash debris siblings a purge must sweep with the layout
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir + ".staging-deadbeef"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir + ".pre-compact"))
+    // a data-bearing table refuses the plain DROP and names PURGE
+    val e = intercept[Throwable] { spark.sql("DROP TABLE lake.ice.droppable") }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else String.valueOf(t.getMessage) +: chain(t.getCause)
+    assert(chain(e).exists(_.contains("PURGE")), chain(e).mkString(" | "))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir)), "refused DROP deleted data")
+    // PURGE retires it deliberately: directory, debris, listing entry
+    spark.sql("DROP TABLE lake.ice.droppable PURGE")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".staging-deadbeef")),
+      "purge left crash debris behind")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".pre-compact")))
+    assert(!spark.sql("SHOW TABLES IN lake.ice").collect()
+      .map(_.getString(1)).contains("droppable"))
+    // an EMPTY (CREATE TABLE-shaped) layout drops without PURGE — the
+    // create → retire lifecycle a SQL scheduler runs
+    spark.sql("""CREATE TABLE lake.ice.scratch (id BIGINT, x DOUBLE, y DOUBLE)
+                |USING graft TBLPROPERTIES('delta'='250.0')""".stripMargin)
+    assert(spark.sql("SELECT count(*) AS n FROM lake.ice.scratch")
+      .collect()(0).getLong(0) == 0)
+    spark.sql("DROP TABLE lake.ice.scratch")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$warehouse/ice/scratch")))
   }
 }

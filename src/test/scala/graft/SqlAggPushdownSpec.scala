@@ -185,6 +185,48 @@ class SqlAggPushdownSpec extends SparkSpec {
     assert(sql.collect().toSeq == want.collect().toSeq)
   }
 
+  test("COUNT stays manifest-answered UNDER pending merge-on-read deletes") {
+    val dir = layout(3000, 25.0)
+    GeoParquet.deleteWhere(spark, dir, col("id") % 9 === 4)
+    assert(GeoParquet.pendingPositional(spark, dir).nonEmpty)
+    face(dir, "morcount")
+    GraftSource.lastAggPlan.remove(dir)
+    // wide box: every file is contained — the count must come from
+    // manifest stats minus each file's doomed-position count, with
+    // ZERO files opened
+    val n = spark.sql(
+      """SELECT count(*) AS n, count(z) AS nz FROM morcount
+        |WHERE x >= -1.0E7 AND x < 1.0E7 AND y >= -1.0E7 AND y < 1.0E7""".stripMargin)
+      .collect()(0)
+    val want = 3000L - (0 until 3000).count(_ % 9 == 4)
+    assert(n.getLong(0) == want && n.getLong(1) == want)
+    val (answered, scanned) = GraftSource.lastAggPlan.get(dir)
+    assert(answered > 0 && scanned == 0,
+      s"pending deletes degraded the count: answered=$answered scanned=$scanned")
+    // a selective box makes boundary files SCAN — the subtracting
+    // fold must skip doomed positions there too
+    GraftSource.lastAggPlan.remove(dir)
+    val sel = spark.sql(
+      """SELECT count(*) AS n FROM morcount
+        |WHERE x >= 0 AND x < 460 AND y >= 0 AND y < 460""".stripMargin)
+      .collect()(0).getLong(0)
+    val wantSel = (0 until 3000).count { i =>
+      val x = (i % 50) * 25.0; val y = (i % 37) * 25.0
+      i % 9 != 4 && x >= 0 && x < 460 && y >= 0 && y < 460
+    }
+    assert(sel == wantSel, s"boundary subtraction wrong: $sel vs $wantSel")
+    assert(GraftSource.lastAggPlan.get(dir)._2 > 0, "no boundary file scanned")
+    // MIN/MAX cannot subtract — they fall back to the row scan (no
+    // agg plan recorded) and still answer exactly
+    GraftSource.lastAggPlan.remove(dir)
+    val mm = spark.sql("SELECT min(z) AS zmin, max(z) AS zmax FROM morcount")
+      .collect()(0)
+    val zs = (0 until 3000).filter(_ % 9 != 4).map(_ * 1.0)
+    assert(mm.getDouble(0) == zs.min && mm.getDouble(1) == zs.max)
+    assert(GraftSource.lastAggPlan.get(dir) == null,
+      "MIN/MAX pushed down under pending deletes — a doomed extremum could leak")
+  }
+
   test("a stale manifest degrades to scanning every file, still exact") {
     val dir = layout(800, 25.0)
     // plain append bumps the epoch without manifest stats → stale

@@ -218,4 +218,56 @@ class SqlFaceSpec extends SparkSpec {
     assert(chain(e).exists(m => m != null && m.contains("equality")),
       s"unexpected error: ${chain(e)}")
   }
+
+  test("time travel composes with pending merge-on-read deletes") {
+    // epochs: 0 = base (evens), 1 = append (odds), 2 = positional
+    // delete (id % 5 == 2) — pending, never compacted.  A snapshot
+    // subtracts exactly the deletes at-or-before its pinned epoch:
+    // AS OF 1 must still show the later-deleted rows.
+    val dir = java.nio.file.Files.createTempDirectory("sqlttmor").toString
+    val p = (0 until 1000).map { i =>
+      (i.toLong, (i % 50) * 25.0, (i % 37) * 25.0, i * 1.0)
+    }.toDF("id", "x", "y", "z")
+    GeoParquet.write(p.filter($"id" % 2 === 0), dir, 250.0)
+    GeoParquet.writeManifest(spark, dir)
+    GeoParquet.appendWithManifest(p.filter($"id" % 2 === 1), dir, 250.0)
+    GeoParquet.deleteWhere(spark, dir, col("id") % 5 === 2)
+    assert(GeoParquet.readEpoch(spark, dir) == 2L)
+    def at(e: String) = {
+      spark.read.format("graft").option("snapshot", e).load(dir)
+        .createOrReplaceTempView(s"ttmor_$e")
+      spark.sql(s"SELECT id FROM ttmor_$e").collect().map(_.getLong(0)).sorted.toSeq
+    }
+    assert(at("0") == (0L until 1000L).filter(_ % 2 == 0))
+    assert(at("1") == (0L until 1000L), "AS OF before the delete lost rows")
+    assert(at("2") == (0L until 1000L).filterNot(_ % 5 == 2))
+    // the API face agrees epoch-for-epoch
+    assert(GeoParquet.queryBoxAsOf(spark, dir, 1L, (-1e9, 1e9), (-1e9, 1e9))
+      .count() == 1000)
+    assert(GeoParquet.queryBoxAsOf(spark, dir, 2L, (-1e9, 1e9), (-1e9, 1e9))
+      .filter($"id" % 5 === 2).count() == 0)
+    // an UN-epoched tombstone part (legacy/crash-healed shape) cannot
+    // be placed on the snapshot axis: snapshots refuse, current-state
+    // reads keep subtracting it
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tdir = new org.apache.hadoop.fs.Path(s"$dir/_tombstones_pos")
+    val part = fs.listStatus(tdir)
+      .map(_.getPath).find(_.getName.startsWith("e2-")).get
+    assert(fs.rename(part, new org.apache.hadoop.fs.Path(tdir,
+      part.getName.stripPrefix("e2-"))))
+    val refuse = intercept[Throwable] {
+      spark.read.format("graft").option("snapshot", "1").load(dir).count()
+    }
+    def chain2(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else String.valueOf(t.getMessage) +: chain2(t.getCause)
+    assert(chain2(refuse).exists(_.contains("commit epoch")),
+      chain2(refuse).mkString(" | "))
+    intercept[IllegalArgumentException] {
+      GeoParquet.queryBoxAsOf(spark, dir, 1L, (-1e9, 1e9), (-1e9, 1e9))
+    }
+    spark.read.format("graft").load(dir).createOrReplaceTempView("ttmor_cur")
+    assert(spark.sql("SELECT count(*) AS n FROM ttmor_cur")
+      .collect()(0).getLong(0) == 800)
+  }
 }
