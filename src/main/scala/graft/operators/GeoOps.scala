@@ -884,19 +884,26 @@ object GeoOps {
     * oracle pins the value — a count that misses a subtraction, or
     * double-subtracts, hash-mismatches.
     */
+  private val morCountSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
   def sqlMorCount(s: SparkSession, dir: String): DataFrame = {
     val wh = java.nio.file.Files.createTempDirectory("sqlmrc").toString
     val path = s"$wh/geo/points"
     graft.sources.GeoParquet.write(
       pts(s, dir).select("id", "x", "y", "z"), path, 250.0)
     graft.sources.GeoParquet.writeManifest(s, path)
-    s.conf.set("spark.sql.catalog.graft_mrc",
+    // unique catalog name per invocation: a catalog instance pins its
+    // warehouse at first use, and this query's plan assertion must
+    // look at THIS run's layout (the bench warmup runs every query
+    // twice in one session)
+    val cat = s"graft_mrc${morCountSeq.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat",
       classOf[graft.sources.v2.GraftCatalog].getName)
-    s.conf.set("spark.sql.catalog.graft_mrc.warehouse", wh)
-    s.sql("UPDATE graft_mrc.geo.points SET z = z + 1000000.0 WHERE id % 7 = 0")
-    s.sql("DELETE FROM graft_mrc.geo.points WHERE id % 11 = 3")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"UPDATE $cat.geo.points SET z = z + 1000000.0 WHERE id % 7 = 0")
+    s.sql(s"DELETE FROM $cat.geo.points WHERE id % 11 = 3")
     val df = s.sql(
-      """SELECT count(*) AS n, count(z) AS n_z FROM graft_mrc.geo.points
+      s"""SELECT count(*) AS n, count(z) AS n_z FROM $cat.geo.points
         |WHERE x >= -10000000.0 AND x < 10000000.0
         |  AND y >= -10000000.0 AND y < 10000000.0""".stripMargin)
     df.collect() // force planning + execution for the shape assertions

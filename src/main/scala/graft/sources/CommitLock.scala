@@ -24,14 +24,25 @@ import org.apache.spark.sql.SparkSession
   * snapshot-commit model, with the lock standing in for the
   * metastore's atomic pointer swap.
   *
-  * Mechanics: `_commits/lock` at the layout root, taken by atomic
-  * exclusive create (O_EXCL — atomic on HDFS and local FS; object
-  * stores without conditional put should front this with a real
-  * lock service) and verified by token read-back, so even a
-  * check-then-create race has exactly one winner.  A crashed
-  * holder's lock expires after [[leaseMs]] and is broken by the next
-  * acquirer; holders must finish their locked section within the
-  * lease (locked sections are metadata-sized by design).
+  * Mechanics: `_commits/lock` at the layout root, taken by
+  * BID-AND-RENAME — each contender writes its token to its own
+  * unique bid file, then no-replace-renames it onto the lock path;
+  * exactly one rename lands ([[acquire]]).  A crashed holder's lock
+  * expires after [[leaseMs]] and is broken by the next acquirer
+  * (rename-to-tombstone, never a delete); holders must finish their
+  * locked section within the lease (locked sections are
+  * metadata-sized by design).
+  *
+  * STORE PORTABILITY: the protocol runs on five primitives
+  * ([[Backend]]), and the ONLY one that must be atomic is the
+  * no-replace rename — the create primitive may be a blind PUT
+  * (CommitContentionSpec drives a deliberately non-atomic shim
+  * through writer storms and pins exactly one holder).  The default
+  * [[FsBackend]] covers POSIX (java.nio) and HDFS (server-side
+  * rename semantics); an object store injects a backend whose
+  * renameNoReplace rides its conditional-put/CAS primitive
+  * (If-None-Match copy — the S3A-committer pattern) or defers to an
+  * external lock service.
   */
 object CommitLock {
 
@@ -44,6 +55,54 @@ object CommitLock {
   /** Give up acquiring after this long (a healthy holder should be
     * far faster; a crashed one is broken after [[leaseMs]]). */
   @volatile var acquireTimeoutMs: Long = 900000L
+
+  /** The store primitives the lock protocol runs on.  Implementations
+    * swap the MECHANISM (POSIX, HDFS RPC, object-store CAS, a lock
+    * service's lease API); the PROTOCOL — read-back verification,
+    * lease breaking, tombstoned break/release — stays above.
+    */
+  trait Backend {
+    /** Write a PRIVATE file at `path` holding `token`.  Contenders
+      * only ever call this on paths containing their own unique
+      * token, so this primitive needs NO atomicity at all — a blind
+      * PUT serves (the acquisition race is decided by
+      * [[renameNoReplace]], not here).
+      */
+    def tryCreate(fs: org.apache.hadoop.fs.FileSystem,
+                  lock: org.apache.hadoop.fs.Path, token: String): Boolean
+
+    /** The lock file's current content, None when absent/unreadable. */
+    def read(fs: org.apache.hadoop.fs.FileSystem,
+             lock: org.apache.hadoop.fs.Path): Option[String]
+
+    /** Rename that NEVER clobbers an existing destination — THE
+      * atomic primitive the protocol rests on: it decides acquisition
+      * (unique bid file → lock path; one contender's rename lands,
+      * the rest fail on dst-exists) and makes a losing breaker's
+      * delayed rename fail instead of unseating a re-created fresh
+      * lock.  HDFS rename refuses an existing file destination
+      * server-side; POSIX gets java.nio without REPLACE_EXISTING; an
+      * object store without rename implements this as a CONDITIONAL
+      * copy+delete (If-None-Match PUT — the one CAS primitive a
+      * deployment must bring; without any conditional operation no
+      * store can host a mutex).
+      */
+    def renameNoReplace(fs: org.apache.hadoop.fs.FileSystem,
+                        src: org.apache.hadoop.fs.Path,
+                        dst: org.apache.hadoop.fs.Path): Boolean
+
+    def delete(fs: org.apache.hadoop.fs.FileSystem,
+               lock: org.apache.hadoop.fs.Path): Unit
+
+    /** Modification time, None when absent — the lease clock. */
+    def mtime(fs: org.apache.hadoop.fs.FileSystem,
+              lock: org.apache.hadoop.fs.Path): Option[Long]
+  }
+
+  /** The active backend (process-wide; a deployment sets it once at
+    * startup, before any writer runs).
+    */
+  @volatile var backend: Backend = FsBackend
 
   private def fsOf(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
@@ -59,19 +118,36 @@ object CommitLock {
     finally release(spark, path, token)
   }
 
+  /** BID-AND-RENAME acquisition: each contender writes its token to
+    * its OWN bid file (a unique path — zero contention, so the create
+    * primitive needs no atomicity), then tries the no-replace rename
+    * onto the lock path.  The rename is the decision point: exactly
+    * one lands, every loser fails on dst-exists and retries.  The
+    * token read-back after a winning rename is belt-and-braces (it
+    * also catches stores whose rename reports success ambiguously).
+    * This is what lets the Backend be implemented over stores with
+    * WEAK creates — a blind last-writer-wins PUT would break a
+    * create-then-verify scheme (two verified winners: A writes+reads
+    * its token, B overwrites and reads its own — measured, not
+    * hypothesized, by the non-atomic-shim spec), but it cannot break
+    * a rename race.
+    */
   private def acquire(spark: SparkSession, path: String): String = {
     val fs = fsOf(spark, path)
     val lock = lockPath(path)
+    val b = backend
     val token = java.util.UUID.randomUUID().toString
+    val bid = new org.apache.hadoop.fs.Path(lock.getParent,
+      s"lock.bid-${token.take(8)}")
     val deadline = System.currentTimeMillis() + acquireTimeoutMs
     var held = false
     while (!held) {
-      // read-back verification: if two creates raced past a
-      // non-atomic exists check, exactly one token survives
-      held = exclusiveCreate(fs, lock, token) &&
-        readToken(fs, lock).contains(token)
+      held = b.tryCreate(fs, bid, token) &&
+        b.renameNoReplace(fs, bid, lock) &&
+        b.read(fs, lock).contains(token)
       if (!held) {
-        breakIfStale(fs, lock)
+        b.delete(fs, bid) // our losing bid, if the rename never moved it
+        breakIfStale(fs, lock, b)
         if (System.currentTimeMillis() > deadline)
           throw new IllegalStateException(
             s"commit lock on $path not acquired within ${acquireTimeoutMs}ms " +
@@ -82,47 +158,6 @@ object CommitLock {
     }
     token
   }
-
-  /** Create the lock file exclusively.  Hadoop's local-FS
-    * `create(f, overwrite = false)` is check-then-TRUNCATE — two
-    * racing threads can truncate a held lock or strand an orphan that
-    * matches nobody's token (blocking everyone for a full lease) — so
-    * the `file` scheme goes through java.nio's O_EXCL instead; HDFS
-    * and friends enforce exclusivity server-side.
-    */
-  private def exclusiveCreate(fs: org.apache.hadoop.fs.FileSystem,
-                              lock: org.apache.hadoop.fs.Path,
-                              token: String): Boolean =
-    if (fs.getScheme == "file")
-      try {
-        val p = java.nio.file.Paths.get(lock.toUri.getPath)
-        java.nio.file.Files.createDirectories(p.getParent)
-        java.nio.file.Files.write(p, token.getBytes("UTF-8"),
-          java.nio.file.StandardOpenOption.CREATE_NEW,
-          java.nio.file.StandardOpenOption.WRITE)
-        // a hadoop checksum sibling for DIFFERENT content (stranded by
-        // a ChecksumFileSystem copy of `_commits`, e.g. a compaction
-        // swap) would make every readToken of this lock throw — which
-        // reads as "held by nobody" and blocks all writers for a lease
-        dropCrcSibling(p)
-        true
-      } catch { case _: java.io.IOException => false }
-    else
-      try {
-        fs.mkdirs(lock.getParent)
-        val out = fs.create(lock, false)
-        try out.write(token.getBytes("UTF-8")) finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
-
-  private def readToken(fs: org.apache.hadoop.fs.FileSystem,
-                        lock: org.apache.hadoop.fs.Path): Option[String] =
-    try {
-      val in = fs.open(lock)
-      try Some(new String(
-        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
-      finally in.close()
-    } catch { case _: java.io.IOException => None }
 
   /** Break a lock whose holder exceeded the lease (presumed crashed).
     *
@@ -147,69 +182,35 @@ object CommitLock {
     * job-side work or use an external lock service.
     */
   private def breakIfStale(fs: org.apache.hadoop.fs.FileSystem,
-                           lock: org.apache.hadoop.fs.Path): Unit =
-    try {
-      val st = fs.getFileStatus(lock)
-      if (System.currentTimeMillis() - st.getModificationTime > leaseMs) {
+                           lock: org.apache.hadoop.fs.Path,
+                           b: Backend): Unit =
+    b.mtime(fs, lock).foreach { m =>
+      if (System.currentTimeMillis() - m > leaseMs) {
         // None = unreadable content (corrupt) — still break, verified
         // by mtime instead of token (renames preserve mtime)
-        val observed = readToken(fs, lock)
+        val observed = b.read(fs, lock)
         val tomb = new org.apache.hadoop.fs.Path(lock.getParent,
-          s"lock.broken-${st.getModificationTime}-" +
-            observed.fold("x")(_.hashCode.toHexString))
-        if (renameNoReplace(fs, lock, tomb)) {
+          s"lock.broken-$m-" + observed.fold("x")(_.hashCode.toHexString))
+        if (b.renameNoReplace(fs, lock, tomb)) {
           val sameLock = observed match {
-            case Some(t) => readToken(fs, tomb).contains(t)
-            case None =>
-              try fs.getFileStatus(tomb).getModificationTime ==
-                st.getModificationTime
-              catch { case _: java.io.IOException => false }
+            case Some(t) => b.read(fs, tomb).contains(t)
+            case None => b.mtime(fs, tomb).contains(m)
           }
           // raced: we moved a lock that was re-taken since our stat —
           // put the live holder's lock back
           if (!sameLock)
-            require(renameNoReplace(fs, tomb, lock),
+            require(b.renameNoReplace(fs, tomb, lock),
               s"commit-lock break race on $lock: broke a live lock and " +
                 "could not restore it — manual repair required")
         }
       }
-    } catch { case _: java.io.IOException => () } // raced away — fine
-
-  /** Rename that NEVER clobbers an existing destination (the property
-    * the break protocol leans on).  Hadoop's FileSystem.rename
-    * contract is no-replace for files on HDFS, but the local
-    * RawLocalFileSystem delegates to java.io semantics where a rename
-    * over an existing file can succeed — so the `file` scheme goes
-    * through java.nio with no REPLACE_EXISTING option.
-    */
-  private def renameNoReplace(fs: org.apache.hadoop.fs.FileSystem,
-                              src: org.apache.hadoop.fs.Path,
-                              dst: org.apache.hadoop.fs.Path): Boolean =
-    if (fs.getScheme == "file")
-      try {
-        val s = java.nio.file.Paths.get(src.toUri.getPath)
-        val d = java.nio.file.Paths.get(dst.toUri.getPath)
-        java.nio.file.Files.move(s, d)
-        // hadoop checksum siblings don't ride a raw nio move; a crc
-        // left at either path would poison the next fs.open there
-        // (ChecksumFileSystem verifies content that no longer matches)
-        dropCrcSibling(s)
-        dropCrcSibling(d)
-        true
-      } catch { case _: java.io.IOException => false }
-    else
-      try !fs.exists(dst) && fs.rename(src, dst)
-      catch { case _: java.io.IOException => false }
-
-  private def dropCrcSibling(p: java.nio.file.Path): Unit =
-    try java.nio.file.Files.deleteIfExists(
-      p.resolveSibling("." + p.getFileName.toString + ".crc"))
-    catch { case _: java.io.IOException => () }
+    }
 
   private def release(spark: SparkSession, path: String,
                       token: String): Unit = {
     val fs = fsOf(spark, path)
     val lock = lockPath(path)
+    val b = backend
     // release only OUR lock, atomically: a read-then-delete has the
     // same window as the old break (lease expires mid-release, a new
     // holder re-creates, our delayed delete unlocks THEM).  Rename the
@@ -219,14 +220,92 @@ object CommitLock {
     val tomb = new org.apache.hadoop.fs.Path(lock.getParent,
       s"lock.rel-${token.hashCode.toHexString}")
     try {
-      if (renameNoReplace(fs, lock, tomb)) {
-        if (readToken(fs, tomb).contains(token))
-          fs.delete(tomb, false)
+      if (b.renameNoReplace(fs, lock, tomb)) {
+        if (b.read(fs, tomb).contains(token))
+          b.delete(fs, tomb)
         else // moved someone else's fresh lock (ours was lease-broken)
-          require(renameNoReplace(fs, tomb, lock),
+          require(b.renameNoReplace(fs, tomb, lock),
             s"commit-lock release race on $lock: displaced a live lock " +
               "and could not restore it — manual repair required")
       }
     } catch { case _: java.io.IOException => () }
+  }
+
+  /** The default backend: atomic exclusive create (java.nio O_EXCL on
+    * the local scheme — Hadoop's local `create(f, overwrite=false)` is
+    * check-then-TRUNCATE and can truncate a held lock; HDFS enforces
+    * exclusivity server-side) and a genuinely no-replace rename (the
+    * local RawLocalFileSystem delegates rename to java.io semantics
+    * where clobbering can succeed, so the local scheme goes through
+    * java.nio without REPLACE_EXISTING).
+    */
+  object FsBackend extends Backend {
+    override def tryCreate(fs: org.apache.hadoop.fs.FileSystem,
+                           lock: org.apache.hadoop.fs.Path,
+                           token: String): Boolean =
+      if (fs.getScheme == "file")
+        try {
+          val p = java.nio.file.Paths.get(lock.toUri.getPath)
+          java.nio.file.Files.createDirectories(p.getParent)
+          java.nio.file.Files.write(p, token.getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+          // a hadoop checksum sibling for DIFFERENT content (stranded by
+          // a ChecksumFileSystem copy of `_commits`, e.g. a compaction
+          // swap) would make every read of this lock throw — which
+          // reads as "held by nobody" and blocks all writers for a lease
+          dropCrcSibling(p)
+          true
+        } catch { case _: java.io.IOException => false }
+      else
+        try {
+          fs.mkdirs(lock.getParent)
+          val out = fs.create(lock, false)
+          try out.write(token.getBytes("UTF-8")) finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+
+    override def read(fs: org.apache.hadoop.fs.FileSystem,
+                      lock: org.apache.hadoop.fs.Path): Option[String] =
+      try {
+        val in = fs.open(lock)
+        try Some(new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
+        finally in.close()
+      } catch { case _: java.io.IOException => None }
+
+    override def renameNoReplace(fs: org.apache.hadoop.fs.FileSystem,
+                                 src: org.apache.hadoop.fs.Path,
+                                 dst: org.apache.hadoop.fs.Path): Boolean =
+      if (fs.getScheme == "file")
+        try {
+          val s = java.nio.file.Paths.get(src.toUri.getPath)
+          val d = java.nio.file.Paths.get(dst.toUri.getPath)
+          java.nio.file.Files.move(s, d)
+          // hadoop checksum siblings don't ride a raw nio move; a crc
+          // left at either path would poison the next fs.open there
+          // (ChecksumFileSystem verifies content that no longer matches)
+          dropCrcSibling(s)
+          dropCrcSibling(d)
+          true
+        } catch { case _: java.io.IOException => false }
+      else
+        try !fs.exists(dst) && fs.rename(src, dst)
+        catch { case _: java.io.IOException => false }
+
+    override def delete(fs: org.apache.hadoop.fs.FileSystem,
+                        lock: org.apache.hadoop.fs.Path): Unit =
+      try fs.delete(lock, false)
+      catch { case _: java.io.IOException => () }
+
+    override def mtime(fs: org.apache.hadoop.fs.FileSystem,
+                       lock: org.apache.hadoop.fs.Path): Option[Long] =
+      try Some(fs.getFileStatus(lock).getModificationTime)
+      catch { case _: java.io.IOException => None }
+
+    private def dropCrcSibling(p: java.nio.file.Path): Unit =
+      try java.nio.file.Files.deleteIfExists(
+        p.resolveSibling("." + p.getFileName.toString + ".crc"))
+      catch { case _: java.io.IOException => () }
   }
 }

@@ -60,6 +60,52 @@ object GeoParquet {
         Seq(StructField("bin_x", LongType), StructField("bin_y", LongType))))
   }
 
+  /** Create an EMPTY curve-clustered layout — the DDL face's
+    * `TBLPROPERTIES('curve'='z'/'hilbert', 'delta'=…)` arm: geometry
+    * (`_delta`), declared schema (`_schema`, the curve key column
+    * included so key discovery needs no data file), and an empty
+    * manifest carrying the key-range columns (k0/k1) so the SQL
+    * INSERT dispatches to [[appendCurve]] from the first batch.
+    * Lifecycle mirrors [[createLayout]]: the empty table reads as
+    * empty, each INSERT appends internally-key-sorted files with
+    * their [k0,k1] ranges manifested (curve pruning live
+    * immediately — the alignment keeps key stats), and a
+    * `rebuild_manifest` adds the x/y envelope stats for the
+    * envelope-pruned readers.
+    */
+  def createCurveLayout(spark: SparkSession, path: String,
+                        schema: org.apache.spark.sql.types.StructType,
+                        delta: Double, curve: String): Unit = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val keyCol = curve.toLowerCase match {
+      case "z" | "zorder" => "zkey"
+      case "h" | "hilbert" => "hkey"
+      case other => throw new IllegalArgumentException(
+        s"unknown curve '$other' — TBLPROPERTIES('curve'=…) takes " +
+          "'z' (Morton) or 'hilbert'")
+    }
+    require(schema.fieldNames.contains("x") && schema.fieldNames.contains("y"),
+      "a curve layout needs x and y coordinate columns (the key is " +
+        "computed from them at the recorded δ)")
+    require(delta > 0, s"cell size must be positive: $delta")
+    val fs = fsOf(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    require(!fs.exists(p) || fs.listStatus(p).isEmpty,
+      s"$path already exists and is not empty")
+    fs.mkdirs(p)
+    recordDelta(spark, path, delta)
+    writeSchemaFile(spark, path, StructType(
+      dataSchemaOf(schema).fields.toSeq :+ StructField(keyCol, LongType)))
+    val mSchema = StructType(Seq(
+      StructField("file", StringType), StructField("n_rows", LongType),
+      StructField("epoch", LongType),
+      StructField("k0", LongType), StructField("k1", LongType)))
+    spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), mSchema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_manifest")
+    writeEpochFile(spark, s"$path/_manifest_epoch", 0L) // fresh at epoch 0
+  }
+
   /** Explicit add-column evolution — the SQL face's `ALTER TABLE …
     * ADD COLUMNS`.  Identical contract to the append-path
     * [[recordEvolution]]: new columns append to the declared schema
@@ -186,20 +232,25 @@ object GeoParquet {
     * (the caller's freshness guard owns that diagnosis; schema
     * discovery must not crash first with a raw file-not-found).
     */
-  private def curveKeyColOf(spark: SparkSession, path: String): Option[String] = {
-    val fs = fsOf(spark, path)
-    val cols =
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_manifest")))
-        spark.read.parquet(path).columns
-      else
-        spark.read.parquet(s"$path/_manifest").select("file").head(1) match {
-          case Array(r)
-            if fs.exists(new org.apache.hadoop.fs.Path(s"$path/${r.getString(0)}")) =>
-            spark.read.parquet(s"$path/${r.getString(0)}").columns
-          case _ => spark.read.parquet(path).columns // empty/stale manifest
-        }
-    CurveKeyCols.find(cols.contains)
-  }
+  private def curveKeyColOf(spark: SparkSession, path: String): Option[String] =
+    // declared-schema sidecar first: O(1), and the only source on an
+    // EMPTY curve layout (DDL-created — no data file to consult yet)
+    layoutSchema(spark, path)
+      .flatMap(s => CurveKeyCols.find(s.fieldNames.contains))
+      .orElse {
+        val fs = fsOf(spark, path)
+        val cols =
+          if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_manifest")))
+            spark.read.parquet(path).columns
+          else
+            spark.read.parquet(s"$path/_manifest").select("file").head(1) match {
+              case Array(r)
+                if fs.exists(new org.apache.hadoop.fs.Path(s"$path/${r.getString(0)}")) =>
+                spark.read.parquet(s"$path/${r.getString(0)}").columns
+              case _ => spark.read.parquet(path).columns // empty/stale manifest
+            }
+        CurveKeyCols.find(cols.contains)
+      }
 
   /** Absolute filesystem path of the layout root, scheme-free —
     * the prefix manifest entries are made relative to.
@@ -1524,15 +1575,23 @@ object GeoParquet {
   /** The layout's DATA-file schema (bin partition columns excluded —
     * the shape flat file-list reads see), for the SQL face: declared
     * sidecar first, then one manifest-named footer, then inference.
+    * Curve-key columns (zkey/hkey) are stripped too: they are the
+    * layout's internal clustering artifact, computed by the writers —
+    * surfacing them would break INSERT column arity on curve tables
+    * and leak a physical detail into the SQL contract (the API
+    * readers keep seeing them; queryBoxCurve filters on the key).
     */
   private[graft] def dataSchemaFor(spark: SparkSession, path: String)
-      : org.apache.spark.sql.types.StructType =
-    layoutSchema(spark, path).map(dataSchemaOf).getOrElse {
+      : org.apache.spark.sql.types.StructType = {
+    val s = layoutSchema(spark, path).map(dataSchemaOf).getOrElse {
       if (fsOf(spark, path)
           .exists(new org.apache.hadoop.fs.Path(s"$path/_manifest")))
         manifestHeadSchema(spark, path)
       else dataSchemaOf(spark.read.parquet(path).schema)
     }
+    org.apache.spark.sql.types.StructType(
+      s.fields.filterNot(f => CurveKeyCols.contains(f.name)))
+  }
 
   /** File planning for the SQL face ([[graft.sources.v2.GraftSource]]):
     * the same manifest envelope pruning [[queryBoxViaManifest]] does,

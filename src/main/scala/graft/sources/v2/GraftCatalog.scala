@@ -144,27 +144,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * lands (schema + δ sidecars, zero files), the first INSERT bins
     * by the recorded δ, and `CALL system.rebuild_manifest` restores
     * pruned reads — creation to maintenance entirely from SQL.
-    * Curve-clustered layouts stay API-created (their clustering is a
-    * write-path decision, not a property).
+    * Adding `'curve'='z'` / `'curve'='hilbert'` declares a
+    * CURVE-clustered layout instead ([[GeoParquet.createCurveLayout]]):
+    * INSERTs dispatch to appendCurve and each batch's [k0,k1] key
+    * ranges are manifested from the start.
     */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
     require(partitions.isEmpty,
-      s"graft layouts own their partitioning (δ-binning) — declare the " +
-        "geometry decision as TBLPROPERTIES('delta'='<binSize>'), not " +
-        "PARTITIONED BY")
+      s"graft layouts own their partitioning (δ-binning / curve " +
+        "clustering) — declare the geometry decision as " +
+        "TBLPROPERTIES('delta'='<binSize>'[, 'curve'='z'|'hilbert']), " +
+        "not PARTITIONED BY")
     val delta = Option(properties.get("delta")).map(_.toDouble).getOrElse(
       throw new UnsupportedOperationException(
         s"CREATE TABLE $ident needs the layout's geometry decision: " +
-          "TBLPROPERTIES('delta'='<binSize>'); for curve-clustered " +
-          "layouts create with GeoParquet.writeZOrdered under the " +
-          "warehouse instead"))
+          "TBLPROPERTIES('delta'='<binSize>'[, 'curve'='z'|'hilbert'])"))
     require(ident.namespace().length == 1,
       s"graft catalog tables are <namespace>.<table>: $ident")
     fs.mkdirs(pathOf(ident.namespace()(0)))
     val path = tablePath(ident)
-    GeoParquet.createLayout(SparkSession.active, path, schema, delta)
+    Option(properties.get("curve")) match {
+      case Some(c) =>
+        GeoParquet.createCurveLayout(SparkSession.active, path, schema,
+          delta, c)
+      case None =>
+        GeoParquet.createLayout(SparkSession.active, path, schema, delta)
+    }
     new GraftTable(path, GeoParquet.dataSchemaFor(SparkSession.active, path))
   }
 

@@ -69,6 +69,69 @@ class CommitContentionSpec extends SparkSpec {
     assert(tombs.nonEmpty, "stale lock was deleted, not tombstoned")
   }
 
+  test("a deliberately NON-atomic backend still yields exactly one winner (bid-and-rename protocol)") {
+    // the pluggable-backend contract: the protocol above the Backend
+    // trait must not depend on the create primitive being atomic —
+    // this shim's create is a blind truncating PUT with a widened
+    // race window (two racing creates BOTH 'succeed', last writer
+    // wins), the weakest write an object store offers.  The
+    // acquisition race is decided by the no-replace RENAME of each
+    // contender's unique bid file, the one primitive that must be
+    // conditional — a create-then-verify scheme measurably leaks two
+    // verified winners under this shim (that failure drove the
+    // bid-and-rename design; re-verified here as exactly one holder).
+    val shim = new CommitLock.Backend {
+      override def tryCreate(fs: org.apache.hadoop.fs.FileSystem,
+                             lock: org.apache.hadoop.fs.Path,
+                             token: String): Boolean = {
+        val p = java.nio.file.Paths.get(lock.toUri.getPath)
+        java.nio.file.Files.createDirectories(p.getParent)
+        Thread.`yield`() // widen any check-to-write window on purpose
+        try {
+          java.nio.file.Files.write(p, token.getBytes("UTF-8")) // blind PUT
+          true
+        } catch { case _: java.io.IOException => false }
+      }
+      override def read(fs: org.apache.hadoop.fs.FileSystem,
+                        lock: org.apache.hadoop.fs.Path): Option[String] =
+        CommitLock.FsBackend.read(fs, lock)
+      override def renameNoReplace(fs: org.apache.hadoop.fs.FileSystem,
+                                   src: org.apache.hadoop.fs.Path,
+                                   dst: org.apache.hadoop.fs.Path): Boolean =
+        CommitLock.FsBackend.renameNoReplace(fs, src, dst)
+      override def delete(fs: org.apache.hadoop.fs.FileSystem,
+                          lock: org.apache.hadoop.fs.Path): Unit =
+        CommitLock.FsBackend.delete(fs, lock)
+      override def mtime(fs: org.apache.hadoop.fs.FileSystem,
+                         lock: org.apache.hadoop.fs.Path): Option[Long] =
+        CommitLock.FsBackend.mtime(fs, lock)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("lockshim").toString
+    val prev = CommitLock.backend
+    CommitLock.backend = shim
+    try {
+      val active = new java.util.concurrent.atomic.AtomicInteger(0)
+      val maxActive = new java.util.concurrent.atomic.AtomicInteger(0)
+      val threads = (1 to 6).map { _ =>
+        inThread {
+          (1 to 8).foreach { _ =>
+            CommitLock.withLock(spark, dir) {
+              val a = active.incrementAndGet()
+              maxActive.updateAndGet(m => math.max(m, a))
+              Thread.sleep(5)
+              active.decrementAndGet()
+            }
+          }
+        }
+      }
+      threads.foreach(_._1.join(120000))
+      threads.foreach(t => rethrow(t._2))
+      assert(maxActive.get() == 1,
+        s"non-atomic backend leaked ${maxActive.get()} concurrent holders " +
+          "past the read-back verification")
+    } finally CommitLock.backend = prev
+  }
+
   test("a lease-broken holder's release leaves the breaker's lock intact") {
     // the ADVICE race, other side: holder A exceeds its lease inside
     // the locked section, B breaks and acquires; A's release must not

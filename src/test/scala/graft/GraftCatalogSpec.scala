@@ -225,6 +225,48 @@ class GraftCatalogSpec extends SparkSpec {
     assert(chain(e).exists(_.contains("geometry")), chain(e).mkString(" | "))
   }
 
+  test("CREATE TABLE with 'curve' declares a curve-clustered layout; INSERTs key-sort and manifest ranges") {
+    spark.sql("""CREATE TABLE lake.ice.curved (id BIGINT, x DOUBLE, y DOUBLE, z DOUBLE)
+                |USING graft TBLPROPERTIES('delta'='250.0', 'curve'='hilbert')""".stripMargin)
+    val dir = s"$warehouse/ice/curved"
+    assert(GeoParquet.isCurveLayout(spark, dir), "k0/k1-less manifest: not a curve layout")
+    assert(spark.sql("SELECT count(*) AS n FROM lake.ice.curved")
+      .collect()(0).getLong(0) == 0)
+    // two SQL INSERTs — each dispatches to appendCurve (key computed
+    // at the recorded δ) and manifests its [k0,k1] range immediately
+    pts(0, 600).createOrReplaceTempView("curve_src_a")
+    pts(600, 1000).createOrReplaceTempView("curve_src_b")
+    spark.sql("INSERT INTO lake.ice.curved SELECT id, x, y, z FROM curve_src_a")
+    spark.sql("INSERT INTO lake.ice.curved SELECT id, x, y, z FROM curve_src_b")
+    val m = spark.read.parquet(s"$dir/_manifest")
+    assert(m.count() >= 2 && m.filter(col("k0").isNull).count() == 0,
+      "an INSERT landed without its curve-key range")
+    // data files are internally key-sorted and carry the key column
+    assert(spark.read.parquet(dir).columns.contains("hkey"))
+    // rebuild adds envelope stats; the curve reader prunes and agrees
+    spark.sql("CALL lake.system.rebuild_manifest('ice.curved')").collect()
+    val got = GeoParquet.queryBoxCurve(spark, dir, (0.0, 400.0), (0.0, 400.0), 250.0)
+      .select("id").as[Long].collect().sorted.toSeq
+    val want = (0 until 1000).filter { i =>
+      val x = (i % 50) * 25.0; val y = (i % 37) * 25.0
+      x >= 0 && x < 400 && y >= 0 && y < 400
+    }.map(_.toLong)
+    assert(got == want, s"curve read diverged: ${got.length} vs ${want.length}")
+    // and the SQL face agrees
+    assert(spark.sql(
+      """SELECT count(*) AS n FROM lake.ice.curved
+        |WHERE x >= 0 AND x < 400 AND y >= 0 AND y < 400""".stripMargin)
+      .collect()(0).getLong(0) == want.length)
+    // a bogus curve kind refuses with directions
+    val e = intercept[Throwable] {
+      spark.sql("""CREATE TABLE lake.ice.badcurve (id BIGINT, x DOUBLE, y DOUBLE)
+                  |USING graft TBLPROPERTIES('delta'='250.0', 'curve'='peano')""".stripMargin)
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else String.valueOf(t.getMessage) +: chain(t.getCause)
+    assert(chain(e).exists(_.contains("hilbert")), chain(e).mkString(" | "))
+  }
+
   test("DROP TABLE lifecycle: refuse non-empty, PURGE deletes data + debris, empty drops plain") {
     val dir = mkLayout("ice", "droppable", 600)
     // crash debris siblings a purge must sweep with the layout
