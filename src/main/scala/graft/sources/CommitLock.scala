@@ -137,8 +137,12 @@ object CommitLock {
     val lock = lockPath(path)
     val b = backend
     val token = java.util.UUID.randomUUID().toString
+    // FULL token in the bid name: a truncated prefix would let two
+    // contenders share a bid path (one deletes/overwrites the other's
+    // bid on retry), and on a blind-PUT backend that can land a lock
+    // holding a token neither contender verifies
     val bid = new org.apache.hadoop.fs.Path(lock.getParent,
-      s"lock.bid-${token.take(8)}")
+      s"lock.bid-$token")
     val deadline = System.currentTimeMillis() + acquireTimeoutMs
     var held = false
     while (!held) {
@@ -217,8 +221,12 @@ object CommitLock {
     // lock aside to a token-derived path first — a delayed rename
     // after a break-and-retake fails on the already-occupied tombstone
     // or moves a mismatching token that we restore.
+    // FULL token (tokens are per-acquisition UUIDs, never reused):
+    // a 32-bit hash could collide with a crashed release's leftover
+    // tombstone, making this renameNoReplace fail silently and the
+    // lock wait out its whole lease
     val tomb = new org.apache.hadoop.fs.Path(lock.getParent,
-      s"lock.rel-${token.hashCode.toHexString}")
+      s"lock.rel-$token")
     try {
       if (b.renameNoReplace(fs, lock, tomb)) {
         if (b.read(fs, tomb).contains(token))

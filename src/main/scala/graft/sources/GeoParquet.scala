@@ -1325,9 +1325,18 @@ object GeoParquet {
   def deleteWhere(spark: SparkSession, path: String,
                   cond: org.apache.spark.sql.Column): Unit = {
     val root = rootPathOf(spark, path)
-    val doomed = readerFor(spark, path, flat = false).parquet(path).filter(cond)
+    val raw = readerFor(spark, path, flat = false).parquet(path).filter(cond)
       .select(relativeTo(root)(col("_metadata.file_path")).as("file"),
         col("_metadata.row_index").as("pos"))
+    // harvest from the MERGED view: rows already doomed by a prior
+    // UPDATE/MERGE/DELETE must not be re-doomed under a new epoch —
+    // duplicate (file,pos) entries bloat the sidecar and break any
+    // consumer that counts tombstone rows instead of distinct addresses
+    val fresh = pendingPositional(spark, path) match {
+      case Some(ts) => raw.join(ts, Seq("file", "pos"), "left_anti")
+      case None     => raw
+    }
+    val doomed = fresh
       .localCheckpoint() // the layout scan happens outside the lock
     if (!doomed.isEmpty)
       CommitLock.withLock(spark, path) {
@@ -2056,6 +2065,24 @@ object GeoParquet {
               (n.startsWith(base + ".staging-") ||
                 n == base + ".pre-compact" || n == base + ".compact"))
             fs.delete(st.getPath, true)
+        }
+      // `_commits` debris: break tombstones (one per actual
+      // crash-break — load-bearing while fresh, they are what keeps a
+      // losing breaker's delayed rename failing), crashed release
+      // tombstones, and orphaned bids.  All are dead once several
+      // leases old (every pending rename they fence is lease-bounded),
+      // and nothing else ever removes them.  The live `lock` file is
+      // ours right now (we are inside withLock) and is never matched.
+      val commits = new org.apache.hadoop.fs.Path(p, "_commits")
+      val debrisAgeMs = math.max(staleAgeMs, CommitLock.leaseMs) * 3
+      if (fs.exists(commits))
+        fs.listStatus(commits).foreach { st =>
+          val n = st.getPath.getName
+          val old = System.currentTimeMillis() -
+            st.getModificationTime > debrisAgeMs
+          if (old && (n.startsWith("lock.broken-") ||
+              n.startsWith("lock.rel-") || n.startsWith("lock.bid-")))
+            fs.delete(st.getPath, false)
         }
     }
   }

@@ -1179,9 +1179,14 @@ final class GraftAggScan(path: String, dataSchema: StructType,
     // EVERY row did); boundary files scan with the doomed positions
     // skipped.  The pushdown is counts-only under deletes (the
     // builder refuses MIN/MAX — a doomed row might be the extremum).
+    // distinct (file,pos) first: duplicate tombstone entries for the
+    // same position are reachable (overlapping deleteWhere batches),
+    // and counting raw rows would over-subtract — tombstone parts are
+    // metadata-scale, so the distinct costs nothing
     val doomedCounts: Map[String, Long] =
       if (deleteParts.isEmpty) Map.empty
       else spark.read.parquet(deleteParts.map(_._1): _*)
+        .select("file", "pos").distinct()
         .groupBy("file").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
     val bounds = ExactFilters.boundsOf(exact.toArray)

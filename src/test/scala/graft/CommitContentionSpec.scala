@@ -69,6 +69,45 @@ class CommitContentionSpec extends SparkSpec {
     assert(tombs.nonEmpty, "stale lock was deleted, not tombstoned")
   }
 
+  test("vacuum sweeps aged _commits debris, never fresh tombstones or the live lock") {
+    val dir = java.nio.file.Files.createTempDirectory("lockvac").toString + "/lay"
+    GeoParquet.write(batch(0 until 300), dir, 250.0)
+    GeoParquet.writeManifest(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commits = new org.apache.hadoop.fs.Path(s"$dir/_commits")
+    // a crash-break tombstone made the honest way (stale lock broken
+    // by the next acquirer), plus crashed-release and orphaned-bid
+    // debris planted as a crashed writer would leave them
+    val lock = new org.apache.hadoop.fs.Path(commits, "lock")
+    val out = fs.create(lock, true)
+    out.write("dead".getBytes("UTF-8")); out.close()
+    fs.setTimes(lock, System.currentTimeMillis() - CommitLock.leaseMs - 60000, -1)
+    CommitLock.withLock(spark, dir) {}
+    def plant(name: String): String = {
+      val p = new org.apache.hadoop.fs.Path(commits, name)
+      val o = fs.create(p, true); o.write("x".getBytes("UTF-8")); o.close()
+      name
+    }
+    val rel = plant("lock.rel-" + java.util.UUID.randomUUID())
+    val bid = plant("lock.bid-" + java.util.UUID.randomUUID())
+    def names() = fs.listStatus(commits).map(_.getPath.getName).toSet
+    assert(names().exists(_.startsWith("lock.broken-")))
+    // all fresh: vacuum must leave every one (a young break tombstone
+    // is load-bearing — it fences a losing breaker's delayed rename)
+    GeoParquet.vacuum(spark, dir)
+    assert(names().exists(_.startsWith("lock.broken-")))
+    assert(names().contains(rel) && names().contains(bid))
+    // aged past several leases: swept
+    val old = System.currentTimeMillis() - CommitLock.leaseMs * 4
+    fs.listStatus(commits).foreach { st =>
+      if (st.getPath.getName != "lock") fs.setTimes(st.getPath, old, -1)
+    }
+    GeoParquet.vacuum(spark, dir)
+    assert(!names().exists(n => n.startsWith("lock.broken-") ||
+      n == rel || n == bid), s"debris survived: ${names()}")
+  }
+
   test("a deliberately NON-atomic backend still yields exactly one winner (bid-and-rename protocol)") {
     // the pluggable-backend contract: the protocol above the Backend
     // trait must not depend on the create primitive being atomic —

@@ -170,19 +170,50 @@ class SqlMutationSpec extends SparkSpec {
   test("a localized mutation taxes only the files holding doomed rows") {
     val dir = mkLayout("local", 2000)
     spark.sql("UPDATE mut.ns.local SET z = z + 100000 WHERE x < 100")
-    // full-table read: only the files that actually contain doomed
-    // rows are flagged for the counting/subtracting reader — the rest
-    // of the layout keeps the bounded fast path
-    assert(spark.sql("SELECT count(*) AS n FROM mut.ns.local")
-      .collect()(0).getLong(0) == 2000)
+    // full-table ROW read — sum() is not agg-pushable, so this cannot
+    // take the 61z19 manifest-count path: only the files that actually
+    // contain doomed rows are flagged for the subtracting reader, the
+    // rest of the layout keeps the bounded fast path
+    assert(spark.sql("SELECT sum(id) AS s FROM mut.ns.local")
+      .collect()(0).getLong(0) == (0L until 2000L).sum)
     val (planned, flagged) = graft.sources.v2.GraftSource.lastMorPlan.get(dir)
     assert(flagged > 0 && flagged < planned,
       s"flagged=$flagged planned=$planned")
+    // count(*) takes the 61z19 agg pushdown even under the pending
+    // deletes: interior files answer n_rows − doomed from the manifest
+    // unopened, and the count is still exact
+    assert(spark.sql("SELECT count(*) AS n FROM mut.ns.local")
+      .collect()(0).getLong(0) == 2000)
+    val (answered, scanned) = graft.sources.v2.GraftSource.lastAggPlan.get(dir)
+    assert(answered > 0, s"answered=$answered scanned=$scanned")
     // a box disjoint from the mutation pays NO subtraction at all
     spark.sql("SELECT id FROM mut.ns.local WHERE x >= 500 AND y >= 0")
       .collect()
     val (p2, f2) = graft.sources.v2.GraftSource.lastMorPlan.get(dir)
     assert(p2 > 0 && f2 == 0, s"flagged=$f2 planned=$p2")
+  }
+
+  test("overlapping DELETE after UPDATE never re-dooms dead rows") {
+    val dir = mkLayout("redoom", 1200)
+    spark.sql("UPDATE mut.ns.redoom SET z = z + 100000 WHERE id < 300")
+    // this DELETE's predicate also matches the old copies the UPDATE
+    // already doomed — the harvest must come from the merged view, or
+    // each old copy is tombstoned AGAIN under a new epoch and any
+    // consumer counting per-file doomed rows over-subtracts
+    spark.sql("DELETE FROM mut.ns.redoom WHERE id < 150")
+    // the sidecar holds no duplicate (file, pos) addresses
+    val addrs = spark.read.parquet(s"$dir/_tombstones_pos")
+      .select("file", "pos")
+    assert(addrs.count() == addrs.distinct().count(),
+      "duplicate positional tombstone addresses")
+    // 61z19 agg pushdown (manifest n_rows − doomed) stays exact
+    assert(spark.sql("SELECT count(*) AS n FROM mut.ns.redoom")
+      .collect()(0).getLong(0) == 1050)
+    val (answered, scanned) = graft.sources.v2.GraftSource.lastAggPlan.get(dir)
+    assert(answered > 0, s"answered=$answered scanned=$scanned")
+    // row paths agree, API and SQL
+    assert(GeoParquet.readMerged(spark, dir).count() == 1050)
+    assert(spark.sql("SELECT id FROM mut.ns.redoom").collect().length == 1050)
   }
 
   test("two concurrent SQL UPDATEs on disjoint keys: both land, no row lost") {
