@@ -683,6 +683,37 @@ object GeoOps {
        |  AND id % 2 = 0
        |ORDER BY id""".stripMargin
 
+  /** 61z20: time travel by WALL CLOCK through the SQL face —
+    * `TIMESTAMP AS OF` (the form schedulers actually write: "the
+    * table as of last night", no epoch numbers) resolves through the
+    * `_epoch_times` commit stamps to the base commit's epoch
+    * ([[graft.sources.GeoParquet.epochAtTime]]) and pins it exactly
+    * as `VERSION AS OF` would.  Same oracle as [[sqlAsOf]]: a
+    * resolution that leaks the appended half — or misses base
+    * files — hash-mismatches.
+    */
+  def sqlTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("sqlts").toString
+    val path = s"$wh/geo/tt"
+    val p = pts(s, dir).select("id", "x", "y", "z")
+    graft.sources.GeoParquet.write(p.filter(col("id") % 2 === 0), path, 250.0)
+    graft.sources.GeoParquet.writeManifest(s, path)
+    Thread.sleep(5)
+    val mid = System.currentTimeMillis() // strictly between the commits
+    Thread.sleep(5)
+    graft.sources.GeoParquet.appendWithManifest(
+      p.filter(col("id") % 2 === 1), path, 250.0)
+    s.conf.set("spark.sql.catalog.graft_tt",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_tt.warehouse", wh)
+    s.sql(s"""SELECT id, x, y, z
+             |FROM graft_tt.geo.tt TIMESTAMP AS OF timestamp_millis(${mid}L)
+             |WHERE x >= -230 AND x < 480 AND y >= -470 AND y < 230
+             |ORDER BY id""".stripMargin)
+  }
+
+  val sqlTimeTravelSql: String = sqlAsOfSql
+
   /** 61z5: named-table SQL through the catalog plugin
     * ([[graft.sources.v2.GraftCatalog]]) — the layout lands under a
     * warehouse, the catalog maps `<cat>.<ns>.<tbl>` onto it, and the
@@ -964,6 +995,46 @@ object GeoOps {
        |SELECT id % 10 AS bucket, count(*) AS n,
        |       CAST(sum(CAST(trunc(z * 1000) AS BIGINT)) AS BIGINT) AS sum_z_milli
        |FROM pts GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** 61z21: the CDC changelog stream, folded — the layout grows by a
+    * base write + an append, then a merge-on-read DELETE; the stream
+    * reads it with `.option("changelog", "true")`, so the delete
+    * commit delivers the doomed rows tagged `_change_type='delete'`
+    * with their commit epoch, and the consumer FOLDS the change rows
+    * (per id: latest epoch wins, deletes before inserts within an
+    * epoch) back to the merged present.  The oracle is that present
+    * computed relationally: a retraction lost, duplicated, or
+    * mis-epoched leaves a doomed row alive (or kills a live one) and
+    * hash-mismatches.
+    */
+  def streamChangelog(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val path = java.nio.file.Files.createTempDirectory("gclogq").toString
+    val p = pts(s, dir).select("id", "x", "y", "z")
+    graft.sources.GeoParquet.write(p.filter(col("id") % 3 === 0), path, 250.0)
+    graft.sources.GeoParquet.writeManifest(s, path)
+    graft.sources.GeoParquet.appendWithManifest(
+      p.filter(col("id") % 3 === 1), path, 250.0)
+    graft.sources.GeoParquet.deleteWhere(s, path, col("id") % 9 === 0)
+    val name = s"graft_clog_gate_${streamGateSeq.incrementAndGet()}"
+    val q = s.readStream.format("graft").option("changelog", "true")
+      .load(path)
+      .writeStream.format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val w = Window.partitionBy("id").orderBy(
+      col("_change_epoch").desc,
+      when(col("_change_type") === "insert", 1).otherwise(0).desc)
+    s.table(name).withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("_change_type") === "insert")
+      .select("id", "x", "y", "z").orderBy("id")
+  }
+
+  val streamChangelogSql: String =
+    s"""WITH pts AS ($P)
+       |SELECT id, x, y, z FROM pts
+       |WHERE (id % 3 = 0 OR id % 3 = 1) AND id % 9 <> 0
+       |ORDER BY id""".stripMargin
 
   // --- 61h. time-pruned box query over an ingest-grown layout: the
   // layout is built as three time-sliced appendWithManifest batches
@@ -1479,12 +1550,14 @@ object GeoOps {
     "q_sql_agg"         -> (sqlAgg _),
     "q_sql_write"       -> (sqlWrite _),
     "q_sql_asof"        -> (sqlAsOf _),
+    "q_sql_time_travel" -> (sqlTimeTravel _),
     "q_sql_catalog"     -> (sqlCatalog _),
     "q_sql_dim_join"    -> (sqlDimJoin _),
     "q_sql_update"      -> (sqlUpdate _),
     "q_sql_mor"         -> (sqlMor _),
     "q_sql_asof_mor"    -> (sqlAsOfMor _),
     "q_stream_read"     -> (streamRead _),
+    "q_stream_changelog" -> (streamChangelog _),
     "q_sql_mor_count"   -> (sqlMorCount _),
     "q_minmax_box"      -> (minmaxBox _),
     "q_snapshot_box"    -> (snapshotBox _),
@@ -1530,12 +1603,14 @@ object GeoOps {
     "q_sql_agg"         -> sqlAggSql,
     "q_sql_write"       -> sqlWriteSql,
     "q_sql_asof"        -> sqlAsOfSql,
+    "q_sql_time_travel" -> sqlTimeTravelSql,
     "q_sql_catalog"     -> sqlCatalogSql,
     "q_sql_dim_join"    -> sqlDimJoinSql,
     "q_sql_update"      -> sqlUpdateSql,
     "q_sql_mor"         -> sqlMorSql,
     "q_sql_asof_mor"    -> sqlAsOfMorSql,
     "q_stream_read"     -> streamReadSql,
+    "q_stream_changelog" -> streamChangelogSql,
     "q_sql_mor_count"   -> sqlMorCountSql,
     "q_minmax_box"      -> minmaxBoxSql,
     "q_snapshot_box"    -> snapshotBoxSql,

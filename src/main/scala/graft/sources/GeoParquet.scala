@@ -135,8 +135,14 @@ object GeoParquet {
     * told it out of band.  [[deltaOf]] reads it back.
     */
   private def recordDelta(spark: SparkSession, path: String,
-                          delta: Double): Unit =
+                          delta: Double): Unit = {
     writeTextFile(spark, s"$path/_delta", delta.toString)
+    // creation IS commit 0 on the snapshot axis — stamp it (once) so
+    // TIMESTAMP AS OF resolves times before the first append
+    if (!fsOf(spark, path).exists(
+        new org.apache.hadoop.fs.Path(s"$path/_epoch_times/0")))
+      stampEpochTime(spark, path, 0L)
+  }
 
   /** The recorded bin size of a layout (None for layouts written
     * before the sidecar existed — callers must then be told).
@@ -731,6 +737,57 @@ object GeoParquet {
   def readEpoch(spark: SparkSession, path: String): Long =
     readEpochFile(spark, s"$path/_epoch")
 
+  /** Wall-clock commit stamp for `epoch` — one tiny file per commit
+    * in the `_epoch_times` sidecar, the map `TIMESTAMP AS OF` resolves
+    * through ([[epochAtTime]]).  Written at every `_epoch` advance and
+    * at layout creation (epoch 0), OUTSIDE any atomicity requirement:
+    * the epoch file stays the commit pointer, the stamp is an index of
+    * it.  A missing stamp (a layout created before stamping existed, a
+    * crash between a compaction swap and its stamp) degrades only the
+    * TIMESTAMP axis — and loudly, in [[epochAtTime]]; `VERSION AS OF`
+    * never consults this sidecar.
+    */
+  private def stampEpochTime(spark: SparkSession, root: String,
+                             epoch: Long): Unit =
+    writeTextFile(spark, s"$root/_epoch_times/$epoch",
+      System.currentTimeMillis().toString)
+
+  /** The commit epoch visible at wall-clock `tsMillis` — the largest
+    * stamped epoch whose commit time is at-or-before it (the Iceberg
+    * timestamp→snapshot rule).  One sidecar listing plus one tiny read
+    * per commit — metadata-scale (commits are metadata events; even a
+    * years-old streaming layout has thousands, not millions).  Times
+    * before the first stamped commit, and layouts with no stamps at
+    * all, REFUSE: guessing an epoch would time-travel to wrong data.
+    * After a whole-layout compaction the stamps survive (the sidecar
+    * is carried through the swap), so a pre-compact timestamp still
+    * resolves to its true epoch — whose READ then refuses exactly as
+    * `VERSION AS OF` does after a history reset, rather than silently
+    * serving the compacted present.
+    */
+  def epochAtTime(spark: SparkSession, path: String, tsMillis: Long): Long = {
+    val fs = fsOf(spark, path)
+    val dir = new org.apache.hadoop.fs.Path(s"$path/_epoch_times")
+    val stamps: Seq[(Long, Long)] =
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).toSeq.flatMap { st =>
+        try Some((st.getPath.getName.toLong,
+          readTextFile(spark, st.getPath.toString).toLong))
+        catch { case _: NumberFormatException => None }
+      }
+    require(stamps.nonEmpty,
+      s"$path has no commit-time stamps (_epoch_times) — layouts " +
+        "written before time stamping carry only the VERSION AS OF axis")
+    val at = stamps.filter(_._2 <= tsMillis)
+    require(at.nonEmpty, {
+      val first = stamps.minBy(_._2)
+      s"TIMESTAMP AS OF ${tsMillis}ms predates $path's first stamped " +
+        s"commit (epoch ${first._1} at ${first._2}ms) — nothing existed yet"
+    })
+    // max by (time, epoch): several commits can share a millisecond
+    at.maxBy(s => (s._2, s._1))._1
+  }
+
   /** The manifest's DESCRIBED prefix: every commit at-or-before this
     * epoch has its rows fully in the sidecar (`_manifest_epoch`, the
     * freshness snapshot).  None when no manifest exists.  The
@@ -845,8 +902,11 @@ object GeoParquet {
     }
   }
 
-  private def bumpEpoch(spark: SparkSession, path: String): Unit =
-    writeEpochFile(spark, s"$path/_epoch", readEpoch(spark, path) + 1)
+  private def bumpEpoch(spark: SparkSession, path: String): Unit = {
+    val e = readEpoch(spark, path) + 1
+    writeEpochFile(spark, s"$path/_epoch", e)
+    stampEpochTime(spark, path, e)
+  }
 
   /** Data files currently on disk under `path` (recursive, skipping
     * `_`/`.`-prefixed sidecars like `_manifest` and `_batches`) —
@@ -1305,6 +1365,7 @@ object GeoParquet {
     val wasFresh = manifestFresh(spark, path, verify = false)
     val newEpoch = readEpoch(spark, path) + 1
     writeEpochFile(spark, s"$path/_epoch", newEpoch)
+    stampEpochTime(spark, path, newEpoch)
     if (wasFresh)
       writeEpochFile(spark, s"$path/_manifest_epoch", newEpoch)
     newEpoch
@@ -2370,6 +2431,7 @@ object GeoParquet {
       } else {
         val newEpoch = readEpoch(spark, path) + 1
         writeEpochFile(spark, s"$path/_epoch", newEpoch) // stale until step 4
+        stampEpochTime(spark, path, newEpoch)
         commitStaged(spark, path, tmp,
           stats.withColumn("epoch", lit(newEpoch)), newEpoch, mergeDir)
       }
@@ -2564,6 +2626,7 @@ object GeoParquet {
       } else {
         val newEpoch = readEpoch(spark, path) + 1
         writeEpochFile(spark, s"$path/_epoch", newEpoch) // stale until commit
+        stampEpochTime(spark, path, newEpoch)
         commitStaged(spark, path, tmp,
           stats.withColumn("epoch", lit(newEpoch)), newEpoch, mergeDir)
       }
@@ -2611,6 +2674,10 @@ object GeoParquet {
           tombstoneState(spark, path) == tombsBefore
         if (clean) {
           swapInPlace(spark, path, tmp)
+          // the swapped-in root carries the bumped epoch — stamp its
+          // wall time now (a crash here loses only this stamp: the
+          // TIMESTAMP axis degrades loudly, VERSION AS OF is whole)
+          stampEpochTime(spark, path, epochBefore + 1)
           writeRewriteHint(spark, path, epochBefore + 1, fresh0,
             prevFloor0, prevMax0)
         }
@@ -2663,7 +2730,13 @@ object GeoParquet {
     // face's INSERT and row-level mutations above all — refuse, and
     // silently stop membership-filter maintenance (the r12 bench
     // caught exactly this on a second UPDATE after CALL compact).
-    Seq("_batches", "_schema", "_commits", "_delta", "_filtercols")
+    // `_epoch_times` rides too: compaction resets READ history (AS OF
+    // a pre-compact epoch refuses) but must not erase the time→epoch
+    // map — a pre-compact TIMESTAMP must keep resolving to its true
+    // epoch and refusing there, never silently serving the rewritten
+    // present.
+    Seq("_batches", "_schema", "_commits", "_delta", "_filtercols",
+        "_epoch_times")
       .foreach { name =>
       val src = new org.apache.hadoop.fs.Path(path, name)
       if (fs.exists(src))
@@ -2775,8 +2848,11 @@ object GeoParquet {
           fs.delete(d, true)
         }
       }
-      if (any)
-        writeEpochFile(spark, s"$path/_epoch", readEpoch(spark, path) + 1)
+      if (any) {
+        val e = readEpoch(spark, path) + 1
+        writeEpochFile(spark, s"$path/_epoch", e)
+        stampEpochTime(spark, path, e)
+      }
       any
     }
     if (rolled && rebuild) writeManifest(spark, path)
@@ -2906,6 +2982,7 @@ object GeoParquet {
               new org.apache.hadoop.fs.Path(s"$path/_manifest")),
             s"scoped-compact manifest swap failed for $path")
           writeEpochFile(spark, s"$path/_epoch", newEpoch)
+          stampEpochTime(spark, path, newEpoch)
           writeEpochFile(spark, s"$path/_manifest_epoch", newEpoch)
           // every surviving row was re-stamped at newEpoch — a
           // history reset, ALWAYS preserving here (a fresh manifest
@@ -2979,6 +3056,10 @@ object GeoParquet {
           tombstoneState(spark, path) == tombsBefore
         if (clean) {
           swapInPlace(spark, path, tmp)
+          // the swapped-in root carries the bumped epoch — stamp its
+          // wall time now (a crash here loses only this stamp: the
+          // TIMESTAMP axis degrades loudly, VERSION AS OF is whole)
+          stampEpochTime(spark, path, epochBefore + 1)
           writeRewriteHint(spark, path, epochBefore + 1, fresh0,
             prevFloor0, prevMax0)
         }

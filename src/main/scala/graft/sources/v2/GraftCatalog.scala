@@ -138,6 +138,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       Some(version.toLong))
   }
 
+  /** `TIMESTAMP AS OF <ts>` — the wall-clock axis schedulers actually
+    * write.  Spark hands the timestamp in MICROSECONDS; it resolves
+    * through the `_epoch_times` commit-stamp sidecar to the largest
+    * epoch committed at-or-before it ([[GeoParquet.epochAtTime]]) and
+    * pins that epoch exactly as `VERSION AS OF` would — one sidecar
+    * listing at resolution, every downstream soundness rule
+    * (manifest freshness, history-reset refusal) unchanged.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val path = tablePath(ident)
+    val spark = SparkSession.active
+    val epoch = GeoParquet.epochAtTime(spark, path, timestamp / 1000L)
+    new GraftTable(path,
+      GeoParquet.dataSchemaFor(spark, path), Some(epoch))
+  }
+
   /** `CREATE TABLE <cat>.<ns>.<tbl> (cols…) USING graft
     * TBLPROPERTIES('delta'='<binSize>')` — the geometry decision a
     * layout needs is made EXPLICIT in the DDL: an empty bin layout

@@ -67,12 +67,20 @@ class GraftSource extends TableProvider with DataSourceRegister {
     p
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GeoParquet.dataSchemaFor(SparkSession.active, pathOf(options))
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val base = GeoParquet.dataSchemaFor(SparkSession.active, pathOf(options))
+    // changelog mode: the streamed CDC view carries the change verb
+    // and its commit epoch alongside every row ([[GraftSource.ChangeTypeCol]])
+    if (options.getBoolean("changelog", false))
+      StructType(base.fields ++ GraftSource.ChangeFields)
+    else base
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new GraftTable(properties.get("path"), schema)
+    new GraftTable(properties.get("path"), schema,
+      changelog = java.lang.Boolean.parseBoolean(
+        properties.getOrDefault("changelog", "false")))
 }
 
 object GraftSource {
@@ -91,6 +99,21 @@ object GraftSource {
   private[v2] val MetaFields: Seq[StructField] = Seq(
     StructField(FileMetaCol, StringType, nullable = false),
     StructField(PosMetaCol, LongType, nullable = false))
+
+  /** Changelog-mode columns — `readStream.option("changelog","true")`
+    * widens every streamed row with the change verb ("insert" /
+    * "delete") and the commit epoch it happened at.  The epoch is
+    * what makes one micro-batch FOLDABLE: apply epochs in order,
+    * deletes before inserts within an epoch (an UPDATE's tombstone
+    * and its replacement share one epoch by the commit protocol, and
+    * a physical row is never doomed in the epoch that created it).
+    */
+  val ChangeTypeCol = "_change_type"
+  val ChangeEpochCol = "_change_epoch"
+  private[v2] val ChangeCols: Set[String] = Set(ChangeTypeCol, ChangeEpochCol)
+  private[v2] val ChangeFields: Seq[StructField] = Seq(
+    StructField(ChangeTypeCol, StringType, nullable = false),
+    StructField(ChangeEpochCol, LongType, nullable = false))
 
   /** Last planned (opened) file set per layout path — a
     * test/diagnostic hook (DSv2 scans do not surface
@@ -122,7 +145,8 @@ object GraftSource {
 }
 
 final class GraftTable(path: String, schema: StructType,
-                       pinnedSnapshot: Option[Long] = None)
+                       pinnedSnapshot: Option[Long] = None,
+                       changelog: Boolean = false)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsMetadataColumns with SupportsRowLevelOperations {
 
@@ -219,7 +243,8 @@ final class GraftTable(path: String, schema: StructType,
     // that epoch (the queryBoxAsOf axis), composing with pruning and
     // aggregate pushdown
     new GraftScanBuilder(path, schema,
-      pinnedSnapshot.orElse(Option(options.get("snapshot")).map(_.toLong)))
+      pinnedSnapshot.orElse(Option(options.get("snapshot")).map(_.toLong)),
+      changelog)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(path, info)
 }
@@ -306,7 +331,8 @@ private[v2] final case class MinC(c: String) extends AggCol
 private[v2] final case class MaxC(c: String) extends AggCol
 
 final class GraftScanBuilder(path: String, dataSchema: StructType,
-                             snapshot: Option[Long] = None)
+                             snapshot: Option[Long] = None,
+                             changelog: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
   private var required: StructType = dataSchema
@@ -322,7 +348,12 @@ final class GraftScanBuilder(path: String, dataSchema: StructType,
     * aggregates through a scan whose post-scan filter set is empty).
     */
   override def pushFilters(fs: Array[Filter]): Array[Filter] = {
-    val (e, r) = fs.partition(ExactFilters.handles(_, dataSchema))
+    // changelog columns are synthesized by the readers AFTER filter
+    // evaluation — a filter on them must stay residual or it would
+    // evaluate against the null-filled placeholder and drop every row
+    val (e, r) = fs.partition(f =>
+      !f.references.exists(GraftSource.ChangeCols.contains) &&
+        ExactFilters.handles(f, dataSchema))
     exact = e; residual = r
     r
   }
@@ -343,6 +374,7 @@ final class GraftScanBuilder(path: String, dataSchema: StructType,
   override def supportCompletePushDown(agg: Aggregation): Boolean = false
 
   override def pushAggregation(agg: Aggregation): Boolean = {
+    if (changelog) return false // a CDC view has no manifest-stat twin
     if (residual.nonEmpty || agg.groupByExpressions().nonEmpty) return false
     def nameOf(e: VExpression): Option[String] = e match {
       case nr: NamedReference if nr.fieldNames().length == 1 =>
@@ -395,7 +427,7 @@ final class GraftScanBuilder(path: String, dataSchema: StructType,
       new GraftAggScan(path, dataSchema, cs, exact.toSeq, snapshot)
     case None =>
       new GraftScan(path, dataSchema, required, exact.toSeq,
-        ExactFilters.boundsOf(exact ++ residual), snapshot)
+        ExactFilters.boundsOf(exact ++ residual), snapshot, changelog)
   }
 }
 
@@ -607,7 +639,8 @@ private[v2] object ExactFilters {
 final class GraftScan(path: String, dataSchema: StructType,
                       required: StructType, exact: Seq[Filter],
                       bounds: Seq[(String, Double, Double)],
-                      snapshot: Option[Long] = None)
+                      snapshot: Option[Long] = None,
+                      changelog: Boolean = false)
     extends Scan with Batch with SupportsRuntimeFiltering
     with SupportsReportStatistics {
 
@@ -676,7 +709,8 @@ final class GraftScan(path: String, dataSchema: StructType,
     require(snapshot.isEmpty,
       s"graft:$path — a pinned snapshot is a point in time; it cannot " +
         "be streamed (drop the snapshot option / VERSION AS OF)")
-    new GraftMicroBatchStream(path, dataSchema, required, exact, bounds)
+    new GraftMicroBatchStream(path, dataSchema, required, exact, bounds,
+      changelog)
   }
   override def description(): String =
     s"GraftScan $path filters=${exact.mkString(",")} bounds=${bounds.mkString(",")}" +
@@ -684,6 +718,10 @@ final class GraftScan(path: String, dataSchema: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
+    require(!changelog,
+      s"graft:$path — the changelog option is a STREAMING view " +
+        "(readStream); batch readers read the merged present, drop the " +
+        "option")
     // merge-on-read: pending POSITIONAL deletes (what SQL mutations
     // produce) subtract in the readers — only data files that appear
     // in the tombstone sidecar pay the counting read.  Equality (key)

@@ -19,12 +19,22 @@ import graft.sources.GeoParquet
   * checkpointed exactly-once delivery instead of hand-rolled
   * foreachBatch polling).
   *
-  * Semantics, stated honestly: this is the APPEND changelog.  Rows
-  * are delivered as committed; merge-on-read deletes are never
-  * retracted (an epoch-stamped delete is an empty micro-batch), the
-  * standard CDC append-stream contract (Iceberg's streaming read
-  * skips delete manifests the same way).  Consumers needing the
-  * merged present read the batch face.
+  * Semantics — two modes:
+  *   - DEFAULT: the APPEND changelog.  Rows are delivered as
+  *     committed; merge-on-read deletes are never retracted (an
+  *     epoch-stamped delete is an empty micro-batch), the standard
+  *     CDC append-stream contract (Iceberg's streaming read skips
+  *     delete manifests the same way).  Consumers needing the merged
+  *     present read the batch face.
+  *   - `.option("changelog", "true")`: the FULL CDC view.  Every row
+  *     carries `_change_type` ("insert"/"delete") and `_change_epoch`
+  *     (its commit epoch); a delete commit delivers the DELETED ROWS'
+  *     content tagged "delete" ([[planChanges]]).  A consumer folds a
+  *     batch by applying epochs in order, deletes before inserts
+  *     within an epoch — an UPDATE is its old copy's delete plus its
+  *     new copy's insert at one epoch, so the fold nets to the
+  *     update.  Pushed filters apply to delete rows too (a filtered
+  *     CDC stream retracts only rows it would have delivered).
   *
   * Scale + soundness contract (the refusal rules of the batch
   * changelog, recast as stream-position errors):
@@ -51,7 +61,8 @@ import graft.sources.GeoParquet
   */
 final class GraftMicroBatchStream(path: String, dataSchema: StructType,
                                   required: StructType, exact: Seq[Filter],
-                                  bounds: Seq[(String, Double, Double)])
+                                  bounds: Seq[(String, Double, Double)],
+                                  changelog: Boolean = false)
     extends MicroBatchStream {
 
   private def spark = SparkSession.active
@@ -109,16 +120,75 @@ final class GraftMicroBatchStream(path: String, dataSchema: StructType,
     require(GeoParquet.describedEpoch(spark, path).exists(_ >= to),
       s"graft:$path manifest regressed below a handed-out stream offset")
     val m = spark.read.parquet(s"$path/_manifest")
-    m.filter(col("epoch") > from && col("epoch") <= to &&
+    val committed = m.filter(col("epoch") > from && col("epoch") <= to &&
         GeoParquet.manifestBoundsCond(m, bounds))
-      .select("file").collect()
-      .map(r => GraftPartition(s"$path/${r.getString(0)}"): InputPartition)
+    if (!changelog)
+      committed.select("file").collect()
+        .map(r => GraftPartition(s"$path/${r.getString(0)}"): InputPartition)
+    else
+      planChanges(committed, from, to)
+  }
+
+  /** Changelog-mode planning: the batch's INSERT partitions are the
+    * files committed in `(from, to]` (each row tagged with its file's
+    * commit epoch), and its DELETE partitions are the data files
+    * doomed by positional-tombstone parts committed in the range —
+    * each such file is re-opened and ONLY its doomed positions are
+    * emitted, tagged "delete" with the tombstone's commit epoch (the
+    * Iceberg changelog-scan shape).  Driver cost stays metadata-scale:
+    * file names from the manifest, distinct doomed file names from
+    * the kilobyte-scale tombstone parts; the (file, pos) sets stay
+    * task-side ([[DoomedPositions]]).  Refusals, all loud:
+    * equality (key) tombstones have no position to replay; un-epoched
+    * parts (crash-healed adoptions) have no place on the axis; parts
+    * older than the changelog floor describe deletes of rows whose
+    * insert-epochs were re-stamped PAST them (a fold would resurrect
+    * the dead) — compact first, which makes them physical.
+    */
+  private def planChanges(committed: org.apache.spark.sql.DataFrame,
+                          from: Long, to: Long): Array[InputPartition] = {
+    val st = GeoParquet.changelogFloor(spark, path)
+    require(GeoParquet.pendingTombstones(spark, path).isEmpty,
+      s"graft:$path has pending equality (key) tombstones — a changelog " +
+        "stream cannot replay key deletes as rows; run a compaction first")
+    val allParts = GeoParquet.positionalDeletePartsEpoch(spark, path)
+    require(allParts.forall(_._4.isDefined),
+      s"graft:$path has pending merge-on-read deletes without a " +
+        "recorded commit epoch (crash-healed) — a changelog stream " +
+        "cannot place them; run a compaction first")
+    require(allParts.forall(_._4.exists(_ >= st.floor)),
+      s"graft:$path has pending deletes committed before the changelog " +
+        s"floor ${st.floor} (a scoped history reset left them behind) — " +
+        "their rows' insert epochs were re-stamped past them, so a fold " +
+        "would resurrect deleted rows; run a compaction first")
+    val inserts = committed.select("file", "epoch").collect().map { r =>
+      GraftChangePartition(s"$path/${r.getString(0)}", r.getString(0),
+        r.getLong(1), isDelete = false, Seq.empty): InputPartition
+    }
+    val delParts = allParts.filter(_._4.exists(e => e > from && e <= to))
+    val deletes: Array[InputPartition] =
+      if (delParts.isEmpty) Array.empty
+      else spark.read.parquet(delParts.map(_._1): _*)
+        .select("file").distinct().collect().map(_.getString(0))
+        .map { rel =>
+          val parts = delParts.collect {
+            case (f, lo, hi, Some(e)) if lo <= rel && rel <= hi => (f, e)
+          }.sortBy(_._2) // ascending: a later re-doom (impossible today) wins
+          GraftChangePartition(s"$path/$rel", rel, -1L,
+            isDelete = true, parts): InputPartition
+        }
+    inserts ++ deletes
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(
-      new SerConf(spark.sparkContext.hadoopConfiguration),
-      dataSchema.json, required.json, exact, bounds)
+    if (changelog)
+      new GraftChangeReaderFactory(
+        new SerConf(spark.sparkContext.hadoopConfiguration),
+        dataSchema.json, required.json, exact, bounds)
+    else
+      new GraftReaderFactory(
+        new SerConf(spark.sparkContext.hadoopConfiguration),
+        dataSchema.json, required.json, exact, bounds)
 
   override def deserializeOffset(json: String): Offset =
     GraftStreamOffset.parse(json)
@@ -142,5 +212,123 @@ object GraftStreamOffset {
     case Re(f, e) => GraftStreamOffset(f.toLong, e.toLong)
     case other => throw new IllegalArgumentException(
       s"not a graft stream offset: $other")
+  }
+}
+
+/** One changelog-mode work unit: a data file delivered either as the
+  * inserts of its commit epoch, or as the doomed rows named by the
+  * given tombstone parts (`(part path, delete epoch)` — only the
+  * parts whose `file` footer interval can contain this file).
+  */
+final case class GraftChangePartition(file: String, relFile: String,
+                                      epoch: Long, isDelete: Boolean,
+                                      deleteParts: Seq[(String, Long)])
+    extends InputPartition
+
+private[v2] final class GraftChangeReaderFactory(
+    conf: SerConf, dataJson: String, requiredJson: String,
+    exact: Seq[Filter], bounds: Seq[(String, Double, Double)])
+    extends PartitionReaderFactory {
+  import org.apache.spark.sql.types.DataType
+  override def createReader(p: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] = {
+    val cp = p.asInstanceOf[GraftChangePartition]
+    val dataSchema = DataType.fromJson(dataJson).asInstanceOf[StructType]
+    val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
+    if (cp.isDelete)
+      new GroupChangeDeleteReader(cp.relFile, cp.file, conf, dataSchema,
+        required, exact, cp.deleteParts)
+    else
+      new GroupChangeInsertReader(cp.file, conf, dataSchema, required,
+        exact, bounds, cp.epoch)
+  }
+}
+
+/** Insert arm of the changelog read: a plain bounded file read whose
+  * output rows additionally carry ("insert", commit epoch).  Parquet
+  * record skipping stays ON — inserts need no positions.
+  */
+private[v2] final class GroupChangeInsertReader(
+    file: String, ser: SerConf, dataSchema: StructType,
+    required: StructType, exact: Seq[Filter],
+    bounds: Seq[(String, Double, Double)], epoch: Long)
+    extends GroupFileReader(file, ser, dataSchema,
+      GroupFileReader.readFieldsFor(dataSchema, required, exact),
+      exact, bounds)
+    with org.apache.spark.sql.connector.read.PartitionReader[
+      org.apache.spark.sql.catalyst.InternalRow] {
+
+  private val verb =
+    org.apache.spark.unsafe.types.UTF8String.fromString("insert")
+
+  override def next(): Boolean = advance()
+
+  override def get(): org.apache.spark.sql.catalyst.InternalRow = {
+    val vals = new Array[Any](required.length)
+    var i = 0
+    while (i < required.length) {
+      vals(i) = required.fields(i).name match {
+        case GraftSource.ChangeTypeCol => verb
+        case GraftSource.ChangeEpochCol => epoch
+        case _ => valueAt(i)
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+  }
+}
+
+/** Delete arm of the changelog read: re-opens a doomed data file and
+  * emits ONLY the positions named by this batch's tombstone parts,
+  * tagged ("delete", the tombstone's commit epoch).  Positions are
+  * physical row indexes, so the parquet record filter is disabled
+  * (bounds empty — the [[GroupRowIdReader]] contract); pushed exact
+  * filters still apply, AFTER each record's position is assigned.
+  */
+private[v2] final class GroupChangeDeleteReader(
+    relFile: String, file: String, ser: SerConf, dataSchema: StructType,
+    required: StructType, exact: Seq[Filter],
+    deleteParts: Seq[(String, Long)])
+    extends GroupFileReader(file, ser, dataSchema,
+      GroupFileReader.readFieldsFor(dataSchema, required, exact),
+      exact, Seq.empty)
+    with org.apache.spark.sql.connector.read.PartitionReader[
+      org.apache.spark.sql.catalyst.InternalRow] {
+
+  private val verb =
+    org.apache.spark.unsafe.types.UTF8String.fromString("delete")
+
+  /** pos → delete epoch for THIS file, from the kilobyte-scale parts
+    * (ascending epoch order: were a position ever doomed twice, the
+    * later commit would win).
+    */
+  private val doomed: java.util.HashMap[java.lang.Long, java.lang.Long] = {
+    val m = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    deleteParts.foreach { case (pf, ep) =>
+      DoomedPositions.load(relFile, Seq(pf), ser)
+        .forEach(pos => m.put(pos, ep))
+    }
+    m
+  }
+
+  override def next(): Boolean = {
+    var ok = advance()
+    while (ok && !doomed.containsKey(recordPos)) ok = advance()
+    ok
+  }
+
+  override def get(): org.apache.spark.sql.catalyst.InternalRow = {
+    val vals = new Array[Any](required.length)
+    var i = 0
+    while (i < required.length) {
+      vals(i) = required.fields(i).name match {
+        case GraftSource.ChangeTypeCol => verb
+        case GraftSource.ChangeEpochCol => doomed.get(recordPos).longValue()
+        case _ => valueAt(i)
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
   }
 }

@@ -88,6 +88,32 @@ class GraftCatalogSpec extends SparkSpec {
       .collect()(0).getLong(0) == 600)
   }
 
+  test("time travel by wall clock (TIMESTAMP AS OF)") {
+    val dir = mkLayout("ice", "thist", 600)
+    Thread.sleep(30)
+    val mid = System.currentTimeMillis() // between creation and append
+    Thread.sleep(30)
+    GeoParquet.appendWithManifest(pts(600, 900), dir, 250.0)
+    // a wall time before the append resolves to the creation commit
+    assert(spark.sql("SELECT count(*) AS n FROM lake.ice.thist " +
+        s"TIMESTAMP AS OF timestamp_millis(${mid}L)")
+      .collect()(0).getLong(0) == 600)
+    // a wall time after every commit serves the full present
+    val now = System.currentTimeMillis() + 500
+    assert(spark.sql("SELECT count(*) AS n FROM lake.ice.thist " +
+        s"TIMESTAMP AS OF timestamp_millis(${now}L)")
+      .collect()(0).getLong(0) == 900)
+    // before anything existed: refuse loudly, never guess an epoch
+    val e = intercept[Throwable] {
+      spark.sql("SELECT count(*) AS n FROM lake.ice.thist " +
+        "TIMESTAMP AS OF timestamp_millis(1000L)").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("predates")), msgs(e).mkString(" | "))
+  }
+
   test("CALL system.rebuild_manifest repairs a staled layout from SQL") {
     val dir = mkLayout("ops", "repair", 400)
     // a plain append (no manifest maintenance) stales the sidecar

@@ -67,6 +67,69 @@ class GraftStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("changelog mode: deletes retract, updates fold, folded state == merged present") {
+    val wh = java.nio.file.Files.createTempDirectory("gclog").toString
+    val dir = s"$wh/ns/clog"
+    GeoParquet.write(batch(0 until 40), dir, 250.0)
+    GeoParquet.writeManifest(spark, dir)                            // epoch 0
+    GeoParquet.appendWithManifest(batch(100 until 140), dir, 250.0) // epoch 1
+    spark.conf.set("spark.sql.catalog.clog",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.clog.warehouse", wh)
+    val ckpt = java.nio.file.Files.createTempDirectory("gclogck").toString
+    val name = s"gstream_clog_${nextId.incrementAndGet()}"
+    val q = spark.readStream.format("graft").option("changelog", "true")
+      .load(dir)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 80)
+      assert(spark.table(name).filter($"_change_type" =!= "insert").count() == 0)
+      // a DELETE commit delivers the doomed rows' CONTENT tagged "delete"
+      GeoParquet.deleteWhere(spark, dir, col("id") < 5)            // epoch 2
+      q.processAllAvailable()
+      assert(spark.table(name).filter($"_change_type" === "delete")
+        .select("id").as[Long].collect().sorted.toSeq == (0L until 5L))
+      // an UPDATE is its old copy's delete + its new copy's insert,
+      // sharing ONE commit epoch — that is what makes a batch foldable
+      spark.sql(
+        "UPDATE clog.ns.clog SET z = z + 50000 WHERE id >= 100 AND id < 103")
+      q.processAllAvailable()
+      val chg = spark.table(name)
+        .select("id", "z", "_change_type", "_change_epoch")
+        .as[(Long, Double, String, Long)].collect()
+      val updDel = chg.filter(c => c._3 == "delete" && c._1 >= 100)
+      val updIns = chg.filter(c => c._3 == "insert" && c._2 >= 50000)
+      assert(updDel.length == 3 && updIns.length == 3,
+        s"update changes: ${updDel.length} deletes, ${updIns.length} inserts")
+      assert(updDel.map(_._4).toSet == updIns.map(_._4).toSet,
+        "an update's delete and insert must share a commit epoch")
+      // the documented fold: per row key, epoch order, deletes before
+      // inserts within an epoch — must reproduce the merged present
+      val live = chg.groupBy(_._1).flatMap { case (id, cs) =>
+        val last = cs.sortBy(c => (c._4, if (c._3 == "delete") 0L else 1L)).last
+        if (last._3 == "insert") Some(id -> last._2) else None
+      }.toMap
+      val merged = GeoParquet.readMerged(spark, dir)
+        .select("id", "z").as[(Long, Double)].collect().toMap
+      assert(live == merged, "folded changelog diverges from the merged present")
+    } finally q.stop()
+  }
+
+  test("the changelog option refuses a batch read (stream-only view)") {
+    val dir = freshLayout()
+    val e = intercept[Throwable] {
+      spark.read.format("graft").option("changelog", "true").load(dir)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("changelog")), msgs(e).mkString(" | "))
+  }
+
   test("pushed filters ride the stream (row semantics exact per batch)") {
     val dir = freshLayout()
     val ckpt = java.nio.file.Files.createTempDirectory("gsck2").toString
