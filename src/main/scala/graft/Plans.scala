@@ -137,6 +137,42 @@ object Plans {
     show("sql_dim_join (runtime In-filter reaches the DSv2 scan)",
       operators.GeoOps.sqlDimJoin(spark, sf),
       Seq("BatchScan", "GraftScan", "Join", "dynamicpruning", "RuntimeFilters"))
+    show("sql_mor_count (61z19: manifest n_rows − doomed served unopened; boundary scans only)",
+      operators.GeoOps.sqlMorCount(spark, sf),
+      Seq("BatchScan", "GraftAggScan", "HashAggregate", "Exchange"))
+    show("sql_asof_mor (61z17: pinned read, epoch-sliced tombstone subtraction in the readers)",
+      operators.GeoOps.sqlAsOfMor(spark, sf),
+      Seq("BatchScan", "GraftScan", "Filter (", "Exchange"))
+
+    // streaming scan: the LAST EXECUTED micro-batch's physical plan
+    // (a streaming df has no batch plan to explain before execution) —
+    // changelog mode, so both partition arms are exercised
+    locally {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("plansstream").toString
+      val df = spark.range(500).select($"id",
+        ($"id" % 50 * 25.0).as("x"), ($"id" % 37 * 25.0).as("y"),
+        $"id".cast("double").as("z"))
+      graft.sources.GeoParquet.write(df, dir, 250.0)
+      graft.sources.GeoParquet.writeManifest(spark, dir)
+      graft.sources.GeoParquet.deleteWhere(spark, dir,
+        org.apache.spark.sql.functions.col("id") < 20)
+      val q = spark.readStream.format("graft").option("changelog", "true")
+        .load(dir)
+        .writeStream.format("memory").queryName("plans_stream").start()
+      try {
+        q.processAllAvailable()
+        val buf = new java.io.ByteArrayOutputStream()
+        Console.withOut(new java.io.PrintStream(buf)) { q.explain() }
+        println("==== stream_read (61z18/61z21: epoch-range manifest plan, " +
+          "insert + delete-retraction partitions)")
+        buf.toString("UTF-8").linesIterator
+          .filter(l => Seq("MicroBatchScan", "Scan", "Project", "Filter")
+            .exists(l.contains))
+          .take(8)
+          .foreach(println)
+      } finally q.stop()
+    }
 
     // SQL mutations: the delta rewrite plan (row-address scan feeding
     // WriteDelta) — EXPLAINed, not executed, on a throwaway layout

@@ -289,9 +289,24 @@ object CommitLock {
         try {
           val s = java.nio.file.Paths.get(src.toUri.getPath)
           val d = java.nio.file.Paths.get(dst.toUri.getPath)
-          java.nio.file.Files.move(s, d)
-          // hadoop checksum siblings don't ride a raw nio move; a crc
-          // left at either path would poison the next fs.open there
+          // `Files.move` without REPLACE_EXISTING is stat-then-
+          // rename(2) on POSIX: two simultaneous movers can BOTH
+          // succeed inside the stat window and the later CLOBBERS the
+          // earlier (measured — the mutex spec leaked two verified
+          // holders under full-suite load).  link(2) is atomic
+          // fail-if-exists, so link + unlink IS the no-replace rename
+          // (same inode: mtime, which the break protocol verifies by,
+          // rides along).  Filesystems without hard links fall back
+          // to the move (single-writer dev setups only).
+          try {
+            java.nio.file.Files.createLink(d, s)
+            java.nio.file.Files.deleteIfExists(s)
+          } catch {
+            case _: UnsupportedOperationException =>
+              java.nio.file.Files.move(s, d)
+          }
+          // hadoop checksum siblings don't ride a raw nio link/move; a
+          // crc left at either path would poison the next fs.open there
           // (ChecksumFileSystem verifies content that no longer matches)
           dropCrcSibling(s)
           dropCrcSibling(d)
