@@ -137,7 +137,7 @@ object Plans {
     show("sql_dim_join (runtime In-filter reaches the DSv2 scan)",
       operators.GeoOps.sqlDimJoin(spark, sf),
       Seq("BatchScan", "GraftScan", "Join", "dynamicpruning", "RuntimeFilters"))
-    show("sql_mor_count (61z19: manifest n_rows − doomed served unopened; boundary scans only)",
+    show("sql_mor_count (61z19: manifest n_rows - doomed served unopened; boundary scans only)",
       operators.GeoOps.sqlMorCount(spark, sf),
       Seq("BatchScan", "GraftAggScan", "HashAggregate", "Exchange"))
     show("sql_asof_mor (61z17: pinned read, epoch-sliced tombstone subtraction in the readers)",
