@@ -1504,6 +1504,47 @@ object GeoOps {
        |WHERE id % 3 <> 0
        |ORDER BY id""".stripMargin
 
+  // --- 61z22. batch changelog with delete retractions ---
+  /** The CDC twin of [[changesSince]]: seed (ids ≡ 0 mod 3, epoch 0),
+    * append (≡ 1, epoch 1), DELETE (id ≡ 0 mod 9, epoch 2), append
+    * (≡ 2, epoch 3), then one BATCH changelog read of `(0, described]`
+    * — the two appends arrive as epoch-tagged inserts and the delete
+    * commit's doomed rows arrive as retractions with their content and
+    * epoch ([[graft.sources.v2.GraftChanges]]).  The periodic CDC-sync
+    * pattern without streaming infrastructure.  Oracle: the three
+    * change sets written out relationally — a lost retraction, a
+    * leaked floor-corpus row, or a mis-stamped epoch hash-mismatches.
+    */
+  def changesMor(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("changemor").toString
+    val p = pts(s, dir).select("id", "x", "y", "z")
+    graft.sources.GeoParquet.write(p.filter(col("id") % 3 === 0), path, 250.0)
+    graft.sources.GeoParquet.writeManifest(s, path)
+    graft.sources.GeoParquet.appendWithManifest(
+      p.filter(col("id") % 3 === 1), path, 250.0)
+    graft.sources.GeoParquet.deleteWhere(s, path, col("id") % 9 === 0)
+    graft.sources.GeoParquet.appendWithManifest(
+      p.filter(col("id") % 3 === 2), path, 250.0)
+    s.read.format("graft").option("changelog", "true")
+      .option("changesFrom", "0").load(path)
+      .select(col("id"), col("x"), col("y"), col("z"),
+        col("_change_type"), col("_change_epoch").cast("long").as("_change_epoch"))
+      .orderBy("_change_epoch", "id")
+  }
+
+  val changesMorSql: String =
+    s"""WITH pts AS ($P)
+       |SELECT id, x, y, z, chg AS "_change_type",
+       |       CAST(ep AS BIGINT) AS "_change_epoch"
+       |FROM (
+       |  SELECT id, x, y, z, 'insert' AS chg, 1 AS ep FROM pts WHERE id % 3 = 1
+       |  UNION ALL
+       |  SELECT id, x, y, z, 'delete' AS chg, 2 AS ep FROM pts WHERE id % 9 = 0
+       |  UNION ALL
+       |  SELECT id, x, y, z, 'insert' AS chg, 3 AS ep FROM pts WHERE id % 3 = 2
+       |)
+       |ORDER BY ep, id""".stripMargin
+
   // --- 61j. snapshot read: the layout as of an earlier epoch ---
   /** Time travel on the manifest's per-row commit epoch: seed batch
     * (ids even) manifested at epoch 0, second batch (ids odd)
@@ -1573,6 +1614,7 @@ object GeoOps {
     "q_query_latlon"    -> (queryLatLonQ _),
     "q_expire_box"      -> (expireBox _),
     "q_changes_since"   -> (changesSince _),
+    "q_changes_mor"     -> (changesMor _),
     "q_box_time"        -> (boxTime _),
     "q_time_curve"      -> (timeCurve _),
     "q_scoped_compact"  -> (scopedCompact _),
@@ -1626,6 +1668,7 @@ object GeoOps {
     "q_query_latlon"    -> queryLatLonSql,
     "q_expire_box"      -> expireBoxSql,
     "q_changes_since"   -> changesSinceSql,
+    "q_changes_mor"     -> changesMorSql,
     "q_box_time"        -> boxTimeSql,
     "q_time_curve"      -> timeCurveSql,
     "q_scoped_compact"  -> scopedCompactSql,

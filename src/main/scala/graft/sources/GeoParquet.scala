@@ -765,16 +765,24 @@ object GeoParquet {
     * `VERSION AS OF` does after a history reset, rather than silently
     * serving the compacted present.
     */
-  def epochAtTime(spark: SparkSession, path: String, tsMillis: Long): Long = {
+  /** All stamped (epoch, wall-ms) commit pairs, unsorted — the
+    * `CALL system.history` / `TIMESTAMP AS OF` axis.  One sidecar
+    * listing plus one tiny read per commit; empty for layouts written
+    * before time stamping existed.
+    */
+  def epochTimes(spark: SparkSession, path: String): Seq[(Long, Long)] = {
     val fs = fsOf(spark, path)
     val dir = new org.apache.hadoop.fs.Path(s"$path/_epoch_times")
-    val stamps: Seq[(Long, Long)] =
-      if (!fs.exists(dir)) Seq.empty
-      else fs.listStatus(dir).toSeq.flatMap { st =>
-        try Some((st.getPath.getName.toLong,
-          readTextFile(spark, st.getPath.toString).toLong))
-        catch { case _: NumberFormatException => None }
-      }
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.flatMap { st =>
+      try Some((st.getPath.getName.toLong,
+        readTextFile(spark, st.getPath.toString).toLong))
+      catch { case _: NumberFormatException => None }
+    }
+  }
+
+  def epochAtTime(spark: SparkSession, path: String, tsMillis: Long): Long = {
+    val stamps = epochTimes(spark, path)
     require(stamps.nonEmpty,
       s"$path has no commit-time stamps (_epoch_times) — layouts " +
         "written before time stamping carry only the VERSION AS OF axis")

@@ -354,6 +354,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       GeoParquet.expireOlderThan(SparkSession.active, p, in.getLong(1))
       statusRow(t, "expired", p)
     },
+    "history" -> proc("history",
+      "commit history: one row per stamped commit epoch with its " +
+        "wall-clock time (the TIMESTAMP AS OF axis), plus file/row " +
+        "counts for epochs still in manifest history",
+      Seq(tableParam), StructType(Seq(
+        StructField("epoch", LongType),
+        StructField("committed_at_ms", LongType),
+        StructField("committed_at", StringType),
+        StructField("n_files", LongType),
+        StructField("n_rows", LongType)))) { in =>
+      val t = strArg(in, 0); val p = layoutPathOf(t)
+      val spark = SparkSession.active
+      // per-epoch inventory where a fresh manifest exists; history is
+      // still reportable (epochs + times) over a stale one
+      val inv: Map[Long, (Long, Long)] =
+        try GeoParquet.snapshots(spark, p).collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        catch { case scala.util.control.NonFatal(_) => Map.empty }
+      GeoParquet.epochTimes(spark, p).sortBy(_._1).map { case (e, ms) =>
+        InternalRow(e, ms,
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            java.time.Instant.ofEpochMilli(ms).toString),
+          inv.get(e).map(v => java.lang.Long.valueOf(v._1)).orNull,
+          inv.get(e).map(v => java.lang.Long.valueOf(v._2)).orNull)
+      }
+    },
     "snapshots" -> proc("snapshots",
       "snapshot inventory: one row per commit epoch still in history",
       Seq(tableParam), StructType(Seq(

@@ -244,7 +244,12 @@ final class GraftTable(path: String, schema: StructType,
     // aggregate pushdown
     new GraftScanBuilder(path, schema,
       pinnedSnapshot.orElse(Option(options.get("snapshot")).map(_.toLong)),
-      changelog)
+      changelog,
+      TriggerLimits(
+        Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+        Option(options.get("maxRowsPerTrigger")).map(_.toLong)),
+      Option(options.get("changesFrom")).map(f =>
+        (f.toLong, Option(options.get("changesTo")).map(_.toLong))))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(path, info)
 }
@@ -330,9 +335,21 @@ private[v2] final case class NNonNull(c: String) extends AggCol // COUNT(c)
 private[v2] final case class MinC(c: String) extends AggCol
 private[v2] final case class MaxC(c: String) extends AggCol
 
+/** Streaming admission bounds, from the read options — at 100 TB the
+  * FIRST micro-batch of a fresh stream is otherwise the entire
+  * standing corpus in one batch.
+  */
+final case class TriggerLimits(maxFiles: Option[Int],
+                               maxRows: Option[Long]) {
+  def isEmpty: Boolean = maxFiles.isEmpty && maxRows.isEmpty
+}
+object TriggerLimits { val none: TriggerLimits = TriggerLimits(None, None) }
+
 final class GraftScanBuilder(path: String, dataSchema: StructType,
                              snapshot: Option[Long] = None,
-                             changelog: Boolean = false)
+                             changelog: Boolean = false,
+                             trigger: TriggerLimits = TriggerLimits.none,
+                             changes: Option[(Long, Option[Long])] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
   private var required: StructType = dataSchema
@@ -427,7 +444,8 @@ final class GraftScanBuilder(path: String, dataSchema: StructType,
       new GraftAggScan(path, dataSchema, cs, exact.toSeq, snapshot)
     case None =>
       new GraftScan(path, dataSchema, required, exact.toSeq,
-        ExactFilters.boundsOf(exact ++ residual), snapshot, changelog)
+        ExactFilters.boundsOf(exact ++ residual), snapshot, changelog,
+        trigger, changes)
   }
 }
 
@@ -640,7 +658,9 @@ final class GraftScan(path: String, dataSchema: StructType,
                       required: StructType, exact: Seq[Filter],
                       bounds: Seq[(String, Double, Double)],
                       snapshot: Option[Long] = None,
-                      changelog: Boolean = false)
+                      changelog: Boolean = false,
+                      trigger: TriggerLimits = TriggerLimits.none,
+                      changes: Option[(Long, Option[Long])] = None)
     extends Scan with Batch with SupportsRuntimeFiltering
     with SupportsReportStatistics {
 
@@ -710,7 +730,7 @@ final class GraftScan(path: String, dataSchema: StructType,
       s"graft:$path — a pinned snapshot is a point in time; it cannot " +
         "be streamed (drop the snapshot option / VERSION AS OF)")
     new GraftMicroBatchStream(path, dataSchema, required, exact, bounds,
-      changelog)
+      changelog, trigger)
   }
   override def description(): String =
     s"GraftScan $path filters=${exact.mkString(",")} bounds=${bounds.mkString(",")}" +
@@ -718,10 +738,7 @@ final class GraftScan(path: String, dataSchema: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
-    require(!changelog,
-      s"graft:$path — the changelog option is a STREAMING view " +
-        "(readStream); batch readers read the merged present, drop the " +
-        "option")
+    if (changelog) return planChangesBatch(spark)
     // merge-on-read: pending POSITIONAL deletes (what SQL mutations
     // produce) subtract in the readers — only data files that appear
     // in the tombstone sidecar pay the counting read.  Equality (key)
@@ -786,6 +803,48 @@ final class GraftScan(path: String, dataSchema: StructType,
     parts.map(p => p: InputPartition).toArray
   }
 
+  /** Batch changelog read (`.option("changelog","true")
+    * .option("changesFrom", e0)[.option("changesTo", e1)]`): the
+    * change rows of `(e0, e1]` as a plain DataFrame — the batch twin
+    * of the changelog stream, for periodic CDC consumers without
+    * streaming infrastructure (the Iceberg `changes` table analog;
+    * [[graft.sources.GeoParquet.readChangesSince]] with delete
+    * retractions).  Same planner, same refusal rules
+    * ([[GraftChanges]]); the range additionally refuses above the
+    * manifest's described prefix (unmanifested commits have no sound
+    * changelog yet) and below the floor era (re-stamped history).
+    */
+  private def planChangesBatch(spark: SparkSession): Array[InputPartition] = {
+    val (from, toOpt) = changes.getOrElse(throw new IllegalArgumentException(
+      s"graft:$path — the changelog option on a BATCH read needs the " +
+        "epoch range: .option(\"changesFrom\", e0) " +
+        "[.option(\"changesTo\", e1)]; for a continuous feed use " +
+        "readStream instead"))
+    require(snapshot.isEmpty,
+      s"graft:$path — a changelog range and a pinned snapshot cannot " +
+        "compose; drop one")
+    val described = GeoParquet.describedEpoch(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path: no manifest — unmanifested commits have no epochs, so " +
+          "no sound changelog exists; run writeManifest first"))
+    val to = toOpt.getOrElse(described)
+    require(to <= described,
+      s"graft:$path changesTo=$to is above the manifest's described " +
+        s"prefix $described — those commits are not soundly readable yet")
+    val st = GeoParquet.changelogFloor(spark, path)
+    require(from >= st.floor - 1,
+      s"graft:$path changesFrom=$from predates the changelog floor " +
+        s"${st.floor}: history before it was re-stamped by a rebuild/" +
+        s"compaction and cannot be replayed — start from ${st.floor - 1}")
+    if (to <= from) return Array.empty
+    val m = spark.read.parquet(s"$path/_manifest")
+    val committed = m.filter(
+      org.apache.spark.sql.functions.col("epoch") > from &&
+        org.apache.spark.sql.functions.col("epoch") <= to &&
+        GeoParquet.manifestBoundsCond(m, bounds))
+    GraftChanges.plan(spark, path, committed, from, to)
+  }
+
   private def keysDf(spark: SparkSession, c: String,
                      vs: Array[Any]): org.apache.spark.sql.DataFrame = {
     val dt = dataSchema.fields.find(_.name == c).map(_.dataType)
@@ -821,10 +880,15 @@ final class GraftScan(path: String, dataSchema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active
-    new GraftReaderFactory(
-      new graft.sources.v2.SerConf(spark.sparkContext.hadoopConfiguration),
-      dataSchema.json, required.json, exact, bounds, rowIdMode,
-      activeDeleteParts(spark))
+    if (changelog)
+      new GraftChangeReaderFactory(
+        new graft.sources.v2.SerConf(spark.sparkContext.hadoopConfiguration),
+        dataSchema.json, required.json, exact, bounds)
+    else
+      new GraftReaderFactory(
+        new graft.sources.v2.SerConf(spark.sparkContext.hadoopConfiguration),
+        dataSchema.json, required.json, exact, bounds, rowIdMode,
+        activeDeleteParts(spark))
   }
 }
 

@@ -2,7 +2,7 @@ package graft.sources.v2
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
@@ -62,8 +62,9 @@ import graft.sources.GeoParquet
 final class GraftMicroBatchStream(path: String, dataSchema: StructType,
                                   required: StructType, exact: Seq[Filter],
                                   bounds: Seq[(String, Double, Double)],
-                                  changelog: Boolean = false)
-    extends MicroBatchStream {
+                                  changelog: Boolean = false,
+                                  trigger: TriggerLimits = TriggerLimits.none)
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   private def spark = SparkSession.active
 
@@ -91,6 +92,65 @@ final class GraftMicroBatchStream(path: String, dataSchema: StructType,
       case Some(e) => GraftStreamOffset(st.floor, math.max(e, st.floor - 1))
       case None => GraftStreamOffset(st.floor, st.floor - 1) // no manifest yet
     }
+  }
+
+  /** Admission control (`.option("maxFilesPerTrigger", n)` /
+    * `.option("maxRowsPerTrigger", n)`): bound each micro-batch by
+    * capping its END epoch.  Without this, the FIRST batch of a fresh
+    * stream over a 100 TB layout is the entire standing corpus in one
+    * micro-batch — the admission walk instead admits whole commit
+    * epochs (the atomic changelog unit) until the file/row budget is
+    * spent, from ONE metadata-scale manifest aggregation (per-epoch
+    * file counts / row sums).  At least one epoch is always admitted
+    * (an over-budget single commit must not stall the stream — the
+    * file-source contract), and trailing epochs with no manifest rows
+    * (delete-only commits) ride with the last admitted one.
+    */
+  override def getDefaultReadLimit: ReadLimit =
+    trigger.maxFiles.map(ReadLimit.maxFiles)
+      .orElse(trigger.maxRows.map(ReadLimit.maxRows))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val st = GeoParquet.changelogFloor(spark, path)
+    val unbounded = latestOffset().asInstanceOf[GraftStreamOffset]
+    val from = reconcile(start.asInstanceOf[GraftStreamOffset], st)
+    if (unbounded.epoch <= from) return unbounded
+    val end = limit match {
+      case rl: ReadMaxFiles =>
+        admit(from, unbounded.epoch, rl.maxFiles.toLong, rows = false)
+      case rl: ReadMaxRows =>
+        admit(from, unbounded.epoch, rl.maxRows, rows = true)
+      case _ => unbounded.epoch
+    }
+    GraftStreamOffset(st.floor, end)
+  }
+
+  override def reportLatestOffset(): Offset = latestOffset()
+
+  /** Largest end epoch in `(from, to]` whose cumulative weight (file
+    * count or row sum, from the manifest) fits `budget` — always at
+    * least the first file-bearing epoch, and always extended through
+    * file-less trailing epochs.
+    */
+  private def admit(from: Long, to: Long, budget: Long,
+                    rows: Boolean): Long = {
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    val per = spark.read.parquet(s"$path/_manifest")
+      .filter(col("epoch") > from && col("epoch") <= to)
+      .groupBy("epoch")
+      .agg((if (rows) sum("n_rows") else count(lit(1))).cast("long").as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    var end = from
+    var next = -1L // first unadmitted file-bearing epoch
+    per.foreach { case (e, w) =>
+      if (next < 0) {
+        if (end == from || acc + w <= budget) { acc += w; end = e }
+        else next = e
+      }
+    }
+    if (next < 0) to else next - 1
   }
 
   /** Map an offset minted in a (possibly retired) floor era onto the
@@ -129,56 +189,9 @@ final class GraftMicroBatchStream(path: String, dataSchema: StructType,
       planChanges(committed, from, to)
   }
 
-  /** Changelog-mode planning: the batch's INSERT partitions are the
-    * files committed in `(from, to]` (each row tagged with its file's
-    * commit epoch), and its DELETE partitions are the data files
-    * doomed by positional-tombstone parts committed in the range —
-    * each such file is re-opened and ONLY its doomed positions are
-    * emitted, tagged "delete" with the tombstone's commit epoch (the
-    * Iceberg changelog-scan shape).  Driver cost stays metadata-scale:
-    * file names from the manifest, distinct doomed file names from
-    * the kilobyte-scale tombstone parts; the (file, pos) sets stay
-    * task-side ([[DoomedPositions]]).  Refusals, all loud:
-    * equality (key) tombstones have no position to replay; un-epoched
-    * parts (crash-healed adoptions) have no place on the axis; parts
-    * older than the changelog floor describe deletes of rows whose
-    * insert-epochs were re-stamped PAST them (a fold would resurrect
-    * the dead) — compact first, which makes them physical.
-    */
   private def planChanges(committed: org.apache.spark.sql.DataFrame,
-                          from: Long, to: Long): Array[InputPartition] = {
-    val st = GeoParquet.changelogFloor(spark, path)
-    require(GeoParquet.pendingTombstones(spark, path).isEmpty,
-      s"graft:$path has pending equality (key) tombstones — a changelog " +
-        "stream cannot replay key deletes as rows; run a compaction first")
-    val allParts = GeoParquet.positionalDeletePartsEpoch(spark, path)
-    require(allParts.forall(_._4.isDefined),
-      s"graft:$path has pending merge-on-read deletes without a " +
-        "recorded commit epoch (crash-healed) — a changelog stream " +
-        "cannot place them; run a compaction first")
-    require(allParts.forall(_._4.exists(_ >= st.floor)),
-      s"graft:$path has pending deletes committed before the changelog " +
-        s"floor ${st.floor} (a scoped history reset left them behind) — " +
-        "their rows' insert epochs were re-stamped past them, so a fold " +
-        "would resurrect deleted rows; run a compaction first")
-    val inserts = committed.select("file", "epoch").collect().map { r =>
-      GraftChangePartition(s"$path/${r.getString(0)}", r.getString(0),
-        r.getLong(1), isDelete = false, Seq.empty): InputPartition
-    }
-    val delParts = allParts.filter(_._4.exists(e => e > from && e <= to))
-    val deletes: Array[InputPartition] =
-      if (delParts.isEmpty) Array.empty
-      else spark.read.parquet(delParts.map(_._1): _*)
-        .select("file").distinct().collect().map(_.getString(0))
-        .map { rel =>
-          val parts = delParts.collect {
-            case (f, lo, hi, Some(e)) if lo <= rel && rel <= hi => (f, e)
-          }.sortBy(_._2) // ascending: a later re-doom (impossible today) wins
-          GraftChangePartition(s"$path/$rel", rel, -1L,
-            isDelete = true, parts): InputPartition
-        }
-    inserts ++ deletes
-  }
+                          from: Long, to: Long): Array[InputPartition] =
+    GraftChanges.plan(spark, path, committed, from, to)
 
   override def createReaderFactory(): PartitionReaderFactory =
     if (changelog)
@@ -212,6 +225,61 @@ object GraftStreamOffset {
     case Re(f, e) => GraftStreamOffset(f.toLong, e.toLong)
     case other => throw new IllegalArgumentException(
       s"not a graft stream offset: $other")
+  }
+}
+
+/** Changelog planning shared by the micro-batch stream and the batch
+  * changelog read: the range's INSERT partitions are the files
+  * committed in `(from, to]` (each row tagged with its file's commit
+  * epoch), and its DELETE partitions are the data files doomed by
+  * positional-tombstone parts committed in the range — each such file
+  * is re-opened and ONLY its doomed positions are emitted, tagged
+  * "delete" with the tombstone's commit epoch (the Iceberg
+  * changelog-scan shape).  Driver cost stays metadata-scale: file
+  * names from the manifest, distinct doomed file names from the
+  * kilobyte-scale tombstone parts; the (file, pos) sets stay
+  * task-side ([[DoomedPositions]]).  Refusals, all loud: equality
+  * (key) tombstones have no position to replay; un-epoched parts
+  * (crash-healed adoptions) have no place on the axis; parts older
+  * than the changelog floor describe deletes of rows whose
+  * insert-epochs were re-stamped PAST them (a fold would resurrect
+  * the dead) — compact first, which makes them physical.
+  */
+private[v2] object GraftChanges {
+  def plan(spark: SparkSession, path: String,
+           committed: org.apache.spark.sql.DataFrame,
+           from: Long, to: Long): Array[InputPartition] = {
+    val st = GeoParquet.changelogFloor(spark, path)
+    require(GeoParquet.pendingTombstones(spark, path).isEmpty,
+      s"graft:$path has pending equality (key) tombstones — a changelog " +
+        "read cannot replay key deletes as rows; run a compaction first")
+    val allParts = GeoParquet.positionalDeletePartsEpoch(spark, path)
+    require(allParts.forall(_._4.isDefined),
+      s"graft:$path has pending merge-on-read deletes without a " +
+        "recorded commit epoch (crash-healed) — a changelog read " +
+        "cannot place them; run a compaction first")
+    require(allParts.forall(_._4.exists(_ >= st.floor)),
+      s"graft:$path has pending deletes committed before the changelog " +
+        s"floor ${st.floor} (a scoped history reset left them behind) — " +
+        "their rows' insert epochs were re-stamped past them, so a fold " +
+        "would resurrect deleted rows; run a compaction first")
+    val inserts = committed.select("file", "epoch").collect().map { r =>
+      GraftChangePartition(s"$path/${r.getString(0)}", r.getString(0),
+        r.getLong(1), isDelete = false, Seq.empty): InputPartition
+    }
+    val delParts = allParts.filter(_._4.exists(e => e > from && e <= to))
+    val deletes: Array[InputPartition] =
+      if (delParts.isEmpty) Array.empty
+      else spark.read.parquet(delParts.map(_._1): _*)
+        .select("file").distinct().collect().map(_.getString(0))
+        .map { rel =>
+          val parts = delParts.collect {
+            case (f, lo, hi, Some(e)) if lo <= rel && rel <= hi => (f, e)
+          }.sortBy(_._2) // ascending: a later re-doom (impossible today) wins
+          GraftChangePartition(s"$path/$rel", rel, -1L,
+            isDelete = true, parts): InputPartition
+        }
+    inserts ++ deletes
   }
 }
 

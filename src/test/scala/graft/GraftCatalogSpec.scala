@@ -114,6 +114,22 @@ class GraftCatalogSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("predates")), msgs(e).mkString(" | "))
   }
 
+  test("CALL system.history lists stamped commits; times resolve back via TIMESTAMP AS OF") {
+    val dir = mkLayout("ops", "hist2", 300)
+    Thread.sleep(5)
+    GeoParquet.appendWithManifest(pts(300, 400), dir, 250.0)
+    val r = spark.sql("CALL lake.system.history('ops.hist2')").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(0L, 1L), r.mkString(","))
+    val times = r.map(_.getLong(1))
+    assert(times(0) < times(1), "commit times must be monotone here")
+    assert(times.forall(t => math.abs(t - System.currentTimeMillis()) < 600000))
+    // the manifest inventory rides along: file/row counts per epoch
+    assert(r.map(_.getLong(4)).sum == 400, r.mkString(","))
+    // each stamped time resolves back to its own epoch
+    assert(GeoParquet.epochAtTime(spark, dir, times(0)) == 0L)
+    assert(GeoParquet.epochAtTime(spark, dir, times(1)) == 1L)
+  }
+
   test("CALL system.rebuild_manifest repairs a staled layout from SQL") {
     val dir = mkLayout("ops", "repair", 400)
     // a plain append (no manifest maintenance) stales the sidecar

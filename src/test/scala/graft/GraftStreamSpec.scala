@@ -118,7 +118,31 @@ class GraftStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("the changelog option refuses a batch read (stream-only view)") {
+  test("maxFilesPerTrigger bounds micro-batches to whole epochs, exactly once") {
+    val dir = freshLayout() // 3 commits: floor 0, appends 1 and 2
+    val ckpt = java.nio.file.Files.createTempDirectory("gsadm").toString
+    val name = s"gstream_adm_${nextId.incrementAndGet()}"
+    // 1 file per trigger < any commit's file count, so the admission
+    // walk must cap each batch at ONE whole epoch (its atomic unit)
+    // instead of the standing corpus in the first batch
+    val q = spark.readStream.format("graft")
+      .option("maxFilesPerTrigger", "1").load(dir)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.table(name).select("id").as[Long].collect().sorted
+      assert(ids.toSeq ==
+        ((0L until 40L) ++ (100L until 140L) ++ (200L until 240L)),
+        "bounded batches lost or duplicated rows")
+      val nonEmpty = q.recentProgress.count(_.numInputRows > 0)
+      assert(nonEmpty >= 3,
+        s"expected >= 3 bounded micro-batches (one per epoch), got $nonEmpty")
+    } finally q.stop()
+  }
+
+  test("the changelog option on a batch read needs an epoch range (else refuses)") {
     val dir = freshLayout()
     val e = intercept[Throwable] {
       spark.read.format("graft").option("changelog", "true").load(dir)
@@ -127,7 +151,38 @@ class GraftStreamSpec extends SparkSpec {
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Seq.empty
       else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(e).exists(_.contains("changelog")), msgs(e).mkString(" | "))
+    assert(msgs(e).exists(_.contains("changesFrom")), msgs(e).mkString(" | "))
+  }
+
+  test("batch changelog read: the change rows of an epoch range") {
+    val dir = freshLayout() // epochs 0 (floor corpus), 1, 2
+    GeoParquet.deleteWhere(spark, dir, col("id") >= 200 && col("id") < 210) // 3
+    val chg = spark.read.format("graft").option("changelog", "true")
+      .option("changesFrom", "0").load(dir)
+      .select("id", "_change_type", "_change_epoch")
+      .as[(Long, String, Long)].collect()
+    // inserts of the appends only (the floor corpus is epoch 0 = before
+    // the range), the delete commit's rows retracted with its epoch
+    assert(chg.filter(_._2 == "insert").map(_._1).sorted.toSeq ==
+      ((100L until 140L) ++ (200L until 240L)))
+    assert(chg.filter(_._2 == "delete").map(_._1).sorted.toSeq ==
+      (200L until 210L))
+    assert(chg.filter(_._2 == "delete").forall(_._3 == 3L))
+    // a bounded range serves exactly its commits
+    val e1 = spark.read.format("graft").option("changelog", "true")
+      .option("changesFrom", "0").option("changesTo", "1").load(dir)
+      .select("id").as[Long].collect().sorted
+    assert(e1.toSeq == (100L until 140L))
+    // above the described prefix: refuse, never serve unsound epochs
+    val err = intercept[Throwable] {
+      spark.read.format("graft").option("changelog", "true")
+        .option("changesFrom", "0").option("changesTo", "99").load(dir)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(_.contains("described")), msgs(err).mkString(" | "))
   }
 
   test("pushed filters ride the stream (row semantics exact per batch)") {

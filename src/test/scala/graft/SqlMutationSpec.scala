@@ -167,6 +167,26 @@ class SqlMutationSpec extends SparkSpec {
       assert(r(id).contains((id % 5).toInt), s"id=$id got ${r(id)}"))
   }
 
+  test("MERGE with NOT MATCHED BY SOURCE deletes unmatched target rows") {
+    val dir = mkLayout("bysrc", 600)
+    pts(400, 800).createOrReplaceTempView("bysrc_src")
+    // full sync semantics: matched update, unmatched-in-target insert,
+    // unmatched-in-SOURCE delete — one statement, one commit
+    spark.sql(
+      """MERGE INTO mut.ns.bysrc t USING bysrc_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET z = s.z + 100000
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val r = GeoParquet.readMerged(spark, dir)
+      .select("id", "z").as[(Long, Double)].collect().toMap
+    assert(r.size == 400, s"${r.size} rows")
+    (400L until 600L).foreach(id => assert(r(id) == id + 100000.0, s"id=$id"))
+    (600L until 800L).foreach(id => assert(r(id) == id.toDouble, s"id=$id"))
+    // SQL face agrees (merge-on-read, no compaction)
+    assert(spark.sql("SELECT count(*) AS n FROM mut.ns.bysrc")
+      .collect()(0).getLong(0) == 400)
+  }
+
   test("a localized mutation taxes only the files holding doomed rows") {
     val dir = mkLayout("local", 2000)
     spark.sql("UPDATE mut.ns.local SET z = z + 100000 WHERE x < 100")
