@@ -241,9 +241,14 @@ final class GraftTable(path: String, schema: StructType,
     // time travel: .option("snapshot", <epoch>) — or the catalog's
     // VERSION AS OF pin — reads the files committed at or before
     // that epoch (the queryBoxAsOf axis), composing with pruning and
-    // aggregate pushdown
+    // aggregate pushdown; .option("snapshotTime", <wall-ms>) resolves
+    // through the _epoch_times commit stamps first (the path-based
+    // TIMESTAMP AS OF)
     new GraftScanBuilder(path, schema,
-      pinnedSnapshot.orElse(Option(options.get("snapshot")).map(_.toLong)),
+      pinnedSnapshot
+        .orElse(Option(options.get("snapshot")).map(_.toLong))
+        .orElse(Option(options.get("snapshotTime")).map(ms =>
+          GeoParquet.epochAtTime(SparkSession.active, path, ms.toLong))),
       changelog,
       TriggerLimits(
         Option(options.get("maxFilesPerTrigger")).map(_.toInt),
@@ -842,7 +847,7 @@ final class GraftScan(path: String, dataSchema: StructType,
       org.apache.spark.sql.functions.col("epoch") > from &&
         org.apache.spark.sql.functions.col("epoch") <= to &&
         GeoParquet.manifestBoundsCond(m, bounds))
-    GraftChanges.plan(spark, path, committed, from, to)
+    GraftChanges.plan(spark, path, committed, from, to, bounds)
   }
 
   private def keysDf(spark: SparkSession, c: String,

@@ -191,7 +191,7 @@ final class GraftMicroBatchStream(path: String, dataSchema: StructType,
 
   private def planChanges(committed: org.apache.spark.sql.DataFrame,
                           from: Long, to: Long): Array[InputPartition] =
-    GraftChanges.plan(spark, path, committed, from, to)
+    GraftChanges.plan(spark, path, committed, from, to, bounds)
 
   override def createReaderFactory(): PartitionReaderFactory =
     if (changelog)
@@ -248,7 +248,9 @@ object GraftStreamOffset {
 private[v2] object GraftChanges {
   def plan(spark: SparkSession, path: String,
            committed: org.apache.spark.sql.DataFrame,
-           from: Long, to: Long): Array[InputPartition] = {
+           from: Long, to: Long,
+           bounds: Seq[(String, Double, Double)] = Seq.empty)
+      : Array[InputPartition] = {
     val st = GeoParquet.changelogFloor(spark, path)
     require(GeoParquet.pendingTombstones(spark, path).isEmpty,
       s"graft:$path has pending equality (key) tombstones — a changelog " +
@@ -270,15 +272,29 @@ private[v2] object GraftChanges {
     val delParts = allParts.filter(_._4.exists(e => e > from && e <= to))
     val deletes: Array[InputPartition] =
       if (delParts.isEmpty) Array.empty
-      else spark.read.parquet(delParts.map(_._1): _*)
-        .select("file").distinct().collect().map(_.getString(0))
-        .map { rel =>
-          val parts = delParts.collect {
-            case (f, lo, hi, Some(e)) if lo <= rel && rel <= hi => (f, e)
-          }.sortBy(_._2) // ascending: a later re-doom (impossible today) wins
-          GraftChangePartition(s"$path/$rel", rel, -1L,
-            isDelete = true, parts): InputPartition
-        }
+      else {
+        // a pushed-filter read retracts only rows it would have
+        // delivered, so a doomed file whose manifest envelope cannot
+        // intersect the bounds is never re-opened (same file pruning
+        // the insert arm gets from `committed`)
+        val inBounds: String => Boolean =
+          if (bounds.isEmpty) _ => true
+          else {
+            val m = spark.read.parquet(s"$path/_manifest")
+            m.filter(GeoParquet.manifestBoundsCond(m, bounds))
+              .select("file").collect().map(_.getString(0)).toSet
+          }
+        spark.read.parquet(delParts.map(_._1): _*)
+          .select("file").distinct().collect().map(_.getString(0))
+          .filter(inBounds)
+          .map { rel =>
+            val parts = delParts.collect {
+              case (f, lo, hi, Some(e)) if lo <= rel && rel <= hi => (f, e)
+            }.sortBy(_._2) // ascending: a later re-doom (impossible today) wins
+            GraftChangePartition(s"$path/$rel", rel, -1L,
+              isDelete = true, parts): InputPartition
+          }
+      }
     inserts ++ deletes
   }
 }

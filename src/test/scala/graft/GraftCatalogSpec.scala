@@ -103,6 +103,9 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) AS n FROM lake.ice.thist " +
         s"TIMESTAMP AS OF timestamp_millis(${now}L)")
       .collect()(0).getLong(0) == 900)
+    // the path face's twin: .option("snapshotTime", <wall-ms>)
+    assert(spark.read.format("graft")
+      .option("snapshotTime", mid.toString).load(dir).count() == 600)
     // before anything existed: refuse loudly, never guess an epoch
     val e = intercept[Throwable] {
       spark.sql("SELECT count(*) AS n FROM lake.ice.thist " +
