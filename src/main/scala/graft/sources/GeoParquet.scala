@@ -2135,6 +2135,17 @@ object GeoParquet {
                 n == base + ".pre-compact" || n == base + ".compact"))
             fs.delete(st.getPath, true)
         }
+      // streaming-sink staging dirs live INSIDE the layout, dot-
+      // prefixed (every reader skips them); a dead attempt's parts
+      // are debris once older than the lease
+      if (fs.exists(p))
+        fs.listStatus(p).foreach { st =>
+          val n = st.getPath.getName
+          val old = System.currentTimeMillis() -
+            st.getModificationTime > staleAgeMs
+          if (old && n.startsWith(".staging-stream-"))
+            fs.delete(st.getPath, true)
+        }
       // `_commits` debris: break tombstones (one per actual
       // crash-break — load-bearing while fresh, they are what keeps a
       // losing breaker's delayed rename failing), crashed release

@@ -233,9 +233,12 @@ final class GraftTable(path: String, schema: StructType,
     // evolution-recording append.
     // MICRO_BATCH_READ: spark.readStream.format("graft") serves the
     // commit-epoch changelog as micro-batches ([[GraftMicroBatchStream]])
+    // STREAMING_WRITE: df.writeStream.format("graft") — every
+    // micro-batch is one locked manifest commit ([[GraftStreamingWrite]])
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.STREAMING_WRITE,
       TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     // time travel: .option("snapshot", <epoch>) — or the catalog's
@@ -311,6 +314,9 @@ object GraftTable {
 final class GraftWriteBuilder(path: String, info: LogicalWriteInfo)
     extends WriteBuilder {
   override def build(): Write = new V1Write {
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new GraftStreamingWrite(path, info)
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: org.apache.spark.sql.DataFrame,
@@ -426,17 +432,17 @@ final class GraftScanBuilder(path: String, dataSchema: StructType,
     // pending POSITIONAL deletes no longer force full degradation:
     // COUNTs still push down — the planner subtracts each contained
     // file's doomed-position count from its manifest stats and the
-    // boundary scans skip doomed positions ([[GraftAggScan]]).  MIN/
-    // MAX cannot subtract (a doomed row might BE the extremum) and a
-    // snapshot slices deletes by epoch on the row path only — both
-    // refuse, as does any equality (key) tombstone state.
+    // boundary scans skip doomed positions ([[GraftAggScan]]), with a
+    // snapshot slicing the subtraction by part epoch exactly as the
+    // row path does.  MIN/MAX cannot subtract (a doomed row might BE
+    // the extremum) and equality (key) tombstones refuse everywhere.
     val spark = SparkSession.active
     if (GeoParquet.pendingPositional(spark, path).nonEmpty) {
       val countsOnly = parsed.forall {
         case NRows | _: NNonNull => true
         case _ => false
       }
-      if (!countsOnly || snapshot.isDefined ||
+      if (!countsOnly ||
           GeoParquet.pendingTombstones(spark, path).nonEmpty)
         return false
     }
@@ -1273,10 +1279,20 @@ final class GraftAggScan(path: String, dataSchema: StructType,
       s"$path has pending equality (key) tombstones — the SQL face " +
         "cannot subtract those; run a compaction (or read via the " +
         "API's readMerged) first")
-    val deleteParts = GeoParquet.positionalDeleteParts(spark, path)
-    require(snapshot.isEmpty || deleteParts.isEmpty,
-      s"$path has pending merge-on-read deletes — a snapshot aggregate " +
-        "cannot place them; run a compaction first")
+    // epoch-sliced under time travel, exactly as the row path: a
+    // snapshot COUNT subtracts only the deletes committed at-or-before
+    // its pinned epoch (61z17 part epochs); un-epoched (crash-healed)
+    // parts cannot be placed and refuse
+    val allDeleteParts = GeoParquet.positionalDeletePartsEpoch(spark, path)
+    val deleteParts: Seq[(String, String, String)] = snapshot match {
+      case Some(e) =>
+        require(allDeleteParts.forall(_._4.isDefined),
+          s"$path has pending merge-on-read deletes without a recorded " +
+            "commit epoch (crash-healed) — a snapshot aggregate cannot " +
+            "place them; run a compaction first")
+        allDeleteParts.filter(_._4.exists(_ <= e)).map(p => (p._1, p._2, p._3))
+      case None => allDeleteParts.map(p => (p._1, p._2, p._3))
+    }
     // per-file doomed-position counts: one small agg over the
     // tombstone parts — one (file, n) row per MUTATED file, the
     // metadata-scale price of keeping interior files unopened under
@@ -1430,11 +1446,18 @@ final class GraftAggScan(path: String, dataSchema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active
+    // same epoch slicing as planning: a snapshot's boundary scans skip
+    // only the doomed positions committed at-or-before the pin
+    val parts = GeoParquet.positionalDeletePartsEpoch(spark, path)
+    val sliced = (snapshot match {
+      case Some(e) => parts.filter(_._4.exists(_ <= e))
+      case None => parts
+    }).map(p => (p._1, p._2, p._3))
     new GraftAggReaderFactory(
       new SerConf(spark.sparkContext.hadoopConfiguration),
       dataSchema.json, aggCols, exact,
       ExactFilters.boundsOf(exact.toArray),
-      GeoParquet.positionalDeleteParts(spark, path))
+      sliced)
   }
 }
 

@@ -1,0 +1,198 @@
+package graft.sources.v2
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, PhysicalWriteInfo, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.types._
+
+import graft.sources.GeoParquet
+
+/** Native streaming SINK — `df.writeStream.format("graft").start(path)`
+  * (and `.toTable` through the catalog): every micro-batch becomes one
+  * locked manifest commit, so the layout stays continuously queryable
+  * with pruning while data streams in.
+  *
+  * Shape: executors stage each batch's rows as FLAT parquet parts
+  * through parquet-mr (the delta writers' stager, insert arm only —
+  * O(1) writer memory, no driver data movement), and the driver's
+  * epoch commit re-reads the staged parts as a distributed frame into
+  * the layout's own append verb — [[GeoParquet.appendWithManifest]]
+  * for bin layouts, [[GeoParquet.appendCurve]] for curve-clustered
+  * ones — the exact locked commit a batch writer takes, so streaming
+  * and batch writers and compactors all serialize on the same
+  * CommitLock.
+  *
+  * Restart semantics, stated honestly: Spark replays an uncommitted
+  * epoch after a crash, so the sink records each landed epoch under
+  * `_batches/stream-<queryId>-<epoch>` and a replayed commit is a
+  * no-op (the foreachBatch recipes' marker contract, moved inside the
+  * sink).  The append and its marker are two filesystem steps — a
+  * crash BETWEEN them can duplicate that one batch on replay, the
+  * same window the recipes document; exactly-once through that crash
+  * needs a downstream dedup pass or a transactional store.  Staged
+  * parts from dead attempts live under the dot-prefixed
+  * `.staging-stream-*` dirs (invisible to every reader) and are swept
+  * by [[GeoParquet.vacuum]] once older than the commit lease.
+  */
+final class GraftStreamingWrite(path: String, info: LogicalWriteInfo)
+    extends StreamingWrite {
+
+  private val queryId = info.queryId()
+  private val schemaJson = info.schema().json
+
+  override def createStreamingWriterFactory(
+      pinfo: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val spark = SparkSession.active
+    new GraftStreamWriterFactory(s"$path/.staging-stream-$queryId",
+      schemaJson, new SerConf(spark.sparkContext.hadoopConfiguration))
+  }
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = messages.collect {
+      case GraftStreamMessage(Some(f), n) if n > 0 => f
+    }
+    def dropStaged(): Unit = files.foreach { f =>
+      try fs.delete(new org.apache.hadoop.fs.Path(f), false)
+      catch { case _: java.io.IOException => () }
+    }
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$path/_batches/stream-$queryId-$epochId")
+    if (fs.exists(marker)) { dropStaged(); return } // replayed epoch: no-op
+    if (files.nonEmpty) {
+      val df = spark.read
+        .schema(DataType.fromJson(schemaJson).asInstanceOf[StructType])
+        .parquet(files.toIndexedSeq: _*)
+      val delta = Option(info.options.get("delta")).map(_.toDouble)
+        .orElse(GeoParquet.deltaOf(spark, path))
+        .getOrElse(throw new IllegalArgumentException(
+          s"$path records no bin size — pass .option(\"delta\", <binSize>)"))
+      if (GeoParquet.isCurveLayout(spark, path))
+        GeoParquet.appendCurve(df, path, delta)
+      else
+        GeoParquet.appendWithManifest(df, path, delta)
+    }
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
+    dropStaged()
+  }
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    messages.foreach {
+      case GraftStreamMessage(Some(f), _) =>
+        try fs.delete(new org.apache.hadoop.fs.Path(f), false)
+        catch { case _: java.io.IOException => () }
+      case _ => ()
+    }
+  }
+}
+
+private[v2] final case class GraftStreamMessage(file: Option[String],
+                                                n: Long)
+    extends WriterCommitMessage
+
+private[v2] final class GraftStreamWriterFactory(staging: String,
+                                                 schemaJson: String,
+                                                 ser: SerConf)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new GraftStreamWriter(staging,
+      s"e$epochId-p$partitionId-t$taskId-" +
+        java.util.UUID.randomUUID().toString.take(8),
+      DataType.fromJson(schemaJson).asInstanceOf[StructType], ser)
+}
+
+/** Executor-side stager for one task's slice of a micro-batch: rows
+  * stream into one flat parquet part via parquet-mr's record API
+  * (opened lazily — an empty task stages nothing), the write mirror
+  * of [[GroupFileReader]] and the insert arm of [[GraftDeltaWriter]].
+  */
+private[v2] final class GraftStreamWriter(staging: String, suffix: String,
+                                          schema: StructType, ser: SerConf)
+    extends DataWriter[InternalRow] {
+  import org.apache.parquet.example.data.Group
+  import org.apache.parquet.example.data.simple.SimpleGroupFactory
+  import org.apache.parquet.hadoop.ParquetWriter
+  import org.apache.parquet.hadoop.example.ExampleParquetWriter
+  import org.apache.parquet.hadoop.metadata.CompressionCodecName
+  import org.apache.parquet.hadoop.util.HadoopOutputFile
+  import org.apache.parquet.io.api.Binary
+  import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types => PTypes}
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
+  private def parquetFieldOf(f: StructField) = f.dataType match {
+    case LongType => PTypes.optional(INT64).named(f.name)
+    case IntegerType => PTypes.optional(INT32).named(f.name)
+    case DoubleType => PTypes.optional(DOUBLE).named(f.name)
+    case FloatType => PTypes.optional(FLOAT).named(f.name)
+    case BooleanType => PTypes.optional(BOOLEAN).named(f.name)
+    case StringType => PTypes.optional(BINARY)
+      .as(LogicalTypeAnnotation.stringType()).named(f.name)
+    case BinaryType => PTypes.optional(BINARY).named(f.name)
+    case other => throw new UnsupportedOperationException(
+      s"graft streaming sink: unsupported column type " +
+        s"${other.simpleString} for ${f.name}")
+  }
+
+  private var out: ParquetWriter[Group] = _
+  private var factory: SimpleGroupFactory = _
+  private var file: Option[String] = None
+  private var n = 0L
+
+  override def write(row: InternalRow): Unit = {
+    if (out == null) {
+      val f = s"$staging/ins-$suffix.parquet"
+      val pSchema = new MessageType("graft_stream_insert",
+        schema.fields.map(parquetFieldOf): _*)
+      out = ExampleParquetWriter.builder(
+          HadoopOutputFile.fromPath(new org.apache.hadoop.fs.Path(f), ser.conf))
+        .withConf(ser.conf).withType(pSchema)
+        .withCompressionCodec(CompressionCodecName.SNAPPY)
+        .build()
+      factory = new SimpleGroupFactory(pSchema)
+      file = Some(f)
+    }
+    val g = factory.newGroup()
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      if (!row.isNullAt(i)) f.dataType match {
+        case LongType => g.add(f.name, row.getLong(i))
+        case IntegerType => g.add(f.name, row.getInt(i))
+        case DoubleType => g.add(f.name, row.getDouble(i))
+        case FloatType => g.add(f.name, row.getFloat(i))
+        case BooleanType => g.add(f.name, row.getBoolean(i))
+        case StringType => g.add(f.name,
+          Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
+        case BinaryType => g.add(f.name,
+          Binary.fromConstantByteArray(row.getBinary(i)))
+        case other => throw new UnsupportedOperationException(
+          s"unsupported ${other.simpleString} for ${f.name}")
+      }
+    }
+    out.write(g)
+    n += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (out != null) out.close()
+    GraftStreamMessage(file, n)
+  }
+
+  override def abort(): Unit = {
+    if (out != null) out.close()
+    val fs = new org.apache.hadoop.fs.Path(staging).getFileSystem(ser.conf)
+    file.foreach(f =>
+      try fs.delete(new org.apache.hadoop.fs.Path(f), false)
+      catch { case _: java.io.IOException => () })
+  }
+
+  override def close(): Unit = if (out != null) out.close()
+}

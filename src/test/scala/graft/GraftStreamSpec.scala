@@ -118,6 +118,53 @@ class GraftStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native streaming sink: each micro-batch is one locked manifest commit") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("gsink").toString + "/lay"
+    GeoParquet.write(batch(0 until 40), dir, 250.0)
+    GeoParquet.writeManifest(spark, dir) // epoch 0, manifest fresh
+    val ckpt = java.nio.file.Files.createTempDirectory("gsinkck").toString
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Double, Double, Double)]
+    val q = mem.toDF().toDF("id", "x", "y", "z")
+      .writeStream.format("graft")
+      .option("checkpointLocation", ckpt)
+      .start(dir)
+    try {
+      mem.addData((100 until 140).map(i =>
+        (i.toLong, (i % 40) * 25.0, (i % 30) * 25.0, i * 1.0)): _*)
+      q.processAllAvailable()
+      mem.addData((200 until 230).map(i =>
+        (i.toLong, (i % 40) * 25.0, (i % 30) * 25.0, i * 1.0)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // two micro-batches = two manifest commits; reads stay PRUNED and
+    // see every row exactly once
+    assert(GeoParquet.readEpoch(spark, dir) == 2L)
+    val ids = spark.read.format("graft").load(dir)
+      .select("id").as[Long].collect().sorted
+    assert(ids.toSeq == ((0L until 40L) ++ (100L until 140L) ++ (200L until 230L)),
+      "sink lost or duplicated rows")
+    // the manifest stayed fresh through both commits (pruned reads live)
+    spark.read.format("graft").load(dir)
+      .where("x >= 0 AND x < 200 AND y >= 0 AND y < 200").collect()
+    assert(graft.sources.v2.GraftSource.lastPlannedFiles.get(dir).size <
+      spark.read.parquet(dir).inputFiles.length)
+    // epoch markers recorded: a replayed epoch commits as a no-op
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val markers = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/_batches"))
+      .map(_.getPath.getName).filter(_.startsWith("stream-"))
+    assert(markers.length == 2, markers.mkString(","))
+    // no staged debris left behind after clean commits
+    val staging = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith(".staging-stream-"))
+    staging.foreach { d =>
+      assert(fs.listStatus(new org.apache.hadoop.fs.Path(dir, d)).isEmpty,
+        s"staged parts left in $d")
+    }
+  }
+
   test("maxFilesPerTrigger bounds micro-batches to whole epochs, exactly once") {
     val dir = freshLayout() // 3 commits: floor 0, appends 1 and 2
     val ckpt = java.nio.file.Files.createTempDirectory("gsadm").toString

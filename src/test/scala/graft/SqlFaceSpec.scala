@@ -246,6 +246,14 @@ class SqlFaceSpec extends SparkSpec {
       .count() == 1000)
     assert(GeoParquet.queryBoxAsOf(spark, dir, 2L, (-1e9, 1e9), (-1e9, 1e9))
       .filter($"id" % 5 === 2).count() == 0)
+    // 61z19 × 61z17: the COUNT pushdown slices its doomed subtraction
+    // by the pinned epoch too — exact at every era, and still answered
+    // from the manifest (interior files unopened)
+    def nAt(e: String): Long = spark.sql(s"SELECT count(*) AS n FROM ttmor_$e")
+      .collect()(0).getLong(0)
+    assert(nAt("0") == 500 && nAt("1") == 1000 && nAt("2") == 800)
+    val (answered, scanned) = graft.sources.v2.GraftSource.lastAggPlan.get(dir)
+    assert(answered > 0, s"answered=$answered scanned=$scanned")
     // an UN-epoched tombstone part (legacy/crash-healed shape) cannot
     // be placed on the snapshot axis: snapshots refuse, current-state
     // reads keep subtracting it
