@@ -165,6 +165,55 @@ class GraftStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming sink through the catalog: writeStream.toTable") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = java.nio.file.Files.createTempDirectory("gsinkcat").toString
+    val dir = s"$wh/ns/sunk"
+    GeoParquet.write(batch(0 until 40), dir, 250.0)
+    GeoParquet.writeManifest(spark, dir)
+    spark.conf.set("spark.sql.catalog.sink",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.sink.warehouse", wh)
+    val ckpt = java.nio.file.Files.createTempDirectory("gsinkcatck").toString
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Double, Double, Double)]
+    val q = mem.toDF().toDF("id", "x", "y", "z")
+      .writeStream.option("checkpointLocation", ckpt)
+      .toTable("sink.ns.sunk")
+    try {
+      mem.addData((100 until 130).map(i =>
+        (i.toLong, (i % 40) * 25.0, (i % 30) * 25.0, i * 1.0)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.sql("SELECT count(*) AS n FROM sink.ns.sunk")
+      .collect()(0).getLong(0) == 70)
+  }
+
+  test("changelog mode composes with admission control (bounded CDC batches)") {
+    val dir = freshLayout() // epochs 0, 1, 2
+    GeoParquet.deleteWhere(spark, dir, col("id") < 5) // epoch 3
+    val ckpt = java.nio.file.Files.createTempDirectory("gcladm").toString
+    val name = s"gstream_cladm_${nextId.incrementAndGet()}"
+    val q = spark.readStream.format("graft")
+      .option("changelog", "true").option("maxFilesPerTrigger", "1")
+      .load(dir)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      val chg = spark.table(name)
+        .select("id", "_change_type").as[(Long, String)].collect()
+      assert(chg.filter(_._2 == "insert").map(_._1).sorted.toSeq ==
+        ((0L until 40L) ++ (100L until 140L) ++ (200L until 240L)))
+      assert(chg.filter(_._2 == "delete").map(_._1).sorted.toSeq ==
+        (0L until 5L))
+      // the admission walk split the standing corpus across batches
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        s"expected bounded CDC batches, got ${q.recentProgress.length}")
+    } finally q.stop()
+  }
+
   test("maxFilesPerTrigger bounds micro-batches to whole epochs, exactly once") {
     val dir = freshLayout() // 3 commits: floor 0, appends 1 and 2
     val ckpt = java.nio.file.Files.createTempDirectory("gsadm").toString
