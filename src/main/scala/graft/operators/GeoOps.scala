@@ -714,6 +714,41 @@ object GeoOps {
 
   val sqlTimeTravelSql: String = sqlAsOfSql
 
+  /** 61z26: the CDC point/band lookup through the SQL face — a
+    * key-clustered layout records which data column its cluster key
+    * mirrors (`_keycol`), so a STRING key predicate (residual for the
+    * exact evaluator) still reaches the manifest as a [k0,k1] range
+    * and the canonical "fetch these keys" query opens only the files
+    * whose key run can contain them.  The in-query plan assertion
+    * pins pruned < total; the oracle is the plain band select.
+    */
+  def sqlKeyProbe(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("sqlkeyq").toString
+    val p = pts(s, dir).select(
+      concat(lit("K"), lpad(col("id").cast("string"), 8, "0")).as("sid"),
+      col("z"))
+    graft.sources.GeoParquet.writeKeyed(p, path, "sid", nFiles = 16)
+    s.read.format("graft").load(path).createOrReplaceTempView("graft_sql_key")
+    val out = s.sql("""SELECT sid, z FROM graft_sql_key
+        |WHERE sid >= 'K00000100' AND sid < 'K00000400'
+        |ORDER BY sid""".stripMargin)
+    out.collect() // force planning for the shape assertion
+    val planned =
+      graft.sources.v2.GraftSource.lastPlannedFiles.get(path).size
+    val total = s.read.parquet(s"$path/_manifest").count()
+    require(planned < total,
+      s"key-range probe planned $planned of $total files — the " +
+        "manifest [k0,k1] prune did not fire")
+    out
+  }
+
+  val sqlKeyProbeSql: String =
+    s"""WITH pts AS ($P)
+       |SELECT 'K' || lpad(CAST(id AS VARCHAR), 8, '0') AS sid, z
+       |FROM pts
+       |WHERE id >= 100 AND id < 400
+       |ORDER BY sid""".stripMargin
+
   /** 61z5: named-table SQL through the catalog plugin
     * ([[graft.sources.v2.GraftCatalog]]) — the layout lands under a
     * warehouse, the catalog maps `<cat>.<ns>.<tbl>` onto it, and the
@@ -1592,6 +1627,7 @@ object GeoOps {
     "q_sql_write"       -> (sqlWrite _),
     "q_sql_asof"        -> (sqlAsOf _),
     "q_sql_time_travel" -> (sqlTimeTravel _),
+    "q_sql_key_probe"   -> (sqlKeyProbe _),
     "q_sql_catalog"     -> (sqlCatalog _),
     "q_sql_dim_join"    -> (sqlDimJoin _),
     "q_sql_update"      -> (sqlUpdate _),
@@ -1646,6 +1682,7 @@ object GeoOps {
     "q_sql_write"       -> sqlWriteSql,
     "q_sql_asof"        -> sqlAsOfSql,
     "q_sql_time_travel" -> sqlTimeTravelSql,
+    "q_sql_key_probe"   -> sqlKeyProbeSql,
     "q_sql_catalog"     -> sqlCatalogSql,
     "q_sql_dim_join"    -> sqlDimJoinSql,
     "q_sql_update"      -> sqlUpdateSql,

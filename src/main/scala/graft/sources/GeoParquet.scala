@@ -1463,7 +1463,28 @@ object GeoParquet {
       .sortWithinPartitions("zkey")
       .write.mode("overwrite").parquet(path)
     writeManifest(df.sparkSession, path)
+    // record WHICH data column the cluster key mirrors, so the SQL
+    // face can translate key predicates into manifest [k0,k1] file
+    // pruning (the key column itself is a stripped physical artifact
+    // there — [[dataSchemaFor]])
+    recordKeyCol(df.sparkSession, path, keyCol)
   }
+
+  /** The data column a [[writeKeyed]] layout clusters on (mirrored
+    * into `zkey` → manifest [k0,k1]).  None for spatial/curve layouts
+    * and pre-sidecar keyed layouts (which then read unpruned by key —
+    * correct, slower).
+    */
+  private[graft] def keyColOf(spark: SparkSession,
+                              path: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_keycol")
+    if (fsOf(spark, path).exists(p)) Some(readTextFile(spark, p.toString))
+    else None
+  }
+
+  private def recordKeyCol(spark: SparkSession, path: String,
+                           c: String): Unit =
+    writeTextFile(spark, s"$path/_keycol", c)
 
   /** [[upsertPositional]] for a [[writeKeyed]] target: the old
     * copies' position lookup opens ONLY the files whose manifest
@@ -1679,14 +1700,34 @@ object GeoParquet {
     * correctness over pruning, as on every read path.
     */
   private[graft] def planFilesFor(spark: SparkSession, path: String,
-                                  bounds: Seq[(String, Double, Double)])
+                                  bounds: Seq[(String, Double, Double)],
+                                  kRange: Option[(Option[Any], Option[Any])] =
+                                    None)
       : Seq[String] = {
     if (!manifestFresh(spark, path, verify = false))
       return listDataFiles(spark, path)
     val m = spark.read.parquet(s"$path/_manifest")
-    m.filter(manifestBoundsCond(m, bounds)).select("file").collect()
+    m.filter(manifestBoundsCond(m, bounds) && keyRangeCond(m, kRange))
+      .select("file").collect()
       .map(r => s"$path/${r.getString(0)}").toSeq
   }
+
+  /** Manifest [k0,k1] intersection for a cluster-KEY predicate range
+    * (integral or string keys — Spark's min/max stats and these
+    * comparisons agree on the key's own total order).  Null stats
+    * mean "unknown, must open"; no k columns prunes nothing.
+    */
+  private[graft] def keyRangeCond(m: DataFrame,
+      kRange: Option[(Option[Any], Option[Any])]): org.apache.spark.sql.Column =
+    kRange
+      .filter(_ => m.columns.contains("k0") && m.columns.contains("k1"))
+      .map { case (lo, hi) =>
+        lo.map(v => col("k1").isNull || col("k1") >= lit(v))
+          .getOrElse(lit(true)) &&
+          hi.map(v => col("k0").isNull || col("k0") <= lit(v))
+            .getOrElse(lit(true))
+      }
+      .getOrElse(lit(true))
 
   /** Envelope-intersection condition over manifest rows for per-column
     * [lo,hi] bounds — null stats mean "unknown, must open"; a bound on
@@ -1736,9 +1777,11 @@ object GeoParquet {
     * time-travel planner over [[manifestAsOf]].
     */
   private[graft] def planFilesAsOf(spark: SparkSession, path: String,
-      bounds: Seq[(String, Double, Double)], asOfEpoch: Long): Seq[String] = {
+      bounds: Seq[(String, Double, Double)], asOfEpoch: Long,
+      kRange: Option[(Option[Any], Option[Any])] = None): Seq[String] = {
     val m = manifestAsOf(spark, path, asOfEpoch)
-    m.filter(manifestBoundsCond(m, bounds)).select("file").collect()
+    m.filter(manifestBoundsCond(m, bounds) && keyRangeCond(m, kRange))
+      .select("file").collect()
       .map(r => s"$path/${r.getString(0)}").toSeq
   }
 
@@ -2755,7 +2798,7 @@ object GeoParquet {
     // epoch and refusing there, never silently serving the rewritten
     // present.
     Seq("_batches", "_schema", "_commits", "_delta", "_filtercols",
-        "_epoch_times")
+        "_epoch_times", "_keycol")
       .foreach { name =>
       val src = new org.apache.hadoop.fs.Path(path, name)
       if (fs.exists(src))

@@ -456,7 +456,7 @@ final class GraftScanBuilder(path: String, dataSchema: StructType,
     case None =>
       new GraftScan(path, dataSchema, required, exact.toSeq,
         ExactFilters.boundsOf(exact ++ residual), snapshot, changelog,
-        trigger, changes)
+        trigger, changes, (exact ++ residual).toSeq)
   }
 }
 
@@ -671,7 +671,8 @@ final class GraftScan(path: String, dataSchema: StructType,
                       snapshot: Option[Long] = None,
                       changelog: Boolean = false,
                       trigger: TriggerLimits = TriggerLimits.none,
-                      changes: Option[(Long, Option[Long])] = None)
+                      changes: Option[(Long, Option[Long])] = None,
+                      allFilters: Seq[Filter] = Seq.empty)
     extends Scan with Batch with SupportsRuntimeFiltering
     with SupportsReportStatistics {
 
@@ -787,9 +788,19 @@ final class GraftScan(path: String, dataSchema: StructType,
         val ds = vs.map(_.asInstanceOf[java.lang.Number].doubleValue())
         (c, ds.min, ds.max)
     }
+    // cluster-KEY file pruning: a keyed layout ([[GeoParquet.writeKeyed]])
+    // records which data column its zkey mirrors; key predicates —
+    // including STRING equality, which the exact evaluator leaves
+    // residual — translate to a manifest [k0,k1] range, so the CDC
+    // point lookup `WHERE sid = 'K…'` opens the files whose key run
+    // can contain it instead of the corpus
+    val kRange = GeoParquet.keyColOf(spark, path)
+      .flatMap(kc => GraftScan.keyRangeOf(kc, allFilters))
     val base = snapshot match {
-      case Some(e) => GeoParquet.planFilesAsOf(spark, path, bounds ++ rtBounds, e)
-      case None => GeoParquet.planFilesFor(spark, path, bounds ++ rtBounds)
+      case Some(e) =>
+        GeoParquet.planFilesAsOf(spark, path, bounds ++ rtBounds, e, kRange)
+      case None =>
+        GeoParquet.planFilesFor(spark, path, bounds ++ rtBounds, kRange)
     }
     // ...and probe the manifest membership filters where declared:
     // only files that might contain one of the join keys stay
@@ -900,6 +911,62 @@ final class GraftScan(path: String, dataSchema: StructType,
         new graft.sources.v2.SerConf(spark.sparkContext.hadoopConfiguration),
         dataSchema.json, required.json, exact, bounds, rowIdMode,
         activeDeleteParts(spark))
+  }
+}
+
+object GraftScan {
+  /** Conjunctive key-predicate range over the cluster-key column —
+    * a (lo, hi) SUPERSET bound for manifest [k0,k1] file pruning.
+    * Any single conjunct is a sound bound on its own (rows must pass
+    * ALL of them), so constraint selection can never over-prune; the
+    * tightening just picks the best.  Values compare in the key's own
+    * order: integral numerically, strings by UTF8 BINARY order
+    * (UTF8String — the order Spark's min/max stats use;
+    * java.lang.String.compareTo disagrees on supplementary
+    * characters, and an In-list's min/max must be exact or a member
+    * below the chosen lo would prune its own file away).
+    */
+  private[v2] def keyRangeOf(kc: String, fs: Seq[Filter])
+      : Option[(Option[Any], Option[Any])] = {
+    import org.apache.spark.sql.sources._
+    def integral(v: Any): Boolean = v.isInstanceOf[java.lang.Long] ||
+      v.isInstanceOf[java.lang.Integer] || v.isInstanceOf[java.lang.Short] ||
+      v.isInstanceOf[java.lang.Byte]
+    def ok(v: Any): Boolean = v.isInstanceOf[String] || integral(v)
+    def cmp(a: Any, b: Any): Int = (a, b) match {
+      case (x: String, y: String) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(x)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
+      case (x: java.lang.Number, y: java.lang.Number) =>
+        java.lang.Long.compare(x.longValue(), y.longValue())
+      case _ => 0
+    }
+    var lo: Option[Any] = None
+    var hi: Option[Any] = None
+    var any = false
+    def tightenLo(v: Any): Unit = {
+      any = true; if (lo.forall(cmp(_, v) < 0)) lo = Some(v)
+    }
+    def tightenHi(v: Any): Unit = {
+      any = true; if (hi.forall(cmp(_, v) > 0)) hi = Some(v)
+    }
+    fs.foreach {
+      case EqualTo(c, v) if c == kc && ok(v) => tightenLo(v); tightenHi(v)
+      case GreaterThan(c, v) if c == kc && ok(v) => tightenLo(v)
+      case GreaterThanOrEqual(c, v) if c == kc && ok(v) => tightenLo(v)
+      case LessThan(c, v) if c == kc && ok(v) => tightenHi(v)
+      case LessThanOrEqual(c, v) if c == kc && ok(v) => tightenHi(v)
+      case In(c, vs) if c == kc && vs.nonEmpty && vs.forall(ok) =>
+        tightenLo(vs.reduceLeft((a, b) => if (cmp(a, b) <= 0) a else b))
+        tightenHi(vs.reduceLeft((a, b) => if (cmp(a, b) >= 0) a else b))
+      case StringStartsWith(c, v) if c == kc && v.nonEmpty =>
+        // prefix p bounds the key to [p, p + maxChar): lo = p is exact;
+        // the hi side would need a successor string — lo alone already
+        // prunes the sorted layout's left side
+        tightenLo(v)
+      case _ => ()
+    }
+    if (any) Some((lo, hi)) else None
   }
 }
 

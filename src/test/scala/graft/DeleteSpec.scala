@@ -391,6 +391,33 @@ class DeleteSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/_tombstones_pos").count() == nBand)
   }
 
+  test("SQL key predicates file-prune keyed layouts via the manifest [k0,k1]") {
+    val dir = java.nio.file.Files.createTempDirectory("sqlkey").toString
+    val base = p.select(
+      concat(lit("K"), lpad($"id".cast("string"), 8, "0")).as("sid"), $"z")
+    GeoParquet.writeKeyed(base, dir, "sid", nFiles = 8)
+    val total = spark.read.parquet(s"$dir/_manifest").count()
+    val probe = base.select("sid").orderBy("sid").limit(1)
+      .collect()(0).getString(0)
+    spark.read.format("graft").load(dir).createOrReplaceTempView("sqlkey")
+    // STRING point lookup — the exact evaluator leaves it residual,
+    // but the key range still reaches the manifest's [k0,k1]: the CDC
+    // "fetch one key" query opens ~one file, not the corpus
+    val got = spark.sql(s"SELECT sid FROM sqlkey WHERE sid = '$probe'")
+      .collect()
+    assert(got.nonEmpty && got.forall(_.getString(0) == probe))
+    val planned = graft.sources.v2.GraftSource.lastPlannedFiles.get(dir).size
+    assert(planned < total, s"point lookup planned $planned of $total files")
+    // lexicographic band: pruned plan, unpruned answer
+    val nBand = spark.sql("SELECT count(*) AS n FROM sqlkey " +
+        "WHERE sid >= 'K00000100' AND sid < 'K00000300'")
+      .collect()(0).getLong(0)
+    assert(nBand ==
+      base.filter($"sid" >= "K00000100" && $"sid" < "K00000300").count())
+    assert(nBand > 0)
+    assert(graft.sources.v2.GraftSource.lastPlannedFiles.get(dir).size < total)
+  }
+
   test("upsertKeyed refuses unordered key types (float keys)") {
     val dir = java.nio.file.Files.createTempDirectory("upflt").toString
     val base = p.select(($"id" + 0.5).as("fid"), $"z")
