@@ -137,6 +137,9 @@ object Plans {
     show("sql_dim_join (runtime In-filter reaches the DSv2 scan)",
       operators.GeoOps.sqlDimJoin(spark, sf),
       Seq("BatchScan", "GraftScan", "Join", "dynamicpruning", "RuntimeFilters"))
+    show("sql_key_probe (61z26: string key range -> manifest [k0,k1] file prune)",
+      operators.GeoOps.sqlKeyProbe(spark, sf),
+      Seq("BatchScan", "GraftScan", "Filter (", "Exchange"))
     show("sql_mor_count (61z19: manifest n_rows - doomed served unopened; boundary scans only)",
       operators.GeoOps.sqlMorCount(spark, sf),
       Seq("BatchScan", "GraftAggScan", "HashAggregate", "Exchange"))
