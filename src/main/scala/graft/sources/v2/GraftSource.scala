@@ -794,8 +794,11 @@ final class GraftScan(path: String, dataSchema: StructType,
     // residual — translate to a manifest [k0,k1] range, so the CDC
     // point lookup `WHERE sid = 'K…'` opens the files whose key run
     // can contain it instead of the corpus
+    // runtime (join-driven) In filters on the key column tighten the
+    // range too — the broadcast-dim CDC lookup plans to the keys'
+    // [min,max] file span
     val kRange = GeoParquet.keyColOf(spark, path)
-      .flatMap(kc => GraftScan.keyRangeOf(kc, allFilters))
+      .flatMap(kc => GraftScan.keyRangeOf(kc, allFilters ++ rt))
     val base = snapshot match {
       case Some(e) =>
         GeoParquet.planFilesAsOf(spark, path, bounds ++ rtBounds, e, kRange)
@@ -1381,6 +1384,13 @@ final class GraftAggScan(path: String, dataSchema: StructType,
         .map(r => r.getString(0) -> r.getLong(1)).toMap
     val bounds = ExactFilters.boundsOf(exact.toArray)
     val intervals = ExactFilters.intervalsOf(exact)
+    // cluster-key file pruning, as on the row path: files whose
+    // [k0,k1] run cannot intersect the key predicate contribute zero
+    // to every pushed aggregate — prune them before the
+    // containment/scan split (integral keys only here: string
+    // predicates never push, they block the aggregation instead)
+    val kRange = GeoParquet.keyColOf(spark, path)
+      .flatMap(kc => GraftScan.keyRangeOf(kc, exact))
 
     // meta partials accumulate across manifest-answered files
     val meta: Array[Any] = aggCols.map {
@@ -1410,7 +1420,7 @@ final class GraftAggScan(path: String, dataSchema: StructType,
             "fallback; run writeManifest first")
       case None =>
         // stale/missing manifest: full listing, everything scans
-        val fs = GeoParquet.planFilesFor(spark, path, bounds)
+        val fs = GeoParquet.planFilesFor(spark, path, bounds, kRange)
         GraftSource.lastAggPlan.put(path, (0, fs.size))
         fs.map(f => (f, GeoParquet.relDataPath(spark, path, f)))
       case Some(m) =>
@@ -1433,7 +1443,7 @@ final class GraftAggScan(path: String, dataSchema: StructType,
           }).distinct
           .flatMap(c => Seq(s"${c}0", s"${c}1", s"${c}n"))
           .filter(m.columns.contains)
-        val rows = m.filter(intersect)
+        val rows = m.filter(intersect && GeoParquet.keyRangeCond(m, kRange))
           .select(("file" +: "n_rows" +: statCols).distinct.map(col): _*)
           .collect()
         val cols = if (rows.isEmpty) Map.empty[String, Int]

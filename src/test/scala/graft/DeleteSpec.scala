@@ -418,6 +418,25 @@ class DeleteSpec extends SparkSpec {
     assert(graft.sources.v2.GraftSource.lastPlannedFiles.get(dir).size < total)
   }
 
+  test("integral-key COUNT pushdown prunes files by the key range") {
+    val dir = java.nio.file.Files.createTempDirectory("sqlkeyagg").toString
+    val base = p.select($"id".as("kid"), $"z")
+    GeoParquet.writeKeyed(base, dir, "kid", nFiles = 8)
+    val total = spark.read.parquet(s"$dir/_manifest").count()
+    val (klo, khi) = {
+      val r = base.agg(min("kid"), max("kid")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val mid = klo + (khi - klo) / 4
+    spark.read.format("graft").load(dir).createOrReplaceTempView("sqlkeyagg")
+    val n = spark.sql("SELECT count(*) AS n FROM sqlkeyagg " +
+        s"WHERE kid >= $klo AND kid < $mid").collect()(0).getLong(0)
+    assert(n == base.filter($"kid" >= klo && $"kid" < mid).count())
+    val (answered, scanned) = graft.sources.v2.GraftSource.lastAggPlan.get(dir)
+    assert(answered + scanned < total,
+      s"key-range count planned $answered+$scanned of $total files")
+  }
+
   test("upsertKeyed refuses unordered key types (float keys)") {
     val dir = java.nio.file.Files.createTempDirectory("upflt").toString
     val base = p.select(($"id" + 0.5).as("fid"), $"z")
