@@ -698,11 +698,18 @@ object GeoOps {
     val p = pts(s, dir).select("id", "x", "y", "z")
     graft.sources.GeoParquet.write(p.filter(col("id") % 2 === 0), path, 250.0)
     graft.sources.GeoParquet.writeManifest(s, path)
-    Thread.sleep(5)
-    val mid = System.currentTimeMillis() // strictly between the commits
-    Thread.sleep(5)
+    // race-free AS-OF pin: the pin IS the base commit's recorded
+    // `_epoch_times` stamp, and the append is held until the clock
+    // has strictly passed it — so the append's stamp is strictly
+    // later and `epochAtTime(t0)` resolves to epoch 0 by
+    // construction (no wall-clock sleeps whose granularity or an
+    // NTP step could collapse the two stamps onto the pin)
+    val t0 = graft.sources.GeoParquet.epochTimes(s, path)
+      .filter(_._1 == 0L).map(_._2).max
+    while (System.currentTimeMillis() <= t0) Thread.sleep(1)
     graft.sources.GeoParquet.appendWithManifest(
       p.filter(col("id") % 2 === 1), path, 250.0)
+    val mid = t0
     s.conf.set("spark.sql.catalog.graft_tt",
       classOf[graft.sources.v2.GraftCatalog].getName)
     s.conf.set("spark.sql.catalog.graft_tt.warehouse", wh)

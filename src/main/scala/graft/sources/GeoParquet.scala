@@ -710,6 +710,66 @@ object GeoParquet {
     }
   }
 
+  // --- marked commits: the streaming sink's exactly-once barrier ---
+  // A marker-carrying append records `<marker>.intent` (journaling the
+  // staging dir) ATOMICALLY before the first rename and stamps the
+  // marker itself right after the last — both inside the append's
+  // locked commit — so a replayer can always classify the crashed
+  // attempt: marker present ⇒ the batch fully landed (no-op the
+  // replay); intent present ⇒ roll the renames FORWARD and stamp the
+  // marker (the batch lands exactly once, manifest stats abandoned ⇒
+  // stale ⇒ correct unpruned reads until writeManifest); neither ⇒
+  // nothing visible landed, run the commit in full.  This closes the
+  // "crash between append and marker" duplicate window a two-step
+  // marker protocol has.
+
+  private def markIntent(spark: SparkSession, marker: Option[String],
+                         tmp: String): Unit =
+    marker.foreach(m => writeTextFile(spark, m + ".intent", tmp))
+
+  private def markLanded(spark: SparkSession,
+                         marker: Option[String]): Unit =
+    marker.foreach { m =>
+      writeTextFile(spark, m, "1")
+      try fsOf(spark, m).delete(
+        new org.apache.hadoop.fs.Path(m + ".intent"), false)
+      catch { case _: java.io.IOException => () }
+    }
+
+  /** Replay barrier for marker-carrying commits: true iff the marked
+    * commit already landed, healing a crash-interrupted attempt
+    * forward first (see the section note).  False ⇒ the caller must
+    * run the commit in full.
+    */
+  private[graft] def healMarkedCommit(spark: SparkSession, path: String,
+                                      marker: String): Boolean = {
+    val fs = fsOf(spark, path)
+    val mp = new org.apache.hadoop.fs.Path(marker)
+    val ip = new org.apache.hadoop.fs.Path(marker + ".intent")
+    if (fs.exists(mp)) {
+      if (fs.exists(ip)) fs.delete(ip, false)
+      return true
+    }
+    if (!fs.exists(ip)) return false
+    CommitLock.withLock(spark, path) {
+      // re-check under the lock: a concurrent replayer may have
+      // finished the heal between our lock-free look and here
+      if (fs.exists(mp)) { if (fs.exists(ip)) fs.delete(ip, false); true }
+      else if (!fs.exists(ip)) false
+      else {
+        val tmp = readTextFile(spark, ip.toString)
+        // tmp still present ⇒ renames incomplete: finish them (the
+        // loop is per-file idempotent — already-moved files are gone
+        // from tmp).  tmp gone ⇒ the rename loop completed and only
+        // the marker stamp was lost.
+        if (fs.exists(new org.apache.hadoop.fs.Path(tmp)))
+          moveStagedFiles(spark, path, tmp)
+        markLanded(spark, Some(marker))
+        true
+      }
+    }
+  }
+
   private def readTextFile(spark: SparkSession, file: String): String = {
     val fs = fsOf(spark, file)
     val in = fs.open(new org.apache.hadoop.fs.Path(file))
@@ -2180,22 +2240,32 @@ object GeoParquet {
         }
       // streaming-sink staging dirs live INSIDE the layout, dot-
       // prefixed (every reader skips them); a dead attempt's parts
-      // are debris once older than the lease
+      // are debris once older than the COMMIT LEASE — floored there
+      // regardless of the caller's staleAgeMs, because the documented
+      // quiesced-layout usage (`staleAgeMs = 0`) must not delete a
+      // LIVE stream's in-flight staged parts mid-batch (the sink
+      // stages outside the lock; its parts are younger than one lease
+      // for the whole batch lifetime)
+      val streamStageAgeMs = math.max(staleAgeMs, CommitLock.leaseMs)
       if (fs.exists(p))
         fs.listStatus(p).foreach { st =>
           val n = st.getPath.getName
           val old = System.currentTimeMillis() -
-            st.getModificationTime > staleAgeMs
+            st.getModificationTime > streamStageAgeMs
           if (old && n.startsWith(".staging-stream-"))
             fs.delete(st.getPath, true)
         }
-      // `_commits` debris: break tombstones (one per actual
-      // crash-break — load-bearing while fresh, they are what keeps a
-      // losing breaker's delayed rename failing), crashed release
-      // tombstones, and orphaned bids.  All are dead once several
-      // leases old (every pending rename they fence is lease-bounded),
-      // and nothing else ever removes them.  The live `lock` file is
-      // ours right now (we are inside withLock) and is never matched.
+      // `_commits` debris: crashed release tombstones and orphaned
+      // bids are dead once several leases old (every pending rename
+      // they fence is lease-bounded), and nothing else ever removes
+      // them.  The live `lock` file is ours right now (we are inside
+      // withLock) and is never matched.  `lock.broken-` break
+      // tombstones are NEVER swept: they are the only fence that
+      // makes a losing breaker's arbitrarily-delayed rename fail
+      // (CommitLock.breakIfStale), a breaker can be paused longer
+      // than any age threshold (GC pause, partition), and there is
+      // exactly one tiny file per actual crash-break — retaining
+      // them forever costs nothing and removes the two-holder race.
       val commits = new org.apache.hadoop.fs.Path(p, "_commits")
       val debrisAgeMs = math.max(staleAgeMs, CommitLock.leaseMs) * 3
       if (fs.exists(commits))
@@ -2203,8 +2273,7 @@ object GeoParquet {
           val n = st.getPath.getName
           val old = System.currentTimeMillis() -
             st.getModificationTime > debrisAgeMs
-          if (old && (n.startsWith("lock.broken-") ||
-              n.startsWith("lock.rel-") || n.startsWith("lock.bid-")))
+          if (old && (n.startsWith("lock.rel-") || n.startsWith("lock.bid-")))
             fs.delete(st.getPath, false)
         }
     }
@@ -2344,7 +2413,8 @@ object GeoParquet {
     * commit; the direct write's job commit is the data landing).
     */
   def append(df: DataFrame, path: String, delta: Double,
-             mergeDir: Option[String] = None): Unit = {
+             mergeDir: Option[String] = None,
+             commitMarker: Option[String] = None): Unit = {
     val spark = df.sparkSession
     val binned = df
       .withColumn("bin_x", GeoOps.binOf(col("x"), delta))
@@ -2375,11 +2445,15 @@ object GeoParquet {
           // permanent duplicate keys.
           requireStageIntact(spark, d)
           writeTextFile(spark, s"$d/_tmp", tmp)
+          markIntent(spark, commitMarker, tmp)
           moveStagedFiles(spark, path, tmp)
           writeTextFile(spark, s"$d/_landed", "1")
           adoptStage(spark, path, d, Some(readEpoch(spark, path)))
+          markLanded(spark, commitMarker)
         case None =>
+          markIntent(spark, commitMarker, tmp)
           moveStagedFiles(spark, path, tmp)
+          markLanded(spark, commitMarker)
       }
     }
   }
@@ -2419,11 +2493,12 @@ object GeoParquet {
     * Falls back to plain [[append]] when the layout has no manifest.
     */
   def appendWithManifest(df: DataFrame, path: String, delta: Double,
-                         mergeDir: Option[String] = None): Unit = {
+                         mergeDir: Option[String] = None,
+                         commitMarker: Option[String] = None): Unit = {
     val spark = df.sparkSession
     val fs = fsOf(spark, path)
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_manifest"))) {
-      append(df, path, delta, mergeDir); return
+      append(df, path, delta, mergeDir, commitMarker); return
     }
     require(!spark.read.parquet(s"$path/_manifest").columns.contains("k0"),
       "appendWithManifest maintains bin-partitioned manifests; " +
@@ -2439,7 +2514,7 @@ object GeoParquet {
     // writeManifest rebuilds the whole sidecar.
     if (readEpoch(spark, path) !=
         readEpochFile(spark, s"$path/_manifest_epoch")) {
-      append(df, path, delta, mergeDir); return
+      append(df, path, delta, mergeDir, commitMarker); return
     }
     if (df.isEmpty) {
       // a 0-row stage has no files to harvest; a merge with an empty
@@ -2453,6 +2528,7 @@ object GeoParquet {
           val e = claimDeleteEpoch(spark, path)
           adoptStage(spark, path, d, Some(e))
         }
+        markLanded(spark, commitMarker) // nothing to land; replay is a no-op
       }
       return
     }
@@ -2485,17 +2561,20 @@ object GeoParquet {
           requireStageIntact(spark, d)
           writeTextFile(spark, s"$d/_tmp", tmp)
         }
+        markIntent(spark, commitMarker, tmp)
         moveStagedFiles(spark, path, tmp)
         mergeDir.foreach { d =>
           writeTextFile(spark, s"$d/_landed", "1")
           adoptStage(spark, path, d, Some(readEpoch(spark, path)))
         }
+        markLanded(spark, commitMarker)
       } else {
         val newEpoch = readEpoch(spark, path) + 1
         writeEpochFile(spark, s"$path/_epoch", newEpoch) // stale until step 4
         stampEpochTime(spark, path, newEpoch)
         commitStaged(spark, path, tmp,
-          stats.withColumn("epoch", lit(newEpoch)), newEpoch, mergeDir)
+          stats.withColumn("epoch", lit(newEpoch)), newEpoch, mergeDir,
+          commitMarker)
       }
     }
   }
@@ -2554,11 +2633,13 @@ object GeoParquet {
     */
   private def commitStaged(spark: SparkSession, path: String, tmp: String,
                            stats: DataFrame, newEpoch: Long,
-                           mergeDir: Option[String] = None): Unit = {
+                           mergeDir: Option[String] = None,
+                           commitMarker: Option[String] = None): Unit = {
     mergeDir.foreach { d =>
       requireStageIntact(spark, d)
       writeTextFile(spark, s"$d/_tmp", tmp)
     }
+    markIntent(spark, commitMarker, tmp)
     moveStagedFiles(spark, path, tmp)
     // COMMIT POINT for a merge: the batch is fully in the layout; the
     // staged deletes carry the SAME epoch as the batch's manifest
@@ -2567,6 +2648,7 @@ object GeoParquet {
       writeTextFile(spark, s"$d/_landed", "1")
       adoptStage(spark, path, d, Some(newEpoch))
     }
+    markLanded(spark, commitMarker)
     // align the batch's stats to the EXISTING manifest schema: under
     // schema evolution a batch may lack a stats-bearing column (its
     // z0/z1 land as null — sound, because its rows read as z-null and
@@ -2603,7 +2685,8 @@ object GeoParquet {
     */
   def appendCurve(df: DataFrame, path: String, delta: Double,
                   nFiles: Int = 1, preKeyed: Boolean = false,
-                  mergeDir: Option[String] = None): Unit = {
+                  mergeDir: Option[String] = None,
+                  commitMarker: Option[String] = None): Unit = {
     val spark = df.sparkSession
     val fs = fsOf(spark, path)
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/_manifest")),
@@ -2631,6 +2714,7 @@ object GeoParquet {
           val e = claimDeleteEpoch(spark, path)
           adoptStage(spark, path, d, Some(e))
         }
+        markLanded(spark, commitMarker) // nothing to land; replay is a no-op
       }
       return
     }
@@ -2645,12 +2729,30 @@ object GeoParquet {
         require(df.columns.contains(keyCol),
           s"preKeyed append without a $keyCol column")
         df
-      } else if (keyCol == "zkey")
-        df.withColumn("zkey", graft.functions.ZOrder.zkey(
-          GeoOps.cellOf(col("x"), delta), GeoOps.cellOf(col("y"), delta)))
-      else
-        df.withColumn("hkey", graft.functions.Hilbert.dkey(
-          GeoOps.cellOf(col("x"), delta), GeoOps.cellOf(col("y"), delta)))
+      } else keyColOf(spark, path) match {
+        case Some(dataKey) =>
+          // a writeKeyed layout's cluster key MIRRORS a data column —
+          // recomputing it as a spatial curve key here (the generic
+          // non-preKeyed path the SQL INSERT and the streaming sink
+          // dispatch through) would land files whose manifest [k0,k1]
+          // are curve keys while `_keycol` still names the data key,
+          // and key-predicate file pruning would silently skip files
+          // holding matching rows.  Maintain the write-side invariant
+          // instead: mirror the recorded key, exactly as writeKeyed /
+          // upsertKeyed do.
+          require(df.columns.contains(dataKey),
+            s"$path clusters on data column '$dataKey' (_keycol) but " +
+              "the appended batch lacks it — keyed layouts cannot " +
+              "accept batches without their cluster key")
+          df.withColumn(keyCol, col(dataKey))
+        case None =>
+          if (keyCol == "zkey")
+            df.withColumn("zkey", graft.functions.ZOrder.zkey(
+              GeoOps.cellOf(col("x"), delta), GeoOps.cellOf(col("y"), delta)))
+          else
+            df.withColumn("hkey", graft.functions.Hilbert.dkey(
+              GeoOps.cellOf(col("x"), delta), GeoOps.cellOf(col("y"), delta)))
+      }
     // stage + stats outside the lock; epoch claimed at commit time
     val tmp = path + ".staging-" + java.util.UUID.randomUUID().toString.take(8)
     keyed.repartitionByRange(nFiles, col(keyCol))
@@ -2680,17 +2782,20 @@ object GeoParquet {
           requireStageIntact(spark, d)
           writeTextFile(spark, s"$d/_tmp", tmp)
         }
+        markIntent(spark, commitMarker, tmp)
         moveStagedFiles(spark, path, tmp)
         mergeDir.foreach { d =>
           writeTextFile(spark, s"$d/_landed", "1")
           adoptStage(spark, path, d, Some(readEpoch(spark, path)))
         }
+        markLanded(spark, commitMarker)
       } else {
         val newEpoch = readEpoch(spark, path) + 1
         writeEpochFile(spark, s"$path/_epoch", newEpoch) // stale until commit
         stampEpochTime(spark, path, newEpoch)
         commitStaged(spark, path, tmp,
-          stats.withColumn("epoch", lit(newEpoch)), newEpoch, mergeDir)
+          stats.withColumn("epoch", lit(newEpoch)), newEpoch, mergeDir,
+          commitMarker)
       }
     }
   }

@@ -741,6 +741,15 @@ final class GraftScan(path: String, dataSchema: StructType,
     require(snapshot.isEmpty,
       s"graft:$path — a pinned snapshot is a point in time; it cannot " +
         "be streamed (drop the snapshot option / VERSION AS OF)")
+    // a bounded epoch range is the BATCH changelog's contract; a
+    // stream positions itself by checkpointed offsets, so silently
+    // accepting changesFrom here would re-deliver the entire standing
+    // corpus from the changelog floor instead of the requested range
+    require(changes.isEmpty,
+      s"graft:$path — changesFrom/changesTo bound a BATCH changelog " +
+        "read (spark.read); a stream starts from the changelog floor " +
+        "and advances by its own checkpointed offsets — drop the " +
+        "options, or use a batch read for the bounded range")
     new GraftMicroBatchStream(path, dataSchema, required, exact, bounds,
       changelog, trigger)
   }

@@ -23,14 +23,19 @@ import graft.sources.GeoParquet
   * and batch writers and compactors all serialize on the same
   * CommitLock.
   *
-  * Restart semantics, stated honestly: Spark replays an uncommitted
-  * epoch after a crash, so the sink records each landed epoch under
+  * Restart semantics: Spark replays an uncommitted epoch after a
+  * crash, so the sink records each landed epoch under
   * `_batches/stream-<queryId>-<epoch>` and a replayed commit is a
-  * no-op (the foreachBatch recipes' marker contract, moved inside the
-  * sink).  The append and its marker are two filesystem steps — a
-  * crash BETWEEN them can duplicate that one batch on replay, the
-  * same window the recipes document; exactly-once through that crash
-  * needs a downstream dedup pass or a transactional store.  Staged
+  * no-op.  The marker is NOT a second filesystem step after the
+  * append: it is stamped INSIDE the append's locked commit
+  * ([[GeoParquet.appendWithManifest]]/[[GeoParquet.appendCurve]]
+  * `commitMarker`), journaled by an atomic `.intent` file before the
+  * first staged rename — so a replay after a crash at ANY point
+  * either re-runs a commit that left nothing visible, no-ops a
+  * commit whose marker landed, or rolls a half-renamed commit
+  * FORWARD ([[GeoParquet.healMarkedCommit]]) and then no-ops:
+  * exactly-once through the crash, with at worst a stale manifest
+  * (correct unpruned reads) until the next writeManifest.  Staged
   * parts from dead attempts live under the dot-prefixed
   * `.staging-stream-*` dirs (invisible to every reader) and are swept
   * by [[GeoParquet.vacuum]] once older than the commit lease.
@@ -60,9 +65,11 @@ final class GraftStreamingWrite(path: String, info: LogicalWriteInfo)
       try fs.delete(new org.apache.hadoop.fs.Path(f), false)
       catch { case _: java.io.IOException => () }
     }
-    val marker = new org.apache.hadoop.fs.Path(
-      s"$path/_batches/stream-$queryId-$epochId")
-    if (fs.exists(marker)) { dropStaged(); return } // replayed epoch: no-op
+    val marker = s"$path/_batches/stream-$queryId-$epochId"
+    // replayed epoch (or a crash-interrupted one, healed forward): no-op
+    if (GeoParquet.healMarkedCommit(spark, path, marker)) {
+      dropStaged(); return
+    }
     if (files.nonEmpty) {
       val df = spark.read
         .schema(DataType.fromJson(schemaJson).asInstanceOf[StructType])
@@ -71,13 +78,20 @@ final class GraftStreamingWrite(path: String, info: LogicalWriteInfo)
         .orElse(GeoParquet.deltaOf(spark, path))
         .getOrElse(throw new IllegalArgumentException(
           s"$path records no bin size — pass .option(\"delta\", <binSize>)"))
+      // the marker lands inside the append's locked commit — replay
+      // detection is atomic with the data (class note)
       if (GeoParquet.isCurveLayout(spark, path))
-        GeoParquet.appendCurve(df, path, delta)
+        GeoParquet.appendCurve(df, path, delta,
+          commitMarker = Some(marker))
       else
-        GeoParquet.appendWithManifest(df, path, delta)
+        GeoParquet.appendWithManifest(df, path, delta,
+          commitMarker = Some(marker))
+    } else {
+      // an empty batch lands no data; the bare marker suffices
+      val mp = new org.apache.hadoop.fs.Path(marker)
+      fs.mkdirs(mp.getParent)
+      fs.create(mp, true).close()
     }
-    fs.mkdirs(marker.getParent)
-    fs.create(marker, true).close()
     dropStaged()
   }
 

@@ -98,14 +98,19 @@ class CommitContentionSpec extends SparkSpec {
     GeoParquet.vacuum(spark, dir)
     assert(names().exists(_.startsWith("lock.broken-")))
     assert(names().contains(rel) && names().contains(bid))
-    // aged past several leases: swept
+    // aged past several leases: rel/bid debris swept — but break
+    // tombstones are retained FOREVER (a breaker paused longer than
+    // any age threshold can still replay its rename; the tombstone
+    // is the only fence, and it is one tiny file per actual crash)
     val old = System.currentTimeMillis() - CommitLock.leaseMs * 4
     fs.listStatus(commits).foreach { st =>
       if (st.getPath.getName != "lock") fs.setTimes(st.getPath, old, -1)
     }
     GeoParquet.vacuum(spark, dir)
-    assert(!names().exists(n => n.startsWith("lock.broken-") ||
-      n == rel || n == bid), s"debris survived: ${names()}")
+    assert(!names().exists(n => n == rel || n == bid),
+      s"rel/bid debris survived: ${names()}")
+    assert(names().exists(_.startsWith("lock.broken-")),
+      "break tombstone was swept — it must outlive any age threshold")
   }
 
   test("a deliberately NON-atomic backend still yields exactly one winner (bid-and-rename protocol)") {

@@ -428,4 +428,72 @@ class GraftStreamSpec extends SparkSpec {
         "streaming aggregate state diverged from the appended rows")
     } finally q.stop()
   }
+
+  test("sink crash-injection: a marker-carrying commit interrupted at any point replays exactly once") {
+    // The sink's replay barrier is atomic with the data: the marker is
+    // stamped INSIDE the append's locked commit, journaled by an
+    // atomic `.intent` before the first rename.  This test plants the
+    // exact on-disk states a kill -9 leaves at each interruption point
+    // and asserts the replay's healMarkedCommit classification makes
+    // the batch land exactly once.
+    val dir = java.nio.file.Files.createTempDirectory("gsinkcrash")
+      .toString + "/lay"
+    GeoParquet.write(batch(0 until 40), dir, 250.0)
+    GeoParquet.writeManifest(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = s"$dir/_batches/stream-qX-7"
+
+    // crash BEFORE the intent journal: nothing visible landed — the
+    // replay must run the commit in full
+    assert(!GeoParquet.healMarkedCommit(spark, dir, marker),
+      "a commit that never journaled intent must replay in full")
+
+    // crash BETWEEN the intent journal and the renames — the exact
+    // window where the old two-step protocol duplicated: epoch
+    // bumped, batch fully staged, intent journaled, marker missing
+    val tmp = dir + ".staging-crash7"
+    batch(500 until 530)
+      .withColumn("bin_x", graft.operators.GeoOps.binOf(col("x"), 250.0))
+      .withColumn("bin_y", graft.operators.GeoOps.binOf(col("y"), 250.0))
+      .write.partitionBy("bin_x", "bin_y").parquet(tmp)
+    val epochFile = java.nio.file.Paths.get(dir, "_epoch")
+    val e0 = GeoParquet.readEpoch(spark, dir)
+    java.nio.file.Files.write(epochFile, (e0 + 1).toString.getBytes("UTF-8"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_batches"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_batches", "stream-qX-7.intent"),
+      tmp.getBytes("UTF-8"))
+    assert(GeoParquet.healMarkedCommit(spark, dir, marker),
+      "an intent-journaled commit must heal forward, not replay")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(marker)),
+      "heal did not stamp the marker")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(marker + ".intent")),
+      "heal left the intent journal behind")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(tmp)),
+      "heal did not consume the staging dir")
+    val ids = spark.read.format("graft").load(dir)
+      .select("id").as[Long].collect().sorted
+    assert(ids.toSeq == ((0L until 40L) ++ (500L until 530L)),
+      "rolled-forward batch lost or duplicated rows")
+    // replay of the replay: still a no-op
+    assert(GeoParquet.healMarkedCommit(spark, dir, marker))
+    assert(spark.read.format("graft").load(dir).count() == 70)
+    // the abandoned stats left the manifest honestly stale (reads fell
+    // back unpruned above); the repair verb restores pruning
+    GeoParquet.writeManifest(spark, dir)
+    assert(spark.read.format("graft").load(dir).count() == 70)
+
+    // crash AFTER the renames, BEFORE the marker stamp: intent
+    // present, staging consumed — the heal only re-stamps the marker
+    val marker2 = s"$dir/_batches/stream-qX-8"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_batches", "stream-qX-8.intent"),
+      (dir + ".staging-gone").getBytes("UTF-8"))
+    assert(GeoParquet.healMarkedCommit(spark, dir, marker2),
+      "a renamed-but-unmarked commit must no-op on replay")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(marker2)))
+    assert(spark.read.format("graft").load(dir).count() == 70,
+      "marker-only heal must not change data")
+  }
 }
