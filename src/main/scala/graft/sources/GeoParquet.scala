@@ -440,8 +440,12 @@ object GeoParquet {
       if (df.columns.contains("z"))
         Seq(min("z").as("z0"), max("z").as("z1"), count("z").as("zn"))
       else Seq.empty
+    // kn (non-null key count) is what lets the SQL face certify a
+    // keyed file INTERIOR to a key-band predicate without opening it
+    // (kn == n_rows ⇔ no null keys; see the cn note above) — the
+    // string-banded COUNT pushdown on writeKeyed layouts rides it
     val key = CurveKeyCols.find(df.columns.contains).toSeq.flatMap(k =>
-      Seq(min(k).as("k0"), max(k).as("k1")))
+      Seq(min(k).as("k0"), max(k).as("k1"), count(k).as("kn")))
     val time =
       if (df.columns.contains("t"))
         Seq(min("t").as("t0"), max("t").as("t1"), count("t").as("tn"))
@@ -612,6 +616,10 @@ object GeoParquet {
     // sidecar must not be clobbered by a stale-read union, and two
     // rebuilds must not share `_manifest`'s _temporary tree
     CommitLock.withLock(spark, path) {
+      // a rebuild is the repair verb: finish a crashed metadata swap
+      // or rollback first, so the rebuild describes their final state
+      healManifestCoalesce(spark, path)
+      healRollback(spark, path)
       // changelog bookkeeping, BEFORE the old manifest is replaced:
       // this rebuild re-stamps every row at the current epoch — a
       // history reset the `_changelog` record describes for
@@ -2225,6 +2233,8 @@ object GeoParquet {
     // `staleAgeMs = 0` on a quiesced layout
     CommitLock.withLock(spark, path) {
       val fs = fsOf(spark, path)
+      healManifestCoalesce(spark, path) // resolve a crashed metadata swap
+      healRollback(spark, path) // finish a crashed rollback
       val p = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
       val parent = p.getParent
       val base = p.getName
@@ -2277,6 +2287,246 @@ object GeoParquet {
             fs.delete(st.getPath, false)
         }
     }
+  }
+
+  /** Metadata compaction for the `_manifest` sidecar: coalesce the
+    * one-part-per-commit accumulation ([[commitStaged]] appends one
+    * tiny parquet part per commit) into a SINGLE part with identical
+    * rows — same files, same epochs, same stats, `_manifest_epoch`
+    * untouched.  Why it matters at scale: every planner touch reads
+    * one footer per commit, so a month of minutely CDC commits makes
+    * ~43k tiny footer reads per plan (appends, streaming micro-batch
+    * planning, SQL-face file pruning all pay it).  Because the rows
+    * are identical, this is NOT a history reset: the changelog floor,
+    * epoch history, `TIMESTAMP AS OF` stamps, and every checkpointed
+    * streaming consumer's offsets stay valid — a stream polls across
+    * the coalesce without a restart (proven in GraftStreamSpec).
+    *
+    * Protocol (all under the layout's CommitLock, so writers — whose
+    * manifest appends also run under it — never see the swap):
+    * stage the coalesced copy under `_manifest.coalesced`, verify the
+    * row count, then swap via two renames with a `_manifest.
+    * pre-coalesce` preserve.  A crash between the renames leaves the
+    * deterministic preserve + stage pair, which [[healManifestCoalesce]]
+    * (run at every compactManifest/vacuum entry) rolls forward;
+    * lock-free READERS racing the swap can transiently miss
+    * `_manifest` for the two-metadata-op window and degrade to the
+    * stale-manifest fallback — strictly smaller exposure than
+    * [[writeManifest]]'s delete-then-rewrite job, which this verb
+    * exists to avoid paying (a rebuild re-reads every DATA footer;
+    * this touches only the sidecar).
+    */
+  def compactManifest(spark: SparkSession, path: String): Unit = {
+    val fs = fsOf(spark, path)
+    val m = new org.apache.hadoop.fs.Path(s"$path/_manifest")
+    if (!fs.exists(m) && !fs.exists(
+        new org.apache.hadoop.fs.Path(s"$path/_manifest.pre-coalesce")))
+      return
+    CommitLock.withLock(spark, path) {
+      healManifestCoalesce(spark, path)
+      val parts = fs.listStatus(m)
+        .count(_.getPath.getName.endsWith(".parquet"))
+      if (parts > 1) {
+        val stage = new org.apache.hadoop.fs.Path(
+          s"$path/_manifest.coalesced")
+        val pre = new org.apache.hadoop.fs.Path(
+          s"$path/_manifest.pre-coalesce")
+        val before = spark.read.parquet(m.toString)
+        val n = before.count()
+        // deterministic single part; epoch order keeps the dominant
+        // reads (epoch-range filters, max(epoch)) one-run sequential
+        before.orderBy("epoch", "file").coalesce(1)
+          .write.mode("overwrite").parquet(stage.toString)
+        require(spark.read.parquet(stage.toString).count() == n,
+          s"$path: coalesced manifest row count diverged — aborting " +
+            "before the swap (original manifest untouched)")
+        require(fs.rename(m, pre),
+          s"$path: could not move _manifest aside for the coalesce")
+        if (!fs.rename(stage, m)) {
+          // restore the original — the swap never half-applies
+          require(fs.rename(pre, m),
+            s"$path: manifest coalesce swap AND restore failed — " +
+              "run rebuild (writeManifest)")
+          throw new IllegalStateException(
+            s"$path: manifest coalesce swap failed; original restored")
+        }
+        fs.delete(pre, true)
+      }
+    }
+  }
+
+  /** Resolve a crash-stranded [[compactManifest]] swap (deterministic
+    * stage/preserve names make the state machine total).  Call under
+    * the lock.
+    */
+  private def healManifestCoalesce(spark: SparkSession,
+                                   path: String): Unit = {
+    val fs = fsOf(spark, path)
+    val m = new org.apache.hadoop.fs.Path(s"$path/_manifest")
+    val stage = new org.apache.hadoop.fs.Path(s"$path/_manifest.coalesced")
+    val pre = new org.apache.hadoop.fs.Path(s"$path/_manifest.pre-coalesce")
+    if (fs.exists(m)) {
+      // live manifest ⇒ any leftovers are an aborted stage or a
+      // completed swap's preserve — both dead
+      if (fs.exists(stage)) fs.delete(stage, true)
+      if (fs.exists(pre)) fs.delete(pre, true)
+    } else if (fs.exists(pre)) {
+      if (fs.exists(stage)) {
+        // crashed between the renames: roll FORWARD (the stage was
+        // verified complete before the first rename)
+        require(fs.rename(stage, m),
+          s"$path: manifest coalesce roll-forward failed")
+        fs.delete(pre, true)
+      } else {
+        // stage lost (never fully written is impossible here — it is
+        // written before rename 1 — but be total): restore original
+        require(fs.rename(pre, m),
+          s"$path: manifest coalesce restore failed")
+      }
+    }
+  }
+
+  /** Restore the layout's PRESENT to the state at commit `epoch` —
+    * the "undo the bad commit" verb (`CALL system.rollback_to`).
+    * Metadata-first: the manifest is truncated to rows at-or-before
+    * `epoch` (the same staged swap [[compactManifest]] uses), the
+    * later commits' tombstone parts are dropped (restoring the rows
+    * their merges had replaced — the 61z17 epoch slice in reverse),
+    * and the later commits' data files are removed so a future
+    * [[writeManifest]] footer sweep cannot resurrect them.  The
+    * commit counter is NOT reset — the next append claims a FRESH
+    * epoch number, so no changelog range ever silently means
+    * different data.  `_epoch_times` stamps above the target are
+    * kept: `CALL system.history` then shows the rolled-back commits
+    * as stamped epochs with no surviving files — the audit trail of
+    * the rollback itself.
+    *
+    * History contracts: epochs at-or-before the target keep serving
+    * `VERSION/TIMESTAMP AS OF` exactly as before; an AS-OF into the
+    * rolled-back range resolves to the target's state (the bad
+    * commits' files no longer exist to serve).  Incremental/streaming
+    * consumers positioned past the target CANNOT continue exactly-
+    * once (rows they already delivered were un-done), so the rollback
+    * writes a NON-preserving changelog-floor record — every
+    * checkpointed stream fails loudly with the restart instruction,
+    * and a fresh stream re-delivers the standing corpus.
+    *
+    * Refuses: across a compaction/rebuild history reset (target below
+    * the changelog floor or the oldest surviving manifest epoch —
+    * exactly the AS-OF refusal), on a stale manifest, and under
+    * pending equality tombstones.  Crash-safe via an intent journal:
+    * every mutation is listed in `_rollback.intent` BEFORE any of it
+    * runs, and [[healRollback]] (entry of rollbackTo and vacuum, plus
+    * writeManifest's repair pass) re-executes the idempotent steps to
+    * completion, so a crash mid-rollback can delay it, never leave
+    * half a rollback visible as a final state.
+    */
+  def rollbackTo(spark: SparkSession, path: String, epoch: Long): Unit = {
+    adoptStagedMerges(spark, path) // give staged merge deletes their epochs
+    CommitLock.withLock(spark, path) {
+      healRollback(spark, path) // finish a crashed predecessor first
+      require(manifestFresh(spark, path, verify = false),
+        s"$path: manifest is stale — a rollback cannot enumerate the " +
+          "commits to undo; run writeManifest first (which resets " +
+          "history and makes the rollback target unreachable) or " +
+          "repair the crashed writer")
+      require(pendingTombstones(spark, path).isEmpty,
+        s"$path has pending equality (key) tombstones — those carry " +
+          "no commit epoch and cannot be sliced; run a compaction " +
+          "first (which resets history) or apply them")
+      val st = changelogFloor(spark, path)
+      val m = spark.read.parquet(s"$path/_manifest")
+      val bounds = m.agg(min("epoch"), max("epoch")).head()
+      require(!bounds.isNullAt(0), s"$path: manifest is empty")
+      val (minE, maxE) = (bounds.getLong(0), bounds.getLong(1))
+      require(epoch >= minE && epoch >= st.floor,
+        s"$path: history at-or-before epoch ${math.max(minE, st.floor)} " +
+          s"was reset (compaction/rebuild) — cannot roll back to $epoch, " +
+          "exactly as AS-OF refuses across a history reset")
+      if (epoch < maxE) { // at-or-above maxE: nothing to undo, no-op
+        val parts = positionalDeletePartsEpoch(spark, path)
+        require(parts.forall(_._4.isDefined),
+          s"$path has pending merge-on-read deletes without a recorded " +
+            "commit epoch (crash-healed) — they cannot be sliced; run a " +
+            "compaction first")
+        val doomedParts = parts.filter(_._4.exists(_ > epoch)).map(_._1)
+        val doomedFiles = m.filter(col("epoch") > epoch)
+          .select("file").collect().map(_.getString(0)).toSeq
+        // the complete mutation list lands atomically BEFORE any of
+        // it runs; every step below is idempotent against this journal
+        val record = ChangelogFloor(st.floor - 1, st.floor, maxE,
+          preserved = false)
+        writeTextFile(spark, s"$path/_rollback.intent",
+          (Seq(epoch.toString,
+            s"${record.floor} ${record.prevFloor} ${record.prevMax} 0") ++
+            doomedParts.map("part " + _) ++
+            doomedFiles.map("file " + _)).mkString("\n"))
+        executeRollback(spark, path)
+      }
+    }
+  }
+
+  /** [[rollbackTo]] by wall-clock — resolves through the
+    * `_epoch_times` stamps exactly as `TIMESTAMP AS OF` does.
+    */
+  def rollbackToTime(spark: SparkSession, path: String,
+                     tsMillis: Long): Unit =
+    rollbackTo(spark, path, epochAtTime(spark, path, tsMillis))
+
+  /** Re-execute a journaled rollback to completion.  Call under the
+    * lock.  Idempotent: each step checks before acting, and the
+    * intent is dropped only after the last.
+    */
+  private def healRollback(spark: SparkSession, path: String): Unit =
+    if (fsOf(spark, path).exists(
+        new org.apache.hadoop.fs.Path(s"$path/_rollback.intent")))
+      executeRollback(spark, path)
+
+  private def executeRollback(spark: SparkSession, path: String): Unit = {
+    val fs = fsOf(spark, path)
+    val intent = s"$path/_rollback.intent"
+    val lines = readTextFile(spark, intent).split("\n").toSeq
+    val epoch = lines.head.trim.toLong
+    val fl = lines(1).trim.split("\\s+")
+    val record = ChangelogFloor(fl(0).toLong, fl(1).toLong, fl(2).toLong,
+      fl(3) == "1")
+    // 1. truncate the manifest via the staged swap (same protocol —
+    //    and the same crash heal — as compactManifest)
+    val m = new org.apache.hadoop.fs.Path(s"$path/_manifest")
+    healManifestCoalesce(spark, path)
+    val live = spark.read.parquet(m.toString)
+    if (live.filter(col("epoch") > epoch).limit(1).count() > 0) {
+      val stage = new org.apache.hadoop.fs.Path(s"$path/_manifest.coalesced")
+      val pre = new org.apache.hadoop.fs.Path(s"$path/_manifest.pre-coalesce")
+      live.filter(col("epoch") <= epoch).orderBy("epoch", "file")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      require(fs.rename(m, pre), s"$path: rollback manifest swap failed")
+      require(fs.rename(stage, m),
+        s"$path: rollback manifest swap failed mid-way — " +
+          "re-run rollbackTo/vacuum to heal")
+      fs.delete(pre, true)
+    }
+    // 2. drop the rolled-back commits' tombstone parts (restores the
+    //    rows their merges replaced), then their data files
+    lines.drop(2).foreach { l =>
+      if (l.startsWith("part "))
+        fs.delete(new org.apache.hadoop.fs.Path(l.stripPrefix("part ")),
+          false)
+      else if (l.startsWith("file "))
+        fs.delete(
+          new org.apache.hadoop.fs.Path(s"$path/${l.stripPrefix("file ")}"),
+          false)
+    }
+    // an emptied tombstone sidecar must disappear entirely — its bare
+    // directory would read as "pending deletes, zero parts" and break
+    // schema inference on every merge-on-read path
+    val tombs = new org.apache.hadoop.fs.Path(s"$path/_tombstones_pos")
+    if (fs.exists(tombs) &&
+        !fs.listStatus(tombs).exists(_.getPath.getName.endsWith(".parquet")))
+      fs.delete(tombs, true)
+    // 3. fail checkpointed incremental consumers loudly (class note)
+    writeChangelogFloor(spark, path, record)
+    fs.delete(new org.apache.hadoop.fs.Path(intent), false)
   }
 
   /** Retention: positional-delete every row older than `cutoffMs`

@@ -343,6 +343,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       GeoParquet.vacuum(SparkSession.active, p)
       statusRow(t, "vacuumed", p)
     },
+    "coalesce_manifest" -> proc("coalesce_manifest",
+      "metadata compaction: coalesce the manifest's one-part-per-commit " +
+        "accumulation into a single part with identical rows — planning " +
+        "stops paying O(commits) footer reads; NOT a history reset " +
+        "(epochs, changelog floor, and streaming offsets stay valid)",
+      Seq(tableParam), statusSchema) { in =>
+      val t = strArg(in, 0); val p = layoutPathOf(t)
+      GeoParquet.compactManifest(SparkSession.active, p)
+      statusRow(t, "manifest coalesced", p)
+    },
     "expire" -> proc("expire",
       "TTL retention: positional-delete rows with t older than cutoff_ms " +
         "(merge-on-read; the next compaction reclaims space)",
@@ -353,6 +363,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val t = strArg(in, 0); val p = layoutPathOf(t)
       GeoParquet.expireOlderThan(SparkSession.active, p, in.getLong(1))
       statusRow(t, "expired", p)
+    },
+    "rollback_to" -> proc("rollback_to",
+      "restore the table's present to the state at a commit epoch: " +
+        "manifest truncated, later commits' files and delete parts " +
+        "removed, commit counter NOT reset (no epoch reuse); " +
+        "checkpointed streams past the target fail loudly and must " +
+        "restart; refuses across compaction/rebuild history resets " +
+        "exactly like AS-OF",
+      Seq(tableParam,
+        ProcedureParameter.in("epoch", LongType)
+          .comment("target commit epoch (VERSION AS OF axis)").build()),
+      statusSchema) { in =>
+      val t = strArg(in, 0); val p = layoutPathOf(t)
+      GeoParquet.rollbackTo(SparkSession.active, p, in.getLong(1))
+      statusRow(t, s"rolled back to epoch ${in.getLong(1)}", p)
+    },
+    "rollback_to_time" -> proc("rollback_to_time",
+      "rollback_to by wall clock: resolves through the _epoch_times " +
+        "commit stamps exactly as TIMESTAMP AS OF does",
+      Seq(tableParam,
+        ProcedureParameter.in("ts_ms", LongType)
+          .comment("epoch-ms wall clock; resolves to the largest " +
+            "commit stamped at-or-before it").build()),
+      statusSchema) { in =>
+      val t = strArg(in, 0); val p = layoutPathOf(t)
+      GeoParquet.rollbackToTime(SparkSession.active, p, in.getLong(1))
+      statusRow(t, "rolled back", p)
     },
     "history" -> proc("history",
       "commit history: one row per stamped commit epoch with its " +

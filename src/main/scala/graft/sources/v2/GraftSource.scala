@@ -478,8 +478,11 @@ private[v2] object ExactFilters {
   }
 
   /** Can the record reader evaluate this filter tree exactly?
-    * Boolean combinations of numeric comparisons and null tests over
-    * top-level primitive columns; everything else stays residual.
+    * Boolean combinations of numeric/string comparisons, string
+    * prefix tests, and null tests over top-level primitive columns;
+    * everything else stays residual.  (String support is what lets a
+    * CDC key band — `key >= 'a' AND key < 'b'` — leave ZERO residual,
+    * the precondition for aggregate pushdown.)
     */
   def handles(f: Filter, schema: StructType): Boolean = f match {
     case And(l, r) => handles(l, schema) && handles(r, schema)
@@ -492,11 +495,15 @@ private[v2] object ExactFilters {
     case GreaterThanOrEqual(c, v) => cmpOk(c, v, schema)
     case LessThan(c, v) => cmpOk(c, v, schema)
     case LessThanOrEqual(c, v) => cmpOk(c, v, schema)
+    case StringStartsWith(c, v) => strOk(c, v, schema)
     case _ => false
   }
   private def cmpOk(c: String, v: Any, schema: StructType): Boolean =
-    schema.fields.exists(f => f.name == c && numericType(f.dataType)) &&
-      v.isInstanceOf[java.lang.Number]
+    (schema.fields.exists(f => f.name == c && numericType(f.dataType)) &&
+      v.isInstanceOf[java.lang.Number]) || strOk(c, v, schema)
+  private def strOk(c: String, v: Any, schema: StructType): Boolean =
+    schema.fields.exists(f => f.name == c && f.dataType == StringType) &&
+      v.isInstanceOf[String]
 
   /** Spark's total order on doubles: NaN greater than everything,
     * NaN == NaN, -0.0 == 0.0 (the nan-safe compare semantics Spark's
@@ -518,19 +525,61 @@ private[v2] object ExactFilters {
     case _ => false
   }
 
-  /** Exact comparison of two non-null numeric values.  Pushed-filter
-    * literals carry the COLUMN's type (Spark casts before pushing; a
-    * filter needing a column-side cast never reaches pushFilters), so
+  private def utf8(v: Any): org.apache.spark.unsafe.types.UTF8String =
+    v match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s
+      case s: String =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      case other => throw new IllegalStateException(
+        s"graft SQL face: non-string operand $other in a string compare")
+    }
+  private def isStringish(v: Any): Boolean =
+    v.isInstanceOf[String] ||
+      v.isInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+
+  /** Exact comparison of two non-null values.  Pushed-filter literals
+    * carry the COLUMN's type (Spark casts before pushing; a filter
+    * needing a column-side cast never reaches pushFilters), so
     * integral×integral compares as Long — no double rounding past
-    * 2^53 — and fp×fp compares nan-safely.
+    * 2^53 — fp×fp compares nan-safely, and string×string compares in
+    * UTF8 binary order (Spark's default collation, the same order its
+    * min/max stats and the manifest's string k0/k1 use; record values
+    * surface as UTF8String, literals as java String — both normalize).
     */
   def compare(a: Any, b: Any): Int =
-    if (isIntegral(a) && isIntegral(b))
+    if (isStringish(a) && isStringish(b)) utf8(a).compareTo(utf8(b))
+    else if (isIntegral(a) && isIntegral(b))
       java.lang.Long.compare(a.asInstanceOf[Number].longValue(),
         b.asInstanceOf[Number].longValue())
     else
       nanSafeCompare(a.asInstanceOf[Number].doubleValue(),
         b.asInstanceOf[Number].doubleValue())
+
+  /** The least string strictly greater than EVERY string with prefix
+    * `p`, in UTF8 binary order — or None when no such bound exists
+    * (all code points at the ceiling).  Increment the last code
+    * point (skipping the surrogate gap, which no valid string
+    * occupies), dropping ceiling code points from the right.  UTF-8
+    * is order-preserving and prefix-free, so `s` has prefix `p` ⟺
+    * `p <= s < successor(p)` — the interval form that drives both
+    * file pruning and containment certification for prefix
+    * predicates.
+    */
+  def prefixSuccessor(p: String): Option[String] = {
+    var end = p.length
+    while (end > 0) {
+      val cp = p.codePointBefore(end)
+      val width = Character.charCount(cp)
+      if (cp < 0x10FFFF) {
+        val next = if (cp == 0xD7FF) 0xE000 else cp + 1
+        val sb = new java.lang.StringBuilder(p.substring(0, end - width))
+        sb.appendCodePoint(next)
+        return Some(sb.toString)
+      }
+      end -= width // U+10FFFF: no in-place successor; carry leftward
+    }
+    None
+  }
 
   /** Kleene three-valued evaluation; None = SQL NULL.  A row passes
     * the pushed set iff every filter evaluates Some(true) — exactly
@@ -556,6 +605,10 @@ private[v2] object ExactFilters {
     case GreaterThanOrEqual(c, v) => cmp(c, v, value)(_ >= 0)
     case LessThan(c, v) => cmp(c, v, value)(_ < 0)
     case LessThanOrEqual(c, v) => cmp(c, v, value)(_ <= 0)
+    case StringStartsWith(c, v) =>
+      val x = value(c)
+      if (x == null || v == null) None
+      else Some(utf8(x).startsWith(utf8(v)))
     case other => throw new IllegalStateException(
       s"graft SQL face: unhandled pushed filter $other")
   }
@@ -608,6 +661,13 @@ private[v2] object ExactFilters {
       case GreaterThanOrEqual(c, v) => lo(c, v, strict = false)
       case LessThan(c, v) => hi(c, v, strict = true)
       case LessThanOrEqual(c, v) => hi(c, v, strict = false)
+      case StringStartsWith(c, v: String) =>
+        // prefix p ⟺ the half-open band [p, successor(p)) in UTF8
+        // binary order (prefixSuccessor's contract); no successor
+        // (all-ceiling prefix) leaves the hi side unbounded — still
+        // a sound interval, just never hi-constrained
+        lo(c, v, strict = false)
+        prefixSuccessor(v).foreach(s => hi(c, s, strict = true))
       case _ => return None
     }
     Some(m.values.toSeq)
@@ -799,10 +859,10 @@ final class GraftScan(path: String, dataSchema: StructType,
     }
     // cluster-KEY file pruning: a keyed layout ([[GeoParquet.writeKeyed]])
     // records which data column its zkey mirrors; key predicates —
-    // including STRING equality, which the exact evaluator leaves
-    // residual — translate to a manifest [k0,k1] range, so the CDC
-    // point lookup `WHERE sid = 'K…'` opens the files whose key run
-    // can contain it instead of the corpus
+    // string and integral alike (both are exact-evaluated) —
+    // translate to a manifest [k0,k1] range, so the CDC point lookup
+    // `WHERE sid = 'K…'` opens the files whose key run can contain
+    // it instead of the corpus
     // runtime (join-driven) In filters on the key column tighten the
     // range too — the broadcast-dim CDC lookup plans to the keys'
     // [min,max] file span
@@ -972,10 +1032,12 @@ object GraftScan {
         tightenLo(vs.reduceLeft((a, b) => if (cmp(a, b) <= 0) a else b))
         tightenHi(vs.reduceLeft((a, b) => if (cmp(a, b) >= 0) a else b))
       case StringStartsWith(c, v) if c == kc && v.nonEmpty =>
-        // prefix p bounds the key to [p, p + maxChar): lo = p is exact;
-        // the hi side would need a successor string — lo alone already
-        // prunes the sorted layout's left side
+        // prefix p bounds the key to [p, successor(p)): lo = p is
+        // exact; the hi side is the prefix successor (inclusive use
+        // downstream is conservative — the successor itself matches
+        // no prefix-p row, so at worst one extra boundary file opens)
         tightenLo(v)
+        ExactFilters.prefixSuccessor(v).foreach(tightenHi)
       case _ => ()
     }
     if (any) Some((lo, hi)) else None
@@ -1396,10 +1458,14 @@ final class GraftAggScan(path: String, dataSchema: StructType,
     // cluster-key file pruning, as on the row path: files whose
     // [k0,k1] run cannot intersect the key predicate contribute zero
     // to every pushed aggregate — prune them before the
-    // containment/scan split (integral keys only here: string
-    // predicates never push, they block the aggregation instead)
-    val kRange = GeoParquet.keyColOf(spark, path)
-      .flatMap(kc => GraftScan.keyRangeOf(kc, exact))
+    // containment/scan split.  String keys ride this too (string
+    // comparisons are exact since ExactFilters grew UTF8 support), and
+    // the key column's per-file stats live under k0/k1/kn — the
+    // `_keycol` mirror — not under its own name (statName below).
+    val kcOpt = GeoParquet.keyColOf(spark, path)
+    val kRange = kcOpt.flatMap(kc => GraftScan.keyRangeOf(kc, exact))
+    def statName(c: String, suf: String): String =
+      if (kcOpt.contains(c)) s"k$suf" else s"$c$suf"
 
     // meta partials accumulate across manifest-answered files
     val meta: Array[Any] = aggCols.map {
@@ -1450,7 +1516,8 @@ final class GraftAggScan(path: String, dataSchema: StructType,
             case MinC(c) => c
             case MaxC(c) => c
           }).distinct
-          .flatMap(c => Seq(s"${c}0", s"${c}1", s"${c}n"))
+          .flatMap(c => Seq(statName(c, "0"), statName(c, "1"),
+            statName(c, "n")))
           .filter(m.columns.contains)
         val rows = m.filter(intersect && GeoParquet.keyRangeCond(m, kRange))
           .select(("file" +: "n_rows" +: statCols).distinct.map(col): _*)
@@ -1462,8 +1529,9 @@ final class GraftAggScan(path: String, dataSchema: StructType,
 
         def contained(r: org.apache.spark.sql.Row, nRows: Long): Boolean =
           intervals.exists(_.forall { iv =>
-            val c0 = stat(r, s"${iv.col}0"); val c1 = stat(r, s"${iv.col}1")
-            val cn = stat(r, s"${iv.col}n")
+            val c0 = stat(r, statName(iv.col, "0"))
+            val c1 = stat(r, statName(iv.col, "1"))
+            val cn = stat(r, statName(iv.col, "n"))
             c0 != null && c1 != null &&
               cn != null && cn.asInstanceOf[Long] == nRows && // no nulls in col
               (iv.lo == null || {
@@ -1483,20 +1551,22 @@ final class GraftAggScan(path: String, dataSchema: StructType,
                       doomed: Long): Option[Seq[Any]] = {
           val vs = aggCols.map {
             case NRows => Some(java.lang.Long.valueOf(nRows - doomed))
-            case NNonNull(c) => stat(r, s"${c}n") match {
+            case NNonNull(c) => stat(r, statName(c, "n")) match {
               case n: java.lang.Long if doomed == 0L => Some(n)
               case n: java.lang.Long if n.longValue() == nRows =>
                 // null-free column: every doomed row was counted
                 Some(java.lang.Long.valueOf(n.longValue() - doomed))
               case _ => None // nullable + doomed: which rows died is unknowable from stats
             }
-            case MinC(c) => (stat(r, s"${c}n"), stat(r, s"${c}0")) match {
+            case MinC(c) => (stat(r, statName(c, "n")),
+                stat(r, statName(c, "0"))) match {
               case _ if doomed > 0L => None // a doomed row might be the extremum
               case (n: java.lang.Long, _) if n.longValue() == 0L => Some(null) // all null: no contribution
               case (_: java.lang.Long, v) if v != null => Some(v)
               case _ => None
             }
-            case MaxC(c) => (stat(r, s"${c}n"), stat(r, s"${c}1")) match {
+            case MaxC(c) => (stat(r, statName(c, "n")),
+                stat(r, statName(c, "1"))) match {
               case _ if doomed > 0L => None
               case (n: java.lang.Long, _) if n.longValue() == 0L => Some(null)
               case (_: java.lang.Long, v) if v != null => Some(v)

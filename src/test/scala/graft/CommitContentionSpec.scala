@@ -113,6 +113,41 @@ class CommitContentionSpec extends SparkSpec {
       "break tombstone was swept — it must outlive any age threshold")
   }
 
+  test("manifest coalesce crash between the swap renames heals forward (vacuum/compactManifest entry)") {
+    val dir = java.nio.file.Files.createTempDirectory("mcoheal").toString + "/lay"
+    GeoParquet.write(batch(0 until 300), dir, 250.0)
+    GeoParquet.writeManifest(spark, dir)
+    GeoParquet.appendWithManifest(batch(300 until 400), dir, 250.0)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = new org.apache.hadoop.fs.Path(s"$dir/_manifest")
+    val rows = spark.read.parquet(m.toString)
+      .orderBy("epoch", "file").collect().toSeq
+    // plant the exact crash state: stage fully written (a verified
+    // coalesced copy), original moved to the preserve, second rename
+    // never ran — `_manifest` is missing
+    val stage = new org.apache.hadoop.fs.Path(s"$dir/_manifest.coalesced")
+    spark.read.parquet(m.toString).orderBy("epoch", "file").coalesce(1)
+      .write.parquet(stage.toString)
+    val pre = new org.apache.hadoop.fs.Path(s"$dir/_manifest.pre-coalesce")
+    assert(fs.rename(m, pre))
+    assert(!fs.exists(m))
+    // any maintenance entry heals: vacuum rolls the swap FORWARD
+    GeoParquet.vacuum(spark, dir)
+    assert(fs.exists(m) && !fs.exists(pre) && !fs.exists(stage),
+      "crashed coalesce swap was not rolled forward")
+    assert(spark.read.parquet(m.toString)
+      .orderBy("epoch", "file").collect().toSeq == rows,
+      "healed manifest diverged from the original rows")
+    // the other stranded state — preserve only, no stage — restores
+    assert(fs.rename(m, pre))
+    GeoParquet.compactManifest(spark, dir)
+    assert(fs.exists(m) && !fs.exists(pre),
+      "preserve-only crash state was not restored")
+    assert(spark.read.parquet(m.toString)
+      .orderBy("epoch", "file").collect().toSeq == rows)
+  }
+
   test("a deliberately NON-atomic backend still yields exactly one winner (bid-and-rename protocol)") {
     // the pluggable-backend contract: the protocol above the Backend
     // trait must not depend on the create primitive being atomic —

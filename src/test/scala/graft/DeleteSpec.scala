@@ -437,6 +437,46 @@ class DeleteSpec extends SparkSpec {
       s"key-range count planned $answered+$scanned of $total files")
   }
 
+  test("string-banded COUNT pushdown: interior files answered from stats, boundaries scanned") {
+    val dir = java.nio.file.Files.createTempDirectory("sqlkeystr").toString
+    val base = p.select(
+      concat(lit("K"), lpad($"id".cast("string"), 8, "0")).as("sid"), $"z")
+    GeoParquet.writeKeyed(base, dir, "sid", nFiles = 8)
+    val total = spark.read.parquet(s"$dir/_manifest").count()
+    // a band over the 20th–70th key percentile: wide enough that at
+    // least one of the 8 key-sorted files is strictly INTERIOR to it,
+    // narrow enough that whole files fall outside it (pruned)
+    val keys = base.orderBy("sid").select("sid")
+      .collect().map(_.getString(0))
+    val bLo = keys(keys.length / 5)
+    val bHi = keys(keys.length * 7 / 10)
+    val n = keys.count(k => k >= bLo && k <= bHi).toLong
+    spark.read.format("graft").load(dir).createOrReplaceTempView("sqlkeystr")
+    val got = spark.sql("SELECT count(*) AS n FROM sqlkeystr " +
+        s"WHERE sid >= '$bLo' AND sid <= '$bHi'").collect()(0).getLong(0)
+    assert(got == n, s"string-banded count wrong: $got vs $n")
+    val (answered, scanned) = graft.sources.v2.GraftSource.lastAggPlan.get(dir)
+    assert(answered > 0,
+      s"no interior file was answered from k0/k1/kn stats ($answered+$scanned of $total)")
+    assert(answered + scanned < total,
+      s"string-banded count planned $answered+$scanned of $total files")
+
+    // prefix form: LIKE 'p%' pushes as StringStartsWith — the
+    // successor bound gives the band BOTH sides, so the count still
+    // prunes and interior files still answer from stats
+    val prefix = bLo.substring(0, 7) // a real key's prefix: nonempty match
+    val nPre = base.filter($"sid".startsWith(prefix)).count()
+    val gotPre = spark.sql("SELECT count(*) AS n FROM sqlkeystr " +
+        s"WHERE sid LIKE '$prefix%'").collect()(0).getLong(0)
+    assert(gotPre == nPre && nPre > 0,
+      s"prefix count wrong: $gotPre vs $nPre")
+    // exact row semantics through the reader too (StartsWith is
+    // exact-evaluated now): a row SELECT under the prefix matches
+    val rows = spark.sql("SELECT sid FROM sqlkeystr " +
+        s"WHERE sid LIKE '$prefix%'").collect()
+    assert(rows.length == nPre && rows.forall(_.getString(0).startsWith(prefix)))
+  }
+
   test("upsertKeyed refuses unordered key types (float keys)") {
     val dir = java.nio.file.Files.createTempDirectory("upflt").toString
     val base = p.select(($"id" + 0.5).as("fid"), $"z")

@@ -174,6 +174,50 @@ class GraftCatalogSpec extends SparkSpec {
     assert(snaps.length >= 2, "two commits must inventory two epochs")
   }
 
+  test("CALL system.rollback_to: bad commits undone, reads equal the pinned past, history shows the gap") {
+    val dir = mkLayout("ops", "rb", 400)                        // epoch 0
+    GeoParquet.appendWithManifest(pts(400, 500), dir, 250.0)    // epoch 1 (good)
+    GeoParquet.appendWithManifest(pts(1000, 1100), dir, 250.0)  // epoch 2 (bad)
+    GeoParquet.deleteWhere(spark, dir, col("id") < 10)          // epoch 3 (bad)
+    assert(spark.sql("SELECT count(*) AS n FROM lake.ops.rb")
+      .collect()(0).getLong(0) == 590) // bad state visible pre-rollback
+    val r = spark.sql("CALL lake.system.rollback_to('ops.rb', 1)").collect()
+    assert(r(0).getString(1).contains("rolled back"))
+    // the present equals the pinned past: the bad append's rows are
+    // gone AND the bad delete's rows are restored
+    val ids = spark.sql("SELECT id FROM lake.ops.rb ORDER BY id")
+      .collect().map(_.getLong(0))
+    assert(ids.toSeq == (0L until 500L), s"rollback state wrong: ${ids.length} rows")
+    // pre-target history still serves AS-OF exactly as before
+    assert(spark.sql("SELECT count(*) AS n FROM lake.ops.rb VERSION AS OF 0")
+      .collect()(0).getLong(0) == 400)
+    // history shows the rollback: the undone epochs stay stamped but
+    // carry no surviving files
+    val hist = spark.sql("CALL lake.system.history('ops.rb')").collect()
+      .map(r2 => (r2.getLong(0), if (r2.isNullAt(3)) None else Some(r2.getLong(3))))
+      .toMap
+    assert(hist.contains(2L) && hist(2L).isEmpty,
+      s"rolled-back epoch 2 must show as stamped-but-empty: $hist")
+    assert(hist(1L).nonEmpty, "surviving epoch lost its inventory")
+    // the commit counter is NOT reset: the next append claims a fresh
+    // epoch — no changelog range ever silently means different data
+    GeoParquet.appendWithManifest(pts(600, 650), dir, 250.0)
+    assert(GeoParquet.readEpoch(spark, dir) == 4L,
+      s"epoch reuse after rollback: ${GeoParquet.readEpoch(spark, dir)}")
+    assert(spark.sql("SELECT count(*) AS n FROM lake.ops.rb")
+      .collect()(0).getLong(0) == 550)
+    // refusal across history resets, exactly like AS-OF
+    GeoParquet.compact(spark, dir)
+    GeoParquet.writeManifest(spark, dir)
+    val ex = intercept[Exception] {
+      spark.sql("CALL lake.system.rollback_to('ops.rb', 1)").collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
+    assert(msgs(ex).contains("was reset"),
+      s"rollback across a compaction reset must refuse: ${msgs(ex)}")
+  }
+
   test("DELETE FROM: merge-on-read everywhere, compact reclaims") {
     val dir = mkLayout("ops", "del", 400)
     spark.sql("DELETE FROM lake.ops.del WHERE id < 50 OR id >= 380")

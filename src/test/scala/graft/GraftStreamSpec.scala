@@ -429,6 +429,82 @@ class GraftStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("manifest coalesce: identical rows, one part, and a checkpointed stream polls across it") {
+    val dir = freshLayout() // epochs 0..2, three manifest parts
+    GeoParquet.appendWithManifest(batch(300 until 320), dir, 250.0) // 3
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def manifestParts() = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/_manifest"))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    assert(manifestParts() >= 4, "expected one manifest part per commit")
+    val ckpt = java.nio.file.Files.createTempDirectory("gmcck").toString
+    val (q, name) = sinkOf(dir, ckpt)
+    try {
+      q.processAllAvailable()
+      val before = spark.table(name).count()
+      val rowsBefore = spark.read.parquet(s"$dir/_manifest")
+        .orderBy("epoch", "file").collect().toSeq
+      val epochBefore = GeoParquet.readEpoch(spark, dir)
+      GeoParquet.compactManifest(spark, dir)
+      // identical rows, single part, NO history reset: epoch and
+      // manifest freshness untouched
+      assert(manifestParts() == 1, "coalesce left multiple parts")
+      assert(spark.read.parquet(s"$dir/_manifest")
+        .orderBy("epoch", "file").collect().toSeq == rowsBefore,
+        "coalesce changed manifest rows")
+      assert(GeoParquet.readEpoch(spark, dir) == epochBefore,
+        "metadata compaction must not advance the commit epoch")
+      // the checkpointed stream continues across the coalesce — no
+      // restart error, and the next live commit arrives exactly once
+      GeoParquet.appendWithManifest(batch(400 until 420), dir, 250.0)
+      q.processAllAvailable()
+      assert(spark.table(name).count() == before + 20,
+        "stream lost or re-delivered rows across the manifest coalesce")
+      // pruned reads stay pruned (freshness survived the swap)
+      spark.read.format("graft").load(dir)
+        .where("x >= 0 AND x < 200 AND y >= 0 AND y < 200").collect()
+      assert(graft.sources.v2.GraftSource.lastPlannedFiles.get(dir).size <
+        spark.read.parquet(dir).inputFiles.length)
+    } finally q.stop()
+  }
+
+  test("rollback invalidates checkpointed streams loudly; a fresh stream re-delivers the standing corpus") {
+    val dir = freshLayout() // epochs 0..2
+    val ckpt = java.nio.file.Files.createTempDirectory("grbck").toString
+    val out = java.nio.file.Files.createTempDirectory("grbout").toString
+    // a FILE sink (memory sinks refuse checkpoint recovery): consume
+    // everything, checkpoint past epoch 2, stop
+    def fileSink() = spark.readStream.format("graft").load(dir)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    val q = fileSink()
+    try q.processAllAvailable() finally q.stop()
+    // undo epoch 2, then commit fresh data: the old consumer's
+    // delivered rows were un-done — it must NOT silently continue
+    GeoParquet.rollbackTo(spark, dir, 1L)
+    GeoParquet.appendWithManifest(batch(400 until 420), dir, 250.0)
+    val q2 = fileSink() // resume from the same checkpoint
+    val ex = intercept[Exception] { q2.processAllAvailable() }
+    try {
+      def msgs(t: Throwable): String =
+        if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
+      assert(msgs(ex).contains("fresh checkpoint"),
+        s"stale consumer must fail with the restart instruction: ${msgs(ex)}")
+    } finally q2.stop()
+    // a fresh checkpoint re-delivers the rolled-back standing corpus
+    // plus the new commit, exactly once
+    val ckpt2 = java.nio.file.Files.createTempDirectory("grbck2").toString
+    val (q3, name3) = sinkOf(dir, ckpt2)
+    try {
+      q3.processAllAvailable()
+      val ids = spark.table(name3).select("id").as[Long].collect().sorted
+      assert(ids.toSeq ==
+        ((0L until 40L) ++ (100L until 140L) ++ (400L until 420L)),
+        "fresh stream after rollback lost or duplicated rows")
+    } finally q3.stop()
+  }
+
   test("sink crash-injection: a marker-carrying commit interrupted at any point replays exactly once") {
     // The sink's replay barrier is atomic with the data: the marker is
     // stamped INSIDE the append's locked commit, journaled by an

@@ -175,14 +175,30 @@ class SqlAggPushdownSpec extends SparkSpec {
     GeoParquet.write(pts, dir, 250.0)
     GeoParquet.writeManifest(spark, dir)
     face(dir, "aggres")
+    // string EQUALITY is exact-evaluated (UTF8 binary order, Spark's
+    // default collation): the aggregation pushes; with no per-file
+    // tag stats in the manifest nothing is certified interior, so
+    // every candidate file scans — correct counts, via the fold
+    GraftSource.lastAggPlan.remove(dir)
     val sql = spark.sql(
       "SELECT count(*) AS n FROM aggres WHERE x >= 0 AND tag = 'keep'")
-    assert(!scanOf(sql).isInstanceOf[GraftAggScan],
-      "string equality is residual; aggregates must not push over it")
-    assert(scanOf(sql).isInstanceOf[GraftScan])
+    assert(scanOf(sql).isInstanceOf[GraftAggScan],
+      "string equality is exact; aggregates must push over it")
     val want = spark.read.parquet(dir)
       .filter($"x" >= 0 && $"tag" === "keep").agg(count("*").as("n"))
     assert(sql.collect().toSeq == want.collect().toSeq)
+    val (answered, scanned) = GraftSource.lastAggPlan.get(dir)
+    assert(answered == 0 && scanned > 0,
+      s"no tag stats exist — a 'contained' certification ($answered) is unsound")
+    // a shape the evaluator genuinely cannot handle (infix LIKE →
+    // StringContains) stays residual and DISABLES the pushdown —
+    // Spark re-filters, correctness unaffected
+    val res = spark.sql(
+      "SELECT count(*) AS n FROM aggres WHERE x >= 0 AND tag LIKE '%ee%'")
+    assert(!scanOf(res).isInstanceOf[GraftAggScan],
+      "StringContains is residual; aggregates must not push over it")
+    assert(scanOf(res).isInstanceOf[GraftScan])
+    assert(res.collect().toSeq == want.collect().toSeq)
   }
 
   test("COUNT stays manifest-answered UNDER pending merge-on-read deletes") {
