@@ -1519,6 +1519,153 @@ object GeoOps {
        |       CASE WHEN id >= 1000 AND id < 3000 THEN z + 250.0 ELSE z END AS z
        |FROM pts ORDER BY sid""".stripMargin
 
+  // --- 61z27. COMPOSITE (tenant, id) cluster key: keyed MERGE ---
+  /** [[upsertKeyedQ]] over a TWO-column cluster key — the
+    * multi-tenant CDC shape: rows cluster on `struct(tenant, id)`
+    * (lexicographic order = the multi-column sort), the manifest's
+    * [k0,k1] become struct-typed key ranges, and the merge's
+    * doomed-address lookup prunes on them with leading-prefix
+    * semantics.  The CASE oracle hash-match proves a one-tenant id
+    * band replaced exactly once while every other tenant's copy of
+    * the same ids is untouched — the discriminating property a
+    * single-column key cannot express.
+    */
+  def upsertKeyed2(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("upsk2").toString
+    val p = pts(s, dir).select(
+      concat(lit("T"), (col("id") % 7).cast("string")).as("tenant"),
+      col("id"), col("z"))
+    graft.sources.GeoParquet.writeKeyed(p, path, Seq("tenant", "id"),
+      nFiles = 14)
+    graft.sources.GeoParquet.upsertKeyed(
+      p.filter(col("tenant") === "T3" &&
+          col("id") >= 1000 && col("id") < 3000)
+        .withColumn("z", col("z") + 250.0),
+      path, Seq("tenant", "id"), nFiles = 1)
+    graft.sources.GeoParquet.readMerged(s, path)
+      .select("tenant", "id", "z")
+      .orderBy("tenant", "id")
+  }
+
+  val upsertKeyed2Sql: String =
+    s"""WITH pts AS ($P)
+       |SELECT 'T' || CAST(id % 7 AS VARCHAR) AS tenant, id,
+       |       CASE WHEN id % 7 = 3 AND id >= 1000 AND id < 3000
+       |            THEN z + 250.0 ELSE z END AS z
+       |FROM pts ORDER BY tenant, id""".stripMargin
+
+  // --- 61z28. COMPOSITE key point/band lookup through the SQL face ---
+  /** [[sqlKeyProbe]]'s two-column sibling: `tenant = 'T3' AND id ∈
+    * [band)` over a (tenant, id)-clustered layout — the leading
+    * tenant predicate prunes unconditionally on the struct [k0,k1]'s
+    * first field, and the id band refines on files constant in
+    * tenant ([[graft.sources.GeoParquet.compositeKeyRangeCond]]).
+    * The in-query assertion pins pruned < total; the oracle is the
+    * plain band select.
+    */
+  def sqlKeyProbe2(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("sqlkeyq2").toString
+    val p = pts(s, dir).select(
+      concat(lit("T"), (col("id") % 7).cast("string")).as("tenant"),
+      col("id"), col("z"))
+    graft.sources.GeoParquet.writeKeyed(p, path, Seq("tenant", "id"),
+      nFiles = 16)
+    s.read.format("graft").load(path)
+      .createOrReplaceTempView("graft_sql_key2")
+    val out = s.sql("""SELECT tenant, id, z FROM graft_sql_key2
+        |WHERE tenant = 'T3' AND id >= 100 AND id < 3000
+        |ORDER BY id""".stripMargin)
+    out.collect() // force planning for the shape assertion
+    val planned =
+      graft.sources.v2.GraftSource.lastPlannedFiles.get(path).size
+    val total = s.read.parquet(s"$path/_manifest").count()
+    require(planned < total,
+      s"composite key probe planned $planned of $total files — the " +
+        "struct [k0,k1] leading-prefix prune did not fire")
+    out
+  }
+
+  val sqlKeyProbe2Sql: String =
+    s"""WITH pts AS ($P)
+       |SELECT 'T' || CAST(id % 7 AS VARCHAR) AS tenant, id, z
+       |FROM pts
+       |WHERE id % 7 = 3 AND id >= 100 AND id < 3000
+       |ORDER BY id""".stripMargin
+
+  // --- 61z29. rollback_to: the present restored to a pinned commit ---
+  /** The "undo the bad commit" lifecycle as an oracle query: seed
+    * (even ids), commit a good append (odd ids), commit a BAD batch
+    * (ids shifted out of range), roll back to the good epoch through
+    * the catalog procedure, and read the present by name.  The oracle
+    * is the union of the two surviving commits: a rollback that
+    * leaks the bad batch, loses good files, or breaks the manifest
+    * hash-mismatches.
+    */
+  def sqlRollback(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("sqlrb").toString
+    val path = s"$wh/geo/rb"
+    val p = pts(s, dir).select("id", "x", "y", "z")
+    graft.sources.GeoParquet.write(p.filter(col("id") % 2 === 0), path, 250.0)
+    graft.sources.GeoParquet.writeManifest(s, path)                  // 0
+    graft.sources.GeoParquet.appendWithManifest(
+      p.filter(col("id") % 2 === 1), path, 250.0)                    // 1
+    graft.sources.GeoParquet.appendWithManifest(
+      p.select((col("id") + 10000000L).as("id"),
+        col("x"), col("y"), (col("z") * -1).as("z")), path, 250.0)   // 2: bad
+    s.conf.set("spark.sql.catalog.graft_rb",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_rb.warehouse", wh)
+    s.sql("CALL graft_rb.system.rollback_to('geo.rb', 1)").collect()
+    s.sql("""SELECT id, x, y, z FROM graft_rb.geo.rb
+            |WHERE x >= -230 AND x < 480 AND y >= -470 AND y < 230
+            |ORDER BY id""".stripMargin)
+  }
+
+  val sqlRollbackSql: String =
+    s"""WITH pts AS ($P)
+       |SELECT id, x, y, z FROM pts
+       |WHERE x >= -230 AND x < 480 AND y >= -470 AND y < 230
+       |ORDER BY id""".stripMargin
+
+  // --- 61z30. manifest coalesce: metadata compaction is invisible ---
+  /** [[graft.sources.GeoParquet.compactManifest]] as an oracle query:
+    * three commits (three manifest parts), coalesce to one part, box
+    * query through the SQL face.  The oracle is the plain box select
+    * over all three batches — a coalesce that loses manifest rows,
+    * re-stamps epochs, or breaks freshness hash-mismatches (and the
+    * in-query assertion pins parts == 1 and reads still pruned).
+    */
+  def sqlCoalesce(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("sqlco").toString
+    val p = pts(s, dir).select("id", "x", "y", "z")
+    graft.sources.GeoParquet.write(p.filter(col("id") % 3 === 0), path, 250.0)
+    graft.sources.GeoParquet.writeManifest(s, path)
+    graft.sources.GeoParquet.appendWithManifest(
+      p.filter(col("id") % 3 === 1), path, 250.0)
+    graft.sources.GeoParquet.appendWithManifest(
+      p.filter(col("id") % 3 === 2), path, 250.0)
+    graft.sources.GeoParquet.compactManifest(s, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$path/_manifest"))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    require(parts == 1, s"manifest coalesce left $parts parts")
+    s.read.format("graft").load(path)
+      .createOrReplaceTempView("graft_sql_coalesce")
+    val out = s.sql("""SELECT id, x, y, z FROM graft_sql_coalesce
+        |WHERE x >= -230 AND x < 480 AND y >= -470 AND y < 230
+        |ORDER BY id""".stripMargin)
+    out.collect() // force planning for the shape assertion
+    val planned =
+      graft.sources.v2.GraftSource.lastPlannedFiles.get(path).size
+    require(planned < s.read.parquet(path).inputFiles.length,
+      "reads lost pruning across the manifest coalesce")
+    out
+  }
+
+  val sqlCoalesceSql: String = sqlRollbackSql
+
   // --- 61r. incremental consumption: only the batches since a checkpoint ---
   /** Seed (ids ≡ 0 mod 3) at epoch 0, append two batches (epochs 1,
     * 2), then read the changes since epoch 0 — exactly the two
@@ -1649,7 +1796,11 @@ object GeoOps {
     "q_upsert_box"      -> (upsertBox _),
     "q_upsert_pos"      -> (upsertPosBox _),
     "q_upsert_keyed"    -> (upsertKeyedQ _),
+    "q_upsert_keyed2"   -> (upsertKeyed2 _),
     "q_upsert_str"      -> (upsertStr _),
+    "q_sql_key_probe2"  -> (sqlKeyProbe2 _),
+    "q_sql_rollback"    -> (sqlRollback _),
+    "q_sql_coalesce"    -> (sqlCoalesce _),
     "q_schema_evolve"   -> (schemaEvolve _),
     "q_incr_agg"        -> (incrAgg _),
     "q_id_probe"        -> (idProbe _),
@@ -1704,7 +1855,11 @@ object GeoOps {
     "q_upsert_box"      -> upsertBoxSql,
     "q_upsert_pos"      -> upsertPosBoxSql,
     "q_upsert_keyed"    -> upsertKeyedSql,
+    "q_upsert_keyed2"   -> upsertKeyed2Sql,
     "q_upsert_str"      -> upsertStrSql,
+    "q_sql_key_probe2"  -> sqlKeyProbe2Sql,
+    "q_sql_rollback"    -> sqlRollbackSql,
+    "q_sql_coalesce"    -> sqlCoalesceSql,
     "q_schema_evolve"   -> schemaEvolveSql,
     "q_incr_agg"        -> incrAggSql,
     "q_id_probe"        -> idProbeSql,

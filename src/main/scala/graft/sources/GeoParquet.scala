@@ -1538,10 +1538,37 @@ object GeoParquet {
     recordKeyCol(df.sparkSession, path, keyCol)
   }
 
+  /** [[writeKeyed]] for a COMPOSITE (multi-column) cluster key — the
+    * (tenant, id) CDC shape: rows range-partitioned and sorted on
+    * `struct(keyCols…)`, whose lexicographic order IS the
+    * multi-column sort order, so the manifest's [k0,k1] become
+    * struct-typed lexicographic key ranges.  All single-key contracts
+    * carry over: [[upsertKeyed]]'s composite overload prunes its
+    * doomed-address lookup to the overlapping files, and the SQL
+    * face translates per-column key predicates into the leading-
+    * prefix manifest prune ([[compositeKeyRangeCond]]).
+    */
+  def writeKeyed(df: DataFrame, path: String, keyCols: Seq[String],
+                 nFiles: Int): Unit = {
+    require(keyCols.nonEmpty, "writeKeyed needs at least one key column")
+    if (keyCols.length == 1) writeKeyed(df, path, keyCols.head, nFiles)
+    else {
+      keyCols.foreach(requireOrderableKey(df, _))
+      df.withColumn("zkey", struct(keyCols.map(col): _*))
+        .repartitionByRange(nFiles, col("zkey"))
+        .sortWithinPartitions("zkey")
+        .write.mode("overwrite").parquet(path)
+      writeManifest(df.sparkSession, path)
+      recordKeyCol(df.sparkSession, path, keyCols.mkString(","))
+    }
+  }
+
   /** The data column a [[writeKeyed]] layout clusters on (mirrored
     * into `zkey` → manifest [k0,k1]).  None for spatial/curve layouts
     * and pre-sidecar keyed layouts (which then read unpruned by key —
-    * correct, slower).
+    * correct, slower).  A COMPOSITE key records its columns
+    * comma-joined — single-key consumers must go through
+    * [[keyColsOf]] or treat a comma-bearing value as "not my shape".
     */
   private[graft] def keyColOf(spark: SparkSession,
                               path: String): Option[String] = {
@@ -1549,6 +1576,32 @@ object GeoParquet {
     if (fsOf(spark, path).exists(p)) Some(readTextFile(spark, p.toString))
     else None
   }
+
+  /** The recorded cluster-key columns, in key order (empty = not a
+    * keyed layout).
+    */
+  private[graft] def keyColsOf(spark: SparkSession,
+                               path: String): Seq[String] =
+    keyColOf(spark, path)
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
+
+  /** The same key-type refusal [[upsertKeyed]] applies: integral and
+    * string columns have a total order that the manifest min/max
+    * stats and every compare site agree on; other types refuse.
+    */
+  private def requireOrderableKey(df: DataFrame, keyCol: String): Unit =
+    df.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.StringType => ()
+      case other => throw new IllegalArgumentException(
+        s"keyed layouts require integral or string key columns; " +
+          s"'$keyCol' is ${other.simpleString} — " +
+          "hash or dictionary-encode other key types first")
+    }
 
   private def recordKeyCol(spark: SparkSession, path: String,
                            c: String): Unit =
@@ -1617,6 +1670,50 @@ object GeoParquet {
     appendCurve(df.withColumn("zkey", col(keyCol)), path,
       delta = 1.0 /* unused when preKeyed */, nFiles, preKeyed = true,
       mergeDir = mergeDir)
+  }
+
+  /** [[upsertKeyed]] for a COMPOSITE key ([[writeKeyed]]'s Seq
+    * overload): identical protocol with `struct(keyCols…)` as the
+    * cluster key — the file prune is the same broadcast range
+    * semi-join (struct comparisons are the lexicographic multi-column
+    * order), the doomed-address lookup joins on ALL key columns, and
+    * the batch appends preKeyed.
+    */
+  def upsertKeyed(df: DataFrame, path: String, keyCols: Seq[String],
+                  nFiles: Int): Unit = {
+    require(keyCols.nonEmpty, "upsertKeyed needs at least one key column")
+    if (keyCols.length == 1) upsertKeyed(df, path, keyCols.head, nFiles)
+    else {
+      val spark = df.sparkSession
+      keyCols.foreach(requireOrderableKey(df, _))
+      adoptStagedMerges(spark, path)
+      require(manifestFresh(spark, path, verify = false),
+        s"$path: manifest is stale (an append crashed mid-commit or an " +
+          "out-of-band write bumped the epoch); run writeManifest " +
+          "before merging")
+      val root = rootPathOf(spark, path)
+      val kExpr = struct(keyCols.map(col): _*)
+      val keys = df.select(kExpr.as("k")).distinct()
+      val files = spark.read.parquet(s"$path/_manifest")
+        .join(broadcast(keys),
+          col("k").between(col("k0"), col("k1")), "leftsemi")
+        .select("file").collect().map(r => s"$path/${r.getString(0)}")
+      val doomed = files.headOption.map { _ =>
+        readerFor(spark, path, flat = true).parquet(files.toIndexedSeq: _*)
+          .select(keyCols.map(col) :+
+            relativeTo(root)(col("_metadata.file_path")).as("file") :+
+            col("_metadata.row_index").as("pos"): _*)
+          .join(df.select(keyCols.map(col): _*).distinct(),
+            keyCols, "leftsemi")
+          .select("file", "pos")
+          .localCheckpoint() // pin BEFORE the append
+      }
+      val mergeDir = doomed.filter(!_.isEmpty)
+        .map(stageMerge(spark, path, _))
+      appendCurve(df.withColumn("zkey", kExpr), path,
+        delta = 1.0 /* unused when preKeyed */, nFiles, preKeyed = true,
+        mergeDir = mergeDir)
+    }
   }
 
   /** O(batch) MERGE/upsert via POSITIONAL deletes — the shape
@@ -1770,12 +1867,15 @@ object GeoParquet {
   private[graft] def planFilesFor(spark: SparkSession, path: String,
                                   bounds: Seq[(String, Double, Double)],
                                   kRange: Option[(Option[Any], Option[Any])] =
-                                    None)
+                                    None,
+                                  kComposite: Seq[(String,
+                                    (Option[Any], Option[Any]))] = Nil)
       : Seq[String] = {
     if (!manifestFresh(spark, path, verify = false))
       return listDataFiles(spark, path)
     val m = spark.read.parquet(s"$path/_manifest")
-    m.filter(manifestBoundsCond(m, bounds) && keyRangeCond(m, kRange))
+    m.filter(manifestBoundsCond(m, bounds) && keyRangeCond(m, kRange) &&
+        compositeKeyRangeCond(m, kComposite))
       .select("file").collect()
       .map(r => s"$path/${r.getString(0)}").toSeq
   }
@@ -1796,6 +1896,44 @@ object GeoParquet {
             .getOrElse(lit(true))
       }
       .getOrElse(lit(true))
+
+  /** Manifest [k0,k1] intersection for a COMPOSITE cluster key —
+    * struct-typed k0/k1 in lexicographic key order.  Leading-prefix
+    * semantics: the first key column's range applies to every file
+    * unconditionally (the struct sort makes k0.f0/k1.f0 the file's
+    * true leading-field run); a LATER column's range is only sound on
+    * files that are CONSTANT on all earlier columns with each earlier
+    * range pinned to a point — on any other file, interior rows can
+    * take every value of the later column regardless of its endpoint
+    * stats.  Null stats and missing fields prune nothing (open).
+    */
+  private[graft] def compositeKeyRangeCond(m: DataFrame,
+      ranges: Seq[(String, (Option[Any], Option[Any]))])
+      : org.apache.spark.sql.Column =
+    if (ranges.isEmpty || !m.columns.contains("k0") ||
+        ranges.forall(r => r._2._1.isEmpty && r._2._2.isEmpty)) lit(true)
+    else m.schema("k0").dataType match {
+      case st: org.apache.spark.sql.types.StructType
+          if ranges.forall(r => st.fieldNames.contains(r._1)) =>
+        var cond: org.apache.spark.sql.Column = lit(true)
+        var gate: org.apache.spark.sql.Column = lit(true)
+        ranges.foreach { case (f, (lo, hi)) =>
+          val f0 = col("k0").getField(f)
+          val f1 = col("k1").getField(f)
+          val c = lo.map(v => f1.isNull || f1 >= lit(v))
+              .getOrElse(lit(true)) &&
+            hi.map(v => f0.isNull || f0 <= lit(v)).getOrElse(lit(true))
+          cond = cond && when(gate, c).otherwise(lit(true))
+          val pinned = (lo, hi) match {
+            case (Some(a), Some(b)) if a == b => lit(true)
+            case _ => lit(false)
+          }
+          gate = gate && f0.isNotNull && f1.isNotNull && (f0 === f1) &&
+            pinned
+        }
+        cond
+      case _ => lit(true) // single-key or pre-composite manifest: no-op
+    }
 
   /** Envelope-intersection condition over manifest rows for per-column
     * [lo,hi] bounds — null stats mean "unknown, must open"; a bound on
@@ -1846,9 +1984,12 @@ object GeoParquet {
     */
   private[graft] def planFilesAsOf(spark: SparkSession, path: String,
       bounds: Seq[(String, Double, Double)], asOfEpoch: Long,
-      kRange: Option[(Option[Any], Option[Any])] = None): Seq[String] = {
+      kRange: Option[(Option[Any], Option[Any])] = None,
+      kComposite: Seq[(String, (Option[Any], Option[Any]))] = Nil)
+      : Seq[String] = {
     val m = manifestAsOf(spark, path, asOfEpoch)
-    m.filter(manifestBoundsCond(m, bounds) && keyRangeCond(m, kRange))
+    m.filter(manifestBoundsCond(m, bounds) && keyRangeCond(m, kRange) &&
+        compositeKeyRangeCond(m, kComposite))
       .select("file").collect()
       .map(r => s"$path/${r.getString(0)}").toSeq
   }
@@ -2979,23 +3120,25 @@ object GeoParquet {
         require(df.columns.contains(keyCol),
           s"preKeyed append without a $keyCol column")
         df
-      } else keyColOf(spark, path) match {
-        case Some(dataKey) =>
-          // a writeKeyed layout's cluster key MIRRORS a data column —
+      } else keyColsOf(spark, path) match {
+        case dataKeys if dataKeys.nonEmpty =>
+          // a writeKeyed layout's cluster key MIRRORS data column(s) —
           // recomputing it as a spatial curve key here (the generic
           // non-preKeyed path the SQL INSERT and the streaming sink
           // dispatch through) would land files whose manifest [k0,k1]
           // are curve keys while `_keycol` still names the data key,
           // and key-predicate file pruning would silently skip files
           // holding matching rows.  Maintain the write-side invariant
-          // instead: mirror the recorded key, exactly as writeKeyed /
-          // upsertKeyed do.
-          require(df.columns.contains(dataKey),
-            s"$path clusters on data column '$dataKey' (_keycol) but " +
-              "the appended batch lacks it — keyed layouts cannot " +
-              "accept batches without their cluster key")
-          df.withColumn(keyCol, col(dataKey))
-        case None =>
+          // instead: mirror the recorded key (single column or the
+          // composite struct), exactly as writeKeyed / upsertKeyed do.
+          dataKeys.foreach(k => require(df.columns.contains(k),
+            s"$path clusters on data column '$k' (_keycol) but the " +
+              "appended batch lacks it — keyed layouts cannot accept " +
+              "batches without their cluster key"))
+          df.withColumn(keyCol,
+            if (dataKeys.length == 1) col(dataKeys.head)
+            else struct(dataKeys.map(col): _*))
+        case _ =>
           if (keyCol == "zkey")
             df.withColumn("zkey", graft.functions.ZOrder.zkey(
               GeoOps.cellOf(col("x"), delta), GeoOps.cellOf(col("y"), delta)))

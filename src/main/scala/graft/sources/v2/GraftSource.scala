@@ -325,14 +325,20 @@ final class GraftWriteBuilder(path: String, info: LogicalWriteInfo)
             s"graft:$path is append-only through the SQL face — " +
               "compact/rewrite via the API instead")
           val spark = data.sparkSession
-          val delta = Option(info.options.get("delta")).map(_.toDouble)
+          // a KEYED layout clusters on its recorded data column(s) —
+          // the batch's key is mirrored from _keycol, so no spatial
+          // bin size is involved at all
+          lazy val delta = Option(info.options.get("delta"))
+            .map(_.toDouble)
             .orElse(GeoParquet.deltaOf(spark, path))
             .getOrElse(throw new IllegalArgumentException(
               s"$path records no bin size (pre-sidecar layout) — pass " +
                 ".option(\"delta\", <binSize>)"))
-          if (GeoParquet.isCurveLayout(spark, path))
-            GeoParquet.appendCurve(data, path, delta)
-          else
+          if (GeoParquet.isCurveLayout(spark, path)) {
+            val d = if (GeoParquet.keyColsOf(spark, path).nonEmpty) 1.0
+              else delta
+            GeoParquet.appendCurve(data, path, d)
+          } else
             GeoParquet.appendWithManifest(data, path, delta)
         }
       }
@@ -865,14 +871,26 @@ final class GraftScan(path: String, dataSchema: StructType,
     // it instead of the corpus
     // runtime (join-driven) In filters on the key column tighten the
     // range too — the broadcast-dim CDC lookup plans to the keys'
-    // [min,max] file span
-    val kRange = GeoParquet.keyColOf(spark, path)
-      .flatMap(kc => GraftScan.keyRangeOf(kc, allFilters ++ rt))
+    // [min,max] file span.  COMPOSITE keys ((tenant, id) CDC shape)
+    // prune through the struct-typed [k0,k1] with leading-prefix
+    // semantics ([[GeoParquet.compositeKeyRangeCond]]).
+    val kCols = GeoParquet.keyColsOf(spark, path)
+    val kRange =
+      if (kCols.length == 1)
+        GraftScan.keyRangeOf(kCols.head, allFilters ++ rt)
+      else None
+    val kComposite =
+      if (kCols.length > 1)
+        kCols.map(kc => kc -> GraftScan.keyRangeOf(kc, allFilters ++ rt)
+          .getOrElse((None: Option[Any], None: Option[Any])))
+      else Nil
     val base = snapshot match {
       case Some(e) =>
-        GeoParquet.planFilesAsOf(spark, path, bounds ++ rtBounds, e, kRange)
+        GeoParquet.planFilesAsOf(spark, path, bounds ++ rtBounds, e,
+          kRange, kComposite)
       case None =>
-        GeoParquet.planFilesFor(spark, path, bounds ++ rtBounds, kRange)
+        GeoParquet.planFilesFor(spark, path, bounds ++ rtBounds,
+          kRange, kComposite)
     }
     // ...and probe the manifest membership filters where declared:
     // only files that might contain one of the join keys stay
@@ -1462,10 +1480,22 @@ final class GraftAggScan(path: String, dataSchema: StructType,
     // comparisons are exact since ExactFilters grew UTF8 support), and
     // the key column's per-file stats live under k0/k1/kn — the
     // `_keycol` mirror — not under its own name (statName below).
-    val kcOpt = GeoParquet.keyColOf(spark, path)
-    val kRange = kcOpt.flatMap(kc => GraftScan.keyRangeOf(kc, exact))
+    val kCols = GeoParquet.keyColsOf(spark, path)
+    val kRange =
+      if (kCols.length == 1) GraftScan.keyRangeOf(kCols.head, exact)
+      else None
+    // composite keys prune through the struct [k0,k1] (leading-prefix
+    // semantics); their per-column containment stays off — struct
+    // endpoint stats cannot certify a per-column interval on files
+    // spanning several leading values, and statName's k-mapping is
+    // single-key only, so lookups miss and the file scans (sound)
+    val kComposite =
+      if (kCols.length > 1)
+        kCols.map(kc => kc -> GraftScan.keyRangeOf(kc, exact)
+          .getOrElse((None: Option[Any], None: Option[Any])))
+      else Nil
     def statName(c: String, suf: String): String =
-      if (kcOpt.contains(c)) s"k$suf" else s"$c$suf"
+      if (kCols.length == 1 && kCols.head == c) s"k$suf" else s"$c$suf"
 
     // meta partials accumulate across manifest-answered files
     val meta: Array[Any] = aggCols.map {
@@ -1495,7 +1525,8 @@ final class GraftAggScan(path: String, dataSchema: StructType,
             "fallback; run writeManifest first")
       case None =>
         // stale/missing manifest: full listing, everything scans
-        val fs = GeoParquet.planFilesFor(spark, path, bounds, kRange)
+        val fs = GeoParquet.planFilesFor(spark, path, bounds, kRange,
+          kComposite)
         GraftSource.lastAggPlan.put(path, (0, fs.size))
         fs.map(f => (f, GeoParquet.relDataPath(spark, path, f)))
       case Some(m) =>
@@ -1519,7 +1550,8 @@ final class GraftAggScan(path: String, dataSchema: StructType,
           .flatMap(c => Seq(statName(c, "0"), statName(c, "1"),
             statName(c, "n")))
           .filter(m.columns.contains)
-        val rows = m.filter(intersect && GeoParquet.keyRangeCond(m, kRange))
+        val rows = m.filter(intersect && GeoParquet.keyRangeCond(m, kRange) &&
+            GeoParquet.compositeKeyRangeCond(m, kComposite))
           .select(("file" +: "n_rows" +: statCols).distinct.map(col): _*)
           .collect()
         val cols = if (rows.isEmpty) Map.empty[String, Int]

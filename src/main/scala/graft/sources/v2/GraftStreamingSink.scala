@@ -74,14 +74,16 @@ final class GraftStreamingWrite(path: String, info: LogicalWriteInfo)
       val df = spark.read
         .schema(DataType.fromJson(schemaJson).asInstanceOf[StructType])
         .parquet(files.toIndexedSeq: _*)
-      val delta = Option(info.options.get("delta")).map(_.toDouble)
+      // keyed layouts mirror their recorded data key — no bin size
+      lazy val delta = Option(info.options.get("delta")).map(_.toDouble)
         .orElse(GeoParquet.deltaOf(spark, path))
         .getOrElse(throw new IllegalArgumentException(
           s"$path records no bin size — pass .option(\"delta\", <binSize>)"))
       // the marker lands inside the append's locked commit — replay
       // detection is atomic with the data (class note)
       if (GeoParquet.isCurveLayout(spark, path))
-        GeoParquet.appendCurve(df, path, delta,
+        GeoParquet.appendCurve(df, path,
+          if (GeoParquet.keyColsOf(spark, path).nonEmpty) 1.0 else delta,
           commitMarker = Some(marker))
       else
         GeoParquet.appendWithManifest(df, path, delta,

@@ -477,6 +477,103 @@ class DeleteSpec extends SparkSpec {
     assert(rows.length == nPre && rows.forall(_.getString(0).startsWith(prefix)))
   }
 
+  test("generic append into a keyed layout mirrors the data key — pruning stays sound") {
+    // regression: the SQL INSERT / streaming-sink dispatch reaches
+    // appendCurve with preKeyed=false; recomputing zkey as a SPATIAL
+    // curve key there (the pre-fix behavior, reachable because this
+    // layout also carries x/y) would land files whose manifest
+    // [k0,k1] are curve keys while _keycol still names the data key —
+    // and the point lookup below would silently prune the row away.
+    val dir = java.nio.file.Files.createTempDirectory("keymirror").toString
+    val base = p.select(
+      concat(lit("K"), lpad($"id".cast("string"), 8, "0")).as("sid"),
+      $"x", $"y", $"z")
+    GeoParquet.writeKeyed(base, dir, "sid", nFiles = 8)
+    // a generic v2 append (the SQL INSERT path) of a brand-new key
+    val extra = Seq(("K99999999", 1.0, 2.0, 3.0))
+      .toDF("sid", "x", "y", "z")
+    extra.write.format("graft").mode("append").save(dir)
+    // the manifest row for the appended file must carry STRING key
+    // stats covering the new key
+    val m = spark.read.parquet(s"$dir/_manifest")
+    assert(m.schema("k0").dataType ==
+      org.apache.spark.sql.types.StringType,
+      "appended manifest stats are not string-typed key ranges")
+    assert(m.filter($"k0" <= "K99999999" && $"k1" >= "K99999999").count() >= 1,
+      "no manifest row covers the appended key — zkey was not mirrored")
+    // and the pruned point lookup FINDS the appended row
+    spark.read.format("graft").load(dir).createOrReplaceTempView("keymirror")
+    val got = spark.sql(
+      "SELECT sid, z FROM keymirror WHERE sid = 'K99999999'").collect()
+    assert(got.length == 1 && got(0).getDouble(1) == 3.0,
+      "key-pruned lookup lost the generically-appended row")
+    // a batch lacking the key column: Spark's insert resolution
+    // null-fills it (AUTOMATIC_SCHEMA_EVOLUTION) — the file lands
+    // with NULL key stats, which prune nothing ("unknown, must
+    // open"), so keyed lookups stay sound and the row is reachable
+    Seq((9.0, 9.0, 9.0)).toDF("x", "y", "z")
+      .write.format("graft").mode("append").save(dir)
+    val m2 = spark.read.parquet(s"$dir/_manifest")
+    assert(m2.filter($"k0".isNull).count() >= 1,
+      "null-keyed batch must land with null key stats")
+    assert(spark.sql(
+      "SELECT sid, z FROM keymirror WHERE sid = 'K99999999'")
+      .collect().length == 1,
+      "key lookup broke after a null-keyed append")
+    assert(spark.read.format("graft").load(dir)
+      .filter($"sid".isNull).count() == 1,
+      "null-keyed row unreachable")
+  }
+
+  test("composite (tenant,id) cluster key: SQL prune fires, upsert prunes, merged read exact") {
+    val dir = java.nio.file.Files.createTempDirectory("sqlkey2").toString
+    val base = p.select(
+      concat(lit("T"), ($"id" % 7).cast("string")).as("tenant"),
+      $"id", $"z")
+    GeoParquet.writeKeyed(base, dir, Seq("tenant", "id"), nFiles = 14)
+    val total = spark.read.parquet(s"$dir/_manifest").count()
+    // struct-typed k0/k1 landed with kn
+    val mSchema = spark.read.parquet(s"$dir/_manifest").schema
+    assert(mSchema("k0").dataType.isInstanceOf[
+      org.apache.spark.sql.types.StructType], "composite key stats must be structs")
+    // SQL point+band lookup: tenant pinned, id banded — leading-prefix
+    // prune plus the id refinement on single-tenant files
+    spark.read.format("graft").load(dir).createOrReplaceTempView("ck")
+    val got = spark.sql(
+      "SELECT tenant, id, z FROM ck WHERE tenant = 'T3' AND id >= 100 AND id < 3000 ORDER BY id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val want = base.filter($"tenant" === "T3" && $"id" >= 100 && $"id" < 3000)
+      .orderBy("id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == want.toSeq && got.nonEmpty)
+    val planned = graft.sources.v2.GraftSource.lastPlannedFiles.get(dir).size
+    assert(planned < total,
+      s"composite key probe planned $planned of $total files")
+    // count(*) over the same band: pruned agg plan, exact answer
+    graft.sources.v2.GraftSource.lastAggPlan.remove(dir)
+    val n = spark.sql(
+      "SELECT count(*) AS n FROM ck WHERE tenant = 'T3' AND id >= 100 AND id < 3000")
+      .collect()(0).getLong(0)
+    assert(n == want.length.toLong)
+    val (answered, scanned) = graft.sources.v2.GraftSource.lastAggPlan.get(dir)
+    assert(answered + scanned < total,
+      s"composite key count planned $answered+$scanned of $total files")
+    // composite upsert: a narrow (tenant, id band) replacement
+    GeoParquet.upsertKeyed(
+      base.filter($"tenant" === "T3" && $"id" >= 100 && $"id" < 3000)
+        .withColumn("z", $"z" + 1000.0),
+      dir, Seq("tenant", "id"), nFiles = 1)
+    val merged = GeoParquet.readMerged(spark, dir)
+    assert(merged.count() == base.count(), "composite upsert changed row count")
+    val wantZ = base.select($"tenant", $"id",
+      when($"tenant" === "T3" && $"id" >= 100 && $"id" < 3000, $"z" + 1000.0)
+        .otherwise($"z").as("z"))
+    assert(merged.select("tenant", "id", "z")
+      .exceptAll(wantZ).count() == 0 &&
+      wantZ.exceptAll(merged.select("tenant", "id", "z")).count() == 0,
+      "composite upsert merged state diverged")
+  }
+
   test("upsertKeyed refuses unordered key types (float keys)") {
     val dir = java.nio.file.Files.createTempDirectory("upflt").toString
     val base = p.select(($"id" + 0.5).as("fid"), $"z")
