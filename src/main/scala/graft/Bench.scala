@@ -93,7 +93,10 @@ object Bench {
         // cache credit), and cached blocks don't accumulate over the run
         graft.core.CacheBag.releaseAll()
         // a failed query records -1, not a suspiciously fast success
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        if (sys.env.contains("SPARK_GRAFT_VERBOSE"))
+          System.err.println(f"[bench] $name rep $dt%.2f s")
+        dt
       }
       name -> (if (times.contains(-1.0)) -1.0 else times.sorted.apply(reps / 2))
     }
