@@ -140,6 +140,9 @@ object Plans {
     show("sql_key_probe (61z26: string key range -> manifest [k0,k1] file prune)",
       operators.GeoOps.sqlKeyProbe(spark, sf),
       Seq("BatchScan", "GraftScan", "Filter (", "Exchange"))
+    show("sql_ddl_key (61z32: DDL keyed CDC table, composite leading-prefix prune after SQL UPDATE)",
+      operators.GeoOps.sqlDdlKey(spark, sf),
+      Seq("BatchScan", "GraftScan", "Filter (", "Exchange"))
     show("sql_mor_count (61z19: manifest n_rows - doomed served unopened; boundary scans only)",
       operators.GeoOps.sqlMorCount(spark, sf),
       Seq("BatchScan", "GraftAggScan", "HashAggregate", "Exchange"))

@@ -756,6 +756,71 @@ object GeoOps {
        |WHERE id >= 100 AND id < 400
        |ORDER BY sid""".stripMargin
 
+  private val ddlKeySeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** 61z32: the pure-SQL keyed CDC lifecycle — `CREATE TABLE …
+    * TBLPROPERTIES('key'='tenant,id')` declares a composite
+    * cluster key with NO spatial geometry anywhere, INSERTs cluster
+    * their batches on the mirrored key, UPDATE mutates through the
+    * SQL row-level path (its delta commit routes through the keyed
+    * append, so re-inserted rows keep the key mirror and the
+    * manifest's struct [k0,k1] stay data-key ranges), and tenant
+    * point probes are answered from a sliver of the files (the
+    * leading-prefix composite prune, asserted in-query on BOTH
+    * probes).  No API call anywhere: creation, ingest, mutation, and
+    * lookup all from SQL — the full CDC table shape a 100 TB
+    * deployment drives from a scheduler.  The oracle applies the
+    * same mutation relationally; a dropped re-insert, a key-pruned
+    * file that held matching rows, or a resurrected pre-UPDATE copy
+    * hash-mismatches.  Unique catalog per invocation: a catalog pins
+    * its warehouse at first use (see [[sqlMorCount]]).
+    */
+  def sqlDdlKey(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("sqlddlk").toString
+    val cat = s"graft_ddlk${ddlKeySeq.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"""CREATE TABLE $cat.geo.cdc (tenant BIGINT, id BIGINT, z DOUBLE)
+             |TBLPROPERTIES('key'='tenant,id')""".stripMargin)
+    pts(s, dir).select((col("id") % 10).as("tenant"), col("id"), col("z"))
+      .createOrReplaceTempView("graft_ddl_src")
+    // two key-disjoint ingest batches = two files with disjoint
+    // leading-key ranges, so a tenant probe has something to prune
+    s.sql(s"INSERT INTO $cat.geo.cdc " +
+      "SELECT tenant, id, z FROM graft_ddl_src WHERE tenant < 5")
+    s.sql(s"INSERT INTO $cat.geo.cdc " +
+      "SELECT tenant, id, z FROM graft_ddl_src WHERE tenant >= 5")
+    s.sql(s"UPDATE $cat.geo.cdc SET z = z + 1000000.0 " +
+      "WHERE tenant = 7 AND id < 50000")
+    val path = s"$wh/geo/cdc"
+    def probe(t: Int): DataFrame = {
+      val out = s.sql(
+        s"SELECT tenant, id, z FROM $cat.geo.cdc WHERE tenant = $t")
+      out.collect() // force planning for the prune assertion
+      val planned =
+        graft.sources.v2.GraftSource.lastPlannedFiles.get(path).size
+      val total = s.read.parquet(s"$path/_manifest").count()
+      require(planned < total,
+        s"tenant=$t probe planned $planned of $total files — the " +
+          "composite-key manifest prune did not fire on the DDL table")
+      out
+    }
+    // tenant 2: untouched band (prunes to the first ingest file);
+    // tenant 7: the mutated band (prunes to the second + the
+    // UPDATE's re-inserts, and must see post-UPDATE values only)
+    probe(2).unionAll(probe(7)).orderBy("tenant", "id")
+  }
+
+  val sqlDdlKeySql: String =
+    s"""WITH pts AS ($P),
+       |t AS (SELECT id % 10 AS tenant, id, z FROM pts)
+       |SELECT tenant, id,
+       |       CASE WHEN tenant = 7 AND id < 50000
+       |            THEN z + (1000000.0::DOUBLE) ELSE z END AS z
+       |FROM t WHERE tenant IN (2, 7)
+       |ORDER BY tenant, id""".stripMargin
+
   /** 61z5: named-table SQL through the catalog plugin
     * ([[graft.sources.v2.GraftCatalog]]) — the layout lands under a
     * warehouse, the catalog maps `<cat>.<ns>.<tbl>` onto it, and the
@@ -1782,6 +1847,7 @@ object GeoOps {
     "q_sql_asof"        -> (sqlAsOf _),
     "q_sql_time_travel" -> (sqlTimeTravel _),
     "q_sql_key_probe"   -> (sqlKeyProbe _),
+    "q_sql_ddl_key"     -> (sqlDdlKey _),
     "q_sql_catalog"     -> (sqlCatalog _),
     "q_sql_dim_join"    -> (sqlDimJoin _),
     "q_sql_update"      -> (sqlUpdate _),
@@ -1841,6 +1907,7 @@ object GeoOps {
     "q_sql_asof"        -> sqlAsOfSql,
     "q_sql_time_travel" -> sqlTimeTravelSql,
     "q_sql_key_probe"   -> sqlKeyProbeSql,
+    "q_sql_ddl_key"     -> sqlDdlKeySql,
     "q_sql_catalog"     -> sqlCatalogSql,
     "q_sql_dim_join"    -> sqlDimJoinSql,
     "q_sql_update"      -> sqlUpdateSql,

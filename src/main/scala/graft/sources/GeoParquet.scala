@@ -106,6 +106,62 @@ object GeoParquet {
     writeEpochFile(spark, s"$path/_manifest_epoch", 0L) // fresh at epoch 0
   }
 
+  /** Create an EMPTY key-clustered layout — the DDL face's
+    * `TBLPROPERTIES('key'='tenant,id')` arm, i.e. [[writeKeyed]]
+    * without a first batch: the pure-SQL CDC table shape.  The
+    * declared schema records the mirror key column (the key column
+    * itself for a single key, the composite struct for several) so
+    * key discovery and INSERT dispatch need no data file; `_keycol`
+    * names the data key(s) so every generic append — SQL INSERT, the
+    * streaming sink — mirrors them into the cluster key and
+    * key-predicate file pruning is sound from the first batch.  The
+    * empty manifest is written with the EXACT stats schema the
+    * appends will produce ([[statsOf]] over a zero-row frame of the
+    * full schema), so a footer-picked manifest read never narrows
+    * the stats columns the way [[createCurveLayout]]'s hand-rolled
+    * five-column seed can.  No spatial geometry is involved: keyed
+    * tables need no x/y and record no δ (a keyed schema that DOES
+    * declare x/y still gets envelope stats on every append, for
+    * free, from the same statsOf pass).
+    */
+  def createKeyedLayout(spark: SparkSession, path: String,
+                        schema: org.apache.spark.sql.types.StructType,
+                        keyCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    require(keyCols.nonEmpty, "a keyed layout needs at least one key column")
+    require(keyCols.distinct == keyCols,
+      s"duplicate key columns: ${keyCols.mkString(",")}")
+    val data = dataSchemaOf(schema)
+    keyCols.foreach { k =>
+      require(data.fieldNames.contains(k),
+        s"key column '$k' is not in the declared schema " +
+          data.fieldNames.mkString("(", ", ", ")"))
+      requireOrderableKeyType(k, data(k).dataType)
+    }
+    val keyField =
+      if (keyCols.length == 1)
+        StructField("zkey", data(keyCols.head).dataType)
+      else StructField("zkey", StructType(keyCols.map(k => data(k))))
+    val fs = fsOf(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    require(!fs.exists(p) || fs.listStatus(p).isEmpty,
+      s"$path already exists and is not empty")
+    fs.mkdirs(p)
+    val full = StructType(data.fields.toSeq :+ keyField)
+    writeSchemaFile(spark, path, full)
+    statsOf(spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), full),
+        path, 0L)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_manifest")
+    writeEpochFile(spark, s"$path/_manifest_epoch", 0L) // fresh at epoch 0
+    recordKeyCol(spark, path, keyCols.mkString(","))
+    // creation IS commit 0 on the snapshot axis — keyed layouts have
+    // no geometry sidecar to ride ([[recordDelta]] stamps it for bin/
+    // curve layouts), so stamp it here: TIMESTAMP AS OF resolves
+    // times before the first INSERT
+    stampEpochTime(spark, path, 0L)
+  }
+
   /** Explicit add-column evolution — the SQL face's `ALTER TABLE …
     * ADD COLUMNS`.  Identical contract to the append-path
     * [[recordEvolution]]: new columns append to the declared schema
@@ -315,7 +371,15 @@ object GeoParquet {
         // beyond the declared schema widen via recordEvolution inside
         // the append
         spark.read.parquet(insertStaged: _*)
-    appendWithManifest(ins, path, delta, mergeDir)
+    // KEYED layouts take the curve append (its keyed arm mirrors the
+    // recorded data key into the cluster key, so an UPDATE/MERGE's
+    // re-inserted rows keep key-predicate file pruning sound); bin
+    // layouts keep the δ-binned append.  Pure spatial-curve layouts
+    // never reach here ([[graft.sources.v2.GraftRowLevel]] refuses
+    // them before staging), but the dispatch handles them soundly
+    // anyway — appendCurve recomputes their key at the recorded δ.
+    if (isCurveLayout(spark, path)) appendCurve(ins, path, delta, mergeDir = mergeDir)
+    else appendWithManifest(ins, path, delta, mergeDir)
   }
 
   /** File-level min/max manifest of a flat (curve-clustered) layout —
@@ -1591,7 +1655,11 @@ object GeoParquet {
     * stats and every compare site agree on; other types refuse.
     */
   private def requireOrderableKey(df: DataFrame, keyCol: String): Unit =
-    df.schema(keyCol).dataType match {
+    requireOrderableKeyType(keyCol, df.schema(keyCol).dataType)
+
+  private def requireOrderableKeyType(
+      keyCol: String, dt: org.apache.spark.sql.types.DataType): Unit =
+    dt match {
       case org.apache.spark.sql.types.ByteType |
            org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.IntegerType |

@@ -170,24 +170,43 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
     require(partitions.isEmpty,
-      s"graft layouts own their partitioning (δ-binning / curve " +
-        "clustering) — declare the geometry decision as " +
-        "TBLPROPERTIES('delta'='<binSize>'[, 'curve'='z'|'hilbert']), " +
-        "not PARTITIONED BY")
-    val delta = Option(properties.get("delta")).map(_.toDouble).getOrElse(
-      throw new UnsupportedOperationException(
-        s"CREATE TABLE $ident needs the layout's geometry decision: " +
-          "TBLPROPERTIES('delta'='<binSize>'[, 'curve'='z'|'hilbert'])"))
+      s"graft layouts own their partitioning (δ-binning / curve / key " +
+        "clustering) — declare the clustering decision as " +
+        "TBLPROPERTIES('delta'='<binSize>'[, 'curve'='z'|'hilbert'] | " +
+        "'key'='col[,col…]'), not PARTITIONED BY")
     require(ident.namespace().length == 1,
       s"graft catalog tables are <namespace>.<table>: $ident")
-    fs.mkdirs(pathOf(ident.namespace()(0)))
+    val keyCols = Option(properties.get("key"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val path = tablePath(ident)
-    Option(properties.get("curve")) match {
-      case Some(c) =>
-        GeoParquet.createCurveLayout(SparkSession.active, path, schema,
-          delta, c)
+    keyCols match {
+      case Some(keys) =>
+        // the CDC-table arm: rows cluster on their DATA key, no
+        // spatial geometry anywhere — a bin size or a curve with it
+        // would be two contradictory clustering decisions
+        require(properties.get("curve") == null,
+          s"CREATE TABLE $ident: 'key' and 'curve' are exclusive — a " +
+            "keyed layout clusters on its data key, not a space curve")
+        require(properties.get("delta") == null,
+          s"CREATE TABLE $ident: a keyed layout has no spatial bin " +
+            "size — omit 'delta' with 'key'")
+        fs.mkdirs(pathOf(ident.namespace()(0)))
+        GeoParquet.createKeyedLayout(SparkSession.active, path, schema, keys)
       case None =>
-        GeoParquet.createLayout(SparkSession.active, path, schema, delta)
+        val delta = Option(properties.get("delta")).map(_.toDouble).getOrElse(
+          throw new UnsupportedOperationException(
+            s"CREATE TABLE $ident needs the layout's clustering " +
+              "decision: TBLPROPERTIES('delta'='<binSize>'" +
+              "[, 'curve'='z'|'hilbert']) or TBLPROPERTIES(" +
+              "'key'='col[,col…]')"))
+        fs.mkdirs(pathOf(ident.namespace()(0)))
+        Option(properties.get("curve")) match {
+          case Some(c) =>
+            GeoParquet.createCurveLayout(SparkSession.active, path, schema,
+              delta, c)
+          case None =>
+            GeoParquet.createLayout(SparkSession.active, path, schema, delta)
+        }
     }
     new GraftTable(path, GeoParquet.dataSchemaFor(SparkSession.active, path))
   }

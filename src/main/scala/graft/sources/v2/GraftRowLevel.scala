@@ -78,10 +78,19 @@ final class GraftDeltaWrite(path: String, rowSchema: StructType)
     extends DeltaWrite {
   override def toBatch: DeltaBatchWrite = {
     val spark = SparkSession.active
-    val delta = GeoParquet.deltaOf(spark, path).getOrElse(
-      throw new UnsupportedOperationException(
-        s"SQL row-level mutations need a bin layout with a recorded " +
-          s"bin size at $path — curve-clustered layouts mutate via the API"))
+    // KEYED layouts (writeKeyed / DDL 'key' tables) mutate through
+    // the SQL face with no spatial geometry anywhere: their delta
+    // commit routes to appendCurve, which mirrors the recorded data
+    // key — the bin size below is a dead parameter on that path.
+    // Pure spatial-curve layouts still refuse: recomputing their
+    // cell key on re-inserted rows is an API-owned lifecycle.
+    val delta =
+      if (GeoParquet.keyColsOf(spark, path).nonEmpty) 1.0
+      else GeoParquet.deltaOf(spark, path)
+        .filter(_ => !GeoParquet.isCurveLayout(spark, path))
+        .getOrElse(throw new UnsupportedOperationException(
+          s"SQL row-level mutations need a bin or key-clustered " +
+            s"layout at $path — spatial curve layouts mutate via the API"))
     val staging = s"$path/_rlo_staging/" +
       java.util.UUID.randomUUID().toString.take(8)
     new GraftDeltaBatchWrite(path, staging, rowSchema.json, delta,

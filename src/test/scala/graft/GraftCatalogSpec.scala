@@ -311,7 +311,7 @@ class GraftCatalogSpec extends SparkSpec {
     }
     def chain(t: Throwable): Seq[String] =
       if (t == null) Seq.empty else String.valueOf(t.getMessage) +: chain(t.getCause)
-    assert(chain(e).exists(_.contains("geometry")), chain(e).mkString(" | "))
+    assert(chain(e).exists(_.contains("clustering")), chain(e).mkString(" | "))
   }
 
   test("CREATE TABLE with 'curve' declares a curve-clustered layout; INSERTs key-sort and manifest ranges") {
@@ -354,6 +354,76 @@ class GraftCatalogSpec extends SparkSpec {
     def chain(t: Throwable): Seq[String] =
       if (t == null) Seq.empty else String.valueOf(t.getMessage) +: chain(t.getCause)
     assert(chain(e).exists(_.contains("hilbert")), chain(e).mkString(" | "))
+  }
+
+  test("CREATE TABLE with 'key' declares a keyed CDC table; create/ingest/mutate/probe all from SQL") {
+    spark.sql("""CREATE TABLE lake.ice.cdc (tenant BIGINT, id BIGINT, v DOUBLE)
+                |USING graft TBLPROPERTIES('key'='tenant,id')""".stripMargin)
+    val dir = s"$warehouse/ice/cdc"
+    assert(GeoParquet.isCurveLayout(spark, dir), "keyed manifest carries no k0")
+    // the empty table reads as empty and strips the physical key column
+    assert(spark.sql("SELECT count(*) AS n FROM lake.ice.cdc")
+      .collect()(0).getLong(0) == 0)
+    assert(spark.table("lake.ice.cdc").columns.toSeq == Seq("tenant", "id", "v"))
+    def src(t0: Int, t1: Int) = (0 until 400)
+      .map(i => (i % 10L, i.toLong, i * 1.0))
+      .filter(r => r._1 >= t0 && r._1 < t1).toDF("tenant", "id", "v")
+    src(0, 5).createOrReplaceTempView("cdc_src_a")
+    src(5, 10).createOrReplaceTempView("cdc_src_b")
+    spark.sql("INSERT INTO lake.ice.cdc SELECT tenant, id, v FROM cdc_src_a")
+    spark.sql("INSERT INTO lake.ice.cdc SELECT tenant, id, v FROM cdc_src_b")
+    // each INSERT manifested a struct-typed DATA-key range (the
+    // mirror — not a spatial curve key; there is no x/y anywhere)
+    val m0 = spark.read.parquet(s"$dir/_manifest")
+      .select(col("k0.tenant").as[Long], col("k1.tenant").as[Long]).collect()
+    assert(m0.length == 2 && m0.toSet == Set((0L, 4L), (5L, 9L)),
+      s"keyed INSERTs manifested wrong leading-key ranges: ${m0.toSeq}")
+    // SQL UPDATE: row-level delta commit routes through the keyed
+    // append — re-inserted rows keep the key mirror
+    spark.sql("UPDATE lake.ice.cdc SET v = v + 100.0 WHERE tenant = 7 AND id < 200")
+    // SQL DELETE: merge-on-read tombstones compose on the same table
+    spark.sql("DELETE FROM lake.ice.cdc WHERE tenant = 3 AND id < 100")
+    val total = spark.read.parquet(s"$dir/_manifest").count()
+    def probe(t: Int): Seq[(Long, Long, Double)] = {
+      val rows = spark.sql(
+        s"SELECT tenant, id, v FROM lake.ice.cdc WHERE tenant = $t ORDER BY id")
+        .as[(Long, Long, Double)].collect().toSeq
+      val planned = GraftSource.lastPlannedFiles.get(dir).size
+      assert(planned < total,
+        s"tenant=$t planned $planned of $total files — composite prune dead")
+      rows
+    }
+    val want7 = (0 until 400).filter(_ % 10 == 7)
+      .map(i => (7L, i.toLong, if (i < 200) i + 100.0 else i * 1.0))
+    assert(probe(7) == want7, "post-UPDATE read diverged")
+    val want3 = (0 until 400).filter(i => i % 10 == 3 && i >= 100)
+      .map(i => (3L, i.toLong, i * 1.0))
+    assert(probe(3) == want3, "post-DELETE read diverged")
+    // geometry contradictions and bad keys refuse with directions
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else String.valueOf(t.getMessage) +: chain(t.getCause)
+    val eDelta = intercept[Throwable] {
+      spark.sql("""CREATE TABLE lake.ice.kbad1 (id BIGINT)
+                  |USING graft TBLPROPERTIES('key'='id', 'delta'='250.0')""".stripMargin)
+    }
+    assert(chain(eDelta).exists(_.contains("omit 'delta'")), chain(eDelta).mkString(" | "))
+    val eCurve = intercept[Throwable] {
+      spark.sql("""CREATE TABLE lake.ice.kbad2 (id BIGINT)
+                  |USING graft TBLPROPERTIES('key'='id', 'curve'='z')""".stripMargin)
+    }
+    assert(chain(eCurve).exists(_.contains("exclusive")), chain(eCurve).mkString(" | "))
+    val eMissing = intercept[Throwable] {
+      spark.sql("""CREATE TABLE lake.ice.kbad3 (id BIGINT)
+                  |USING graft TBLPROPERTIES('key'='nope')""".stripMargin)
+    }
+    assert(chain(eMissing).exists(_.contains("not in the declared schema")),
+      chain(eMissing).mkString(" | "))
+    val eType = intercept[Throwable] {
+      spark.sql("""CREATE TABLE lake.ice.kbad4 (id BIGINT, v DOUBLE)
+                  |USING graft TBLPROPERTIES('key'='v')""".stripMargin)
+    }
+    assert(chain(eType).exists(_.contains("integral or string")),
+      chain(eType).mkString(" | "))
   }
 
   test("DROP TABLE lifecycle: refuse non-empty, PURGE deletes data + debris, empty drops plain") {
