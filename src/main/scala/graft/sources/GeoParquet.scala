@@ -2474,6 +2474,24 @@ object GeoParquet {
           if (old && n.startsWith(".staging-stream-"))
             fs.delete(st.getPath, true)
         }
+      // SQL row-level mutations stage under `_rlo_staging/<uuid>`
+      // ([[graft.sources.v2.GraftRowLevel]]); commit and abort both
+      // drop the attempt dir, so anything still here belonged to a
+      // CRASHED mutation (driver death mid-write) and would otherwise
+      // leak forever.  Floor at THREE leases — a healthy mutation's
+      // staging lives exactly one task-write-to-commit window, but
+      // unlike the streaming sink's per-batch staging that window is
+      // not lease-bounded (a large UPDATE stages for as long as its
+      // write stage runs), so leave generous slack; vacuum is
+      // scheduled maintenance, not a hot-path race
+      val rlo = new org.apache.hadoop.fs.Path(p, "_rlo_staging")
+      val rloAgeMs = math.max(staleAgeMs, CommitLock.leaseMs * 3)
+      if (fs.exists(rlo))
+        fs.listStatus(rlo).foreach { st =>
+          val old = System.currentTimeMillis() -
+            st.getModificationTime > rloAgeMs
+          if (old) fs.delete(st.getPath, true)
+        }
       // `_commits` debris: crashed release tombstones and orphaned
       // bids are dead once several leases old (every pending rename
       // they fence is lease-bounded), and nothing else ever removes

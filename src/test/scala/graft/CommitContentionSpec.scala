@@ -113,6 +113,33 @@ class CommitContentionSpec extends SparkSpec {
       "break tombstone was swept — it must outlive any age threshold")
   }
 
+  test("vacuum sweeps crashed row-level-op staging, never a fresh attempt") {
+    val dir = java.nio.file.Files.createTempDirectory("rlovac").toString + "/lay"
+    GeoParquet.write(batch(0 until 300), dir, 250.0)
+    GeoParquet.writeManifest(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // two orphaned attempts as a crashed UPDATE would leave them:
+    // `_rlo_staging/<uuid>` dirs holding staged parts (commit and
+    // abort both drop the dir — presence means a driver died mid-write)
+    def plant(name: String): org.apache.hadoop.fs.Path = {
+      val d = new org.apache.hadoop.fs.Path(s"$dir/_rlo_staging/$name")
+      fs.mkdirs(d)
+      val o = fs.create(new org.apache.hadoop.fs.Path(d, "part-0.parquet"), true)
+      o.write("x".getBytes("UTF-8")); o.close()
+      d
+    }
+    val fresh = plant("fresh123")
+    val dead = plant("dead4567")
+    fs.setTimes(dead, System.currentTimeMillis() - CommitLock.leaseMs * 4, -1)
+    GeoParquet.vacuum(spark, dir)
+    assert(fs.exists(fresh),
+      "a fresh (possibly live) mutation's staging was swept")
+    assert(!fs.exists(dead), "crashed row-level staging leaked past vacuum")
+    // reads are unaffected throughout (the sidecar is underscore-invisible)
+    assert(spark.read.parquet(dir).count() == 300)
+  }
+
   test("manifest coalesce crash between the swap renames heals forward (vacuum/compactManifest entry)") {
     val dir = java.nio.file.Files.createTempDirectory("mcoheal").toString + "/lay"
     GeoParquet.write(batch(0 until 300), dir, 250.0)

@@ -399,6 +399,20 @@ class GraftCatalogSpec extends SparkSpec {
     val want3 = (0 until 400).filter(i => i % 10 == 3 && i >= 100)
       .map(i => (3L, i.toLong, i * 1.0))
     assert(probe(3) == want3, "post-DELETE read diverged")
+    // MERGE INTO composes on the same table (the full CDC verb set):
+    // a matched update and a brand-new tenant, one statement
+    Seq((7L, 7L, 9999.0), (12L, 9999L, 1.0)).toDF("tenant", "id", "v")
+      .createOrReplaceTempView("cdc_merge_src")
+    spark.sql("""MERGE INTO lake.ice.cdc t USING cdc_merge_src s
+                |ON t.tenant = s.tenant AND t.id = s.id
+                |WHEN MATCHED THEN UPDATE SET v = s.v
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql(
+        "SELECT v FROM lake.ice.cdc WHERE tenant = 7 AND id = 7")
+      .as[Double].collect().toSeq == Seq(9999.0), "MERGE matched-update lost")
+    assert(spark.sql(
+        "SELECT count(*) AS n FROM lake.ice.cdc WHERE tenant = 12")
+      .collect()(0).getLong(0) == 1, "MERGE not-matched insert lost")
     // geometry contradictions and bad keys refuse with directions
     def chain(t: Throwable): Seq[String] =
       if (t == null) Seq.empty else String.valueOf(t.getMessage) +: chain(t.getCause)
