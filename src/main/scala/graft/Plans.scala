@@ -143,6 +143,9 @@ object Plans {
     show("sql_ddl_key (61z32: DDL keyed CDC table, composite leading-prefix prune after SQL UPDATE)",
       operators.GeoOps.sqlDdlKey(spark, sf),
       Seq("BatchScan", "GraftScan", "Filter (", "Exchange"))
+    show("sql_limit (61z33: LIMIT file-plan truncation; no Filter above the scan)",
+      operators.GeoOps.sqlLimit(spark, sf),
+      Seq("BatchScan", "GraftScan", "Limit", "Filter ("))
     show("sql_mor_count (61z19: manifest n_rows - doomed served unopened; boundary scans only)",
       operators.GeoOps.sqlMorCount(spark, sf),
       Seq("BatchScan", "GraftAggScan", "HashAggregate", "Exchange"))

@@ -756,6 +756,40 @@ object GeoOps {
        |WHERE id >= 100 AND id < 400
        |ORDER BY sid""".stripMargin
 
+  /** 61z33: LIMIT pushdown as a file-plan budget — the preview query.
+    * `LIMIT n` with exactly-pushed filters plans only enough
+    * manifest-CERTIFIED all-matching files to cover n rows (the
+    * aggregate pushdown's containment certificate re-used as a yield
+    * proof); at 100 TB, "show me 500 rows" stops planning at ~one
+    * file instead of the whole matching set.  Which 500 rows come
+    * back is inherently nondeterministic, so the gate pins the
+    * DETERMINISTIC part — the count, the filter honored on every
+    * returned row, and the plan truncation — and the oracle pins the
+    * count.
+    */
+  def sqlLimit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = java.nio.file.Files.createTempDirectory("sqllimq").toString
+    graft.sources.GeoParquet.writeKeyed(
+      pts(s, dir).select("id", "x", "y", "z"), path, "id", nFiles = 16)
+    s.read.format("graft").load(path).createOrReplaceTempView("graft_sql_lim")
+    val preview = s.sql(
+      """SELECT id, z FROM graft_sql_lim
+        |WHERE id >= 100 AND id < 60000 LIMIT 500""".stripMargin).collect()
+    require(preview.length == 500 && preview.forall { r =>
+        val v = r.getLong(0); v >= 100 && v < 60000 },
+      s"preview returned ${preview.length} rows or violated its filter")
+    val planned =
+      graft.sources.v2.GraftSource.lastPlannedFiles.get(path).size
+    val total = s.read.parquet(s"$path/_manifest").count()
+    require(planned < total,
+      s"LIMIT preview planned $planned of $total files — the " +
+        "file-plan truncation did not fire")
+    Seq(preview.length.toLong).toDF("n")
+  }
+
+  val sqlLimitSql: String = "SELECT (500::BIGINT) AS n"
+
   private val ddlKeySeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** 61z32: the pure-SQL keyed CDC lifecycle — `CREATE TABLE …
@@ -1848,6 +1882,7 @@ object GeoOps {
     "q_sql_time_travel" -> (sqlTimeTravel _),
     "q_sql_key_probe"   -> (sqlKeyProbe _),
     "q_sql_ddl_key"     -> (sqlDdlKey _),
+    "q_sql_limit"       -> (sqlLimit _),
     "q_sql_catalog"     -> (sqlCatalog _),
     "q_sql_dim_join"    -> (sqlDimJoin _),
     "q_sql_update"      -> (sqlUpdate _),
@@ -1908,6 +1943,7 @@ object GeoOps {
     "q_sql_time_travel" -> sqlTimeTravelSql,
     "q_sql_key_probe"   -> sqlKeyProbeSql,
     "q_sql_ddl_key"     -> sqlDdlKeySql,
+    "q_sql_limit"       -> sqlLimitSql,
     "q_sql_catalog"     -> sqlCatalogSql,
     "q_sql_dim_join"    -> sqlDimJoinSql,
     "q_sql_update"      -> sqlUpdateSql,

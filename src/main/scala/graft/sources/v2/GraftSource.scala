@@ -368,11 +368,32 @@ final class GraftScanBuilder(path: String, dataSchema: StructType,
                              trigger: TriggerLimits = TriggerLimits.none,
                              changes: Option[(Long, Option[Long])] = None)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
   private var required: StructType = dataSchema
   private var exact: Array[Filter] = Array.empty
   private var residual: Array[Filter] = Array.empty
   private var aggCols: Option[Seq[AggCol]] = None
+  private var limitN: Option[Int] = None
+
+  /** LIMIT pushdown as a FILE-PLAN budget: a preview query (`LIMIT n`
+    * with every filter pushed exactly — Spark only pushes a limit
+    * when nothing sits between it and the scan) needs only enough
+    * files to certify n qualifying rows, not the whole matching file
+    * set — at 100 TB, "show me ten rows" must not plan a million
+    * files.  The hint is never a promise: [[GraftScan]] truncates
+    * only when manifest containment proves the budget is met, and
+    * `isPartiallyPushed` keeps Spark's own Limit in the plan for the
+    * exact final cut.
+    */
+  override def pushLimit(n: Int): Boolean = {
+    // changelog/CDC-range scans synthesize rows per epoch, and a
+    // pinned snapshot's truncation would need epoch-sliced doomed
+    // accounting — the plain row path is where previews happen
+    if (changelog || changes.nonEmpty || snapshot.nonEmpty || n <= 0) false
+    else { limitN = Some(n); true }
+  }
+  override def isPartiallyPushed(): Boolean = true
 
   /** Split the conjuncts: shapes the record reader evaluates EXACTLY
     * (numeric comparisons + null tests in three-valued logic —
@@ -462,7 +483,7 @@ final class GraftScanBuilder(path: String, dataSchema: StructType,
     case None =>
       new GraftScan(path, dataSchema, required, exact.toSeq,
         ExactFilters.boundsOf(exact ++ residual), snapshot, changelog,
-        trigger, changes, (exact ++ residual).toSeq)
+        trigger, changes, (exact ++ residual).toSeq, limitN)
   }
 }
 
@@ -738,7 +759,8 @@ final class GraftScan(path: String, dataSchema: StructType,
                       changelog: Boolean = false,
                       trigger: TriggerLimits = TriggerLimits.none,
                       changes: Option[(Long, Option[Long])] = None,
-                      allFilters: Seq[Filter] = Seq.empty)
+                      allFilters: Seq[Filter] = Seq.empty,
+                      limitHint: Option[Int] = None)
     extends Scan with Batch with SupportsRuntimeFiltering
     with SupportsReportStatistics {
 
@@ -894,11 +916,24 @@ final class GraftScan(path: String, dataSchema: StructType,
     }
     // ...and probe the manifest membership filters where declared:
     // only files that might contain one of the join keys stay
-    val files = rt.foldLeft(base) {
+    val candidates = rt.foldLeft(base) {
       case (acc, org.apache.spark.sql.sources.In(c, vs)) if acc.nonEmpty =>
         GeoParquet.bloomCandidateFiles(spark, path, keysDf(spark, c, vs), c)
           .map(cand => acc.filter(cand.toSet)).getOrElse(acc)
       case (acc, _) => acc
+    }
+    // LIMIT file-plan truncation: keep only enough MANIFEST-CERTIFIED
+    // all-matching, delete-free files to cover the pushed limit —
+    // boundary files prove nothing about their yield, so if the
+    // contained files cannot cover it the full plan stands.  Runtime
+    // filters and row-address rewrites disable it (their rows may
+    // fail post-scan), pending deletes disable it (yield accounting
+    // would need the doomed counts), and Spark's own Limit still cuts
+    // to exactly n (isPartiallyPushed).
+    val files = limitHint match {
+      case Some(n) if !rowIdMode && rt.isEmpty && doomedFiles.isEmpty =>
+        limitTruncated(spark, candidates, n).getOrElse(candidates)
+      case _ => candidates
     }
     GraftSource.lastPlannedFiles.put(path, files)
     // row-address mode and delete subtraction both need each file's
@@ -913,6 +948,67 @@ final class GraftScan(path: String, dataSchema: StructType,
     GraftSource.lastMorPlan.put(path,
       (parts.length, parts.count(_.hasDeletes)))
     parts.map(p => p: InputPartition).toArray
+  }
+
+  /** The smallest prefix (in plan order) of manifest-CONTAINED,
+    * delete-free files whose row counts cover the pushed limit —
+    * None when the pushed-filter set has no conjunctive interval
+    * form, the manifest is stale, or the contained files cannot
+    * certify the budget (the caller then keeps the full plan).
+    * Containment is the aggregate pushdown's certificate: per
+    * interval column, file stats prove min/max inside the band AND
+    * no nulls (comparison predicates are null-intolerant), so every
+    * row of the file qualifies; with no filters at all, every
+    * manifested file is trivially contained and a bare
+    * `SELECT … LIMIT 10` over a 100 TB layout plans ~one file.
+    */
+  private def limitTruncated(spark: SparkSession, candidates: Seq[String],
+                             n: Int): Option[Seq[String]] = {
+    import org.apache.spark.sql.functions.col
+    val ivs = ExactFilters.intervalsOf(exact).getOrElse(return None)
+    val m = GeoParquet.freshManifest(spark, path).getOrElse(return None)
+    val kCols = GeoParquet.keyColsOf(spark, path)
+    def statName(c: String, suf: String): String =
+      if (kCols.length == 1 && kCols.head == c) s"k$suf" else s"$c$suf"
+    val statCols = ivs.map(_.col).distinct
+      .flatMap(c => Seq(statName(c, "0"), statName(c, "1"),
+        statName(c, "n")))
+      .filter(m.columns.contains)
+    val rows = m.select(("file" +: "n_rows" +: statCols).distinct
+      .map(col): _*).collect()
+    if (rows.isEmpty) return None
+    val cols = rows.head.schema.fieldNames.zipWithIndex.toMap
+    def stat(r: org.apache.spark.sql.Row, name: String): Any =
+      cols.get(name).map(i => if (r.isNullAt(i)) null else r.get(i)).orNull
+    def contained(r: org.apache.spark.sql.Row, nRows: Long): Boolean =
+      ivs.forall { iv =>
+        val c0 = stat(r, statName(iv.col, "0"))
+        val c1 = stat(r, statName(iv.col, "1"))
+        val cn = stat(r, statName(iv.col, "n"))
+        c0 != null && c1 != null &&
+          cn != null && cn.asInstanceOf[Long] == nRows && // no nulls
+          (iv.lo == null || {
+            val c = ExactFilters.compare(c0, iv.lo)
+            if (iv.loStrict) c > 0 else c >= 0
+          }) &&
+          (iv.hi == null || {
+            val c = ExactFilters.compare(c1, iv.hi)
+            if (iv.hiStrict) c < 0 else c <= 0
+          })
+      }
+    val byRel = rows.map(r => r.getString(cols("file")) -> r).toMap
+    val picked = Seq.newBuilder[String]
+    var got = 0L
+    val it = candidates.iterator
+    while (it.hasNext && got < n) {
+      val f = it.next()
+      byRel.get(GeoParquet.relDataPath(spark, path, f)) match {
+        case Some(r) if contained(r, r.getLong(cols("n_rows"))) =>
+          picked += f; got += r.getLong(cols("n_rows"))
+        case _ => () // boundary/unknown file: yield unprovable, skip
+      }
+    }
+    if (got >= n) Some(picked.result()) else None
   }
 
   /** Batch changelog read (`.option("changelog","true")

@@ -278,4 +278,38 @@ class SqlFaceSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) AS n FROM ttmor_cur")
       .collect()(0).getLong(0) == 800)
   }
+
+  test("LIMIT pushdown truncates the file plan to the certified budget") {
+    // 8 flat key-sorted files of 500 rows each, ids 0..3999
+    val dir = java.nio.file.Files.createTempDirectory("sqllim").toString
+    val pts = (0 until 4000).map { i =>
+      (i.toLong, (i % 50) * 25.0, (i % 37) * 25.0, i * 1.0)
+    }.toDF("id", "x", "y", "z")
+    GeoParquet.writeKeyed(pts, dir, "id", nFiles = 8)
+    spark.read.format("graft").load(dir).createOrReplaceTempView("slim")
+    val total = spark.read.parquet(s"$dir/_manifest").count()
+    assert(total == 8)
+    // bare preview: one file certifies 10 rows
+    assert(spark.sql("SELECT id FROM slim LIMIT 10").collect().length == 10)
+    assert(GraftSource.lastPlannedFiles.get(dir).size == 1,
+      "bare LIMIT still planned more than one file")
+    // filtered preview: the key band spans ~2 contained files; the
+    // budget stops after the first, rows still honor the filter
+    val got = spark.sql(
+      "SELECT id FROM slim WHERE id >= 1000 AND id < 2000 LIMIT 20").collect()
+    assert(got.length == 20 && got.forall { r =>
+      val v = r.getLong(0); v >= 1000 && v < 2000 })
+    assert(GraftSource.lastPlannedFiles.get(dir).size == 1,
+      "contained-band LIMIT planned more than the certified file")
+    // an uncoverable budget keeps the full (pruned) plan: the band
+    // holds 1000 rows across ≤3 files, the limit wants them all
+    val all = spark.sql(
+      "SELECT id FROM slim WHERE id >= 1000 AND id < 2000 LIMIT 5000").collect()
+    assert(all.length == 1000)
+    // pending deletes disable truncation — results stay exact
+    GeoParquet.deleteWhere(spark, dir, col("id") === 1L)
+    val afterDel = spark.sql("SELECT id FROM slim LIMIT 4000").collect()
+    assert(afterDel.length == 3999, s"got ${afterDel.length}")
+    assert(!afterDel.exists(_.getLong(0) == 1L))
+  }
 }
