@@ -146,6 +146,9 @@ object Plans {
     show("sql_limit (61z33: LIMIT file-plan truncation; no Filter above the scan)",
       operators.GeoOps.sqlLimit(spark, sf),
       Seq("BatchScan", "GraftScan", "Limit", "Filter ("))
+    show("sql_topk (61z34: key-ordered TopN file truncation; Spark's sort does the final cut)",
+      operators.GeoOps.sqlTopk(spark, sf),
+      Seq("BatchScan", "GraftScan", "TakeOrdered", "Sort", "Filter ("))
     show("sql_mor_count (61z19: manifest n_rows - doomed served unopened; boundary scans only)",
       operators.GeoOps.sqlMorCount(spark, sf),
       Seq("BatchScan", "GraftAggScan", "HashAggregate", "Exchange"))

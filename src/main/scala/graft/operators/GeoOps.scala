@@ -790,6 +790,41 @@ object GeoOps {
 
   val sqlLimitSql: String = "SELECT (500::BIGINT) AS n"
 
+  /** 61z34: Top-N pushdown — the ordered export head.  `ORDER BY <the
+    * cluster key> LIMIT n` on a keyed layout plans only the
+    * key-ordered head of the file set (budget from manifest-contained
+    * files, closure over every file whose range reaches the
+    * threshold), so "first/latest n by key" over a 100 TB CDC table
+    * stops planning after ~one file.  Unlike the bare-LIMIT preview
+    * this output is fully DETERMINISTIC, so the oracle pins the exact
+    * rows: a dropped file that held a top-n key, a truncation that
+    * broke the order, or a boundary row lost to the closure all
+    * hash-mismatch.  The plan truncation itself is asserted in-query.
+    */
+  def sqlTopk(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("sqltopkq").toString
+    graft.sources.GeoParquet.writeKeyed(
+      pts(s, dir).select("id", "x", "y", "z"), path, "id", nFiles = 16)
+    s.read.format("graft").load(path)
+      .createOrReplaceTempView("graft_sql_topk")
+    val out = s.sql(
+      """SELECT id, z FROM graft_sql_topk
+        |WHERE id >= 100 ORDER BY id LIMIT 500""".stripMargin)
+    out.collect() // force planning for the truncation assertion
+    val planned =
+      graft.sources.v2.GraftSource.lastPlannedFiles.get(path).size
+    val total = s.read.parquet(s"$path/_manifest").count()
+    require(planned < total,
+      s"key-ordered top-k planned $planned of $total files — the " +
+        "TopN file-plan truncation did not fire")
+    out
+  }
+
+  val sqlTopkSql: String =
+    s"""WITH pts AS ($P)
+       |SELECT id, z FROM pts
+       |WHERE id >= 100 ORDER BY id LIMIT 500""".stripMargin
+
   private val ddlKeySeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** 61z32: the pure-SQL keyed CDC lifecycle — `CREATE TABLE …
@@ -1883,6 +1918,7 @@ object GeoOps {
     "q_sql_key_probe"   -> (sqlKeyProbe _),
     "q_sql_ddl_key"     -> (sqlDdlKey _),
     "q_sql_limit"       -> (sqlLimit _),
+    "q_sql_topk"        -> (sqlTopk _),
     "q_sql_catalog"     -> (sqlCatalog _),
     "q_sql_dim_join"    -> (sqlDimJoin _),
     "q_sql_update"      -> (sqlUpdate _),
@@ -1944,6 +1980,7 @@ object GeoOps {
     "q_sql_key_probe"   -> sqlKeyProbeSql,
     "q_sql_ddl_key"     -> sqlDdlKeySql,
     "q_sql_limit"       -> sqlLimitSql,
+    "q_sql_topk"        -> sqlTopkSql,
     "q_sql_catalog"     -> sqlCatalogSql,
     "q_sql_dim_join"    -> sqlDimJoinSql,
     "q_sql_update"      -> sqlUpdateSql,

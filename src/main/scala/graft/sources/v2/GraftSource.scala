@@ -369,7 +369,7 @@ final class GraftScanBuilder(path: String, dataSchema: StructType,
                              changes: Option[(Long, Option[Long])] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownTopN {
   private var required: StructType = dataSchema
   private var exact: Array[Filter] = Array.empty
   private var residual: Array[Filter] = Array.empty
@@ -394,6 +394,41 @@ final class GraftScanBuilder(path: String, dataSchema: StructType,
     else { limitN = Some(n); true }
   }
   override def isPartiallyPushed(): Boolean = true
+
+  private var topN: Option[(Boolean, Int)] = None // (descending, n)
+
+  /** Top-N pushdown as an ORDERED file-plan budget: `ORDER BY <the
+    * recorded cluster key> LIMIT n` on a [[GeoParquet.writeKeyed]]
+    * layout plans only the head (or tail, DESC) of the key-ordered
+    * file set — the "latest/first n by key" export over a 100 TB CDC
+    * table stops planning after the files that provably hold the
+    * extreme keys.  Single-column keys only (a composite struct's
+    * per-column sort orders don't map onto the struct stats), and —
+    * like the LIMIT hint — never a promise: [[GraftScan]] truncates
+    * only under a manifest proof, and `isPartiallyPushed` keeps
+    * Spark's own sort+limit for the exact final order.
+    */
+  override def pushTopN(orders: Array[
+      org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    if (changelog || changes.nonEmpty || snapshot.nonEmpty || n <= 0 ||
+        orders.length != 1) return false
+    val kCols = GeoParquet.keyColsOf(SparkSession.active, path)
+    if (kCols.length != 1) return false
+    val ord = orders(0)
+    val colName = ord.expression() match {
+      case nr: NamedReference if nr.fieldNames().length == 1 =>
+        nr.fieldNames()(0)
+      case _ => return false
+    }
+    if (colName != kCols.head) return false
+    // null ordering is immaterial: truncation aborts at plan time
+    // unless EVERY candidate file is provably null-key-free (kn ==
+    // n_rows), so no null ever participates in the order
+    topN = Some((ord.direction() ==
+      org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING, n))
+    true
+  }
 
   /** Split the conjuncts: shapes the record reader evaluates EXACTLY
     * (numeric comparisons + null tests in three-valued logic —
@@ -483,7 +518,7 @@ final class GraftScanBuilder(path: String, dataSchema: StructType,
     case None =>
       new GraftScan(path, dataSchema, required, exact.toSeq,
         ExactFilters.boundsOf(exact ++ residual), snapshot, changelog,
-        trigger, changes, (exact ++ residual).toSeq, limitN)
+        trigger, changes, (exact ++ residual).toSeq, limitN, topN)
   }
 }
 
@@ -760,7 +795,8 @@ final class GraftScan(path: String, dataSchema: StructType,
                       trigger: TriggerLimits = TriggerLimits.none,
                       changes: Option[(Long, Option[Long])] = None,
                       allFilters: Seq[Filter] = Seq.empty,
-                      limitHint: Option[Int] = None)
+                      limitHint: Option[Int] = None,
+                      topNHint: Option[(Boolean, Int)] = None)
     extends Scan with Batch with SupportsRuntimeFiltering
     with SupportsReportStatistics {
 
@@ -930,8 +966,12 @@ final class GraftScan(path: String, dataSchema: StructType,
     // fail post-scan), pending deletes disable it (yield accounting
     // would need the doomed counts), and Spark's own Limit still cuts
     // to exactly n (isPartiallyPushed).
-    val files = limitHint match {
-      case Some(n) if !rowIdMode && rt.isEmpty && doomedFiles.isEmpty =>
+    val files = (topNHint, limitHint) match {
+      case (Some((desc, n)), _)
+          if !rowIdMode && rt.isEmpty && doomedFiles.isEmpty =>
+        topNTruncated(spark, candidates, n, desc).getOrElse(candidates)
+      case (_, Some(n))
+          if !rowIdMode && rt.isEmpty && doomedFiles.isEmpty =>
         limitTruncated(spark, candidates, n).getOrElse(candidates)
       case _ => candidates
     }
@@ -1009,6 +1049,95 @@ final class GraftScan(path: String, dataSchema: StructType,
       }
     }
     if (got >= n) Some(picked.result()) else None
+  }
+
+  /** The key-ordered head (ASC) or tail (DESC) of the candidate file
+    * set that provably holds the top n qualifying rows — the TopN
+    * twin of [[limitTruncated]].  Soundness: walking files in key
+    * order, CONTAINED files (every row qualifies) supply the budget;
+    * once ≥ n rows are certified, every one of them has its key at-
+    * or-inside `threshold` (the budget files' extreme k1/k0), so the
+    * true top-n all have keys at-or-inside it too — keeping EVERY
+    * candidate file whose range touches that side of the threshold
+    * (the closure) loses none of them.  Aborts (full plan) when any
+    * candidate lacks manifest key stats or could hold NULL keys
+    * (kn < n_rows — nulls sort outside the [k0,k1] order and void
+    * the argument), when the filters have no interval form, or when
+    * the contained files cannot cover n.
+    */
+  private def topNTruncated(spark: SparkSession, candidates: Seq[String],
+                            n: Int, desc: Boolean): Option[Seq[String]] = {
+    import org.apache.spark.sql.functions.col
+    val ivs = ExactFilters.intervalsOf(exact).getOrElse(return None)
+    val m = GeoParquet.freshManifest(spark, path).getOrElse(return None)
+    val kCols = GeoParquet.keyColsOf(spark, path)
+    if (kCols.length != 1) return None
+    if (!Seq("k0", "k1", "kn").forall(m.columns.contains)) return None
+    def statName(c: String, suf: String): String =
+      if (kCols.head == c) s"k$suf" else s"$c$suf"
+    val statCols = (ivs.map(_.col).distinct.flatMap(c =>
+      Seq(statName(c, "0"), statName(c, "1"), statName(c, "n"))) ++
+      Seq("k0", "k1", "kn")).distinct.filter(m.columns.contains)
+    val rows = m.select(("file" +: "n_rows" +: statCols).distinct
+      .map(col): _*).collect()
+    if (rows.isEmpty) return None
+    val cols = rows.head.schema.fieldNames.zipWithIndex.toMap
+    def stat(r: org.apache.spark.sql.Row, name: String): Any =
+      cols.get(name).map(i => if (r.isNullAt(i)) null else r.get(i)).orNull
+    def nRowsOf(r: org.apache.spark.sql.Row): Long = r.getLong(cols("n_rows"))
+    def contained(r: org.apache.spark.sql.Row): Boolean =
+      ivs.forall { iv =>
+        val c0 = stat(r, statName(iv.col, "0"))
+        val c1 = stat(r, statName(iv.col, "1"))
+        val cn = stat(r, statName(iv.col, "n"))
+        c0 != null && c1 != null &&
+          cn != null && cn.asInstanceOf[Long] == nRowsOf(r) &&
+          (iv.lo == null || {
+            val c = ExactFilters.compare(c0, iv.lo)
+            if (iv.loStrict) c > 0 else c >= 0
+          }) &&
+          (iv.hi == null || {
+            val c = ExactFilters.compare(c1, iv.hi)
+            if (iv.hiStrict) c < 0 else c <= 0
+          })
+      }
+    val byRel = rows.map(r => r.getString(cols("file")) -> r).toMap
+    val cand: Seq[(String, org.apache.spark.sql.Row)] = candidates.map { f =>
+      val r = byRel.getOrElse(
+        GeoParquet.relDataPath(spark, path, f), return None)
+      // a file that might hold NULL keys voids the order argument
+      if (stat(r, "k0") == null || stat(r, "k1") == null ||
+          stat(r, "kn") == null ||
+          stat(r, "kn").asInstanceOf[Long] != nRowsOf(r)) return None
+      (f, r)
+    }
+    val ordered =
+      if (desc) cand.sortWith { case ((_, a), (_, b)) =>
+        ExactFilters.compare(stat(a, "k1"), stat(b, "k1")) > 0 }
+      else cand.sortWith { case ((_, a), (_, b)) =>
+        ExactFilters.compare(stat(a, "k0"), stat(b, "k0")) < 0 }
+    var got = 0L
+    var threshold: Any = null
+    val it = ordered.iterator
+    while (it.hasNext && got < n) {
+      val (_, r) = it.next()
+      if (contained(r)) {
+        got += nRowsOf(r)
+        val t = if (desc) stat(r, "k0") else stat(r, "k1")
+        val extremer = threshold == null || {
+          val c = ExactFilters.compare(t, threshold)
+          if (desc) c < 0 else c > 0
+        }
+        if (extremer) threshold = t
+      }
+    }
+    if (got < n) return None
+    Some(cand.collect { case (f, r)
+        if {
+          val c = ExactFilters.compare(
+            if (desc) stat(r, "k1") else stat(r, "k0"), threshold)
+          if (desc) c >= 0 else c <= 0
+        } => f })
   }
 
   /** Batch changelog read (`.option("changelog","true")

@@ -312,4 +312,44 @@ class SqlFaceSpec extends SparkSpec {
     assert(afterDel.length == 3999, s"got ${afterDel.length}")
     assert(!afterDel.exists(_.getLong(0) == 1L))
   }
+
+  test("TopN pushdown plans the key-ordered head/tail of the file set") {
+    val dir = java.nio.file.Files.createTempDirectory("sqltopn").toString
+    val pts = (0 until 4000).map { i =>
+      (i.toLong, (i % 50) * 25.0, (i % 37) * 25.0, i * 1.0)
+    }.toDF("id", "x", "y", "z")
+    GeoParquet.writeKeyed(pts, dir, "id", nFiles = 8)
+    spark.read.format("graft").load(dir).createOrReplaceTempView("stopn")
+    val total = spark.read.parquet(s"$dir/_manifest").count()
+    // ascending head: exactly the smallest ids, one file planned
+    val asc = spark.sql("SELECT id FROM stopn ORDER BY id LIMIT 10")
+      .as[Long].collect().toSeq
+    assert(asc == (0L until 10L), s"asc head diverged: $asc")
+    assert(GraftSource.lastPlannedFiles.get(dir).size == 1,
+      "ascending TopN planned more than the head file")
+    // descending tail
+    val desc = spark.sql("SELECT id FROM stopn ORDER BY id DESC LIMIT 10")
+      .as[Long].collect().toSeq
+    assert(desc == (3999L to 3990L by -1L), s"desc tail diverged: $desc")
+    assert(GraftSource.lastPlannedFiles.get(dir).size == 1,
+      "descending TopN planned more than the tail file")
+    // with a pushed band filter the order still holds exactly
+    val band = spark.sql(
+      "SELECT id FROM stopn WHERE id >= 1000 AND id < 3000 ORDER BY id LIMIT 5")
+      .as[Long].collect().toSeq
+    assert(band == (1000L until 1005L), s"band head diverged: $band")
+    assert(GraftSource.lastPlannedFiles.get(dir).size < total)
+    // OVERLAPPING key ranges (a second commit spanning the whole key
+    // space): the closure must keep every file whose range reaches
+    // the threshold — results stay exactly ordered
+    graft.sources.GeoParquet.appendCurve(
+      Seq((2L, 0.0, 0.0, -1.0), (3997L, 0.0, 0.0, -2.0))
+        .toDF("id", "x", "y", "z"), dir, 1.0)
+    val asc2 = spark.sql("SELECT id, z FROM stopn ORDER BY id LIMIT 5")
+      .as[(Long, Double)].collect().toSeq
+    assert(asc2 == Seq((0L, 0.0), (1L, 1.0), (2L, -1.0), (2L, 2.0), (3L, 3.0)) ||
+      asc2 == Seq((0L, 0.0), (1L, 1.0), (2L, 2.0), (2L, -1.0), (3L, 3.0)),
+      s"overlap head diverged: $asc2")
+    assert(GraftSource.lastPlannedFiles.get(dir).size < total + 1)
+  }
 }
