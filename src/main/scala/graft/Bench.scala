@@ -66,6 +66,19 @@ object Bench {
           os.getProcessCpuTime / 1e9
         case _ => -1.0
       }
+    // hypervisor steal (jiffies, /proc/stat field 8): a shared-host
+    // neighbor inflates every query uniformly while loadavg and
+    // bench_cores both read clean — the r15 run-d signature.  The
+    // delta over the timed pass, as average stolen cores, lets a
+    // contaminated run self-identify the way external load does.
+    def stealJiffies(): Long =
+      try new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/stat")), "UTF-8")
+        .linesIterator.next().trim.split("\\s+") match {
+          case a if a.length > 8 => a(8).toLong
+          case _ => -1L
+        }
+      catch { case _: Throwable => -1L }
     // the warmup pass just pegged the machine and is still in the
     // 1-min EWMA — let it decay so loadavg_start measures the
     // machine, not this process's own warmup (bench_regress uses
@@ -76,6 +89,7 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_LOAD_SETTLE", "60").toLong * 1000L)
     val loadStart = loadAvg()
     val cpuStart = procCpuSec()
+    val stealStart = stealJiffies()
     val wallStart = System.nanoTime()
     val results = benchQueries.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
@@ -117,9 +131,16 @@ object Bench {
     // unparseable JSON
     val cpusNum = scala.util.Try(cpus.trim.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors)
+    val stealEnd = stealJiffies()
+    // average cores stolen by the hypervisor over the timed pass
+    // (jiffies are 10 ms); -1 = no telemetry
+    val stealCores =
+      if (stealStart < 0 || stealEnd < 0) -1.0
+      else (stealEnd - stealStart) * 0.01 / wallSec
     val load =
       s"""{"loadavg_start":$loadStart,"loadavg_end":${loadAvg()},""" +
-        s""""bench_cores":$benchCores,"wall_s":$wallSec,"cpus":$cpusNum}"""
+        s""""bench_cores":$benchCores,"steal_cores":$stealCores,""" +
+        s""""wall_s":$wallSec,"cpus":$cpusNum}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"load":$load,"sf":"$sfDir"}"""
     println(json)

@@ -66,7 +66,14 @@ def contaminated(load):
     loadavg exceeds what the bench JVM itself was using by more than a
     quarter of the machine — the uniform-inflation signature of the
     r05/r07 wolf-cries (an overlapping DuckDB validation pegging
-    cores the bench thought it had)."""
+    cores the bench thought it had) — or when the hypervisor stole
+    more than half a core on average (steal_cores, recorded since
+    r15: a shared-host neighbor inflates every query uniformly while
+    loadavg and bench_cores both read clean — the r15 run-d
+    signature)."""
+    steal = load.get("steal_cores", -1) if load else -1
+    if steal is not None and steal > 0.5:
+        return True
     ext = external_load(load)
     if ext is None:
         return False
@@ -98,11 +105,17 @@ def main(argv):
         ext = external_load(ld)
         if contaminated(ld):
             dirty.append(p)
-            print(f"CONTAMINATED: {p} ran under ~{ext:.1f} external cores "
-                  f"(bench used {ld['bench_cores']:.1f} of {ld['cpus']}) — "
+            ext_s = "?" if ext is None else f"{ext:.1f}"
+            steal = (ld or {}).get("steal_cores", -1)
+            print(f"CONTAMINATED: {p} ran under ~{ext_s} external cores, "
+                  f"~{steal:.2f} stolen cores "
+                  f"(bench used {ld.get('bench_cores', -1):.1f} of "
+                  f"{ld.get('cpus', '?')}) — "
                   "timings are inflated; regressions below are suspect")
         elif ext is not None:
-            print(f"load-ok: {p} (~{ext:.1f} external cores)")
+            steal = (ld or {}).get("steal_cores", -1)
+            tail = f", ~{steal:.2f} stolen" if steal >= 0 else ""
+            print(f"load-ok: {p} (~{ext:.1f} external cores{tail})")
     if contaminated(base_load):
         print(f"note: BASELINE {paths[0]} is itself load-contaminated — "
               "speedups are suspect too")
