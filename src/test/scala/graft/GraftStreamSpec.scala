@@ -505,6 +505,49 @@ class GraftStreamSpec extends SparkSpec {
     } finally q3.stop()
   }
 
+  test("streaming sink into a DDL keyed table: batches mirror the key, probes prune") {
+    implicit val sqlCtx = spark.sqlContext
+    // the 61z32 CDC table shape (CREATE TABLE … 'key'='tenant,id'),
+    // fed by the native sink: each micro-batch must route through the
+    // keyed append — its cluster key MIRRORED from the data columns,
+    // never recomputed as a spatial key — so key pruning is sound on
+    // a table that only ever ingested from a stream
+    val dir = java.nio.file.Files.createTempDirectory("gsinkkey")
+      .toString + "/cdc"
+    GeoParquet.createKeyedLayout(spark, dir,
+      Seq.empty[(Long, Long, Double)].toDF("tenant", "id", "v").schema,
+      Seq("tenant", "id"))
+    val ckpt = java.nio.file.Files.createTempDirectory("gsinkkeyck").toString
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Double)]
+    val q = mem.toDF().toDF("tenant", "id", "v")
+      .writeStream.format("graft")
+      .option("checkpointLocation", ckpt)
+      .start(dir)
+    try {
+      mem.addData((0 until 200).map(i =>
+        ((i % 5).toLong, i.toLong, i * 1.0)): _*)
+      q.processAllAvailable()
+      mem.addData((200 until 400).map(i =>
+        ((5 + i % 5).toLong, i.toLong, i * 1.0)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(GeoParquet.readEpoch(spark, dir) == 2L)
+    // each micro-batch manifested a struct-typed DATA-key range
+    val ranges = spark.read.parquet(s"$dir/_manifest")
+      .select($"k0.tenant", $"k1.tenant").as[(Long, Long)].collect().toSet
+    assert(ranges == Set((0L, 4L), (5L, 9L)),
+      s"streamed batches manifested wrong leading-key ranges: $ranges")
+    // a tenant probe prunes to the one file that can hold it and
+    // sees exactly the streamed rows
+    val got = spark.read.format("graft").load(dir)
+      .where("tenant = 7").select("id").as[Long].collect().sorted.toSeq
+    val want = (200 until 400).filter(i => 5 + i % 5 == 7).map(_.toLong)
+    assert(got == want, s"keyed probe diverged: ${got.length} rows")
+    assert(graft.sources.v2.GraftSource.lastPlannedFiles.get(dir).size == 1,
+      "tenant probe did not prune to the single streamed file")
+  }
+
   test("sink crash-injection: a marker-carrying commit interrupted at any point replays exactly once") {
     // The sink's replay barrier is atomic with the data: the marker is
     // stamped INSIDE the append's locked commit, journaled by an
