@@ -149,6 +149,12 @@ object Plans {
     show("sql_topk (61z34: key-ordered TopN file truncation; Spark's sort does the final cut)",
       operators.GeoOps.sqlTopk(spark, sf),
       Seq("BatchScan", "GraftScan", "TakeOrdered", "Sort", "Filter ("))
+    show("sql_spj (61z35: storage-partitioned join; co-partitioned bucketed scans, ZERO Exchange)",
+      operators.GeoOps.sqlSpj(spark, sf),
+      Seq("BatchScan", "GraftScan", "Join", "Exchange", "Sort"))
+    show("bucket_probe (61z36: IN(keys) -> bucket-id file prune, append-proof)",
+      operators.GeoOps.bucketProbe(spark, sf),
+      Seq("BatchScan", "GraftScan", "Filter (", "Exchange"))
     show("sql_mor_count (61z19: manifest n_rows - doomed served unopened; boundary scans only)",
       operators.GeoOps.sqlMorCount(spark, sf),
       Seq("BatchScan", "GraftAggScan", "HashAggregate", "Exchange"))

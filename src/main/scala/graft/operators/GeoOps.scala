@@ -825,6 +825,115 @@ object GeoOps {
        |SELECT id, z FROM pts
        |WHERE id >= 100 ORDER BY id LIMIT 500""".stripMargin
 
+  private val spjSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** 61z35: storage-partitioned join.  Two graft tables hash-bucketed
+    * the same way (bucket id = pmod(murmur3(key), n) — the write
+    * shuffle's own partition index, certified by the part-file names)
+    * join on the key with ZERO shuffle: each scan reports a
+    * `bucket(n, key)` KeyGroupedPartitioning, Spark resolves the
+    * transform through the catalog's v2 `bucket` function, proves the
+    * sides co-partitioned, and zips the joins bucket by bucket.  At
+    * 100 TB this moves co-location out of every job (a full-corpus
+    * shuffle per fact-fact join) into the layout, paid once at write
+    * — the Iceberg/Hive-bucketing contract on graft layouts.  The
+    * in-query assertion pins the plan: zero ShuffleExchange nodes
+    * under the collected join.  The oracle joins the same slices
+    * relationally; a dropped bucket, a mis-grouped partition, or a
+    * row hashed into the wrong bucket hash-mismatches.
+    */
+  def sqlSpj(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("sqlspj").toString
+    val cat = s"graft_spj${spjSeq.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val p = pts(s, dir).select("id", "z")
+    graft.sources.GeoParquet.writeBucketed(p, s"$wh/geo/ta", "id", 8)
+    graft.sources.GeoParquet.writeBucketed(
+      p.filter(col("id") % 3 === 0).withColumn("z", col("z") * 2.0),
+      s"$wh/geo/tb", "id", 8)
+    val old = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    try {
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      // the MERGE hint rules out a broadcast (which would also avoid
+      // shuffles without exercising the partitioned join) QUERY-LOCALLY
+      // — Verify runs queries concurrently, so a global
+      // autoBroadcastJoinThreshold flip could flake other queries'
+      // plan assertions mid-flight
+      val out = s.sql(
+        s"""SELECT /*+ MERGE(a) */ a.id, a.z AS za, b.z AS zb
+           |FROM $cat.geo.ta a JOIN $cat.geo.tb b ON a.id = b.id"""
+          .stripMargin)
+      out.collect() // force execution for the plan assertion
+      def nodes(pl: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] =
+        pl.collect {
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => nodes(a.executedPlan)
+          case n => Seq(n)
+        }.flatten
+      val nShuffles = nodes(out.queryExecution.executedPlan).count {
+        case _: org.apache.spark.sql.execution.exchange
+            .ShuffleExchangeExec => true
+        case _ => false
+      }
+      require(nShuffles == 0,
+        s"expected a storage-partitioned join with zero shuffles, " +
+          s"saw $nShuffles:\n${out.queryExecution.executedPlan}")
+      out
+    } finally old match {
+      case Some(v) => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+      case None => s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+  }
+
+  val sqlSpjSql: String =
+    s"""WITH pts AS ($P),
+       |ta AS (SELECT id, z FROM pts),
+       |tb AS (SELECT id, z * 2.0 AS z FROM pts WHERE id % 3 = 0)
+       |SELECT a.id, a.z AS za, b.z AS zb
+       |FROM ta a JOIN tb b ON a.id = b.id""".stripMargin
+
+  /** 61z36: hash-bucket point-lookup pruning.  On a bucketed layout an
+    * equality/IN predicate on the bucket key opens only the named
+    * buckets' files — and unlike the range-keyed [k0,k1] prune, the
+    * selectivity NEVER erodes with appends (every commit's files hash
+    * into the same n buckets; a range layout's appended files overlap
+    * old ranges until compaction).  The layout here takes two commits
+    * before the probe, and the assertion budgets the plan at bucket
+    * granularity across both.  The oracle evaluates the same IN over
+    * the unioned batches; a mis-hashed literal (wrong type widening)
+    * or an over-pruned file would drop rows and hash-mismatch.
+    */
+  def bucketProbe(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("bktprobe").toString
+    val p = pts(s, dir).select("id", "x", "y", "z")
+    graft.sources.GeoParquet.writeBucketed(p, path, "id", 16)
+    graft.sources.GeoParquet.appendCurve(
+      p.withColumn("id", col("id") + 10000000L), path, 1.0)
+    s.read.format("graft").load(path)
+      .createOrReplaceTempView("graft_bucket_probe")
+    val out = s.sql(
+      """SELECT id, z FROM graft_bucket_probe
+        |WHERE id IN (11, 4242, 10000011) ORDER BY id""".stripMargin)
+    out.collect() // force planning for the prune assertion
+    val planned =
+      graft.sources.v2.GraftSource.lastPlannedFiles.get(path).size
+    val total = s.read.parquet(s"$path/_manifest").count()
+    require(planned > 0 && planned * 4 <= total,
+      s"bucket point probe planned $planned of $total files — the " +
+        "bucket prune did not fire (3 keys over 16 buckets x 2 commits)")
+    out
+  }
+
+  val bucketProbeSql: String =
+    s"""WITH pts AS ($P),
+       |all_rows AS (SELECT id, z FROM pts
+       |             UNION ALL SELECT id + 10000000, z FROM pts)
+       |SELECT id, z FROM all_rows
+       |WHERE id IN (11, 4242, 10000011) ORDER BY id""".stripMargin
+
   private val ddlKeySeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** 61z32: the pure-SQL keyed CDC lifecycle — `CREATE TABLE …
@@ -1919,6 +2028,8 @@ object GeoOps {
     "q_sql_ddl_key"     -> (sqlDdlKey _),
     "q_sql_limit"       -> (sqlLimit _),
     "q_sql_topk"        -> (sqlTopk _),
+    "q_sql_spj"         -> (sqlSpj _),
+    "q_bucket_probe"    -> (bucketProbe _),
     "q_sql_catalog"     -> (sqlCatalog _),
     "q_sql_dim_join"    -> (sqlDimJoin _),
     "q_sql_update"      -> (sqlUpdate _),
@@ -1981,6 +2092,8 @@ object GeoOps {
     "q_sql_ddl_key"     -> sqlDdlKeySql,
     "q_sql_limit"       -> sqlLimitSql,
     "q_sql_topk"        -> sqlTopkSql,
+    "q_sql_spj"         -> sqlSpjSql,
+    "q_bucket_probe"    -> bucketProbeSql,
     "q_sql_catalog"     -> sqlCatalogSql,
     "q_sql_dim_join"    -> sqlDimJoinSql,
     "q_sql_update"      -> sqlUpdateSql,

@@ -20,6 +20,14 @@ import graft.operators.GeoOps
   */
 object GeoParquet {
 
+  /** Test/diagnostic hook: the file set the last [[upsertKeyed]]
+    * doomed-address lookup opened per layout root (the merge's one
+    * data-touching read; mirrors
+    * [[graft.sources.v2.GraftSource.lastPlannedFiles]]).
+    */
+  private[graft] val lastMergeLookup =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
   /** Write a point DataFrame (must have x, y columns) as a
     * bin-partitioned layout with δ-spaced bins.
     */
@@ -126,9 +134,19 @@ object GeoParquet {
     */
   def createKeyedLayout(spark: SparkSession, path: String,
                         schema: org.apache.spark.sql.types.StructType,
-                        keyCols: Seq[String]): Unit = {
+                        keyCols: Seq[String],
+                        nBuckets: Option[Int] = None): Unit = {
     import org.apache.spark.sql.types.{StructField, StructType}
     require(keyCols.nonEmpty, "a keyed layout needs at least one key column")
+    nBuckets.foreach { n =>
+      // hash-bucketed DDL tables: single-column keys only (the bucket
+      // function hashes ONE column; a composite struct has no defined
+      // v2 bucket transform to report)
+      require(n > 0, s"'buckets' must be positive, got $n")
+      require(keyCols.length == 1,
+        "hash-bucketed layouts take exactly one key column — " +
+          s"got ${keyCols.mkString(",")}")
+    }
     require(keyCols.distinct == keyCols,
       s"duplicate key columns: ${keyCols.mkString(",")}")
     val data = dataSchemaOf(schema)
@@ -155,6 +173,11 @@ object GeoParquet {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_manifest")
     writeEpochFile(spark, s"$path/_manifest_epoch", 0L) // fresh at epoch 0
     recordKeyCol(spark, path, keyCols.mkString(","))
+    // DDL-declared hash buckets: every INSERT re-distributes through
+    // appendCurve's `_buckets` dispatch from the FIRST batch, so the
+    // table is storage-partitioned-join-ready before any data lands
+    nBuckets.foreach(n =>
+      writeTextFile(spark, s"$path/_buckets", s"$n,${keyCols.head}"))
     // creation IS commit 0 on the snapshot axis — keyed layouts have
     // no geometry sidecar to ride ([[recordDelta]] stamps it for bin/
     // curve layouts), so stamp it here: TIMESTAMP AS OF resolves
@@ -1675,6 +1698,74 @@ object GeoParquet {
                            c: String): Unit =
     writeTextFile(spark, s"$path/_keycol", c)
 
+  /** Hash-bucket geometry of a [[writeBucketed]] layout — (bucket
+    * count, the data key column it distributes on), from the
+    * `_buckets` sidecar.  None for every other layout flavor.
+    */
+  private[graft] def bucketsOf(spark: SparkSession,
+                               path: String): Option[(Int, String)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_buckets")
+    if (fsOf(spark, path).exists(p)) {
+      val s = readTextFile(spark, p.toString)
+      val i = s.indexOf(',')
+      Some((s.substring(0, i).toInt, s.substring(i + 1)))
+    } else None
+  }
+
+  private val BucketFileRe = "^part-(\\d{1,9})-.*".r
+
+  /** The bucket id a part file name certifies (`part-<idx>-…` — the
+    * write shuffle's partition index, which [[writeBucketed]] made
+    * the bucket id by construction).  None for any other name shape;
+    * callers must fall back to no bucket optimization on the whole
+    * layout rather than mis-prune.
+    */
+  private[graft] def bucketOfFileName(path: String): Option[Int] = {
+    val base = path.substring(path.lastIndexOf('/') + 1)
+    base match {
+      case BucketFileRe(idx) => Some(idx.toInt)
+      case _ => None
+    }
+  }
+
+  /** A HASH-BUCKETED key-clustered layout: rows distribute into
+    * exactly `nBuckets` buckets on `keyCol`, bucket id =
+    * `pmod(murmur3(key), n)` — Spark's own HashPartitioning partition
+    * index (seed 42), so `repartition(n, key)` makes the shuffle
+    * partition index the bucket id BY CONSTRUCTION and the written
+    * part names (`part-<idx>-…`) carry it with zero renaming or
+    * manifest change.  What buckets buy at 100 TB that key RANGES
+    * ([[writeKeyed]]) cannot:
+    *
+    *  - storage-partitioned joins: the SQL face reports
+    *    `bucket(n, key)` KeyGroupedPartitioning over these files, so
+    *    two graft tables bucketed the same way join — and aggregate —
+    *    on the key with ZERO shuffle (co-location moves from every
+    *    job into the layout, the Iceberg/Hive-bucketing contract);
+    *  - point-lookup pruning that never erodes: `key = v` opens only
+    *    bucket(v)'s files regardless of append count, where a range
+    *    layout's [k0,k1] prune erodes as appended files overlap.
+    *
+    * Files stay internally key-sorted (`zkey` mirror, as every keyed
+    * layout), so parquet row-group min/max pruning still applies
+    * within a bucket, and all keyed-layout machinery (manifest
+    * stats, MOR deletes, SQL mutations, the streaming sink) composes
+    * unchanged — [[appendCurve]] re-distributes every append into
+    * the same buckets via the `_buckets` sidecar.
+    */
+  def writeBucketed(df: DataFrame, path: String, keyCol: String,
+                    nBuckets: Int): Unit = {
+    require(nBuckets > 0, "writeBucketed needs nBuckets > 0")
+    requireOrderableKey(df, keyCol)
+    df.withColumn("zkey", col(keyCol))
+      .repartition(nBuckets, col(keyCol))
+      .sortWithinPartitions("zkey")
+      .write.mode("overwrite").parquet(path)
+    writeManifest(df.sparkSession, path)
+    recordKeyCol(df.sparkSession, path, keyCol)
+    writeTextFile(df.sparkSession, s"$path/_buckets", s"$nBuckets,$keyCol")
+  }
+
   /** [[upsertPositional]] for a [[writeKeyed]] target: the old
     * copies' position lookup opens ONLY the files whose manifest
     * [k0,k1] range overlaps the incoming keys (the same broadcast
@@ -1719,9 +1810,25 @@ object GeoParquet {
     val keys = df.select(
       (if (integralKey) col(keyCol).cast("long") else col(keyCol)).as("k"))
       .distinct()
-    val files = spark.read.parquet(s"$path/_manifest")
+    val rangeFiles = spark.read.parquet(s"$path/_manifest")
       .join(broadcast(keys), col("k").between(col("k0"), col("k1")), "leftsemi")
       .select("file").collect().map(r => s"$path/${r.getString(0)}")
+    // on a HASH-BUCKETED target the range prune is near-useless (each
+    // bucket file's [k0,k1] spans most of the key space), but the
+    // batch's bucket set is exact: only files of the batch keys'
+    // buckets can hold old copies.  Hash the ORIGINAL column (murmur3
+    // is type-sensitive — the cast("long") above is for range
+    // compares only).  Any uncertified file name disables the prune.
+    val files = bucketsOf(spark, path) match {
+      case Some((nb, bcol)) if bcol == keyCol && rangeFiles.nonEmpty &&
+          rangeFiles.forall(f => bucketOfFileName(f).exists(_ < nb)) =>
+        val want = df.select(
+            pmod(hash(col(keyCol)), lit(nb)).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        rangeFiles.filter(f => bucketOfFileName(f).exists(want.contains))
+      case _ => rangeFiles
+    }
+    lastMergeLookup.put(path, files.toSeq)
     val doomed = files.headOption.map { _ =>
       readerFor(spark, path, flat = true).parquet(files.toIndexedSeq: _*)
         .select(col(keyCol),
@@ -3234,9 +3341,23 @@ object GeoParquet {
       }
     // stage + stats outside the lock; epoch claimed at commit time
     val tmp = path + ".staging-" + java.util.UUID.randomUUID().toString.take(8)
-    keyed.repartitionByRange(nFiles, col(keyCol))
-      .sortWithinPartitions(keyCol)
-      .write.mode("overwrite").parquet(tmp)
+    (bucketsOf(spark, path) match {
+      case Some((nb, bcol)) =>
+        // hash-bucketed layout: every append re-distributes into the
+        // SAME n buckets on the SAME key — shuffle partition index ==
+        // bucket id == pmod(murmur3(key), n), so the staged part
+        // names stay the bucket certificate the scan's partitioning
+        // report and point-prune read.  Range-splitting here instead
+        // would stamp RANGE indexes into bucket-shaped names and
+        // silently mis-bucket every later bucket-pruned read.
+        require(keyed.columns.contains(bcol),
+          s"$path is hash-bucketed on '$bcol' but the appended batch " +
+            "lacks that column")
+        keyed.repartition(nb, col(bcol)).sortWithinPartitions(keyCol)
+      case None =>
+        keyed.repartitionByRange(nFiles, col(keyCol))
+          .sortWithinPartitions(keyCol)
+    }).write.mode("overwrite").parquet(tmp)
     val stats = statsOf(spark.read.parquet(tmp), rootPathOf(spark, tmp),
         0L, filterColsOf(spark, path))
       .localCheckpoint() // materialize BEFORE the files move away
@@ -3308,9 +3429,19 @@ object GeoParquet {
         throw new IllegalArgumentException(
           s"$path is not curve-clustered (${CurveKeyCols.mkString("/")} absent)"))
       val tmp = path + ".compact"
-      df.repartitionByRange(nFiles, col(keyCol))
-        .sortWithinPartitions(keyCol)
-        .write.mode("overwrite").parquet(tmp) // materializes before the swap
+      (bucketsOf(spark, path) match {
+        case Some((nb, bcol)) =>
+          // bucketed layouts compact WITHIN their bucket structure:
+          // a range re-sort would stamp range indexes into the part
+          // names every bucket-pruned read trusts as bucket ids
+          require(df.columns.contains(bcol),
+            s"$path is hash-bucketed on '$bcol' but the merged rows " +
+              "lack that column")
+          df.repartition(nb, col(bcol)).sortWithinPartitions(keyCol)
+        case None =>
+          df.repartitionByRange(nFiles, col(keyCol))
+            .sortWithinPartitions(keyCol)
+      }).write.mode("overwrite").parquet(tmp) // materializes before the swap
       // seed the bumped epoch into tmp: a pre-compaction manifest
       // read elsewhere can never look fresh, and the swapped-in root
       // is never visible at epoch 0
@@ -3382,7 +3513,7 @@ object GeoParquet {
     // epoch and refusing there, never silently serving the rewritten
     // present.
     Seq("_batches", "_schema", "_commits", "_delta", "_filtercols",
-        "_epoch_times", "_keycol")
+        "_epoch_times", "_keycol", "_buckets")
       .foreach { name =>
       val src = new org.apache.hadoop.fs.Path(path, name)
       if (fs.exists(src))
@@ -3548,6 +3679,12 @@ object GeoParquet {
   def compactCurveScoped(spark: SparkSession, path: String,
                          filesPerRun: Int = 4,
                          maxOverlap: Int = 4): Int = {
+    // a scoped rewrite adopts fresh range-split files whose names are
+    // NOT bucket ids — on a hash-bucketed layout that would poison
+    // the bucket certificate; the full compactCurve re-buckets
+    require(bucketsOf(spark, path).isEmpty,
+      s"$path is hash-bucketed — scoped compaction would break the " +
+        "part-name bucket certificate; use compactCurve (re-buckets)")
     adoptStagedMerges(spark, path)
     healCompactStage(spark, path) // resolve a crashed predecessor
     var attempts = 0

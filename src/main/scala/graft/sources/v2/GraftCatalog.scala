@@ -47,7 +47,7 @@ import graft.sources.GeoParquet
   * API-owned lifecycles).
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with FunctionCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -191,8 +191,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"CREATE TABLE $ident: a keyed layout has no spatial bin " +
             "size — omit 'delta' with 'key'")
         fs.mkdirs(pathOf(ident.namespace()(0)))
-        GeoParquet.createKeyedLayout(SparkSession.active, path, schema, keys)
+        // 'buckets'='n' hash-buckets the key (storage-partitioned
+        // joins + bucket point-prune); without it the key is
+        // range-clustered ([k0,k1] manifest pruning)
+        GeoParquet.createKeyedLayout(SparkSession.active, path, schema,
+          keys, Option(properties.get("buckets")).map(_.trim.toInt))
       case None =>
+        require(properties.get("buckets") == null,
+          s"CREATE TABLE $ident: 'buckets' hash-buckets a KEYED table " +
+            "— declare the key too: TBLPROPERTIES('key'='col', " +
+            "'buckets'='n')")
         val delta = Option(properties.get("delta")).map(_.toDouble).getOrElse(
           throw new UnsupportedOperationException(
             s"CREATE TABLE $ident needs the layout's clustering " +
@@ -445,6 +453,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       GeoParquet.snapshots(SparkSession.active, p).collect().toSeq
         .map(r => InternalRow(r.getLong(0), r.getLong(1), r.getLong(2)))
     })
+
+  /** The FunctionCatalog face: exactly one function, `bucket` — what
+    * Spark's storage-partitioned-join planning resolves the
+    * `bucket(n, key)` transform both bucketed scans report through,
+    * proving the two sides co-partitioned (canonicalName equality).
+    * Identifier namespace is ignored on purpose: Spark's transform
+    * resolution looks the name up with an EMPTY namespace.
+    */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespaceExists(namespace))
+      Array(Identifier.of(namespace, "bucket"))
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name().equalsIgnoreCase("bucket")) GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
+
+  override def functionExists(ident: Identifier): Boolean =
+    ident.name().equalsIgnoreCase("bucket")
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
     require(ident.namespace().sameElements(Array("system")),

@@ -10,6 +10,7 @@ import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, S
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform, Expression => VExpression}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperationBuilder, RowLevelOperationInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter, InsertableRelation}
 import org.apache.spark.sql.types._
@@ -149,6 +150,17 @@ final class GraftTable(path: String, schema: StructType,
                        changelog: Boolean = false)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsMetadataColumns with SupportsRowLevelOperations {
+
+  /** A hash-bucketed layout declares its `bucket(n, key)` transform —
+    * what DESCRIBE shows and what storage-partitioned-join planning
+    * starts from (the SCAN's outputPartitioning carries the
+    * authoritative per-query report).  Every other layout: none.
+    */
+  override def partitioning(): Array[Transform] =
+    try GeoParquet.bucketsOf(SparkSession.active, path)
+      .map { case (n, c) => Array(Expressions.bucket(n, c)) }
+      .getOrElse(Array.empty)
+    catch { case scala.util.control.NonFatal(_) => Array.empty }
 
   /** The row-address metadata columns ([[GraftSource.FileMetaCol]]/
     * [[GraftSource.PosMetaCol]]) — what the delta-based row-level
@@ -798,7 +810,7 @@ final class GraftScan(path: String, dataSchema: StructType,
                       limitHint: Option[Int] = None,
                       topNHint: Option[(Boolean, Int)] = None)
     extends Scan with Batch with SupportsRuntimeFiltering
-    with SupportsReportStatistics {
+    with SupportsReportStatistics with SupportsReportPartitioning {
 
   /** Runtime (join-driven) filters, delivered by Spark's dynamic
     * pruning after the build side executes — used for FILE pruning
@@ -958,6 +970,25 @@ final class GraftScan(path: String, dataSchema: StructType,
           .map(cand => acc.filter(cand.toSet)).getOrElse(acc)
       case (acc, _) => acc
     }
+    // hash-bucket point-lookup pruning: on a [[GeoParquet.writeBucketed]]
+    // layout, an equality/IN predicate on the bucket key — pushed OR
+    // runtime (a broadcast-dim join delivers In) — keeps only the
+    // named buckets' files, a prune that never erodes with append
+    // count (the range [k0,k1] prune does, as appended files
+    // overlap).  Applies only when EVERY candidate file certifies a
+    // bucket id: a foreign name disables the prune, never mis-prunes.
+    val bucketGeom = GeoParquet.bucketsOf(spark, path)
+    val bucketPruned = bucketGeom match {
+      case Some((nb, bcol)) if candidates.nonEmpty &&
+          candidates.forall(f =>
+            GraftScan.bucketOfFile(f).exists(_ < nb)) =>
+        targetBuckets(nb, bcol, allFilters ++ rt) match {
+          case Some(want) => candidates.filter(f =>
+            GraftScan.bucketOfFile(f).exists(want.contains))
+          case None => candidates
+        }
+      case _ => candidates
+    }
     // LIMIT file-plan truncation: keep only enough MANIFEST-CERTIFIED
     // all-matching, delete-free files to cover the pushed limit —
     // boundary files prove nothing about their yield, so if the
@@ -969,11 +1000,11 @@ final class GraftScan(path: String, dataSchema: StructType,
     val files = (topNHint, limitHint) match {
       case (Some((desc, n)), _)
           if !rowIdMode && rt.isEmpty && doomedFiles.isEmpty =>
-        topNTruncated(spark, candidates, n, desc).getOrElse(candidates)
+        topNTruncated(spark, bucketPruned, n, desc).getOrElse(bucketPruned)
       case (_, Some(n))
           if !rowIdMode && rt.isEmpty && doomedFiles.isEmpty =>
-        limitTruncated(spark, candidates, n).getOrElse(candidates)
-      case _ => candidates
+        limitTruncated(spark, bucketPruned, n).getOrElse(bucketPruned)
+      case _ => bucketPruned
     }
     GraftSource.lastPlannedFiles.put(path, files)
     // row-address mode and delete subtraction both need each file's
@@ -983,11 +1014,96 @@ final class GraftScan(path: String, dataSchema: StructType,
       if (rowIdMode || doomedFiles.nonEmpty)
         files.map(GeoParquet.relDataPath(spark, path, _))
       else files.map(_ => "")
-    val parts = files.zip(rels)
-      .map { case (f, r) => GraftPartition(f, r, doomedFiles.contains(r)) }
+    // bucket ids ride the partitions so Spark's key-grouped planning
+    // (storage-partitioned joins) can group them — assigned only when
+    // the layout is bucketed; -1 is never consulted otherwise
+    val buckets: Seq[Int] = bucketGeom match {
+      case Some((nb, _)) =>
+        files.map(f => GraftScan.bucketOfFile(f).filter(_ < nb).getOrElse(-1))
+      case None => files.map(_ => -1)
+    }
+    val parts = files.zip(rels).zip(buckets)
+      .map { case ((f, r), b) =>
+        GraftPartition(f, r, doomedFiles.contains(r), b) }
     GraftSource.lastMorPlan.put(path,
       (parts.length, parts.count(_.hasDeletes)))
     parts.map(p => p: InputPartition).toArray
+  }
+
+  /** The finite bucket set an equality/IN conjunct on the bucket key
+    * pins — the intersection across usable conjuncts (each is sound
+    * alone; rows must pass all).  None = no usable conjunct, prune
+    * nothing.  Literals hash AS THE COLUMN'S TYPE; any unhashable
+    * value disables its conjunct, and a null literal matches no row
+    * under = / IN so it never widens a set it can't name.
+    */
+  private def targetBuckets(n: Int, bcol: String,
+                            fs: Seq[Filter]): Option[Set[Int]] = {
+    if (!dataSchema.fieldNames.contains(bcol)) return None
+    val dt = dataSchema(bcol).dataType
+    import org.apache.spark.sql.{sources => S}
+    val sets = fs.flatMap {
+      case S.EqualTo(c, v) if c == bcol && v != null =>
+        GraftScan.bucketIdOf(v, dt, n).map(Set(_))
+      case S.EqualNullSafe(c, v) if c == bcol && v != null =>
+        GraftScan.bucketIdOf(v, dt, n).map(Set(_))
+      case S.In(c, vs) if c == bcol && vs != null && vs.nonEmpty =>
+        val bs = vs.toSeq.map(v =>
+          if (v == null) None else GraftScan.bucketIdOf(v, dt, n))
+        if (bs.forall(_.isDefined)) Some(bs.flatten.toSet) else None
+      case _ => None
+    }
+    if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+  }
+
+  /** Hash-bucket partitioning report for storage-partitioned joins:
+    * Some((n, keyCol, staticFiles)) iff the layout is bucketed, the
+    * key column survives into the scan output (Spark resolves the
+    * transform's reference against it), the scan shape is a plain
+    * row read, and EVERY statically-planned file certifies a bucket
+    * id — a foreign file falls back to unknown partitioning rather
+    * than mis-grouping.  Static = without runtime filters (those
+    * arrive after the logical-side partitioning is fixed; Spark
+    * re-groups the filtered partitions itself).
+    */
+  private lazy val bucketReport: Option[(Int, String, Seq[String])] = {
+    if (changelog || changes.nonEmpty || rowIdMode) None
+    else {
+      val spark = SparkSession.active
+      try GeoParquet.bucketsOf(spark, path).flatMap { case (nb, bcol) =>
+        if (!required.fieldNames.contains(bcol)) None
+        else {
+          val kCols = GeoParquet.keyColsOf(spark, path)
+          val kRange =
+            if (kCols.length == 1) GraftScan.keyRangeOf(kCols.head, allFilters)
+            else None
+          val files = snapshot match {
+            case Some(e) =>
+              GeoParquet.planFilesAsOf(spark, path, bounds, e, kRange, Nil)
+            case None =>
+              GeoParquet.planFilesFor(spark, path, bounds, kRange, Nil)
+          }
+          if (files.nonEmpty &&
+              files.forall(f => GraftScan.bucketOfFile(f).exists(_ < nb)))
+            Some((nb, bcol, files))
+          else None
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
+  /** KeyGroupedPartitioning over `bucket(n, key)` when [[bucketReport]]
+    * certifies it — Spark's storage-partitioned-join machinery then
+    * plans key-equijoins between two same-bucketed graft tables (and
+    * aggregations on the key) with zero shuffle.  Everything else
+    * reports unknown, exactly as a scan without this interface.
+    */
+  override def outputPartitioning(): Partitioning = bucketReport match {
+    case Some((nb, bcol, files)) =>
+      val nGroups = files.flatMap(GraftScan.bucketOfFile).distinct.size
+      new KeyGroupedPartitioning(
+        Array[VExpression](Expressions.bucket(nb, bcol)), nGroups)
+    case None => new UnknownPartitioning(0)
   }
 
   /** The smallest prefix (in plan order) of manifest-CONTAINED,
@@ -1230,6 +1346,51 @@ final class GraftScan(path: String, dataSchema: StructType,
 }
 
 object GraftScan {
+  /** The bucket id a staged part file name certifies (`part-<idx>-…`
+    * — the shuffle partition index Spark's HashPartitioning stamped
+    * at write time, which [[GeoParquet.writeBucketed]] made the
+    * bucket id by construction).  None for any other name shape
+    * (a foreign file disables every bucket optimization on the
+    * layout — fall back, never mis-prune).
+    */
+  private[v2] def bucketOfFile(path: String): Option[Int] =
+    GeoParquet.bucketOfFileName(path)
+
+  /** `pmod(murmur3(key), n)` — the ONE bucket function, shared by
+    * the write side (HashPartitioning's partition index), the
+    * catalog's v2 `bucket` function (SPJ compatibility), and the
+    * point-lookup prune.  The value must hash AS THE COLUMN'S TYPE
+    * (murmur3 of 5L ≠ murmur3 of 5), so filter literals widen to the
+    * column type first; None = unhashable shape, prune nothing.
+    */
+  private[v2] def bucketIdOf(v: Any, dt: DataType, n: Int): Option[Int] = {
+    val cat: Option[Any] = dt match {
+      case ByteType => v match { case x: Byte => Some(x); case _ => None }
+      case ShortType => v match {
+        case x: Short => Some(x)
+        case x: Byte => Some(x.toShort)
+        case _ => None }
+      case IntegerType => v match {
+        case x: Int => Some(x)
+        case x: Short => Some(x.toInt)
+        case x: Byte => Some(x.toInt)
+        case _ => None }
+      case LongType => v match {
+        case x: Long => Some(x)
+        case x: Int => Some(x.toLong)
+        case x: Short => Some(x.toLong)
+        case x: Byte => Some(x.toLong)
+        case _ => None }
+      case StringType => v match {
+        case s: String =>
+          Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+        case s: org.apache.spark.unsafe.types.UTF8String => Some(s)
+        case _ => None }
+      case _ => None
+    }
+    cat.map(c => GraftBucketFunction.bucketId(c, dt, n))
+  }
+
   /** Conjunctive key-predicate range over the cluster-key column —
     * a (lo, hi) SUPERSET bound for manifest [k0,k1] file pruning.
     * Any single conjunct is a sound bound on its own (rows must pass
@@ -1288,8 +1449,18 @@ object GraftScan {
 }
 
 final case class GraftPartition(file: String, relFile: String = "",
-                                hasDeletes: Boolean = false)
-    extends InputPartition
+                                hasDeletes: Boolean = false,
+                                bucket: Int = -1)
+    extends InputPartition with HasPartitionKey {
+  /** Consulted by Spark's partition grouping ONLY when the scan
+    * reports KeyGroupedPartitioning — which it does iff the layout is
+    * hash-bucketed and every planned file certifies a bucket id, so
+    * the -1 default is never observed.
+    */
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bucket))
+}
 
 final class GraftReaderFactory(conf: SerConf, dataJson: String,
                                requiredJson: String, exact: Seq[Filter],
@@ -1888,7 +2059,7 @@ final class GraftAggReaderFactory(conf: SerConf, dataJson: String,
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case GraftAggMetaPartition(vals) => new SingleRowReader(vals)
-      case GraftPartition(f, rel, hasDeletes) =>
+      case GraftPartition(f, rel, hasDeletes, _) =>
         // same interval pruning as the row path: only the tombstone
         // part(s) that can contain THIS file reach the reader
         val parts =

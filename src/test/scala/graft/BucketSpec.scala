@@ -1,0 +1,280 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.GeoParquet
+import graft.sources.v2.{GraftCatalog, GraftSource}
+
+/** Hash-bucketed layouts ([[GeoParquet.writeBucketed]]): bucket id =
+  * pmod(murmur3(key), n) = the write shuffle's partition index, so
+  * part-file names certify bucket membership.  What that buys:
+  * point-lookup pruning that never erodes with appends, and
+  * storage-partitioned joins — two same-bucketed graft tables join on
+  * the key with ZERO shuffle (the scan reports KeyGroupedPartitioning
+  * resolved through the catalog's v2 `bucket` function).
+  */
+class BucketSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val warehouse: String = {
+    val w = java.nio.file.Files.createTempDirectory("bucketwh").toString
+    spark.conf.set("spark.sql.catalog.bkt", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.bkt.warehouse", w)
+    w
+  }
+
+  private def rows(from: Int, until: Int, vMul: Double) =
+    (from until until).map { i =>
+      (i.toLong, i * vMul, s"t${i % 7}")
+    }.toDF("id", "v", "tag")
+
+  private def mkBucketed(ns: String, tbl: String, n: Int,
+                         nBuckets: Int, vMul: Double = 1.0): String = {
+    val dir = s"$warehouse/$ns/$tbl"
+    GeoParquet.writeBucketed(rows(0, n, vMul), dir, "id", nBuckets)
+    dir
+  }
+
+  /** Physical nodes with AQE unwrapped (the SqlFaceSpec helper). */
+  private def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] =
+    p.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        nodes(a.executedPlan)
+      case n => Seq(n)
+    }.flatten
+
+  private def shuffles(q: org.apache.spark.sql.DataFrame): Int =
+    nodes(q.queryExecution.executedPlan).count {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        true
+      case _ => false
+    }
+
+  private def withConfs[T](kvs: (String, String)*)(body: => T): T = {
+    val olds = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private def spjConfs[T](body: => T): T = withConfs(
+    "spark.sql.sources.v2.bucketing.enabled" -> "true",
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")(body)
+
+  test("writeBucketed: every file's rows hash to its part index") {
+    val nBuckets = 8
+    val dir = mkBucketed("unit", "certify", 3000, nBuckets)
+    // round trip
+    val back = spark.read.format("graft").load(dir)
+    assert(back.count() == 3000)
+    assert(back.select("id", "v", "tag")
+      .exceptAll(rows(0, 3000, 1.0)).count() == 0)
+    // per-file: parsed part index == pmod(murmur3(id), n) of every row
+    val files = spark.read.parquet(dir).inputFiles
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val base = f.substring(f.lastIndexOf('/') + 1)
+      val idx = "^part-(\\d+)-.*".r.findFirstMatchIn(base).get.group(1).toInt
+      val got = spark.read.parquet(f)
+        .select(pmod(hash(col("id")), lit(nBuckets)).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      assert(got == Seq(idx),
+        s"file $base holds buckets $got, name certifies $idx")
+    }
+  }
+
+  test("bucket point-lookup prunes to the key's bucket, exact answer") {
+    val dir = mkBucketed("unit", "probe", 4000, 16)
+    spark.read.format("graft").load(dir).createOrReplaceTempView("bprobe")
+    val one = spark.sql("SELECT id, v FROM bprobe WHERE id = 1234")
+    assert(one.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1234L, 1234.0)))
+    val planned = GraftSource.lastPlannedFiles.get(dir).size
+    val total = spark.read.parquet(dir).inputFiles.length
+    assert(planned < total, s"no bucket prune: $planned of $total")
+    // IN over two keys: union of their buckets, still pruned
+    val two = spark.sql("SELECT sum(id) AS s FROM bprobe WHERE id IN (7, 99)")
+    assert(two.collect()(0).getLong(0) == 106L)
+    assert(GraftSource.lastPlannedFiles.get(dir).size <= 2 * (total / 16 + 1))
+  }
+
+  test("storage-partitioned join: same buckets, zero shuffle") {
+    mkBucketed("spj", "ta", 2500, 8, 1.0)
+    mkBucketed("spj", "tb", 2500, 8, 3.0)
+    spjConfs {
+      val q = spark.sql(
+        """SELECT a.id, a.v AS va, b.v AS vb
+          |FROM bkt.spj.ta a JOIN bkt.spj.tb b ON a.id = b.id""".stripMargin)
+      val got = q.collect()
+      assert(got.length == 2500)
+      assert(got.forall(r => r.getDouble(2) == 3.0 * r.getDouble(1)))
+      assert(shuffles(q) == 0,
+        "expected a storage-partitioned join with zero shuffles:\n" +
+          q.queryExecution.executedPlan)
+    }
+  }
+
+  test("SPJ survives appends (several files per bucket group)") {
+    val ta = s"$warehouse/grow/ta"
+    val tb = s"$warehouse/grow/tb"
+    GeoParquet.writeBucketed(rows(0, 1500, 1.0), ta, "id", 4)
+    GeoParquet.writeBucketed(rows(0, 2000, 2.0), tb, "id", 4)
+    GeoParquet.appendCurve(rows(1500, 2000, 1.0), ta, 1.0)
+    spjConfs {
+      val q = spark.sql(
+        """SELECT a.id, a.v AS va, b.v AS vb
+          |FROM bkt.grow.ta a JOIN bkt.grow.tb b ON a.id = b.id""".stripMargin)
+      val got = q.collect()
+      assert(got.length == 2000)
+      assert(got.forall(r => r.getDouble(2) == 2.0 * r.getDouble(1)))
+      assert(shuffles(q) == 0,
+        "appended bucketed layout lost its SPJ:\n" +
+          q.queryExecution.executedPlan)
+    }
+    // and the appended table still round-trips exactly
+    assert(spark.sql("SELECT count(*) AS n FROM bkt.grow.ta")
+      .collect()(0).getLong(0) == 2000)
+  }
+
+  test("aggregation on the bucket key needs no shuffle either") {
+    mkBucketed("agg", "t", 3000, 8)
+    spjConfs {
+      val q = spark.sql(
+        "SELECT id, sum(v) AS sv FROM bkt.agg.t GROUP BY id")
+      assert(q.count() == 3000)
+      assert(shuffles(q) == 0,
+        "bucket-key aggregation should ride the reported partitioning:\n" +
+          q.queryExecution.executedPlan)
+    }
+  }
+
+  test("mismatched bucket counts: correct with a shuffle") {
+    mkBucketed("mix", "t8", 1000, 8, 1.0)
+    mkBucketed("mix", "t4", 1000, 4, 5.0)
+    spjConfs {
+      val q = spark.sql(
+        """SELECT a.id, b.v FROM bkt.mix.t8 a JOIN bkt.mix.t4 b
+          |ON a.id = b.id WHERE a.id < 10""".stripMargin)
+      val got = q.collect()
+      assert(got.length == 10)
+      assert(got.forall(r => r.getDouble(1) == 5.0 * r.getLong(0)))
+    }
+  }
+
+  test("SQL UPDATE composes: certificate intact, probe pruned + fresh") {
+    val dir = mkBucketed("mut", "t", 2000, 8)
+    spark.sql("UPDATE bkt.mut.t SET v = v + 0.5 WHERE id = 77")
+    val got = spark.sql("SELECT v FROM bkt.mut.t WHERE id = 77").collect()
+    assert(got.map(_.getDouble(0)).toSeq == Seq(77.5))
+    // the re-inserted row landed in a bucket-certified file: the
+    // point probe still plans a strict subset
+    val planned = GraftSource.lastPlannedFiles.get(dir).size
+    val total = spark.read.parquet(dir).inputFiles.length
+    assert(planned < total, s"bucket prune lost after UPDATE: $planned/$total")
+    // whole table still exact under merge-on-read
+    assert(spark.sql("SELECT count(*) AS n FROM bkt.mut.t")
+      .collect()(0).getLong(0) == 2000)
+  }
+
+  test("upsertKeyed on a bucketed target opens only the batch's buckets") {
+    val dir = s"$warehouse/merge/t"
+    GeoParquet.writeBucketed(rows(0, 4000, 1.0), dir, "id", 16)
+    GeoParquet.upsertKeyed(
+      Seq((77L, -1.0, "x"), (78L, -2.0, "y")).toDF("id", "v", "tag"),
+      dir, "id")
+    // the doomed-address lookup opened at most the two keys' buckets
+    // — on a bucketed target the [k0,k1] range prune matches nearly
+    // every file (hash-spread ranges), the bucket set is exact
+    val looked = GeoParquet.lastMergeLookup.get(dir)
+    val total = spark.read.parquet(dir).inputFiles.length
+    assert(looked.nonEmpty && looked.size <= 2,
+      s"merge lookup opened ${looked.size} of $total files")
+    // merge semantics intact: exactly the latest copy per key
+    GeoParquet.writeBucketed(rows(0, 4000, 2.0), s"$warehouse/merge/u",
+      "id", 16)
+    spjConfs {
+      val q = spark.sql(
+        "SELECT a.id, a.v, b.v AS bv FROM bkt.merge.t a " +
+          "JOIN bkt.merge.u b ON a.id = b.id")
+      val got = q.collect()
+      assert(got.length == 4000)
+      val m = got.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(m(77L) == -1.0 && m(78L) == -2.0 && m(100L) == 100.0)
+      // SPJ composes with the merge's pending positional deletes:
+      // still zero shuffles, and the doomed copies stay subtracted
+      assert(shuffles(q) == 0,
+        "post-merge bucketed join lost its SPJ:\n" +
+          q.queryExecution.executedPlan)
+    }
+  }
+
+  test("pure-SQL bucketed CDC table: CREATE('key','buckets') → INSERT → SPJ") {
+    spark.sql(
+      """CREATE TABLE bkt.ddl.t (id BIGINT, v DOUBLE)
+        |TBLPROPERTIES('key'='id','buckets'='4')""".stripMargin)
+    spark.sql(
+      "INSERT INTO bkt.ddl.t SELECT id, CAST(id AS DOUBLE) FROM range(1000)")
+    spark.sql(
+      "INSERT INTO bkt.ddl.t SELECT id + 1000, CAST(id + 1000 AS DOUBLE) " +
+        "FROM range(500)")
+    val dir = s"$warehouse/ddl/t"
+    // bucket-certified from the FIRST batch: a point probe prunes
+    spark.sql("SELECT v FROM bkt.ddl.t WHERE id = 42").collect()
+    val planned = GraftSource.lastPlannedFiles.get(dir).size
+    val total = spark.read.parquet(dir).inputFiles.length
+    assert(planned < total, s"DDL bucket prune: $planned/$total")
+    // and the table joins shuffle-free against a same-n writeBucketed one
+    GeoParquet.writeBucketed(rows(0, 1500, 7.0), s"$warehouse/ddl/u", "id", 4)
+    spjConfs {
+      val q = spark.sql(
+        "SELECT a.id, a.v, b.v AS bv FROM bkt.ddl.t a JOIN bkt.ddl.u b " +
+          "ON a.id = b.id")
+      val got = q.collect()
+      assert(got.length == 1500)
+      assert(got.forall(r => r.getDouble(2) == 7.0 * r.getLong(0)))
+      assert(shuffles(q) == 0,
+        "DDL bucketed table did not storage-partition its join:\n" +
+          q.queryExecution.executedPlan)
+    }
+    // refusals: buckets without a key; buckets on a composite key
+    intercept[Exception](spark.sql(
+      "CREATE TABLE bkt.ddl.bad (id BIGINT) TBLPROPERTIES('buckets'='4')"))
+    intercept[Exception](spark.sql(
+      """CREATE TABLE bkt.ddl.bad2 (a BIGINT, b BIGINT)
+        |TBLPROPERTIES('key'='a,b','buckets'='4')""".stripMargin))
+  }
+
+  test("a foreign (uncertified) file disables bucket pruning, not reads") {
+    val dir = mkBucketed("alien", "t", 1000, 8)
+    // hand-copy one data file under a non-part name and rebuild
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val src = spark.read.parquet(dir).inputFiles.head
+      .stripPrefix("file:")
+    val dst = new org.apache.hadoop.fs.Path(dir, "alien-copy.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(src), fs, dst, false,
+      spark.sparkContext.hadoopConfiguration)
+    GeoParquet.writeManifest(spark, dir)
+    spark.read.format("graft").load(dir).createOrReplaceTempView("talien")
+    // the duplicated file's rows appear (it IS data now)
+    val n = spark.sql("SELECT count(*) AS n FROM talien").collect()(0).getLong(0)
+    val dupRows = spark.read.parquet(s"file:$src").count()
+    assert(n == 1000 + dupRows)
+    // the REAL pin: a key living in the uncertified file must come
+    // back TWICE (original + duplicate).  A bucket prune that still
+    // fired would drop the unparseable file and lose the duplicate.
+    // (The range [k0,k1] prune may legitimately narrow the plan —
+    // the alien file covers its own keys, so it always survives it.)
+    val aKey = spark.read.parquet(s"file:$src").select("id").head().getLong(0)
+    val got = spark.sql(s"SELECT id FROM talien WHERE id = $aKey").collect()
+    assert(got.length == 2,
+      s"duplicate row lost — bucket prune mis-fired on an uncertified " +
+        s"file (got ${got.length} rows for id=$aKey)")
+  }
+}
