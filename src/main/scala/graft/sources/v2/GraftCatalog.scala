@@ -355,7 +355,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       Seq(tableParam), statusSchema) { in =>
       val t = strArg(in, 0); val p = layoutPathOf(t)
       val spark = SparkSession.active
-      if (GeoParquet.isCurveLayout(spark, p)) {
+      if (GeoParquet.bucketsOf(spark, p).isDefined) {
+        // hash-bucketed layouts re-bucket WHOLESALE: a scoped rewrite
+        // would adopt files whose names are not bucket ids and poison
+        // the certificate (compactCurveScoped refuses them for the
+        // same reason); nFiles is moot — the bucket count governs
+        GeoParquet.compactCurve(spark, p, nFiles = 1)
+        statusRow(t, "compacted (re-bucketed)", p)
+      } else if (GeoParquet.isCurveLayout(spark, p)) {
         val n = GeoParquet.compactCurveScoped(spark, p)
         statusRow(t, s"compacted $n component(s)", p)
       } else {

@@ -1,7 +1,7 @@
 package graft.sources.v2
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, Reducer, ReducibleFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.types._
 
 /** The one v2 function the graft catalog exposes: `bucket(n, key)` —
@@ -52,7 +52,9 @@ object GraftBucketFunction extends UnboundFunction {
     ((h % n) + n) % n
   }
 
-  private final class Bound(kt: DataType) extends ScalarFunction[Integer] {
+  private final class Bound(kt: DataType) extends ScalarFunction[Integer]
+      with ReducibleFunction[Integer, Integer] {
+    private[GraftBucketFunction] def keyType: DataType = kt
     override def inputTypes(): Array[DataType] = Array(IntegerType, kt)
     override def resultType(): DataType = IntegerType
     override def name(): String = "bucket"
@@ -63,5 +65,32 @@ object GraftBucketFunction extends UnboundFunction {
       val v = if (input.isNullAt(1)) null else input.get(1, kt)
       Integer.valueOf(bucketId(v, kt, n))
     }
+
+    /** COMPATIBLE bucket counts (one divides the other) still join
+      * shuffle-free: because the bucket id is `pmod(murmur3(key), n)`,
+      * the coarser grouping is a pure function of the finer one —
+      * `pmod(h, m) == pmod(pmod(h, n), m)` whenever m divides n — so
+      * the FINER side reduces its partition keys with `% m` and Spark
+      * zips the groups (enable
+      * spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled).
+      * Returns null when this side is the coarser/equal one (the other
+      * side reduces) or the functions/key types differ.
+      */
+    override def reducer(thisNumBuckets: Int,
+                         other: ReducibleFunction[_, _],
+                         otherNumBuckets: Int): Reducer[Integer, Integer] =
+      other match {
+        case b: Bound if b.keyType == kt &&
+            thisNumBuckets > otherNumBuckets &&
+            thisNumBuckets % otherNumBuckets == 0 =>
+          new ModReducer(otherNumBuckets)
+        case _ => null
+      }
+  }
+
+  private final class ModReducer(m: Int)
+      extends Reducer[Integer, Integer] with Serializable {
+    // bucket values are pmod outputs (non-negative): plain % is exact
+    override def reduce(v: Integer): Integer = Integer.valueOf(v.intValue() % m)
   }
 }

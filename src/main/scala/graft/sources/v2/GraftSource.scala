@@ -228,6 +228,11 @@ final class GraftTable(path: String, schema: StructType,
       .foreach(d => m.put("delta", d.toString))
     try m.put("epoch", GeoParquet.readEpoch(spark, path).toString)
     catch { case scala.util.control.NonFatal(_) => () }
+    try {
+      GeoParquet.keyColOf(spark, path).foreach(k => m.put("key", k))
+      GeoParquet.bucketsOf(spark, path)
+        .foreach { case (n, _) => m.put("buckets", n.toString) }
+    } catch { case scala.util.control.NonFatal(_) => () }
     pinnedSnapshot.foreach(e => m.put("snapshot", e.toString))
     m
   }
@@ -1038,23 +1043,10 @@ final class GraftScan(path: String, dataSchema: StructType,
     * under = / IN so it never widens a set it can't name.
     */
   private def targetBuckets(n: Int, bcol: String,
-                            fs: Seq[Filter]): Option[Set[Int]] = {
-    if (!dataSchema.fieldNames.contains(bcol)) return None
-    val dt = dataSchema(bcol).dataType
-    import org.apache.spark.sql.{sources => S}
-    val sets = fs.flatMap {
-      case S.EqualTo(c, v) if c == bcol && v != null =>
-        GraftScan.bucketIdOf(v, dt, n).map(Set(_))
-      case S.EqualNullSafe(c, v) if c == bcol && v != null =>
-        GraftScan.bucketIdOf(v, dt, n).map(Set(_))
-      case S.In(c, vs) if c == bcol && vs != null && vs.nonEmpty =>
-        val bs = vs.toSeq.map(v =>
-          if (v == null) None else GraftScan.bucketIdOf(v, dt, n))
-        if (bs.forall(_.isDefined)) Some(bs.flatten.toSet) else None
-      case _ => None
-    }
-    if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
-  }
+                            fs: Seq[Filter]): Option[Set[Int]] =
+    if (dataSchema.fieldNames.contains(bcol))
+      GraftScan.targetBuckets(n, bcol, dataSchema(bcol).dataType, fs)
+    else None
 
   /** Hash-bucket partitioning report for storage-partitioned joins:
     * Some((n, keyCol, staticFiles)) iff the layout is bucketed, the
@@ -1389,6 +1381,30 @@ object GraftScan {
       case _ => None
     }
     cat.map(c => GraftBucketFunction.bucketId(c, dt, n))
+  }
+
+  /** The finite bucket set an equality/IN conjunct on the bucket key
+    * pins — the intersection across usable conjuncts (each is sound
+    * alone; rows must pass all).  None = no usable conjunct, prune
+    * nothing.  A null literal matches no row under = / IN, so it
+    * never widens a set it can't name; an unhashable value disables
+    * its conjunct.
+    */
+  private[v2] def targetBuckets(n: Int, bcol: String, dt: DataType,
+                                fs: Seq[Filter]): Option[Set[Int]] = {
+    import org.apache.spark.sql.{sources => S}
+    val sets = fs.flatMap {
+      case S.EqualTo(c, v) if c == bcol && v != null =>
+        bucketIdOf(v, dt, n).map(Set(_))
+      case S.EqualNullSafe(c, v) if c == bcol && v != null =>
+        bucketIdOf(v, dt, n).map(Set(_))
+      case S.In(c, vs) if c == bcol && vs != null && vs.nonEmpty =>
+        val bs = vs.toSeq.map(v =>
+          if (v == null) None else bucketIdOf(v, dt, n))
+        if (bs.forall(_.isDefined)) Some(bs.flatten.toSet) else None
+      case _ => None
+    }
+    if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
   }
 
   /** Conjunctive key-predicate range over the cluster-key column —
@@ -2004,17 +2020,38 @@ final class GraftAggScan(path: String, dataSchema: StructType,
           if (vs.contains(None)) None else Some(vs.map(_.get))
         }
 
+        // hash-bucket pruning, as on the row path: a file whose
+        // certified bucket cannot hold the equality/IN key holds ZERO
+        // filter-passing rows, so it contributes nothing to any
+        // pushed aggregate — drop it from both the stats AND scan
+        // sides.  `SELECT count(*) WHERE key = v` over a bucketed
+        // CDC table then touches one bucket, not the corpus.  Only
+        // fires when every candidate file certifies a bucket id.
+        val bucketWant: Option[Set[Int]] = GeoParquet.bucketsOf(spark, path)
+          .filter { case (nb, _) => rows.nonEmpty && rows.forall(r =>
+            GeoParquet.bucketOfFileName(r.getString(cols("file")))
+              .exists(_ < nb)) }
+          .flatMap { case (nb, bcol) =>
+            if (dataSchema.fieldNames.contains(bcol))
+              GraftScan.targetBuckets(nb, bcol,
+                dataSchema(bcol).dataType, exact)
+            else None
+          }
         val toScan = Seq.newBuilder[(String, String)]
         var answered = 0
         rows.foreach { r =>
           val rel = r.getString(cols("file"))
           val nRows = r.getLong(cols("n_rows"))
           val doomed = doomedCounts.getOrElse(rel, 0L)
-          val served =
-            if (contained(r, nRows)) fromStats(r, nRows, doomed) else None
-          served match {
-            case Some(vals) => mergeMeta(vals); answered += 1
-            case None => toScan += ((s"$path/$rel", rel))
+          val offBucket = bucketWant.exists(w =>
+            !GeoParquet.bucketOfFileName(rel).exists(w.contains))
+          if (!offBucket) {
+            val served =
+              if (contained(r, nRows)) fromStats(r, nRows, doomed) else None
+            served match {
+              case Some(vals) => mergeMeta(vals); answered += 1
+              case None => toScan += ((s"$path/$rel", rel))
+            }
           }
         }
         val scans = toScan.result()

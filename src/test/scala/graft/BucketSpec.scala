@@ -249,6 +249,102 @@ class BucketSpec extends SparkSpec {
         |TBLPROPERTIES('key'='a,b','buckets'='4')""".stripMargin))
   }
 
+  test("COUNT pushdown bucket-prunes: a point count touches one bucket") {
+    val dir = mkBucketed("aggp", "t", 4000, 16)
+    spark.read.format("graft").load(dir).createOrReplaceTempView("baggp")
+    val n = spark.sql("SELECT count(*) AS n FROM baggp WHERE id = 1234")
+      .collect()(0).getLong(0)
+    assert(n == 1)
+    // off-bucket files were dropped from BOTH the stats and scan
+    // sides of the pushdown split — the point count touched a bucket,
+    // not the corpus
+    val (answered, scanned) = GraftSource.lastAggPlan.get(dir)
+    val total = spark.read.parquet(dir).inputFiles.length
+    assert(answered + scanned < total,
+      s"agg bucket prune: answered=$answered scanned=$scanned of $total")
+    // a band predicate has no usable equality conjunct: unpruned, exact
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM baggp WHERE id >= 0 AND id < 100")
+      .collect()(0).getLong(0) == 100)
+  }
+
+  test("CALL system.compact re-buckets: certificate survives maintenance") {
+    val dir = mkBucketed("comp", "t", 2000, 8)
+    spark.sql("UPDATE bkt.comp.t SET v = -v WHERE id = 55")
+    spark.sql("CALL bkt.system.compact('comp.t')").collect()
+    // compaction applied the pending delete physically AND re-bucketed:
+    // every file still certifies its bucket, the probe still prunes,
+    // and the mutation survived the rewrite
+    val got = spark.sql("SELECT v FROM bkt.comp.t WHERE id = 55").collect()
+    assert(got.map(_.getDouble(0)).toSeq == Seq(-55.0))
+    val planned = GraftSource.lastPlannedFiles.get(dir).size
+    val total = spark.read.parquet(dir).inputFiles.length
+    assert(planned < total, s"post-compact bucket prune: $planned/$total")
+    assert(spark.sql("SELECT count(*) AS n FROM bkt.comp.t")
+      .collect()(0).getLong(0) == 2000)
+  }
+
+  test("compatible bucket counts (8 vs 4) join shuffle-free when enabled") {
+    mkBucketed("compat", "t8", 1200, 8, 1.0)
+    mkBucketed("compat", "t4", 1200, 4, 5.0)
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled"
+        -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      // pmod(h, 4) == pmod(pmod(h, 8), 4): the finer side reduces its
+      // partition keys with % 4 (ReducibleFunction) and the groups zip
+      val q = spark.sql(
+        "SELECT a.id, a.v, b.v AS bv FROM bkt.compat.t8 a " +
+          "JOIN bkt.compat.t4 b ON a.id = b.id")
+      val got = q.collect()
+      assert(got.length == 1200)
+      assert(got.forall(r => r.getDouble(2) == 5.0 * r.getDouble(1)))
+      assert(shuffles(q) == 0,
+        "divisible bucket counts should zip without a shuffle:\n" +
+          q.queryExecution.executedPlan)
+    }
+  }
+
+  test("writeStream into a bucketed DDL table keeps the certificate") {
+    implicit val sqlCtx = spark.sqlContext
+    spark.sql(
+      """CREATE TABLE bkt.strm.t (id BIGINT, v DOUBLE)
+        |TBLPROPERTIES('key'='id','buckets'='4')""".stripMargin)
+    val dir = s"$warehouse/strm/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("bktsinkck").toString
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Double)]
+    val q = mem.toDF().toDF("id", "v")
+      .writeStream.format("graft")
+      .option("checkpointLocation", ckpt)
+      .start(dir)
+    try {
+      mem.addData((0 until 300).map(i => (i.toLong, i * 2.0)): _*)
+      q.processAllAvailable()
+      mem.addData((300 until 500).map(i => (i.toLong, i * 2.0)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // both micro-batches re-bucketed through the sink's appendCurve
+    // dispatch: a point probe still prunes, values exact
+    val got = spark.sql("SELECT v FROM bkt.strm.t WHERE id = 431").collect()
+    assert(got.map(_.getDouble(0)).toSeq == Seq(862.0))
+    val planned = GraftSource.lastPlannedFiles.get(dir).size
+    val total = spark.read.parquet(dir).inputFiles.length
+    assert(planned < total, s"streamed bucket prune: $planned/$total")
+    assert(spark.sql("SELECT count(*) AS n FROM bkt.strm.t")
+      .collect()(0).getLong(0) == 500)
+  }
+
+  test("DESCRIBE EXTENDED surfaces the bucket geometry") {
+    mkBucketed("descb", "t", 500, 4)
+    val out = spark.sql("DESCRIBE TABLE EXTENDED bkt.descb.t")
+      .collect().map(_.toString).mkString("\n")
+    assert(out.contains("buckets=4") && out.contains("key=id"), out)
+  }
+
   test("a foreign (uncertified) file disables bucket pruning, not reads") {
     val dir = mkBucketed("alien", "t", 1000, 8)
     // hand-copy one data file under a non-part name and rebuild
