@@ -845,47 +845,38 @@ object GeoOps {
   def sqlSpj(s: SparkSession, dir: String): DataFrame = {
     val wh = java.nio.file.Files.createTempDirectory("sqlspj").toString
     val cat = s"graft_spj${spjSeq.incrementAndGet()}"
-    s.conf.set(s"spark.sql.catalog.$cat",
-      classOf[graft.sources.v2.GraftCatalog].getName)
-    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
     val p = pts(s, dir).select("id", "z")
     graft.sources.GeoParquet.writeBucketed(p, s"$wh/geo/ta", "id", 8)
     graft.sources.GeoParquet.writeBucketed(
       p.filter(col("id") % 3 === 0).withColumn("z", col("z") * 2.0),
       s"$wh/geo/tb", "id", 8)
-    val old = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
-    try {
-      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-      // the MERGE hint rules out a broadcast (which would also avoid
-      // shuffles without exercising the partitioned join) QUERY-LOCALLY
-      // — Verify runs queries concurrently, so a global
-      // autoBroadcastJoinThreshold flip could flake other queries'
-      // plan assertions mid-flight
-      val out = s.sql(
-        s"""SELECT /*+ MERGE(a) */ a.id, a.z AS za, b.z AS zb
-           |FROM $cat.geo.ta a JOIN $cat.geo.tb b ON a.id = b.id"""
-          .stripMargin)
-      out.collect() // force execution for the plan assertion
-      def nodes(pl: org.apache.spark.sql.execution.SparkPlan)
-          : Seq[org.apache.spark.sql.execution.SparkPlan] =
-        pl.collect {
-          case a: org.apache.spark.sql.execution.adaptive
-              .AdaptiveSparkPlanExec => nodes(a.executedPlan)
-          case n => Seq(n)
-        }.flatten
-      val nShuffles = nodes(out.queryExecution.executedPlan).count {
-        case _: org.apache.spark.sql.execution.exchange
-            .ShuffleExchangeExec => true
-        case _ => false
-      }
-      require(nShuffles == 0,
-        s"expected a storage-partitioned join with zero shuffles, " +
-          s"saw $nShuffles:\n${out.queryExecution.executedPlan}")
-      out
-    } finally old match {
-      case Some(v) => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
-      case None => s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
-    }
+    // a CLONED session owns the conf flips: Verify runs queries
+    // concurrently on the shared session, so a global set/restore of
+    // bucketing (or broadcast thresholds) could flake another query
+    // planned inside the window — the clone shares the SparkContext
+    // and nothing else, and dies with this call.  The MERGE hint
+    // rules out a broadcast (which would also avoid shuffles without
+    // exercising the partitioned join) query-locally on top.
+    val s2 = s.newSession()
+    s2.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    s2.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val out = s2.sql(
+      s"""SELECT /*+ MERGE(a) */ a.id, a.z AS za, b.z AS zb
+         |FROM $cat.geo.ta a JOIN $cat.geo.tb b ON a.id = b.id"""
+        .stripMargin)
+    out.collect() // force execution for the plan assertion
+    // STAGE-AWARE count (graft.core.PlanWalk): after collect() the
+    // AQE plan is result stages whose interiors a naive collect
+    // never visits — a plain traversal would read 0 for ANY join
+    // and pin nothing
+    val nShuffles = graft.core.PlanWalk.shuffles(
+      out.queryExecution.executedPlan)
+    require(nShuffles == 0,
+      s"expected a storage-partitioned join with zero shuffles, " +
+        s"saw $nShuffles:\n${out.queryExecution.executedPlan}")
+    out
   }
 
   val sqlSpjSql: String =

@@ -3542,6 +3542,15 @@ object GeoParquet {
     */
   def compactCurveIfNeeded(spark: SparkSession, path: String, nFiles: Int,
                            maxOverlap: Int = 4): Boolean = {
+    // hash-bucketed layouts have a different pressure metric: files in
+    // DIFFERENT buckets overlap in key range by construction (each
+    // bucket spans most of the key space), but point reads open only
+    // their key's bucket — range-overlap depth would see pressure
+    // after the first append and trigger a full rewrite per batch.
+    // (Their k0/k1 may also be strings, which the long sweep below
+    // cannot read.)  Route to the files-per-bucket gate instead.
+    if (bucketsOf(spark, path).isDefined)
+      return compactBucketedIfNeeded(spark, path, maxOverlap)
     val ranges = spark.read.parquet(s"$path/_manifest")
       .select("k0", "k1").collect()
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
@@ -3554,6 +3563,30 @@ object GeoParquet {
     }
     val pressure = maxDepth > maxOverlap
     if (pressure) compactCurve(spark, path, nFiles)
+    pressure
+  }
+
+  /** The scheduling gate for HASH-BUCKETED layouts: point reads open
+    * exactly their key's bucket files, so the fan-out that matters is
+    * FILES PER BUCKET — raised by one per touched bucket on every
+    * append, restored to one by [[compactCurve]]'s re-bucketing
+    * rewrite.  Pending merge-on-read deletes are pressure too (every
+    * merged read pays the subtraction until applied).  Manifest-only,
+    * like the curve gate: the decision costs a sidecar read, never an
+    * object-store walk.
+    *
+    * @return true iff compaction ran.
+    */
+  def compactBucketedIfNeeded(spark: SparkSession, path: String,
+                              maxFilesPerBucket: Int = 4): Boolean = {
+    require(bucketsOf(spark, path).isDefined,
+      s"$path is not hash-bucketed (no _buckets sidecar)")
+    val files = spark.read.parquet(s"$path/_manifest")
+      .select("file").collect().map(_.getString(0))
+    val pressure = hasPendingDeletes(spark, path) ||
+      files.groupBy(bucketOfFileName).values
+        .exists(_.length > maxFilesPerBucket)
+    if (pressure) compactCurve(spark, path, nFiles = 1)
     pressure
   }
 

@@ -475,12 +475,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
-    if (ident.name().equalsIgnoreCase("bucket")) GraftBucketFunction
+    if (functionExists(ident)) GraftBucketFunction
     else throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchFunctionException(ident)
 
+  /** Consistent with [[listFunctions]]: `bucket` lives at the catalog
+    * root (the empty namespace Spark's transform resolution uses) and
+    * is visible from every EXISTING namespace — a nonexistent
+    * namespace holds nothing, rather than phantom functions.
+    */
   override def functionExists(ident: Identifier): Boolean =
-    ident.name().equalsIgnoreCase("bucket")
+    ident.name().equalsIgnoreCase("bucket") &&
+      (ident.namespace().isEmpty || namespaceExists(ident.namespace()))
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
     require(ident.namespace().sameElements(Array("system")),

@@ -825,6 +825,16 @@ final class GraftScan(path: String, dataSchema: StructType,
     */
   @volatile private var runtime: Array[Filter] = Array.empty
 
+  /** Hash-bucket geometry, probed ONCE per scan (the `_buckets`
+    * sidecar is immutable for a layout's life): outputPartitioning,
+    * planInputPartitions, and any re-plan under runtime filters all
+    * share this — non-bucketed layouts pay one fs.exists per query,
+    * not one per planning touch.
+    */
+  private lazy val bucketGeom: Option[(Int, String)] =
+    try GeoParquet.bucketsOf(SparkSession.active, path)
+    catch { case scala.util.control.NonFatal(_) => None }
+
   /** Post-pushdown cardinality from the manifest: the n_rows sum over
     * bounds-intersecting files (an upper bound on the filtered rows —
     * exactly what a planner estimate should be).  Without this a DSv2
@@ -860,13 +870,18 @@ final class GraftScan(path: String, dataSchema: StructType,
 
   override def filterAttributes(): Array[NamedReference] = {
     val spark = SparkSession.active
-    // the two prunable shapes: declared membership-filter columns
-    // (manifest blooms) and envelope-stats columns — restricted to
-    // the scan's OUTPUT (Spark resolves these against the pruned
-    // projection; a join key is in the output by construction)
+    // the prunable shapes: declared membership-filter columns
+    // (manifest blooms), envelope-stats columns, and the layout's
+    // cluster-key columns — a runtime In on the key drives both the
+    // [k0,k1] range prune and the hash-bucket prune, so a
+    // broadcast-dim CDC lookup plans to the dim's key span/buckets.
+    // Restricted to the scan's OUTPUT (Spark resolves these against
+    // the pruned projection; a join key is in the output by
+    // construction).
     val stats = Seq("x", "y", "z", "t")
     val declared = GeoParquet.filterColsOf(spark, path)
-    (declared ++ stats).distinct
+    val keys = GeoParquet.keyColsOf(spark, path)
+    (declared ++ stats ++ keys).distinct
       .filter(required.fieldNames.contains)
       .map(Expressions.column).toArray
   }
@@ -982,7 +997,6 @@ final class GraftScan(path: String, dataSchema: StructType,
     // count (the range [k0,k1] prune does, as appended files
     // overlap).  Applies only when EVERY candidate file certifies a
     // bucket id: a foreign name disables the prune, never mis-prunes.
-    val bucketGeom = GeoParquet.bucketsOf(spark, path)
     val bucketPruned = bucketGeom match {
       case Some((nb, bcol)) if candidates.nonEmpty &&
           candidates.forall(f =>
@@ -1062,7 +1076,7 @@ final class GraftScan(path: String, dataSchema: StructType,
     if (changelog || changes.nonEmpty || rowIdMode) None
     else {
       val spark = SparkSession.active
-      try GeoParquet.bucketsOf(spark, path).flatMap { case (nb, bcol) =>
+      try bucketGeom.flatMap { case (nb, bcol) =>
         if (!required.fieldNames.contains(bcol)) None
         else {
           val kCols = GeoParquet.keyColsOf(spark, path)

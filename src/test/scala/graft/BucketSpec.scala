@@ -35,21 +35,25 @@ class BucketSpec extends SparkSpec {
     dir
   }
 
-  /** Physical nodes with AQE unwrapped (the SqlFaceSpec helper). */
-  private def nodes(p: org.apache.spark.sql.execution.SparkPlan)
-      : Seq[org.apache.spark.sql.execution.SparkPlan] =
-    p.collect {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        nodes(a.executedPlan)
-      case n => Seq(n)
-    }.flatten
-
+  /** STAGE-AWARE shuffle count (graft.core.PlanWalk): these asserts
+    * run AFTER collect(), when the AQE plan is result stages whose
+    * interiors a naive collect never visits — a plain traversal reads
+    * 0 for ANY join and the zero-shuffle assertions would be vacuous.
+    */
   private def shuffles(q: org.apache.spark.sql.DataFrame): Int =
-    nodes(q.queryExecution.executedPlan).count {
-      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
-        true
-      case _ => false
-    }
+    graft.core.PlanWalk.shuffles(q.queryExecution.executedPlan)
+
+  /** Self-check that `shuffles` can actually SEE a shuffle: a plain
+    * aggregate over a fresh non-bucketed frame must count ≥ 1 after
+    * execution, or every zero assertion in this suite proves nothing.
+    */
+  private def assertCounterBites(): Unit = {
+    val df = spark.range(1000).toDF("k")
+      .groupBy((col("k") % 7).as("g")).count()
+    df.collect()
+    assert(graft.core.PlanWalk.shuffles(df.queryExecution.executedPlan) >= 1,
+      "plan walker cannot see shuffles inside executed query stages")
+  }
 
   private def withConfs[T](kvs: (String, String)*)(body: => T): T = {
     val olds = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
@@ -104,6 +108,7 @@ class BucketSpec extends SparkSpec {
   }
 
   test("storage-partitioned join: same buckets, zero shuffle") {
+    assertCounterBites()
     mkBucketed("spj", "ta", 2500, 8, 1.0)
     mkBucketed("spj", "tb", 2500, 8, 3.0)
     spjConfs {
@@ -163,6 +168,13 @@ class BucketSpec extends SparkSpec {
       val got = q.collect()
       assert(got.length == 10)
       assert(got.forall(r => r.getDouble(1) == 5.0 * r.getLong(0)))
+      // 8 and 4 buckets are INCOMPATIBLE without the reducible-
+      // transforms conf: the join must have shuffled — and the
+      // counter must see it (the positive control for every
+      // zero-shuffle assertion in this suite)
+      assert(shuffles(q) >= 1,
+        "mismatched bucket counts joined without a visible shuffle:\n" +
+          q.queryExecution.executedPlan)
     }
   }
 
@@ -336,6 +348,54 @@ class BucketSpec extends SparkSpec {
     assert(planned < total, s"streamed bucket prune: $planned/$total")
     assert(spark.sql("SELECT count(*) AS n FROM bkt.strm.t")
       .collect()(0).getLong(0) == 500)
+  }
+
+  test("compactBucketedIfNeeded gates on files-per-bucket, not overlap") {
+    val dir = s"$warehouse/gate/t"
+    GeoParquet.writeBucketed(rows(0, 800, 1.0), dir, "id", 4)
+    // one append: range-overlap depth is already ~2 everywhere (each
+    // bucket file spans most of the key space), but files-per-bucket
+    // is 2 — no pressure yet at the default threshold
+    GeoParquet.appendCurve(rows(800, 1200, 1.0), dir, 1.0)
+    assert(!GeoParquet.compactCurveIfNeeded(spark, dir, nFiles = 1),
+      "bucketed gate fired under files-per-bucket 2 <= 4")
+    // four more appends: 6 files per touched bucket > 4 — pressure
+    (0 until 4).foreach(i =>
+      GeoParquet.appendCurve(rows(1200 + i * 100, 1300 + i * 100, 1.0),
+        dir, 1.0))
+    assert(GeoParquet.compactCurveIfNeeded(spark, dir, nFiles = 1),
+      "bucketed gate failed to fire at files-per-bucket > 4")
+    // the re-bucketing rewrite restored one file per bucket, kept the
+    // certificate, and lost nothing
+    assert(spark.read.parquet(dir).inputFiles.length <= 4)
+    spark.sql("SELECT v FROM bkt.gate.t WHERE id = 1234").collect()
+    assert(GraftSource.lastPlannedFiles.get(dir).size == 1)
+    assert(spark.sql("SELECT count(*) AS n FROM bkt.gate.t")
+      .collect()(0).getLong(0) == 1600)
+  }
+
+  test("a broadcast-dim join bucket-prunes the fact side at runtime") {
+    val dir = s"$warehouse/rtf/t"
+    GeoParquet.writeBucketed(rows(0, 4000, 1.0), dir, "id", 16)
+    spark.read.format("graft").load(dir).createOrReplaceTempView("brtf")
+    // a tiny PARQUET dim with a selective predicate on a non-join
+    // column — the shape dynamic pruning requires before it injects
+    // the runtime In(id, keys) this test exercises (a bare local
+    // relation never passes the pruning-has-benefit heuristic)
+    val dimDir = java.nio.file.Files.createTempDirectory("brtfdim").toString
+    Seq((42L, 1), (77L, 1), (9L, 0)).toDF("id", "pick")
+      .write.mode("overwrite").parquet(dimDir)
+    spark.read.parquet(dimDir).createOrReplaceTempView("brtf_dim")
+    val q = spark.sql(
+      "SELECT f.id, f.v FROM brtf f JOIN brtf_dim d ON f.id = d.id " +
+        "WHERE d.pick = 1")
+    val got = q.collect()
+    assert(got.map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+      Set((42L, 42.0), (77L, 77.0)))
+    val planned = GraftSource.lastPlannedFiles.get(dir).size
+    val total = spark.read.parquet(dir).inputFiles.length
+    assert(planned <= 2 && planned < total,
+      s"runtime bucket prune opened $planned of $total files")
   }
 
   test("DESCRIBE EXTENDED surfaces the bucket geometry") {

@@ -40,11 +40,7 @@ class SqlAggPushdownSpec extends SparkSpec {
     */
   private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
       : Seq[org.apache.spark.sql.execution.SparkPlan] =
-    p.collect {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        allNodes(a.executedPlan)
-      case n => Seq(n)
-    }.flatten
+    graft.core.PlanWalk.nodes(p) // stage-aware: sees inside executed stages
 
   private def scanOf(df: DataFrame) =
     allNodes(df.queryExecution.executedPlan).collectFirst {

@@ -147,13 +147,11 @@ class SqlFaceSpec extends SparkSpec {
     // the join picks broadcast from the REPORTED stats — without
     // estimateStatistics a DSv2 scan reads as defaultSizeInBytes (∞)
     // and this would be a sort-merge join
+    // stage-aware traversal: the one shared definition (PlanWalk)
+    // also sees inside executed query stages
     def nodes(p: org.apache.spark.sql.execution.SparkPlan)
         : Seq[org.apache.spark.sql.execution.SparkPlan] =
-      p.collect {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          nodes(a.executedPlan)
-        case n => Seq(n)
-      }.flatten
+      graft.core.PlanWalk.nodes(p)
     assert(nodes(q.queryExecution.executedPlan).exists {
       case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => true
       case _ => false
