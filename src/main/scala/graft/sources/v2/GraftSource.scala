@@ -815,7 +815,8 @@ final class GraftScan(path: String, dataSchema: StructType,
                       limitHint: Option[Int] = None,
                       topNHint: Option[(Boolean, Int)] = None)
     extends Scan with Batch with SupportsRuntimeFiltering
-    with SupportsReportStatistics with SupportsReportPartitioning {
+    with SupportsReportStatistics with SupportsReportPartitioning
+    with SupportsReportOrdering {
 
   /** Runtime (join-driven) filters, delivered by Spark's dynamic
     * pruning after the build side executes — used for FILE pruning
@@ -1110,6 +1111,44 @@ final class GraftScan(path: String, dataSchema: StructType,
       new KeyGroupedPartitioning(
         Array[VExpression](Expressions.bucket(nb, bcol)), nGroups)
     case None => new UnknownPartitioning(0)
+  }
+
+  /** Per-partition key order, reported ONLY when every bucket holds
+    * exactly ONE planned file: each file is internally key-sorted by
+    * the write (sortWithinPartitions on the zkey mirror), and a
+    * one-file group IS its file — so after a compaction, a
+    * same-bucketed join skips its Sort as well as its shuffle.  Two
+    * key-sorted files CONCATENATED are not sorted, so multi-file
+    * groups report nothing.
+    *
+    * HARD SAFETY GATE, found the expensive way: when Spark's
+    * group-MERGING modes are on — compatible-transform reduction
+    * (an 8-bucket side zipping a 4-bucket side folds two sorted
+    * partitions into one group) or partially-clustered distribution —
+    * the planner keeps the reported ordering across the merged
+    * groups, the merge join consumes an UNSORTED concatenation as
+    * sorted, and rows silently vanish (reproduced: a 1200-row join
+    * returned 637).  The scan cannot know at report time whether the
+    * join's other side will trigger a reduction, so ordering
+    * withdraws whenever either conf could merge groups — correctness
+    * over the optimization, exactly like the partitioning fallbacks.
+    */
+  override def outputOrdering(): Array[
+      org.apache.spark.sql.connector.expressions.SortOrder] = {
+    def on(k: String): Boolean =
+      try SparkSession.active.conf.get(k, "false") == "true"
+      catch { case scala.util.control.NonFatal(_) => true }
+    val groupsMayMerge =
+      on("spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled") ||
+      on("spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled")
+    bucketReport match {
+      case Some((_, bcol, files)) if !groupsMayMerge &&
+          files.groupBy(GraftScan.bucketOfFile)
+            .values.forall(_.length == 1) =>
+        Array(Expressions.sort(Expressions.column(bcol),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+      case _ => Array.empty
+    }
   }
 
   /** The smallest prefix (in plan order) of manifest-CONTAINED,

@@ -398,6 +398,46 @@ class BucketSpec extends SparkSpec {
       s"runtime bucket prune opened $planned of $total files")
   }
 
+  test("one-file-per-bucket layouts join with zero shuffles AND zero sorts") {
+    // a fresh writeBucketed IS one key-sorted file per bucket, so the
+    // scan reports per-partition key order and the merge join skips
+    // its Sort too; after appends stack files the ordering report
+    // withdraws (concatenated sorted files are not sorted)
+    mkBucketed("ord", "ta", 1500, 4, 1.0)
+    mkBucketed("ord", "tb", 1500, 4, 9.0)
+    def sorts(q: org.apache.spark.sql.DataFrame): Int =
+      graft.core.PlanWalk.nodes(q.queryExecution.executedPlan).count {
+        case _: org.apache.spark.sql.execution.SortExec => true
+        case _ => false
+      }
+    spjConfs {
+      val q = spark.sql(
+        "SELECT a.id, a.v, b.v AS bv FROM bkt.ord.ta a " +
+          "JOIN bkt.ord.tb b ON a.id = b.id")
+      val got = q.collect()
+      assert(got.length == 1500)
+      assert(got.forall(r => r.getDouble(2) == 9.0 * r.getDouble(1)))
+      assert(shuffles(q) == 0, "ordered join shuffled:\n" +
+        q.queryExecution.executedPlan)
+      assert(sorts(q) == 0,
+        "one-file-per-bucket join did not skip its sorts:\n" +
+          q.queryExecution.executedPlan)
+    }
+    // append → two files in some bucket → ordering withdraws, the
+    // join sorts again, results stay exact
+    GeoParquet.appendCurve(rows(1500, 1600, 1.0), s"$warehouse/ord/ta", 1.0)
+    spjConfs {
+      val q2 = spark.sql(
+        "SELECT a.id, a.v, b.v AS bv FROM bkt.ord.ta a " +
+          "JOIN bkt.ord.tb b ON a.id = b.id")
+      assert(q2.collect().length == 1500)
+      assert(shuffles(q2) == 0)
+      assert(sorts(q2) >= 1,
+        "multi-file buckets must not claim per-partition order:\n" +
+          q2.queryExecution.executedPlan)
+    }
+  }
+
   test("DESCRIBE EXTENDED surfaces the bucket geometry") {
     mkBucketed("descb", "t", 500, 4)
     val out = spark.sql("DESCRIBE TABLE EXTENDED bkt.descb.t")
