@@ -1712,6 +1712,42 @@ object GeoParquet {
     } else None
   }
 
+  /** The layout's RECORDED type for column `c` — the `_schema`
+    * sidecar when evolution wrote one, else ONE manifest-named file's
+    * footer (O(1), never a layout listing).  None when the layout has
+    * no manifest yet or the column is unknown.  Write paths that hash
+    * or range-compare the cluster key consult this BEFORE staging:
+    * murmur3 and the manifest [k0,k1] stats are both width-sensitive,
+    * so a batch whose key type differs from the written type would
+    * bucket-hash (and stat-compare) under a DIFFERENT function than
+    * readers use — the silent-duplicate / dropped-row class the r15
+    * advice flagged.  ([[recordEvolution]] refuses the type change
+    * too, but only after a merge stage is already on disk.)
+    */
+  private def layoutKeyTypeOf(spark: SparkSession, path: String,
+      c: String): Option[org.apache.spark.sql.types.DataType] =
+    scala.util.Try(
+      layoutSchema(spark, path).getOrElse(manifestHeadSchema(spark, path)))
+      .toOption.flatMap(_.fields.find(_.name == c).map(_.dataType))
+
+  /** Refuse a keyed/bucketed write whose batch key type differs from
+    * the layout's recorded type — BEFORE anything stages, with a
+    * message naming the cast the caller owes. */
+  private def requireKeyTypeMatch(df: DataFrame, path: String,
+                                  keyCols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    keyCols.foreach { kc =>
+      layoutKeyTypeOf(spark, path, kc).foreach { t =>
+        require(t == df.schema(kc).dataType,
+          s"$path clusters on '$kc': ${t.simpleString}, but the batch " +
+            s"carries ${df.schema(kc).dataType.simpleString} — cast the " +
+            "batch key to the layout's type first (bucket hashing and " +
+            "range stats are type-sensitive; a silent widen would " +
+            "address the wrong files)")
+      }
+    }
+  }
+
   private val BucketFileRe = "^part-(\\d{1,9})-.*".r
 
   /** The bucket id a part file name certifies (`part-<idx>-…` — the
@@ -1796,6 +1832,11 @@ object GeoParquet {
           s"'$keyCol' is ${other.simpleString} — " +
           "hash or dictionary-encode other key types first")
     }
+    // fail BEFORE staging anything (as the freshness guard below): a
+    // width-mismatched batch key would murmur3-hash into the WRONG
+    // bucket set on a bucketed target — the doomed-address lookup
+    // misses the old copies and the merge silently keeps duplicates.
+    requireKeyTypeMatch(df, path, Seq(keyCol))
     adoptStagedMerges(spark, path) // heal any crashed predecessor
     // fail BEFORE staging anything: a stale manifest would prune the
     // doomed-address lookup against missing files (wrong old-copy
@@ -1861,6 +1902,9 @@ object GeoParquet {
     else {
       val spark = df.sparkSession
       keyCols.foreach(requireOrderableKey(df, _))
+      // struct [k0,k1] range compares are type-sensitive per field —
+      // refuse a width-mismatched batch before anything stages
+      requireKeyTypeMatch(df, path, keyCols)
       adoptStagedMerges(spark, path)
       require(manifestFresh(spark, path, verify = false),
         s"$path: manifest is stale (an append crashed mid-commit or an " +
@@ -3353,6 +3397,14 @@ object GeoParquet {
         require(keyed.columns.contains(bcol),
           s"$path is hash-bucketed on '$bcol' but the appended batch " +
             "lacks that column")
+        // the repartition below IS the bucket certificate: murmur3 is
+        // width-sensitive, so a batch carrying a different key type
+        // would stamp bucket ids readers (who widen literals to the
+        // TABLE column type) disagree with — every later bucket-pruned
+        // read would silently drop this batch's rows.  Refuse here,
+        // before the staging write (recordEvolution would refuse the
+        // type change anyway, but only after staging).
+        requireKeyTypeMatch(keyed.select(bcol), path, Seq(bcol))
         keyed.repartition(nb, col(bcol)).sortWithinPartitions(keyCol)
       case None =>
         keyed.repartitionByRange(nFiles, col(keyCol))
@@ -3548,9 +3600,12 @@ object GeoParquet {
     // their key's bucket — range-overlap depth would see pressure
     // after the first append and trigger a full rewrite per batch.
     // (Their k0/k1 may also be strings, which the long sweep below
-    // cannot read.)  Route to the files-per-bucket gate instead.
+    // cannot read.)  Route to the files-per-bucket gate instead — at
+    // its OWN default: maxOverlap tunes range-overlap depth, a
+    // semantically different knob than files-per-bucket (callers who
+    // want to tune the bucket gate call compactBucketedIfNeeded).
     if (bucketsOf(spark, path).isDefined)
-      return compactBucketedIfNeeded(spark, path, maxOverlap)
+      return compactBucketedIfNeeded(spark, path)
     val ranges = spark.read.parquet(s"$path/_manifest")
       .select("k0", "k1").collect()
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)

@@ -508,23 +508,23 @@ final class GraftScanBuilder(path: String, dataSchema: StructType,
     }
     if (cols.contains(None)) return false
     val parsed = cols.flatten.toSeq
-    // pending POSITIONAL deletes no longer force full degradation:
-    // COUNTs still push down — the planner subtracts each contained
-    // file's doomed-position count from its manifest stats and the
-    // boundary scans skip doomed positions ([[GraftAggScan]]), with a
-    // snapshot slicing the subtraction by part epoch exactly as the
-    // row path does.  MIN/MAX cannot subtract (a doomed row might BE
-    // the extremum) and equality (key) tombstones refuse everywhere.
+    // pending POSITIONAL deletes no longer degrade ANY pushed
+    // aggregate: COUNTs subtract each contained file's doomed-position
+    // count from its manifest stats; MIN/MAX serve z0/z1 from the
+    // manifest for every file with ZERO doomed positions (the
+    // tombstone parts NAME the doomed files, so innocence is provable
+    // from metadata alone), while a doomed file boundary-scans with
+    // its positions skipped ([[GroupAggReader]]) — a doomed row might
+    // BE the extremum, so stats cannot answer for THAT file, but one
+    // row's DELETE must not re-open the other 99.999% of a 100 TB
+    // corpus.  Snapshots slice the subtraction by part epoch exactly
+    // as the row path does.  Equality (key) tombstones still refuse
+    // everywhere on the SQL face (planInputPartitions raises the same
+    // demand the row path does).
     val spark = SparkSession.active
-    if (GeoParquet.pendingPositional(spark, path).nonEmpty) {
-      val countsOnly = parsed.forall {
-        case NRows | _: NNonNull => true
-        case _ => false
-      }
-      if (!countsOnly ||
-          GeoParquet.pendingTombstones(spark, path).nonEmpty)
-        return false
-    }
+    if (GeoParquet.pendingPositional(spark, path).nonEmpty &&
+        GeoParquet.pendingTombstones(spark, path).nonEmpty)
+      return false
     aggCols = Some(parsed)
     true
   }
@@ -1879,7 +1879,9 @@ private[v2] object DoomedPositions {
   * exact filters.  The one synthetic "manifest" partition always
   * emits its row, so a zero-match query still yields COUNT 0 (sum
   * over an empty scan would be SQL NULL).  Stale manifest ⇒ every
-  * file scans; pending deletes refuse as on the row path.
+  * file scans; pending POSITIONAL deletes subtract per file (doomed
+  * files scan with positions skipped, innocent files stay
+  * manifest-answered); equality tombstones refuse as on the row path.
   */
 final class GraftAggScan(path: String, dataSchema: StructType,
                          aggCols: Seq[AggCol], exact: Seq[Filter],
@@ -1924,8 +1926,10 @@ final class GraftAggScan(path: String, dataSchema: StructType,
     // serves `n_rows - doomed` / `cn - doomed` without being opened
     // (every doomed row passed the filters and was non-null, because
     // EVERY row did); boundary files scan with the doomed positions
-    // skipped.  The pushdown is counts-only under deletes (the
-    // builder refuses MIN/MAX — a doomed row might be the extremum).
+    // skipped.  MIN/MAX ride the same accounting: a file with ZERO
+    // doomed positions serves z0/z1 from stats unopened (fromStats),
+    // a doomed file scans — a doomed row might be the extremum, so
+    // only THAT file pays, never the corpus.
     // distinct (file,pos) first: duplicate tombstone entries for the
     // same position are reachable (overlapping deleteWhere batches),
     // and counting raw rows would over-subtract — tombstone parts are

@@ -228,15 +228,57 @@ class SqlAggPushdownSpec extends SparkSpec {
     }
     assert(sel == wantSel, s"boundary subtraction wrong: $sel vs $wantSel")
     assert(GraftSource.lastAggPlan.get(dir)._2 > 0, "no boundary file scanned")
-    // MIN/MAX cannot subtract — they fall back to the row scan (no
-    // agg plan recorded) and still answer exactly
+    // MIN/MAX push under pending deletes too: stats cannot subtract
+    // (a doomed row might BE the extremum), so every file holding a
+    // doomed position boundary-scans with those positions skipped —
+    // here the id%9 deletes land in EVERY file, so nothing is
+    // stats-answered and the fold alone must exclude the dead rows
     GraftSource.lastAggPlan.remove(dir)
     val mm = spark.sql("SELECT min(z) AS zmin, max(z) AS zmax FROM morcount")
       .collect()(0)
     val zs = (0 until 3000).filter(_ % 9 != 4).map(_ * 1.0)
     assert(mm.getDouble(0) == zs.min && mm.getDouble(1) == zs.max)
-    assert(GraftSource.lastAggPlan.get(dir) == null,
-      "MIN/MAX pushed down under pending deletes — a doomed extremum could leak")
+    val mmPlan = GraftSource.lastAggPlan.get(dir)
+    assert(mmPlan != null && mmPlan._2 > 0,
+      s"MIN/MAX under corpus-wide deletes must boundary-scan the " +
+        s"doomed files: $mmPlan")
+  }
+
+  test("MIN/MAX stay manifest-answered for files a localized delete never touched") {
+    val dir = layout(3000, 25.0)
+    // dooms only the bin-1000/bin-1250 files (x >= 1000); bins
+    // 0..750 hold x <= 850 and keep zero doomed positions
+    GeoParquet.deleteWhere(spark, dir, col("x") >= 1000.0)
+    assert(GeoParquet.pendingPositional(spark, dir).nonEmpty)
+    face(dir, "mormm")
+    GraftSource.lastAggPlan.remove(dir)
+    // 860 sits between the last innocent lattice point (850) and the
+    // first doomed file's envelope (875): every candidate file is
+    // innocent AND fully contained → MIN/MAX/COUNT all answered from
+    // the manifest with ZERO files opened, deletes still pending —
+    // the one-row-DELETE-must-not-rescan-the-corpus contract
+    val mm = spark.sql(
+      """SELECT min(z) AS zmin, max(z) AS zmax, count(*) AS n FROM mormm
+        |WHERE x >= 0 AND x < 860.0""".stripMargin).collect()(0)
+    val sel = (0 until 3000).filter(i => (i % 50) * 25.0 < 860.0)
+    assert(mm.getDouble(0) == sel.min * 1.0 &&
+      mm.getDouble(1) == sel.max * 1.0 && mm.getLong(2) == sel.size)
+    val (answered, scanned) = GraftSource.lastAggPlan.get(dir)
+    assert(answered > 0 && scanned == 0,
+      s"a delete-disjoint MIN/MAX opened files: answered=$answered " +
+        s"scanned=$scanned — innocence is provable from the tombstone " +
+        "parts' file names")
+    // the doomed band itself: stats refuse per-file, the boundary
+    // scan subtracts, and the answer is exact
+    GraftSource.lastAggPlan.remove(dir)
+    val band = spark.sql(
+      """SELECT min(z) AS zmin, max(z) AS zmax, count(*) AS n FROM mormm
+        |WHERE x >= 1000.0""".stripMargin).collect()(0)
+    assert(band.isNullAt(0) && band.isNullAt(1) && band.getLong(2) == 0L,
+      s"every x >= 1000 row is deleted — a non-empty band aggregate " +
+        s"leaked a doomed row: $band")
+    assert(GraftSource.lastAggPlan.get(dir)._2 > 0,
+      "the doomed band's files must scan (a doomed row might be the extremum)")
   }
 
   test("a stale manifest degrades to scanning every file, still exact") {
