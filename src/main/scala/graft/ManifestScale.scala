@@ -77,12 +77,20 @@ object ManifestScale {
       ()
     }
     planTouch(); facedRead() // warm codegen/FS caches once
+    // the append loop above ran under the AUTO-GATE
+    // (coalesceManifestIfNeeded fires from inside appendWithManifest
+    // once the sidecar exceeds 32 parts), so partsBefore is already
+    // BOUNDED regardless of nCommits — that bound, and the resulting
+    // flat planner touch, is the linear-scale claim this main pins
     val partsBefore = parts()
+    require(partsBefore <= 33,
+      s"auto-gate failed: $partsBefore manifest parts after $nCommits " +
+        "commits (bound is maxParts=32 + the in-flight commit)")
     val planBefore = medianOf(7)(planTouch())
     val readBefore = medianOf(5)(facedRead())
     val rowsBefore = spark.read.parquet(s"$dir/_manifest").count()
 
-    GeoParquet.compactManifest(spark, dir)
+    GeoParquet.compactManifest(spark, dir) // manual floor: one part
 
     val partsAfter = parts()
     val planAfter = medianOf(7)(planTouch())

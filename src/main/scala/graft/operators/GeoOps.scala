@@ -825,6 +825,43 @@ object GeoOps {
        |SELECT id, z FROM pts
        |WHERE id >= 100 ORDER BY id LIMIT 500""".stripMargin
 
+  /** 61z38: COMPOSITE-key Top-N pushdown — `ORDER BY tenant, id LIMIT
+    * n` on a (tenant, id)-clustered CDC table plans only the
+    * key-ordered head of the file set, through the struct [k0,k1]
+    * stats (a lexicographic extremum has an extremal prefix, so the
+    * endpoints' leading fields bound any leading-prefix order; struct
+    * min/max order null fields first exactly as Spark's default
+    * multi-column sort, so nulls stay inside the proven bounds).
+    * "First n rows by tenant" over a 100 TB multi-tenant table stops
+    * planning at ~one file.  The full-key order makes the result
+    * DETERMINISTIC, so the oracle hash-pins the exact rows; the
+    * in-query assertion pins the plan budget.
+    */
+  def sqlTopk2(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("sqltopk2").toString
+    graft.sources.GeoParquet.writeKeyed(
+      pts(s, dir).select((col("id") % 10).as("tenant"), col("id"), col("z")),
+      path, Seq("tenant", "id"), nFiles = 16)
+    s.read.format("graft").load(path)
+      .createOrReplaceTempView("graft_sql_topk2")
+    val out = s.sql(
+      """SELECT tenant, id, z FROM graft_sql_topk2
+        |ORDER BY tenant, id LIMIT 500""".stripMargin)
+    out.collect() // force planning for the truncation assertion
+    val planned =
+      graft.sources.v2.GraftSource.lastPlannedFiles.get(path).size
+    val total = s.read.parquet(s"$path/_manifest").count()
+    require(planned < total,
+      s"composite-key top-k planned $planned of $total files — the " +
+        "struct-stats TopN truncation did not fire")
+    out
+  }
+
+  val sqlTopk2Sql: String =
+    s"""WITH pts AS ($P)
+       |SELECT id % 10 AS tenant, id, z FROM pts
+       |ORDER BY tenant, id LIMIT 500""".stripMargin
+
   private val spjSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   // bench loops re-run gate queries many times in one session: the
@@ -1007,6 +1044,63 @@ object GeoOps {
     // UPDATE's re-inserts, and must see post-UPDATE values only)
     probe(2).unionAll(probe(7)).orderBy("tenant", "id")
   }
+
+  /** 61z39: the pure-SQL SPATIAL lifecycle — `CREATE TABLE …
+    * TBLPROPERTIES('delta'='250.0','curve'='z')` declares a
+    * curve-clustered layout with no API call, INSERTs dispatch
+    * through appendCurve (each batch key-sorted, its [k0,k1] ranges
+    * manifested from the first commit), and a box probe is answered
+    * through the BIGMIN curve-range decomposition from a sliver of
+    * the files (asserted in-query).  Together with 61z32 ('key') and
+    * 61z35 ('buckets'), every layout geometry the engine writes is
+    * now DDL-creatable — a 100 TB deployment's scheduler needs no
+    * Scala anywhere in the create→ingest→query→maintain loop.  The
+    * oracle replays the box relationally; a mis-keyed INSERT batch, a
+    * curve range that drops a boundary cell, or an over-pruned file
+    * hash-mismatches.
+    */
+  private val ddlCurveSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def sqlDdlCurve(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("sqlddlc").toString
+    val cat = s"graft_ddlc${ddlCurveSeq.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"""CREATE TABLE $cat.geo.curved (id BIGINT, x DOUBLE,
+             |y DOUBLE, z DOUBLE)
+             |USING graft
+             |TBLPROPERTIES('delta'='250.0', 'curve'='z',
+             |'files'='8')""".stripMargin)
+    pts(s, dir).select("id", "x", "y", "z")
+      .createOrReplaceTempView("graft_ddl_curve_src")
+    // 'files'='8': each INSERT range-splits into 8 key-sorted files
+    // (the parallel-ingest shape), so the box probe has a real file
+    // population to prune across both commits
+    Seq("x < 0", "x >= 0").foreach { w =>
+      s.sql(s"INSERT INTO $cat.geo.curved " +
+        s"SELECT id, x, y, z FROM graft_ddl_curve_src WHERE $w")
+    }
+    val path = s"$wh/geo/curved"
+    val out = s.sql(
+      s"""SELECT id, x, y, z FROM $cat.geo.curved
+         |WHERE x >= 500 AND x < 900 AND y >= 500 AND y < 900
+         |ORDER BY id""".stripMargin)
+    out.collect() // force planning for the prune assertion
+    val planned =
+      graft.sources.v2.GraftSource.lastPlannedFiles.get(path).size
+    val total = s.read.parquet(s"$path/_manifest").count()
+    require(planned > 0 && planned < total,
+      s"DDL curve probe planned $planned of $total files — the curve " +
+        "prune did not fire on the SQL-created layout")
+    out
+  }
+
+  val sqlDdlCurveSql: String =
+    s"""WITH pts AS ($P)
+       |SELECT id, x, y, z FROM pts
+       |WHERE x >= 500 AND x < 900 AND y >= 500 AND y < 900
+       |ORDER BY id""".stripMargin
 
   val sqlDdlKeySql: String =
     s"""WITH pts AS ($P),
@@ -2122,6 +2216,8 @@ object GeoOps {
     "q_sql_ddl_key"     -> (sqlDdlKey _),
     "q_sql_limit"       -> (sqlLimit _),
     "q_sql_topk"        -> (sqlTopk _),
+    "q_sql_topk2"       -> (sqlTopk2 _),
+    "q_sql_ddl_curve"   -> (sqlDdlCurve _),
     "q_sql_spj"         -> (sqlSpj _),
     "q_bucket_probe"    -> (bucketProbe _),
     "q_sql_catalog"     -> (sqlCatalog _),
@@ -2187,6 +2283,8 @@ object GeoOps {
     "q_sql_ddl_key"     -> sqlDdlKeySql,
     "q_sql_limit"       -> sqlLimitSql,
     "q_sql_topk"        -> sqlTopkSql,
+    "q_sql_topk2"       -> sqlTopk2Sql,
+    "q_sql_ddl_curve"   -> sqlDdlCurveSql,
     "q_sql_spj"         -> sqlSpjSql,
     "q_bucket_probe"    -> bucketProbeSql,
     "q_sql_catalog"     -> sqlCatalogSql,

@@ -102,14 +102,18 @@ object GeoParquet {
       s"$path already exists and is not empty")
     fs.mkdirs(p)
     recordDelta(spark, path, delta)
-    writeSchemaFile(spark, path, StructType(
-      dataSchemaOf(schema).fields.toSeq :+ StructField(keyCol, LongType)))
-    val mSchema = StructType(Seq(
-      StructField("file", StringType), StructField("n_rows", LongType),
-      StructField("epoch", LongType),
-      StructField("k0", LongType), StructField("k1", LongType)))
-    spark.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](), mSchema)
+    val full = StructType(
+      dataSchemaOf(schema).fields.toSeq :+ StructField(keyCol, LongType))
+    writeSchemaFile(spark, path, full)
+    // seed the manifest with the EXACT stats schema the appends will
+    // produce (statsOf over a zero-row frame of the full schema, the
+    // createKeyedLayout convention) — a hand-rolled five-column seed
+    // narrows footer-picked manifest reads to (file, k0, k1) and
+    // silently disables x/y envelope pruning and aggregate pushdown
+    // on every SQL-created curve table
+    statsOf(spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), full),
+        path, 0L)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_manifest")
     writeEpochFile(spark, s"$path/_manifest_epoch", 0L) // fresh at epoch 0
   }
@@ -231,6 +235,27 @@ object GeoParquet {
     if (fsOf(spark, path).exists(p))
       Some(readTextFile(spark, p.toString).trim.toDouble)
     else None
+  }
+
+  /** The layout's declared per-batch FILE TARGET for generic appends
+    * (`TBLPROPERTIES('files'='n')` → `_nfiles` sidecar): the SQL
+    * INSERT and streaming-sink dispatchers have no nFiles argument of
+    * their own, and a curve layout whose every INSERT lands ONE file
+    * serializes the batch write through a single task — at 100 TB an
+    * ingest batch must range-split across the cluster.  None = the
+    * historical single-file default.
+    */
+  def nFilesOf(spark: SparkSession, path: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_nfiles")
+    if (fsOf(spark, path).exists(p))
+      Some(readTextFile(spark, p.toString).trim.toInt)
+    else None
+  }
+
+  private[graft] def recordNFiles(spark: SparkSession, path: String,
+                                  n: Int): Unit = {
+    require(n > 0, s"files target must be positive: $n")
+    writeTextFile(spark, s"$path/_nfiles", n.toString)
   }
 
   /** Write points z-order-clustered: one global range partition on
@@ -2733,6 +2758,35 @@ object GeoParquet {
     }
   }
 
+  /** Auto-gated [[compactManifest]], the scheduling convention of
+    * [[compactCurveIfNeeded]] applied to the METADATA sidecar: every
+    * commit appends one tiny manifest part, so a month of minutely
+    * CDC would otherwise need an operator to remember `CALL
+    * system.coalesce_manifest` or pay ~43k footer reads per planner
+    * touch.  The manifest-appending commit paths
+    * ([[appendWithManifest]], [[appendCurve]] — and through them the
+    * SQL INSERT, the streaming sink, and every MERGE/upsert verb)
+    * call this after their commit: the decision is ONE directory
+    * listing of the sidecar, and the coalesce itself (amortized
+    * 1/maxParts of commits) rewrites only the sidecar, never a data
+    * footer.  Runs OUTSIDE the commit lock — compactManifest takes
+    * it, and a concurrent commit landing between the gate's count
+    * and the swap is safe (the swap runs under the lock and copies
+    * whatever rows are live then).
+    *
+    * @return true iff a coalesce ran.
+    */
+  def coalesceManifestIfNeeded(spark: SparkSession, path: String,
+                               maxParts: Int = 32): Boolean = {
+    val fs = fsOf(spark, path)
+    val m = new org.apache.hadoop.fs.Path(s"$path/_manifest")
+    if (!fs.exists(m)) return false
+    val parts = fs.listStatus(m)
+      .count(_.getPath.getName.endsWith(".parquet"))
+    if (parts > maxParts) { compactManifest(spark, path); true }
+    else false
+  }
+
   /** Resolve a crash-stranded [[compactManifest]] swap (deterministic
     * stage/preserve names make the state machine total).  Call under
     * the lock.
@@ -3205,6 +3259,7 @@ object GeoParquet {
           commitMarker)
       }
     }
+    coalesceManifestIfNeeded(spark, path) // outside the lock (it re-takes it)
   }
 
   /** Move every staged data file under `tmp` into the layout
@@ -3450,6 +3505,7 @@ object GeoParquet {
           commitMarker)
       }
     }
+    coalesceManifestIfNeeded(spark, path) // outside the lock (it re-takes it)
   }
 
   /** [[compact]] for curve-clustered layouts: [[appendCurve]] leaves
@@ -3458,7 +3514,38 @@ object GeoParquet {
     * chain of `nFiles` files, then rebuilds the manifest.  Schedule
     * it on small-file pressure, not per batch.
     */
-  def compactCurve(spark: SparkSession, path: String, nFiles: Int): Unit = {
+  def compactCurve(spark: SparkSession, path: String, nFiles: Int): Unit =
+    compactCurveImpl(spark, path, nFiles, newBuckets = None)
+
+  /** Bucket-count EVOLUTION for [[writeBucketed]] layouts: rewrite the
+    * corpus into `nBuckets` hash buckets and swap the `_buckets`
+    * certificate atomically with the files (the sidecar is staged
+    * into the rewrite directory, so no reader ever sees new-count
+    * part names under the old-count certificate, or vice versa).
+    * Growth pressure at 100 TB eventually wants 8 → 16: point-lookup
+    * pruning halves its touch set and storage-partitioned joins
+    * against newer peers stay shuffle-free — and because the v2
+    * bucket function is Reducible, the REBUCKETED table still zips
+    * zero-shuffle with old-count peers when one count divides the
+    * other, so the migration need not be atomic across a fleet of
+    * co-bucketed tables.  Same optimistic locked protocol as
+    * [[compactCurve]]; pending merge-on-read deletes become physical
+    * in the rewrite, exactly as compaction.
+    */
+  def rebucket(spark: SparkSession, path: String, nBuckets: Int): Unit = {
+    val (oldN, _) = bucketsOf(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path is not hash-bucketed (no _buckets sidecar) — rebucket " +
+          "evolves writeBucketed layouts; curve/keyed layouts have no " +
+          "bucket count"))
+    require(nBuckets > 0, s"rebucket needs a positive count: $nBuckets")
+    if (nBuckets == oldN) return
+    compactCurveImpl(spark, path, nFiles = 1, newBuckets = Some(nBuckets))
+  }
+
+  private def compactCurveImpl(spark: SparkSession, path: String,
+                               nFiles: Int,
+                               newBuckets: Option[Int]): Unit = {
     adoptStagedMerges(spark, path) // as compact(): resolve before the swap
     // optimistic commit, exactly as [[compact]]: rewrite unlocked,
     // validate (epoch + tombstone state) under the lock, loser
@@ -3482,18 +3569,30 @@ object GeoParquet {
           s"$path is not curve-clustered (${CurveKeyCols.mkString("/")} absent)"))
       val tmp = path + ".compact"
       (bucketsOf(spark, path) match {
-        case Some((nb, bcol)) =>
+        case Some((nb0, bcol)) =>
           // bucketed layouts compact WITHIN their bucket structure:
           // a range re-sort would stamp range indexes into the part
-          // names every bucket-pruned read trusts as bucket ids
+          // names every bucket-pruned read trusts as bucket ids.
+          // A rebucket changes the count — certificate staged below.
+          val nb = newBuckets.getOrElse(nb0)
           require(df.columns.contains(bcol),
             s"$path is hash-bucketed on '$bcol' but the merged rows " +
               "lack that column")
           df.repartition(nb, col(bcol)).sortWithinPartitions(keyCol)
         case None =>
+          require(newBuckets.isEmpty,
+            s"$path is not hash-bucketed — rebucket has nothing to evolve")
           df.repartitionByRange(nFiles, col(keyCol))
             .sortWithinPartitions(keyCol)
       }).write.mode("overwrite").parquet(tmp) // materializes before the swap
+      // the NEW bucket certificate rides the rewrite directory: the
+      // swap lands files and sidecar together, so no reader window
+      // ever pairs new-count part names with the old-count sidecar
+      // (swapInPlace skips carrying sidecars the stage already has)
+      newBuckets.foreach { n =>
+        val bcol = bucketsOf(spark, path).get._2
+        writeTextFile(spark, s"$tmp/_buckets", s"$n,$bcol")
+      }
       // seed the bumped epoch into tmp: a pre-compaction manifest
       // read elsewhere can never look fresh, and the swapped-in root
       // is never visible at epoch 0
@@ -3568,9 +3667,13 @@ object GeoParquet {
         "_epoch_times", "_keycol", "_buckets")
       .foreach { name =>
       val src = new org.apache.hadoop.fs.Path(path, name)
-      if (fs.exists(src))
+      // a sidecar the stage ALREADY carries is the rewrite's own
+      // (rebucket stages its new _buckets certificate) — never
+      // clobber it with the retiring value
+      val dstSide = new org.apache.hadoop.fs.Path(tmp, name)
+      if (fs.exists(src) && !fs.exists(dstSide))
         require(org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
-            new org.apache.hadoop.fs.Path(tmp, name), false, conf),
+            dstSide, false, conf),
           s"$name carry failed for $path")
     }
     val aside = new org.apache.hadoop.fs.Path(path + ".pre-compact")

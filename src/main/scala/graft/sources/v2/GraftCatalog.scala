@@ -196,6 +196,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // range-clustered ([k0,k1] manifest pruning)
         GeoParquet.createKeyedLayout(SparkSession.active, path, schema,
           keys, Option(properties.get("buckets")).map(_.trim.toInt))
+        // 'files'='n': per-INSERT file target for the generic append
+        // dispatch (a batch range-splits into n key-sorted files
+        // instead of serializing through one task)
+        Option(properties.get("files")).foreach(n =>
+          GeoParquet.recordNFiles(SparkSession.active, path, n.trim.toInt))
       case None =>
         require(properties.get("buckets") == null,
           s"CREATE TABLE $ident: 'buckets' hash-buckets a KEYED table " +
@@ -212,7 +217,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           case Some(c) =>
             GeoParquet.createCurveLayout(SparkSession.active, path, schema,
               delta, c)
+            Option(properties.get("files")).foreach(n =>
+              GeoParquet.recordNFiles(SparkSession.active, path,
+                n.trim.toInt))
           case None =>
+            require(properties.get("files") == null,
+              s"CREATE TABLE $ident: 'files' targets the range split " +
+                "of curve/keyed appends — bin layouts take one file " +
+                "per touched bin from the write shuffle")
             GeoParquet.createLayout(SparkSession.active, path, schema, delta)
         }
     }
@@ -397,6 +409,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val t = strArg(in, 0); val p = layoutPathOf(t)
       GeoParquet.expireOlderThan(SparkSession.active, p, in.getLong(1))
       statusRow(t, "expired", p)
+    },
+    "rebucket" -> proc("rebucket",
+      "evolve a hash-bucketed table's bucket count: locked rewrite " +
+        "into n buckets with the certificate swapped atomically with " +
+        "the files; ReducibleFunction keeps zero-shuffle joins with " +
+        "old-count peers when one count divides the other",
+      Seq(tableParam,
+        ProcedureParameter.in("buckets", LongType)
+          .comment("new bucket count").build()),
+      statusSchema) { in =>
+      val t = strArg(in, 0); val p = layoutPathOf(t)
+      GeoParquet.rebucket(SparkSession.active, p, in.getLong(1).toInt)
+      statusRow(t, s"rebucketed to ${in.getLong(1)} buckets", p)
     },
     "rollback_to" -> proc("rollback_to",
       "restore the table's present to the state at a commit epoch: " +

@@ -354,7 +354,11 @@ final class GraftWriteBuilder(path: String, info: LogicalWriteInfo)
           if (GeoParquet.isCurveLayout(spark, path)) {
             val d = if (GeoParquet.keyColsOf(spark, path).nonEmpty) 1.0
               else delta
-            GeoParquet.appendCurve(data, path, d)
+            // '_nfiles' (TBLPROPERTIES 'files'): the batch range-
+            // splits into n key-sorted files — a single-file INSERT
+            // would serialize a cluster-sized batch through one task
+            GeoParquet.appendCurve(data, path, d,
+              nFiles = GeoParquet.nFilesOf(spark, path).getOrElse(1))
           } else
             GeoParquet.appendWithManifest(data, path, delta)
         }
@@ -412,16 +416,22 @@ final class GraftScanBuilder(path: String, dataSchema: StructType,
   }
   override def isPartiallyPushed(): Boolean = true
 
-  private var topN: Option[(Boolean, Int)] = None // (descending, n)
+  private var topN: Option[(Boolean, Int, Int)] = None // (descending, n, key prefix len)
 
-  /** Top-N pushdown as an ORDERED file-plan budget: `ORDER BY <the
-    * recorded cluster key> LIMIT n` on a [[GeoParquet.writeKeyed]]
+  /** Top-N pushdown as an ORDERED file-plan budget: `ORDER BY <a
+    * leading prefix of the recorded cluster key> LIMIT n` on a keyed
     * layout plans only the head (or tail, DESC) of the key-ordered
     * file set — the "latest/first n by key" export over a 100 TB CDC
     * table stops planning after the files that provably hold the
-    * extreme keys.  Single-column keys only (a composite struct's
-    * per-column sort orders don't map onto the struct stats), and —
-    * like the LIMIT hint — never a promise: [[GraftScan]] truncates
+    * extreme keys.  COMPOSITE keys push through their struct [k0,k1]
+    * stats when the sort columns are a leading prefix of the key with
+    * one shared direction: the struct endpoints' first m fields ARE
+    * the prefix's bounds (a lexicographic extremum has an extremal
+    * prefix — a later column never perturbs leading order), and the
+    * struct min/max order nulls-first per FIELD exactly as Spark's
+    * multi-column ASC NULLS FIRST / DESC NULLS LAST do, so null key
+    * fields stay inside the proven bounds rather than voiding them.
+    * Like the LIMIT hint, never a promise: [[GraftScan]] truncates
     * only under a manifest proof, and `isPartiallyPushed` keeps
     * Spark's own sort+limit for the exact final order.
     */
@@ -429,21 +439,39 @@ final class GraftScanBuilder(path: String, dataSchema: StructType,
       org.apache.spark.sql.connector.expressions.SortOrder],
       n: Int): Boolean = {
     if (changelog || changes.nonEmpty || snapshot.nonEmpty || n <= 0 ||
-        orders.length != 1) return false
+        orders.isEmpty) return false
     val kCols = GeoParquet.keyColsOf(SparkSession.active, path)
-    if (kCols.length != 1) return false
-    val ord = orders(0)
-    val colName = ord.expression() match {
+    if (kCols.isEmpty || orders.length > kCols.length) return false
+    val names = orders.map(_.expression() match {
       case nr: NamedReference if nr.fieldNames().length == 1 =>
         nr.fieldNames()(0)
       case _ => return false
+    })
+    if (!names.sameElements(kCols.take(orders.length))) return false
+    // one shared direction only: mixed ASC/DESC does not map onto a
+    // single head/tail walk of the key-ordered files
+    val dirs = orders.map(_.direction()).distinct
+    if (dirs.length != 1) return false
+    // composite layouts lean on the struct stats' nulls-first-per-
+    // field ordering, which is Spark's DEFAULT (ASC NULLS FIRST /
+    // DESC NULLS LAST) — an explicit non-default null ordering would
+    // let a null key field escape the proven bounds, so refuse
+    if (kCols.length > 1) {
+      import org.apache.spark.sql.connector.expressions.{
+        NullOrdering, SortDirection}
+      val defaultNulls = orders.forall(o =>
+        (o.direction() == SortDirection.ASCENDING &&
+          o.nullOrdering() == NullOrdering.NULLS_FIRST) ||
+        (o.direction() == SortDirection.DESCENDING &&
+          o.nullOrdering() == NullOrdering.NULLS_LAST))
+      if (!defaultNulls) return false
     }
-    if (colName != kCols.head) return false
-    // null ordering is immaterial: truncation aborts at plan time
-    // unless EVERY candidate file is provably null-key-free (kn ==
-    // n_rows), so no null ever participates in the order
-    topN = Some((ord.direction() ==
-      org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING, n))
+    // single-column keys: null ordering is immaterial — truncation
+    // aborts at plan time unless EVERY candidate file is provably
+    // null-key-free (kn == n_rows), so no null participates
+    topN = Some((dirs.head ==
+      org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING,
+      n, orders.length))
     true
   }
 
@@ -813,7 +841,7 @@ final class GraftScan(path: String, dataSchema: StructType,
                       changes: Option[(Long, Option[Long])] = None,
                       allFilters: Seq[Filter] = Seq.empty,
                       limitHint: Option[Int] = None,
-                      topNHint: Option[(Boolean, Int)] = None)
+                      topNHint: Option[(Boolean, Int, Int)] = None)
     extends Scan with Batch with SupportsRuntimeFiltering
     with SupportsReportStatistics with SupportsReportPartitioning
     with SupportsReportOrdering {
@@ -1018,9 +1046,10 @@ final class GraftScan(path: String, dataSchema: StructType,
     // would need the doomed counts), and Spark's own Limit still cuts
     // to exactly n (isPartiallyPushed).
     val files = (topNHint, limitHint) match {
-      case (Some((desc, n)), _)
+      case (Some((desc, n, prefix)), _)
           if !rowIdMode && rt.isEmpty && doomedFiles.isEmpty =>
-        topNTruncated(spark, bucketPruned, n, desc).getOrElse(bucketPruned)
+        topNTruncated(spark, bucketPruned, n, desc, prefix)
+          .getOrElse(bucketPruned)
       case (_, Some(n))
           if !rowIdMode && rt.isEmpty && doomedFiles.isEmpty =>
         limitTruncated(spark, bucketPruned, n).getOrElse(bucketPruned)
@@ -1227,15 +1256,42 @@ final class GraftScan(path: String, dataSchema: StructType,
     * the contained files cannot cover n.
     */
   private def topNTruncated(spark: SparkSession, candidates: Seq[String],
-                            n: Int, desc: Boolean): Option[Seq[String]] = {
+                            n: Int, desc: Boolean,
+                            prefix: Int = 1): Option[Seq[String]] = {
     import org.apache.spark.sql.functions.col
     val ivs = ExactFilters.intervalsOf(exact).getOrElse(return None)
     val m = GeoParquet.freshManifest(spark, path).getOrElse(return None)
     val kCols = GeoParquet.keyColsOf(spark, path)
-    if (kCols.length != 1) return None
+    if (kCols.isEmpty) return None
+    val composite = kCols.length > 1
     if (!Seq("k0", "k1", "kn").forall(m.columns.contains)) return None
+    // the k-stat mapping is single-key only: composite layouts keep
+    // their struct [k0,k1] under k0/k1 and per-column filter stats
+    // (if any) under their own names
     def statName(c: String, suf: String): String =
-      if (kCols.head == c) s"k$suf" else s"$c$suf"
+      if (!composite && kCols.head == c) s"k$suf" else s"$c$suf"
+    // order compare over the pushed sort prefix: scalars for single
+    // keys; the struct endpoints' first `prefix` fields for composite
+    // keys, nulls-first per field — Spark's own multi-column ordering
+    def cmpKey(a: Any, b: Any): Int =
+      if (!composite) ExactFilters.compare(a, b)
+      else {
+        val (ra, rb) = (a.asInstanceOf[org.apache.spark.sql.Row],
+          b.asInstanceOf[org.apache.spark.sql.Row])
+        var i = 0
+        var c = 0
+        while (i < prefix && c == 0) {
+          val va = if (ra.isNullAt(i)) null else ra.get(i)
+          val vb = if (rb.isNullAt(i)) null else rb.get(i)
+          c =
+            if (va == null && vb == null) 0
+            else if (va == null) -1 // null field sorts first (smallest)
+            else if (vb == null) 1
+            else ExactFilters.compare(va, vb)
+          i += 1
+        }
+        c
+      }
     val statCols = (ivs.map(_.col).distinct.flatMap(c =>
       Seq(statName(c, "0"), statName(c, "1"), statName(c, "n"))) ++
       Seq("k0", "k1", "kn")).distinct.filter(m.columns.contains)
@@ -1266,17 +1322,26 @@ final class GraftScan(path: String, dataSchema: StructType,
     val cand: Seq[(String, org.apache.spark.sql.Row)] = candidates.map { f =>
       val r = byRel.getOrElse(
         GeoParquet.relDataPath(spark, path, f), return None)
-      // a file that might hold NULL keys voids the order argument
-      if (stat(r, "k0") == null || stat(r, "k1") == null ||
-          stat(r, "kn") == null ||
-          stat(r, "kn").asInstanceOf[Long] != nRowsOf(r)) return None
+      if (!composite) {
+        // a file that might hold NULL keys voids the order argument:
+        // scalar min/max stats SKIP nulls, so a null key could live
+        // outside the proven [k0,k1] band
+        if (stat(r, "k0") == null || stat(r, "k1") == null ||
+            stat(r, "kn") == null ||
+            stat(r, "kn").asInstanceOf[Long] != nRowsOf(r)) return None
+      } else {
+        // struct endpoints bound EVERY row (the struct itself is
+        // never null and null FIELDS order inside the min/max), so
+        // only absent stats void the argument
+        if (stat(r, "k0") == null || stat(r, "k1") == null) return None
+      }
       (f, r)
     }
     val ordered =
       if (desc) cand.sortWith { case ((_, a), (_, b)) =>
-        ExactFilters.compare(stat(a, "k1"), stat(b, "k1")) > 0 }
+        cmpKey(stat(a, "k1"), stat(b, "k1")) > 0 }
       else cand.sortWith { case ((_, a), (_, b)) =>
-        ExactFilters.compare(stat(a, "k0"), stat(b, "k0")) < 0 }
+        cmpKey(stat(a, "k0"), stat(b, "k0")) < 0 }
     var got = 0L
     var threshold: Any = null
     val it = ordered.iterator
@@ -1286,7 +1351,7 @@ final class GraftScan(path: String, dataSchema: StructType,
         got += nRowsOf(r)
         val t = if (desc) stat(r, "k0") else stat(r, "k1")
         val extremer = threshold == null || {
-          val c = ExactFilters.compare(t, threshold)
+          val c = cmpKey(t, threshold)
           if (desc) c < 0 else c > 0
         }
         if (extremer) threshold = t
@@ -1295,7 +1360,7 @@ final class GraftScan(path: String, dataSchema: StructType,
     if (got < n) return None
     Some(cand.collect { case (f, r)
         if {
-          val c = ExactFilters.compare(
+          val c = cmpKey(
             if (desc) stat(r, "k1") else stat(r, "k0"), threshold)
           if (desc) c >= 0 else c <= 0
         } => f })

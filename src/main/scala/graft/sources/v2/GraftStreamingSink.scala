@@ -84,6 +84,7 @@ final class GraftStreamingWrite(path: String, info: LogicalWriteInfo)
       if (GeoParquet.isCurveLayout(spark, path))
         GeoParquet.appendCurve(df, path,
           if (GeoParquet.keyColsOf(spark, path).nonEmpty) 1.0 else delta,
+          nFiles = GeoParquet.nFilesOf(spark, path).getOrElse(1),
           commitMarker = Some(marker))
       else
         GeoParquet.appendWithManifest(df, path, delta,

@@ -296,6 +296,75 @@ class BucketSpec extends SparkSpec {
       .collect()(0).getLong(0) == 2000)
   }
 
+  test("rebucket evolves the count: certificate swaps atomically, SPJ and prunes hold") {
+    val ta = mkBucketed("rebkt", "ta", 2400, 8, 1.0)
+    GeoParquet.appendCurve(rows(2400, 3000, 1.0), ta, 1.0)
+    val tb = mkBucketed("rebkt", "tb", 3000, 16, 4.0)
+    // 8 vs 16 without reducible transforms: must shuffle (control)
+    spjConfs {
+      val pre = spark.sql(
+        """SELECT a.id, b.v FROM bkt.rebkt.ta a JOIN bkt.rebkt.tb b
+          |ON a.id = b.id""".stripMargin)
+      pre.collect()
+      assert(shuffles(pre) >= 1, "control: 8 vs 16 joined shuffle-free?")
+    }
+    GeoParquet.rebucket(spark, ta, 16)
+    // the evolved certificate: sidecar says 16 and EVERY file's rows
+    // hash to its (new) part index
+    val files = spark.read.parquet(ta).inputFiles
+    files.foreach { f =>
+      val base = f.substring(f.lastIndexOf('/') + 1)
+      val idx = "^part-(\\d+)-.*".r.findFirstMatchIn(base).get.group(1).toInt
+      val got = spark.read.parquet(f)
+        .select(pmod(hash(col("id")), lit(16)).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      assert(got == Seq(idx), s"file $base holds rows of buckets $got")
+    }
+    // rows survived the evolution exactly
+    val back = spark.read.format("graft").load(ta)
+    assert(back.count() == 3000 &&
+      back.select("id", "v", "tag").exceptAll(rows(0, 3000, 1.0)).count() == 0)
+    spjConfs {
+      // now SPJ against the 16-bucket peer: zero shuffle
+      val q = spark.sql(
+        """SELECT a.id, a.v AS va, b.v AS vb
+          |FROM bkt.rebkt.ta a JOIN bkt.rebkt.tb b ON a.id = b.id"""
+          .stripMargin)
+      val got = q.collect()
+      assert(got.length == 3000)
+      assert(got.forall(r => r.getDouble(2) == 4.0 * r.getDouble(1)))
+      assert(shuffles(q) == 0,
+        "rebucketed table lost its SPJ against a same-count peer:\n" +
+          q.queryExecution.executedPlan)
+    }
+    // point probe prunes under the NEW certificate
+    val probe = spark.sql("SELECT v FROM bkt.rebkt.ta WHERE id = 77")
+    assert(probe.collect().map(_.getDouble(0)).toSeq == Seq(77.0))
+    assert(GraftSource.lastPlannedFiles.get(ta).size < files.length,
+      "post-rebucket point probe did not prune")
+    // the SQL verb: a same-count call is a no-op, a changed count runs
+    spark.sql("CALL bkt.system.rebucket('rebkt.ta', 16)").collect()
+    spark.sql("CALL bkt.system.rebucket('rebkt.ta', 8)").collect()
+    val back8 = spark.read.format("graft").load(ta)
+    assert(back8.count() == 3000, "SQL rebucket lost rows")
+    spjConfs {
+      // 8 now zips the 16-bucket peer via ReducibleFunction when
+      // compatible transforms are on (16 reduces onto 8)
+      withConfs(
+        "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled"
+          -> "true",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true") {
+        val q = spark.sql(
+          """SELECT a.id, b.v FROM bkt.rebkt.ta a JOIN bkt.rebkt.tb b
+            |ON a.id = b.id""".stripMargin)
+        assert(q.count() == 3000)
+        assert(shuffles(q) == 0,
+          "8-bucket rebucketed table should zip the 16-bucket peer:\n" +
+            q.queryExecution.executedPlan)
+      }
+    }
+  }
+
   test("compatible bucket counts (8 vs 4) join shuffle-free when enabled") {
     mkBucketed("compat", "t8", 1200, 8, 1.0)
     mkBucketed("compat", "t4", 1200, 4, 5.0)

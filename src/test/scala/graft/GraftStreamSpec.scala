@@ -469,6 +469,51 @@ class GraftStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("the AUTO-gated coalesce fires from inside an append; the part bound holds and a checkpointed stream polls across it") {
+    val dir = freshLayout() // epochs 0..2, three manifest parts
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def manifestParts() = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/_manifest"))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    val ckpt = java.nio.file.Files.createTempDirectory("gmack").toString
+    val (q, name) = sinkOf(dir, ckpt)
+    try {
+      q.processAllAvailable()
+      val before = spark.table(name).count()
+      // a month of minutely CDC, miniaturized: tiny commits land one
+      // manifest part each until the gate (maxParts=32) trips INSIDE
+      // appendWithManifest — no operator CALL anywhere.  The observed
+      // part count must never exceed the bound after any commit.
+      var coalesced = false
+      var n = 0
+      var appended = 0L
+      while (n < 40 && !coalesced) {
+        GeoParquet.appendWithManifest(
+          batch((1000 + n * 10) until (1000 + n * 10 + 4)), dir, 250.0)
+        appended += 4
+        val p = manifestParts()
+        assert(p <= 32,
+          s"auto-gate bound violated: $p manifest parts after commit $n")
+        coalesced = p == 1
+        n += 1
+      }
+      assert(coalesced,
+        s"40 tiny commits never tripped the auto coalesce ($n commits, " +
+          s"${manifestParts()} parts)")
+      // the checkpointed stream polls across the auto-coalesce: every
+      // tiny commit delivered exactly once, no restart error
+      q.processAllAvailable()
+      assert(spark.table(name).count() == before + appended,
+        "stream lost or re-delivered rows across the AUTO manifest coalesce")
+      // freshness survived: pruned reads still prune
+      spark.read.format("graft").load(dir)
+        .where("x >= 0 AND x < 200 AND y >= 0 AND y < 200").collect()
+      assert(graft.sources.v2.GraftSource.lastPlannedFiles.get(dir).size <
+        spark.read.parquet(dir).inputFiles.length)
+    } finally q.stop()
+  }
+
   test("rollback invalidates checkpointed streams loudly; a fresh stream re-delivers the standing corpus") {
     val dir = freshLayout() // epochs 0..2
     val ckpt = java.nio.file.Files.createTempDirectory("grbck").toString

@@ -350,4 +350,60 @@ class SqlFaceSpec extends SparkSpec {
       s"overlap head diverged: $asc2")
     assert(GraftSource.lastPlannedFiles.get(dir).size < total + 1)
   }
+
+  test("composite-key TopN pushes a leading-prefix order through the struct stats") {
+    val dir = java.nio.file.Files.createTempDirectory("sqltopn2").toString
+    val pts = (0 until 4000).map { i =>
+      ((i % 20).toLong, i.toLong, i * 1.0)
+    }.toDF("tenant", "id", "z")
+    GeoParquet.writeKeyed(pts, dir, Seq("tenant", "id"), nFiles = 8)
+    spark.read.format("graft").load(dir).createOrReplaceTempView("stopn2")
+    val total = spark.read.parquet(s"$dir/_manifest").count()
+    assert(total == 8)
+    // FULL composite order: deterministic head, planned at ~one file
+    val head = spark.sql(
+      "SELECT tenant, id FROM stopn2 ORDER BY tenant, id LIMIT 10")
+      .as[(Long, Long)].collect().toSeq
+    assert(head == (0L until 200L by 20L).map(i => (0L, i)),
+      s"composite head diverged: $head")
+    assert(GraftSource.lastPlannedFiles.get(dir).size == 1,
+      "full-key TopN planned more than the head file")
+    // LEADING-COLUMN order only (prefix 1 of 2): ties beyond the
+    // prefix make the row set nondeterministic, but every returned
+    // row must carry the minimal tenant and the plan stays budgeted
+    val pre = spark.sql("SELECT tenant FROM stopn2 ORDER BY tenant LIMIT 10")
+      .as[Long].collect().toSeq
+    assert(pre.length == 10 && pre.forall(_ == 0L),
+      s"prefix head leaked a non-minimal tenant: $pre")
+    // ≤ 2: the threshold tenant straddles a file boundary, and the
+    // closure must keep the neighbor that shares it (its rows tie at
+    // the threshold under the 1-column order)
+    assert(GraftSource.lastPlannedFiles.get(dir).size <= 2,
+      "leading-prefix TopN planned beyond the threshold closure")
+    // DESC tail on the full key
+    val tail = spark.sql(
+      "SELECT tenant, id FROM stopn2 ORDER BY tenant DESC, id DESC LIMIT 10")
+      .as[(Long, Long)].collect().toSeq
+    assert(tail == (3999L to 3810L by -20L).map(i => (19L, i)).take(10),
+      s"composite tail diverged: $tail")
+    assert(GraftSource.lastPlannedFiles.get(dir).size == 1,
+      "full-key DESC TopN planned more than the tail file")
+    // MIXED directions cannot map onto one head/tail walk: the push
+    // refuses (full plan) and the result is still exact
+    val mixed = spark.sql(
+      "SELECT tenant, id FROM stopn2 ORDER BY tenant ASC, id DESC LIMIT 5")
+      .as[(Long, Long)].collect().toSeq
+    assert(mixed == (3980L to 3900L by -20L).map(i => (0L, i)),
+      s"mixed-direction head diverged: $mixed")
+    assert(GraftSource.lastPlannedFiles.get(dir).size == total,
+      "mixed directions must refuse the truncation (full plan)")
+    // non-key leading column refuses too
+    val off = spark.sql(
+      "SELECT tenant, id, z FROM stopn2 ORDER BY z LIMIT 3")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(off == Seq((0L, 0L, 0.0), (1L, 1L, 1.0), (2L, 2L, 2.0)),
+      s"non-key order diverged: $off")
+    assert(GraftSource.lastPlannedFiles.get(dir).size == total,
+      "a non-key sort column must refuse the truncation")
+  }
 }
