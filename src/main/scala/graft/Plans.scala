@@ -158,6 +158,15 @@ object Plans {
     show("sql_mor_count (61z19: manifest n_rows - doomed served unopened; boundary scans only)",
       operators.GeoOps.sqlMorCount(spark, sf),
       Seq("BatchScan", "GraftAggScan", "HashAggregate", "Exchange"))
+    show("sql_mor_minmax (61z37: MIN/MAX under pending deletes — innocent files stats-served, doomed files scan)",
+      operators.GeoOps.sqlMorMinMax(spark, sf),
+      Seq("BatchScan", "GraftAggScan", "HashAggregate", "Exchange"))
+    show("sql_topk2 (61z38: composite leading-prefix TopN through the struct stats)",
+      operators.GeoOps.sqlTopk2(spark, sf),
+      Seq("BatchScan", "GraftScan", "TakeOrdered", "Sort", "Filter ("))
+    show("sql_ddl_curve (61z39: DDL curve table, BIGMIN box decomposition on SQL-created files)",
+      operators.GeoOps.sqlDdlCurve(spark, sf),
+      Seq("BatchScan", "GraftScan", "Filter (", "Exchange"))
     show("sql_asof_mor (61z17: pinned read, epoch-sliced tombstone subtraction in the readers)",
       operators.GeoOps.sqlAsOfMor(spark, sf),
       Seq("BatchScan", "GraftScan", "Filter (", "Exchange"))

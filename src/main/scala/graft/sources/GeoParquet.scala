@@ -2598,6 +2598,50 @@ object GeoParquet {
     else readerFor(spark, path, flat = true).parquet(files.toIndexedSeq: _*)
   }
 
+  /** The reference's `make_queue` (ATL06_tiles.py:162-210,
+    * cross_ATL06_tile.py:89-99) re-expressed as METADATA: instead of
+    * writing shell-command queue files for a batch scheduler, answer
+    * the question those files encode — WHICH TILES NEED RE-RUNNING
+    * after new data landed — as a tiny DataFrame a scheduler joins
+    * against.  Changed rows come from the commit changelog
+    * ([[readChangesSince]] — epochs > sinceEpoch), roll up to their
+    * tile, and (as the reference's `dilate_bins`) optionally dilate
+    * to the 8-neighborhood: a tile whose edge data changed also
+    * invalidates its neighbors' crossover products.  Output:
+    * (tile_e, tile_n, n_new) with n_new = 0 for tiles stale only via
+    * dilation.  At 100 TB this reads ONLY the appended files (the
+    * changelog prune), and the result is tile-count-sized — the
+    * job-spawning itself stays an orchestration concern.
+    */
+  def staleTiles(spark: SparkSession, path: String, sinceEpoch: Long,
+                 tileSize: Double, dilate: Boolean = true): DataFrame = {
+    require(tileSize > 0, s"tile size must be positive: $tileSize")
+    val changed = readChangesSince(spark, path, sinceEpoch)
+    require(changed.columns.contains("x") && changed.columns.contains("y"),
+      s"$path rows carry no x/y coordinates — staleTiles needs the " +
+        "spatial tile axes")
+    val base = changed
+      .withColumn("tile_e",
+        (floor(col("x") / tileSize) * tileSize).cast("long"))
+      .withColumn("tile_n",
+        (floor(col("y") / tileSize) * tileSize).cast("long"))
+      .groupBy("tile_e", "tile_n")
+      .agg(count(lit(1)).as("n_new"))
+    if (!dilate) base
+    else base
+      // constant 3-element explodes (the pad-bins pattern): 9 rows
+      // per CHANGED TILE, never per point — metadata-sized
+      .withColumn("de", explode(typedlit(Seq(-1L, 0L, 1L))))
+      .withColumn("dn", explode(typedlit(Seq(-1L, 0L, 1L))))
+      .select(
+        (col("tile_e") + col("de") * tileSize.toLong).as("tile_e"),
+        (col("tile_n") + col("dn") * tileSize.toLong).as("tile_n"),
+        when(col("de") === 0L && col("dn") === 0L, col("n_new"))
+          .otherwise(lit(0L)).as("n_new"))
+      .groupBy("tile_e", "tile_n")
+      .agg(sum("n_new").as("n_new"))
+  }
+
   /** Maintenance sweep for crash leftovers (the VACUUM analog): the
     * staged-write protocols never delete live data, so a crash can
     * strand sibling directories — `<layout>.staging-*` (interrupted

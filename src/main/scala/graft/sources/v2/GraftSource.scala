@@ -232,6 +232,8 @@ final class GraftTable(path: String, schema: StructType,
       GeoParquet.keyColOf(spark, path).foreach(k => m.put("key", k))
       GeoParquet.bucketsOf(spark, path)
         .foreach { case (n, _) => m.put("buckets", n.toString) }
+      GeoParquet.nFilesOf(spark, path)
+        .foreach(n => m.put("files", n.toString))
     } catch { case scala.util.control.NonFatal(_) => () }
     pinnedSnapshot.foreach(e => m.put("snapshot", e.toString))
     m
@@ -516,12 +518,17 @@ final class GraftScanBuilder(path: String, dataSchema: StructType,
         Some(nr.fieldNames()(0)).filter(dataSchema.fieldNames.contains)
       case _ => None
     }
-    def numeric(n: String): Boolean = dataSchema(n).dataType match {
-      case IntegerType | LongType | FloatType | DoubleType => true
+    // MIN/MAX need an ordered merge: numerics (nan-safe order) and
+    // STRINGS (UTF8 binary order — Spark's own min/max semantics,
+    // which ExactFilters.compare reproduces; the CDC dashboard's
+    // MIN(key) on a string-keyed table serves from the k0/k1 stats
+    // without opening a file).  Binary/boolean stay COUNT-only.
+    def orderable(n: String): Boolean = dataSchema(n).dataType match {
+      case IntegerType | LongType | FloatType | DoubleType |
+           StringType => true
       case _ => false
     }
-    // COUNT(c) only needs null-ness, so any decodable column serves;
-    // MIN/MAX need an ordered merge — v1 keeps that to numeric types
+    // COUNT(c) only needs null-ness, so any decodable column serves
     def decodable(n: String): Boolean = dataSchema(n).dataType match {
       case IntegerType | LongType | FloatType | DoubleType |
            BooleanType | StringType | BinaryType => true
@@ -530,8 +537,8 @@ final class GraftScanBuilder(path: String, dataSchema: StructType,
     val cols: Array[Option[AggCol]] = agg.aggregateExpressions().map {
       case _: CountStar => Some(NRows)
       case c: Count if !c.isDistinct => nameOf(c.column).filter(decodable).map(NNonNull)
-      case m: Min => nameOf(m.column).filter(numeric).map(MinC)
-      case m: Max => nameOf(m.column).filter(numeric).map(MaxC)
+      case m: Min => nameOf(m.column).filter(orderable).map(MinC)
+      case m: Max => nameOf(m.column).filter(orderable).map(MaxC)
       case _ => None
     }
     if (cols.contains(None)) return false
@@ -2181,7 +2188,14 @@ final class GraftAggScan(path: String, dataSchema: StructType,
         scans
     }
     GraftSource.lastPlannedFiles.put(path, scanFiles.map(_._1))
-    (GraftAggMetaPartition(meta) +:
+    // manifest stats COLLECT as java Strings; the meta partition's
+    // InternalRow needs UTF8String for string-typed MIN/MAX outputs
+    val metaRow = meta.map {
+      case str: String =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(str): Any
+      case v => v
+    }
+    (GraftAggMetaPartition(metaRow) +:
       scanFiles.map { case (abs, rel) =>
         GraftPartition(abs, rel, doomedCounts.contains(rel)): InputPartition
       }).toArray

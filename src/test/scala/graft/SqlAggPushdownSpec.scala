@@ -281,6 +281,48 @@ class SqlAggPushdownSpec extends SparkSpec {
       "the doomed band's files must scan (a doomed row might be the extremum)")
   }
 
+  test("STRING MIN/MAX push down: key-banded from stats, non-key via the fold, nulls skipped") {
+    // (a) string-KEYED layout: a key band's MIN/MAX serve from the
+    // manifest k0/k1 stats (UTF8 binary order on both sides)
+    val kdir = java.nio.file.Files.createTempDirectory("sqlaggstr").toString
+    val rows = (0 until 3000).map { i =>
+      (f"k$i%04d", i.toLong, i * 1.0)
+    }.toDF("sid", "id", "z")
+    GeoParquet.writeKeyed(rows, kdir, "sid", nFiles = 8)
+    face(kdir, "aggstr")
+    GraftSource.lastAggPlan.remove(kdir)
+    val sql = spark.sql(
+      """SELECT min(sid) AS s0, max(sid) AS s1, count(*) AS n FROM aggstr
+        |WHERE sid >= 'k0100' AND sid < 'k0900'""".stripMargin)
+    assert(scanOf(sql).isInstanceOf[GraftAggScan],
+      "string MIN/MAX was not pushed")
+    val r = sql.collect()(0)
+    assert(r.getString(0) == "k0100" && r.getString(1) == "k0899" &&
+      r.getLong(2) == 800L, s"string band aggregate diverged: $r")
+    // the band spans files 0..2 of the 8-file range layout; file 1
+    // (k0375..k0749) is INTERIOR and must have served from stats
+    val (answered, _) = GraftSource.lastAggPlan.get(kdir)
+    assert(answered > 0,
+      "no file served its string MIN/MAX from the k0/k1 stats")
+    // (b) non-key string column (no per-column stats): every file
+    // boundary-scans, the fold orders by UTF8 bytes and SKIPS nulls
+    val dir2 = java.nio.file.Files.createTempDirectory("sqlaggstr2").toString
+    val withNulls = (0 until 1000).map { i =>
+      (i.toLong, (i % 50) * 25.0, (i % 37) * 25.0,
+        if (i % 3 == 0) null else f"t$i%04d")
+    }.toDF("id", "x", "y", "tag")
+    GeoParquet.write(withNulls, dir2, 250.0)
+    GeoParquet.writeManifest(spark, dir2)
+    face(dir2, "aggstr2")
+    val mm = spark.sql(
+      "SELECT min(tag) AS t0, max(tag) AS t1, count(tag) AS n FROM aggstr2")
+    assert(scanOf(mm).isInstanceOf[GraftAggScan])
+    val want = (0 until 1000).filter(_ % 3 != 0).map(i => f"t$i%04d")
+    val got = mm.collect()(0)
+    assert(got.getString(0) == want.min && got.getString(1) == want.max &&
+      got.getLong(2) == want.size, s"non-key string aggregate: $got")
+  }
+
   test("a stale manifest degrades to scanning every file, still exact") {
     val dir = layout(800, 25.0)
     // plain append bumps the epoch without manifest stats → stale
