@@ -36,6 +36,33 @@ final case class PointFrame(df: DataFrame, delta: Double = 100.0) {
   def queryBox(xr: (Long, Long), yr: (Long, Long)): PointFrame =
     copy(df = df.filter(binX.between(xr._1, xr._2) && binY.between(yr._1, yr._2)))
 
+  /** geo_index.keys_from_xy (geo_index.py:489-492): snap raw probe
+    * coordinates to the δ lattice and return the `"x_y"` bin-key
+    * strings that are actually POPULATED in this frame — the
+    * reference's accessor for turning arbitrary xy into index keys
+    * before a query.  The probe list is driver-sized (a handful of
+    * coordinates); the populated-key check is one distinct-bin
+    * semi-join against the frame's inventory, never a point scan
+    * result at the driver.
+    */
+  def keysFromXY(xs: Seq[Double], ys: Seq[Double]): Seq[String] = {
+    require(xs.length == ys.length,
+      "keysFromXY needs parallel x/y probe sequences")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val probes = xs.zip(ys).toDF("px", "py")
+      .select(GeoOps.binOf(col("px"), delta).as("bin_x"),
+        GeoOps.binOf(col("py"), delta).as("bin_y"))
+      .distinct()
+    probes.join(
+        df.select(binX.as("bin_x"), binY.as("bin_y")).distinct(),
+        Seq("bin_x", "bin_y"), "leftsemi")
+      .orderBy("bin_x", "bin_y")
+      .collect()
+      .map(r => s"${r.getLong(0)}_${r.getLong(1)}")
+      .toSeq
+  }
+
   /** geo_index.query_xy with pad: points in the given bins ±pad. */
   def queryBins(bins: Seq[(Long, Long)], pad: Int = 0): PointFrame = {
     val d = delta.toLong

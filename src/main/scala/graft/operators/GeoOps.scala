@@ -628,6 +628,45 @@ object GeoOps {
        |FROM pts
        |WHERE x >= -200 AND x < 200 AND y >= -200 AND y < 200""".stripMargin
 
+  /** 61z40: SUM/AVG aggregate pushdown — the manifest's per-file sums
+    * (`cs` stats, written by every manifest commit) serve interior
+    * files unopened, completing the dashboard-aggregate family
+    * (COUNT 61g/61z19, MIN/MAX 61i/61z37, now SUM — and AVG for
+    * free: Spark rewrites it to Sum/Count under partial pushdown).
+    * The gate's layout stores INTEGRAL-valued doubles (floor(z)), so
+    * the file-partial → merge association is bit-exact against the
+    * oracle's single-pass sum; the in-query assertion pins that
+    * interior files were manifest-answered.  A dropped file, a
+    * boundary double-count, or a sum served from a stale stat
+    * hash-mismatches.
+    */
+  def sqlSum(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("sqlsum").toString
+    graft.sources.GeoParquet.write(
+      pts(s, dir).select(col("id"), col("x"), col("y"),
+        // Spark floor -> BIGINT; keep z DOUBLE so both engines sum
+        // doubles (integral-VALUED, so association stays bit-exact)
+        floor(col("z")).cast("double").as("z")), path, 250.0)
+    graft.sources.GeoParquet.writeManifest(s, path)
+    s.read.format("graft").load(path).createOrReplaceTempView("graft_sql_sum")
+    val out = s.sql(
+      """SELECT sum(z) AS s_z, min(z) AS z0, count(*) AS n
+        |FROM graft_sql_sum
+        |WHERE x >= -200 AND x < 200 AND y >= -200 AND y < 200"""
+        .stripMargin)
+    out.collect() // force planning for the shape assertion
+    val plan = graft.sources.v2.GraftSource.lastAggPlan.get(path)
+    require(plan != null && plan._1 > 0,
+      s"SUM pushdown served nothing from the manifest: $plan")
+    out
+  }
+
+  val sqlSumSql: String =
+    s"""WITH pts AS ($P)
+       |SELECT sum(floor(z)) AS s_z, min(floor(z)) AS z0, count(*) AS n
+       |FROM pts
+       |WHERE x >= -200 AND x < 200 AND y >= -200 AND y < 200""".stripMargin
+
   /** 61z3: the SQL-face WRITE path end to end — the layout starts
     * with the even ids, the odd half arrives through
     * `df.write.format("graft").mode("append")` (which routes into
@@ -2218,6 +2257,7 @@ object GeoOps {
     "q_sql_topk"        -> (sqlTopk _),
     "q_sql_topk2"       -> (sqlTopk2 _),
     "q_sql_ddl_curve"   -> (sqlDdlCurve _),
+    "q_sql_sum"         -> (sqlSum _),
     "q_sql_spj"         -> (sqlSpj _),
     "q_bucket_probe"    -> (bucketProbe _),
     "q_sql_catalog"     -> (sqlCatalog _),
@@ -2285,6 +2325,7 @@ object GeoOps {
     "q_sql_topk"        -> sqlTopkSql,
     "q_sql_topk2"       -> sqlTopk2Sql,
     "q_sql_ddl_curve"   -> sqlDdlCurveSql,
+    "q_sql_sum"         -> sqlSumSql,
     "q_sql_spj"         -> sqlSpjSql,
     "q_bucket_probe"    -> bucketProbeSql,
     "q_sql_catalog"     -> sqlCatalogSql,

@@ -543,14 +543,37 @@ object GeoParquet {
     // answer COUNT/MIN/MAX for interior files without opening them
     // ([[graft.sources.v2.GraftSource]] aggregate pushdown); it also
     // answers COUNT(c) exactly.  One long per column per file.
+    // per-column SUM (`cs`) joins the envelope stats: file-level sums
+    // compose associatively, so a pushed SUM/AVG (Spark rewrites AVG
+    // to Sum/Count for partial pushdown) answers interior files from
+    // the manifest unopened — sum(int/long) is stored as the LONG
+    // Spark's Sum produces, fractional as DOUBLE, so the meta partial
+    // is bit-identical to a fold of the file
+    // sums only for NUMERIC columns: under ANSI semantics sum() over
+    // a malformed batch's string column throws at stats time — before
+    // recordEvolution's type-change refusal gets to say why — and a
+    // string column has no sum anyway
+    def numericCol(c: String): Boolean =
+      df.columns.contains(c) && (df.schema(c).dataType match {
+        case org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.FloatType |
+             org.apache.spark.sql.types.DoubleType => true
+        case _ => false
+      })
+    def sumOf(c: String): Seq[org.apache.spark.sql.Column] =
+      if (numericCol(c)) Seq(sum(c).as(s"${c}s")) else Seq.empty
     val xy =
       if (df.columns.contains("x") && df.columns.contains("y"))
-        Seq(min("x").as("x0"), max("x").as("x1"), count("x").as("xn"),
-          min("y").as("y0"), max("y").as("y1"), count("y").as("yn"))
+        Seq(min("x").as("x0"), max("x").as("x1"), count("x").as("xn")) ++
+          sumOf("x") ++
+          Seq(min("y").as("y0"), max("y").as("y1"), count("y").as("yn")) ++
+          sumOf("y")
       else Seq.empty // key-only layouts (e.g. segment archives) skip envelopes
     val zv =
       if (df.columns.contains("z"))
-        Seq(min("z").as("z0"), max("z").as("z1"), count("z").as("zn"))
+        Seq(min("z").as("z0"), max("z").as("z1"), count("z").as("zn")) ++
+          sumOf("z")
       else Seq.empty
     // kn (non-null key count) is what lets the SQL face certify a
     // keyed file INTERIOR to a key-band predicate without opening it
@@ -560,7 +583,8 @@ object GeoParquet {
       Seq(min(k).as("k0"), max(k).as("k1"), count(k).as("kn")))
     val time =
       if (df.columns.contains("t"))
-        Seq(min("t").as("t0"), max("t").as("t1"), count("t").as("tn"))
+        Seq(min("t").as("t0"), max("t").as("t1"), count("t").as("tn")) ++
+          sumOf("t")
       else Seq.empty
     // per DECLARED column: k collect_sets (each ≤ M ints), merged
     // into one sorted set in statsOf's post-select — no explode,

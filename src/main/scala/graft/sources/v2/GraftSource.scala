@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform, Expression => VExpression}
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperationBuilder, RowLevelOperationInfo, V1Write, Write, WriteBuilder}
@@ -374,6 +374,7 @@ private[v2] case object NRows extends AggCol                    // COUNT(*)
 private[v2] final case class NNonNull(c: String) extends AggCol // COUNT(c)
 private[v2] final case class MinC(c: String) extends AggCol
 private[v2] final case class MaxC(c: String) extends AggCol
+private[v2] final case class SumC(c: String) extends AggCol
 
 /** Streaming admission bounds, from the read options — at 100 TB the
   * FIRST micro-batch of a fresh stream is otherwise the entire
@@ -528,6 +529,10 @@ final class GraftScanBuilder(path: String, dataSchema: StructType,
            StringType => true
       case _ => false
     }
+    def numeric(n: String): Boolean = dataSchema(n).dataType match {
+      case IntegerType | LongType | FloatType | DoubleType => true
+      case _ => false
+    }
     // COUNT(c) only needs null-ness, so any decodable column serves
     def decodable(n: String): Boolean = dataSchema(n).dataType match {
       case IntegerType | LongType | FloatType | DoubleType |
@@ -539,6 +544,12 @@ final class GraftScanBuilder(path: String, dataSchema: StructType,
       case c: Count if !c.isDistinct => nameOf(c.column).filter(decodable).map(NNonNull)
       case m: Min => nameOf(m.column).filter(orderable).map(MinC)
       case m: Max => nameOf(m.column).filter(orderable).map(MaxC)
+      // SUM composes associatively across files, so the manifest's
+      // per-file sums (`cs`) serve interior files unopened; Spark
+      // rewrites AVG to Sum/Count under partial pushdown, so this
+      // buys AVG too.  Numeric only.
+      case s0: Sum if !s0.isDistinct =>
+        nameOf(s0.column).filter(numeric).map(SumC)
       case _ => None
     }
     if (cols.contains(None)) return false
@@ -1955,6 +1966,21 @@ private[v2] object DoomedPositions {
   * files scan with positions skipped, innocent files stay
   * manifest-answered); equality tombstones refuse as on the row path.
   */
+object GraftAggScan {
+  /** Spark's Sum output type: integral -> LongType, fractional ->
+    * DoubleType — also exactly the type the manifest stores for the
+    * per-file `cs` sums (Spark's own sum aggregate computed them),
+    * so meta partials merge without casts.
+    */
+  private[v2] def sumTypeOf(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.LongType =>
+      org.apache.spark.sql.types.LongType
+    case _ => org.apache.spark.sql.types.DoubleType
+  }
+}
+
 final class GraftAggScan(path: String, dataSchema: StructType,
                          aggCols: Seq[AggCol], exact: Seq[Filter],
                          snapshot: Option[Long] = None)
@@ -1965,6 +1991,8 @@ final class GraftAggScan(path: String, dataSchema: StructType,
     case NNonNull(c) => StructField(s"count_$c", LongType, nullable = false)
     case MinC(c) => StructField(s"min_$c", dataSchema(c).dataType)
     case MaxC(c) => StructField(s"max_$c", dataSchema(c).dataType)
+    case SumC(c) => StructField(s"sum_$c",
+      GraftAggScan.sumTypeOf(dataSchema(c).dataType))
   })
   override def toBatch: Batch = this
   override def description(): String =
@@ -2051,6 +2079,17 @@ final class GraftAggScan(path: String, dataSchema: StructType,
           if (meta(i) == null || ExactFilters.compare(v, meta(i)) < 0) meta(i) = v
         case (_: MaxC, v) if v != null =>
           if (meta(i) == null || ExactFilters.compare(v, meta(i)) > 0) meta(i) = v
+        case (_: SumC, v) if v != null =>
+          // sums arrive in their final Spark type (long or double)
+          meta(i) = (meta(i), v) match {
+            case (null, _) => v
+            case (a: java.lang.Long, b: java.lang.Long) =>
+              java.lang.Long.valueOf(a.longValue() + b.longValue())
+            case (a: java.lang.Double, b: java.lang.Double) =>
+              java.lang.Double.valueOf(a.doubleValue() + b.doubleValue())
+            case (a, b) => throw new IllegalStateException(
+              s"sum partial type mismatch: $a vs $b")
+          }
         case _ => ()
       }
     }
@@ -2087,9 +2126,10 @@ final class GraftAggScan(path: String, dataSchema: StructType,
             case NNonNull(c) => c
             case MinC(c) => c
             case MaxC(c) => c
+            case SumC(c) => c
           }).distinct
           .flatMap(c => Seq(statName(c, "0"), statName(c, "1"),
-            statName(c, "n")))
+            statName(c, "n"), statName(c, "s")))
           .filter(m.columns.contains)
         val rows = m.filter(intersect && GeoParquet.keyRangeCond(m, kRange) &&
             GeoParquet.compositeKeyRangeCond(m, kComposite))
@@ -2144,6 +2184,14 @@ final class GraftAggScan(path: String, dataSchema: StructType,
               case (n: java.lang.Long, _) if n.longValue() == 0L => Some(null)
               case (_: java.lang.Long, v) if v != null => Some(v)
               case _ => None
+            }
+            case SumC(c) => (stat(r, statName(c, "n")),
+                stat(r, statName(c, "s"))) match {
+              // a doomed row's value is unknowable from stats
+              case _ if doomed > 0L => None
+              case (n: java.lang.Long, _) if n.longValue() == 0L => Some(null) // all null: SUM contributes nothing
+              case (_: java.lang.Long, v) if v != null => Some(v)
+              case _ => None // old manifest without the `cs` column: scan
             }
           }
           if (vs.contains(None)) None else Some(vs.map(_.get))
@@ -2264,6 +2312,7 @@ private[v2] object GroupAggReader {
     case NNonNull(c) => c
     case MinC(c) => c
     case MaxC(c) => c
+    case SumC(c) => c
   }.distinct
 
   def readFieldsFor(dataSchema: StructType, aggCols: Seq[AggCol],
@@ -2333,6 +2382,38 @@ final class GroupAggReader(file: String, ser: SerConf,
             val v = valueAt(valueIdx(c))
             if (v != null && (acc(i) == null || ExactFilters.compare(v, acc(i)) > 0))
               acc(i) = v
+          case SumC(c) =>
+            val v = valueAt(valueIdx(c))
+            if (v != null) {
+              // widen to Spark's sum type (int/long -> long,
+              // float/double -> double) before accumulating
+              acc(i) = acc(i) match {
+                case null => v match {
+                  case x: java.lang.Integer =>
+                    java.lang.Long.valueOf(x.longValue())
+                  case x: java.lang.Long => x
+                  case x: java.lang.Float =>
+                    java.lang.Double.valueOf(x.doubleValue())
+                  case x: java.lang.Double => x
+                  case other => throw new IllegalStateException(
+                    s"non-numeric SUM input: $other")
+                }
+                case a: java.lang.Long =>
+                  java.lang.Long.valueOf(a.longValue() + (v match {
+                    case x: java.lang.Integer => x.longValue()
+                    case x: java.lang.Long => x.longValue()
+                    case other => throw new IllegalStateException(
+                      s"sum type drift: $other")
+                  }))
+                case a: java.lang.Double =>
+                  java.lang.Double.valueOf(a.doubleValue() + (v match {
+                    case x: java.lang.Float => x.doubleValue()
+                    case x: java.lang.Double => x.doubleValue()
+                    case other => throw new IllegalStateException(
+                      s"sum type drift: $other")
+                  }))
+              }
+            }
         }
         i += 1
       }

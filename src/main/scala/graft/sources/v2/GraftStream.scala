@@ -86,13 +86,45 @@ final class GraftMicroBatchStream(path: String, dataSchema: StructType,
     * next poll turns into the loud restart error, exactly when the
     * un-describable rows join the corpus.
     */
-  override def latestOffset(): Offset = {
+  override def latestOffset(): Offset = retryAcrossCoalesce {
     val st = GeoParquet.changelogFloor(spark, path)
     GeoParquet.describedEpoch(spark, path) match {
       case Some(e) => GraftStreamOffset(st.floor, math.max(e, st.floor - 1))
       case None => GraftStreamOffset(st.floor, st.floor - 1) // no manifest yet
     }
   }
+
+  /** The manifest coalesce (auto-gated from inside appends since
+    * 61z30/r16) swaps `_manifest` via two renames; a lock-free poll
+    * landing INSIDE that millisecond window sees the directory — or a
+    * just-retired part file — missing and would otherwise kill the
+    * stream with a restart error, even though the swapped-in sidecar
+    * holds IDENTICAL rows (so every handed-out offset stays valid).
+    * Retry transient missing-file failures briefly; anything else —
+    * and anything persistent — still fails loudly.
+    */
+  private def retryAcrossCoalesce[T](body: => T): T = {
+    var attempts = 0
+    while (true) {
+      try return body
+      catch {
+        case e: Throwable if attempts < 20 && transientManifestMiss(e) =>
+          attempts += 1
+          Thread.sleep(100)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def transientManifestMiss(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(12).exists {
+      t =>
+        t.isInstanceOf[java.io.FileNotFoundException] || {
+          val m = String.valueOf(t.getMessage)
+          m.contains("PATH_NOT_FOUND") || m.contains("does not exist") ||
+            m.contains("FileNotFoundException")
+        }
+    }
 
   /** Admission control (`.option("maxFilesPerTrigger", n)` /
     * `.option("maxRowsPerTrigger", n)`): bound each micro-batch by
@@ -111,7 +143,8 @@ final class GraftMicroBatchStream(path: String, dataSchema: StructType,
       .orElse(trigger.maxRows.map(ReadLimit.maxRows))
       .getOrElse(ReadLimit.allAvailable())
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+  override def latestOffset(start: Offset,
+                            limit: ReadLimit): Offset = retryAcrossCoalesce {
     val st = GeoParquet.changelogFloor(spark, path)
     val unbounded = latestOffset().asInstanceOf[GraftStreamOffset]
     val from = reconcile(start.asInstanceOf[GraftStreamOffset], st)
@@ -170,7 +203,7 @@ final class GraftMicroBatchStream(path: String, dataSchema: StructType,
         "fresh checkpoint")
 
   override def planInputPartitions(start: Offset,
-                                   end: Offset): Array[InputPartition] = {
+      end: Offset): Array[InputPartition] = retryAcrossCoalesce {
     val st = GeoParquet.changelogFloor(spark, path)
     val from = reconcile(start.asInstanceOf[GraftStreamOffset], st)
     val to = reconcile(end.asInstanceOf[GraftStreamOffset], st)

@@ -27,6 +27,15 @@ class ApiSpec extends SparkSpec {
     val ids = graft.core.Tables.eventsPoints(spark, sf).select($"id".as("id_lo"))
     assert(bmi.join(ids, "id_lo", "left_anti").count() == 0)
     assert(bmi.count() == pf.blockmedian(50.0).count())
+    // keys_from_xy (geo_index.py:489-492): probes snap to the lattice
+    // and only POPULATED bins return keys
+    val popBins = pf.geoIndex(100.0).df
+      .select("bin_x", "bin_y").as[(Long, Long)].collect().toSet
+    val (px, py) = (popBins.head, (1e7, 1e7)) // one populated, one not
+    val keys = pf.keysFromXY(
+      Seq(px._1.toDouble + 3.0, py._1), Seq(px._2.toDouble - 3.0, py._2))
+    assert(keys == Seq(s"${px._1}_${px._2}"),
+      s"keys_from_xy diverged: $keys (wanted the populated bin only)")
   }
 
   test("PointFrame round-trips through the geo-parquet layout") {

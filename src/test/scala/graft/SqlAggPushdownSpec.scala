@@ -323,6 +323,66 @@ class SqlAggPushdownSpec extends SparkSpec {
       got.getLong(2) == want.size, s"non-key string aggregate: $got")
   }
 
+  test("SUM/AVG push down: interior files answer from manifest sums, exact through nulls and deletes") {
+    val dir = layout(4000, 25.0)
+    face(dir, "aggsum")
+    // z = i * 1.0 (integral-valued doubles): file-partial → merge
+    // association is bit-exact, so equality against Spark's own
+    // single-pass truth is a fair assertion
+    // stats-served leg: z carries `zs` manifest sums (a per-file
+    // output set is all-or-nothing, so this leg sums ONLY columns
+    // with stats)
+    val sql = spark.sql(
+      """SELECT sum(z) AS sz, avg(z) AS az, count(*) AS n
+        |FROM aggsum WHERE x >= 0 AND x < 400 AND y >= 0 AND y < 400"""
+        .stripMargin)
+    assert(scanOf(sql).isInstanceOf[GraftAggScan], "SUM/AVG was not pushed")
+    val want = truth(dir)
+      .filter($"x" >= 0 && $"x" < 400 && $"y" >= 0 && $"y" < 400)
+      .agg(sum("z").as("sz"), avg("z").as("az"), count("*").as("n"))
+    assert(sql.collect().toSeq == want.collect().toSeq)
+    val (answered, scanned) = GraftSource.lastAggPlan.get(dir)
+    assert(answered > 0, "no file served its SUM from the manifest stats")
+    assert(scanned < spark.read.parquet(dir).inputFiles.length)
+    // a stat-less column (id): the pushed fold computes it exactly
+    // (long sum), every candidate file scanning
+    val sqlId = spark.sql(
+      """SELECT sum(id) AS sid FROM aggsum
+        |WHERE x >= 0 AND x < 400 AND y >= 0 AND y < 400""".stripMargin)
+    assert(scanOf(sqlId).isInstanceOf[GraftAggScan])
+    val wantId = truth(dir)
+      .filter($"x" >= 0 && $"x" < 400 && $"y" >= 0 && $"y" < 400)
+      .agg(sum("id").as("sid"))
+    assert(sqlId.collect().toSeq == wantId.collect().toSeq)
+    // null values: sum/avg skip them on both the stats side (an
+    // all-null file contributes SQL-null) and the fold side
+    GeoParquet.appendWithManifest(Seq(
+      (930001L, 10.0, 10.0, Option.empty[Double]),
+      (930002L, 11.0, 11.0, Some(7.5))).toDF("id", "x", "y", "z"),
+      dir, 250.0)
+    val sql2 = spark.sql(
+      """SELECT sum(z) AS sz, count(z) AS nz FROM aggsum
+        |WHERE x >= 0 AND x < 400 AND y >= 0 AND y < 400""".stripMargin)
+    val want2 = truth(dir)
+      .filter($"x" >= 0 && $"x" < 400 && $"y" >= 0 && $"y" < 400)
+      .agg(sum("z").as("sz"), count("z").as("nz"))
+    assert(sql2.collect().toSeq == want2.collect().toSeq)
+    // pending deletes: doomed files boundary-scan with the dead
+    // positions excluded from the fold — a leaked doomed value skews
+    // the sum and fails here
+    GeoParquet.deleteWhere(spark, dir, col("id") % 10 === 3)
+    assert(GeoParquet.pendingPositional(spark, dir).nonEmpty)
+    val sql3 = spark.sql(
+      """SELECT sum(id) AS sid, count(*) AS n FROM aggsum
+        |WHERE x >= 0 AND x < 400 AND y >= 0 AND y < 400""".stripMargin)
+    assert(scanOf(sql3).isInstanceOf[GraftAggScan],
+      "SUM must stay pushed under pending positional deletes")
+    val want3 = truth(dir).filter($"id" % 10 =!= 3)
+      .filter($"x" >= 0 && $"x" < 400 && $"y" >= 0 && $"y" < 400)
+      .agg(sum("id").as("sid"), count("*").as("n"))
+    assert(sql3.collect().toSeq == want3.collect().toSeq)
+  }
+
   test("a stale manifest degrades to scanning every file, still exact") {
     val dir = layout(800, 25.0)
     // plain append bumps the epoch without manifest stats → stale

@@ -190,11 +190,12 @@ class SqlMutationSpec extends SparkSpec {
   test("a localized mutation taxes only the files holding doomed rows") {
     val dir = mkLayout("local", 2000)
     spark.sql("UPDATE mut.ns.local SET z = z + 100000 WHERE x < 100")
-    // full-table ROW read — sum() is not agg-pushable, so this cannot
-    // take the 61z19 manifest-count path: only the files that actually
-    // contain doomed rows are flagged for the subtracting reader, the
-    // rest of the layout keeps the bounded fast path
-    assert(spark.sql("SELECT sum(id) AS s FROM mut.ns.local")
+    // full-table ROW read — sum over an EXPRESSION is not
+    // agg-pushable (61z40 pushes only direct column refs), so this
+    // cannot take the manifest-stats path: only the files that
+    // actually contain doomed rows are flagged for the subtracting
+    // reader, the rest of the layout keeps the bounded fast path
+    assert(spark.sql("SELECT sum(abs(id)) AS s FROM mut.ns.local")
       .collect()(0).getLong(0) == (0L until 2000L).sum)
     val (planned, flagged) = graft.sources.v2.GraftSource.lastMorPlan.get(dir)
     assert(flagged > 0 && flagged < planned,
