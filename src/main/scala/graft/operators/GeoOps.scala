@@ -667,6 +667,55 @@ object GeoOps {
        |FROM pts
        |WHERE x >= -200 AND x < 200 AND y >= -200 AND y < 200""".stripMargin
 
+  /** 20b: the reference's `make_queue` as queryable metadata —
+    * `CALL system.stale_tiles(tbl, since_epoch, tile_size)` answers
+    * "which tiles need re-running" from the commit changelog: new
+    * rows (epochs > cursor) roll up to their tile and dilate to the
+    * 8-neighborhood exactly as `dilate_bins` (edge data invalidates
+    * neighbors' crossover products), n_new = 0 marking dilation-only
+    * tiles.  Reads ONLY the appended files (changelog prune); output
+    * is tile-count-sized.  The oracle computes the same rollup +
+    * dilation relationally over the second batch; a changelog cursor
+    * off by one epoch, a missed neighbor, or a point counted into
+    * the wrong tile hash-mismatches.
+    */
+  private val staleTilesSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def staleTilesQ(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("staletq").toString
+    val path = s"$wh/geo/pts"
+    val p = pts(s, dir).select("id", "x", "y", "z")
+    graft.sources.GeoParquet.write(p.filter(col("id") % 3 =!= 0), path, 250.0)
+    graft.sources.GeoParquet.writeManifest(s, path)
+    val e0 = graft.sources.GeoParquet.readEpoch(s, path)
+    graft.sources.GeoParquet.appendWithManifest(
+      p.filter(col("id") % 3 === 0), path, 250.0)
+    val cat = s"graft_stl${staleTilesSeq.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"CALL $cat.system.stale_tiles('geo.pts', $e0, " +
+        "CAST(500.0 AS DOUBLE))")
+      .orderBy("tile_e", "tile_n")
+  }
+
+  val staleTilesSql: String =
+    s"""WITH pts AS ($P),
+       |newpts AS (SELECT * FROM pts WHERE id % 3 = 0),
+       |base AS (SELECT CAST(floor(x/500.0)*500 AS BIGINT) AS tile_e,
+       |                CAST(floor(y/500.0)*500 AS BIGINT) AS tile_n,
+       |                count(*) AS n
+       |         FROM newpts GROUP BY 1, 2),
+       |offs AS (SELECT de.de, dn.dn
+       |         FROM (VALUES (-1), (0), (1)) de(de),
+       |              (VALUES (-1), (0), (1)) dn(dn)),
+       |dil AS (SELECT tile_e + de * 500 AS tile_e,
+       |               tile_n + dn * 500 AS tile_n,
+       |               CASE WHEN de = 0 AND dn = 0 THEN n ELSE 0 END AS n
+       |        FROM base, offs)
+       |SELECT tile_e, tile_n, CAST(sum(n) AS BIGINT) AS n_new
+       |FROM dil GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** 61z3: the SQL-face WRITE path end to end — the layout starts
     * with the even ids, the odd half arrives through
     * `df.write.format("graft").mode("append")` (which routes into
@@ -2258,6 +2307,7 @@ object GeoOps {
     "q_sql_topk2"       -> (sqlTopk2 _),
     "q_sql_ddl_curve"   -> (sqlDdlCurve _),
     "q_sql_sum"         -> (sqlSum _),
+    "q_stale_tiles"     -> (staleTilesQ _),
     "q_sql_spj"         -> (sqlSpj _),
     "q_bucket_probe"    -> (bucketProbe _),
     "q_sql_catalog"     -> (sqlCatalog _),
@@ -2326,6 +2376,7 @@ object GeoOps {
     "q_sql_topk2"       -> sqlTopk2Sql,
     "q_sql_ddl_curve"   -> sqlDdlCurveSql,
     "q_sql_sum"         -> sqlSumSql,
+    "q_stale_tiles"     -> staleTilesSql,
     "q_sql_spj"         -> sqlSpjSql,
     "q_bucket_probe"    -> bucketProbeSql,
     "q_sql_catalog"     -> sqlCatalogSql,

@@ -179,6 +179,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val keyCols = Option(properties.get("key"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val path = tablePath(ident)
+    // 'filters'='col[,col…]': declare per-file MEMBERSHIP filters
+    // (manifest bloom position sets) from the DDL — every later
+    // commit's stats pass maintains them, so point probes and
+    // runtime join pruning work from the first INSERT without an
+    // out-of-band declareFilterCols call
+    def declareFilters(): Unit =
+      Option(properties.get("filters")).foreach { f =>
+        val cols = f.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        cols.foreach(c => require(schema.fieldNames.contains(c),
+          s"CREATE TABLE $ident: filter column '$c' is not in the " +
+            "declared schema"))
+        GeoParquet.declareFilterCols(SparkSession.active, path, cols)
+      }
     keyCols match {
       case Some(keys) =>
         // the CDC-table arm: rows cluster on their DATA key, no
@@ -201,6 +214,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // instead of serializing through one task)
         Option(properties.get("files")).foreach(n =>
           GeoParquet.recordNFiles(SparkSession.active, path, n.trim.toInt))
+        declareFilters()
       case None =>
         require(properties.get("buckets") == null,
           s"CREATE TABLE $ident: 'buckets' hash-buckets a KEYED table " +
@@ -220,12 +234,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             Option(properties.get("files")).foreach(n =>
               GeoParquet.recordNFiles(SparkSession.active, path,
                 n.trim.toInt))
+            declareFilters()
           case None =>
             require(properties.get("files") == null,
               s"CREATE TABLE $ident: 'files' targets the range split " +
                 "of curve/keyed appends — bin layouts take one file " +
                 "per touched bin from the write shuffle")
             GeoParquet.createLayout(SparkSession.active, path, schema, delta)
+            declareFilters()
         }
     }
     new GraftTable(path, GeoParquet.dataSchemaFor(SparkSession.active, path))
@@ -483,6 +499,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         StructField("n_rows", LongType)))) { in =>
       val p = layoutPathOf(strArg(in, 0))
       GeoParquet.snapshots(SparkSession.active, p).collect().toSeq
+        .map(r => InternalRow(r.getLong(0), r.getLong(1), r.getLong(2)))
+    },
+    "stale_tiles" -> proc("stale_tiles",
+      "which tiles need re-running since a commit epoch: changelog-" +
+        "pruned new rows rolled up to their tile, dilated to the " +
+        "8-neighborhood (the reference's make_queue as metadata; " +
+        "n_new = 0 marks dilation-only tiles)",
+      Seq(tableParam,
+        ProcedureParameter.in("since_epoch", LongType)
+          .comment("changelog cursor: tiles of commits > this epoch")
+          .build(),
+        ProcedureParameter.in("tile_size", DoubleType)
+          .comment("tile edge length in x/y units").build()),
+      StructType(Seq(
+        StructField("tile_e", LongType), StructField("tile_n", LongType),
+        StructField("n_new", LongType)))) { in =>
+      val p = layoutPathOf(strArg(in, 0))
+      GeoParquet.staleTiles(SparkSession.active, p, in.getLong(1),
+          in.getDouble(2))
+        .collect().toSeq
         .map(r => InternalRow(r.getLong(0), r.getLong(1), r.getLong(2)))
     })
 

@@ -1030,8 +1030,17 @@ final class GraftScan(path: String, dataSchema: StructType,
           kRange, kComposite)
     }
     // ...and probe the manifest membership filters where declared:
-    // only files that might contain one of the join keys stay
-    val candidates = rt.foldLeft(base) {
+    // only files that might contain one of the keys stay.  STATIC
+    // pushed predicates ride this too — a literal `WHERE id IN (…)`
+    // or `id = v` point fetch is the same probe a broadcast join
+    // delivers at runtime, and at 100 TB it must not open every file
+    // whose x/y envelope happens to match
+    val inShaped = (allFilters ++ rt).collect {
+      case f: org.apache.spark.sql.sources.In => f
+      case org.apache.spark.sql.sources.EqualTo(c, v) =>
+        org.apache.spark.sql.sources.In(c, Array(v))
+    }
+    val candidates = inShaped.foldLeft(base) {
       case (acc, org.apache.spark.sql.sources.In(c, vs)) if acc.nonEmpty =>
         GeoParquet.bloomCandidateFiles(spark, path, keysDf(spark, c, vs), c)
           .map(cand => acc.filter(cand.toSet)).getOrElse(acc)

@@ -314,6 +314,38 @@ class GraftCatalogSpec extends SparkSpec {
     assert(chain(e).exists(_.contains("clustering")), chain(e).mkString(" | "))
   }
 
+  test("CREATE TABLE with 'filters' declares membership filters maintained from the first INSERT") {
+    spark.sql(
+      """CREATE TABLE lake.ice.filtered (id BIGINT, x DOUBLE, y DOUBLE, z DOUBLE)
+        |USING graft TBLPROPERTIES('delta'='250.0', 'filters'='id')"""
+        .stripMargin)
+    val dir = s"$warehouse/ice/filtered"
+    assert(GeoParquet.filterColsOf(spark, dir) == Seq("id"),
+      "the DDL filter declaration was not recorded")
+    pts(0, 2000).createOrReplaceTempView("filt_src")
+    spark.sql("INSERT INTO lake.ice.filtered SELECT id, x, y, z FROM filt_src")
+    spark.sql("CALL lake.system.rebuild_manifest('ice.filtered')").collect()
+    // the manifest carries the id membership filter and an id point
+    // probe opens fewer files than the layout holds
+    assert(spark.read.parquet(s"$dir/_manifest").columns
+      .contains("id_bloom"), "no membership filter in the manifest")
+    val r = spark.sql(
+      "SELECT id FROM lake.ice.filtered WHERE id IN (3, 777)")
+      .as[Long].collect().sorted.toSeq
+    assert(r == Seq(3L, 777L))
+    assert(graft.sources.v2.GraftSource.lastPlannedFiles.get(dir).size <
+      spark.read.parquet(dir).inputFiles.length,
+      "the DDL-declared membership filter did not prune the point probe")
+    // an unknown filter column refuses at CREATE
+    val e = intercept[Throwable] {
+      spark.sql(
+        """CREATE TABLE lake.ice.badfilt (id BIGINT, x DOUBLE, y DOUBLE)
+          |USING graft TBLPROPERTIES('delta'='250.0', 'filters'='nope')"""
+          .stripMargin)
+    }
+    assert(String.valueOf(e.getMessage).contains("not in the declared schema"))
+  }
+
   test("CREATE TABLE with 'curve' declares a curve-clustered layout; INSERTs key-sort and manifest ranges") {
     spark.sql("""CREATE TABLE lake.ice.curved (id BIGINT, x DOUBLE, y DOUBLE, z DOUBLE)
                 |USING graft TBLPROPERTIES('delta'='250.0', 'curve'='hilbert')""".stripMargin)
