@@ -1035,9 +1035,15 @@ final class GraftScan(path: String, dataSchema: StructType,
     // or `id = v` point fetch is the same probe a broadcast join
     // delivers at runtime, and at 100 TB it must not open every file
     // whose x/y envelope happens to match
+    // one sidecar read gates the whole probe family: a layout with no
+    // declared filter columns must not pay a manifest footer open per
+    // equality predicate just to learn there is nothing to probe
+    val declaredFilters = GeoParquet.filterColsOf(spark, path).toSet
     val inShaped = (allFilters ++ rt).collect {
-      case f: org.apache.spark.sql.sources.In => f
-      case org.apache.spark.sql.sources.EqualTo(c, v) =>
+      case f: org.apache.spark.sql.sources.In
+          if declaredFilters.contains(f.attribute) => f
+      case org.apache.spark.sql.sources.EqualTo(c, v)
+          if declaredFilters.contains(c) =>
         org.apache.spark.sql.sources.In(c, Array(v))
     }
     val candidates = inShaped.foldLeft(base) {
