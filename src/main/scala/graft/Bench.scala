@@ -8,6 +8,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // local NVMe open cost, not the 4 MB remote-storage default —
+      // lets packPartitions collapse a many-tiny-file layout to a
+      // handful of tasks (cluster deployments keep Spark's default)
+      .config("spark.sql.files.openCostInBytes", "131072")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
@@ -37,8 +41,21 @@ object Bench {
     // codegen tax smeared over whichever queries ran early (same build
     // measured 58-96 s single-shot vs 35 s steady-state) — the timed
     // pass below measures the engine, not the JVM's compile queue.
+    // r17: the warmup runs at sf0.001, not the measured SF — JIT and
+    // whole-stage-codegen compile per PLAN SHAPE, which is scale-
+    // independent, so the tiny pass warms the same code at ~1/100 the
+    // cost.  The r16 battery (161 queries, write-heavy CDC gates)
+    // doubled past the driver's wall budget running every query twice
+    // at sf0.1 (BENCH_r16 rc=124); this keeps the timed pass identical
+    // and halves the wall.
+    val warmDir0 = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+      "/root/testdata/sf0.001")
+    val warmDir =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warmDir0)))
+        warmDir0
+      else sfDir
     benchQueries.foreach { case (_, fn) =>
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      try { fn(spark, warmDir).write.format("noop").mode("overwrite").save() }
       catch { case e: Throwable =>
         if (sys.env.contains("SPARK_GRAFT_DEBUG")) e.printStackTrace()
       }

@@ -18,6 +18,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // local NVMe open cost, not the 4 MB remote-storage default —
+      // lets packPartitions collapse a many-tiny-file layout to a
+      // handful of tasks (cluster deployments keep Spark's default)
+      .config("spark.sql.files.openCostInBytes", "131072")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

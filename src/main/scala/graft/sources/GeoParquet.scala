@@ -353,7 +353,7 @@ object GeoParquet {
           if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_manifest")))
             spark.read.parquet(path).columns
           else
-            spark.read.parquet(s"$path/_manifest").select("file").head(1) match {
+            manifestDf(spark, path).select("file").head(1) match {
               case Array(r)
                 if fs.exists(new org.apache.hadoop.fs.Path(s"$path/${r.getString(0)}")) =>
                 spark.read.parquet(s"$path/${r.getString(0)}").columns
@@ -674,9 +674,11 @@ object GeoParquet {
       val m = s"$path/_manifest"
       val floor =
         if (!fsOf(spark, path).exists(new org.apache.hadoop.fs.Path(m))) 0L
-        else spark.read.parquet(m).agg(min("epoch")).head() match {
-          case r if r.isNullAt(0) => 0L
-          case r => r.getLong(0)
+        // select+collect folds to the driver on a cached manifest
+        // (zero jobs) where an .agg would still plan a tiny job
+        else manifestDf(spark, path).select("epoch").collect() match {
+          case rs if rs.isEmpty || rs.forall(_.isNullAt(0)) => 0L
+          case rs => rs.iterator.filterNot(_.isNullAt(0)).map(_.getLong(0)).min
         }
       ChangelogFloor(floor, -1L, -1L, preserved = false)
     }
@@ -719,9 +721,9 @@ object GeoParquet {
   private def manifestMaxEpoch(spark: SparkSession, path: String): Long = {
     val m = s"$path/_manifest"
     if (!fsOf(spark, path).exists(new org.apache.hadoop.fs.Path(m))) 0L
-    else spark.read.parquet(m).agg(max("epoch")).head() match {
-      case r if r.isNullAt(0) => 0L
-      case r => r.getLong(0)
+    else manifestDf(spark, path).select("epoch").collect() match {
+      case rs if rs.isEmpty || rs.forall(_.isNullAt(0)) => 0L
+      case rs => rs.iterator.filterNot(_.isNullAt(0)).map(_.getLong(0)).max
     }
   }
 
@@ -818,6 +820,93 @@ object GeoParquet {
   private def fsOf(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // --- driver-side sidecar cache -------------------------------------
+  // Planning and commit verbs consult `_manifest` and the tombstone
+  // sidecars MANY times per statement, and each `spark.read.parquet(…)
+  // .collect()` is a full distributed job — pure scheduler overhead
+  // for files that are kilobytes (one SQL UPDATE paid ~24 sequential
+  // jobs, most of them metadata re-reads).  The cache keys every
+  // sidecar read on its exact file listing (name, length, mtime), so
+  // ANY writer — this JVM, another session, an external process —
+  // invalidates it by construction, with no epoch handshake to trust.
+  // Hits return a LocalRelation: filter/select/collect fold to the
+  // driver (ZERO jobs), and joins against it broadcast naturally.
+  // Sidecars past the size cap read distributed and uncached — the
+  // 100 TB manifest keeps its scan; only metadata-scale files (the
+  // Iceberg rule: manifests are driver-cacheable until they aren't)
+  // ride the cache.  Bounded LRU by file-size proxy.
+  private val MetaEntryCapBytes = 8L << 20
+  private val MetaCacheCapBytes = 64L << 20
+  private val metaCache = new java.util.LinkedHashMap[
+    String, (org.apache.spark.sql.types.StructType,
+             Array[org.apache.spark.sql.Row], Long)](64, 0.75f, true)
+  private var metaCacheBytes = 0L
+
+  /** Test hook: cached-sidecar hit/miss counters (MetaCacheSpec). */
+  private[graft] val metaHits = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val metaMisses = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Read sidecar parquet (a directory or explicit part files) through
+    * the driver-side cache.  Falls back to the plain distributed read —
+    * with its exact error semantics — when the listing fails or the
+    * sidecar exceeds the entry cap.
+    */
+  private[graft] def metaParquet(spark: SparkSession,
+                                 inputs: Seq[String]): DataFrame = {
+    def plain() = spark.read.parquet(inputs: _*)
+    val listed: Option[Seq[org.apache.hadoop.fs.FileStatus]] =
+      try {
+        val fs = fsOf(spark, inputs.head)
+        Some(inputs.flatMap { in =>
+          val p = new org.apache.hadoop.fs.Path(in)
+          val st = fs.getFileStatus(p)
+          if (st.isDirectory)
+            fs.listStatus(p).toSeq.filter { s =>
+              val n = s.getPath.getName
+              s.isFile && !n.startsWith("_") && !n.startsWith(".")
+            }
+          else Seq(st)
+        })
+      } catch { case _: java.io.IOException => None }
+    listed match {
+      case Some(sts) if sts.map(_.getLen).sum <= MetaEntryCapBytes =>
+        val sig = sts.map(s =>
+            s"${s.getPath}#${s.getLen}#${s.getModificationTime}")
+          .sorted.mkString("|")
+        val bytes = sts.map(_.getLen).sum
+        val hit = metaCache.synchronized(Option(metaCache.get(sig)))
+        val (schema, rows) = hit match {
+          case Some((sc, rs, _)) => metaHits.incrementAndGet(); (sc, rs)
+          case None =>
+            metaMisses.incrementAndGet()
+            val df = plain()
+            val rs = df.collect()
+            val sc = df.schema
+            metaCache.synchronized {
+              if (metaCache.put(sig, (sc, rs, bytes)) == null)
+                metaCacheBytes += bytes
+              val it = metaCache.entrySet().iterator()
+              while (metaCacheBytes > MetaCacheCapBytes && it.hasNext) {
+                metaCacheBytes -= it.next().getValue._3
+                it.remove()
+              }
+            }
+            (sc, rs)
+        }
+        spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), schema)
+      case _ => plain()
+    }
+  }
+
+  private[graft] def metaParquet(spark: SparkSession,
+                                 input: String): DataFrame =
+    metaParquet(spark, Seq(input))
+
+  /** The layout's `_manifest` through the sidecar cache. */
+  private[graft] def manifestDf(spark: SparkSession, path: String): DataFrame =
+    metaParquet(spark, Seq(s"$path/_manifest"))
 
   /** Atomic one-file text write: sidecars like `_epoch` are read
     * UNLOCKED by every reader, so a truncate-then-write (hadoop
@@ -1063,7 +1152,7 @@ object GeoParquet {
     * layout size.  Falls back to the directory read when the manifest
     * is empty or the named file was compacted away. */
   private def manifestHeadSchema(spark: SparkSession, path: String) =
-    spark.read.parquet(s"$path/_manifest").select("file").head(1) match {
+    manifestDf(spark, path).select("file").head(1) match {
       case Array(r) =>
         val f = s"$path/${r.getString(0)}"
         if (fsOf(spark, f).exists(new org.apache.hadoop.fs.Path(f)))
@@ -1238,7 +1327,7 @@ object GeoParquet {
   /** The pending tombstone keys, if any. */
   def pendingTombstones(spark: SparkSession, path: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
-    if (fsOf(spark, path).exists(p)) Some(spark.read.parquet(p.toString))
+    if (fsOf(spark, path).exists(p)) Some(metaParquet(spark, p.toString))
     else None
   }
 
@@ -1275,10 +1364,10 @@ object GeoParquet {
     val base = new org.apache.hadoop.fs.Path(s"$path/_tombstones_pos")
     val staged = stagedMergeDirs(spark, path).collect {
       case d if stageStatusOf(spark, d) == StageLanded =>
-        spark.read.parquet(d).select("file", "pos")
+        metaParquet(spark, d).select("file", "pos")
     }
     val parts =
-      (if (fs.exists(base)) Seq(spark.read.parquet(base.toString)) else Nil) ++
+      (if (fs.exists(base)) Seq(metaParquet(spark, base.toString)) else Nil) ++
         staged
     parts.reduceOption(_ unionByName _)
   }
@@ -1900,7 +1989,7 @@ object GeoParquet {
     val keys = df.select(
       (if (integralKey) col(keyCol).cast("long") else col(keyCol)).as("k"))
       .distinct()
-    val rangeFiles = spark.read.parquet(s"$path/_manifest")
+    val rangeFiles = manifestDf(spark, path)
       .join(broadcast(keys), col("k").between(col("k0"), col("k1")), "leftsemi")
       .select("file").collect().map(r => s"$path/${r.getString(0)}")
     // on a HASH-BUCKETED target the range prune is near-useless (each
@@ -1962,7 +2051,7 @@ object GeoParquet {
       val root = rootPathOf(spark, path)
       val kExpr = struct(keyCols.map(col): _*)
       val keys = df.select(kExpr.as("k")).distinct()
-      val files = spark.read.parquet(s"$path/_manifest")
+      val files = manifestDf(spark, path)
         .join(broadcast(keys),
           col("k").between(col("k0"), col("k1")), "leftsemi")
         .select("file").collect().map(r => s"$path/${r.getString(0)}")
@@ -2076,7 +2165,7 @@ object GeoParquet {
         // manifest entries are root-relative — resolve against the
         // CURRENT root before comparing to the absolute listing
         val root = rootPathOf(spark, path)
-        val known = spark.read.parquet(s"$path/_manifest")
+        val known = manifestDf(spark, path)
           .select("file").collect().map(r => s"$root/${r.getString(0)}").toSet
         listDataFiles(spark, path).toSet == known
       })
@@ -2090,7 +2179,7 @@ object GeoParquet {
   private[graft] def freshManifest(spark: SparkSession,
                                    path: String): Option[DataFrame] =
     if (manifestFresh(spark, path, verify = false))
-      Some(spark.read.parquet(s"$path/_manifest"))
+      Some(manifestDf(spark, path))
     else None
 
   /** Whether the layout is curve-clustered (its manifest records
@@ -2102,7 +2191,7 @@ object GeoParquet {
   private[graft] def isCurveLayout(spark: SparkSession, path: String): Boolean =
     fsOf(spark, path)
       .exists(new org.apache.hadoop.fs.Path(s"$path/_manifest")) &&
-      spark.read.parquet(s"$path/_manifest").columns.contains("k0")
+      manifestDf(spark, path).columns.contains("k0")
 
   /** The layout's DATA-file schema (bin partition columns excluded —
     * the shape flat file-list reads see), for the SQL face: declared
@@ -2141,7 +2230,7 @@ object GeoParquet {
       : Seq[String] = {
     if (!manifestFresh(spark, path, verify = false))
       return listDataFiles(spark, path)
-    val m = spark.read.parquet(s"$path/_manifest")
+    val m = manifestDf(spark, path)
     m.filter(manifestBoundsCond(m, bounds) && keyRangeCond(m, kRange) &&
         compositeKeyRangeCond(m, kComposite))
       .select("file").collect()
@@ -2237,7 +2326,7 @@ object GeoParquet {
       s"$path: manifest is stale — snapshot reads have no sound " +
         "fallback; run writeManifest (which resets history to the " +
         "current epoch) first")
-    val m = spark.read.parquet(s"$path/_manifest")
+    val m = manifestDf(spark, path)
     val oldestRow = m.agg(min("epoch")).head()
     require(!oldestRow.isNullAt(0),
       s"$path: manifest is empty — no snapshot history to serve")
@@ -2278,7 +2367,7 @@ object GeoParquet {
           .option("recursiveFileLookup", "true").parquet(path)
           .filter(boxFilter)
       else {
-        val files = spark.read.parquet(s"$path/_manifest")
+        val files = manifestDf(spark, path)
           .filter(col("x1") >= xr._1 && col("x0") < xr._2 &&
                   col("y1") >= yr._1 && col("y0") < yr._2)
           .select("file").collect().map(r => s"$path/${r.getString(0)}")
@@ -2319,7 +2408,7 @@ object GeoParquet {
       return readerFor(spark, path, flat = true)
           .option("recursiveFileLookup", "true").parquet(path)
         .filter(boxFilter).agg(count("*").as("n"))
-    val m = spark.read.parquet(s"$path/_manifest")
+    val m = manifestDf(spark, path)
     val intersects = col("x1") >= xr._1 && col("x0") < xr._2 &&
       col("y1") >= yr._1 && col("y0") < yr._2
     val contained = col("x0") >= xr._1 && col("x1") < xr._2 &&
@@ -2353,7 +2442,7 @@ object GeoParquet {
                                          keyCol: String = "id")
       : Option[Seq[String]] = {
     if (!manifestFresh(spark, path, verify = false)) return None
-    val m = spark.read.parquet(s"$path/_manifest")
+    val m = manifestDf(spark, path)
     val bc = bloomColName(keyCol)
     if (!m.columns.contains(bc)) return None
     val kt = keys.schema.fields.head.dataType
@@ -2480,7 +2569,7 @@ object GeoParquet {
     if (!manifestFresh(spark, path, verify))
       return aggOf(spark.read.option("recursiveFileLookup", "true")
         .parquet(path).filter(boxFilter))
-    val m = spark.read.parquet(s"$path/_manifest")
+    val m = manifestDf(spark, path)
     require(m.columns.contains("z0"),
       s"$path/_manifest carries no z stats — the layout has no z column")
     val intersects = col("x1") >= xr._1 && col("x0") < xr._2 &&
@@ -2537,7 +2626,7 @@ object GeoParquet {
       s"$path: manifest is stale — snapshot reads have no sound " +
         "fallback; run writeManifest (which resets history to the " +
         "current epoch) first")
-    val m = spark.read.parquet(s"$path/_manifest")
+    val m = manifestDf(spark, path)
     // min over an EMPTY manifest is null — refuse with the history
     // message rather than NPE (a zero-file layout has no snapshots)
     val oldestRow = m.agg(min("epoch")).head()
@@ -2577,7 +2666,7 @@ object GeoParquet {
                                    df: DataFrame,
                                    partFiles: Seq[String]): DataFrame = {
     val root = rootPathOf(spark, path)
-    val ts = spark.read.parquet(partFiles: _*).select(
+    val ts = metaParquet(spark, partFiles).select(
       col("file").as("__file"), col("pos").as("__pos"))
     df.withColumn("__file", relativeTo(root)(col("_metadata.file_path")))
       .withColumn("__pos", col("_metadata.row_index"))
@@ -2591,7 +2680,7 @@ object GeoParquet {
     * manifest metadata; no data file is opened.
     */
   def snapshots(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/_manifest")
+    manifestDf(spark, path)
       .groupBy("epoch")
       .agg(count("*").cast("long").as("n_files"),
         sum("n_rows").cast("long").as("n_rows"))
@@ -2615,7 +2704,7 @@ object GeoParquet {
     require(manifestFresh(spark, path, verify = false),
       s"$path: manifest is stale — unmanifested files have no epoch, " +
         "so no sound changelog exists; run writeManifest first")
-    val files = spark.read.parquet(s"$path/_manifest")
+    val files = manifestDf(spark, path)
       .filter(col("epoch") > sinceEpoch)
       .select("file").collect().map(r => s"$path/${r.getString(0)}")
     if (files.isEmpty) readerFor(spark, path, flat = false).parquet(path).filter(lit(false))
@@ -2802,7 +2891,7 @@ object GeoParquet {
           s"$path/_manifest.coalesced")
         val pre = new org.apache.hadoop.fs.Path(
           s"$path/_manifest.pre-coalesce")
-        val before = spark.read.parquet(m.toString)
+        val before = metaParquet(spark, m.toString)
         val n = before.count()
         // deterministic single part; epoch order keeps the dominant
         // reads (epoch-range filters, max(epoch)) one-run sequential
@@ -2935,7 +3024,7 @@ object GeoParquet {
           "no commit epoch and cannot be sliced; run a compaction " +
           "first (which resets history) or apply them")
       val st = changelogFloor(spark, path)
-      val m = spark.read.parquet(s"$path/_manifest")
+      val m = manifestDf(spark, path)
       val bounds = m.agg(min("epoch"), max("epoch")).head()
       require(!bounds.isNullAt(0), s"$path: manifest is empty")
       val (minE, maxE) = (bounds.getLong(0), bounds.getLong(1))
@@ -2994,7 +3083,7 @@ object GeoParquet {
     //    and the same crash heal — as compactManifest)
     val m = new org.apache.hadoop.fs.Path(s"$path/_manifest")
     healManifestCoalesce(spark, path)
-    val live = spark.read.parquet(m.toString)
+    val live = metaParquet(spark, m.toString)
     if (live.filter(col("epoch") > epoch).limit(1).count() > 0) {
       val stage = new org.apache.hadoop.fs.Path(s"$path/_manifest.coalesced")
       val pre = new org.apache.hadoop.fs.Path(s"$path/_manifest.pre-coalesce")
@@ -3062,7 +3151,7 @@ object GeoParquet {
           .option("recursiveFileLookup", "true").parquet(path)
           .filter(rowFilter)
       else {
-        val m = spark.read.parquet(s"$path/_manifest")
+        val m = manifestDf(spark, path)
         val boxHit = col("x1") >= xr._1 && col("x0") < xr._2 &&
           col("y1") >= yr._1 && col("y0") < yr._2
         val hit =
@@ -3141,7 +3230,7 @@ object GeoParquet {
     val src =
       if (!hasManifest) base // fresh unmanifested layout: row-group pruning only
       else {
-        val m = spark.read.parquet(s"$path/_manifest")
+        val m = manifestDf(spark, path)
         if (!m.columns.contains("k0")) base
         else {
           val hit = ranges
@@ -3250,7 +3339,7 @@ object GeoParquet {
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_manifest"))) {
       append(df, path, delta, mergeDir, commitMarker); return
     }
-    require(!spark.read.parquet(s"$path/_manifest").columns.contains("k0"),
+    require(!manifestDf(spark, path).columns.contains("k0"),
       "appendWithManifest maintains bin-partitioned manifests; " +
         "curve-clustered layouts append via appendCurve")
     // CONTINUITY GUARD: incremental maintenance is only sound on a
@@ -3407,7 +3496,7 @@ object GeoParquet {
     // or carry a new one (dropped here; a writeManifest rebuild picks
     // it up).  Mixed-schema manifest part files would make sidecar
     // reads footer-order-dependent, which pruning must never be.
-    val mSchema = spark.read.parquet(s"$path/_manifest").schema
+    val mSchema = manifestDf(spark, path).schema
     val aligned = stats.select(mSchema.fields.map { f =>
       if (stats.columns.contains(f.name)) col(f.name)
       else lit(null).cast(f.dataType).as(f.name)
@@ -3777,7 +3866,7 @@ object GeoParquet {
     // want to tune the bucket gate call compactBucketedIfNeeded).
     if (bucketsOf(spark, path).isDefined)
       return compactBucketedIfNeeded(spark, path)
-    val ranges = spark.read.parquet(s"$path/_manifest")
+    val ranges = manifestDf(spark, path)
       .select("k0", "k1").collect()
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     // sweep: depth at each range start = ranges begun - ranges ended
@@ -3807,7 +3896,7 @@ object GeoParquet {
                               maxFilesPerBucket: Int = 4): Boolean = {
     require(bucketsOf(spark, path).isDefined,
       s"$path is not hash-bucketed (no _buckets sidecar)")
-    val files = spark.read.parquet(s"$path/_manifest")
+    val files = manifestDf(spark, path)
       .select("file").collect().map(_.getString(0))
     val pressure = hasPendingDeletes(spark, path) ||
       files.groupBy(bucketOfFileName).values
@@ -3959,7 +4048,7 @@ object GeoParquet {
       // changelog era being retired — read BEFORE the in-place flip
       val prevFloor0 = changelogFloor(spark, path).floor
       val prevMax0 = manifestMaxEpoch(spark, path)
-      val m = spark.read.parquet(s"$path/_manifest")
+      val m = manifestDf(spark, path)
       require(m.columns.contains("k0"),
         s"$path is not curve-clustered (no key ranges in its manifest)")
       val rows = m.select("file", "k0", "k1").collect()

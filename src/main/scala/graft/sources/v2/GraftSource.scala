@@ -988,7 +988,7 @@ final class GraftScan(path: String, dataSchema: StructType,
     val activeParts = activeDeleteParts(spark)
     val doomedFiles: Set[String] =
       if (activeParts.isEmpty) Set.empty
-      else spark.read.parquet(activeParts.map(_._1): _*)
+      else GeoParquet.metaParquet(spark, activeParts.map(_._1))
         .select("file").distinct().collect().map(_.getString(0)).toSet
     val rt = runtime
     // runtime In-sets tighten the envelope bounds (min..max per
@@ -1109,7 +1109,15 @@ final class GraftScan(path: String, dataSchema: StructType,
         GraftPartition(f, r, doomedFiles.contains(r), b) }
     GraftSource.lastMorPlan.put(path,
       (parts.length, parts.count(_.hasDeletes)))
-    parts.map(p => p: InputPartition).toArray
+    // pack small files into size-budgeted partitions (Spark's own
+    // FilePartition discipline): per-file tasks are pure scheduler
+    // overhead on a many-small-file layout (a fresh CDC table is
+    // exactly that at bench scale) and a million-task plan at 100 TB.
+    // Bucketed scans keep file-grained partitions — their
+    // partitionKey grouping and the one-file-per-bucket ordering
+    // report depend on them.
+    if (bucketReport.isDefined) parts.map(p => p: InputPartition).toArray
+    else GraftScan.packPartitions(spark, parts)
   }
 
   /** The finite bucket set an equality/IN conjunct on the bucket key
@@ -1433,7 +1441,7 @@ final class GraftScan(path: String, dataSchema: StructType,
         s"${st.floor}: history before it was re-stamped by a rebuild/" +
         s"compaction and cannot be replayed — start from ${st.floor - 1}")
     if (to <= from) return Array.empty
-    val m = spark.read.parquet(s"$path/_manifest")
+    val m = GeoParquet.manifestDf(spark, path)
     val committed = m.filter(
       org.apache.spark.sql.functions.col("epoch") > from &&
         org.apache.spark.sql.functions.col("epoch") <= to &&
@@ -1489,6 +1497,61 @@ final class GraftScan(path: String, dataSchema: StructType,
 }
 
 object GraftScan {
+
+  /** Pack per-file partitions into size-budgeted groups, preserving
+    * file order (TopN/LIMIT-truncated heads rely on it).  The budget
+    * is Spark's own: min(maxPartitionBytes, max(totalCost/cores,
+    * 16 MB)) with each file costed at size + openCostInBytes — big
+    * layouts split exactly as Spark's FilePartition would, and a
+    * many-tiny-file layout (a fresh CDC table) collapses to a few
+    * tasks instead of one per file.  Sizes come from ONE listing per
+    * parent directory; a file that fails to list costs the full
+    * budget (never under-packs).
+    */
+  private[v2] def packPartitions(
+      spark: org.apache.spark.sql.SparkSession,
+      parts: Seq[GraftPartition]): Array[InputPartition] = {
+    if (parts.length <= 1) return parts.map(p => p: InputPartition).toArray
+    val conf = spark.sessionState.conf
+    val maxBytes = conf.filesMaxPartitionBytes
+    val openCost = conf.filesOpenCostInBytes
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val sizes: Map[String, Long] =
+      parts.map(_.file).groupBy(f =>
+          new org.apache.hadoop.fs.Path(f).getParent)
+        .iterator.flatMap { case (parent, _) =>
+          try {
+            val fs = parent.getFileSystem(hconf)
+            fs.listStatus(parent).iterator.collect {
+              case s if s.isFile => s.getPath.toUri.getPath -> s.getLen
+            }
+          } catch { case _: java.io.IOException =>
+            Iterator.empty[(String, Long)] }
+        }.toMap
+    def costOf(p: GraftPartition): Long =
+      sizes.get(new org.apache.hadoop.fs.Path(p.file).toUri.getPath)
+        .map(_ + openCost).getOrElse(maxBytes)
+    val total = parts.iterator.map(costOf).sum
+    val split = math.min(maxBytes, math.max(
+      total / math.max(1, spark.sparkContext.defaultParallelism),
+      math.max(openCost, 16L << 20)))
+    val out = Array.newBuilder[InputPartition]
+    val cur = scala.collection.mutable.ArrayBuffer.empty[GraftPartition]
+    var acc = 0L
+    def flush(): Unit = if (cur.nonEmpty) {
+      out += (if (cur.length == 1) cur.head
+              else GraftMultiPartition(cur.toArray))
+      cur.clear(); acc = 0L
+    }
+    parts.foreach { p =>
+      val c = costOf(p)
+      if (cur.nonEmpty && acc + c > split) flush()
+      cur += p; acc += c
+    }
+    flush()
+    out.result()
+  }
+
   /** The bucket id a staged part file name certifies (`part-<idx>-…`
     * — the shuffle partition index Spark's HashPartitioning stamped
     * at write time, which [[GeoParquet.writeBucketed]] made the
@@ -1615,6 +1678,13 @@ object GraftScan {
   }
 }
 
+/** Several packed file slices read sequentially by one task — the
+  * [[GraftScan.packPartitions]] product.  Never used on bucketed
+  * scans, so it carries no partition key.
+  */
+final case class GraftMultiPartition(slices: Array[GraftPartition])
+    extends InputPartition
+
 final case class GraftPartition(file: String, relFile: String = "",
                                 hasDeletes: Boolean = false,
                                 bucket: Int = -1)
@@ -1637,6 +1707,28 @@ final class GraftReaderFactory(conf: SerConf, dataJson: String,
                                  Seq.empty)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    p match {
+      case mp: GraftMultiPartition =>
+        // one task drains its packed slices in order, opening each
+        // file's reader lazily — slice boundaries stay invisible to
+        // Spark (same rows, same order as per-file partitions)
+        return new PartitionReader[InternalRow] {
+          private val it = mp.slices.iterator
+          private var cur: PartitionReader[InternalRow] = null
+          @scala.annotation.tailrec
+          override def next(): Boolean = {
+            if (cur == null) {
+              if (!it.hasNext) return false
+              cur = createReader(it.next())
+            }
+            if (cur.next()) true
+            else { cur.close(); cur = null; next() }
+          }
+          override def get(): InternalRow = cur.get()
+          override def close(): Unit = if (cur != null) cur.close()
+        }
+      case _ => ()
+    }
     val gp = p.asInstanceOf[GraftPartition]
     val dataSchema = DataType.fromJson(dataJson).asInstanceOf[StructType]
     val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
@@ -2051,7 +2143,7 @@ final class GraftAggScan(path: String, dataSchema: StructType,
     // metadata-scale, so the distinct costs nothing
     val doomedCounts: Map[String, Long] =
       if (deleteParts.isEmpty) Map.empty
-      else spark.read.parquet(deleteParts.map(_._1): _*)
+      else GeoParquet.metaParquet(spark, deleteParts.map(_._1))
         .select("file", "pos").distinct()
         .groupBy("file").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -168,12 +168,17 @@ final class GraftMicroBatchStream(path: String, dataSchema: StructType,
     */
   private def admit(from: Long, to: Long, budget: Long,
                     rows: Boolean): Long = {
-    import org.apache.spark.sql.functions.{count, lit, sum}
-    val per = spark.read.parquet(s"$path/_manifest")
+    // filter+select fold driver-side on the cached manifest (zero
+    // jobs per poll); the per-epoch rollup is a scalar pass here
+    val per = GeoParquet.manifestDf(spark, path)
       .filter(col("epoch") > from && col("epoch") <= to)
-      .groupBy("epoch")
-      .agg((if (rows) sum("n_rows") else count(lit(1))).cast("long").as("w"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      .select(col("epoch"),
+        (if (rows) col("n_rows") else org.apache.spark.sql.functions.lit(1L))
+          .cast("long").as("w"))
+      .collect()
+      .groupBy(_.getLong(0)).view
+      .map { case (e, rs) => (e, rs.iterator.map(_.getLong(1)).sum) }
+      .toArray.sortBy(_._1)
     var acc = 0L
     var end = from
     var next = -1L // first unadmitted file-bearing epoch
@@ -212,7 +217,7 @@ final class GraftMicroBatchStream(path: String, dataSchema: StructType,
     // described prefix, and that prefix only moves forward
     require(GeoParquet.describedEpoch(spark, path).exists(_ >= to),
       s"graft:$path manifest regressed below a handed-out stream offset")
-    val m = spark.read.parquet(s"$path/_manifest")
+    val m = GeoParquet.manifestDf(spark, path)
     val committed = m.filter(col("epoch") > from && col("epoch") <= to &&
         GeoParquet.manifestBoundsCond(m, bounds))
     if (!changelog)
@@ -313,11 +318,11 @@ private[v2] object GraftChanges {
         val inBounds: String => Boolean =
           if (bounds.isEmpty) _ => true
           else {
-            val m = spark.read.parquet(s"$path/_manifest")
+            val m = GeoParquet.manifestDf(spark, path)
             m.filter(GeoParquet.manifestBoundsCond(m, bounds))
               .select("file").collect().map(_.getString(0)).toSet
           }
-        spark.read.parquet(delParts.map(_._1): _*)
+        GeoParquet.metaParquet(spark, delParts.map(_._1))
           .select("file").distinct().collect().map(_.getString(0))
           .filter(inBounds)
           .map { rel =>
