@@ -40,12 +40,37 @@ object ProbeMorSetup {
             val names = j.stageInfos.map(s => s"${s.name}[${s.numTasks}]")
               .mkString(" | ")
             println(f"      job ${j.jobId}%3d tasks=$ntasks%4d  $site  $names")
+            if (sys.env.contains("PROBE_TRACE_DETAIL"))
+              j.stageInfos.foreach { s =>
+                val d = s.details.linesIterator
+                  .filter(l => l.contains("graft") || l.contains("Geo"))
+                  .take(3).mkString(" <- ")
+                println(s"            stage ${s.stageId}: $d")
+              }
           }
         }
         override def onTaskEnd(
             t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
           tasks.incrementAndGet()
       })
+    if (sys.env.contains("PROBE_QE")) {
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit = {
+            val nodes = qe.executedPlan.collect {
+              case n => n.nodeName
+            }.groupBy(identity).view.mapValues(_.size)
+              .toSeq.sortBy(-_._2).map { case (n, c) => s"$n x$c" }
+              .mkString(", ")
+            println(f"      QE $funcName ${durationNs / 1e9}%6.2f s  [$nodes]")
+          }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              e: Exception): Unit = ()
+        })
+    }
     def time(tag: String)(f: => Unit): Double = {
       val j0 = jobs.get(); val k0 = tasks.get()
       val t0 = System.nanoTime(); f
@@ -75,7 +100,8 @@ object ProbeMorSetup {
         s"UPDATE $c.geo.points SET z = z + 1000000.0 WHERE id % 7 = 0"))
       time("DELETE")(spark.sql(
         s"DELETE FROM $c.geo.points WHERE id % 11 = 3"))
-      time("read v1-3")(spark.sql(
+      var readDf: org.apache.spark.sql.DataFrame = null
+      time("read analyze") { readDf = spark.sql(
         s"""SELECT 1 AS era, id, x, y, z FROM $c.geo.points VERSION AS OF 1
            |WHERE x >= -400 AND x < 400 AND y >= -400 AND y < 400
            |UNION ALL
@@ -84,8 +110,11 @@ object ProbeMorSetup {
            |UNION ALL
            |SELECT 3 AS era, id, x, y, z FROM $c.geo.points VERSION AS OF 3
            |WHERE x >= -400 AND x < 400 AND y >= -400 AND y < 400
-           |ORDER BY era, id""".stripMargin).write
+           |ORDER BY era, id""".stripMargin) }
+      time("read v1-3")(readDf.write
         .format("noop").mode("overwrite").save())
+      if (sys.env.contains("PROBE_PLAN") && pass == 2)
+        println(readDf.queryExecution.executedPlan.toString.take(4000))
     }
     spark.stop()
   }

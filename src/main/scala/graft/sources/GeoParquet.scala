@@ -2327,11 +2327,14 @@ object GeoParquet {
         "fallback; run writeManifest (which resets history to the " +
         "current epoch) first")
     val m = manifestDf(spark, path)
-    val oldestRow = m.agg(min("epoch")).head()
-    require(!oldestRow.isNullAt(0),
+    // driver-side min: folds to zero jobs on the cached manifest
+    // where an .agg planned an AQE shuffle per versioned read
+    val es = m.select("epoch").collect()
+      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    require(es.nonEmpty,
       s"$path: manifest is empty — no snapshot history to serve")
-    require(asOfEpoch >= oldestRow.getLong(0),
-      s"$path: history before epoch ${oldestRow.getLong(0)} was " +
+    require(asOfEpoch >= es.min,
+      s"$path: history before epoch ${es.min} was " +
         s"compacted away (requested $asOfEpoch)")
     m.filter(col("epoch") <= asOfEpoch)
   }
@@ -2628,11 +2631,13 @@ object GeoParquet {
         "current epoch) first")
     val m = manifestDf(spark, path)
     // min over an EMPTY manifest is null — refuse with the history
-    // message rather than NPE (a zero-file layout has no snapshots)
-    val oldestRow = m.agg(min("epoch")).head()
-    require(!oldestRow.isNullAt(0),
+    // message rather than NPE (a zero-file layout has no snapshots);
+    // computed driver-side so a cached manifest costs zero jobs
+    val es = m.select("epoch").collect()
+      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    require(es.nonEmpty,
       s"$path: manifest is empty — no snapshot history to serve")
-    val oldest = oldestRow.getLong(0)
+    val oldest = es.min
     require(asOfEpoch >= oldest,
       s"$path: history before epoch $oldest was compacted away " +
         s"(requested $asOfEpoch)")

@@ -900,9 +900,11 @@ final class GraftScan(path: String, dataSchema: StructType,
           case Some(e) => Some(GeoParquet.manifestAsOf(spark, path, e))
           case None => GeoParquet.freshManifest(spark, path)
         }).map { m =>
-          import org.apache.spark.sql.functions.{coalesce, lit, sum}
+          // driver-side sum: zero jobs on the cached manifest where
+          // the .agg planned a stats-estimation shuffle per scan
           m.filter(GeoParquet.manifestBoundsCond(m, bounds))
-            .agg(coalesce(sum("n_rows"), lit(0L))).head().getLong(0)
+            .select("n_rows").collect().iterator
+            .filterNot(_.isNullAt(0)).map(_.getLong(0)).sum
         }
       } catch { case scala.util.control.NonFatal(_) => None }
     val rowWidth = required.fields.map(_.dataType.defaultSize).sum + 8
@@ -986,10 +988,13 @@ final class GraftScan(path: String, dataSchema: StructType,
     // task-side point lookup.  For a snapshot, only the parts at-or-
     // before the pinned epoch count.
     val activeParts = activeDeleteParts(spark)
+    // select+collect folds driver-side on cached sidecars (zero
+    // jobs); the dedup is a scalar pass — a .distinct() here planned
+    // a full AQE shuffle per era of every versioned read
     val doomedFiles: Set[String] =
       if (activeParts.isEmpty) Set.empty
       else GeoParquet.metaParquet(spark, activeParts.map(_._1))
-        .select("file").distinct().collect().map(_.getString(0)).toSet
+        .select("file").collect().iterator.map(_.getString(0)).toSet
     val rt = runtime
     // runtime In-sets tighten the envelope bounds (min..max per
     // column — superset, exactly what file pruning may use)...
@@ -1786,7 +1791,13 @@ private[v2] abstract class GroupFileReader(file: String, ser: SerConf,
   import org.apache.parquet.schema.{MessageType, PrimitiveType, Type}
   import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
 
-  private val conf = new org.apache.hadoop.conf.Configuration(ser.conf)
+  // the task-local deserialized conf is used READ-ONLY here (the
+  // projection rides a PlainParquetConfiguration below, not a conf
+  // mutation), so no per-file Configuration copy: a copy whose source
+  // Properties were unmaterialized re-parsed the Hadoop XML resources
+  // per reader (~10 ms, the dominant CPU of a many-small-file scan in
+  // stack sampling).  size() forces one materialization per task.
+  private val conf = { ser.conf.size(); ser.conf }
   private val hPath = new org.apache.hadoop.fs.Path(file)
 
   protected val fileSchema: MessageType = {
@@ -1848,10 +1859,24 @@ private[v2] abstract class GroupFileReader(file: String, ser: SerConf,
   }
 
   private val reader: ParquetReader[Group] = {
-    conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+    // the legacy conf-first constructor, ON PURPOSE: every other
+    // entry point — builder(support, path), and even the
+    // ParquetConfiguration builder (whose GroupReadSupport.init
+    // converts back through ConfigurationUtil.createHadoopConfiguration)
+    // — constructs a FRESH `new Configuration()` per reader, which
+    // re-parses the Hadoop XML resources (~10 ms, the dominant CPU of
+    // a many-small-file scan in stack sampling).  This path reuses
+    // the task's materialized conf; the projection and the pushed
+    // FilterPredicate ride a cheap Properties-clone copy of it
+    // (HadoopReadOptions.builder(conf) picks the filter up via
+    // ParquetInputFormat.getFilter — the same row-group + record
+    // filtering withFilter(FilterCompat.get(p)) produced).
+    val rconf = new org.apache.hadoop.conf.Configuration(conf)
+    rconf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
       projection.toString)
-    val b = ParquetReader.builder(new GroupReadSupport(), hPath).withConf(conf)
-    predicateFor.fold(b)(p => b.withFilter(FilterCompat.get(p))).build()
+    predicateFor.foreach(p =>
+      org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(rconf, p))
+    new ParquetReader(rconf, hPath, new GroupReadSupport()): ParquetReader[Group]
   }
 
   protected var current: Group = _
@@ -2029,15 +2054,18 @@ private[v2] object DoomedPositions {
       import org.apache.parquet.filter2.predicate.FilterApi
       import org.apache.parquet.hadoop.ParquetReader
       import org.apache.parquet.hadoop.example.GroupReadSupport
-      val pred = FilterCompat.get(FilterApi.eq(
+      val pred = FilterApi.eq(
         FilterApi.binaryColumn("file"),
-        org.apache.parquet.io.api.Binary.fromString(relFile)))
+        org.apache.parquet.io.api.Binary.fromString(relFile))
+      ser.conf.size() // materialize once (see GroupFileReader's note)
+      // legacy conf-first constructor for the same reason as
+      // GroupFileReader's reader: no fresh per-reader Configuration
+      val rconf = new org.apache.hadoop.conf.Configuration(ser.conf)
+      org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(
+        rconf, pred)
       deleteFiles.foreach { df =>
-        val r: ParquetReader[Group] = ParquetReader
-          .builder(new GroupReadSupport(),
-            new org.apache.hadoop.fs.Path(df))
-          .withConf(new org.apache.hadoop.conf.Configuration(ser.conf))
-          .withFilter(pred).build()
+        val r: ParquetReader[Group] = new ParquetReader(
+          rconf, new org.apache.hadoop.fs.Path(df), new GroupReadSupport())
         try {
           var g = r.read()
           while (g != null) {
@@ -2144,9 +2172,13 @@ final class GraftAggScan(path: String, dataSchema: StructType,
     val doomedCounts: Map[String, Long] =
       if (deleteParts.isEmpty) Map.empty
       else GeoParquet.metaParquet(spark, deleteParts.map(_._1))
-        .select("file", "pos").distinct()
-        .groupBy("file").count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
+        .select("file", "pos").collect()
+        // distinct + per-file rollup as a scalar pass: select+collect
+        // folds on the cached sidecar (zero jobs) where the DataFrame
+        // distinct/groupBy planned two AQE shuffles per aggregate scan
+        .iterator.map(r => (r.getString(0), r.getLong(1)))
+        .toSet[(String, Long)]
+        .groupBy(_._1).view.mapValues(_.size.toLong).toMap
     val bounds = ExactFilters.boundsOf(exact.toArray)
     val intervals = ExactFilters.intervalsOf(exact)
     // cluster-key file pruning, as on the row path: files whose

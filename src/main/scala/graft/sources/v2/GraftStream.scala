@@ -323,7 +323,7 @@ private[v2] object GraftChanges {
               .select("file").collect().map(_.getString(0)).toSet
           }
         GeoParquet.metaParquet(spark, delParts.map(_._1))
-          .select("file").distinct().collect().map(_.getString(0))
+          .select("file").collect().map(_.getString(0)).distinct
           .filter(inBounds)
           .map { rel =>
             val parts = delParts.collect {
