@@ -12,6 +12,15 @@ object Bench {
       // lets packPartitions collapse a many-tiny-file layout to a
       // handful of tasks (cluster deployments keep Spark's default)
       .config("spark.sql.files.openCostInBytes", "131072")
+      // local-mode FS overhead killers, measured by stack sampling:
+      // thread-level IOStatistics aggregation ran a parallel-stream
+      // collect on EVERY stream close; the v1 committer double-renames
+      // every staged file; the checksummed LocalFileSystem doubles
+      // small-file IO with .crc siblings.  Cluster deployments on
+      // HDFS/S3 are unaffected (their committers/stores differ).
+      .config("spark.hadoop.fs.iostatistics.thread.level.enabled", "false")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()

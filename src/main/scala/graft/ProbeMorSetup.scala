@@ -20,6 +20,9 @@ object ProbeMorSetup {
       // lets packPartitions collapse a many-tiny-file layout to a
       // handful of tasks (cluster deployments keep Spark's default)
       .config("spark.sql.files.openCostInBytes", "131072")
+      .config("spark.hadoop.fs.iostatistics.thread.level.enabled", "false")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()

@@ -251,7 +251,7 @@ object CommitLock {
     override def tryCreate(fs: org.apache.hadoop.fs.FileSystem,
                            lock: org.apache.hadoop.fs.Path,
                            token: String): Boolean =
-      if (fs.getScheme == "file")
+      if (fs.getUri.getScheme == "file")
         try {
           val p = java.nio.file.Paths.get(lock.toUri.getPath)
           java.nio.file.Files.createDirectories(p.getParent)
@@ -285,7 +285,7 @@ object CommitLock {
     override def renameNoReplace(fs: org.apache.hadoop.fs.FileSystem,
                                  src: org.apache.hadoop.fs.Path,
                                  dst: org.apache.hadoop.fs.Path): Boolean =
-      if (fs.getScheme == "file")
+      if (fs.getUri.getScheme == "file")
         try {
           val s = java.nio.file.Paths.get(src.toUri.getPath)
           val d = java.nio.file.Paths.get(dst.toUri.getPath)

@@ -919,7 +919,7 @@ object GeoParquet {
   private def writeTextFile(spark: SparkSession, file: String, text: String): Unit = {
     val fs = fsOf(spark, file)
     val dst = new org.apache.hadoop.fs.Path(file)
-    if (fs.getScheme == "file") {
+    if (fs.getUri.getScheme == "file") {
       val p = java.nio.file.Paths.get(dst.toUri.getPath)
       java.nio.file.Files.createDirectories(p.getParent)
       val tmp = p.resolveSibling(p.getFileName.toString + ".tmp-" +
