@@ -853,8 +853,16 @@ object GeoParquet {
     * sidecar exceeds the entry cap.
     */
   private[graft] def metaParquet(spark: SparkSession,
-                                 inputs: Seq[String]): DataFrame = {
-    def plain() = spark.read.parquet(inputs: _*)
+                                 inputs: Seq[String],
+                                 dropColSuffix: Option[String] = None)
+      : DataFrame = {
+    def plain() = {
+      val df = spark.read.parquet(inputs: _*)
+      dropColSuffix match {
+        case Some(sfx) => df.drop(df.columns.filter(_.endsWith(sfx)): _*)
+        case None => df
+      }
+    }
     val listed: Option[Seq[org.apache.hadoop.fs.FileStatus]] =
       try {
         val fs = fsOf(spark, inputs.head)
@@ -873,7 +881,7 @@ object GeoParquet {
       case Some(sts) if sts.map(_.getLen).sum <= MetaEntryCapBytes =>
         val sig = sts.map(s =>
             s"${s.getPath}#${s.getLen}#${s.getModificationTime}")
-          .sorted.mkString("|")
+          .sorted.mkString("|") + dropColSuffix.fold("")("!" + _)
         val bytes = sts.map(_.getLen).sum
         val hit = metaCache.synchronized(Option(metaCache.get(sig)))
         val (schema, rows) = hit match {
@@ -904,9 +912,16 @@ object GeoParquet {
                                  input: String): DataFrame =
     metaParquet(spark, Seq(input))
 
-  /** The layout's `_manifest` through the sidecar cache. */
+  /** The layout's `_manifest` through the sidecar cache — SLIM: the
+    * per-file membership-filter arrays (`*_bloom`) are dropped before
+    * the driver-side collect.  Planning rollups touch envelopes,
+    * counts, and epochs; the filter arrays are the manifest's bulk
+    * and must stay in executors (the 61v contract — at 100 TB they
+    * are megabytes per thousand files, and [[bloomCandidateFiles]]
+    * probes them distributed).
+    */
   private[graft] def manifestDf(spark: SparkSession, path: String): DataFrame =
-    metaParquet(spark, Seq(s"$path/_manifest"))
+    metaParquet(spark, Seq(s"$path/_manifest"), dropColSuffix = Some("_bloom"))
 
   /** Atomic one-file text write: sidecars like `_epoch` are read
     * UNLOCKED by every reader, so a truncate-then-write (hadoop
@@ -2445,7 +2460,11 @@ object GeoParquet {
                                          keyCol: String = "id")
       : Option[Seq[String]] = {
     if (!manifestFresh(spark, path, verify = false)) return None
-    val m = manifestDf(spark, path)
+    // the DISTRIBUTED manifest read, on purpose: the cached
+    // manifestDf is slim (filter arrays dropped before its driver
+    // collect), and the probe's array work must run in executors —
+    // the driver sees file names only
+    val m = spark.read.parquet(s"$path/_manifest")
     val bc = bloomColName(keyCol)
     if (!m.columns.contains(bc)) return None
     val kt = keys.schema.fields.head.dataType

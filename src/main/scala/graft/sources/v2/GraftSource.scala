@@ -1737,6 +1737,12 @@ final class GraftReaderFactory(conf: SerConf, dataJson: String,
     val gp = p.asInstanceOf[GraftPartition]
     val dataSchema = DataType.fromJson(dataJson).asInstanceOf[StructType]
     val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
+    // columnar decode first (Spark's vectorized parquet reader — see
+    // VectorizedReaders.scala); null = outside its surface, fall back
+    // to the parquet-mr Group readers below (same rows either way)
+    val vec = VecReaders.tryCreate(gp, conf, dataSchema, required, exact,
+      bounds, rowIdMode, deleteParts)
+    if (vec != null) return vec
     if (rowIdMode || gp.hasDeletes) {
       // only the tombstone parts whose file interval can contain THIS
       // file — tombstoneShaped's range partitioning makes that ~one
@@ -2419,7 +2425,13 @@ final class GraftAggReaderFactory(conf: SerConf, dataJson: String,
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case GraftAggMetaPartition(vals) => new SingleRowReader(vals)
-      case GraftPartition(f, rel, hasDeletes, _) =>
+      case gp @ GraftPartition(f, rel, hasDeletes, _) =>
+        val dataSchema = DataType.fromJson(dataJson).asInstanceOf[StructType]
+        // columnar fold first (see VectorizedReaders.scala); null =
+        // outside its surface, fall back to the Group fold below
+        val vec = VecReaders.tryCreateAgg(gp, conf, dataSchema, aggCols,
+          exact, bounds, deleteParts)
+        if (vec != null) return vec
         // same interval pruning as the row path: only the tombstone
         // part(s) that can contain THIS file reach the reader
         val parts =
@@ -2428,8 +2440,7 @@ final class GraftAggReaderFactory(conf: SerConf, dataJson: String,
               case (pf, lo, hi) if lo <= rel && rel <= hi => pf
             }
           else Seq.empty
-        new GroupAggReader(f, conf,
-          DataType.fromJson(dataJson).asInstanceOf[StructType],
+        new GroupAggReader(f, conf, dataSchema,
           aggCols, exact, bounds, rel, parts)
     }
 }
