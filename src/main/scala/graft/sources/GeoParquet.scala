@@ -3520,7 +3520,12 @@ object GeoParquet {
     // or carry a new one (dropped here; a writeManifest rebuild picks
     // it up).  Mixed-schema manifest part files would make sidecar
     // reads footer-order-dependent, which pruning must never be.
-    val mSchema = manifestDf(spark, path).schema
+    // the ON-DISK schema, not the cached manifestDf's: the cache is
+    // slim (filter arrays dropped), and aligning against it would
+    // silently strip the batch's fresh `*_bloom` columns from its
+    // manifest part — probe pruning would decay with every append.
+    // Schema inference is a driver footer read, no row collect.
+    val mSchema = spark.read.parquet(s"$path/_manifest").schema
     val aligned = stats.select(mSchema.fields.map { f =>
       if (stats.columns.contains(f.name)) col(f.name)
       else lit(null).cast(f.dataType).as(f.name)

@@ -160,6 +160,13 @@ class IdProbeSpec extends SparkSpec {
     // must carry a filter that hits
     assert(GeoParquet.queryIdsViaManifest(spark, dir, Seq(501L))
       .select("id").as[Long].collect().toSeq == Seq(501L))
+    // and the appended part must physically CARRY its arrays: the
+    // align-to-existing-schema step once read the slim cached
+    // manifest and silently stripped the fresh blooms — null blooms
+    // ("unknown, open it") stay sound but decay pruning per append
+    assert(spark.read.parquet(s"$dir/_manifest")
+        .filter(col("id_bloom").isNull).count() == 0,
+      "appended manifest part lost its filter arrays")
     // merge-on-read delete rides the probe like every other reader
     GeoParquet.deleteWhere(spark, dir, $"id" === 501L)
     assert(GeoParquet.queryIdsViaManifest(spark, dir, Seq(501L)).isEmpty)
