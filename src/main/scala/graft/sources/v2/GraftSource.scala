@@ -589,7 +589,7 @@ final class GraftScanBuilder(path: String, dataSchema: StructType,
   * interval decomposition that drives file pruning and manifest
   * containment proofs.
   */
-private[v2] object ExactFilters {
+private[graft] object ExactFilters {
   import org.apache.spark.sql.sources._
 
   /** Present-but-not-numeric marker returned by record lookups for

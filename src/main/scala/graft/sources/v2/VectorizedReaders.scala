@@ -60,7 +60,8 @@ private[graft] object VecReaders {
     * parquet-mr row readers (diagnosis aid; same results either way).
     */
   private def enabled(conf: org.apache.hadoop.conf.Configuration): Boolean =
-    conf.get("spark.graft.vectorizedReader", "true") != "false"
+    !sys.env.contains("GRAFT_VEC_DISABLE") &&
+      conf.get("spark.graft.vectorizedReader", "true") != "false"
 
   /** A columnar reader for one data file, or null when the declared
     * column set is outside the vectorized surface or init refuses
@@ -120,6 +121,109 @@ private[graft] object VecReaders {
     } catch { case e: Exception =>
       if (sys.env.contains("GRAFT_VEC_DEBUG")) e.printStackTrace()
       fellBack.incrementAndGet(); null
+    }
+  }
+
+  /** Compile a pushed filter tree into an ordinal-bound three-valued
+    * closure over the batch row — the inner loop of every filtered
+    * scan must not pay a name→ordinal map lookup, an `Option`
+    * allocation per node, and numeric boxing PER ROW.  Semantics are
+    * [[ExactFilters.eval]]'s exactly: Kleene And/Or/Not, null tests,
+    * comparisons via nan-safe double / exact long / UTF8-binary
+    * string order.  Returns None when a node is outside the compiled
+    * surface (the caller keeps the interpreted path — same answers).
+    *
+    * Encoding: 1 = true, 0 = false, -1 = unknown.
+    */
+  private type Pred = InternalRow => Int
+  private[graft] def compilePredicate(fs: Seq[Filter], schema: StructType)
+      : Option[InternalRow => Boolean] = {
+    import org.apache.spark.sql.sources._
+    val idx: Map[String, (Int, DataType)] =
+      schema.fields.zipWithIndex.map { case (f, i) =>
+        f.name -> (i, f.dataType)
+      }.toMap
+    def cmp(c: String, lit: Any, p: Int => Boolean): Option[Pred] = {
+      if (lit == null) return Some(_ => -1)
+      val (i, dt) = idx.getOrElse(c, return None)
+      (dt, lit) match {
+        case (StringType, s: String) =>
+          val l = UTF8String.fromString(s)
+          Some(r => if (r.isNullAt(i)) -1
+            else if (p(r.getUTF8String(i).compareTo(l))) 1 else 0)
+        case (LongType, n: java.lang.Number)
+            if n.isInstanceOf[java.lang.Long] ||
+               n.isInstanceOf[java.lang.Integer] ||
+               n.isInstanceOf[java.lang.Short] ||
+               n.isInstanceOf[java.lang.Byte] =>
+          val l = n.longValue()
+          Some(r => if (r.isNullAt(i)) -1
+            else if (p(java.lang.Long.compare(r.getLong(i), l))) 1 else 0)
+        case (IntegerType, n: java.lang.Number)
+            if n.isInstanceOf[java.lang.Long] ||
+               n.isInstanceOf[java.lang.Integer] ||
+               n.isInstanceOf[java.lang.Short] ||
+               n.isInstanceOf[java.lang.Byte] =>
+          val l = n.longValue()
+          Some(r => if (r.isNullAt(i)) -1
+            else if (p(java.lang.Long.compare(r.getInt(i).toLong, l))) 1
+            else 0)
+        case (DoubleType, n: java.lang.Number) =>
+          val l = n.doubleValue()
+          Some(r => if (r.isNullAt(i)) -1
+            else if (p(ExactFilters.nanSafeCompare(r.getDouble(i), l))) 1
+            else 0)
+        case (FloatType, n: java.lang.Number) =>
+          val l = n.doubleValue()
+          Some(r => if (r.isNullAt(i)) -1
+            else if (p(ExactFilters.nanSafeCompare(
+              r.getFloat(i).toDouble, l))) 1 else 0)
+        // integral column under a fractional literal (or any other
+        // pairing the exact evaluator would box-dispatch): stay on
+        // the interpreted path rather than re-derive its cases
+        case _ => None
+      }
+    }
+    def node(f: Filter): Option[Pred] = f match {
+      case And(a, b) => for (l <- node(a); r <- node(b)) yield { row =>
+        val x = l(row)
+        if (x == 0) 0
+        else { val y = r(row); if (y == 0) 0 else if (x == 1 && y == 1) 1 else -1 }
+      }
+      case Or(a, b) => for (l <- node(a); r <- node(b)) yield { row =>
+        val x = l(row)
+        if (x == 1) 1
+        else { val y = r(row); if (y == 1) 1 else if (x == 0 && y == 0) 0 else -1 }
+      }
+      case Not(c) => node(c).map(l => { row =>
+        val x = l(row); if (x == -1) -1 else if (x == 1) 0 else 1
+      })
+      case IsNull(c) =>
+        val (i, _) = idx.getOrElse(c, return None)
+        Some(r => if (r.isNullAt(i)) 1 else 0)
+      case IsNotNull(c) =>
+        val (i, _) = idx.getOrElse(c, return None)
+        Some(r => if (r.isNullAt(i)) 0 else 1)
+      case EqualTo(c, v) => cmp(c, v, _ == 0)
+      case GreaterThan(c, v) => cmp(c, v, _ > 0)
+      case GreaterThanOrEqual(c, v) => cmp(c, v, _ >= 0)
+      case LessThan(c, v) => cmp(c, v, _ < 0)
+      case LessThanOrEqual(c, v) => cmp(c, v, _ <= 0)
+      case StringStartsWith(c, v) =>
+        if (v == null) return Some(_ => -1)
+        val (i, dt) = idx.getOrElse(c, return None)
+        if (dt != StringType) return None
+        val l = UTF8String.fromString(v)
+        Some(r => if (r.isNullAt(i)) -1
+          else if (r.getUTF8String(i).startsWith(l)) 1 else 0)
+      case _ => None
+    }
+    val nodes = fs.map(f => node(f).getOrElse(return None))
+    Some { row =>
+      var i = 0
+      var ok = true
+      while (ok && i < nodes.length) { ok = nodes(i)(row) == 1; i += 1 }
+      ok
     }
   }
 
@@ -338,6 +442,11 @@ private[v2] final class VecRowReader(gp: GraftPartition, ser: SerConf,
     if (row.isNullAt(i)) null else row.get(i, dt)
   }
   private val hasExact = exact.nonEmpty
+  // ordinal-bound compiled predicate (null = outside the compiled
+  // surface → interpreted ExactFilters.eval per row, same answers)
+  private val compiled: InternalRow => Boolean =
+    if (hasExact) VecReaders.compilePredicate(exact, batchSchema).orNull
+    else null
 
   private var pos: Long = -1L
   private val view: RowIdView =
@@ -352,7 +461,9 @@ private[v2] final class VecRowReader(gp: GraftPartition, ser: SerConf,
       row = reader.getCurrentValue.asInstanceOf[InternalRow]
       if ((doomed.isEmpty || !doomed.contains(pos)) &&
           (!hasExact ||
-            exact.forall(f => ExactFilters.eval(f, lookup).contains(true))))
+            (if (compiled != null) compiled(row)
+             else exact.forall(f =>
+               ExactFilters.eval(f, lookup).contains(true)))))
         return true
     }
     false

@@ -109,6 +109,63 @@ class VecReaderSpec extends SparkSpec {
     assert(row2.getLong(2) == want2.map(_.toLong).sum)
   }
 
+  test("compiled predicate ≡ interpreted ExactFilters.eval (randomized trees)") {
+    import org.apache.spark.sql.sources._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.sources.v2.{ExactFilters, VecReaders}
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("b", DoubleType),
+      StructField("s", StringType)))
+    val as: Seq[Any] = Seq(null, 0L, -1L, 7L, Long.MaxValue, Long.MinValue)
+    val bs: Seq[Any] = Seq(null, 0.0, -0.0, 1.5, Double.NaN,
+      Double.PositiveInfinity, -3.25)
+    val ss: Seq[Any] = Seq(null, "", "a", "k050", "k05", "zz")
+    val rows = for (a <- as; b <- bs; sv <- ss) yield new GenericInternalRow(
+      Array[Any](a, b,
+        if (sv == null) null else UTF8String.fromString(sv.asInstanceOf[String])))
+    val rng = new scala.util.Random(42)
+    def leaf(): Filter = rng.nextInt(9) match {
+      case 0 => EqualTo("a", rng.nextInt(10).toLong)
+      case 1 => GreaterThan("b", Seq(0.0, 1.5, Double.NaN)(rng.nextInt(3)))
+      case 2 => LessThanOrEqual("a", rng.nextInt(10).toLong)
+      case 3 => GreaterThanOrEqual("s", Seq("", "a", "k05")(rng.nextInt(3)))
+      case 4 => LessThan("b", Seq(-0.0, 2.0)(rng.nextInt(2)))
+      case 5 => IsNull(Seq("a", "b", "s")(rng.nextInt(3)))
+      case 6 => IsNotNull(Seq("a", "b", "s")(rng.nextInt(3)))
+      case 7 => StringStartsWith("s", Seq("k", "k05", "z", "")(rng.nextInt(4)))
+      case 8 => EqualTo("s", Seq("k050", "")(rng.nextInt(2)))
+    }
+    def tree(depth: Int): Filter =
+      if (depth == 0) leaf()
+      else rng.nextInt(4) match {
+        case 0 => And(tree(depth - 1), tree(depth - 1))
+        case 1 => Or(tree(depth - 1), tree(depth - 1))
+        case 2 => Not(tree(depth - 1))
+        case _ => leaf()
+      }
+    val trees = (1 to 200).map(_ => Seq(tree(rng.nextInt(3) + 1)))
+    var compiledCount = 0
+    trees.foreach { fs =>
+      VecReaders.compilePredicate(fs, schema).foreach { cp =>
+        compiledCount += 1
+        rows.foreach { row =>
+          val lookup: String => Any = { n =>
+            val i = schema.fieldIndex(n)
+            if (row.isNullAt(i)) null else row.get(i, schema.fields(i).dataType)
+          }
+          val interp = fs.forall(f =>
+            ExactFilters.eval(f, lookup).contains(true))
+          assert(cp(row) == interp,
+            s"compiled/interpreted diverge on $fs for row $row")
+        }
+      }
+    }
+    assert(compiledCount == trees.length,
+      s"only $compiledCount/${trees.length} trees compiled")
+  }
+
   test("schema evolution: declared-but-absent columns read as nulls columnar") {
     val dir = layout(500)
     GeoParquet.addColumns(spark, dir,
