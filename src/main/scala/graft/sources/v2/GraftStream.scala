@@ -358,12 +358,24 @@ private[v2] final class GraftChangeReaderFactory(
     val cp = p.asInstanceOf[GraftChangePartition]
     val dataSchema = DataType.fromJson(dataJson).asInstanceOf[StructType]
     val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
-    if (cp.isDelete)
-      new GroupChangeDeleteReader(cp.relFile, cp.file, conf, dataSchema,
-        required, exact, cp.deleteParts)
-    else
-      new GroupChangeInsertReader(cp.file, conf, dataSchema, required,
-        exact, bounds, cp.epoch)
+    conf.conf.size()
+    val vecOk = !sys.env.contains("GRAFT_VEC_DISABLE") &&
+      conf.conf.get("spark.graft.vectorizedReader", "true") != "false"
+    if (cp.isDelete) {
+      // columnar first (VecChange.scala); null = outside the
+      // vectorized surface, fall back to the Group twin
+      val vec = if (vecOk) VecChange.tryCreateDelete(cp.relFile, cp.file,
+        conf, dataSchema, required, exact, cp.deleteParts) else null
+      if (vec != null) vec
+      else new GroupChangeDeleteReader(cp.relFile, cp.file, conf,
+        dataSchema, required, exact, cp.deleteParts)
+    } else {
+      val vec = if (vecOk) VecChange.tryCreateInsert(cp.file, conf,
+        dataSchema, required, exact, bounds, cp.epoch) else null
+      if (vec != null) vec
+      else new GroupChangeInsertReader(cp.file, conf, dataSchema,
+        required, exact, bounds, cp.epoch)
+    }
   }
 }
 

@@ -124,6 +124,65 @@ private[graft] object VecReaders {
     }
   }
 
+  /** The parquet-side projection for a CHANGELOG reader: the data
+    * read fields minus the synthesized change columns — None when a
+    * field is outside the vectorized surface (caller keeps the Group
+    * path).
+    */
+  private[v2] def changeBatchSchema(dataSchema: StructType,
+      required: StructType, exact: Seq[Filter]): Option[StructType] = {
+    val dataFields =
+      GroupFileReader.readFieldsFor(dataSchema, required, exact)
+        .filterNot(f => GraftSource.ChangeCols.contains(f.name))
+    if (dataFields.forall(f => supported(f.dataType)))
+      Some(StructType(dataFields))
+    else { fellBack.incrementAndGet(); None }
+  }
+
+  /** Open one data file on Spark's vectorized parquet reader with
+    * the graft conf contract (requested schema, converter SQL-conf
+    * keys, optional row-group FilterPredicate from the envelope
+    * bounds, CORRECTED rebase — graft layouts carry no
+    * date/timestamp columns).
+    */
+  private[v2] def openVectorized(file: String, ser: SerConf,
+      batchSchema: StructType, bounds: Seq[(String, Double, Double)])
+      : org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader = {
+    import org.apache.spark.sql.execution.datasources.parquet.{
+      ParquetReadSupport, VectorizedParquetRecordReader}
+    val conf = new org.apache.hadoop.conf.Configuration(ser.conf)
+    conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[ParquetReadSupport].getName)
+    conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, batchSchema.json)
+    // the Spark schema converter requires these SQL-conf keys in the
+    // Hadoop conf (Spark's own parquet scan exec injects them the
+    // same way) — defaults, spelled out
+    conf.setBoolean("spark.sql.parquet.binaryAsString", false)
+    conf.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
+    conf.setBoolean("spark.sql.caseSensitive", false)
+    conf.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
+    conf.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
+    conf.setBoolean("spark.sql.parquet.fieldId.read.enabled", false)
+    conf.setBoolean("spark.sql.parquet.fieldId.read.ignoreMissing", false)
+    predicateFor(batchSchema, bounds).foreach(p =>
+      org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(conf, p))
+    // Spark's reader base casts to the OLD-API split type
+    val split = new org.apache.hadoop.mapred.FileSplit(
+      new org.apache.hadoop.fs.Path(file), 0, Long.MaxValue,
+      Array.empty[String])
+    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
+    val r = new VectorizedParquetRecordReader(
+      java.time.ZoneOffset.UTC, "CORRECTED", "UTC", "CORRECTED", "UTC",
+      /* useOffHeap = */ false, /* capacity = */ 4096)
+    try r.initialize(split, ctx)
+    catch { case t: Throwable =>
+      try r.close() catch { case _: Throwable => () }
+      throw t
+    }
+    r
+  }
+
   /** Compile a pushed filter tree into an ordinal-bound three-valued
     * closure over the batch row — the inner loop of every filtered
     * scan must not pay a name→ordinal map lookup, an `Option`
@@ -386,41 +445,9 @@ private[v2] final class VecRowReader(gp: GraftPartition, ser: SerConf,
     bounds: Seq[(String, Double, Double)], posMode: Boolean,
     deleteParts: Seq[(String, String, String)])
     extends PartitionReader[InternalRow] {
-  import org.apache.spark.sql.execution.datasources.parquet.{
-    ParquetReadSupport, VectorizedParquetRecordReader}
 
-  private val reader: VectorizedParquetRecordReader = {
-    val conf = new org.apache.hadoop.conf.Configuration(ser.conf)
-    conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
-      classOf[ParquetReadSupport].getName)
-    conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, batchSchema.json)
-    // the Spark schema converter requires these SQL-conf keys in the
-    // Hadoop conf (Spark's own parquet scan exec injects them the
-    // same way) — defaults, spelled out
-    conf.setBoolean("spark.sql.parquet.binaryAsString", false)
-    conf.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
-    conf.setBoolean("spark.sql.caseSensitive", false)
-    conf.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
-    conf.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
-    conf.setBoolean("spark.sql.parquet.fieldId.read.enabled", false)
-    conf.setBoolean("spark.sql.parquet.fieldId.read.ignoreMissing", false)
-    VecReaders.predicateFor(batchSchema, bounds).foreach(p =>
-      org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(conf, p))
-    // Spark's reader base casts to the OLD-API split type
-    val split = new org.apache.hadoop.mapred.FileSplit(
-      new org.apache.hadoop.fs.Path(gp.file), 0, Long.MaxValue,
-      Array.empty[String])
-    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
-      conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
-    // rebase CORRECTED: graft layouts carry no date/timestamp columns
-    // (the writers refuse them), so no calendar rebase can apply
-    val r = new VectorizedParquetRecordReader(
-      java.time.ZoneOffset.UTC, "CORRECTED", "UTC", "CORRECTED", "UTC",
-      /* useOffHeap = */ false, /* capacity = */ 4096)
-    try r.initialize(split, ctx)
-    catch { case t: Throwable => try r.close() catch { case _: Throwable => () }; throw t }
-    r
-  }
+  private val reader =
+    VecReaders.openVectorized(gp.file, ser, batchSchema, bounds)
 
   /** This file's doomed row positions (merge-on-read subtraction). */
   private val doomed: java.util.HashSet[java.lang.Long] =
@@ -449,10 +476,10 @@ private[v2] final class VecRowReader(gp: GraftPartition, ser: SerConf,
     else null
 
   private var pos: Long = -1L
-  private val view: RowIdView =
+  private val view: SpliceView =
     if (posMode && required.fieldNames.exists(GraftSource.MetaCols.contains))
-      new RowIdView(required, batchSchema,
-        UTF8String.fromString(gp.relFile))
+      new SpliceView(required, batchSchema, GraftSource.FileMetaCol,
+        UTF8String.fromString(gp.relFile), GraftSource.PosMetaCol)
     else null
 
   override def next(): Boolean = {
@@ -475,19 +502,22 @@ private[v2] final class VecRowReader(gp: GraftPartition, ser: SerConf,
   override def close(): Unit = reader.close()
 }
 
-/** Zero-copy view splicing the row-address metadata columns into a
-  * batch row: output ordinal → the batch ordinal that backs it, or
-  * the constant `_gfile` / running `_gpos`.  Only the accessor types
-  * the supported column set can produce are mapped.
+/** Zero-copy view splicing one constant STRING column and one
+  * per-row LONG column into a batch row: output ordinal → the batch
+  * ordinal that backs it, or the spliced values.  Serves row-address
+  * mode (`_gfile`/`_gpos`) and the changelog arms
+  * (`_change_type`/`_change_epoch`).  Only the accessor types the
+  * supported column set can produce are mapped.
   */
-private[v2] final class RowIdView(required: StructType,
-    batchSchema: StructType, rel: UTF8String) extends InternalRow {
+private[v2] final class SpliceView(required: StructType,
+    batchSchema: StructType, strName: String, rel: UTF8String,
+    longName: String) extends InternalRow {
   private val FILE = -1
   private val POS = -2
   private val map: Array[Int] = required.fields.map { f =>
     f.name match {
-      case GraftSource.FileMetaCol => FILE
-      case GraftSource.PosMetaCol => POS
+      case n if n == strName => FILE
+      case n if n == longName => POS
       case n => batchSchema.fieldIndex(n)
     }
   }

@@ -109,6 +109,23 @@ class VecReaderSpec extends SparkSpec {
     assert(row2.getLong(2) == want2.map(_.toLong).sum)
   }
 
+  test("changelog stream arms decode columnar (insert + delete retraction)") {
+    val dir = layout(2000)
+    GeoParquet.deleteWhere(spark, dir, $"id" % 7 === 0)
+    val (_, c1, fb1) = vecDelta {
+      val q = spark.readStream.format("graft").option("changelog", "true")
+        .load(dir)
+        .writeStream.format("memory").queryName("vec_clog").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(c1 > 0, "changelog stream never decoded columnar")
+    assert(fb1 == 0, s"$fb1 changelog files fell back")
+    val t = spark.table("vec_clog")
+    assert(t.filter($"_change_type" === "delete").count() ==
+      (0 until 2000).count(_ % 7 == 0))
+    assert(t.filter($"_change_type" === "insert").count() == 2000)
+  }
+
   test("compiled predicate ≡ interpreted ExactFilters.eval (randomized trees)") {
     import org.apache.spark.sql.sources._
     import org.apache.spark.sql.types._
