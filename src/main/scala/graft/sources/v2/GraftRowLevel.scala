@@ -145,24 +145,17 @@ final class GraftDeltaWriterFactory(staging: String, rowSchemaJson: String,
 }
 
 /** Executor-side stager: deletes become (file, pos) rows, inserts
-  * become data rows, each in its own flat parquet part written
-  * through parquet-mr's record API (the write mirror of the SQL
-  * face's [[GroupFileReader]]).  Parts open lazily — a delete-only
-  * task stages no insert file at all — and stay O(1) memory: rows
-  * stream through the parquet writer's own column buffers.
+  * become data rows, each in its own flat parquet part streamed
+  * through Spark's InternalRow-native write support ([[VecWrite]] —
+  * the write mirror of the columnar read path).  Parts open lazily —
+  * a delete-only task stages no insert file at all — and stay O(1)
+  * memory: rows stream through the parquet writer's own column
+  * buffers.
   */
 final class GraftDeltaWriter(staging: String, suffix: String,
                              rowSchema: StructType, ser: SerConf)
     extends DeltaWriter[InternalRow] {
-  import org.apache.parquet.example.data.Group
-  import org.apache.parquet.example.data.simple.SimpleGroupFactory
   import org.apache.parquet.hadoop.ParquetWriter
-  import org.apache.parquet.hadoop.example.ExampleParquetWriter
-  import org.apache.parquet.hadoop.metadata.CompressionCodecName
-  import org.apache.parquet.hadoop.util.HadoopOutputFile
-  import org.apache.parquet.io.api.Binary
-  import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types => PTypes}
-  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
 
   // reinserted rows may carry preserved metadata columns — data
   // fields are what lands in the layout
@@ -170,80 +163,49 @@ final class GraftDeltaWriter(staging: String, suffix: String,
     rowSchema.fields.zipWithIndex
       .filterNot { case (f, _) => GraftSource.MetaCols.contains(f.name) }
 
-  private def parquetFieldOf(f: StructField) = f.dataType match {
-    case LongType => PTypes.optional(INT64).named(f.name)
-    case IntegerType => PTypes.optional(INT32).named(f.name)
-    case DoubleType => PTypes.optional(DOUBLE).named(f.name)
-    case FloatType => PTypes.optional(FLOAT).named(f.name)
-    case BooleanType => PTypes.optional(BOOLEAN).named(f.name)
-    case StringType => PTypes.optional(BINARY)
-      .as(LogicalTypeAnnotation.stringType()).named(f.name)
-    case BinaryType => PTypes.optional(BINARY).named(f.name)
+  // the layout surface stays restricted to the flat primitive types
+  // every graft reader decodes — refuse anything else with the same
+  // message the Group writer raised
+  dataFields.foreach { case (f, _) => f.dataType match {
+    case LongType | IntegerType | DoubleType | FloatType | BooleanType |
+         StringType | BinaryType => ()
     case other => throw new UnsupportedOperationException(
       s"graft SQL mutations: unsupported column type " +
         s"${other.simpleString} for ${f.name} — mutate via the API")
-  }
+  }}
 
-  private val deleteSchema = new MessageType("graft_delete",
-    PTypes.optional(BINARY).as(LogicalTypeAnnotation.stringType())
-      .named("file"),
-    PTypes.optional(INT64).named("pos"))
+  private val deleteSchema = StructType(Seq(
+    StructField("file", StringType), StructField("pos", LongType)))
+  private val insertSchema = StructType(dataFields.map(_._1))
   private var delPath: Option[String] = None
   private var insPath: Option[String] = None
-  private var delWriter: ParquetWriter[Group] = _
-  private var insWriter: ParquetWriter[Group] = _
-  private var delFactory: SimpleGroupFactory = _
-  private var insFactory: SimpleGroupFactory = _
+  private var delWriter: ParquetWriter[InternalRow] = _
+  private var insWriter: ParquetWriter[InternalRow] = _
+  private val delRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+  private val insRow = new OrdinalMapRow(dataFields.map(_._2))
   private var nDel = 0L
   private var nIns = 0L
-
-  private def open(file: String, schema: MessageType): ParquetWriter[Group] =
-    ExampleParquetWriter.builder(
-        HadoopOutputFile.fromPath(new org.apache.hadoop.fs.Path(file), ser.conf))
-      .withConf(ser.conf).withType(schema)
-      .withCompressionCodec(CompressionCodecName.SNAPPY)
-      .build()
 
   override def delete(metadata: InternalRow, id: InternalRow): Unit = {
     if (delWriter == null) {
       val f = s"$staging/del-$suffix.parquet"
-      delWriter = open(f, deleteSchema)
-      delFactory = new SimpleGroupFactory(deleteSchema)
+      delWriter = VecWrite.open(f, ser, deleteSchema)
       delPath = Some(f)
     }
-    val g = delFactory.newGroup()
-    g.add("file", Binary.fromConstantByteArray(id.getUTF8String(0).getBytes))
-    g.add("pos", id.getLong(1))
-    delWriter.write(g)
+    delRow.update(0, id.getUTF8String(0))
+    delRow.update(1, id.getLong(1))
+    delWriter.write(delRow)
     nDel += 1
   }
 
   override def insert(row: InternalRow): Unit = {
     if (insWriter == null) {
       val f = s"$staging/ins-$suffix.parquet"
-      val schema = new MessageType("graft_insert",
-        dataFields.map { case (fld, _) => parquetFieldOf(fld) }: _*)
-      insWriter = open(f, schema)
-      insFactory = new SimpleGroupFactory(schema)
+      insWriter = VecWrite.open(f, ser, insertSchema)
       insPath = Some(f)
     }
-    val g = insFactory.newGroup()
-    dataFields.foreach { case (f, i) =>
-      if (!row.isNullAt(i)) f.dataType match {
-        case LongType => g.add(f.name, row.getLong(i))
-        case IntegerType => g.add(f.name, row.getInt(i))
-        case DoubleType => g.add(f.name, row.getDouble(i))
-        case FloatType => g.add(f.name, row.getFloat(i))
-        case BooleanType => g.add(f.name, row.getBoolean(i))
-        case StringType => g.add(f.name,
-          Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
-        case BinaryType => g.add(f.name,
-          Binary.fromConstantByteArray(row.getBinary(i)))
-        case other => throw new UnsupportedOperationException(
-          s"unsupported ${other.simpleString} for ${f.name}")
-      }
-    }
-    insWriter.write(g)
+    insWriter.write(insRow.set(row))
     nIns += 1
   }
 

@@ -129,72 +129,37 @@ private[v2] final class GraftStreamWriterFactory(staging: String,
 }
 
 /** Executor-side stager for one task's slice of a micro-batch: rows
-  * stream into one flat parquet part via parquet-mr's record API
-  * (opened lazily — an empty task stages nothing), the write mirror
-  * of [[GroupFileReader]] and the insert arm of [[GraftDeltaWriter]].
+  * stream into one flat parquet part through Spark's
+  * InternalRow-native write support ([[VecWrite]], opened lazily —
+  * an empty task stages nothing), the write mirror of the columnar
+  * read path and the insert arm of [[GraftDeltaWriter]].
   */
 private[v2] final class GraftStreamWriter(staging: String, suffix: String,
                                           schema: StructType, ser: SerConf)
     extends DataWriter[InternalRow] {
-  import org.apache.parquet.example.data.Group
-  import org.apache.parquet.example.data.simple.SimpleGroupFactory
   import org.apache.parquet.hadoop.ParquetWriter
-  import org.apache.parquet.hadoop.example.ExampleParquetWriter
-  import org.apache.parquet.hadoop.metadata.CompressionCodecName
-  import org.apache.parquet.hadoop.util.HadoopOutputFile
-  import org.apache.parquet.io.api.Binary
-  import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types => PTypes}
-  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
 
-  private def parquetFieldOf(f: StructField) = f.dataType match {
-    case LongType => PTypes.optional(INT64).named(f.name)
-    case IntegerType => PTypes.optional(INT32).named(f.name)
-    case DoubleType => PTypes.optional(DOUBLE).named(f.name)
-    case FloatType => PTypes.optional(FLOAT).named(f.name)
-    case BooleanType => PTypes.optional(BOOLEAN).named(f.name)
-    case StringType => PTypes.optional(BINARY)
-      .as(LogicalTypeAnnotation.stringType()).named(f.name)
-    case BinaryType => PTypes.optional(BINARY).named(f.name)
+  // the layout surface stays restricted to the flat primitive types
+  // every graft reader decodes
+  schema.fields.foreach { f => f.dataType match {
+    case LongType | IntegerType | DoubleType | FloatType | BooleanType |
+         StringType | BinaryType => ()
     case other => throw new UnsupportedOperationException(
       s"graft streaming sink: unsupported column type " +
         s"${other.simpleString} for ${f.name}")
-  }
+  }}
 
-  private var out: ParquetWriter[Group] = _
-  private var factory: SimpleGroupFactory = _
+  private var out: ParquetWriter[InternalRow] = _
   private var file: Option[String] = None
   private var n = 0L
 
   override def write(row: InternalRow): Unit = {
     if (out == null) {
       val f = s"$staging/ins-$suffix.parquet"
-      val pSchema = new MessageType("graft_stream_insert",
-        schema.fields.map(parquetFieldOf): _*)
-      out = ExampleParquetWriter.builder(
-          HadoopOutputFile.fromPath(new org.apache.hadoop.fs.Path(f), ser.conf))
-        .withConf(ser.conf).withType(pSchema)
-        .withCompressionCodec(CompressionCodecName.SNAPPY)
-        .build()
-      factory = new SimpleGroupFactory(pSchema)
+      out = VecWrite.open(f, ser, schema)
       file = Some(f)
     }
-    val g = factory.newGroup()
-    schema.fields.zipWithIndex.foreach { case (f, i) =>
-      if (!row.isNullAt(i)) f.dataType match {
-        case LongType => g.add(f.name, row.getLong(i))
-        case IntegerType => g.add(f.name, row.getInt(i))
-        case DoubleType => g.add(f.name, row.getDouble(i))
-        case FloatType => g.add(f.name, row.getFloat(i))
-        case BooleanType => g.add(f.name, row.getBoolean(i))
-        case StringType => g.add(f.name,
-          Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
-        case BinaryType => g.add(f.name,
-          Binary.fromConstantByteArray(row.getBinary(i)))
-        case other => throw new UnsupportedOperationException(
-          s"unsupported ${other.simpleString} for ${f.name}")
-      }
-    }
-    out.write(g)
+    out.write(row)
     n += 1
   }
 
