@@ -22,7 +22,7 @@ object ProbeMorSetup {
       .config("spark.sql.files.openCostInBytes", "131072")
       .config("spark.hadoop.fs.iostatistics.thread.level.enabled", "false")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
-      .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+      .config("spark.hadoop.fs.file.impl", "graft.sources.NioLocalFileSystem")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()

@@ -25,7 +25,7 @@ object ProbeSqlUpdate {
       // HDFS/S3 are unaffected (their committers/stores differ).
       .config("spark.hadoop.fs.iostatistics.thread.level.enabled", "false")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
-      .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+      .config("spark.hadoop.fs.file.impl", "graft.sources.NioLocalFileSystem")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()

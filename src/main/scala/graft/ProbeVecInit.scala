@@ -15,7 +15,7 @@ object ProbeVecInit {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.hadoop.fs.iostatistics.thread.level.enabled", "false")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
-      .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+      .config("spark.hadoop.fs.file.impl", "graft.sources.NioLocalFileSystem")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._

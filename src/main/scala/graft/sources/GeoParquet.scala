@@ -1430,18 +1430,30 @@ object GeoParquet {
     * pending (compact first), instead of refusing on any pending
     * delete.
     */
+  // Driver-side cache of tombstone-part `file`-column footer ranges.
+  // Planning consults positionalDeletePartsEpoch several times per
+  // statement (row scans, aggregate pushdown, changelog arms), and
+  // every call re-opened every part's footer — each open rebuilds
+  // ParquetReadOptions from the Hadoop conf (~15% of main-thread
+  // samples in the round-17 bench).  Part files are write-once
+  // (adopted by rename), so (path, length, mtime) keys the range for
+  // the file's lifetime — the metaParquet invalidation discipline.
+  private val partRangeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
   private[graft] def positionalDeletePartsEpoch(spark: SparkSession,
       path: String): Seq[(String, String, String, Option[Long])] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val conf = spark.sparkContext.hadoopConfiguration
+    val fs = fsOf(spark, path)
     positionalDeleteFiles(spark, path).map { f =>
       // a part still sitting in a landed-but-unadopted merge stage has
       // no adopted (epoch-stamped) name yet — epoch unknown by design
       val epoch =
         if (f.contains("/_merge_staging/")) None
         else tombstonePartEpoch(new org.apache.hadoop.fs.Path(f).getName)
-      val range =
+      def readRange(): Option[(String, String)] =
         try {
           val fr = ParquetFileReader.open(
             HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f), conf))
@@ -1461,6 +1473,23 @@ object GeoParquet {
                 .toStringUsingUTF8).max))
           } finally fr.close()
         } catch { case scala.util.control.NonFatal(_) => None }
+      val range =
+        (try {
+          val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(f))
+          Some(s"$f#${st.getLen}#${st.getModificationTime}")
+        } catch { case _: java.io.IOException => None }) match {
+          case Some(key) =>
+            Option(partRangeCache.get(key)).orElse {
+              val r = readRange()
+              r.foreach { v =>
+                // unbounded-growth guard (temp layouts churn keys)
+                if (partRangeCache.size() > 4096) partRangeCache.clear()
+                partRangeCache.put(key, v)
+              }
+              r
+            }
+          case None => readRange() // unlistable: preserve exact semantics
+        }
       range match {
         case Some((lo, hi)) => (f, lo, hi, epoch)
         case None => (f, "", "\uffff", epoch)

@@ -1767,6 +1767,30 @@ final class GraftReaderFactory(conf: SerConf, dataJson: String,
 final class SerConf(@transient private var c: org.apache.hadoop.conf.Configuration)
     extends Serializable {
   def conf: org.apache.hadoop.conf.Configuration = c
+
+  // Per-task memo of the derived JobConf a scan's readers share.  A
+  // packed multi-file partition opens one reader PER FILE, and every
+  // open used to pay `new Configuration(conf)` plus the
+  // TaskAttemptContextImpl's own `new JobConf(conf)` — two full
+  // ConcurrentHashMap copies of ~2k properties per file, ~43% of
+  // active executor samples on a many-tiny-file layout.  The derived
+  // conf depends only on (requested schema, pushed bounds), constant
+  // across a scan, so each task builds it once and every packed file
+  // reuses it (a JobConf passed to TaskAttemptContextImpl is used
+  // as-is, no copy).  The memo is per-deserialized-instance — i.e.
+  // per task — so no cross-thread mutation is possible after build.
+  @transient private var jcKey: String = _
+  @transient private var jcVal: org.apache.hadoop.mapred.JobConf = _
+  private[v2] def memoJobConf(key: String)(
+      build: => org.apache.hadoop.conf.Configuration)
+      : org.apache.hadoop.mapred.JobConf = synchronized {
+    if (jcKey != key || jcVal == null) {
+      jcVal = new org.apache.hadoop.mapred.JobConf(build)
+      jcKey = key
+    }
+    jcVal
+  }
+
   private def writeObject(out: java.io.ObjectOutputStream): Unit = {
     out.defaultWriteObject(); c.write(out)
   }
@@ -2065,13 +2089,21 @@ private[v2] object DoomedPositions {
         org.apache.parquet.io.api.Binary.fromString(relFile))
       ser.conf.size() // materialize once (see GroupFileReader's note)
       // legacy conf-first constructor for the same reason as
-      // GroupFileReader's reader: no fresh per-reader Configuration
-      val rconf = new org.apache.hadoop.conf.Configuration(ser.conf)
-      org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(
-        rconf, pred)
+      // GroupFileReader's reader: no fresh per-reader Configuration.
+      // (An r17 attempt to switch to ParquetReader.builder +
+      // withConf(task conf) + withFilter REGRESSED and kept getting
+      // slower with JVM age — measured 9.4 s → 22 s over 8 bench
+      // iterations vs 4.8 s flat on this path; keep the one clone per
+      // load() call.)
+      val rconf = {
+        val c = new org.apache.hadoop.conf.Configuration(ser.conf)
+        org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(c, pred)
+        c
+      }
       deleteFiles.foreach { df =>
-        val r: ParquetReader[Group] = new ParquetReader(
-          rconf, new org.apache.hadoop.fs.Path(df), new GroupReadSupport())
+        val r: ParquetReader[Group] =
+          new ParquetReader(rconf, new org.apache.hadoop.fs.Path(df),
+            new GroupReadSupport())
         try {
           var g = r.read()
           while (g != null) {

@@ -150,28 +150,40 @@ private[graft] object VecReaders {
       : org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader = {
     import org.apache.spark.sql.execution.datasources.parquet.{
       ParquetReadSupport, VectorizedParquetRecordReader}
-    val conf = new org.apache.hadoop.conf.Configuration(ser.conf)
-    conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
-      classOf[ParquetReadSupport].getName)
-    conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, batchSchema.json)
-    // the Spark schema converter requires these SQL-conf keys in the
-    // Hadoop conf (Spark's own parquet scan exec injects them the
-    // same way) — defaults, spelled out
-    conf.setBoolean("spark.sql.parquet.binaryAsString", false)
-    conf.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
-    conf.setBoolean("spark.sql.caseSensitive", false)
-    conf.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
-    conf.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
-    conf.setBoolean("spark.sql.parquet.fieldId.read.enabled", false)
-    conf.setBoolean("spark.sql.parquet.fieldId.read.ignoreMissing", false)
-    predicateFor(batchSchema, bounds).foreach(p =>
-      org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(conf, p))
+    // derived conf depends only on (schema, bounds) — shared by every
+    // file this task opens for the scan (see SerConf.memoJobConf);
+    // readers only READ it after build
+    val memo = !sys.env.contains("GRAFT_NO_CONF_MEMO")
+    def built = {
+      val conf = new org.apache.hadoop.conf.Configuration(ser.conf)
+      conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+        classOf[ParquetReadSupport].getName)
+      conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, batchSchema.json)
+      // the Spark schema converter requires these SQL-conf keys in the
+      // Hadoop conf (Spark's own parquet scan exec injects them the
+      // same way) — defaults, spelled out
+      conf.setBoolean("spark.sql.parquet.binaryAsString", false)
+      conf.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
+      conf.setBoolean("spark.sql.caseSensitive", false)
+      conf.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
+      conf.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
+      conf.setBoolean("spark.sql.parquet.fieldId.read.enabled", false)
+      conf.setBoolean("spark.sql.parquet.fieldId.read.ignoreMissing", false)
+      predicateFor(batchSchema, bounds).foreach(p =>
+        org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(conf, p))
+      conf
+    }
+    val jc =
+      if (memo)
+        ser.memoJobConf(batchSchema.json + "|" + bounds.mkString(";"))(built)
+      else new org.apache.hadoop.mapred.JobConf(built)
     // Spark's reader base casts to the OLD-API split type
     val split = new org.apache.hadoop.mapred.FileSplit(
       new org.apache.hadoop.fs.Path(file), 0, Long.MaxValue,
       Array.empty[String])
+    // a JobConf is adopted as-is by JobContextImpl — no per-file copy
     val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
-      conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
+      jc, new org.apache.hadoop.mapreduce.TaskAttemptID())
     val r = new VectorizedParquetRecordReader(
       java.time.ZoneOffset.UTC, "CORRECTED", "UTC", "CORRECTED", "UTC",
       /* useOffHeap = */ false, /* capacity = */ 4096)
