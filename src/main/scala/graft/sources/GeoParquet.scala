@@ -32,6 +32,7 @@ object GeoParquet {
     * bin-partitioned layout with δ-spaced bins.
     */
   def write(df: DataFrame, path: String, delta: Double): Unit = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     df.withColumn("bin_x", GeoOps.binOf(col("x"), delta))
       .withColumn("bin_y", GeoOps.binOf(col("y"), delta))
       .repartition(col("bin_x"), col("bin_y"))
@@ -40,6 +41,13 @@ object GeoParquet {
       .partitionBy("bin_x", "bin_y")
       .parquet(path)
     recordDelta(df.sparkSession, path, delta)
+    // the writer knows its own output schema exactly (createLayout's
+    // convention: bin partition columns included) — declaring it here
+    // spares every later read the footer inference and arms the
+    // writeManifest sweep-skip handshake
+    recordCoveringSchema(df.sparkSession, path, StructType(
+      dataSchemaOf(df.schema).fields.toSeq ++
+        Seq(StructField("bin_x", LongType), StructField("bin_y", LongType))))
   }
 
   /** Create an EMPTY bin layout: geometry (`_delta`) and declared
@@ -63,7 +71,7 @@ object GeoParquet {
       s"$path already exists and is not empty")
     fs.mkdirs(p)
     recordDelta(spark, path, delta)
-    writeSchemaFile(spark, path, StructType(
+    recordCoveringSchema(spark, path, StructType(
       dataSchemaOf(schema).fields.toSeq ++
         Seq(StructField("bin_x", LongType), StructField("bin_y", LongType))))
   }
@@ -104,7 +112,7 @@ object GeoParquet {
     recordDelta(spark, path, delta)
     val full = StructType(
       dataSchemaOf(schema).fields.toSeq :+ StructField(keyCol, LongType))
-    writeSchemaFile(spark, path, full)
+    recordCoveringSchema(spark, path, full)
     // seed the manifest with the EXACT stats schema the appends will
     // produce (statsOf over a zero-row frame of the full schema, the
     // createKeyedLayout convention) — a hand-rolled five-column seed
@@ -170,7 +178,7 @@ object GeoParquet {
       s"$path already exists and is not empty")
     fs.mkdirs(p)
     val full = StructType(data.fields.toSeq :+ keyField)
-    writeSchemaFile(spark, path, full)
+    recordCoveringSchema(spark, path, full)
     statsOf(spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), full),
         path, 0L)
@@ -286,9 +294,9 @@ object GeoParquet {
   }
 
   private def writeCurveClustered(df: DataFrame, path: String, nFiles: Int,
-                                  key: String, keyed: DataFrame => DataFrame): Unit =
-    keyed(df)
-      .repartitionByRange(nFiles, col(key))
+                                  key: String, keyed: DataFrame => DataFrame): Unit = {
+    val kdf = keyed(df)
+    kdf.repartitionByRange(nFiles, col(key))
       .sortWithinPartitions(key)
       // the key column is PERSISTED (8 bytes/row, ~1 byte on disk
       // after delta encoding of a sorted column): it is what
@@ -296,6 +304,8 @@ object GeoParquet {
       // files on — x/y min/max envelopes over-select wherever a chunk
       // straddles a curve jump, the key intervals never do
       .write.mode("overwrite").parquet(path)
+    recordCoveringSchema(df.sparkSession, path, kdf.schema)
+  }
 
   /** TIME-major curve layout for time-majority workloads: files are
     * range-partitioned on `t` first (so their [t0,t1] manifest
@@ -318,12 +328,13 @@ object GeoParquet {
                      nFiles: Int): Unit = {
     require(df.columns.contains("t"),
       "writeTimeCurve needs an epoch-ms `t` column")
-    df.withColumn("zkey", graft.functions.ZOrder.zkey(
-        GeoOps.cellOf(col("x"), delta), GeoOps.cellOf(col("y"), delta)))
-      .repartitionByRange(nFiles, col("t"), col("zkey"))
+    val kdf = df.withColumn("zkey", graft.functions.ZOrder.zkey(
+      GeoOps.cellOf(col("x"), delta), GeoOps.cellOf(col("y"), delta)))
+    kdf.repartitionByRange(nFiles, col("t"), col("zkey"))
       .sortWithinPartitions("zkey")
       .write.mode("overwrite").parquet(path)
     recordDelta(df.sparkSession, path, delta)
+    recordCoveringSchema(df.sparkSession, path, kdf.schema)
   }
 
   /** Curve-key columns a layout may carry (see writeZOrdered /
@@ -784,18 +795,26 @@ object GeoParquet {
             ChangelogFloor(newFloor, prevRecord.floor, prevMax,
               preserved = false)
         }
-      val flatUnion = spark.read
-        .option("recursiveFileLookup", "true").option("mergeSchema", "true")
-        .parquet(path).schema
-      // the partition-aware read's only unique contribution is the bin
-      // columns — already in an existing sidecar, so pay that second
-      // listing only on first record
-      val base = layoutSchema(spark, path)
-        .getOrElse(spark.read.parquet(path).schema)
-      val unseen = flatUnion.fields
-        .filterNot(f => base.fieldNames.contains(f.name))
-      writeSchemaFile(spark, path, org.apache.spark.sql.types.StructType(
-        base.fields ++ unseen.map(_.copy(nullable = true))))
+      // the mergeSchema footer sweep exists to discover columns the
+      // sidecar does not know (degraded plain appends, out-of-band
+      // files).  When the covering handshake is intact, every file
+      // landed through a schema-recording commit — the sweep is
+      // provably a no-op, so skip its O(files) footer job and the
+      // second inference listing outright.
+      if (!schemaChainIntact(spark, path)) {
+        val flatUnion = spark.read
+          .option("recursiveFileLookup", "true").option("mergeSchema", "true")
+          .parquet(path).schema
+        // the partition-aware read's only unique contribution is the bin
+        // columns — already in an existing sidecar, so pay that second
+        // listing only on first record
+        val base = layoutSchema(spark, path)
+          .getOrElse(spark.read.parquet(path).schema)
+        val unseen = flatUnion.fields
+          .filterNot(f => base.fieldNames.contains(f.name))
+        writeSchemaFile(spark, path, org.apache.spark.sql.types.StructType(
+          base.fields ++ unseen.map(_.copy(nullable = true))))
+      }
       statsOf(readerFor(spark, path, flat = false).parquet(path),
           rootPathOf(spark, path), readEpoch(spark, path),
           filterColsOf(spark, path))
@@ -805,6 +824,9 @@ object GeoParquet {
       // staleness handshake with append()
       writeEpochFile(spark, s"$path/_manifest_epoch", readEpoch(spark, path))
       writeChangelogFloor(spark, path, record)
+      // the rebuild just reconciled `_schema` against ground truth —
+      // the covering handshake is (re)established at this epoch
+      stampSchemaEpoch(spark, path)
     }
   }
 
@@ -1141,6 +1163,46 @@ object GeoParquet {
   private def writeSchemaFile(spark: SparkSession, path: String,
                               s: org.apache.spark.sql.types.StructType): Unit =
     writeTextFile(spark, s"$path/_schema", s.json)
+
+  // --- `_schema_epoch`: the covering-schema handshake ----------------
+  // Stamped (:= current `_epoch`) ONLY at points where the `_schema`
+  // sidecar provably describes every data file in the layout: the
+  // layout writers (which know their own output schema exactly), the
+  // create* DDL verbs, writeManifest's own reconciliation, and — when
+  // the chain was already intact at entry — the schema-maintaining
+  // append commits (recordEvolution ran) and delete-only commits
+  // (no files added).  Plain/degraded appends bump `_epoch` without
+  // re-stamping, breaking the chain.  writeManifest's mergeSchema
+  // footer sweep — an O(files) job whose only purpose is discovering
+  // columns the sidecar does not know — is skipped exactly when the
+  // chain is intact (`_schema_epoch` == `_epoch`), because then the
+  // sweep is provably a no-op.  Out-of-band writers that bypass the
+  // epoch protocol are outside this trust model, as they already are
+  // for manifest freshness (the verify=true listing check remains
+  // their audit).
+  private def stampSchemaEpoch(spark: SparkSession, path: String): Unit =
+    writeEpochFile(spark, s"$path/_schema_epoch", readEpoch(spark, path))
+
+  private def schemaChainIntact(spark: SparkSession, path: String): Boolean = {
+    val f = s"$path/_schema_epoch"
+    fsOf(spark, path).exists(new org.apache.hadoop.fs.Path(s"$path/_schema")) &&
+      fsOf(spark, path).exists(new org.apache.hadoop.fs.Path(f)) &&
+      readEpochFile(spark, f) == readEpoch(spark, path)
+  }
+
+  /** Record the full declared schema and stamp the covering handshake
+    * — the layout writers' one-call convention.  Every field is
+    * recorded NULLABLE: a later evolved append may null-fill it, and
+    * a falsely non-null declaration lets Catalyst fold count(c) into
+    * count(*) — counting nulls (caught by SqlAggPushdownSpec when a
+    * primitive-typed source df recorded nullable=false verbatim).
+    */
+  private def recordCoveringSchema(spark: SparkSession, path: String,
+      s: org.apache.spark.sql.types.StructType): Unit = {
+    writeSchemaFile(spark, path, org.apache.spark.sql.types.StructType(
+      s.fields.map(_.copy(nullable = true))))
+    stampSchemaEpoch(spark, path)
+  }
 
   private val BinCols = Seq("bin_x", "bin_y")
 
@@ -1708,11 +1770,16 @@ object GeoParquet {
     */
   private def claimDeleteEpoch(spark: SparkSession, path: String): Long = {
     val wasFresh = manifestFresh(spark, path, verify = false)
+    // a delete-only commit adds no data files, so an intact covering-
+    // schema chain survives it — re-stamp in lockstep, like freshness
+    val schemaChainOk = schemaChainIntact(spark, path)
     val newEpoch = readEpoch(spark, path) + 1
     writeEpochFile(spark, s"$path/_epoch", newEpoch)
     stampEpochTime(spark, path, newEpoch)
     if (wasFresh)
       writeEpochFile(spark, s"$path/_manifest_epoch", newEpoch)
+    if (schemaChainOk)
+      writeEpochFile(spark, s"$path/_schema_epoch", newEpoch)
     newEpoch
   }
 
@@ -1795,10 +1862,11 @@ object GeoParquet {
     */
   def writeKeyed(df: DataFrame, path: String, keyCol: String,
                  nFiles: Int): Unit = {
-    df.withColumn("zkey", col(keyCol))
-      .repartitionByRange(nFiles, col("zkey"))
+    val kdf = df.withColumn("zkey", col(keyCol))
+    kdf.repartitionByRange(nFiles, col("zkey"))
       .sortWithinPartitions("zkey")
       .write.mode("overwrite").parquet(path)
+    recordCoveringSchema(df.sparkSession, path, kdf.schema)
     writeManifest(df.sparkSession, path)
     // record WHICH data column the cluster key mirrors, so the SQL
     // face can translate key predicates into manifest [k0,k1] file
@@ -1823,10 +1891,11 @@ object GeoParquet {
     if (keyCols.length == 1) writeKeyed(df, path, keyCols.head, nFiles)
     else {
       keyCols.foreach(requireOrderableKey(df, _))
-      df.withColumn("zkey", struct(keyCols.map(col): _*))
-        .repartitionByRange(nFiles, col("zkey"))
+      val kdf = df.withColumn("zkey", struct(keyCols.map(col): _*))
+      kdf.repartitionByRange(nFiles, col("zkey"))
         .sortWithinPartitions("zkey")
         .write.mode("overwrite").parquet(path)
+      recordCoveringSchema(df.sparkSession, path, kdf.schema)
       writeManifest(df.sparkSession, path)
       recordKeyCol(df.sparkSession, path, keyCols.mkString(","))
     }
@@ -1975,10 +2044,11 @@ object GeoParquet {
                     nBuckets: Int): Unit = {
     require(nBuckets > 0, "writeBucketed needs nBuckets > 0")
     requireOrderableKey(df, keyCol)
-    df.withColumn("zkey", col(keyCol))
-      .repartition(nBuckets, col(keyCol))
+    val kdf = df.withColumn("zkey", col(keyCol))
+    kdf.repartition(nBuckets, col(keyCol))
       .sortWithinPartitions("zkey")
       .write.mode("overwrite").parquet(path)
+    recordCoveringSchema(df.sparkSession, path, kdf.schema)
     writeManifest(df.sparkSession, path)
     recordKeyCol(df.sparkSession, path, keyCol)
     writeTextFile(df.sparkSession, s"$path/_buckets", s"$nBuckets,$keyCol")
@@ -3461,12 +3531,19 @@ object GeoParquet {
         }
         markLanded(spark, commitMarker)
       } else {
+        // recordEvolution above kept `_schema` a covering union for
+        // THIS batch; if the chain was intact at entry it stays
+        // intact through this commit (re-stamped after the epoch
+        // advances).  A broken chain stays broken — the next
+        // writeManifest sweeps.
+        val schemaChainOk = schemaChainIntact(spark, path)
         val newEpoch = readEpoch(spark, path) + 1
         writeEpochFile(spark, s"$path/_epoch", newEpoch) // stale until step 4
         stampEpochTime(spark, path, newEpoch)
         commitStaged(spark, path, tmp,
           stats.withColumn("epoch", lit(newEpoch)), newEpoch, mergeDir,
           commitMarker)
+        if (schemaChainOk) stampSchemaEpoch(spark, path)
       }
     }
     coalesceManifestIfNeeded(spark, path) // outside the lock (it re-takes it)
@@ -3712,12 +3789,15 @@ object GeoParquet {
         }
         markLanded(spark, commitMarker)
       } else {
+        // same covering-chain re-stamp as appendWithManifest's commit
+        val schemaChainOk = schemaChainIntact(spark, path)
         val newEpoch = readEpoch(spark, path) + 1
         writeEpochFile(spark, s"$path/_epoch", newEpoch) // stale until commit
         stampEpochTime(spark, path, newEpoch)
         commitStaged(spark, path, tmp,
           stats.withColumn("epoch", lit(newEpoch)), newEpoch, mergeDir,
           commitMarker)
+        if (schemaChainOk) stampSchemaEpoch(spark, path)
       }
     }
     coalesceManifestIfNeeded(spark, path) // outside the lock (it re-takes it)

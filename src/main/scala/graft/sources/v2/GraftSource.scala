@@ -1791,6 +1791,21 @@ final class SerConf(@transient private var c: org.apache.hadoop.conf.Configurati
     jcVal
   }
 
+  // Per-task memo of decoded tombstone-part position maps (see
+  // DoomedPositions.readPart) — one full decode per (task, part)
+  // instead of one filtered re-read per data file.
+  @transient private var partMaps: java.util.HashMap[
+    String, java.util.HashMap[String, java.util.HashSet[java.lang.Long]]] = _
+  private[v2] def memoPartMap(part: String)(
+      build: => java.util.HashMap[String, java.util.HashSet[java.lang.Long]])
+      : java.util.HashMap[String, java.util.HashSet[java.lang.Long]] =
+    synchronized {
+      if (partMaps == null) partMaps = new java.util.HashMap()
+      var m = partMaps.get(part)
+      if (m == null) { m = build; partMaps.put(part, m) }
+      m
+    }
+
   private def writeObject(out: java.io.ObjectOutputStream): Unit = {
     out.defaultWriteObject(); c.write(out)
   }
@@ -2075,47 +2090,61 @@ final class GroupRowIdReader(relFile: String, file: String, ser: SerConf,
   * pending mutation (parquet-mr record filter `file == rel`).
   */
 private[v2] object DoomedPositions {
+  import org.apache.parquet.example.data.Group
+  import org.apache.parquet.hadoop.ParquetReader
+  import org.apache.parquet.hadoop.example.GroupReadSupport
+
+  /** One tombstone part decoded ONCE into a per-data-file position
+    * map.  A task used to re-read the whole part (with a row-group
+    * filter on `file`) once per data file it decodes — O(files ×
+    * part); tombstoneShaped's range partitioning means a task's files
+    // cluster into ~one part, so one full decode per (task, part) is
+    * strictly less IO.  Memoized on the task-local [[SerConf]], same
+    * lifetime discipline as [[SerConf.memoJobConf]].
+    */
+  private def readPart(df: String, ser: SerConf)
+      : java.util.HashMap[String, java.util.HashSet[java.lang.Long]] = {
+    val out = new java.util.HashMap[String, java.util.HashSet[java.lang.Long]]()
+    ser.conf.size() // materialize once (see GroupFileReader's note)
+    // legacy conf-first constructor for the same reason as
+    // GroupFileReader's reader: no fresh per-reader Configuration.
+    // (An r17 attempt to switch to ParquetReader.builder +
+    // withConf(task conf) + withFilter REGRESSED and kept getting
+    // slower with JVM age — measured 9.4 s → 22 s over 8 bench
+    // iterations vs 4.8 s flat on this path.)
+    val r: ParquetReader[Group] =
+      new ParquetReader(ser.conf, new org.apache.hadoop.fs.Path(df),
+        new GroupReadSupport())
+    try {
+      var g = r.read()
+      while (g != null) {
+        if (g.getFieldRepetitionCount("file") > 0) {
+          var s = out.get(g.getString("file", 0))
+          if (s == null) {
+            s = new java.util.HashSet[java.lang.Long]()
+            out.put(g.getString("file", 0), s)
+          }
+          s.add(g.getLong("pos", 0))
+        }
+        g = r.read()
+      }
+    } finally r.close()
+    out
+  }
+
   def load(relFile: String, deleteFiles: Seq[String],
            ser: SerConf): java.util.HashSet[java.lang.Long] = {
-    val s = new java.util.HashSet[java.lang.Long]()
-    if (deleteFiles.nonEmpty) {
-      import org.apache.parquet.example.data.Group
-      import org.apache.parquet.filter2.compat.FilterCompat
-      import org.apache.parquet.filter2.predicate.FilterApi
-      import org.apache.parquet.hadoop.ParquetReader
-      import org.apache.parquet.hadoop.example.GroupReadSupport
-      val pred = FilterApi.eq(
-        FilterApi.binaryColumn("file"),
-        org.apache.parquet.io.api.Binary.fromString(relFile))
-      ser.conf.size() // materialize once (see GroupFileReader's note)
-      // legacy conf-first constructor for the same reason as
-      // GroupFileReader's reader: no fresh per-reader Configuration.
-      // (An r17 attempt to switch to ParquetReader.builder +
-      // withConf(task conf) + withFilter REGRESSED and kept getting
-      // slower with JVM age — measured 9.4 s → 22 s over 8 bench
-      // iterations vs 4.8 s flat on this path; keep the one clone per
-      // load() call.)
-      val rconf = {
-        val c = new org.apache.hadoop.conf.Configuration(ser.conf)
-        org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(c, pred)
-        c
-      }
-      deleteFiles.foreach { df =>
-        val r: ParquetReader[Group] =
-          new ParquetReader(rconf, new org.apache.hadoop.fs.Path(df),
-            new GroupReadSupport())
-        try {
-          var g = r.read()
-          while (g != null) {
-            if (g.getFieldRepetitionCount("file") > 0 &&
-                g.getString("file", 0) == relFile)
-              s.add(g.getLong("pos", 0))
-            g = r.read()
-          }
-        } finally r.close()
-      }
+    if (deleteFiles.isEmpty) return new java.util.HashSet[java.lang.Long]()
+    val maps = deleteFiles.map(df => ser.memoPartMap(df)(readPart(df, ser)))
+    val hits = maps.flatMap(m => Option(m.get(relFile)))
+    hits match {
+      case Seq() => new java.util.HashSet[java.lang.Long]()
+      case Seq(one) => one // read-only downstream; shared across readers
+      case several =>
+        val s = new java.util.HashSet[java.lang.Long]()
+        several.foreach(s.addAll)
+        s
     }
-    s
   }
 }
 
