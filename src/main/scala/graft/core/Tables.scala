@@ -13,12 +13,38 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
+  // Inferred-schema cache, keyed on the source file's identity
+  // (path, length, mtime — the sidecar-cache invalidation
+  // discipline).  Every one of the 160+ declared queries re-reads its
+  // source tables, and each bare `spark.read.parquet` runs a one-task
+  // schema-inference job first (~50–100 ms of pure fixed overhead per
+  // read at any scale).  The cache stores the exact StructType one
+  // inference produced and supplies it explicitly thereafter — zero
+  // jobs, bit-identical schema, and any rewrite of the file changes
+  // the key.
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     // The events table carries INT64 TIMESTAMP(NANOS) which Spark only
     // reads as LongType behind this legacy flag; tsMillis() below
-    // normalizes either representation to epoch-ms.
+    // normalizes either representation to epoch-ms.  Set BEFORE any
+    // inference so the cached schema reflects it.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val key =
+      try {
+        val f = new java.io.File(path)
+        if (f.exists) s"$path#${f.length}#${f.lastModified}" else path
+      } catch { case _: Throwable => path }
+    val hit = schemaCache.get(key)
+    if (hit != null) spark.read.schema(hit).parquet(path)
+    else {
+      val df = spark.read.parquet(path)
+      if (schemaCache.size() > 1024) schemaCache.clear() // growth guard
+      schemaCache.put(key, df.schema)
+      df
+    }
   }
 
   /** Milliseconds-since-epoch for the events `ts` column, robust to the

@@ -146,12 +146,17 @@ object Crossovers {
     * skipped — segments carry endpoints, not an x/y pair).
     */
   def writeSegmentArchive(tracks: DataFrame, path: String, nFiles: Int = 16): Unit = {
-    segmentsOf(tracks)
+    val keyed = segmentsOf(tracks)
       .withColumn("zkey",
         graft.functions.ZOrder.zkey(col("cell_x"), col("cell_y")))
+    keyed
       .repartitionByRange(nFiles, col("zkey"))
       .sortWithinPartitions("zkey")
       .write.mode("overwrite").parquet(path)
+    // the writer knows its output schema — declaring it arms the
+    // rebuild's covering-schema sweep-skip (and the appends re-stamp)
+    graft.sources.GeoParquet.recordCoveringSchema(
+      tracks.sparkSession, path, keyed.schema)
     graft.sources.GeoParquet.writeManifest(tracks.sparkSession, path)
   }
 

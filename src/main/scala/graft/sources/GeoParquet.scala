@@ -802,6 +802,8 @@ object GeoParquet {
       // provably a no-op, so skip its O(files) footer job and the
       // second inference listing outright.
       if (!schemaChainIntact(spark, path)) {
+        if (sys.env.contains("GRAFT_SWEEP_TRACE"))
+          new Exception(s"[sweep] $path").printStackTrace()
         val flatUnion = spark.read
           .option("recursiveFileLookup", "true").option("mergeSchema", "true")
           .parquet(path).schema
@@ -1197,7 +1199,7 @@ object GeoParquet {
     * count(*) — counting nulls (caught by SqlAggPushdownSpec when a
     * primitive-typed source df recorded nullable=false verbatim).
     */
-  private def recordCoveringSchema(spark: SparkSession, path: String,
+  private[graft] def recordCoveringSchema(spark: SparkSession, path: String,
       s: org.apache.spark.sql.types.StructType): Unit = {
     writeSchemaFile(spark, path, org.apache.spark.sql.types.StructType(
       s.fields.map(_.copy(nullable = true))))
